@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * All graft queries take `(SparkSession, sfDir)` and read parquet from the
+  * given scale-factor directory; filters/projections above these scans are
+  * pushed into the parquet reader by Catalyst (verify with
+  * `.explain("formatted")` → `PushedFilters` / `ReadSchema`).
+  */
+object Tables {
+  import org.apache.spark.sql.functions._
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS) which Spark only
+    * reads with spark.sql.legacy.parquet.nanosAsLong=true (set in
+    * Verify/Bench/test sessions). Normalize back to a microsecond
+    * timestamp here so queries see a real TimestampType column. */
+  private def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts") match {
+      case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case _ => df
+    }
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = normalizeTs(table(s, d, "events"))
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

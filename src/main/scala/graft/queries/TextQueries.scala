@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Text-analysis + deduplication operators over the `documents` table —
+  * the training-data-pipeline extensions (token counting, language-ID
+  * heuristic, quality scoring, fingerprinting, exact dedup, n-gram
+  * Jaccard, MinHash-LSH near-dup, SimHash).
+  *
+  * Scale notes (100 TB posture): every operator here is a single pass over
+  * documents with per-row expressions (whole-stage codegen'd, no UDFs);
+  * dedup groups by a 128-bit fingerprint (shuffle on fp, not raw text —
+  * constant-width keys); MinHash-LSH joins only within band buckets
+  * (candidate pairs ≪ n², the whole point of LSH at scale); the n-gram
+  * Jaccard all-pairs variant is deliberately restricted to a bounded
+  * window (doc_id < 50) — at scale you run LSH first and Jaccard only on
+  * candidates.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val cleanText = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
+
+  val queries: Map[String, Q] = Map(
+    // token counting (whitespace tokenizer).
+    "tx1_token_count" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+          col("n_chars"))
+        .orderBy("doc_id")),
+
+    // language-ID n-gram/stopword heuristic.
+    "tx2_lang_id" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          expr("CAST(regexp_count(text, '\\\\b(the|a|of|and)\\\\b') AS INT)").as("n_stop"),
+          col("lang"))
+        .withColumn("lang_pred",
+          when(col("n_stop") >= 2, "en").otherwise("unk"))
+        .orderBy("doc_id")),
+
+    // quality scoring: length + token-count heuristics in [0,1].
+    "tx3_quality_score" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+        .select(col("doc_id"),
+          round(least(lit(1.0), col("n_tokens") / lit(50.0)) * 0.5 +
+            when(col("n_chars").between(100, 5000), 0.5).otherwise(0.25), 6)
+            .as("q_score"))
+        .orderBy("doc_id")),
+
+    // document fingerprint: md5 over normalized text.
+    "tx4_fingerprint" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"), md5(cleanText).as("fp"))
+        .orderBy("doc_id")),
+
+    // exact dedup: group by content hash, keep lowest doc_id.
+    "dd1_dedup_exact" -> ((s, d) =>
+      documents(s, d)
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keeper_id")),
+
+    // exact dedup, row-preserving (W1 shape over content hash).
+    "dd2_dedup_keep_first" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text"))).orderBy("doc_id")
+      documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
+    // character-3-gram Jaccard similarity, bounded all-pairs.
+    "dd3_ngram_jaccard" -> ((s, d) => {
+      val grams = array_distinct(expr(
+        "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
+      val sh = documents(s, d)
+        .filter(col("doc_id") < 50 && length(col("text")) >= 3)
+        .select(col("doc_id"), grams.as("grams"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("grams").as("ga"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("grams").as("gb"))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
+            size(array_union(col("ga"), col("gb"))), 6).as("jac"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // MinHash (16 perms) + LSH banding (4 bands × 4 rows): near-dup
+    // candidate pairs with estimated Jaccard. Rows-only check (not
+    // ANSI-SQL-expressible in DuckDB) — see MinHashSpec for properties.
+    "dd4_minhash_lsh" -> ((s, d) => {
+      val docs = documents(s, d)
+        .select(col("doc_id"), split(cleanText, " ").as("toks"))
+        .withColumn("shingles", expr(
+          """array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1)),
+            |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))""".stripMargin))
+        .withColumn("sig", expr(
+          """transform(sequence(0, 15), s ->
+            |  array_min(transform(shingles, sh -> xxhash64(concat(sh, '#', CAST(s AS STRING))))))""".stripMargin))
+      val banded = docs.select(col("doc_id"), col("sig"),
+        explode(expr(
+          """transform(sequence(0, 3), b -> struct(
+            |  b AS band_id,
+            |  xxhash64(concat_ws(',', transform(slice(sig, b*4 + 1, 4), x -> CAST(x AS STRING)))) AS band_hash))""".stripMargin))
+          .as("band"))
+        .select(col("doc_id"), col("sig"), col("band.band_id"), col("band.band_hash"))
+      val a = banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+        col("band_id"), col("band_hash"))
+      val b = banded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+        col("band_id"), col("band_hash"))
+      a.join(b, Seq("band_id", "band_hash"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / 16.0")
+            .as("est_jaccard"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // SimHash 64-bit signature + Hamming distance between consecutive
+    // doc_ids. Rows-only check — see MinHashSpec for properties.
+    "dd5_simhash" -> ((s, d) => {
+      val sims = documents(s, d)
+        .select(col("doc_id"),
+          expr("transform(split(lower(trim(regexp_replace(text, '\\\\s+', ' '))), ' '), t -> xxhash64(t))")
+            .as("th"))
+        .select(col("doc_id"), expr(
+          """transform(sequence(0, 63), i ->
+            |  IF(aggregate(th, 0, (acc, h) -> acc + IF((shiftright(h, CAST(i AS INT)) & 1) = 1, 1, -1)) >= 0, 1, 0))""".stripMargin)
+          .as("bits"))
+      val a = sims.select(col("doc_id").as("doc_a"), col("bits").as("bits_a"))
+      val b = sims.select((col("doc_id") - 1).as("doc_a"), col("doc_id").as("doc_b"),
+        col("bits").as("bits_b"))
+      a.join(b, Seq("doc_a"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("concat_ws('', bits_a)").as("simhash_a"),
+          expr("aggregate(zip_with(bits_a, bits_b, (x, y) -> IF(x = y, 0, 1)), 0, (acc, v) -> acc + v)")
+            .as("hamming"))
+        .orderBy("doc_a")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "tx1_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(TRIM(text), '\s+')) AS INTEGER) AS n_tokens,
+        |  n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx2_lang_id" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b(the|a|of|and)\b')) AS INTEGER) AS n_stop,
+        |  lang,
+        |  CASE WHEN len(regexp_extract_all(text, '\b(the|a|of|and)\b')) >= 2
+        |       THEN 'en' ELSE 'unk' END AS lang_pred
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx3_quality_score" ->
+      """SELECT doc_id,
+        |  ROUND(LEAST(1.0, len(string_split_regex(TRIM(text), '\s+')) / 50.0) * 0.5
+        |    + CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 0.5 ELSE 0.25 END, 6) AS q_score
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx4_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dd1_dedup_exact" ->
+      """SELECT md5(text) AS fp, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin,
+    "dd2_dedup_keep_first" ->
+      """SELECT doc_id, source FROM documents
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+    "dd3_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, GREATEST(len(text) - 2, 1)),
+        |      i -> substr(text, CAST(i AS INT), 3))) AS grams
+        |  FROM documents WHERE doc_id < 50 AND LENGTH(text) >= 3)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |    / len(list_distinct(a.grams || b.grams)), 6) AS jac
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin
+  )
+}

@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Similarity search over the `embeddings` table (64-dim Array[Float]) —
+  * the training-data-pipeline ANN extensions.
+  *
+  * All dot products run as codegen'd higher-order functions
+  * (zip_with + aggregate) in DOUBLE — no UDFs, no driver-side math.
+  *
+  * Scale posture: brute-force top-k broadcasts the (small) query set
+  * against the corpus — a BroadcastNestedLoopJoin that scans the corpus
+  * exactly once regardless of query count; the LSH-bucketed variant
+  * (v4) hashes vectors into sign-random-projection buckets so candidate
+  * generation is an equi-join (shuffle on bucket id), which is the 100 TB
+  * path: corpus-sized shuffle instead of corpus × queries scan.
+  */
+object VectorQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** cosine(ea, eb) over array<double> columns, computed with HOFs. */
+  private def cosine(ea: String, eb: String) = expr(
+    s"""aggregate(zip_with($ea, $eb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+       | / (sqrt(aggregate(transform($ea, x -> x * x), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
+       |   * sqrt(aggregate(transform($eb, x -> x * x), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))""".stripMargin)
+
+  val queries: Map[String, Q] = Map(
+    // pairwise cosine between consecutive vec_ids (exact, oracle-checked).
+    "v1_cosine_pairs" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val a = e.select(col("vec_id").as("qid"), col("emb").as("ea"))
+      val b = e.select(col("vec_id").as("nid"), col("emb").as("eb"))
+      a.join(b, col("nid") === col("qid") + 1)
+        .select(col("qid"), col("nid"), round(cosine("ea", "eb"), 6).as("cos_sim"))
+        .orderBy("qid")
+    }),
+
+    // brute-force cosine top-5 for a fixed query set (vec_id < 10):
+    // broadcast queries × corpus, window top-k per query.
+    "v2_ann_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("ea"))
+      val c = e.select(col("vec_id").as("nid"), col("emb").as("eb"))
+      val w = Window.partitionBy("qid").orderBy(col("cs").desc, col("nid"))
+      c.join(broadcast(q), col("nid") =!= col("qid"))
+        .withColumn("cs", cosine("ea", "eb"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("nid"), round(col("cs"), 6).as("cos_sim"))
+        .orderBy("qid", "rnk")
+    }),
+
+    // per-label centroid (flattened): mean of each embedding position.
+    "v3_centroid_by_label" -> ((s, d) =>
+      embeddings(s, d)
+        .select(col("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("pos0", "v")))
+        .groupBy(col("label"), (col("pos0") + 1).as("pos"))
+        .agg(round(avg(col("v")), 6).as("centroid_v"))
+        .orderBy("label", "pos")),
+
+    // LSH-bucketed ANN (sign random projection, 8 planes → 256 buckets):
+    // candidates = same-bucket pairs for the query set; the scalable path.
+    // Rows-only check (bucket assignment uses Spark's xxhash64-seeded
+    // pseudo-random planes — not expressible in ANSI SQL).
+    "v4_ann_lsh" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      // plane p component j = (xxhash64(p, j) % 1000 / 500.0) - 1.0 — a
+      // deterministic pseudo-random hyperplane in [-1, 1]^64.
+      val bucketed = e.withColumn("bucket", expr(
+        """aggregate(sequence(0, 7), 0, (acc, p) -> acc * 2 + IF(
+          |  aggregate(zip_with(emb, sequence(0, 63), (x, j) ->
+          |    x * ((CAST(abs(xxhash64(p, j)) % 1000 AS DOUBLE) / 500.0) - 1.0)),
+          |    CAST(0.0 AS DOUBLE), (acc2, v) -> acc2 + v) >= 0, 1, 0))""".stripMargin))
+      val q = bucketed.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("ea"), col("bucket"))
+      val c = bucketed.select(col("vec_id").as("nid"), col("emb").as("eb"), col("bucket"))
+      val w = Window.partitionBy("qid").orderBy(col("cs").desc, col("nid"))
+      c.join(q, Seq("bucket"))
+        .filter(col("nid") =!= col("qid"))
+        .withColumn("cs", cosine("ea", "eb"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("nid"), round(col("cs"), 6).as("cos_sim"))
+        .orderBy("qid", "rnk")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "v1_cosine_pairs" ->
+      """SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |  ROUND(list_cosine_similarity(
+        |    list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |    list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |ORDER BY qid""".stripMargin,
+    "v2_ann_topk" ->
+      """WITH cs AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |    list_cosine_similarity(
+        |      list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |      list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS c
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 10)
+        |SELECT qid,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS INTEGER) AS rnk,
+        |  nid, ROUND(c, 6) AS cos_sim
+        |FROM cs QUALIFY rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "v3_centroid_by_label" ->
+      """SELECT label, CAST(i AS INTEGER) AS pos,
+        |  ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_v
+        |FROM embeddings, UNNEST(generate_series(1, 64)) t(i)
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin
+  )
+}
