@@ -77,39 +77,59 @@ object TextQueries {
     }),
 
     // character-3-gram Jaccard similarity, bounded all-pairs.
+    // Shape: explode distinct grams → equi-join on gram → count common →
+    // |A∪B| = |A|+|B|−common. A codegen'd hash join + hash agg instead of
+    // per-pair interpreted array_intersect/array_union — and the formulation
+    // that survives scale (shuffle on gram, never nested-loop arrays).
     "dd3_ngram_jaccard" -> ((s, d) => {
-      val grams = array_distinct(expr(
-        "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))"))
       val sh = documents(s, d)
         .filter(col("doc_id") < 50 && length(col("text")) >= 3)
-        .select(col("doc_id"), grams.as("grams"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("grams").as("ga"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("grams").as("gb"))
-      a.join(b, col("doc_a") < col("doc_b"))
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")))
+          .as("g"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val common = sh.select(col("doc_id").as("doc_a"), col("g"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("g")), "g")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+      // full pair skeleton keeps zero-overlap pairs in the output
+      val ids = sizes.select(col("doc_id"), col("sz"))
+      val pairs = ids.select(col("doc_id").as("doc_a"), col("sz").as("sa"))
+        .join(ids.select(col("doc_id").as("doc_b"), col("sz").as("sb")),
+          col("doc_a") < col("doc_b"))
+      pairs.join(common, Seq("doc_a", "doc_b"), "left")
+        .withColumn("c", coalesce(col("common"), lit(0L)))
         .select(col("doc_a"), col("doc_b"),
-          round(size(array_intersect(col("ga"), col("gb"))).cast("double") /
-            size(array_union(col("ga"), col("gb"))), 6).as("jac"))
+          round(col("c").cast("double") / (col("sa") + col("sb") - col("c")), 6)
+            .as("jac"))
         .orderBy("doc_a", "doc_b")
     }),
 
     // MinHash (16 perms) + LSH banding (4 bands × 4 rows): near-dup
     // candidate pairs with estimated Jaccard. Rows-only check (not
-    // ANSI-SQL-expressible in DuckDB) — see MinHashSpec for properties.
+    // ANSI-SQL-expressible in DuckDB) — see QueriesSpec for properties.
+    // Perf shape: each word-3-shingle is string-hashed ONCE, then exploded
+    // to (doc_id, h) rows; the 16 permutations are codegen'd hash-agg
+    // min(xxhash64(h, perm)) columns — no nested interpreted HOFs on the
+    // hot path, and the shuffle key is a fixed-width long. Band hashes are
+    // variadic xxhash64 over 4 signature columns.
     "dd4_minhash_lsh" -> ((s, d) => {
-      val docs = documents(s, d)
+      val hashed = documents(s, d)
         .select(col("doc_id"), split(cleanText, " ").as("toks"))
-        .withColumn("shingles", expr(
+        .select(col("doc_id"), explode(expr(
           """array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1)),
-            |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])))""".stripMargin))
-        .withColumn("sig", expr(
-          """transform(sequence(0, 15), s ->
-            |  array_min(transform(shingles, sh -> xxhash64(concat(sh, '#', CAST(s AS STRING))))))""".stripMargin))
-      val banded = docs.select(col("doc_id"), col("sig"),
-        explode(expr(
-          """transform(sequence(0, 3), b -> struct(
-            |  b AS band_id,
-            |  xxhash64(concat_ws(',', transform(slice(sig, b*4 + 1, 4), x -> CAST(x AS STRING)))) AS band_hash))""".stripMargin))
-          .as("band"))
+            |  i -> xxhash64(concat_ws(' ', toks[i-1], toks[i], toks[i+1]))))""".stripMargin))
+          .as("h"))
+      val aggs = (0 until 16).map(p => min(xxhash64(col("h"), lit(p))).as(s"m$p"))
+      val sigs = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+        .select(col("doc_id"),
+          array((0 until 16).map(p => col(s"m$p")): _*).as("sig"),
+          array((0 until 4).map(b => struct(
+            lit(b).as("band_id"),
+            xxhash64((b * 4 until b * 4 + 4).map(i => col(s"m$i")): _*).as("band_hash"))): _*)
+            .as("bands"))
+      val banded = sigs
+        .select(col("doc_id"), col("sig"), explode(col("bands")).as("band"))
         .select(col("doc_id"), col("sig"), col("band.band_id"), col("band.band_hash"))
       val a = banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
         col("band_id"), col("band_hash"))
@@ -118,7 +138,7 @@ object TextQueries {
       a.join(b, Seq("band_id", "band_hash"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
-          expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / 16.0")
+          expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / CAST(16.0 AS DOUBLE)")
             .as("est_jaccard"))
         .distinct()
         .orderBy("doc_a", "doc_b")

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + semantic checks for every registered query at sf0.001.
+  * The DuckDB hash-compare is the driver's gate (tools/check_oracle.py
+  * locally); these tests guard invariants the hash compare can't see and
+  * keep `sbt test` meaningful without DuckDB. */
+class QueriesSpec extends SparkSuite {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("every query runs at sf0.001 and is non-empty") {
+    val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      if (n == 0) Some(name) else None
+    }
+    assert(empty.isEmpty, s"empty results: $empty")
+  }
+
+  test("w1 dedup keeps exactly one row per key") {
+    val out = SparkEntry.queries("w1_dedup_latest")(spark, sf)
+    val total = out.count()
+    val keys = out.select("l_orderkey").distinct().count()
+    assert(total === keys)
+  }
+
+  test("dd1 exact-dedup copies add up to the table size") {
+    val docs = Tables.documents(spark, sf).count()
+    val summed = SparkEntry.queries("dd1_dedup_exact")(spark, sf)
+      .agg(sum("n_copies")).head.getLong(0)
+    assert(summed === docs)
+  }
+
+  test("dd2 keep-first retains one doc per distinct text") {
+    val distinctTexts = Tables.documents(spark, sf).select("text").distinct().count()
+    assert(SparkEntry.queries("dd2_dedup_keep_first")(spark, sf).count() === distinctTexts)
+  }
+
+  test("v2 ANN top-k: 5 neighbors per query, cosine in [-1,1], ranks 1..5") {
+    val rows = SparkEntry.queries("v2_ann_topk")(spark, sf).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size === 10)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq == (1 to 5))
+      rs.foreach(r => {
+        val c = r.getAs[Double]("cos_sim")
+        assert(c >= -1.0001 && c <= 1.0001)
+      })
+    }
+  }
+
+  test("v4 LSH ANN recall vs brute force is non-trivial") {
+    // LSH candidates are a subset of the corpus; every returned neighbor
+    // must also appear in the brute-force ranking, and similarity must be
+    // within the brute-force top-similarity range.
+    val bf = SparkEntry.queries("v2_ann_topk")(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("v4_ann_lsh")(spark, sf).collect()
+    assert(lsh.nonEmpty)
+    val hits = lsh.count(r => bf.contains((r.getAs[Long]("qid"), r.getAs[Long]("nid"))))
+    assert(hits >= 1, "LSH found none of the brute-force top-5 neighbors")
+  }
+
+  test("dd4 MinHash estimates stay in [0,1] and pairs are ordered") {
+    SparkEntry.queries("dd4_minhash_lsh")(spark, sf).collect().foreach { r =>
+      val est = r.getAs[Double]("est_jaccard")
+      assert(est >= 0.0 && est <= 1.0)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+  }
+
+  test("dd5 SimHash hamming distance in [0,64]") {
+    SparkEntry.queries("dd5_simhash")(spark, sf).collect().foreach { r =>
+      val h = r.getAs[Int]("hamming")
+      assert(h >= 0 && h <= 64)
+      assert(r.getAs[String]("simhash_a").length === 64)
+    }
+  }
+
+  test("a10 completeness score in [0,1]") {
+    val bad = SparkEntry.queries("a10_row_score")(spark, sf)
+      .filter(col("completeness") < 0 || col("completeness") > 1).count()
+    assert(bad === 0)
+  }
+
+  test("m3 midpoint lies between group min and max") {
+    val li = Tables.lineitem(spark, sf)
+    val chk = li.groupBy("l_orderkey")
+      .agg(min("l_extendedprice").as("mn"), max("l_extendedprice").as("mx"))
+      .join(SparkEntry.queries("m3_minmax_mid")(spark, sf), "l_orderkey")
+      .filter(col("mid_price") < col("mn") || col("mid_price") > col("mx"))
+    assert(chk.count() === 0)
+  }
+}
