@@ -1,0 +1,140 @@
+package graft.gold
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.schema.Mappings
+
+/** Silver-data enhancement: price imputation + coordinate geocoding +
+  * quality-score refresh (reference: data_enhancement.py:18-437).
+  *
+  * The reference geocodes with a Python dict-lookup UDF
+  * (data_enhancement.py:263-295); here the centroid table is a broadcast
+  * dimension joined after the same prefix-strip normalization — no
+  * serialization boundary, codegen-friendly, and the at-scale shape
+  * (a UDF dictionary would ship per-task; a broadcast dim ships once per
+  * executor).
+  *
+  * The reference short-circuits each step when nothing needs fixing
+  * (data_enhancement.py:39-42,186-189); we always run the (lazy) plan —
+  * output is identical because the imputed-flag predicates make the
+  * fix-ups no-ops, and it avoids two eager counts per run.
+  */
+object Enhancement {
+
+  /** district-median price imputation with city + national fallbacks
+    * (data_enhancement.py:18-157). */
+  def imputeMissingPrices(df: DataFrame): DataFrame = {
+    val priced = df.filter(col("avg_unit_price").isNotNull &&
+      col("avg_unit_price") > 0 && col("city").isNotNull)
+    val districtStats = priced.filter(col("district").isNotNull)
+      .groupBy("city", "district")
+      .agg(median(col("avg_unit_price")).as("district_median_unit_price"),
+        avg(col("avg_unit_price")).as("district_avg_unit_price"),
+        stddev_samp(col("avg_unit_price")).as("district_std_unit_price"),
+        count(lit(1)).as("district_sample_count"))
+    val cityStats = priced.groupBy("city")
+      .agg(median(col("avg_unit_price")).as("city_median_unit_price"),
+        avg(col("avg_unit_price")).as("city_avg_unit_price"))
+
+    df.join(broadcast(districtStats), Seq("city", "district"), "left")
+      .join(broadcast(cityStats), Seq("city"), "left")
+      .withColumn("imputed_unit_price",
+        coalesce(col("district_median_unit_price"),
+          col("city_median_unit_price"), lit(Mappings.NationalAvgUnitPrice)))
+      .withColumn("imputed_selling_price",
+        when(col("total_area").isNotNull && col("total_area") > 0,
+          col("imputed_unit_price") * col("total_area")).otherwise(lit(null)))
+      .withColumn("price_imputed",
+        when(col("avg_selling_price").isNull || col("avg_selling_price") === 0,
+          lit(true)).otherwise(lit(false)))
+      .withColumn("avg_selling_price",
+        when(col("price_imputed"), col("imputed_selling_price"))
+          .otherwise(col("avg_selling_price")))
+      .withColumn("avg_unit_price",
+        when(col("price_imputed"), col("imputed_unit_price"))
+          .otherwise(col("avg_unit_price")))
+      .withColumn("min_selling_price",
+        when(col("price_imputed"), col("avg_selling_price") * 0.9)
+          .otherwise(col("min_selling_price")))
+      .withColumn("max_selling_price",
+        when(col("price_imputed"), col("avg_selling_price") * 1.1)
+          .otherwise(col("max_selling_price")))
+      .drop("district_median_unit_price", "district_avg_unit_price",
+        "district_std_unit_price", "district_sample_count",
+        "city_median_unit_price", "city_avg_unit_price",
+        "imputed_unit_price", "imputed_selling_price")
+  }
+
+  /** Centroid dimension: (city_key, district_key) → (lat, lon), keys
+    * lowercased so the join covers the reference UDF's exact-then-
+    * case-insensitive lookup (data_enhancement.py:273-282). */
+  def centroidDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Mappings.DistrictCentroids
+      .map { case (c, d, lat, lon) => (c.toLowerCase, d.toLowerCase, lat, lon) }
+      .toDF("_cent_city", "_cent_district", "_cent_lat", "_cent_lon")
+      .dropDuplicates("_cent_city", "_cent_district")
+  }
+
+  /** the UDF's normalization: strip "TP. "/"Thành phố " off the city and
+    * "Q. "/"Quận "/"P. "/"Phường " off the district, trim
+    * (data_enhancement.py:269-270). */
+  private def normCity = lower(trim(
+    regexp_replace(regexp_replace(col("city"), "TP\\. ", ""), "Thành phố ", "")))
+  private def normDistrict = lower(trim(
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      col("district"), "Q\\. ", ""), "Quận ", ""), "P\\. ", ""), "Phường ", "")))
+
+  /** district-centroid geocoding for missing/zero coordinates
+    * (data_enhancement.py:164-337). */
+  def geocodeMissingCoordinates(spark: SparkSession, df: DataFrame): DataFrame =
+    df.withColumn("_norm_city", normCity)
+      .withColumn("_norm_district", normDistrict)
+      .join(broadcast(centroidDim(spark)),
+        col("_norm_city") === col("_cent_city") &&
+          col("_norm_district") === col("_cent_district"), "left")
+      .withColumn("coordinates_imputed",
+        when(col("latitude").isNull || col("latitude") === 0 ||
+          col("longitude").isNull || col("longitude") === 0, lit(true))
+          .otherwise(lit(false)))
+      .withColumn("latitude",
+        when(col("coordinates_imputed"), col("_cent_lat"))
+          .otherwise(col("latitude")))
+      .withColumn("longitude",
+        when(col("coordinates_imputed"), col("_cent_lon"))
+          .otherwise(col("longitude")))
+      .drop("_norm_city", "_norm_district", "_cent_city", "_cent_district",
+        "_cent_lat", "_cent_lon")
+
+  /** post-enhancement quality-score refresh (data_enhancement.py:368-436). */
+  def updateQualityScores(df: DataFrame): DataFrame =
+    df.withColumn("_has_valid_price",
+        when(col("avg_selling_price").isNotNull && col("avg_selling_price") > 0,
+          lit(true)).otherwise(lit(false)))
+      .withColumn("_has_valid_coords",
+        when(col("latitude").isNotNull && col("longitude").isNotNull &&
+          col("latitude") =!= 0 && col("longitude") =!= 0 &&
+          col("latitude").between(-90, 90) && col("longitude").between(-180, 180),
+          lit(true)).otherwise(lit(false)))
+      .withColumn("location_quality_score",
+        col("_has_valid_coords").cast("double") * 0.4 +
+          when(col("district").isNotNull && col("district") =!= "", 0.3)
+            .otherwise(0.0) +
+          when(col("ward").isNotNull && col("ward") =!= "", 0.3).otherwise(0.0))
+      .withColumn("data_completeness_score",
+        (col("_has_valid_price").cast("double") +
+          col("_has_valid_coords").cast("double") +
+          when(col("total_area").isNotNull && col("total_area") > 0, 1.0)
+            .otherwise(0.0) +
+          when(col("project_name").isNotNull && col("project_name") =!= "", 1.0)
+            .otherwise(0.0) +
+          when(col("district").isNotNull && col("district") =!= "", 1.0)
+            .otherwise(0.0) +
+          when(col("city").isNotNull && col("city") =!= "", 1.0)
+            .otherwise(0.0)) / 6.0)
+      .drop("_has_valid_price", "_has_valid_coords")
+
+  /** full enhancement chain (data_enhancement.py:344-365). */
+  def enhanceSilverData(spark: SparkSession, df: DataFrame): DataFrame =
+    updateQualityScores(geocodeMissingCoordinates(spark, imputeMissingPrices(df)))
+}

@@ -1,0 +1,144 @@
+package graft.gold
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.schema.{Mappings, Schemas}
+
+/** Gold-layer ML-feature ETL (reference: gold_ml_etl.py:45-474): read
+  * current silver rows → enhance → engineer ~60 features → quality tiers →
+  * feature select → partitioned overwrite.
+  */
+object GoldEtl {
+
+  val GoldVersion = "1.0"
+
+  // ------------------------------------------------------------ step 1
+  def readSilver(spark: SparkSession, silverPath: String): DataFrame =
+    spark.read.parquet(silverPath).filter(col("is_current") === true)
+
+  // ------------------------------------------------------------ step 3
+  /** target variables (gold_ml_etl.py:129-162). */
+  def createTargetVariables(df: DataFrame): DataFrame =
+    df.withColumn("target_price_per_sqm", col("avg_unit_price"))
+      .withColumn("target_total_price", col("avg_selling_price"))
+      .withColumn("target_min_price", col("min_selling_price"))
+      .withColumn("target_max_price", col("max_selling_price"))
+      .withColumn("target_price_range",
+        when(col("max_selling_price").isNotNull &&
+          col("min_selling_price").isNotNull,
+          col("max_selling_price") - col("min_selling_price"))
+          .otherwise(lit(null)))
+
+  /** city dim join + district hash encoding (gold_ml_etl.py:165-202). */
+  def engineerLocationFeatures(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    val cityDim = Mappings.CityEncoding.toDF("city_name", "city_code")
+    df.withColumn("city_normalized",
+        trim(regexp_replace(
+          regexp_replace(col("city"), "TP\\. ", ""), "Thành phố ", "")))
+      .join(broadcast(cityDim), col("city_normalized") === col("city_name"), "left")
+      .withColumn("city_encoded", coalesce(col("city_code"), lit(0)))
+      .drop("city_name", "city_code", "city_normalized")
+      .withColumn("district_encoded",
+        when(col("district").isNotNull, abs(hash(col("district"))) % 1000)
+          .otherwise(lit(0)))
+  }
+
+  /** log transforms, FAR, per-floor/per-unit ratios, avg bedroom
+    * (gold_ml_etl.py:205-268). */
+  def engineerPropertyFeatures(df: DataFrame): DataFrame =
+    df.withColumn("log_total_area",
+        when(col("total_area") > 0, log(col("total_area"))).otherwise(lit(null)))
+      .withColumn("log_total_property",
+        when(col("total_property") > 0, log(col("total_property")))
+          .otherwise(lit(null)))
+      .withColumn("floor_area_ratio",
+        when(col("construction_area").isNotNull && col("total_area").isNotNull &&
+          col("total_area") > 0, col("construction_area") / col("total_area"))
+          .otherwise(lit(null)))
+      .withColumn("avg_property_per_floor",
+        when(col("total_property").isNotNull &&
+          col("number_of_floors").isNotNull && col("number_of_floors") > 0,
+          col("total_property") / col("number_of_floors"))
+          .otherwise((col("min_prop_per_floor") + col("max_prop_per_floor")) / 2))
+      .withColumn("avg_area_per_unit",
+        when(col("total_area").isNotNull && col("total_property").isNotNull &&
+          col("total_property") > 0, col("total_area") / col("total_property"))
+          .otherwise(lit(null)))
+      .withColumn("avg_bedroom",
+        when(col("min_bedroom").isNotNull && col("max_bedroom").isNotNull,
+          (col("min_bedroom") + col("max_bedroom")) / 2).otherwise(lit(null)))
+
+  /** developer/investor hash encoding (gold_ml_etl.py:271-286). */
+  def engineerDeveloperFeatures(df: DataFrame): DataFrame =
+    df.withColumn("developer_encoded",
+      when(col("developer_name").isNotNull,
+        abs(hash(col("developer_name"))) % 500)
+        .when(col("investor_name").isNotNull,
+          abs(hash(col("investor_name"))) % 500)
+        .otherwise(lit(0)))
+
+  /** amenity count + score (gold_ml_etl.py:289-311). */
+  def engineerAmenityFeatures(df: DataFrame): DataFrame =
+    df.withColumn("amenity_count",
+        Mappings.AmenityPatterns.map { case (c, _) => col(c).cast("int") }
+          .reduce(_ + _))
+      .withColumn("amenity_score", col("amenity_count") / 6.0)
+
+  /** year/quarter/month from ingestion_date (gold_ml_etl.py:314-321). */
+  def engineerMarketFeatures(df: DataFrame): DataFrame =
+    df.withColumn("year", year(col("ingestion_date")))
+      .withColumn("quarter", quarter(col("ingestion_date")))
+      .withColumn("month", month(col("ingestion_date")))
+
+  def engineerFeatures(spark: SparkSession, df: DataFrame): DataFrame =
+    engineerMarketFeatures(engineerAmenityFeatures(engineerDeveloperFeatures(
+      engineerPropertyFeatures(engineerLocationFeatures(spark,
+        createTargetVariables(df))))))
+
+  // ------------------------------------------------------------ step 4
+  /** quality tiers + training-ready flag (gold_ml_etl.py:328-373;
+    * criteria gold_ml_schema.py:152-177). */
+  def assignQualityTiers(df: DataFrame): DataFrame =
+    df.withColumn("quality_tier",
+        when(col("target_price_per_sqm").isNotNull &&
+          col("target_price_per_sqm") > 0 &&
+          col("latitude").isNotNull && col("longitude").isNotNull &&
+          col("total_area") > 0 && col("data_completeness_score") >= 0.6,
+          lit("high"))
+          .when(col("target_price_per_sqm").isNotNull &&
+            col("target_price_per_sqm") > 0 &&
+            col("data_completeness_score") >= 0.4, lit("medium"))
+          .otherwise(lit("low")))
+      .withColumn("is_training_ready", col("quality_tier") === "high")
+
+  // ------------------------------------------------------------ step 5
+  /** ordered feature selection + audit columns (gold_ml_etl.py:380-444). */
+  def selectMlFeatures(df: DataFrame,
+                       clock: Column = current_timestamp()): DataFrame = {
+    val d = df.withColumn("project_id", col("universal_id"))
+      .withColumn("snapshot_date", col("ingestion_date"))
+    val existing = Schemas.GoldFeatureColumns.filter(d.columns.contains)
+    d.select(existing.map(col): _*)
+      .withColumn("gold_processed_at", clock.cast("string"))
+      .withColumn("gold_version", lit(GoldVersion))
+  }
+
+  // ------------------------------------------------------------ step 6
+  def writeGold(df: DataFrame, goldPath: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy("quality_tier", "year", "month")
+      .parquet(goldPath)
+
+  /** Full gold pipeline (gold_ml_etl.py:536-568). */
+  def run(spark: SparkSession, silverPath: String, goldPath: String,
+          clock: Column = current_timestamp()): DataFrame = {
+    val silver = readSilver(spark, silverPath)
+    val enhanced = Enhancement.enhanceSilverData(spark, silver)
+    val features = engineerFeatures(spark, enhanced)
+    val tiered = assignQualityTiers(features)
+    val selected = selectMlFeatures(tiered, clock)
+    writeGold(selected, goldPath)
+    selected
+  }
+}

@@ -1,0 +1,360 @@
+package graft.silver
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import graft.schema.{Mappings, Schemas}
+import graft.transform.Transforms
+import graft.quality.QualityChecks
+import graft.scd.Scd2
+
+/** Silver-layer ETL — the reference's 10-step batch pipeline
+  * (silver_etl_script.py:1060-1113) as composable DataFrame stages.
+  *
+  * Deviations from the reference, by design:
+  *  - `clock` is injected (the reference stamps current_timestamp —
+  *    silver_etl_script.py:879-884 — which is untestable);
+  *  - the 4σ outlier pass (silver_etl_script.py:666-693) keeps the
+  *    reference's SEQUENTIAL per-column semantics but stays fully lazy:
+  *    each column's μ/σ joins in via a broadcast aggregate instead of a
+  *    driver-side collect, and the std>0 guard moves into the predicate;
+  *  - step counts are computed once at the end, not ~30 eager .count()s.
+  */
+object SilverEtl {
+
+  final case class EtlStats(recordsRead: Long, recordsValid: Long,
+                            recordsInvalid: Long, duplicatesRemoved: Long,
+                            recordsWritten: Long, avgCompletenessScore: Double)
+
+  // ------------------------------------------------------------ step 1
+  /** Bronze day-paths: bronze/{spider}/year=Y/month=M/YYYYMMDD*.jsonl
+    * (silver_etl_script.py:122-134). */
+  def bronzePathsFor(base: String, startDate: String): Seq[String] = {
+    val (year, month) = (startDate.substring(0, 4), startDate.substring(5, 7))
+    val dayPrefix = startDate.replace("-", "")
+    Mappings.ProjectSpiders.map(sp =>
+      s"$base/$sp/year=$year/month=$month/$dayPrefix*.jsonl")
+  }
+
+  def readBronze(spark: SparkSession, base: String, startDate: String): DataFrame =
+    spark.read.json(bronzePathsFor(base, startDate): _*)
+
+  // ------------------------------------------------------------ step 2
+  /** Per-source special transforms (silver_etl_script.py:179-344). */
+  def applySourceSpecials(df: DataFrame, spider: String): DataFrame = spider match {
+    case "chotot_api" =>
+      Transforms.splitGeoCoordinates(df, "geo")
+    case "onehousing_api" =>
+      var d = Transforms.extractBedroomRanges(df)
+      d = Transforms.extractQualityIndexNames(d)
+      if (d.columns.contains("number_basement") || d.columns.contains("number_ele"))
+        d = Transforms.extractFirstFromArray(d,
+          Seq("number_of_basement" -> "number_basement",
+            "number_of_elevators" -> "number_ele"))
+      if (d.columns.contains("total_area"))  // ha → m² (:211-219)
+        d = d.withColumn("total_area",
+          when(col("total_area").isNotNull, col("total_area") * 10000)
+            .otherwise(lit(null)))
+      if (d.columns.contains("albums"))      // albums → flat image urls (:223-242)
+        d = d.withColumn("albums",
+          when(col("albums").isNotNull && size(col("albums")) > 0,
+            expr("flatten(transform(albums, x -> x.images))"))
+            .otherwise(lit(null)))
+      if (d.columns.contains("insight_by_bedroom"))  // typed struct array (:244-268)
+        d = d.withColumn("insight_by_bedroom",
+          when(col("insight_by_bedroom").isNotNull, expr(
+            """transform(insight_by_bedroom, x -> struct(
+              |  cast(x.number_of_bedroom as int) as number_of_bedroom,
+              |  cast(x.min_price as double) as min_price,
+              |  cast(x.max_price as double) as max_price,
+              |  cast(x.min_carpet_area as double) as min_area,
+              |  cast(x.max_carpet_area as double) as max_area))""".stripMargin))
+            .otherwise(lit(null)))
+      d
+    case "meeyproject_api" =>
+      var d = Transforms.extractMeeyprojectLocation(df)
+      if (d.columns.contains("projectTypes"))  // unique translated names (:278-298)
+        d = d.withColumn("projectTypes",
+          when(col("projectTypes").isNotNull && size(col("projectTypes")) > 0,
+            expr("array_distinct(flatten(transform(projectTypes, pt -> transform(pt.translation, t -> t.name))))"))
+            .otherwise(lit(null)))
+      if (d.columns.contains("images") &&      // images[].url (:301-312)
+          d.schema("images").dataType.isInstanceOf[ArrayType] &&
+          d.schema("images").dataType.asInstanceOf[ArrayType]
+            .elementType.isInstanceOf[StructType])
+        d = d.withColumn("images",
+          when(col("images").isNotNull && size(col("images")) > 0,
+            expr("transform(images, img -> img.url)")).otherwise(lit(null)))
+      if (d.columns.contains("investorRelated"))
+        d = d.withColumn("investor_name", col("investorRelated.investor.name"))
+      if (d.columns.contains("utilities"))
+        d = d.withColumn("utilities_internal", col("utilities.basicUtilities"))
+      Transforms.extractNestedTranslation(d, Seq("ward", "district", "city"))
+    case _ => df
+  }
+
+  /** Rename per mapping, cast per TYPE_CONVERSIONS, dual-format handover
+    * date, defaults, conform to SILVER_SCHEMA types, prune columns
+    * (silver_etl_script.py:346-499). */
+  def mapSource(df: DataFrame, spider: String): DataFrame = {
+    var d = applySourceSpecials(df, spider)
+
+    // standard renames (:347-353)
+    Mappings.SourceMappings.getOrElse(spider, Seq.empty).foreach {
+      case (target, source) =>
+        if (d.columns.contains(source)) {
+          if (d.columns.contains(target) && target != source) d = d.drop(target)
+          d = d.withColumnRenamed(source, target)
+        }
+    }
+    // declared casts (:356-361)
+    Mappings.TypeConversions.foreach { case (f, t) =>
+      if (d.columns.contains(f)) d = d.withColumn(f, col(f).cast(t))
+    }
+    // OneHousing dual-format handover_date_from (:363-389)
+    if (spider == "onehousing_api" && d.columns.contains("handover_date_from"))
+      d = d.withColumn("handover_date_from",
+        when(col("handover_date_from").isNotNull,
+          when(col("handover_date_from").cast("long").isNotNull &&
+            col("handover_date_from").cast("long") > 1000000000000L,
+            to_date(from_unixtime(col("handover_date_from").cast("long") / 1000))
+              .cast("timestamp"))
+            .otherwise(to_timestamp(col("handover_date_from"), "yyyy-MM-dd")))
+          .otherwise(lit(null).cast("timestamp")))
+    // defaults for entirely-missing fields (:391-394)
+    Mappings.DefaultValues.foreach { case (f, v) =>
+      if (!d.columns.contains(f)) d = d.withColumn(f, lit(v))
+    }
+    // conform present columns to SILVER_SCHEMA types (:401-488)
+    Schemas.Silver.fields.foreach { sf =>
+      if (d.columns.contains(sf.name)) sf.dataType match {
+        case ArrayType(StringType, _) =>
+          d = Transforms.coerceToStringArray(d, sf.name)
+        case at: ArrayType =>
+          d.schema(sf.name).dataType match {
+            case _: ArrayType => d = d.withColumn(sf.name, col(sf.name).cast(at))
+            case _ => d = d.withColumn(sf.name, lit(null).cast(at))
+          }
+        case dt => d = d.withColumn(sf.name, col(sf.name).cast(dt))
+      }
+    }
+    // prune to schema columns, carrying the bronze envelope timestamp (:490-499)
+    val keep = Schemas.Silver.fields.map(_.name).filter(d.columns.contains)
+    if (d.columns.contains("timestamp"))
+      d.select((keep.map(col) :+ col("timestamp")): _*)
+    else d.select(keep.map(col): _*)
+  }
+
+  /** Union mapped sources, convert bronze timestamp → ingested_at_utc
+    * (silver_etl_script.py:157-521). */
+  def applySchemaMapping(df: DataFrame): DataFrame = {
+    val mapped = Mappings.ProjectSpiders
+      .map(sp => mapSource(df.filter(col("spider_name") === sp), sp))
+    var unified = mapped.reduce(_.unionByName(_, allowMissingColumns = true))
+    if (unified.columns.contains("timestamp") &&
+        !unified.columns.contains("ingested_at_utc"))
+      unified = unified.withColumn("ingested_at_utc",
+        to_timestamp(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss")).drop("timestamp")
+    unified
+  }
+
+  // ------------------------------------------------------------ step 3
+  /** Critical-field predicate split + coord/price witness flags
+    * (silver_etl_script.py:526-589). */
+  def validate(df: DataFrame): (DataFrame, DataFrame) = {
+    val validExpr = col("spider_name").isNotNull &&
+      col("ingested_at_utc").isNotNull && col("source_id").isNotNull &&
+      col("project_name").isNotNull && (length(col("project_name")) > 0)
+    val flagged = df
+      .withColumn("_has_valid_coords",
+        when(col("latitude").isNotNull && col("longitude").isNotNull &&
+          col("latitude") =!= 0 && col("longitude") =!= 0 &&
+          col("latitude").between(-90, 90) && col("longitude").between(-180, 180),
+          lit(true)).otherwise(lit(false)))
+      .withColumn("_has_valid_price",
+        when(col("min_selling_price").isNotNull ||
+          col("max_selling_price").isNotNull ||
+          col("min_unit_price").isNotNull || col("max_unit_price").isNotNull,
+          lit(true)).otherwise(lit(false)))
+    (flagged.filter(validExpr), flagged.filter(!validExpr))
+  }
+
+  // ------------------------------------------------------------ step 4
+  /** Quality-check battery over the valid split
+    * (silver_etl_script.py:594-626). */
+  def runQualityChecks(df: DataFrame): Seq[QualityChecks.CheckResult] = {
+    val required = Seq("spider_name", "source_id", "ingested_at_utc")
+    var results = QualityChecks.checkNullPercentage(df, required,
+      Schemas.Thresholds.nullThreshold)
+    results :+= QualityChecks.checkCompleteness(df, required)
+    if (df.columns.contains("universal_id"))
+      results ++= QualityChecks.checkUniqueness(df, Seq("universal_id"))
+    if (df.columns.contains("email"))
+      results :+= QualityChecks.checkFormat(df, "email",
+        Schemas.Thresholds.emailPattern)
+    if (df.columns.contains("phone"))
+      results :+= QualityChecks.checkFormat(df, "phone",
+        Schemas.Thresholds.phonePattern)
+    results
+  }
+
+  // ------------------------------------------------------------ step 5
+  /** record_key → keep-latest dedup → fillna → sequential 4σ outlier
+    * filter (silver_etl_script.py:631-696). */
+  val OutlierColumns: Seq[String] = Seq("min_selling_price", "max_selling_price",
+    "min_unit_price", "max_unit_price", "total_area", "construction_area")
+
+  /** 5.1: keep-latest per (spider_name, record_key). */
+  def dedupLatest(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("spider_name", "record_key")
+      .orderBy(col("ingested_at_utc").desc)
+    df.withColumn("record_key", coalesce(col("source_id"), lit("UNKNOWN")))
+      .withColumn("row_num", row_number().over(w))
+      .filter(col("row_num") === 1).drop("row_num")
+  }
+
+  /** 5.2 + 5.3: defaults fill, then sequential 4σ — each column's stats
+    * reflect prior columns' filtering, exactly like the reference loop,
+    * but as lazy broadcast aggregates (std>0 guard in the predicate). */
+  def fillAndRemoveOutliers(df: DataFrame): DataFrame = {
+    var d = df
+    val fills = Mappings.DefaultValues.filter { case (f, _) => d.columns.contains(f) }
+    if (fills.nonEmpty) d = d.na.fill(fills)
+    OutlierColumns.filter(d.columns.contains).foreach { c =>
+      val stats = d.filter(col(c).isNotNull)
+        .agg(avg(col(c)).as(s"_mu_$c"), stddev_samp(col(c)).as(s"_sd_$c"))
+      d = d.crossJoin(broadcast(stats))
+        .filter(col(c).isNull || col(s"_sd_$c").isNull || col(s"_sd_$c") <= 0 ||
+          abs((col(c) - col(s"_mu_$c")) / col(s"_sd_$c")) < 4)
+        .drop(s"_mu_$c", s"_sd_$c")
+    }
+    d
+  }
+
+  def cleanse(df: DataFrame): DataFrame = fillAndRemoveOutliers(dedupLatest(df))
+
+  // ------------------------------------------------------------ step 6
+  /** HTML/text/city standardization + partition columns
+    * (silver_etl_script.py:701-749). */
+  def standardize(df: DataFrame): DataFrame = {
+    var d = df
+    if (d.columns.contains("phone"))
+      d = Transforms.standardizePhoneNumbers(d, "phone")
+    if (d.columns.contains("email"))
+      d = Transforms.standardizeEmails(d, "email")
+    d = Transforms.cleanHtmlTags(d, Seq("description"))
+    d = Transforms.normalizeText(d,
+      Seq("project_name", "address", "description"))
+    if (d.columns.contains("city"))
+      d = Transforms.standardizeCityNames(d, "city")
+    d.withColumn("ingestion_year", date_format(col("ingested_at_utc"), "yyyy"))
+      .withColumn("ingestion_month", date_format(col("ingested_at_utc"), "MM"))
+      .withColumn("ingestion_date", to_date(col("ingested_at_utc")))
+  }
+
+  // ------------------------------------------------------------ step 7
+  /** universal_id, price aggregates, quality scores, audit columns,
+    * amenity flags, dates→string (silver_etl_script.py:754-911). */
+  def enrich(df: DataFrame, clock: Column = current_timestamp()): DataFrame = {
+    var d = df.withColumn("universal_id",
+      sha2(concat_ws("_", col("spider_name"), col("record_key")), 256))
+    // avg/range columns with presence guards (silver_etl_script.py:770-828;
+    // note: no avg_rent_price here — that lives only in the transform
+    // catalog, the reference enrich never calls it)
+    def guardedAvg(minC: String, maxC: String): Column =
+      if (!d.columns.contains(minC) && !d.columns.contains(maxC)) lit(null)
+      else when(col(minC).isNotNull && col(maxC).isNotNull,
+        (col(minC) + col(maxC)) / 2)
+        .when(col(minC).isNotNull, col(minC))
+        .when(col(maxC).isNotNull, col(maxC))
+        .otherwise(lit(null))
+    def guardedRange(minC: String, maxC: String): Column =
+      if (!d.columns.contains(minC) || !d.columns.contains(maxC)) lit(null)
+      else when(col(minC).isNotNull && col(maxC).isNotNull, col(maxC) - col(minC))
+        .otherwise(lit(null))
+    d = d.withColumn("avg_selling_price",
+        guardedAvg("min_selling_price", "max_selling_price"))
+      .withColumn("avg_unit_price", guardedAvg("min_unit_price", "max_unit_price"))
+      .withColumn("price_range", guardedRange("min_selling_price", "max_selling_price"))
+      .withColumn("area_range", guardedRange("min_area", "max_area"))
+    val gradeCols = Seq("trans_grade", "infra_grade", "school_grade")
+      .filter(d.columns.contains)
+    d = d.withColumn("location_quality_score",
+      if (gradeCols.isEmpty) lit(0.0)
+      else gradeCols.map(c => when(col(c).isNotNull, 1).otherwise(0))
+        .reduce(_ + _) / lit(gradeCols.size.toDouble))
+    val valuationFields = Seq("project_name", "address", "latitude", "longitude",
+      "avg_selling_price", "avg_unit_price", "total_area", "district", "city",
+      "project_type").filter(d.columns.contains)
+    d = d.withColumn("data_completeness_score",
+      if (valuationFields.isEmpty) lit(0.0)
+      else valuationFields.map(f =>
+        when(col(f).isNotNull && col(f).cast("string") =!= "" &&
+          col(f).cast("string") =!= "UNKNOWN", 1).otherwise(0))
+        .reduce(_ + _) / lit(valuationFields.size.toDouble))
+    d = d.withColumn("silver_processed_at", clock)
+      .withColumn("silver_version", lit("2.0"))
+      .withColumn("is_current", lit(true))
+      .withColumn("valid_from", clock)
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+    if (d.columns.contains("description"))
+      d = Transforms.extractProjectFeatures(d, "description")
+    // stringly-dates pass (:892-908) — deliberate reference behavior
+    Seq("ingested_at_utc", "silver_processed_at", "valid_from", "valid_to",
+      "handover_date_from", "handover_date", "construction_start_date",
+      "construction_end_date").filter(d.columns.contains).foreach { f =>
+      d = d.withColumn(f,
+        when(col(f).isNotNull, to_date(col(f)).cast("string"))
+          .otherwise(lit(null)))
+    }
+    d
+  }
+
+  // -------------------------------------------------------- steps 8-10
+  final case class RunConfig(silverPath: String, quarantinePath: String,
+                             metadataPath: String, runId: String,
+                             startDate: String)
+
+  /** Full pipeline over an already-read bronze frame. Returns run stats
+    * (the reference's observable per-step counts,
+    * silver_etl_script.py:1046-1055). */
+  def run(spark: SparkSession, bronze: DataFrame, cfg: RunConfig,
+          clock: Column = current_timestamp()): EtlStats = {
+    val recordsRead = bronze.count()
+    val mapped = applySchemaMapping(bronze)
+    val (valid, invalid) = validate(mapped)
+    runQualityChecks(valid) // report side-channel; failures warn, not abort
+    val cleanedPre = valid.cache()
+    val recordsValid = cleanedPre.count()
+    val recordsInvalid = invalid.count()
+    val deduped = dedupLatest(cleanedPre).cache()
+    val dedupCount = deduped.count()
+    val cleaned = fillAndRemoveOutliers(deduped)
+    val enriched = enrich(standardize(cleaned), clock).cache()
+    val avgScore = enriched.agg(avg(col("data_completeness_score"))).head
+      .getAs[Any](0) match { case d: java.lang.Double => d.doubleValue; case _ => 0.0 }
+    val written = Scd2.merge(spark, enriched, cfg.silverPath,
+      asOfDate = to_date(clock).cast("string"))
+    // step 10: quarantine + run-metadata sinks (:997-1041)
+    if (recordsInvalid > 0)
+      invalid
+        .withColumn("quarantine_timestamp", clock)
+        .withColumn("quarantine_reason", lit("Failed validation rules"))
+        .write.mode(SaveMode.Append).partitionBy("spider_name")
+        .parquet(cfg.quarantinePath)
+    val stats = EtlStats(recordsRead, recordsValid, recordsInvalid,
+      recordsValid - dedupCount, written, avgScore)
+    import spark.implicits._
+    Seq((cfg.runId, cfg.startDate, "bronze", "silver",
+      Mappings.ProjectSpiders.mkString(","), stats.recordsRead,
+      stats.recordsValid, stats.recordsInvalid, stats.recordsWritten,
+      stats.duplicatesRemoved, stats.avgCompletenessScore, "SUCCESS"))
+      .toDF("pipeline_run_id", "execution_date", "source_layer", "target_layer",
+        "spiders", "records_read", "records_valid", "records_invalid",
+        "records_written", "duplicates_removed", "avg_completeness_score",
+        "status")
+      .write.mode(SaveMode.Append).parquet(cfg.metadataPath)
+    stats
+  }
+}

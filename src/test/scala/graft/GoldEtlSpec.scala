@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.silver.SilverEtl
+import graft.gold.{Enhancement, GoldEtl}
+
+/** Golden run of silver → gold (enhancement + feature engineering + tiers)
+  * over the synthetic bronze fixtures. */
+class GoldEtlSpec extends SparkSuite {
+
+  private lazy val base = {
+    val dir = Files.createTempDirectory("graft_gold_spec").toString
+    graft.fixtures.BronzeFixtures.write(dir)
+    val cfg = SilverEtl.RunConfig(s"$dir/silver", s"$dir/quarantine",
+      s"$dir/metadata", "gold_test_run", "2025-01-15")
+    val bronze = SilverEtl.readBronze(spark, s"$dir/bronze", "2025-01-15")
+    SilverEtl.run(spark, bronze, cfg, to_timestamp(lit("2025-01-15 12:00:00")))
+    dir
+  }
+  private lazy val gold = {
+    GoldEtl.run(spark, s"$base/silver", s"$base/gold",
+      to_timestamp(lit("2025-01-15 13:00:00")))
+    spark.read.parquet(s"$base/gold")
+  }
+
+  test("district-median price imputation fills unpriced record") {
+    val r = gold.filter(col("source_id") === "me_unpriced")
+      .select("price_imputed", "target_price_per_sqm", "target_total_price").head
+    assert(r.getBoolean(0))
+    // meey Cầu Giấy priced avg_unit_prices: 6.1..6.5e7 (+7.0e7 from the
+    // zero-coord record) → median (6.3+6.4)/2 = 6.35e7
+    assert(r.getDouble(1) === 6.35e7)
+    assert(r.getDouble(2) === 6.35e7 * 8000.0)
+  }
+
+  test("national fallback used when district and city unknown") {
+    val r = gold.filter(col("source_id") === "me_unknown")
+      .select("price_imputed", "target_price_per_sqm").head
+    assert(r.getBoolean(0))
+    assert(r.getDouble(1) === 8.0e7)
+  }
+
+  test("imputed rows get ±10% synthetic min/max") {
+    val r = gold.filter(col("source_id") === "me_unpriced")
+      .select("target_min_price", "target_max_price", "target_total_price").head
+    assert(math.abs(r.getDouble(0) - r.getDouble(2) * 0.9) < 1e-6)
+    assert(math.abs(r.getDouble(1) - r.getDouble(2) * 1.1) < 1e-6)
+  }
+
+  test("zero coordinates geocoded from district centroid") {
+    val r = gold.filter(col("source_id") === "oh_3")
+      .select("coordinates_imputed", "latitude", "longitude").head
+    assert(r.getBoolean(0))
+    assert(r.getDouble(1) === 21.0333) // Hanoi / Cầu Giấy centroid
+    assert(r.getDouble(2) === 105.7944)
+  }
+
+  test("valid coordinates pass through un-imputed") {
+    val r = gold.filter(col("source_id") === "oh_1")
+      .select("coordinates_imputed", "latitude", "longitude").head
+    assert(!r.getBoolean(0))
+    assert(r.getDouble(1) === 21.028)
+  }
+
+  test("city encoding: Hanoi → 1; standardized HCMC misses the dim (reference quirk)") {
+    val hanoi = gold.filter(col("source_id") === "oh_1")
+      .select("city_encoded").head.getInt(0)
+    assert(hanoi === 1)
+    // silver standardizes to "Ho Chi Minh City" but CITY_ENCODING keys
+    // "Ho Chi Minh" — the join misses and falls back to 0, exactly like
+    // the reference (gold_ml_etl.py:168-192 vs gold_ml_schema.py:186)
+    val hcmc = gold.filter(col("source_id") === "ch_1")
+      .select("city_encoded").head.getInt(0)
+    assert(hcmc === 0)
+  }
+
+  test("hash encodings are deterministic and bounded") {
+    val rows = gold.select("district_encoded", "developer_encoded").collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) >= 0 && r.getInt(0) < 1000)
+      assert(r.getInt(1) >= 0 && r.getInt(1) < 500)
+    }
+    val e1 = gold.filter(col("source_id") === "oh_1")
+      .select("developer_encoded").head.getInt(0)
+    val e2 = gold.filter(col("source_id") === "oh_1")
+      .select("developer_encoded").head.getInt(0)
+    assert(e1 === e2)
+  }
+
+  test("property features: log, FAR, ratios") {
+    val r = gold.filter(col("source_id") === "oh_1")
+      .select("log_total_area", "floor_area_ratio", "avg_property_per_floor",
+        "avg_area_per_unit", "avg_bedroom").head
+    assert(math.abs(r.getDouble(0) - math.log(5000.0)) < 1e-9)
+    assert(r.isNullAt(1)) // construction_area absent for onehousing
+    assert(r.getDouble(2) === 20.0)  // 600 props / 30 floors
+    assert(math.abs(r.getDouble(3) - 5000.0 / 600) < 1e-9)
+    assert(r.getDouble(4) === 2.0)   // (1+3)/2
+  }
+
+  test("amenity count/score from description flags") {
+    val r = gold.filter(col("source_id") === "oh_1")
+      .select("amenity_count", "amenity_score").head
+    // swimming pool, gym, parking, garden in the description
+    assert(r.getInt(0) === 4)
+    assert(math.abs(r.getDouble(1) - 4.0 / 6.0) < 1e-9)
+  }
+
+  test("market features from ingestion_date") {
+    // year/month are gold partition columns → read back as strings with
+    // partition-type inference off; quarter is a data column (int)
+    val r = gold.select("year", "quarter", "month").head
+    assert(r.getString(0) === "2025" && r.getInt(1) === 1 && r.getString(2) === "1")
+  }
+
+  test("quality tiers: complete record is high and training-ready") {
+    val r = gold.filter(col("source_id") === "oh_1")
+      .select("quality_tier", "is_training_ready").head
+    assert(r.getString(0) === "high")
+    assert(r.getBoolean(1))
+  }
+
+  test("gold output is partitioned by quality_tier/year/month") {
+    val dirs = new java.io.File(s"$base/gold").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("quality_tier=")))
+  }
+
+  test("location_quality_score reflects coords/district/ward weights") {
+    val r = gold.filter(col("source_id") === "oh_1")
+      .select("location_quality_score").head.getDouble(0)
+    assert(r === 1.0) // 0.4 coords + 0.3 district + 0.3 ward
+  }
+
+  test("feature columns match the declared gold selection") {
+    val expected = graft.schema.Schemas.GoldFeatureColumns.toSet ++
+      Set("gold_processed_at", "gold_version")
+    assert(gold.columns.toSet === expected)
+  }
+}

@@ -14,6 +14,11 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reference semantics predate ANSI-by-default: casts return null on
+      // bad input (dual-format date probe etc.)
+      .config("spark.sql.ansi.enabled", "false")
+      // keep ingestion_year=2025 partition values as strings on read-back
+      .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
