@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.silver.SilverEtl
+
+/** Structured Streaming extensions (SURVEY.md §2.13). The reference has NO
+  * streaming — its incrementality is daily batch over date-partitioned
+  * bronze paths (silver_etl_script.py:122-134) sequenced by Airflow. These
+  * are the declared idiomatic-Spark upgrades, not ports:
+  *
+  *  - streaming bronze→silver: file-source readStream + foreachBatch over
+  *    the SAME batch stages (Trigger.AvailableNow = the batch pipeline,
+  *    incrementally, with exactly-once file tracking via checkpoint);
+  *  - watermarked tumbling/sliding window aggregations over an event
+  *    stream;
+  *  - sessionization via flatMapGroupsWithState (custom state the window
+  *    operators can't express).
+  *
+  * Scale posture: state lives in the state store keyed by (window, key) or
+  * user_id — partitioned by key, no driver state; watermarks bound state
+  * size; AvailableNow backfills without unbounded batches.
+  */
+object StreamingOps {
+
+  /** Streaming bronze→silver: reuse the batch stages inside foreachBatch.
+    * `schema` must be supplied (streams cannot infer). */
+  def silverStream(spark: SparkSession, bronzeGlob: String, schema: StructType,
+                   silverPath: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val stream = spark.readStream.schema(schema).json(bronzeGlob)
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val mapped = SilverEtl.applySchemaMapping(batch)
+          val (valid, _) = SilverEtl.validate(mapped)
+          val enriched = SilverEtl.enrich(
+            SilverEtl.standardize(SilverEtl.cleanse(valid)))
+          enriched.write.mode("append")
+            .partitionBy("spider_name", "ingestion_year", "ingestion_month")
+            .parquet(silverPath)
+        }
+      }
+  }
+
+  /** Watermarked tumbling-window aggregate over an event stream. */
+  def tumblingCounts(events: DataFrame, watermark: String = "10 minutes",
+                     windowLen: String = "5 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+
+  /** Sliding-window variant. */
+  def slidingCounts(events: DataFrame, watermark: String = "10 minutes",
+                    windowLen: String = "10 minutes",
+                    slide: String = "5 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(count: Long, total: Double, lastTs: Long)
+  final case class SessionOut(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Sessionization: emit a session summary per user once the user has
+    * been idle past `idleMs` of EVENT time — the flatMapGroupsWithState
+    * shape the reference lacks entirely. Event-time timeouts make this
+    * deterministic: a session closes when the watermark passes
+    * last-event-time + idleMs, never on wall-clock. */
+  def sessionize(spark: SparkSession, events: DataFrame,
+                 idleMs: Long = 5 * 60 * 1000,
+                 watermarkDelay: String = "0 seconds"): DataFrame = {
+    import spark.implicits._
+    events.withWatermark("ts", watermarkDelay).as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.count, s.total))
+          } else {
+            val batch = rows.toSeq
+            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, 0L))
+            val next = SessionState(prev.count + batch.size,
+              prev.total + batch.map(_.value).sum,
+              math.max(prev.lastTs, batch.map(_.ts.getTime).max))
+            state.update(next)
+            state.setTimeoutTimestamp(next.lastTs + idleMs)
+            Iterator.empty
+          }
+      }.toDF()
+  }
+}

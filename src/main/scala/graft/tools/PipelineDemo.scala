@@ -44,6 +44,20 @@ object PipelineDemo {
       .groupBy("quality_tier").count().orderBy("quality_tier")
       .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", ")
     println(s"[demo] gold tiers: $tiers")
+
+    // streaming bronze→silver (Trigger.AvailableNow, exactly-once files)
+    val glob = s"$base/bronze/*/year=*/month=*/*.jsonl"
+    val schema = spark.read.json(glob).schema
+    graft.streaming.StreamingOps.silverStream(spark, glob, schema,
+      s"$base/silver_stream", s"$base/ckpt").start().awaitTermination()
+    println("[demo] streaming silver rows: " +
+      spark.read.parquet(s"$base/silver_stream").count())
+
+    // multimodal: binary media → batch-decoded (stub) feature table
+    val feats = graft.multimodal.Multimodal.featureTable(spark, 50)
+    println("[demo] multimodal features: " + feats.count() +
+      " rows, embedding dims = " +
+      feats.select(size(col("embedding"))).head.getInt(0))
     println(s"[demo] outputs under $base")
     spark.stop()
   }

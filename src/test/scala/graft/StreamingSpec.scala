@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Event
+
+/** Structured Streaming extension tests: windowed aggregation over a
+  * memory stream, streaming bronze→silver with exactly-once file
+  * tracking, and flatMapGroupsWithState sessionization. */
+class StreamingSpec extends SparkSuite {
+
+  private def ts(minute: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2025-01-15 10:$minute%02d:00")
+
+  test("tumbling window counts over a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(1), 1, "click", 1.0), Event(2, ts(2), 1, "click", 2.0),
+      Event(3, ts(6), 2, "view", 3.0), Event(4, ts(7), 2, "click", 4.0))
+    val q = StreamingOps.tumblingCounts(mem.toDF(), windowLen = "5 minutes")
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT window.start, event_type, n, total FROM tumbling_out").collect()
+      assert(rows.length === 3)
+      val clickFirst = rows.find(r =>
+        r.getTimestamp(0) == java.sql.Timestamp.valueOf("2025-01-15 10:00:00") &&
+          r.getString(1) == "click").get
+      assert(clickFirst.getLong(2) === 2)
+      assert(clickFirst.getDouble(3) === 3.0)
+    } finally q.stop()
+  }
+
+  test("streaming bronze→silver is exactly-once across restarts") {
+    val base = Files.createTempDirectory("graft_stream_spec").toString
+    graft.fixtures.BronzeFixtures.write(base)
+    val glob = s"$base/bronze/*/year=*/month=*/*.jsonl"
+    val schema = spark.read.json(glob).schema
+    def runOnce(): Unit = {
+      val q = StreamingOps.silverStream(spark, glob, schema,
+        s"$base/silver_stream", s"$base/ckpt").start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val n1 = spark.read.parquet(s"$base/silver_stream").count()
+    assert(n1 > 0)
+    runOnce() // AvailableNow again: no new files → no new rows
+    val n2 = spark.read.parquet(s"$base/silver_stream").count()
+    assert(n2 === n1)
+  }
+
+  test("flatMapGroupsWithState sessionization emits on event-time idle timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.sessionize(spark, mem.toDF(), idleMs = 5 * 60 * 1000)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1, ts(1), 42, "click", 1.5), Event(2, ts(2), 42, "view", 2.5))
+      q.processAllAvailable() // watermark → 10:02 after this batch
+      assert(spark.table("sessions_out").count() === 0) // still open
+      mem.addData(Event(3, ts(30), 7, "click", 9.9)) // watermark → 10:30
+      q.processAllAvailable()
+      mem.addData(Event(4, ts(31), 7, "view", 1.0)) // next batch fires timeout
+      q.processAllAvailable()
+      val sessions = spark.table("sessions_out")
+        .filter(col("user_id") === 42).collect()
+      assert(sessions.length === 1)
+      assert(sessions.head.getAs[Long]("n_events") === 2)
+      assert(sessions.head.getAs[Double]("total_value") === 4.0)
+    } finally q.stop()
+  }
+}
