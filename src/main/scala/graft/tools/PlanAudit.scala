@@ -1,0 +1,44 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-quality audit: prints the physical-plan health signals for the
+  * load-bearing queries — parquet pushdown (PushedFilters/ReadSchema),
+  * broadcast-join selection, partial aggregation, codegen spans, shuffle
+  * counts. Run after changing any query:
+  *
+  *   sbt "runMain graft.tools.PlanAudit [sfDir] [query ...]"
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("s1_scan_prune", "q1_agg", "j1_broadcast_dim", "w1_dedup_latest",
+        "p8_outlier_4sigma", "v2_ann_topk", "dd4_minhash_lsh", "a7_conditional_agg")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, sf)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      val lines = plan.linesIterator.toSeq
+      def grab(tag: String) = lines.filter(_.contains(tag)).map(_.trim)
+      println(s"\n==== $name")
+      grab("PushedFilters").foreach(l => println(s"  $l"))
+      grab("ReadSchema").foreach(l => println(s"  ${l.take(140)}"))
+      println(s"  BroadcastHashJoin=${lines.count(_.contains("BroadcastHashJoin"))}" +
+        s" SortMergeJoin=${lines.count(_.contains("SortMergeJoin"))}" +
+        s" NestedLoop=${lines.count(_.contains("NestedLoop"))}" +
+        s" HashAggregate=${lines.count(_.contains("HashAggregate"))}" +
+        s" Exchange=${lines.count(l => l.contains("Exchange") && !l.contains("Reused"))}" +
+        s" WholeStageCodegen=${lines.count(_.contains("WholeStageCodegen"))}")
+    }
+    spark.stop()
+  }
+}
