@@ -8,8 +8,9 @@ import graft.Tables._
 /** Similarity search over the `embeddings` table (64-dim Array[Float]) —
   * the training-data-pipeline ANN extensions.
   *
-  * All dot products run as codegen'd higher-order functions
-  * (zip_with + aggregate) in DOUBLE — no UDFs, no driver-side math.
+  * All dot products run through the native codegen expression
+  * graft.functions.CosineSimilarity in DOUBLE — no UDFs, no interpreted
+  * HOF chains, no driver-side math.
   *
   * Scale posture: brute-force top-k broadcasts the (small) query set
   * against the corpus — a BroadcastNestedLoopJoin that scans the corpus
@@ -21,15 +22,16 @@ import graft.Tables._
 object VectorQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** cosine(ea, eb) over array<double> columns, computed with HOFs. */
-  private def cosine(ea: String, eb: String) = expr(
-    s"""aggregate(zip_with($ea, $eb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
-       | / (sqrt(aggregate(transform($ea, x -> x * x), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))
-       |   * sqrt(aggregate(transform($eb, x -> x * x), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))""".stripMargin)
+  /** cosine(ea, eb) via the native codegen expression (same sequential
+    * summation semantics as the zip_with/aggregate HOF composition it
+    * replaced — see graft.functions.CosineSimilarity). */
+  private def cosine(ea: String, eb: String) =
+    expr(s"graft_cosine($ea, $eb)")
 
   val queries: Map[String, Q] = Map(
     // pairwise cosine between consecutive vec_ids (exact, oracle-checked).
     "v1_cosine_pairs" -> ((s, d) => {
+      graft.functions.CosineSimilarity.register(s)
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       val a = e.select(col("vec_id").as("qid"), col("emb").as("ea"))
@@ -42,6 +44,7 @@ object VectorQueries {
     // brute-force cosine top-5 for a fixed query set (vec_id < 10):
     // broadcast queries × corpus, window top-k per query.
     "v2_ann_topk" -> ((s, d) => {
+      graft.functions.CosineSimilarity.register(s)
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       val q = e.filter(col("vec_id") < 10)
@@ -70,6 +73,7 @@ object VectorQueries {
     // Rows-only check (bucket assignment uses Spark's xxhash64-seeded
     // pseudo-random planes — not expressible in ANSI SQL).
     "v4_ann_lsh" -> ((s, d) => {
+      graft.functions.CosineSimilarity.register(s)
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       // plane p component j = (xxhash64(p, j) % 1000 / 500.0) - 1.0 — a
