@@ -18,12 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ ScalarQueries.queries ++ NestedQueries.queries ++
       TextQueries.queries ++ VectorQueries.queries ++
-      WindowedAggQueries.queries ++ CoverageQueries.queries
+      WindowedAggQueries.queries ++ CoverageQueries.queries ++
+      DedupExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ ScalarQueries.oracle ++ NestedQueries.oracle ++
       TextQueries.oracle ++ VectorQueries.oracle ++
-      WindowedAggQueries.oracle ++ CoverageQueries.oracle
+      WindowedAggQueries.oracle ++ CoverageQueries.oracle ++
+      DedupExtQueries.oracle
 }

@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.CosineSimilarity
+
+/** Remaining training-data dedup/text primitives: embedding-cosine
+  * near-duplicate detection, BPE-style regex tokenization, and
+  * winnowing-style rolling-hash fingerprints.
+  *
+  * Scale notes: dd6's all-pairs join is the CORRECTNESS baseline — at
+  * corpus scale candidate pairs come from v4's sign-projection buckets
+  * (equi-join) and only candidates get the exact cosine; tx6 shuffles
+  * fixed-width hashes, never raw text.
+  */
+object DedupExtQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // embedding-cosine near-dup pairs: keeper = lower vec_id. (0.4 threshold: the synthetic embeddings are near-orthogonal random vectors, real corpora use ~0.95)
+    "dd6_embedding_neardup" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val a = e.select(col("vec_id").as("keep_id"), col("emb").as("ea"))
+      val b = e.select(col("vec_id").as("dup_id"), col("emb").as("eb"))
+      a.join(b, col("keep_id") < col("dup_id"))
+        .withColumn("cs", expr("graft_cosine(ea, eb)"))
+        .filter(col("cs") >= 0.4)
+        .select(col("keep_id"), col("dup_id"), round(col("cs"), 6).as("cos_sim"))
+        .orderBy("keep_id", "dup_id")
+    }),
+
+    // BPE-ish tokenization: words / numbers / single punctuation, the
+    // GPT-2-style pre-tokenizer shape.
+    "tx5_bpe_tokens" -> ((s, d) =>
+      documents(s, d)
+        .select(col("doc_id"),
+          expr("CAST(regexp_count(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]') AS INT)")
+            .as("n_bpe_tokens"),
+          expr("CAST(regexp_count(text, '[0-9]+') AS INT)").as("n_numeric"))
+        .orderBy("doc_id")),
+
+    // winnowing-style fingerprint: the 4 smallest xxhash64 values over the
+    // document's distinct character-8-grams (rows-only: engine-specific
+    // hash function by design).
+    "tx6_winnow_fingerprint" -> ((s, d) => {
+      val grams = documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(1, greatest(length(text) - 7, 1)), i -> xxhash64(substring(text, i, 8)))")))
+          .as("h"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("h")
+      grams.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 4)
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("h"))).as("fingerprint"))
+        .orderBy("doc_id")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dd6_embedding_neardup" ->
+      """WITH cs AS (
+        |  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+        |    list_cosine_similarity(
+        |      list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |      list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS c
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT keep_id, dup_id, ROUND(c, 6) AS cos_sim
+        |FROM cs WHERE c >= 0.4 ORDER BY keep_id, dup_id""".stripMargin,
+    "tx5_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_numeric
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
