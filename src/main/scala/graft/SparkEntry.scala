@@ -19,7 +19,7 @@ object SparkEntry {
     CoreQueries.queries ++ ScalarQueries.queries ++ NestedQueries.queries ++
       TextQueries.queries ++ VectorQueries.queries ++
       WindowedAggQueries.queries ++ CoverageQueries.queries ++
-      DedupExtQueries.queries
+      DedupExtQueries.queries ++ ExtraWindowQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +27,5 @@ object SparkEntry {
     CoreQueries.oracle ++ ScalarQueries.oracle ++ NestedQueries.oracle ++
       TextQueries.oracle ++ VectorQueries.oracle ++
       WindowedAggQueries.oracle ++ CoverageQueries.oracle ++
-      DedupExtQueries.oracle
+      DedupExtQueries.oracle ++ ExtraWindowQueries.oracle
 }

@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables._
+
+/** Window-frame and distribution-function coverage beyond W1
+  * (SURVEY.md §2.5 calls for rank/lag/frame variants as capability
+  * extensions), plus the quality-check battery as ONE conditional
+  * aggregation (the single-scan shape QualityChecks uses, oracle-checked
+  * here end-to-end). */
+object ExtraWindowQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // RANGE frame: sum of quantities of all lines in the same order whose
+    // extendedprice is within ±1000 of the current row's.
+    "w5_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy("l_orderkey").orderBy("l_extendedprice")
+        .rangeBetween(-1000, 1000)
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).over(w)
+            .cast("double").as("near_qty"))
+        .orderBy("l_orderkey", "l_linenumber", "l_extendedprice")
+    }),
+
+    // ntile + percent_rank + cume_dist over a deterministic ordering.
+    "w6_distribution" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+
+    // the DataQualityChecker battery as one single-pass aggregate:
+    // null %, distinct count, out-of-range count, complete-row count.
+    "qc1_quality_battery" -> ((s, d) =>
+      lineitem(s, d).agg(
+        count(lit(1)).as("total_rows"),
+        sum(when(col("l_returnflag").isNull, 1).otherwise(0)).as("null_rf"),
+        countDistinct(col("l_orderkey")).as("distinct_orders"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1).otherwise(0))
+          .as("qty_out_of_range"),
+        sum(when(col("l_returnflag").isNotNull && col("l_linestatus").isNotNull &&
+          col("l_shipdate").isNotNull, 1).otherwise(0)).as("complete_rows")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "w5_range_frame" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_orderkey ORDER BY l_extendedprice
+        |    RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS DOUBLE) AS near_qty
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
+    "w6_distribution" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+        |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        |  ROUND(CUME_DIST() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "qc1_quality_battery" ->
+      """SELECT COUNT(*) AS total_rows,
+        |  CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_rf,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS distinct_orders,
+        |  CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS qty_out_of_range,
+        |  CAST(SUM(CASE WHEN l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+        |    AND l_shipdate IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS complete_rows
+        |FROM lineitem""".stripMargin
+  )
+}

@@ -94,6 +94,43 @@ object VectorQueries {
         .filter(col("rnk") <= 5)
         .select(col("qid"), col("rnk"), col("nid"), round(col("cs"), 6).as("cos_sim"))
         .orderBy("qid", "rnk")
+    }),
+
+    // IVF ANN: coarse quantizer = per-label mean vectors (8-cell
+    // codebook learned from the data), corpus vectors assigned to their
+    // nearest cell, queries probe the nprobe=2 nearest cells, exact
+    // cosine only on candidates. Rows-only (cell assignment is
+    // engine-internal); recall vs brute force checked in QueriesSpec.
+    "v5_ann_ivf" -> ((s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      val e0 = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("emb"))
+      // codebook: mean per (label, position) reassembled into vectors
+      val codebook = e0
+        .select(col("label"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy("label", "pos").agg(avg(col("v")).as("m"))
+        .groupBy(col("label").as("cell"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> x.m)")
+          .as("cvec"))
+      // cell assignment: nearest centroid by cosine
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("ccs").desc, col("cell"))
+      val assigned = e0.crossJoin(broadcast(codebook))
+        .withColumn("ccs", expr("graft_cosine(emb, cvec)"))
+        .withColumn("crn", row_number().over(wAssign))
+      val corpus = assigned.filter(col("crn") === 1)
+        .select(col("vec_id").as("nid"), col("emb").as("eb"), col("cell"))
+      val probes = assigned.filter(col("vec_id") < 10 && col("crn") <= 2)
+        .select(col("vec_id").as("qid"), col("emb").as("ea"), col("cell"))
+      val wTop = Window.partitionBy("qid").orderBy(col("cs").desc, col("nid"))
+      corpus.join(broadcast(probes), Seq("cell"))
+        .filter(col("nid") =!= col("qid"))
+        .withColumn("cs", cosine("ea", "eb"))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("rnk"), col("nid"), round(col("cs"), 6).as("cos_sim"))
+        .orderBy("qid", "rnk")
     })
   )
 

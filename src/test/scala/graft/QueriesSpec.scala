@@ -69,6 +69,17 @@ class QueriesSpec extends SparkSuite {
     assert(hits >= 1, "LSH found none of the brute-force top-5 neighbors")
   }
 
+  test("v5 IVF ANN returns 5 candidates per query with brute-force overlap") {
+    val bf = SparkEntry.queries("v2_ann_topk")(spark, sf)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("v5_ann_ivf")(spark, sf).collect()
+    val byQ = ivf.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size === 10)
+    byQ.foreach { case (_, rs) => assert(rs.length === 5) }
+    val hits = ivf.count(r => bf.contains((r.getAs[Long]("qid"), r.getAs[Long]("nid"))))
+    assert(hits >= 5, s"IVF recall too low: $hits/50 brute-force hits")
+  }
+
   test("dd4 MinHash estimates stay in [0,1] and pairs are ordered") {
     SparkEntry.queries("dd4_minhash_lsh")(spark, sf).collect().foreach { r =>
       val est = r.getAs[Double]("est_jaccard")
