@@ -121,6 +121,10 @@ object TextQueries {
             |  i -> xxhash64(concat_ws(' ', toks[i-1], toks[i], toks[i+1]))))""".stripMargin))
           .as("h"))
       val aggs = (0 until 16).map(p => min(xxhash64(col("h"), lit(p))).as(s"m$p"))
+      // persist the (small) signature table: both self-join branches and
+      // the estimate join would otherwise recompute the whole
+      // shingle→hash→agg pipeline (aliased exchanges don't reuse). At
+      // corpus scale this table is written to storage instead.
       val sigs = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
         .select(col("doc_id"),
           array((0 until 16).map(p => col(s"m$p")): _*).as("sig"),
@@ -128,6 +132,7 @@ object TextQueries {
             lit(b).as("band_id"),
             xxhash64((b * 4 until b * 4 + 4).map(i => col(s"m$i")): _*).as("band_hash"))): _*)
             .as("bands"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val banded = sigs
         .select(col("doc_id"), col("sig"), explode(col("bands")).as("band"))
         .select(col("doc_id"), col("sig"), col("band.band_id"), col("band.band_hash"))
