@@ -16,6 +16,19 @@ object GoldEtl {
   def readSilver(spark: SparkSession, silverPath: String): DataFrame =
     spark.read.parquet(silverPath).filter(col("is_current") === true)
 
+  /** Silver only writes columns present in that day's bronze
+    * (silver_etl_script.py:490-499 prunes to available columns), so a
+    * silver snapshot can miss schema columns entirely — and the
+    * reference's feature engineering then throws on e.g.
+    * construction_area (gold_ml_etl.py:224-231 has no existence check;
+    * found via a bronze day with no chotot construction areas). Conform
+    * the input: add any missing declared column as a typed null. */
+  def conformToSilverSchema(df: DataFrame): DataFrame =
+    Schemas.Silver.fields.foldLeft(df) { (d, f) =>
+      if (d.columns.contains(f.name)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+
   // ------------------------------------------------------------ step 3
   /** target variables (gold_ml_etl.py:129-162). */
   def createTargetVariables(df: DataFrame): DataFrame =
@@ -133,7 +146,7 @@ object GoldEtl {
   /** Full gold pipeline (gold_ml_etl.py:536-568). */
   def run(spark: SparkSession, silverPath: String, goldPath: String,
           clock: Column = current_timestamp()): DataFrame = {
-    val silver = readSilver(spark, silverPath)
+    val silver = conformToSilverSchema(readSilver(spark, silverPath))
     val enhanced = Enhancement.enhanceSilverData(spark, silver)
     val features = engineerFeatures(spark, enhanced)
     val tiered = assignQualityTiers(features)

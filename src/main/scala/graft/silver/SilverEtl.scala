@@ -215,19 +215,27 @@ object SilverEtl {
   }
 
   /** 5.2 + 5.3: defaults fill, then sequential 4σ — each column's stats
-    * reflect prior columns' filtering, exactly like the reference loop,
-    * but as lazy broadcast aggregates (std>0 guard in the predicate). */
+    * reflect prior columns' filtering, exactly like the reference loop.
+    *
+    * The stats are PULLED TO THE DRIVER as two scalars per column (an
+    * eager `.head` each) and re-injected as literals. A fully-lazy
+    * formulation (crossJoin(broadcast(agg)) per column) was tried first
+    * and is a scaling trap: each level's aggregate subtree embeds the
+    * previous level's whole plan, so the base scan appears ~2^6 times in
+    * the final tree. Six scalar aggregates over the (cached) input is the
+    * linear shape — "no driver-side collect except scalar stats"
+    * (SURVEY.md §7.5) explicitly allows this one. */
   def fillAndRemoveOutliers(df: DataFrame): DataFrame = {
     var d = df
     val fills = Mappings.DefaultValues.filter { case (f, _) => d.columns.contains(f) }
     if (fills.nonEmpty) d = d.na.fill(fills)
     OutlierColumns.filter(d.columns.contains).foreach { c =>
-      val stats = d.filter(col(c).isNotNull)
-        .agg(avg(col(c)).as(s"_mu_$c"), stddev_samp(col(c)).as(s"_sd_$c"))
-      d = d.crossJoin(broadcast(stats))
-        .filter(col(c).isNull || col(s"_sd_$c").isNull || col(s"_sd_$c") <= 0 ||
-          abs((col(c) - col(s"_mu_$c")) / col(s"_sd_$c")) < 4)
-        .drop(s"_mu_$c", s"_sd_$c")
+      val row = d.filter(col(c).isNotNull)
+        .agg(avg(col(c)).as("mu"), stddev_samp(col(c)).as("sd")).head
+      if (!row.isNullAt(1) && row.getDouble(1) > 0) {
+        val (mu, sd) = (row.getDouble(0), row.getDouble(1))
+        d = d.filter(col(c).isNull || abs((col(c) - mu) / sd) < 4)
+      }
     }
     d
   }

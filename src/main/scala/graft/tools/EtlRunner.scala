@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+import graft.silver.SilverEtl
+import graft.gold.GoldEtl
+
+/** Production-shaped CLI for the silver + gold pipelines over arbitrary
+  * bronze data (the spark-submit surface of the engine):
+  *
+  *   sbt "runMain graft.tools.EtlRunner <bronzeBase> <yyyy-MM-dd> <outBase>"
+  *
+  * Reads bronze/{spider}/year=Y/month=M/<date>*.jsonl under bronzeBase,
+  * runs the 10-stage silver ETL (SCD2 merge into outBase/silver,
+  * quarantine + run metadata), then the gold ML-feature ETL into
+  * outBase/gold, and prints the run stats. */
+object EtlRunner {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3,
+      "usage: EtlRunner <bronzeBase> <yyyy-MM-dd> <outBase>")
+    val Array(bronzeBase, date, outBase) = args.take(3)
+    val spark = GraftSession.local("graft-etl",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+
+    val cfg = SilverEtl.RunConfig(s"$outBase/silver", s"$outBase/quarantine",
+      s"$outBase/metadata", runId = s"run_$date", startDate = date)
+    val t0 = System.nanoTime()
+    val bronze = SilverEtl.readBronze(spark, bronzeBase, date)
+    val stats = SilverEtl.run(spark, bronze, cfg)
+    val tSilver = (System.nanoTime() - t0) / 1e9
+    println(f"[etl] silver: $stats in $tSilver%.1f s")
+
+    val t1 = System.nanoTime()
+    GoldEtl.run(spark, cfg.silverPath, s"$outBase/gold")
+    val tGold = (System.nanoTime() - t1) / 1e9
+    println(f"[etl] gold written in $tGold%.1f s to $outBase/gold")
+    spark.stop()
+  }
+}
