@@ -44,20 +44,17 @@ object DedupExtQueries {
 
     // winnowing-style fingerprint: the 4 smallest xxhash64 values over the
     // document's distinct character-8-grams (rows-only: engine-specific
-    // hash function by design).
-    "tx6_winnow_fingerprint" -> ((s, d) => {
-      val grams = documents(s, d)
+    // hash function by design). Bottom-k runs as ONE hash-aggregate pass
+    // with a k-bounded buffer (graft.functions.BottomKLong) — no window
+    // sort of every gram.
+    "tx6_winnow_fingerprint" -> ((s, d) =>
+      documents(s, d)
         .select(col("doc_id"), explode(array_distinct(expr(
           "transform(sequence(1, greatest(length(text) - 7, 1)), i -> xxhash64(substring(text, i, 8)))")))
           .as("h"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("h")
-      grams.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 4)
         .groupBy("doc_id")
-        .agg(sort_array(collect_list(col("h"))).as("fingerprint"))
-        .orderBy("doc_id")
-    })
+        .agg(graft.functions.BottomK.bottomK(col("h"), 4).as("fingerprint"))
+        .orderBy("doc_id"))
   )
 
   val oracle: Map[String, String] = Map(

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.BottomK
+
+/** Typed bottom-k Aggregator: agreement with the window formulation and
+  * basic shape invariants. */
+class BottomKSpec extends SparkSuite {
+
+  test("bottom-4 equals the window row_number formulation on real data") {
+    val grams = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, greatest(length(text) - 7, 1)), i -> xxhash64(substring(text, i, 8)))")))
+        .as("h"))
+    val viaAgg = grams.groupBy("doc_id")
+      .agg(BottomK.bottomK(col("h"), 4).as("fp"))
+    val w = Window.partitionBy("doc_id").orderBy("h")
+    val viaWindow = grams.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4).groupBy("doc_id")
+      .agg(sort_array(collect_list(col("h"))).as("fp"))
+    val a = viaAgg.orderBy("doc_id").collect().map(r =>
+      (r.getLong(0), r.getSeq[Long](1)))
+    val b = viaWindow.orderBy("doc_id").collect().map(r =>
+      (r.getLong(0), r.getSeq[Long](1)))
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("groups smaller than k return all values sorted") {
+    import spark.implicits._
+    val out = Seq(("a", 5L), ("a", 1L), ("b", 9L))
+      .toDF("g", "v").groupBy("g")
+      .agg(BottomK.bottomK(col("v"), 4).as("fp"))
+      .orderBy("g").collect()
+    assert(out(0).getSeq[Long](1) === Seq(1L, 5L))
+    assert(out(1).getSeq[Long](1) === Seq(9L))
+  }
+}
