@@ -19,7 +19,8 @@ object SparkEntry {
     CoreQueries.queries ++ ScalarQueries.queries ++ NestedQueries.queries ++
       TextQueries.queries ++ VectorQueries.queries ++
       WindowedAggQueries.queries ++ CoverageQueries.queries ++
-      DedupExtQueries.queries ++ ExtraWindowQueries.queries
+      DedupExtQueries.queries ++ ExtraWindowQueries.queries ++
+      AnalyticQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     CoreQueries.oracle ++ ScalarQueries.oracle ++ NestedQueries.oracle ++
       TextQueries.oracle ++ VectorQueries.oracle ++
       WindowedAggQueries.oracle ++ CoverageQueries.oracle ++
-      DedupExtQueries.oracle ++ ExtraWindowQueries.oracle
+      DedupExtQueries.oracle ++ ExtraWindowQueries.oracle ++
+      AnalyticQueries.oracle
 }

@@ -22,7 +22,10 @@ object Tables {
   private def normalizeTs(df: DataFrame): DataFrame =
     df.schema.find(_.name == "ts") match {
       case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // integer DIV, not `/`: nanos ~1.7e18 exceed double's 53-bit
+        // mantissa, so float division rounds the last microsecond while
+        // DuckDB (and any exact reader) floors it.
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case _ => df
     }
 

@@ -1,0 +1,231 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables._
+import graft.operators.AsOfJoin
+
+/** Analytic capability extensions beyond the reference's operator set
+  * (SURVEY.md §2.4 notes no grouping sets / cube / rollup / pivot; §2.3
+  * notes no range/as-of joins): multi-dimensional aggregation (rollup,
+  * cube, grouping sets, pivot), exact interpolated percentiles, backward
+  * as-of join, band/range join, batch session windows, and the salted
+  * two-phase aggregation pattern for skewed keys (§7.5 scale posture).
+  *
+  * Oracle parity follows the CoreQueries rules: decimal-cast sums, rounded
+  * ratio aggregates, identical aliases, unique-key ORDER BY. Rollup/cube
+  * rows with NULL group values get a '~' sentinel in ORDER BY only (sorts
+  * after A/N/R and F/O in both engines).
+  */
+object AnalyticQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  val queries: Map[String, Q] = Map(
+    // G1: ROLLUP over (returnflag, linestatus) with grouping_id.
+    "g1_rollup" -> ((s, d) =>
+      lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          grouping_id().as("gid"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("gid"),
+          coalesce(col("l_returnflag"), lit("~")),
+          coalesce(col("l_linestatus"), lit("~")))),
+
+    // G2: CUBE over (orderstatus, orderpriority).
+    "g2_cube" -> ((s, d) =>
+      orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+          grouping_id().as("gid"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("gid"),
+          coalesce(col("o_orderstatus"), lit("~")),
+          coalesce(col("o_orderpriority"), lit("~")))),
+
+    // G3: explicit GROUPING SETS ((flag), (status), ()).
+    "g3_grouping_sets" -> ((s, d) =>
+      lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().as("gid"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("gid"),
+          coalesce(col("l_returnflag"), lit("~")),
+          coalesce(col("l_linestatus"), lit("~")))),
+
+    // G4: pivot linestatus → columns (conditional-agg equivalent).
+    "g4_pivot" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(dsum(col("l_quantity")))
+        .orderBy("l_returnflag")),
+
+    // A12: salted two-phase aggregation — identical result to a direct
+    // groupBy, but the first shuffle spreads a hot key over 8 sub-keys
+    // (deterministic salt from event_id here; rand() in production).
+    "a12_salted_agg" -> ((s, d) =>
+      events(s, d)
+        .withColumn("__salt", pmod(col("event_id"), lit(8)))
+        .groupBy("event_type", "__salt")
+        .agg(
+          count(lit(1)).as("c"),
+          sum(col("value").cast(DecimalType(18, 6))).as("sv"))
+        .groupBy("event_type")
+        .agg(
+          sum(col("c")).as("cnt"),
+          sum(col("sv")).cast("double").as("sum_value"))
+        .orderBy("event_type")),
+
+    // A13: exact interpolated per-group percentiles (scalable alternate:
+    // percentile_approx — engine-specific, so the exact form is the oracle).
+    "a13_percentile" -> ((s, d) =>
+      orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          round(percentile(col("o_totalprice"), lit(0.25)), 4).as("p25"),
+          round(percentile(col("o_totalprice"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("o_totalprice"), lit(0.75)), 4).as("p75"))
+        .orderBy("o_orderpriority")),
+
+    // AJ1: backward as-of join — each event picks the latest order of the
+    // same customer at-or-before its timestamp (right side pre-deduped to
+    // one row per (custkey, orderdate) for determinism).
+    "aj1_asof_join" -> ((s, d) => {
+      val rightDeduped = orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max("o_orderkey").as("o_orderkey"))
+      val left = events(s, d).select("event_id", "user_id", "ts")
+      AsOfJoin.backward(left, rightDeduped,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTime = "ts", rightTime = "o_orderdate",
+          payloadCols = Seq("o_orderkey", "o_orderdate"))
+        .orderBy("event_id")
+    }),
+
+    // RJ1: band/range join — lineitem prices binned by a 53-row band dim
+    // joined on lo <= price < hi. Broadcast keeps the inequality join a
+    // nested-loop over a tiny build side; at 100 TB with *uniform* bands
+    // you'd compute the band key arithmetically instead (documented here,
+    // the join form covers the general non-uniform-band case).
+    "rj1_range_join" -> ((s, d) => {
+      val bands = s.range(0, 53).select(
+        col("id").as("band"),
+        (col("id") * 2000).cast("double").as("lo"),
+        ((col("id") + 1) * 2000).cast("double").as("hi"))
+      lineitem(s, d)
+        .join(broadcast(bands),
+          col("l_extendedprice") >= col("lo") &&
+            col("l_extendedprice") < col("hi"))
+        .groupBy("band")
+        .agg(
+          count(lit(1)).as("cnt"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("band")
+    }),
+
+    // SW1: batch session windows — events within a 12h gap of each other
+    // merge into one session per user (the batch twin of the streaming
+    // sessionization in graft.streaming; oracle is gaps-and-islands SQL).
+    "sw1_session_window" -> ((s, d) =>
+      events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "12 hours"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double")
+            .as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start"))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "g1_rollup" ->
+      """SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
+        |  l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, COALESCE(l_returnflag, '~'), COALESCE(l_linestatus, '~')""".stripMargin,
+    "g2_cube" ->
+      """SELECT GROUPING(o_orderstatus, o_orderpriority) AS gid,
+        |  o_orderstatus, o_orderpriority,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, COALESCE(o_orderstatus, '~'), COALESCE(o_orderpriority, '~')""".stripMargin,
+    "g3_grouping_sets" ->
+      """SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
+        |  l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, COALESCE(l_returnflag, '~'), COALESCE(l_linestatus, '~')""".stripMargin,
+    "g4_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a12_salted_agg" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a13_percentile" ->
+      """SELECT o_orderpriority,
+        |  ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "aj1_asof_join" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, e.ts, r.o_orderkey, r.o_orderdate
+        |FROM events e
+        |ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    "rj1_range_join" ->
+      """WITH bands AS (
+        |  SELECT range AS band, range * 2000.0 AS lo, (range + 1) * 2000.0 AS hi
+        |  FROM range(0, 53))
+        |SELECT band, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem l JOIN bands b
+        |  ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+    "sw1_session_window" ->
+      """WITH gaps AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 12 HOUR
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM gaps)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM sessions GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
+  )
+}
