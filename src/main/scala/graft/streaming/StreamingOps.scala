@@ -62,6 +62,28 @@ object StreamingOps {
       .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming exact dedup with bounded state: keys are remembered only
+    * until the watermark passes their event time, so state size is
+    * O(keys per watermark window), not O(all keys ever) — the streaming
+    * twin of the batch dedup battery (dd1/dd2). Late duplicates beyond
+    * the watermark are NOT caught; pick the delay from the source's
+    * real out-of-orderness. */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                           watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Native streaming session windows: the declarative twin of
+    * [[sessionize]] — same per-user gap semantics, but the state is the
+    * engine's session-window store instead of hand-rolled GroupState.
+    * Prefer this when a count/sum summary is enough; drop to
+    * flatMapGroupsWithState only for state the window can't express. */
+  def sessionCounts(events: DataFrame, gap: String = "5 minutes",
+                    watermark: String = "0 seconds"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(count: Long, total: Double, lastTs: Long)

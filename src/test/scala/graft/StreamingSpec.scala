@@ -77,4 +77,46 @@ class StreamingSpec extends SparkSuite {
       assert(sessions.head.getAs[Double]("total_value") === 4.0)
     } finally q.stop()
   }
+
+  test("dropDuplicatesWithinWatermark removes repeats, bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.dedupWithinWatermark(mem.toDF(), Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Event(1, ts(1), 1, "click", 1.0), Event(1, ts(1), 1, "click", 1.0),
+        Event(2, ts(2), 1, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(Event(1, ts(3), 1, "click", 1.0)) // dup within watermark
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("native streaming session windows close once the watermark passes the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.sessionCounts(mem.toDF(), gap = "5 minutes")
+      .writeStream.format("memory").queryName("swin_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1, ts(1), 42, "click", 1.5), Event(2, ts(2), 42, "view", 2.5))
+      q.processAllAvailable()
+      // advance the watermark far past 10:02 + 5min → user 42's session closes
+      mem.addData(Event(3, ts(30), 7, "click", 9.9))
+      q.processAllAvailable()
+      mem.addData(Event(4, ts(45), 7, "view", 1.0))
+      q.processAllAvailable()
+      val s42 = spark.table("swin_out").filter(col("user_id") === 42).collect()
+      assert(s42.length === 1)
+      assert(s42.head.getAs[Long]("n_events") === 2)
+      assert(s42.head.getAs[Double]("total_value") === 4.0)
+    } finally q.stop()
+  }
 }
