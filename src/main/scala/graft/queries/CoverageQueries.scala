@@ -48,7 +48,58 @@ object CoverageQueries {
     "a11_approx_distinct" -> ((s, d) =>
       lineitem(s, d).agg(
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders")))
+        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))),
+
+    // F3: email normalization (lower+trim, anchored-regex validate else "")
+    // over synthesized valid/invalid/null branches.
+    "f3_email_norm" -> ((s, d) => {
+      val raw = customer(s, d).select(col("c_custkey"),
+        when(col("c_custkey") % 3 === 0,
+          concat(lit("User_"), col("c_custkey").cast("string"),
+            lit("@Example.COM ")))
+          .when(col("c_custkey") % 3 === 1, lit("bad email@x"))
+          .otherwise(lit(null).cast("string")).as("email"))
+      Transforms.standardizeEmails(raw, "email").orderBy("c_custkey")
+    }),
+
+    // J6 (capability): full outer join keeps unmatched rows of BOTH sides.
+    "j6_full_outer" -> ((s, d) => {
+      val bigCnt = orders(s, d).filter(col("o_totalprice") > 450000)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_big"))
+      customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_mktsegment")
+        .join(bigCnt, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_mktsegment"), col("n_big"))
+        .orderBy("custkey")
+    }),
+
+    // D9 (capability): calendar arithmetic — month truncation, clamped
+    // month addition, day diffs, end-of-month.
+    "d9_date_arith" -> ((s, d) =>
+      orders(s, d).select(col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        add_months(to_date(col("o_orderdate")), 3).as("plus3m"),
+        datediff(lit("1998-12-31").cast("date"), to_date(col("o_orderdate")))
+          .as("days_to_end"),
+        last_day(to_date(col("o_orderdate"))).as("eom"))
+        .orderBy("o_orderkey")),
+
+    // W7 (capability): forward-fill — last non-null carried forward per
+    // user in event-time order; the gap-fill primitive feature pipelines
+    // lean on (nulls synthesized on every 5th event).
+    "w7_fill_forward" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Long.MinValue, 0)
+      events(s, d)
+        .withColumn("v", when(col("event_id") % 5 === 0,
+          lit(null).cast("double")).otherwise(col("value")))
+        .select(col("event_id"),
+          last(col("v"), ignoreNulls = true).over(w).as("filled"))
+        .orderBy("event_id")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -68,6 +119,48 @@ object CoverageQueries {
         |         WHEN o_orderkey % 3 = 1 THEN 1000000.0
         |         ELSE 1000.0 END AS p,
         |  'VND' AS price_unit
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "f3_email_norm" ->
+      """WITH raw AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 3 = 0
+        |           THEN 'User_' || CAST(c_custkey AS VARCHAR) || '@Example.COM '
+        |         WHEN c_custkey % 3 = 1 THEN 'bad email@x'
+        |    END AS email
+        |  FROM customer),
+        |lowered AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN email IS NOT NULL THEN lower(trim(email)) ELSE '' END AS email
+        |  FROM raw)
+        |SELECT c_custkey,
+        |  CASE WHEN regexp_matches(email,
+        |         '^[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}$')
+        |       THEN email ELSE '' END AS email
+        |FROM lowered ORDER BY c_custkey""".stripMargin,
+    "j6_full_outer" ->
+      """WITH big AS (
+        |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_big
+        |  FROM orders WHERE o_totalprice > 450000 GROUP BY o_custkey)
+        |SELECT COALESCE(c.c_custkey, big.o_custkey) AS custkey,
+        |  c.c_mktsegment, big.n_big
+        |FROM (SELECT c_custkey, c_mktsegment FROM customer
+        |      WHERE c_mktsegment = 'BUILDING') c
+        |FULL JOIN big ON c.c_custkey = big.o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "d9_date_arith" ->
+      """SELECT o_orderkey,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+        |    AS INTEGER) AS days_to_end,
+        |  last_day(CAST(o_orderdate AS DATE)) AS eom
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "w7_fill_forward" ->
+      """SELECT event_id,
+        |  last_value(CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END
+        |    IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }
