@@ -4,10 +4,12 @@ import org.apache.spark.sql.{Column, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
-/** Typed Aggregator: the k smallest Long values per group, returned
-  * sorted ascending — the order-statistic aggregate Spark lacks
+/** Typed Aggregator: the k smallest DISTINCT Long values per group,
+  * returned sorted ascending — the order-statistic aggregate Spark lacks
   * (min/max only go to k=1; the window row_number() formulation sorts
-  * every row in the partition first).
+  * every row in the partition first). Distinctness in the k-bounded
+  * buffer lets callers feed raw (duplicated) streams — no
+  * array_distinct materialization upstream.
   *
   * This is the custom-`Aggregator[IN, BUF, OUT]` capability from
   * SURVEY.md §7.3, used by the winnowing-fingerprint query: one
@@ -19,7 +21,8 @@ case class BottomKLong(k: Int) extends Aggregator[Long, Array[Long], Array[Long]
   override def zero: Array[Long] = Array.empty
 
   override def reduce(buf: Array[Long], x: Long): Array[Long] =
-    if (buf.length < k) {
+    if (java.util.Arrays.binarySearch(buf, x) >= 0) buf // already present
+    else if (buf.length < k) {
       val out = java.util.Arrays.copyOf(buf, buf.length + 1)
       out(buf.length) = x
       java.util.Arrays.sort(out)
@@ -32,7 +35,7 @@ case class BottomKLong(k: Int) extends Aggregator[Long, Array[Long], Array[Long]
     } else buf
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
-    val all = a ++ b
+    val all = (a ++ b).distinct
     java.util.Arrays.sort(all)
     all.take(k)
   }

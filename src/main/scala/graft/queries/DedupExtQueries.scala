@@ -42,16 +42,19 @@ object DedupExtQueries {
           expr("CAST(regexp_count(text, '[0-9]+') AS INT)").as("n_numeric"))
         .orderBy("doc_id")),
 
-    // winnowing-style fingerprint: the 4 smallest xxhash64 values over the
-    // document's distinct character-8-grams (rows-only: engine-specific
-    // hash function by design). Bottom-k runs as ONE hash-aggregate pass
-    // with a k-bounded buffer (graft.functions.BottomKLong) — no window
-    // sort of every gram.
+    // winnowing-style fingerprint: the 4 smallest distinct xxhash64 values
+    // over the document's character-8-grams (rows-only: engine-specific
+    // hash function by design). Shape: explode gram START POSITIONS, then
+    // substring+xxhash64 as codegen'd per-row expressions, then ONE
+    // ObjectHashAggregate pass with a k-bounded dedup buffer
+    // (graft.functions.BottomKLong) — no interpreted per-doc HOF arrays,
+    // no array_distinct materialization, no window sort of every gram.
     "tx6_winnow_fingerprint" -> ((s, d) =>
       documents(s, d)
-        .select(col("doc_id"), explode(array_distinct(expr(
-          "transform(sequence(1, greatest(length(text) - 7, 1)), i -> xxhash64(substring(text, i, 8)))")))
-          .as("h"))
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), greatest(length(col("text")) - 7, lit(1))))
+            .as("i"))
+        .select(col("doc_id"), expr("xxhash64(substring(text, i, 8))").as("h"))
         .groupBy("doc_id")
         .agg(graft.functions.BottomK.bottomK(col("h"), 4).as("fingerprint"))
         .orderBy("doc_id"))

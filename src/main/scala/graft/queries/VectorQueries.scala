@@ -116,12 +116,19 @@ object VectorQueries {
       // cell assignment: nearest centroid by cosine
       val wAssign = Window.partitionBy("vec_id")
         .orderBy(col("ccs").desc, col("cell"))
+      // persist the 2-nearest-cell assignment: the corpus and probe
+      // branches would otherwise each re-run the crossJoin + window
+      // (aliased exchanges don't reuse). At corpus scale this is the
+      // stored IVF index, written once.
       val assigned = e0.crossJoin(broadcast(codebook))
         .withColumn("ccs", expr("graft_cosine(emb, cvec)"))
         .withColumn("crn", row_number().over(wAssign))
+        .filter(col("crn") <= 2)
+        .select("vec_id", "emb", "cell", "crn")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val corpus = assigned.filter(col("crn") === 1)
         .select(col("vec_id").as("nid"), col("emb").as("eb"), col("cell"))
-      val probes = assigned.filter(col("vec_id") < 10 && col("crn") <= 2)
+      val probes = assigned.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("emb").as("ea"), col("cell"))
       val wTop = Window.partitionBy("qid").orderBy(col("cs").desc, col("nid"))
       corpus.join(broadcast(probes), Seq("cell"))

@@ -35,4 +35,13 @@ class BottomKSpec extends SparkSuite {
     assert(out(0).getSeq[Long](1) === Seq(1L, 5L))
     assert(out(1).getSeq[Long](1) === Seq(9L))
   }
+
+  test("duplicates collapse: bottom-k is over distinct values") {
+    import spark.implicits._
+    val out = Seq.fill(5)(("a", 7L)).++(Seq(("a", 3L), ("a", 3L), ("a", 11L)))
+      .toDF("g", "v").groupBy("g")
+      .agg(BottomK.bottomK(col("v"), 3).as("fp"))
+      .collect()
+    assert(out(0).getSeq[Long](1) === Seq(3L, 7L, 11L))
+  }
 }
