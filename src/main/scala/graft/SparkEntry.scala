@@ -20,7 +20,7 @@ object SparkEntry {
       TextQueries.queries ++ VectorQueries.queries ++
       WindowedAggQueries.queries ++ CoverageQueries.queries ++
       DedupExtQueries.queries ++ ExtraWindowQueries.queries ++
-      AnalyticQueries.queries
+      AnalyticQueries.queries ++ SamplingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +29,5 @@ object SparkEntry {
       TextQueries.oracle ++ VectorQueries.oracle ++
       WindowedAggQueries.oracle ++ CoverageQueries.oracle ++
       DedupExtQueries.oracle ++ ExtraWindowQueries.oracle ++
-      AnalyticQueries.oracle
+      AnalyticQueries.oracle ++ SamplingQueries.oracle
 }

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by min-label propagation — the clustering step a
+  * near-duplicate pipeline needs between "similar pairs" and "keep one
+  * representative per group" (pairs alone under-dedupe: A≈B, B≈C must
+  * collapse to ONE cluster even when A≈C wasn't a candidate pair).
+  *
+  * Pregel-style iteration on DataFrames: every vertex starts labeled with
+  * its own id; each round every vertex takes the min of its label and its
+  * neighbors' labels, then pointer-jumps (lbl := labels(lbl)) — the
+  * shortcutting step that makes convergence O(log diameter) instead of
+  * O(diameter), which matters on straggly near-threshold graphs. Fixpoint
+  * when the label sum stops changing; the only driver traffic is that
+  * 1-row aggregate per round.
+  *
+  * Each round ends in `localCheckpoint(eager)`: iterative DataFrames
+  * otherwise nest each round's logical plan inside the next and Catalyst
+  * re-optimization time grows EXPONENTIALLY (measured: 0.6s → 70s per
+  * round by iteration 7 on a 2k-vertex graph). Checkpointing truncates
+  * the plan to the materialized partitions.
+  *
+  * For billion-edge graphs the same loop holds; switch the convergence
+  * probe to `sum(cast(lbl as decimal(38,0)))` if id sums can overflow.
+  */
+object ConnectedComponents {
+
+  /** @param vertices one column `idCol` (distinct vertex ids)
+    * @param edges    columns `srcCol`, `dstCol` (undirected; either order)
+    * @return columns `id`, `component` (= min vertex id in the component)
+    */
+  def run(vertices: DataFrame, edges: DataFrame,
+          idCol: String = "id", srcCol: String = "src", dstCol: String = "dst",
+          maxIter: Int = 20): DataFrame = {
+    val bidir = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .persist()
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("lbl"))
+      .localCheckpoint(true)
+    var labelSum = labels.agg(sum("lbl")).head.getLong(0)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val t0 = System.nanoTime()
+      val neighborLabels = bidir.join(labels, bidir("src") === labels("id"))
+        .select(col("dst").as("id"), col("lbl"))
+      // checkpoint BEFORE the pointer-jump self-join: truncating here both
+      // bounds plan depth per round and sidesteps the analyzer's union
+      // constraint rewrite, which cannot handle a self-joined union plan.
+      val combined = labels.union(neighborLabels)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
+      val jumpTo = combined.select(col("id").as("jid"), col("lbl").as("jlbl"))
+      val next = combined.join(jumpTo, col("lbl") === col("jid"), "left")
+        .select(col("id"), coalesce(col("jlbl"), col("lbl")).as("lbl"))
+      val nextSum = next.agg(sum("lbl")).head.getLong(0)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(f"CC iter=$iter sum=$nextSum t=${(System.nanoTime() - t0) / 1e9}%.2f")
+      converged = nextSum == labelSum
+      labels = next
+      labelSum = nextSum
+      iter += 1
+    }
+    bidir.unpersist()
+    labels.select(col("id"), col("lbl").as("component"))
+  }
+}

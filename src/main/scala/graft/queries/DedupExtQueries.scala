@@ -32,6 +32,28 @@ object DedupExtQueries {
         .orderBy("keep_id", "dup_id")
     }),
 
+    // near-dup CLUSTERING: cosine pairs → connected components → one
+    // canonical member per cluster. Pairs alone under-dedupe (A≈B, B≈C
+    // must collapse together even when A≈C missed the threshold);
+    // operators.ConnectedComponents runs min-label propagation to
+    // fixpoint. Oracle: DuckDB recursive CTE transitive closure.
+    "dd7_neardup_clusters" -> ((s, d) => {
+      CosineSimilarity.register(s)
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val a = e.select(col("vec_id").as("src"), col("emb").as("ea"))
+      val b = e.select(col("vec_id").as("dst"), col("emb").as("eb"))
+      val pairs = a.join(b, col("src") < col("dst"))
+        .withColumn("cs", expr("graft_cosine(ea, eb)"))
+        .filter(col("cs") >= 0.4)
+        .select("src", "dst")
+      graft.operators.ConnectedComponents
+        .run(e.select(col("vec_id").as("id")), pairs)
+        .select(col("id").as("vec_id"), col("component").as("cluster"),
+          (col("id") === col("component")).as("is_canonical"))
+        .orderBy("vec_id")
+    }),
+
     // BPE-ish tokenization: words / numbers / single punctuation, the
     // GPT-2-style pre-tokenizer shape.
     "tx5_bpe_tokens" -> ((s, d) =>
@@ -61,6 +83,22 @@ object DedupExtQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "dd7_neardup_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS u, b.vec_id AS v
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(
+        |      list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        |      list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.4),
+        |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+        |reach AS (
+        |  SELECT vec_id AS id, vec_id AS lbl FROM embeddings
+        |  UNION
+        |  SELECT e.v AS id, r.lbl
+        |  FROM reach r JOIN edges e ON e.u = r.id
+        |  WHERE r.lbl < e.v)
+        |SELECT id AS vec_id, MIN(lbl) AS cluster, (id = MIN(lbl)) AS is_canonical
+        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
     "dd6_embedding_neardup" ->
       """WITH cs AS (
         |  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
