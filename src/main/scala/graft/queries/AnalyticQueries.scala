@@ -134,6 +134,26 @@ object AnalyticQueries {
         .orderBy("band")
     }),
 
+    // J7: multi-way star join (TPC-H Q5 shape) — two fact-sized equi-joins
+    // shuffling on their keys, then broadcast dim chain (nation, region),
+    // date filter pushed to the orders scan, grouped decimal-exact revenue,
+    // top-by-revenue. The join-planning shape a warehouse lives on.
+    "j7_multiway_star" -> ((s, d) =>
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy("n_name")
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 6))).cast("double").as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("revenue").desc, col("n_name"))),
+
     // SW1: batch session windows — events within a 12h gap of each other
     // merge into one session per user (the batch twin of the streaming
     // sessionization in graft.streaming; oracle is gaps-and-islands SQL).
@@ -209,6 +229,20 @@ object AnalyticQueries {
         |FROM lineitem l JOIN bands b
         |  ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
         |GROUP BY band ORDER BY band""".stripMargin,
+    "j7_multiway_star" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))
+        |    AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     "sw1_session_window" ->
       """WITH gaps AS (
         |  SELECT user_id, ts, value,
