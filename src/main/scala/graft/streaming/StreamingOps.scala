@@ -62,6 +62,28 @@ object StreamingOps {
       .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Watermarked stream-stream interval join: each left event matched to
+    * right events of the same user whose timestamp falls in
+    * [left.ts - lookback, left.ts]. Both sides carry watermarks AND the
+    * join condition bounds event-time distance, so each side's join state
+    * is evicted once the watermark passes the interval — bounded state,
+    * which is what separates a runnable streaming join from an
+    * accumulate-forever one. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   lookback: String = "1 hour",
+                   watermark: String = "0 seconds"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+    val r = right
+      .select(col("event_id").as("r_event_id"), col("ts").as("r_ts"),
+        col("user_id").as("r_user_id"), col("event_type").as("r_type"),
+        col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col("user_id") === col("r_user_id") &&
+        col("r_ts") >= col("ts") - expr(s"INTERVAL $lookback") &&
+        col("r_ts") <= col("ts"))
+  }
+
   /** Streaming exact dedup with bounded state: keys are remembered only
     * until the watermark passes their event time, so state size is
     * O(keys per watermark window), not O(all keys ever) — the streaming

@@ -119,4 +119,25 @@ class StreamingSpec extends SparkSuite {
       assert(s42.head.getAs[Double]("total_value") === 4.0)
     } finally q.stop()
   }
+  test("stream-stream interval join matches within lookback, bounded by watermarks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val q = StreamingOps.intervalJoin(clicks.toDF(), views.toDF(), lookback = "10 minutes")
+      .select("event_id", "r_event_id")
+      .writeStream.format("memory").queryName("sj_out")
+      .outputMode("append").start()
+    try {
+      views.addData(
+        Event(101, ts(5), 1, "view", 1.0),   // 6 min before click 1 → match
+        Event(102, ts(40), 1, "view", 1.0),  // 29 min after click 1 → no
+        Event(103, ts(8), 2, "view", 1.0))   // other user → no match for 1
+      clicks.addData(Event(1, ts(11), 1, "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sj_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(got.toSeq === Seq((1L, 101L)))
+    } finally q.stop()
+  }
 }
