@@ -52,6 +52,25 @@ object TextQueries {
             .as("q_score"))
         .orderBy("doc_id")),
 
+    // quality FEATURE VECTOR: the length/punct/stopword/case ratios a
+    // corpus-filtering pass thresholds on (separate columns, not a single
+    // collapsed score, so downstream filters can tune per-dimension).
+    "tx7_quality_features" -> ((s, d) =>
+      documents(s, d)
+        .withColumn("n_tokens",
+          greatest(size(split(trim(col("text")), "\\s+")), lit(1)))
+        .withColumn("len", greatest(length(col("text")), lit(1)))
+        .select(col("doc_id"),
+          round(expr("CAST(regexp_count(text, '[.,!?;:]') AS DOUBLE)")
+            / col("len"), 6).as("punct_ratio"),
+          round(expr("CAST(regexp_count(text, '\\\\b(the|a|of|and|to|in)\\\\b') AS DOUBLE)")
+            / col("n_tokens"), 6).as("stop_ratio"),
+          round(expr("CAST(regexp_count(text, '[A-Z]') AS DOUBLE)")
+            / col("len"), 6).as("upper_ratio"),
+          round(length(regexp_replace(col("text"), "\\s", ""))
+            .cast("double") / col("n_tokens"), 6).as("mean_word_len"))
+        .orderBy("doc_id")),
+
     // document fingerprint: md5 over normalized text.
     "tx4_fingerprint" -> ((s, d) =>
       documents(s, d)
@@ -173,6 +192,22 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tx7_quality_features" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    GREATEST(len(string_split_regex(TRIM(text), '\s+')), 1) AS n_tokens,
+        |    GREATEST(len(text), 1) AS l
+        |  FROM documents)
+        |SELECT doc_id,
+        |  ROUND(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / l, 6)
+        |    AS punct_ratio,
+        |  ROUND(CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b')) AS DOUBLE)
+        |    / n_tokens, 6) AS stop_ratio,
+        |  ROUND(CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) / l, 6)
+        |    AS upper_ratio,
+        |  ROUND(CAST(len(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / n_tokens, 6)
+        |    AS mean_word_len
+        |FROM base ORDER BY doc_id""".stripMargin,
     "tx1_token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split_regex(TRIM(text), '\s+')) AS INTEGER) AS n_tokens,
