@@ -107,4 +107,52 @@ class PropertiesSpec extends SparkSuite {
       pairs.length == 1 && pairs.head.getAs[Double]("est_jaccard") == 1.0
     }, params.withMinSuccessfulTests(3))
   }
+
+  test("connected components match a local union-find on random graphs") {
+    import spark.implicits._
+    val graphGen = for {
+      n <- Gen.chooseNum(2, 12)
+      m <- Gen.chooseNum(0, 14)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(1, n); b <- Gen.chooseNum(1, n) if a != b
+      } yield (a.toLong, b.toLong))
+    } yield (n, edges)
+    check(forAll(graphGen) { case (n, edges) =>
+      // local union-find ground truth
+      val parent = Array.tabulate(n + 1)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (1 to n).map(v => v.toLong -> find(v).toLong).toMap
+      val vertices = (1L to n.toLong).toDF("id")
+      val edf = if (edges.isEmpty)
+        Seq.empty[(Long, Long)].toDF("src", "dst")
+      else edges.toDF("src", "dst")
+      val got = graft.operators.ConnectedComponents.run(vertices, edf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expected
+    }, Parameters.default.withMinSuccessfulTests(8))
+  }
+
+  test("as-of join agrees with per-row linear scan on random series") {
+    import spark.implicits._
+    val seriesGen = for {
+      leftTs <- Gen.listOfN(8, Gen.chooseNum(0L, 30L))
+      rightTs <- Gen.listOfN(5, Gen.chooseNum(0L, 30L))
+    } yield (leftTs.zipWithIndex, rightTs.distinct)
+    check(forAll(seriesGen) { case (lefts, rights) =>
+      val left = lefts.map { case (t, i) => (1L, t, i.toLong) }.toDF("k", "t", "eid")
+      val right = rights.map(t => (1L, t, s"p$t")).toDF("k", "t", "payload")
+      val got = graft.operators.AsOfJoin
+        .backward(left, right, "k", "k", "t", "t", Seq("payload"))
+        .collect().map(r => r.getLong(2) -> Option(r.getString(3))).toMap
+      val expected = lefts.map { case (t, i) =>
+        val cands = rights.filter(_ <= t)
+        i.toLong -> (if (cands.isEmpty) None else Some(s"p${cands.max}"))
+      }.toMap
+      got == expected
+    }, Parameters.default.withMinSuccessfulTests(8))
+  }
 }
