@@ -20,7 +20,7 @@ object EtlRunner {
       "usage: EtlRunner <bronzeBase> <yyyy-MM-dd> <outBase>")
     val Array(bronzeBase, date, outBase) = args.take(3)
     val spark = GraftSession.local("graft-etl",
-      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
 
     val cfg = SilverEtl.RunConfig(s"$outBase/silver", s"$outBase/quarantine",
       s"$outBase/metadata", runId = s"run_$date", startDate = date)
