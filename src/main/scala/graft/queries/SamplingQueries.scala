@@ -27,6 +27,17 @@ object SamplingQueries {
           < "cc", lit("train")).otherwise(lit("eval")).as("split"))
         .orderBy("doc_id")),
 
+    // CP1: full corpus-curation composite (quality gate → lang filter →
+    // exact dedup → MinHash-LSH near-dup clustering → canonical select →
+    // content-hash split). Rows-only: MinHash internals aren't
+    // SQL-expressible; invariants are spec-tested (CorpusPipelineSpec).
+    "cp1_corpus_curate" -> ((s, d) => {
+      val (curated, _) = graft.corpus.CorpusPipeline.curate(
+        s, graft.Tables.documents(s, d),
+        langs = Seq("en", "vi", "de", "fr"), minChars = 1, minJaccard = 0.8)
+      curated.select("doc_id", "split").orderBy("doc_id")
+    }),
+
     // per-label stratified sample: 50% of even labels, 10% of odd.
     "sm2_stratified_sample" -> ((s, d) => {
       val fractions: Map[Any, Double] =

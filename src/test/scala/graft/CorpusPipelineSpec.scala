@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.corpus.CorpusPipeline
+
+/** End-to-end corpus curation: stage monotonicity, dedup invariants,
+  * split partition, and near-dup collapse on a planted duplicate. */
+class CorpusPipelineSpec extends SparkSuite {
+
+  test("curate: stages shrink monotonically, output is exact-dup-free, split partitions") {
+    val docs = Tables.documents(spark, sf)
+    val (curated, stats) = CorpusPipeline.curate(spark, docs,
+      langs = Seq("en", "vi", "de", "fr"), minChars = 1, minJaccard = 0.8)
+    assert(stats.input >= stats.afterQuality)
+    assert(stats.afterQuality >= stats.afterExact)
+    assert(stats.afterExact >= stats.afterNear)
+    assert(stats.afterNear === stats.train + stats.eval)
+    assert(stats.afterNear === curated.count())
+    // no two output docs share a content hash
+    val dupHashes = curated.groupBy(md5(col("text"))).count()
+      .filter(col("count") > 1).count()
+    assert(dupHashes === 0)
+    // split column is total and binary
+    val splits = curated.select("split").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "eval")))
+  }
+
+  test("planted near-duplicates collapse to one canonical document") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    val docs = Seq(
+      (1L, base, "en", "s", base.length.toLong),
+      (2L, base + " tail", "en", "s", base.length + 5L), // near-dup of 1
+      (3L, "an entirely different document about spark shuffles and joins " * 5,
+        "en", "s", 300L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (curated, stats) = CorpusPipeline.curate(spark, docs,
+      langs = Seq("en"), minChars = 1, minJaccard = 0.5)
+    val kept = curated.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 3L)) // 2 collapsed into 1's cluster
+    assert(stats.afterNear === 2)
+  }
+}
