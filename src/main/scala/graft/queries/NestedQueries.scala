@@ -66,6 +66,17 @@ object NestedQueries {
           get_json_object(col("props"), "$.k").cast("int").as("k_val"))
         .orderBy("event_id")),
 
+    // N-ext: MapType — parse JSON object to map<string,int>, explode to
+    // (key, value) rows (the reference uses no MapType; capability class).
+    "n14_map_type" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.MapType(StringType,
+              org.apache.spark.sql.types.IntegerType)).as("m"))
+        .select(col("event_id"), explode(col("m")).as(Seq("key", "value")))
+        .orderBy("event_id", "key")),
+
     // N11: from_json with startswith("[") probe, else wrap in array().
     "n11_json_probe" -> ((s, d) => {
       val maybe = when(col("event_type") === "click",
@@ -111,6 +122,12 @@ object NestedQueries {
     "n7_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
+    "n14_map_type" ->
+      """WITH keys AS (
+        |  SELECT event_id, props, unnest(json_keys(props)) AS key FROM events)
+        |SELECT event_id, key,
+        |  CAST(json_extract_string(props, '$.' || key) AS INTEGER) AS value
+        |FROM keys ORDER BY event_id, key""".stripMargin,
     "n11_json_probe" ->
       """WITH m AS (SELECT event_id,
         |  CASE WHEN event_type = 'click'
