@@ -146,6 +146,12 @@ object GoldEtl {
   /** Full gold pipeline (gold_ml_etl.py:536-568). */
   def run(spark: SparkSession, silverPath: String, goldPath: String,
           clock: Column = current_timestamp()): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(silverPath)
+    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) {
+      // no silver table yet (e.g. first day was empty): no-op instead of
+      // PATH_NOT_FOUND — gold stays absent until silver exists.
+      return spark.emptyDataFrame
+    }
     val silver = conformToSilverSchema(readSilver(spark, silverPath))
     val enhanced = Enhancement.enhanceSilverData(spark, silver)
     val features = engineerFeatures(spark, enhanced)

@@ -37,8 +37,26 @@ object SilverEtl {
       s"$base/$sp/year=$year/month=$month/$dayPrefix*.jsonl")
   }
 
-  def readBronze(spark: SparkSession, base: String, startDate: String): DataFrame =
-    spark.read.json(bronzePathsFor(base, startDate): _*)
+  /** Read one day of bronze. Globs that match no files are dropped first
+    * (a spider that didn't run that day is normal, not an error — the
+    * reference tolerates it via its per-source `if spider in df` checks);
+    * a day with NO matching files at all returns an empty frame so the
+    * pipeline no-ops instead of throwing PATH_NOT_FOUND. */
+  def readBronze(spark: SparkSession, base: String, startDate: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val existing = bronzePathsFor(base, startDate).filter { glob =>
+      val p = new org.apache.hadoop.fs.Path(glob)
+      val fs = p.getFileSystem(conf)
+      val matches = fs.globStatus(p)
+      matches != null && matches.nonEmpty
+    }
+    if (existing.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("spider_name",
+            org.apache.spark.sql.types.StringType))))
+    else spark.read.json(existing: _*)
+  }
 
   // ------------------------------------------------------------ step 2
   /** Per-source special transforms (silver_etl_script.py:179-344). */
@@ -330,6 +348,11 @@ object SilverEtl {
   def run(spark: SparkSession, bronze: DataFrame, cfg: RunConfig,
           clock: Column = current_timestamp()): EtlStats = {
     val recordsRead = bronze.count()
+    if (recordsRead == 0) {
+      // empty day (no spider ran): no-op, matching the reference's
+      // early-return on an empty bronze read — existing silver untouched.
+      return EtlStats(0, 0, 0, 0, 0, 0.0)
+    }
     val mapped = applySchemaMapping(bronze)
     val (valid, invalid) = validate(mapped)
     runQualityChecks(valid) // report side-channel; failures warn, not abort

@@ -206,4 +206,19 @@ class SilverEtlSpec extends SparkSuite {
     Scd2.merge(spark, changed2, cfg.silverPath, asOfDate = day2)
     assert(Scd2.violations(spark.read.parquet(cfg.silverPath)) === 0)
   }
+
+  test("empty day no-ops: missing spider dirs dropped, zero-record day returns zero stats") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_day").toString
+    graft.fixtures.BronzeFixtures.write(dir)
+    // a date with no files at all → empty frame, run() returns zeros
+    val empty = SilverEtl.readBronze(spark, s"$dir/bronze", "2099-12-31")
+    assert(empty.count() === 0)
+    val cfg = SilverEtl.RunConfig(s"$dir/out/silver", s"$dir/out/quarantine",
+      s"$dir/out/metadata", "run_empty", "2099-12-31")
+    val stats = SilverEtl.run(spark, empty, cfg)
+    assert(stats === SilverEtl.EtlStats(0, 0, 0, 0, 0, 0.0))
+    // gold on a never-created silver path no-ops too
+    val gold = graft.gold.GoldEtl.run(spark, s"$dir/out/silver", s"$dir/out/gold")
+    assert(gold.isEmpty)
+  }
 }
