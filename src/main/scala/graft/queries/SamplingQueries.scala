@@ -38,6 +38,35 @@ object SamplingQueries {
       curated.select("doc_id", "split").orderBy("doc_id")
     }),
 
+    // SM3: deterministic per-group sample — the k docs with the smallest
+    // content-hash per source. Reproducible across runs/engines (unlike
+    // rand()-based sampleBy) and shuffles only (source, hash) pairs.
+    "sm3_per_group_sample" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string").cast("binary")), col("doc_id"))
+      documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("source", "doc_id", "rn")
+        .orderBy("source", "rn")
+    }),
+
+    // SQL1: the SQL-text surface — temp views + spark.sql, same Catalyst
+    // plan as the DataFrame API (oracle is the identical statement).
+    "sql1_text_query" -> ((s, d) => {
+      graft.Tables.orders(s, d).createOrReplaceTempView("sql1_orders")
+      graft.Tables.customer(s, d).createOrReplaceTempView("sql1_customer")
+      s.sql("""
+        SELECT c.c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM sql1_orders o JOIN sql1_customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment""")
+    }),
+
     // per-label stratified sample: 50% of even labels, 10% of odd.
     "sm2_stratified_sample" -> ((s, d) => {
       val fractions: Map[Any, Double] =
@@ -48,6 +77,21 @@ object SamplingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "sm3_per_group_sample" ->
+      """SELECT source, doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn
+        |FROM documents
+        |QUALIFY rn <= 5
+        |ORDER BY source, rn""".stripMargin,
+    "sql1_text_query" ->
+      """SELECT c.c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE o.o_orderstatus = 'F'
+        |GROUP BY c.c_mktsegment
+        |ORDER BY c.c_mktsegment""".stripMargin,
     "sm1_hash_split" ->
       """SELECT doc_id,
         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
