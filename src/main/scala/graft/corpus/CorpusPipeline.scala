@@ -29,39 +29,13 @@ object CorpusPipeline {
                                afterExact: Long, afterNear: Long,
                                train: Long, eval: Long)
 
-  /** Near-dup candidate pairs via MinHash (16 perms) + LSH (4 bands × 4
-    * rows), filtered to estimated Jaccard ≥ `minJaccard`. */
-  def nearDupPairs(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val hashed = docs
-      .select(col("doc_id"),
-        split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ").as("toks"))
-      .select(col("doc_id"), explode(expr(
-        """array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1)),
-          |  i -> xxhash64(concat_ws(' ', toks[i-1], toks[i], toks[i+1]))))""".stripMargin))
-        .as("h"))
-    val aggs = (0 until 16).map(p => min(xxhash64(col("h"), lit(p))).as(s"m$p"))
-    val sigs = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        array((0 until 16).map(p => col(s"m$p")): _*).as("sig"),
-        array((0 until 4).map(b => struct(
-          lit(b).as("band_id"),
-          xxhash64((b * 4 until b * 4 + 4).map(i => col(s"m$i")): _*).as("band_hash"))): _*)
-          .as("bands"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sigs
-      .select(col("doc_id"), col("sig"), explode(col("bands")).as("band"))
-      .select(col("doc_id"), col("sig"), col("band.band_id"), col("band.band_hash"))
-    val a = banded.select(col("doc_id").as("src"), col("sig").as("sig_a"),
-      col("band_id"), col("band_hash"))
-    val b = banded.select(col("doc_id").as("dst"), col("sig").as("sig_b"),
-      col("band_id"), col("band_hash"))
-    a.join(b, Seq("band_id", "band_hash"))
-      .filter(col("src") < col("dst"))
-      .withColumn("est_jaccard",
-        expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / CAST(16.0 AS DOUBLE)"))
+  /** Near-dup candidate pairs (shared MinHash+LSH implementation in
+    * [[graft.operators.MinHashLSH]]), filtered to estimated Jaccard ≥
+    * `minJaccard`. */
+  def nearDupPairs(docs: DataFrame, minJaccard: Double): DataFrame =
+    graft.operators.MinHashLSH.candidatePairs(docs)
       .filter(col("est_jaccard") >= minJaccard)
-      .select("src", "dst").distinct()
-  }
+      .select("src", "dst")
 
   /** Curate `docs` (doc_id, text, lang, n_chars …) → (curated corpus with
     * `split` column, per-stage stats). */
@@ -103,10 +77,9 @@ object CorpusPipeline {
       .select(col("id").as("doc_id"))
     val near = exact.join(canonical, Seq("doc_id"), "left_semi")
 
-    // 5: reproducible split
+    // 5: reproducible split (shared definition — operators.Splits)
     val curated = near.withColumn("split",
-      when(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
-        < trainHexThreshold, lit("train")).otherwise(lit("eval")))
+      graft.operators.Splits.hashSplit(col("doc_id"), trainHexThreshold))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val afterNear = curated.count()
     exact.unpersist()

@@ -41,6 +41,11 @@ object AsOfJoin {
       rightTime: String,
       payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val collisions = payloadCols.toSet.intersect(leftCols.toSet)
+    require(collisions.isEmpty,
+      s"payload columns ${collisions.mkString(", ")} also exist on the left " +
+        "side — the output would have ambiguous duplicate names; rename " +
+        "one side first")
     val r = right.select(
       col(rightKey).as("__k"),
       col(rightTime).as("__t"),

@@ -40,7 +40,14 @@ object ConnectedComponents {
       .persist()
     var labels = vertices.select(col(idCol).as("id"), col(idCol).as("lbl"))
       .localCheckpoint(true)
-    var labelSum = labels.agg(sum("lbl")).head.getLong(0)
+    // sum() over zero rows is null — an empty vertex set (fully-filtered
+    // corpus) must yield an empty result, not an NPE.
+    val sum0 = labels.agg(sum("lbl")).head
+    if (sum0.isNullAt(0)) {
+      bidir.unpersist()
+      return labels.select(col("id"), col("lbl").as("component"))
+    }
+    var labelSum = sum0.getLong(0)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate candidate generation — the single shared
+  * implementation behind `dd4_minhash_lsh` and `CorpusPipeline` (keeping
+  * shingling/banding in one place so the two can't drift).
+  *
+  * Shape (the scale story): each word-3-shingle is string-hashed ONCE to a
+  * long; the `numPerms` permutations are derived by integer rehash
+  * (`xxhash64(h, perm)`) inside a codegen'd hash aggregate — no interpreted
+  * HOFs on the hot path and the shuffle key is fixed-width. Banding turns
+  * candidate generation into an equi-join on (band_id, band_hash), so
+  * candidates ≪ n² — the whole point of LSH at corpus scale.
+  *
+  * The signature table is persisted only while the band self-join runs;
+  * candidate pairs are eagerly materialized (they're tiny relative to the
+  * corpus) and the signatures are then released.
+  */
+object MinHashLSH {
+
+  /** Distinct candidate pairs `(src, dst, est_jaccard)` with `src < dst`,
+    * estimated Jaccard = fraction of agreeing signature positions. */
+  def candidatePairs(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text",
+                     numPerms: Int = 16, bands: Int = 4): DataFrame = {
+    require(numPerms % bands == 0, s"numPerms=$numPerms not divisible by bands=$bands")
+    val rowsPerBand = numPerms / bands
+    val hashed = docs
+      .select(col(idCol).as("__id"),
+        split(lower(trim(regexp_replace(col(textCol), "\\s+", " "))), " ").as("toks"))
+      .select(col("__id"), explode(expr(
+        """array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1)),
+          |  i -> xxhash64(concat_ws(' ', toks[i-1], toks[i], toks[i+1]))))""".stripMargin))
+        .as("h"))
+    val aggs = (0 until numPerms).map(p => min(xxhash64(col("h"), lit(p))).as(s"m$p"))
+    val sigs = hashed.groupBy("__id").agg(aggs.head, aggs.tail: _*)
+      .select(col("__id"),
+        array((0 until numPerms).map(p => col(s"m$p")): _*).as("sig"),
+        array((0 until bands).map(b => struct(
+          lit(b).as("band_id"),
+          xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => col(s"m$i")): _*).as("band_hash"))): _*).as("bands"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs
+      .select(col("__id"), col("sig"), explode(col("bands")).as("band"))
+      .select(col("__id"), col("sig"), col("band.band_id"), col("band.band_hash"))
+    val a = banded.select(col("__id").as("src"), col("sig").as("sig_a"),
+      col("band_id"), col("band_hash"))
+    val b = banded.select(col("__id").as("dst"), col("sig").as("sig_b"),
+      col("band_id"), col("band_hash"))
+    val pairs = a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"),
+        expr(s"""aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),
+                |  0, (acc, v) -> acc + v) / CAST($numPerms.0 AS DOUBLE)""".stripMargin)
+          .as("est_jaccard"))
+      .distinct()
+      .localCheckpoint(true) // pairs are small; release the signature table
+    sigs.unpersist()
+    pairs
+  }
+}

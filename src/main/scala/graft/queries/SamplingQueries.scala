@@ -20,11 +20,10 @@ object SamplingQueries {
 
   val queries: Map[String, Q] = Map(
     // 80/20 split on the first two md5 hex chars of the key: 'cc' = 204
-    // of 256 buckets ≈ 79.7% train.
+    // of 256 buckets ≈ 79.7% train (shared definition — operators.Splits).
     "sm1_hash_split" -> ((s, d) =>
       documents(s, d).select(col("doc_id"),
-        when(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
-          < "cc", lit("train")).otherwise(lit("eval")).as("split"))
+        graft.operators.Splits.hashSplit(col("doc_id")).as("split"))
         .orderBy("doc_id")),
 
     // CP1: full corpus-curation composite (quality gate → lang filter →

@@ -60,15 +60,19 @@ object TextQueries {
         .withColumn("n_tokens",
           greatest(size(split(trim(col("text")), "\\s+")), lit(1)))
         .withColumn("len", greatest(length(col("text")), lit(1)))
+        // NO round() here: these are exact per-row IEEE divisions of the
+        // same integer inputs in both engines (identical bit patterns);
+        // rounding would reintroduce the HALF_UP/HALF_EVEN divergence on
+        // decimal-halfway quotients (see the oracle-parity rules).
         .select(col("doc_id"),
-          round(expr("CAST(regexp_count(text, '[.,!?;:]') AS DOUBLE)")
-            / col("len"), 6).as("punct_ratio"),
-          round(expr("CAST(regexp_count(text, '\\\\b(the|a|of|and|to|in)\\\\b') AS DOUBLE)")
-            / col("n_tokens"), 6).as("stop_ratio"),
-          round(expr("CAST(regexp_count(text, '[A-Z]') AS DOUBLE)")
-            / col("len"), 6).as("upper_ratio"),
-          round(length(regexp_replace(col("text"), "\\s", ""))
-            .cast("double") / col("n_tokens"), 6).as("mean_word_len"))
+          (expr("CAST(regexp_count(text, '[.,!?;:]') AS DOUBLE)")
+            / col("len")).as("punct_ratio"),
+          (expr("CAST(regexp_count(text, '\\\\b(the|a|of|and|to|in)\\\\b') AS DOUBLE)")
+            / col("n_tokens")).as("stop_ratio"),
+          (expr("CAST(regexp_count(text, '[A-Z]') AS DOUBLE)")
+            / col("len")).as("upper_ratio"),
+          (length(regexp_replace(col("text"), "\\s", ""))
+            .cast("double") / col("n_tokens")).as("mean_word_len"))
         .orderBy("doc_id")),
 
     // document fingerprint: md5 over normalized text.
@@ -132,41 +136,11 @@ object TextQueries {
     // min(xxhash64(h, perm)) columns — no nested interpreted HOFs on the
     // hot path, and the shuffle key is a fixed-width long. Band hashes are
     // variadic xxhash64 over 4 signature columns.
-    "dd4_minhash_lsh" -> ((s, d) => {
-      val hashed = documents(s, d)
-        .select(col("doc_id"), split(cleanText, " ").as("toks"))
-        .select(col("doc_id"), explode(expr(
-          """array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1)),
-            |  i -> xxhash64(concat_ws(' ', toks[i-1], toks[i], toks[i+1]))))""".stripMargin))
-          .as("h"))
-      val aggs = (0 until 16).map(p => min(xxhash64(col("h"), lit(p))).as(s"m$p"))
-      // persist the (small) signature table: both self-join branches and
-      // the estimate join would otherwise recompute the whole
-      // shingle→hash→agg pipeline (aliased exchanges don't reuse). At
-      // corpus scale this table is written to storage instead.
-      val sigs = hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-        .select(col("doc_id"),
-          array((0 until 16).map(p => col(s"m$p")): _*).as("sig"),
-          array((0 until 4).map(b => struct(
-            lit(b).as("band_id"),
-            xxhash64((b * 4 until b * 4 + 4).map(i => col(s"m$i")): _*).as("band_hash"))): _*)
-            .as("bands"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val banded = sigs
-        .select(col("doc_id"), col("sig"), explode(col("bands")).as("band"))
-        .select(col("doc_id"), col("sig"), col("band.band_id"), col("band.band_hash"))
-      val a = banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
-        col("band_id"), col("band_hash"))
-      val b = banded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
-        col("band_id"), col("band_hash"))
-      a.join(b, Seq("band_id", "band_hash"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          expr("aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / CAST(16.0 AS DOUBLE)")
-            .as("est_jaccard"))
-        .distinct()
-        .orderBy("doc_a", "doc_b")
-    }),
+    "dd4_minhash_lsh" -> ((s, d) =>
+      graft.operators.MinHashLSH.candidatePairs(documents(s, d))
+        .select(col("src").as("doc_a"), col("dst").as("doc_b"),
+          col("est_jaccard"))
+        .orderBy("doc_a", "doc_b")),
 
     // SimHash 64-bit signature + Hamming distance between consecutive
     // doc_ids. Rows-only check — see MinHashSpec for properties.
@@ -199,13 +173,13 @@ object TextQueries {
         |    GREATEST(len(text), 1) AS l
         |  FROM documents)
         |SELECT doc_id,
-        |  ROUND(CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / l, 6)
+        |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / l
         |    AS punct_ratio,
-        |  ROUND(CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b')) AS DOUBLE)
-        |    / n_tokens, 6) AS stop_ratio,
-        |  ROUND(CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) / l, 6)
+        |  CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b')) AS DOUBLE)
+        |    / n_tokens AS stop_ratio,
+        |  CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) / l
         |    AS upper_ratio,
-        |  ROUND(CAST(len(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / n_tokens, 6)
+        |  CAST(len(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / n_tokens
         |    AS mean_word_len
         |FROM base ORDER BY doc_id""".stripMargin,
     "tx1_token_count" ->

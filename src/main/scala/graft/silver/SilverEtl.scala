@@ -48,7 +48,10 @@ object SilverEtl {
       val p = new org.apache.hadoop.fs.Path(glob)
       val fs = p.getFileSystem(conf)
       val matches = fs.globStatus(p)
-      matches != null && matches.nonEmpty
+      // zero-length files (a spider ran but crawled nothing) must also be
+      // dropped — spark.read.json on only-empty files cannot infer a
+      // schema and throws UNABLE_TO_INFER_SCHEMA.
+      matches != null && matches.exists(_.getLen > 0)
     }
     if (existing.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

@@ -41,4 +41,15 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(kept.toSeq === Seq(1L, 3L)) // 2 collapsed into 1's cluster
     assert(stats.afterNear === 2)
   }
+
+  test("fully-filtered corpus curates to empty without errors") {
+    import spark.implicits._
+    val docs = Seq((1L, "short", "de", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // lang filter removes the only doc -> every later stage sees 0 rows
+    val (curated, stats) = CorpusPipeline.curate(spark, docs,
+      langs = Seq("en"), minChars = 1, minJaccard = 0.5)
+    assert(curated.count() === 0)
+    assert(stats.afterQuality === 0 && stats.afterNear === 0)
+  }
 }

@@ -221,4 +221,15 @@ class SilverEtlSpec extends SparkSuite {
     val gold = graft.gold.GoldEtl.run(spark, s"$dir/out/silver", s"$dir/out/gold")
     assert(gold.isEmpty)
   }
+
+  test("a present-but-zero-length jsonl file is treated as an empty day") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zero_len").toString
+    for (sp <- Seq("chotot_api", "meeyproject_api", "onehousing_api")) {
+      val d = java.nio.file.Paths.get(dir, "bronze", sp, "year=2025", "month=02")
+      java.nio.file.Files.createDirectories(d)
+      java.nio.file.Files.write(d.resolve("20250201_080000.jsonl"), Array.emptyByteArray)
+    }
+    val empty = SilverEtl.readBronze(spark, s"$dir/bronze", "2025-02-01")
+    assert(empty.count() === 0)
+  }
 }
