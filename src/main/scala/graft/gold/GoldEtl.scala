@@ -143,6 +143,64 @@ object GoldEtl {
       .partitionBy("quality_tier", "year", "month")
       .parquet(goldPath)
 
+  /** Incremental gold — recompute ONLY the (year, month) ingestion groups
+    * touched by silver changes on `runDate`, instead of the reference's
+    * full overwrite (gold_ml_etl.py:458-464). This is the 100 TB shape:
+    * gold write volume is proportional to the day's churn, not the table.
+    *
+    * Affected groups = ingestion year-months of versions that became
+    * current on `runDate` (valid_from) PLUS versions closed out on
+    * `runDate` (valid_to) — a re-ingested project's old gold row lives in
+    * its OLD partition, which must be rewritten away. Tier moves stay
+    * inside a (year, month) group, and every tier partition of an
+    * affected group is rewritten (existing dirs cleared first, so a
+    * partition that drained to zero rows doesn't leave stale files —
+    * on object stores use a table-format commit instead of dir deletes).
+    *
+    * Exact parity with the full run: enhancement stats (district/city
+    * medians) are computed over the FULL current snapshot before the
+    * affected-group filter, so imputed values match what the full job
+    * would produce for those rows. (Unchanged partitions keep their
+    * older imputations until touched — re-baseline with a periodic full
+    * run, as with any incremental feature store.)
+    */
+  def runIncremental(spark: SparkSession, silverPath: String, goldPath: String,
+                     runDate: String,
+                     clock: Column = current_timestamp()): DataFrame = {
+    val sp = new org.apache.hadoop.fs.Path(silverPath)
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(sp)) return spark.emptyDataFrame
+    val history = spark.read.parquet(silverPath)
+    val affected = history
+      .filter(col("valid_from") === runDate ||
+        (col("valid_to").isNotNull && col("valid_to") === runDate))
+      .select(year(to_date(col("ingestion_date"))).as("year"),
+        month(to_date(col("ingestion_date"))).as("month"))
+      .distinct()
+    val affectedKeys = affected.collect().map(r => (r.getInt(0), r.getInt(1)))
+    if (affectedKeys.isEmpty) return spark.emptyDataFrame
+
+    val silver = conformToSilverSchema(readSilver(spark, silverPath))
+    val enhanced = Enhancement.enhanceSilverData(spark, silver)
+    val features = engineerFeatures(spark, enhanced)
+      .join(broadcast(affected), Seq("year", "month"), "left_semi")
+    val selected = selectMlFeatures(assignQualityTiers(features), clock)
+
+    // clear every tier dir of each affected (year, month), then append —
+    // dynamic overwrite alone would leave stale files in tier partitions
+    // that drained to zero rows.
+    affectedKeys.foreach { case (y, m) =>
+      val glob = new org.apache.hadoop.fs.Path(
+        s"$goldPath/quality_tier=*/year=$y/month=$m")
+      val hits = fs.globStatus(glob)
+      if (hits != null) hits.foreach(st => fs.delete(st.getPath, true))
+    }
+    selected.write.mode(SaveMode.Append)
+      .partitionBy("quality_tier", "year", "month")
+      .parquet(goldPath)
+    selected
+  }
+
   /** Full gold pipeline (gold_ml_etl.py:536-568). */
   def run(spark: SparkSession, silverPath: String, goldPath: String,
           clock: Column = current_timestamp()): DataFrame = {

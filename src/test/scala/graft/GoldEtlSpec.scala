@@ -138,4 +138,26 @@ class GoldEtlSpec extends SparkSuite {
       Set("gold_processed_at", "gold_version")
     assert(gold.columns.toSet === expected)
   }
+
+  test("incremental gold with all rows affected equals the full run; no-op date leaves gold untouched") {
+    gold // force full pipeline on the shared fixture first
+    val incBase = java.nio.file.Files.createTempDirectory("graft_gold_inc").toString
+    // every fixture row became current on 2025-01-15 (the injected clock)
+    val inc = GoldEtl.runIncremental(spark, s"$base/silver", s"$incBase/gold",
+      "2025-01-15", to_timestamp(lit("2025-01-15 13:00:00")))
+    assert(inc.count() > 0)
+    val full = spark.read.parquet(s"$base/gold")
+    val incRead = spark.read.parquet(s"$incBase/gold")
+    assert(incRead.count() === full.count())
+    // identical content (project_id is the stable key)
+    val fullIds = full.select("project_id").collect().map(_.getString(0)).sorted
+    val incIds = incRead.select("project_id").collect().map(_.getString(0)).sorted
+    assert(incIds.toSeq === fullIds.toSeq)
+    // a date that touched nothing: no-op, existing gold unchanged
+    val before = incRead.count()
+    val noop = GoldEtl.runIncremental(spark, s"$base/silver", s"$incBase/gold",
+      "2099-01-01", to_timestamp(lit("2025-01-16 13:00:00")))
+    assert(noop.isEmpty)
+    assert(spark.read.parquet(s"$incBase/gold").count() === before)
+  }
 }
