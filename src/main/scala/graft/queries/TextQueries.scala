@@ -52,6 +52,36 @@ object TextQueries {
             .as("q_score"))
         .orderBy("doc_id")),
 
+    // language-ID via character-trigram profiles (the n-gram formulation:
+    // a broadcast profile dim joined on gram, hit counts per candidate
+    // language, per-doc argmax). Docs matching no profile → 'unk'.
+    "tx8_lang_trigram" -> ((s, d) => {
+      import s.implicits._
+      val profiles = Seq(
+        ("en", "the"), ("en", "and"), ("en", "ing"), ("en", "ent"),
+        ("de", "der"), ("de", "sch"), ("de", "ein"), ("de", "ich"),
+        ("fr", "les"), ("fr", "des"), ("fr", "que"), ("fr", "ent"),
+        ("es", "que"), ("es", "los"), ("es", "cio"), ("es", "ent"))
+        .toDF("lang_cand", "gram")
+      val docs = documents(s, d)
+      val grams = docs
+        .select(col("doc_id"), lower(col("text")).as("t"),
+          explode(sequence(lit(1), greatest(length(col("text")) - 2, lit(1))))
+            .as("i"))
+        .select(col("doc_id"), expr("substring(t, i, 3)").as("gram"))
+      val hits = grams.join(broadcast(profiles), "gram")
+        .groupBy("doc_id", "lang_cand").agg(count(lit(1)).as("hits"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("hits").desc, col("lang_cand"))
+      val best = hits.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("doc_id", "lang_cand", "hits")
+      docs.select("doc_id").join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("lang_cand"), lit("unk")).as("pred_lang"),
+          coalesce(col("hits"), lit(0L)).as("hits"))
+        .orderBy("doc_id")
+    }),
+
     // quality FEATURE VECTOR: the length/punct/stopword/case ratios a
     // corpus-filtering pass thresholds on (separate columns, not a single
     // collapsed score, so downstream filters can tune per-dimension).
@@ -166,6 +196,30 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tx8_lang_trigram" ->
+      """WITH profiles(lang_cand, gram) AS (VALUES
+        |  ('en','the'),('en','and'),('en','ing'),('en','ent'),
+        |  ('de','der'),('de','sch'),('de','ein'),('de','ich'),
+        |  ('fr','les'),('fr','des'),('fr','que'),('fr','ent'),
+        |  ('es','que'),('es','los'),('es','cio'),('es','ent')),
+        |pos AS (
+        |  SELECT doc_id, lower(text) AS t,
+        |    unnest(generate_series(1, greatest(len(text) - 2, 1))) AS i
+        |  FROM documents),
+        |grams AS (SELECT doc_id, substring(t, i, 3) AS gram FROM pos),
+        |hits AS (
+        |  SELECT doc_id, lang_cand, CAST(COUNT(*) AS BIGINT) AS hits
+        |  FROM grams JOIN profiles USING (gram) GROUP BY 1, 2),
+        |best AS (
+        |  SELECT doc_id, lang_cand, hits,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY hits DESC, lang_cand) AS rn
+        |  FROM hits)
+        |SELECT d.doc_id, COALESCE(b.lang_cand, 'unk') AS pred_lang,
+        |  COALESCE(b.hits, CAST(0 AS BIGINT)) AS hits
+        |FROM documents d
+        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "tx7_quality_features" ->
       """WITH base AS (
         |  SELECT doc_id, text,
