@@ -64,9 +64,13 @@ object TextQueries {
         ("es", "que"), ("es", "los"), ("es", "cio"), ("es", "ent"))
         .toDF("lang_cand", "gram")
       val docs = documents(s, d)
+      // position bound uses the LOWERED length: full case mapping can
+      // lengthen a string (İ → i̇), and each engine must stay
+      // self-consistent between its bound and its substring input.
       val grams = docs
-        .select(col("doc_id"), lower(col("text")).as("t"),
-          explode(sequence(lit(1), greatest(length(col("text")) - 2, lit(1))))
+        .select(col("doc_id"), lower(col("text")).as("t"))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(1), greatest(length(col("t")) - 2, lit(1))))
             .as("i"))
         .select(col("doc_id"), expr("substring(t, i, 3)").as("gram"))
       val hits = grams.join(broadcast(profiles), "gram")
@@ -202,11 +206,12 @@ object TextQueries {
         |  ('de','der'),('de','sch'),('de','ein'),('de','ich'),
         |  ('fr','les'),('fr','des'),('fr','que'),('fr','ent'),
         |  ('es','que'),('es','los'),('es','cio'),('es','ent')),
+        |lowered AS (SELECT doc_id, lower(text) AS t FROM documents),
         |pos AS (
-        |  SELECT doc_id, lower(text) AS t,
-        |    unnest(generate_series(1, greatest(len(text) - 2, 1))) AS i
-        |  FROM documents),
-        |grams AS (SELECT doc_id, substring(t, i, 3) AS gram FROM pos),
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+        |  FROM lowered),
+        |grams AS (SELECT doc_id, substring(t, CAST(i AS INTEGER), 3) AS gram FROM pos),
         |hits AS (
         |  SELECT doc_id, lang_cand, CAST(COUNT(*) AS BIGINT) AS hits
         |  FROM grams JOIN profiles USING (gram) GROUP BY 1, 2),
