@@ -34,9 +34,11 @@ object Scd2 {
             asOfDate: Column = to_date(current_timestamp()).cast("string"),
             partitionColumns: Seq[String] =
               Seq("spider_name", "ingestion_year", "ingestion_month")): Long = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(path)
+    // the TARGET's filesystem, not the default one: with fs.defaultFS on a
+    // different scheme, FileSystem.get would probe the wrong FS, see no
+    // table, and take the first-load overwrite — destroying SCD2 history.
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
     if (!fs.exists(target)) {
       newBatch.write.mode(SaveMode.Overwrite)

@@ -177,6 +177,14 @@ object SilverEtl {
         !unified.columns.contains("ingested_at_utc"))
       unified = unified.withColumn("ingested_at_utc",
         to_timestamp(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss")).drop("timestamp")
+    // pad declared silver columns missing from this day's bronze with
+    // typed nulls: validate/enrich reference latitude/price columns
+    // unconditionally, and a thin day (no source carried coordinates)
+    // would otherwise abort with UNRESOLVED_COLUMN.
+    Schemas.Silver.fields
+      .filterNot(f => unified.columns.contains(f.name))
+      .foreach(f => unified = unified.withColumn(f.name,
+        lit(null).cast(f.dataType)))
     unified
   }
 
@@ -209,7 +217,10 @@ object SilverEtl {
     var results = QualityChecks.checkNullPercentage(df, required,
       Schemas.Thresholds.nullThreshold)
     results :+= QualityChecks.checkCompleteness(df, required)
-    if (df.columns.contains("universal_id"))
+    // universal_id is derived in enrich; at this stage the padded column
+    // is all-null — only meaningful to check once values exist.
+    if (df.columns.contains("universal_id") &&
+        !df.filter(col("universal_id").isNotNull).isEmpty)
       results ++= QualityChecks.checkUniqueness(df, Seq("universal_id"))
     if (df.columns.contains("email"))
       results :+= QualityChecks.checkFormat(df, "email",
@@ -228,10 +239,15 @@ object SilverEtl {
 
   /** 5.1: keep-latest per (spider_name, record_key). */
   def dedupLatest(df: DataFrame): DataFrame = {
+    val keyed = df.withColumn("record_key",
+      coalesce(col("source_id"), lit("UNKNOWN")))
+    // content-hash tie-break: two same-key records sharing a crawl
+    // timestamp would otherwise keep an arbitrary winner per scheduling,
+    // and a re-run could flip it — which Scd2 then misreads as a change.
     val w = Window.partitionBy("spider_name", "record_key")
-      .orderBy(col("ingested_at_utc").desc)
-    df.withColumn("record_key", coalesce(col("source_id"), lit("UNKNOWN")))
-      .withColumn("row_num", row_number().over(w))
+      .orderBy(col("ingested_at_utc").desc,
+        hash(keyed.columns.map(col): _*).asc)
+    keyed.withColumn("row_num", row_number().over(w))
       .filter(col("row_num") === 1).drop("row_num")
   }
 
@@ -358,9 +374,13 @@ object SilverEtl {
     }
     val mapped = applySchemaMapping(bronze)
     val (valid, invalid) = validate(mapped)
-    runQualityChecks(valid) // report side-channel; failures warn, not abort
     val cleanedPre = valid.cache()
     val recordsValid = cleanedPre.count()
+    // quality report runs over the CACHED frame (it takes two actions) and
+    // surfaces failures — they warn, not abort (reference behavior).
+    runQualityChecks(cleanedPre).filterNot(_.passed).foreach { r =>
+      System.err.println(s"[silver][quality] FAILED ${r.name}: ${r.details}")
+    }
     val recordsInvalid = invalid.count()
     val deduped = dedupLatest(cleanedPre).cache()
     val dedupCount = deduped.count()

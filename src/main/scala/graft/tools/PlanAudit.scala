@@ -16,13 +16,8 @@ object PlanAudit {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("s1_scan_prune", "q1_agg", "j1_broadcast_dim", "w1_dedup_latest",
         "p8_outlier_4sigma", "v2_ann_topk", "dd4_minhash_lsh", "a7_conditional_agg")
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = graft.GraftSession.local("graft-plan-audit",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
       val plan = graft.SparkEntry.queries(name)(spark, sf)
