@@ -109,6 +109,26 @@ object TextQueries {
             .cast("double") / col("n_tokens")).as("mean_word_len"))
         .orderBy("doc_id")),
 
+    // repetition signals (Gopher-style corpus filters): the fraction of
+    // word-trigram occurrences taken by the single most frequent trigram,
+    // and the distinct/total trigram ratio — repetitive boilerplate and
+    // generation loops score high/low respectively. Exact count ratios,
+    // no rounding (per-row IEEE division is engine-identical).
+    "tx9_repetition" -> ((s, d) => {
+      val grams = documents(s, d)
+        .select(col("doc_id"), split(cleanText, " ").as("toks"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, greatest(size(toks) - 2, 1)),
+            |  i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))""".stripMargin))
+          .as("g"))
+      grams.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(
+          (max(col("c")).cast("double") / sum(col("c"))).as("top_gram_frac"),
+          (count(lit(1)).cast("double") / sum(col("c"))).as("distinct_frac"))
+        .orderBy("doc_id")
+    }),
+
     // document fingerprint: md5 over normalized text.
     "tx4_fingerprint" -> ((s, d) =>
       documents(s, d)
@@ -200,6 +220,23 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tx9_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS t
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, t,
+        |    unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+        |  FROM toks),
+        |grams AS (
+        |  SELECT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS g FROM pos),
+        |counts AS (
+        |  SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_gram_frac,
+        |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS distinct_frac
+        |FROM counts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "tx8_lang_trigram" ->
       """WITH profiles(lang_cand, gram) AS (VALUES
         |  ('en','the'),('en','and'),('en','ing'),('en','ent'),
