@@ -50,12 +50,14 @@ object MinHashLSH {
       col("band_id"), col("band_hash"))
     val b = banded.select(col("__id").as("dst"), col("sig").as("sig_b"),
       col("band_id"), col("band_hash"))
+    // native codegen expression for the per-candidate agreement fraction —
+    // the zip_with/aggregate HOF equivalent evaluates interpreted, and
+    // this runs once per candidate pair (millions at corpus scale).
+    graft.functions.SignatureAgreement.register(docs.sparkSession)
     val pairs = a.join(b, Seq("band_id", "band_hash"))
       .filter(col("src") < col("dst"))
       .select(col("src"), col("dst"),
-        expr(s"""aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)),
-                |  0, (acc, v) -> acc + v) / CAST($numPerms.0 AS DOUBLE)""".stripMargin)
-          .as("est_jaccard"))
+        expr("graft_sig_agreement(sig_a, sig_b)").as("est_jaccard"))
       .distinct()
       .localCheckpoint(true) // pairs are small; release the signature table
     sigs.unpersist()
