@@ -129,6 +129,30 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // TF-IDF: term frequency × ln(N/df), top-3 terms per document.
+    // Shape: one explode → (doc, term) hash agg for TF; a term-level agg
+    // for DF joined back on term (zipfian term skew is AQE's skew-join
+    // case at corpus scale). tfidf is ROUNDed: ln is transcendental and
+    // libm vs Java Math.log differ in the last ulp.
+    "tx10_tfidf" -> ((s, d) => {
+      val docs = documents(s, d)
+      val nDocs = docs.count()
+      val terms = docs
+        .select(col("doc_id"), explode(split(cleanText, " ")).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+      tf.join(df, "term")
+        .withColumn("tfidf",
+          round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("df"),
+          col("tfidf"))
+        .orderBy("doc_id", "rn")
+    }),
+
     // document fingerprint: md5 over normalized text.
     "tx4_fingerprint" -> ((s, d) =>
       documents(s, d)
@@ -220,6 +244,22 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tx10_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df, ROUND(tf * ln(n / df), 6) AS tfidf,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |      ORDER BY ROUND(tf * ln(n / df), 6) DESC, term) AS INTEGER) AS rn
+        |  FROM tf JOIN df USING (term), n)
+        |SELECT doc_id, rn, term, tf, df, tfidf
+        |FROM scored WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
     "tx9_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id,
