@@ -24,10 +24,7 @@ object GoldEtl {
     * found via a bronze day with no chotot construction areas). Conform
     * the input: add any missing declared column as a typed null. */
   def conformToSilverSchema(df: DataFrame): DataFrame =
-    Schemas.Silver.fields.foldLeft(df) { (d, f) =>
-      if (d.columns.contains(f.name)) d
-      else d.withColumn(f.name, lit(null).cast(f.dataType))
-    }
+    Schemas.conformToSilver(df)
 
   // ------------------------------------------------------------ step 3
   /** target variables (gold_ml_etl.py:129-162). */
@@ -153,9 +150,11 @@ object GoldEtl {
     * `runDate` (valid_to) — a re-ingested project's old gold row lives in
     * its OLD partition, which must be rewritten away. Tier moves stay
     * inside a (year, month) group, and every tier partition of an
-    * affected group is rewritten (existing dirs cleared first, so a
-    * partition that drained to zero rows doesn't leave stale files —
-    * on object stores use a table-format commit instead of dir deletes).
+    * affected group is rewritten. Durability: the replacement partitions
+    * are fully WRITTEN to a temp dir first, and only then are the stale
+    * dirs deleted and the new ones renamed in — a failed job leaves gold
+    * untouched (on object stores use a table-format commit instead of
+    * dir renames).
     *
     * Exact parity with the full run: enhancement stats (district/city
     * medians) are computed over the FULL current snapshot before the
@@ -180,24 +179,46 @@ object GoldEtl {
     val affectedKeys = affected.collect().map(r => (r.getInt(0), r.getInt(1)))
     if (affectedKeys.isEmpty) return spark.emptyDataFrame
 
+    // the join side comes from the already-collected keys, not the
+    // `affected` plan — re-evaluating it would scan the silver history a
+    // second time inside the write job.
+    val affectedDim = {
+      import spark.implicits._
+      affectedKeys.toSeq.toDF("year", "month")
+    }
     val silver = conformToSilverSchema(readSilver(spark, silverPath))
     val enhanced = Enhancement.enhanceSilverData(spark, silver)
     val features = engineerFeatures(spark, enhanced)
-      .join(broadcast(affected), Seq("year", "month"), "left_semi")
+      .join(broadcast(affectedDim), Seq("year", "month"), "left_semi")
     val selected = selectMlFeatures(assignQualityTiers(features), clock)
 
-    // clear every tier dir of each affected (year, month), then append —
-    // dynamic overwrite alone would leave stale files in tier partitions
-    // that drained to zero rows.
-    affectedKeys.foreach { case (y, m) =>
-      val glob = new org.apache.hadoop.fs.Path(
-        s"$goldPath/quality_tier=*/year=$y/month=$m")
-      val hits = fs.globStatus(glob)
-      if (hits != null) hits.foreach(st => fs.delete(st.getPath, true))
-    }
-    selected.write.mode(SaveMode.Append)
+    // write-then-swap: materialize the replacement partitions fully in a
+    // temp dir, then clear the stale tier dirs of each affected
+    // (year, month) and rename the new ones in. Deleting first would lose
+    // those partitions permanently if the write job failed midway.
+    // NOTE: gold FS, not silver's — paths can live on different schemes.
+    val goldRoot = new org.apache.hadoop.fs.Path(goldPath)
+    val goldFs = goldRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(goldPath + "__inc_tmp")
+    goldFs.delete(tmp, true)
+    selected.write.mode(SaveMode.Overwrite)
       .partitionBy("quality_tier", "year", "month")
-      .parquet(goldPath)
+      .parquet(tmp.toString)
+    affectedKeys.foreach { case (y, m) =>
+      val stale = goldFs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$goldPath/quality_tier=*/year=$y/month=$m"))
+      if (stale != null) stale.foreach(st => goldFs.delete(st.getPath, true))
+    }
+    val fresh = goldFs.globStatus(new org.apache.hadoop.fs.Path(
+      s"${tmp.toString}/quality_tier=*/year=*/month=*"))
+    if (fresh != null) fresh.foreach { st =>
+      val rel = st.getPath.toUri.getPath
+        .stripPrefix(tmp.toUri.getPath).stripPrefix("/")
+      val dest = new org.apache.hadoop.fs.Path(goldRoot, rel)
+      goldFs.mkdirs(dest.getParent)
+      goldFs.rename(st.getPath, dest)
+    }
+    goldFs.delete(tmp, true)
     selected
   }
 

@@ -21,10 +21,17 @@ import org.apache.spark.sql.functions._
 object MinHashLSH {
 
   /** Distinct candidate pairs `(src, dst, est_jaccard)` with `src < dst`,
-    * estimated Jaccard = fraction of agreeing signature positions. */
+    * estimated Jaccard = fraction of agreeing signature positions.
+    *
+    * `materialize = true` (default) eagerly computes the pairs and
+    * releases the signature table — right for pipelines that consume the
+    * pairs. Pass `false` for explain-only/plan-audit use: the plan stays
+    * lazy and auditable, at the cost of the signature table being
+    * computed once per consuming branch. */
   def candidatePairs(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text",
-                     numPerms: Int = 16, bands: Int = 4): DataFrame = {
+                     numPerms: Int = 16, bands: Int = 4,
+                     materialize: Boolean = true): DataFrame = {
     require(numPerms % bands == 0, s"numPerms=$numPerms not divisible by bands=$bands")
     val rowsPerBand = numPerms / bands
     val hashed = docs
@@ -59,8 +66,10 @@ object MinHashLSH {
       .select(col("src"), col("dst"),
         expr("graft_sig_agreement(sig_a, sig_b)").as("est_jaccard"))
       .distinct()
-      .localCheckpoint(true) // pairs are small; release the signature table
-    sigs.unpersist()
-    pairs
+    if (materialize) {
+      val out = pairs.localCheckpoint(true) // pairs are small
+      sigs.unpersist() // signature table no longer needed
+      out
+    } else pairs
   }
 }

@@ -71,6 +71,11 @@ object DedupExtQueries {
     // ObjectHashAggregate pass with a k-bounded dedup buffer
     // (graft.functions.BottomKLong) — no interpreted per-doc HOF arrays,
     // no array_distinct materialization, no window sort of every gram.
+    // Measured 5x faster than transform+array_distinct at this corpus's
+    // doc sizes; note the generator carries `text` per position row
+    // (O(len²) bytes), so for very long documents flip to the
+    // gram-array-then-explode shape (see tx8) — crossover is where 64+
+    // interpreted array walks beat the duplicated-string volume.
     "tx6_winnow_fingerprint" -> ((s, d) =>
       documents(s, d)
         .select(col("doc_id"), col("text"),

@@ -64,15 +64,17 @@ object TextQueries {
         ("es", "que"), ("es", "los"), ("es", "cio"), ("es", "ent"))
         .toDF("lang_cand", "gram")
       val docs = documents(s, d)
-      // position bound uses the LOWERED length: full case mapping can
-      // lengthen a string (İ → i̇), and each engine must stay
-      // self-consistent between its bound and its substring input.
+      // gram-array-then-explode, NOT position-explode: exploding positions
+      // would carry the whole document string on every generated row
+      // (O(len²) bytes through the generator). Position bound uses the
+      // LOWERED length: full case mapping can lengthen a string (İ → i̇),
+      // and each engine must stay self-consistent between its bound and
+      // its substring input.
       val grams = docs
         .select(col("doc_id"), lower(col("text")).as("t"))
-        .select(col("doc_id"), col("t"),
-          explode(sequence(lit(1), greatest(length(col("t")) - 2, lit(1))))
-            .as("i"))
-        .select(col("doc_id"), expr("substring(t, i, 3)").as("gram"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, greatest(length(t) - 2, 1)), i -> substring(t, i, 3))"))
+          .as("gram"))
       val hits = grams.join(broadcast(profiles), "gram")
         .groupBy("doc_id", "lang_cand").agg(count(lit(1)).as("hits"))
       val w = org.apache.spark.sql.expressions.Window

@@ -1,5 +1,7 @@
 package graft.schema
 
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types._
 
 /** Unified layer schemas (reference: schema_config.py:14-126,
@@ -7,6 +9,16 @@ import org.apache.spark.sql.types._
   * STRINGS in silver/gold — a reference behavior we preserve
   * (schema_config.py:86-91,110-120; silver_etl_script.py:892-908). */
 object Schemas {
+
+  /** Pad any declared silver column absent from `df` with a typed null —
+    * the ONE definition of "conform to the silver schema", shared by the
+    * silver mapping stage and the gold reader (silver only materializes
+    * columns its bronze day carried). */
+  def conformToSilver(df: DataFrame): DataFrame =
+    Silver.fields.foldLeft(df) { (d, f) =>
+      if (d.columns.contains(f.name)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
 
   val ApartmentPriceStruct: StructType = StructType(Seq(
     StructField("number_of_bedroom", IntegerType),

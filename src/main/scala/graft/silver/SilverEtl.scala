@@ -181,11 +181,7 @@ object SilverEtl {
     // typed nulls: validate/enrich reference latitude/price columns
     // unconditionally, and a thin day (no source carried coordinates)
     // would otherwise abort with UNRESOLVED_COLUMN.
-    Schemas.Silver.fields
-      .filterNot(f => unified.columns.contains(f.name))
-      .foreach(f => unified = unified.withColumn(f.name,
-        lit(null).cast(f.dataType)))
-    unified
+    Schemas.conformToSilver(unified)
   }
 
   // ------------------------------------------------------------ step 3
