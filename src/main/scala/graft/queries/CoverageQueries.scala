@@ -50,6 +50,22 @@ object CoverageQueries {
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))),
 
+    // A14: MERGEABLE distinct sketches — per-group Datasketches HLL built
+    // once, then unioned for the global estimate without re-scanning the
+    // data. The 100 TB shape: persist per-partition sketches and merge
+    // across days/partitions incrementally. Rows-only (sketch binaries
+    // and estimates are engine-specific); mergeability is spec-asserted.
+    "a14_hll_sketch_merge" -> ((s, d) => {
+      val sk = orders(s, d).groupBy("o_orderpriority")
+        .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+      val per = sk.select(col("o_orderpriority").as("scope"),
+        expr("hll_sketch_estimate(sk)").as("distinct_est"))
+      val merged = sk
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("distinct_est"))
+        .select(lit("ALL_MERGED").as("scope"), col("distinct_est"))
+      per.unionByName(merged).orderBy("scope")
+    }),
+
     // F3: email normalization (lower+trim, anchored-regex validate else "")
     // over synthesized valid/invalid/null branches.
     "f3_email_norm" -> ((s, d) => {

@@ -49,4 +49,17 @@ class ConnectedComponentsSpec extends SparkSuite {
     assert(once.exceptAll(pop).count() === 0) // sample ⊆ population
     assert(once.count() > 0 && once.count() < pop.count())
   }
+
+  test("HLL sketch merge: union of group sketches equals the single global sketch") {
+    val sk = Tables.orders(spark, sf).groupBy("o_orderpriority")
+      .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+    val merged = sk.agg(expr("hll_sketch_estimate(hll_union_agg(sk))"))
+      .head.getLong(0)
+    val direct = Tables.orders(spark, sf)
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))"))
+      .head.getLong(0)
+    assert(merged === direct) // mergeability: same sketch state either way
+    val exact = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(math.abs(merged - exact).toDouble / exact < 0.05)
+  }
 }
