@@ -8,12 +8,15 @@ import graft.gold.GoldEtl
 /** Production-shaped CLI for the silver + gold pipelines over arbitrary
   * bronze data (the spark-submit surface of the engine):
   *
-  *   sbt "runMain graft.tools.EtlRunner <bronzeBase> <yyyy-MM-dd> <outBase>"
+  *   sbt "runMain graft.tools.EtlRunner <bronzeBase> <yyyy-MM-dd> <outBase> [full|incremental]"
   *
   * Reads bronze/{spider}/year=Y/month=M/<date>*.jsonl under bronzeBase,
   * runs the 10-stage silver ETL (SCD2 merge into outBase/silver,
   * quarantine + run metadata), then the gold ML-feature ETL into
-  * outBase/gold, and prints the run stats. */
+  * outBase/gold, and prints the run stats. Gold mode `incremental`
+  * (default `full`) rewrites only the partitions touched by the day's
+  * silver churn — the steady-state daily mode once a full baseline
+  * exists. */
 object EtlRunner {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
@@ -31,9 +34,19 @@ object EtlRunner {
     println(f"[etl] silver: $stats in $tSilver%.1f s")
 
     val t1 = System.nanoTime()
-    GoldEtl.run(spark, cfg.silverPath, s"$outBase/gold")
+    val goldMode = args.lift(3).getOrElse("full")
+    goldMode match {
+      case "incremental" =>
+        // valid_from/valid_to carry PROCESSING dates (the SCD2 clock is
+        // current_timestamp), so churn detection keys on today, not the
+        // bronze logical date.
+        GoldEtl.runIncremental(spark, cfg.silverPath, s"$outBase/gold",
+          java.time.LocalDate.now.toString)
+      case _ =>
+        GoldEtl.run(spark, cfg.silverPath, s"$outBase/gold")
+    }
     val tGold = (System.nanoTime() - t1) / 1e9
-    println(f"[etl] gold written in $tGold%.1f s to $outBase/gold")
+    println(f"[etl] gold ($goldMode) written in $tGold%.1f s to $outBase/gold")
     spark.stop()
   }
 }
