@@ -99,4 +99,36 @@ object Scd2 {
     snapshot.filter(col("is_current") === true)
       .groupBy("universal_id").agg(count(lit(1)).as("n"))
       .filter(col("n") > 1).count()
+
+  /** Compaction + clustering — the parquet-native approximation of the
+    * reference's `OPTIMIZE ... ZORDER BY (universal_id, spider_name,
+    * ingestion_date)` (silver_etl_script.py:978-983): range-repartition on
+    * the cluster keys so each output file owns a contiguous key range
+    * (min/max footer stats then prune key-ranged scans, the first-order
+    * benefit of Z-ordering on a dominant key), sort within partitions for
+    * row-group locality, and rewrite via the same tmp-swap as merge.
+    * `filesPerPartition` sizes output files; true multi-dimensional
+    * Z-order needs a space-filling-curve key — overkill until scans
+    * filter on several keys at once. */
+  def optimize(spark: SparkSession, path: String,
+               clusterCols: Seq[String] =
+                 Seq("universal_id", "spider_name", "ingestion_date"),
+               numFiles: Int = 8,
+               partitionColumns: Seq[String] =
+                 Seq("spider_name", "ingestion_year", "ingestion_month")): Long = {
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(target)) return 0L
+    val snapshot = spark.read.parquet(path)
+    val clustered = snapshot
+      .repartitionByRange(numFiles, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp_optimize")
+    clustered.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionColumns: _*).parquet(tmp.toString)
+    val written = spark.read.parquet(tmp.toString).count()
+    fs.delete(target, true)
+    fs.rename(tmp, target)
+    written
+  }
 }

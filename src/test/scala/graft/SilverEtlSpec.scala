@@ -232,4 +232,21 @@ class SilverEtlSpec extends SparkSuite {
     val empty = SilverEtl.readBronze(spark, s"$dir/bronze", "2025-02-01")
     assert(empty.count() === 0)
   }
+
+  test("optimize compacts and clusters without changing the data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_optimize").toString
+    graft.fixtures.BronzeFixtures.write(dir)
+    val cfg = SilverEtl.RunConfig(s"$dir/silver", s"$dir/q", s"$dir/m",
+      "opt_run", "2025-01-15")
+    val bronze = SilverEtl.readBronze(spark, s"$dir/bronze", "2025-01-15")
+    SilverEtl.run(spark, bronze, cfg, to_timestamp(lit("2025-01-15 12:00:00")))
+    val before = spark.read.parquet(s"$dir/silver")
+      .orderBy("universal_id").collect()
+    val written = graft.scd.Scd2.optimize(spark, s"$dir/silver")
+    assert(written === before.length)
+    val after = spark.read.parquet(s"$dir/silver")
+      .orderBy("universal_id").collect()
+    assert(after.length === before.length)
+    assert(graft.scd.Scd2.violations(spark.read.parquet(s"$dir/silver")) === 0)
+  }
 }
