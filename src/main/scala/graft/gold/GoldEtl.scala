@@ -169,10 +169,13 @@ object GoldEtl {
     val sp = new org.apache.hadoop.fs.Path(silverPath)
     val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(sp)) return spark.emptyDataFrame
+    // on-or-after, not equality: a run that crosses UTC midnight stamps
+    // some versions with the previous date (ISO strings compare
+    // lexicographically = chronologically).
     val history = spark.read.parquet(silverPath)
     val affected = history
-      .filter(col("valid_from") === runDate ||
-        (col("valid_to").isNotNull && col("valid_to") === runDate))
+      .filter(col("valid_from") >= runDate ||
+        (col("valid_to").isNotNull && col("valid_to") >= runDate))
       .select(year(to_date(col("ingestion_date"))).as("year"),
         month(to_date(col("ingestion_date"))).as("month"))
       .distinct()

@@ -85,12 +85,17 @@ object Scd2 {
 
     val merged = closedOut.unionByName(toAppend, allowMissingColumns = true)
 
-    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp_scd2")
+    // sibling of the normalized target (see optimize: raw string concat
+    // would nest the tmp dir inside the target on a trailing-slash path).
+    val tmp = new org.apache.hadoop.fs.Path(target.getParent,
+      target.getName + "__tmp_scd2")
     merged.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionColumns: _*).parquet(tmp.toString)
     val written = spark.read.parquet(tmp.toString).count()
     fs.delete(target, true)
-    fs.rename(tmp, target)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(
+        s"merge: rename $tmp -> $target failed; table left at $tmp")
     written
   }
 
@@ -107,9 +112,11 @@ object Scd2 {
     * (min/max footer stats then prune key-ranged scans, the first-order
     * benefit of Z-ordering on a dominant key), sort within partitions for
     * row-group locality, and rewrite via the same tmp-swap as merge.
-    * `filesPerPartition` sizes output files; true multi-dimensional
-    * Z-order needs a space-filling-curve key — overkill until scans
-    * filter on several keys at once. */
+    * `numFiles` is the range-shuffle task count — each task writes into
+    * every hive partition dir its key range touches, so expect up to
+    * `numFiles` files per (spider, year, month) dir. True
+    * multi-dimensional Z-order needs a space-filling-curve key — overkill
+    * until scans filter on several keys at once. */
   def optimize(spark: SparkSession, path: String,
                clusterCols: Seq[String] =
                  Seq("universal_id", "spider_name", "ingestion_date"),
@@ -120,15 +127,25 @@ object Scd2 {
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(target)) return 0L
     val snapshot = spark.read.parquet(path)
+    // the partition columns LEAD the within-partition sort: the dynamic
+    // partitionBy write requires ordering on them and would otherwise
+    // insert its own sort, silently discarding the cluster-key order.
+    val writeOrder = (partitionColumns ++ clusterCols).distinct
     val clustered = snapshot
       .repartitionByRange(numFiles, clusterCols.map(col): _*)
-      .sortWithinPartitions(clusterCols.map(col): _*)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__tmp_optimize")
+      .sortWithinPartitions(writeOrder.map(col): _*)
+    // sibling of the normalized target, NOT raw string concat — a
+    // trailing slash in `path` would otherwise nest the tmp dir INSIDE
+    // the target and the delete would destroy both.
+    val tmp = new org.apache.hadoop.fs.Path(target.getParent,
+      target.getName + "__tmp_optimize")
     clustered.write.mode(SaveMode.Overwrite)
       .partitionBy(partitionColumns: _*).parquet(tmp.toString)
     val written = spark.read.parquet(tmp.toString).count()
     fs.delete(target, true)
-    fs.rename(tmp, target)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(
+        s"optimize: rename $tmp -> $target failed; table left at $tmp")
     written
   }
 }

@@ -20,7 +20,14 @@ import graft.gold.GoldEtl
 object EtlRunner {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
-      "usage: EtlRunner <bronzeBase> <yyyy-MM-dd> <outBase>")
+      "usage: EtlRunner <bronzeBase> <yyyy-MM-dd> <outBase> [full|incremental]")
+    val goldMode = args.lift(3).getOrElse("full")
+    require(goldMode == "full" || goldMode == "incremental",
+      s"unknown gold mode '$goldMode' (use full or incremental)")
+    // captured BEFORE the silver run, in the session's UTC — the SCD2
+    // valid_from/valid_to stamps are UTC dates, and the JVM default zone
+    // may disagree around midnight.
+    val processingDate = java.time.LocalDate.now(java.time.ZoneOffset.UTC).toString
     val Array(bronzeBase, date, outBase) = args.take(3)
     val spark = GraftSession.local("graft-etl",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
@@ -34,14 +41,14 @@ object EtlRunner {
     println(f"[etl] silver: $stats in $tSilver%.1f s")
 
     val t1 = System.nanoTime()
-    val goldMode = args.lift(3).getOrElse("full")
     goldMode match {
       case "incremental" =>
         // valid_from/valid_to carry PROCESSING dates (the SCD2 clock is
-        // current_timestamp), so churn detection keys on today, not the
-        // bronze logical date.
+        // current_timestamp), so churn detection keys on the processing
+        // date, not the bronze logical date; runIncremental matches
+        // on-or-after, covering a silver run that crossed UTC midnight.
         GoldEtl.runIncremental(spark, cfg.silverPath, s"$outBase/gold",
-          java.time.LocalDate.now.toString)
+          processingDate)
       case _ =>
         GoldEtl.run(spark, cfg.silverPath, s"$outBase/gold")
     }

@@ -240,13 +240,16 @@ class SilverEtlSpec extends SparkSuite {
       "opt_run", "2025-01-15")
     val bronze = SilverEtl.readBronze(spark, s"$dir/bronze", "2025-01-15")
     SilverEtl.run(spark, bronze, cfg, to_timestamp(lit("2025-01-15 12:00:00")))
-    val before = spark.read.parquet(s"$dir/silver")
-      .orderBy("universal_id").collect()
+    def snapshot() = {
+      val df = spark.read.parquet(s"$dir/silver")
+      df.select(df.columns.sorted.map(col): _*)
+        .orderBy("universal_id").collect().map(_.toString).toSeq
+    }
+    val before = snapshot()
     val written = graft.scd.Scd2.optimize(spark, s"$dir/silver")
     assert(written === before.length)
-    val after = spark.read.parquet(s"$dir/silver")
-      .orderBy("universal_id").collect()
-    assert(after.length === before.length)
+    // content-level equality, not just row counts
+    assert(snapshot() === before)
     assert(graft.scd.Scd2.violations(spark.read.parquet(s"$dir/silver")) === 0)
   }
 }
