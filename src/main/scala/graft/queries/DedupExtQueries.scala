@@ -83,7 +83,11 @@ object DedupExtQueries {
             .as("i"))
         .select(col("doc_id"), expr("xxhash64(substring(text, i, 8))").as("h"))
         .groupBy("doc_id")
-        .agg(graft.functions.BottomK.bottomK(col("h"), 4).as("fingerprint"))
+        // concat_ws: driver gate hashes columns via pandas, which can't
+        // sort/hash raw array cells — serialize the 4 hashes to one string.
+        .agg(concat_ws(",",
+          transform(graft.functions.BottomK.bottomK(col("h"), 4),
+            x => x.cast("string"))).as("fingerprint"))
         .orderBy("doc_id"))
   )
 

@@ -20,12 +20,17 @@ object NestedQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
-    // N1: transform HOF over a per-row array.
+    // N1: transform HOF over a per-row array. Output serialized via
+    // concat_ws to a string column: the driver's pandas hash step can't
+    // handle raw array columns (round-1 gate ERR). Decimal cast makes the
+    // per-element rendering engine-independent ("0.0800" both sides).
     "n1_transform_hof" -> ((s, d) =>
       lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
-          transform(array(col("l_quantity"), col("l_discount"), col("l_tax")),
-            x => round(x * 2, 4)).as("doubled"))
+          concat_ws(",",
+            transform(array(col("l_quantity"), col("l_discount"), col("l_tax")),
+              x => round(x * 2, 4).cast("decimal(18,4)").cast("string")))
+            .as("doubled"))
         .orderBy("l_orderkey", "l_linenumber")),
 
     // N2: array_distinct ∘ flatten ∘ nested arrays (projectTypes analog).
@@ -34,9 +39,9 @@ object NestedQueries {
     "n2_flatten_distinct" -> ((s, d) =>
       lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
-          array_sort(array_distinct(flatten(array(
+          concat_ws(",", array_sort(array_distinct(flatten(array(
             array(col("l_returnflag")), array(col("l_linestatus")),
-            array(col("l_returnflag")))))).as("tags"))
+            array(col("l_returnflag"))))))).as("tags"))
         .orderBy("l_orderkey", "l_linenumber")),
 
     // N4: build a typed struct-array per group (apartment_prices analog);
@@ -44,7 +49,11 @@ object NestedQueries {
     "n4_struct_array" -> ((s, d) =>
       lineitem(s, d)
         .groupBy("l_orderkey")
-        .agg(sort_array(collect_list(struct(col("l_linenumber"), col("l_quantity"))))
+        .agg(concat_ws(",",
+          transform(
+            sort_array(collect_list(struct(col("l_linenumber"), col("l_quantity")))),
+            x => concat(x.getField("l_linenumber").cast("string"), lit(":"),
+              x.getField("l_quantity").cast("decimal(18,2)").cast("string"))))
           .as("lines"))
         .orderBy("l_orderkey")),
 
@@ -86,9 +95,10 @@ object NestedQueries {
       events(s, d)
         .withColumn("maybe_arr", maybe)
         .select(col("event_id"),
-          when(col("maybe_arr").startsWith("["),
-            from_json(col("maybe_arr"), ArrayType(StringType)))
-            .otherwise(array(col("maybe_arr"))).as("parsed"))
+          concat_ws("|",
+            when(col("maybe_arr").startsWith("["),
+              from_json(col("maybe_arr"), ArrayType(StringType)))
+              .otherwise(array(col("maybe_arr")))).as("parsed"))
         .orderBy("event_id")
     }),
 
@@ -103,16 +113,19 @@ object NestedQueries {
   val oracle: Map[String, String] = Map(
     "n1_transform_hof" ->
       """SELECT l_orderkey, l_linenumber,
-        |  list_transform([l_quantity, l_discount, l_tax], x -> ROUND(x * 2, 4)) AS doubled
+        |  array_to_string(list_transform([l_quantity, l_discount, l_tax],
+        |    x -> CAST(CAST(ROUND(x * 2, 4) AS DECIMAL(18,4)) AS VARCHAR)), ',') AS doubled
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "n2_flatten_distinct" ->
       """SELECT l_orderkey, l_linenumber,
-        |  list_sort(list_distinct(flatten([[l_returnflag], [l_linestatus], [l_returnflag]]))) AS tags
+        |  array_to_string(list_sort(list_distinct(
+        |    flatten([[l_returnflag], [l_linestatus], [l_returnflag]]))), ',') AS tags
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "n4_struct_array" ->
       """SELECT l_orderkey,
-        |  list(struct_pack(l_linenumber := l_linenumber, l_quantity := l_quantity)
-        |       ORDER BY l_linenumber, l_quantity) AS lines
+        |  array_to_string(list(
+        |    CAST(l_linenumber AS VARCHAR) || ':' || CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR)
+        |    ORDER BY l_linenumber, l_quantity), ',') AS lines
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
     "n5_element_first_last" ->
       """SELECT l_orderkey,
@@ -134,8 +147,9 @@ object NestedQueries {
         |       THEN '["' || event_type || '","' || CAST(user_id AS VARCHAR) || '"]'
         |       ELSE event_type END AS maybe_arr FROM events)
         |SELECT event_id,
-        |  CASE WHEN starts_with(maybe_arr, '[') THEN CAST(CAST(maybe_arr AS JSON) AS VARCHAR[])
-        |       ELSE [maybe_arr] END AS parsed
+        |  array_to_string(
+        |    CASE WHEN starts_with(maybe_arr, '[') THEN CAST(CAST(maybe_arr AS JSON) AS VARCHAR[])
+        |         ELSE [maybe_arr] END, '|') AS parsed
         |FROM m ORDER BY event_id""".stripMargin,
     "n13_explode" ->
       """SELECT l_orderkey, l_linenumber, t.val
