@@ -20,7 +20,8 @@ object SparkEntry {
       TextQueries.queries ++ VectorQueries.queries ++
       WindowedAggQueries.queries ++ CoverageQueries.queries ++
       DedupExtQueries.queries ++ ExtraWindowQueries.queries ++
-      AnalyticQueries.queries ++ SamplingQueries.queries
+      AnalyticQueries.queries ++ SamplingQueries.queries ++
+      RefOpQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
       TextQueries.oracle ++ VectorQueries.oracle ++
       WindowedAggQueries.oracle ++ CoverageQueries.oracle ++
       DedupExtQueries.oracle ++ ExtraWindowQueries.oracle ++
-      AnalyticQueries.oracle ++ SamplingQueries.oracle
+      AnalyticQueries.oracle ++ SamplingQueries.oracle ++
+      RefOpQueries.oracle
 }

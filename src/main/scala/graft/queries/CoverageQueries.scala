@@ -14,11 +14,15 @@ object CoverageQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
-    // A8: summary() descriptive stats (string-typed output; rows-only —
-    // engine-specific float formatting isn't oracle-comparable).
+    // A8: summary() descriptive stats. summary() emits strings; cast back
+    // to double and round the aggregates (count/mean/stddev/min/max are
+    // plain ANSI) so the DuckDB oracle can hash-compare.
     "a8_summary_stats" -> ((s, d) =>
       orders(s, d).select("o_totalprice")
-        .summary("count", "mean", "stddev", "min", "max")),
+        .summary("count", "mean", "stddev", "min", "max")
+        .select(col("summary"),
+          round(col("o_totalprice").cast("double"), 2).as("o_totalprice"))
+        .orderBy("summary")),
 
     // F2: phone normalization over synthesized noisy strings.
     "f2_phone_norm" -> ((s, d) => {
@@ -119,6 +123,14 @@ object CoverageQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "a8_summary_stats" ->
+      """WITH s AS (
+        |  SELECT 'count' AS summary, CAST(COUNT(o_totalprice) AS DOUBLE) AS v FROM orders
+        |  UNION ALL SELECT 'mean', ROUND(AVG(o_totalprice), 2) FROM orders
+        |  UNION ALL SELECT 'stddev', ROUND(stddev_samp(o_totalprice), 2) FROM orders
+        |  UNION ALL SELECT 'min', ROUND(MIN(o_totalprice), 2) FROM orders
+        |  UNION ALL SELECT 'max', ROUND(MAX(o_totalprice), 2) FROM orders)
+        |SELECT summary, v AS o_totalprice FROM s ORDER BY summary""".stripMargin,
     "f2_phone_norm" ->
       """WITH digits AS (
         |  SELECT event_id,

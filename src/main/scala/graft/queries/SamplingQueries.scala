@@ -66,16 +66,26 @@ object SamplingQueries {
         ORDER BY c.c_mktsegment""")
     }),
 
-    // per-label stratified sample: 50% of even labels, 10% of odd.
-    "sm2_stratified_sample" -> ((s, d) => {
-      val fractions: Map[Any, Double] =
-        (0 until 10).map(l => (l: Any) -> (if (l % 2 == 0) 0.5 else 0.1)).toMap
-      embeddings(s, d).stat.sampleBy("label", fractions, 42L)
-        .select("vec_id", "label").orderBy("vec_id")
-    })
+    // per-label stratified sample: ~50% of even labels, ~10% of odd, via a
+    // per-stratum hash threshold on the key (not sampleBy's RNG): pure
+    // function of (vec_id, label) → identical membership across runs,
+    // engines and repartitioning, and DuckDB-replicable. The first 8 md5
+    // hex chars are a uniform 32-bit draw; '80000000' = 0.5, '1999999a'
+    // ≈ 0.1 of the space. (sampleBy determinism-for-a-seed is spec-tested
+    // in SamplingSpec instead.)
+    "sm2_stratified_sample" -> ((s, d) =>
+      embeddings(s, d)
+        .filter(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 8) <
+          when(col("label") % 2 === 0, lit("80000000")).otherwise(lit("1999999a")))
+        .select("vec_id", "label").orderBy("vec_id"))
   )
 
   val oracle: Map[String, String] = Map(
+    "sm2_stratified_sample" ->
+      """SELECT vec_id, label FROM embeddings
+        |WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) <
+        |  CASE WHEN label % 2 = 0 THEN '80000000' ELSE '1999999a' END
+        |ORDER BY vec_id""".stripMargin,
     "sm3_per_group_sample" ->
       """SELECT source, doc_id,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY source

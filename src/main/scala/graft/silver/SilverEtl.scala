@@ -136,13 +136,7 @@ object SilverEtl {
     // OneHousing dual-format handover_date_from (:363-389)
     if (spider == "onehousing_api" && d.columns.contains("handover_date_from"))
       d = d.withColumn("handover_date_from",
-        when(col("handover_date_from").isNotNull,
-          when(col("handover_date_from").cast("long").isNotNull &&
-            col("handover_date_from").cast("long") > 1000000000000L,
-            to_date(from_unixtime(col("handover_date_from").cast("long") / 1000))
-              .cast("timestamp"))
-            .otherwise(to_timestamp(col("handover_date_from"), "yyyy-MM-dd")))
-          .otherwise(lit(null).cast("timestamp")))
+        Transforms.parseDualFormatDate(col("handover_date_from")))
     // defaults for entirely-missing fields (:391-394)
     Mappings.DefaultValues.foreach { case (f, v) =>
       if (!d.columns.contains(f)) d = d.withColumn(f, lit(v))

@@ -102,6 +102,15 @@ object Transforms {
         to_timestamp(col(c))))
     }
 
+  /** D3: dual-format date — a string column holding either epoch millis
+    * (casts to long, > 1e12) or "yyyy-MM-dd" (silver_etl_script.py:363-389). */
+  def parseDualFormatDate(c: Column): Column =
+    when(c.isNotNull,
+      when(c.cast("long").isNotNull && c.cast("long") > 1000000000000L,
+        to_date(from_unixtime(c.cast("long") / 1000)).cast("timestamp"))
+        .otherwise(to_timestamp(c, "yyyy-MM-dd")))
+      .otherwise(lit(null).cast("timestamp"))
+
   /** F10: sha2 surrogate key over concat_ws
     * (transformation_utils.py:411-431). */
   def addHashId(df: DataFrame, cols: Seq[String],
