@@ -9,46 +9,72 @@ import graft.functions.CosineSimilarity
   * near-duplicate detection, BPE-style regex tokenization, and
   * winnowing-style rolling-hash fingerprints.
   *
-  * Scale notes: dd6's all-pairs join is the CORRECTNESS baseline — at
-  * corpus scale candidate pairs come from v4's sign-projection buckets
-  * (equi-join) and only candidates get the exact cosine; tx6 shuffles
-  * fixed-width hashes, never raw text.
+  * Scale notes: dd6/dd7 candidates come from banded sign-projection
+  * buckets (operators.CosineLsh — a shuffle equi-join on (band, key)),
+  * with the exact cosine evaluated ONLY on candidates; the DuckDB oracle
+  * cross-checks the result against an exhaustive all-pairs scan, so the
+  * bucketed path must (and does) reach recall 1 on the planted
+  * duplicates. tx6 shuffles fixed-width hashes, never raw text.
   */
 object DedupExtQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  val queries: Map[String, Q] = Map(
-    // embedding-cosine near-dup pairs: keeper = lower vec_id. (0.4 threshold: the synthetic embeddings are near-orthogonal random vectors, real corpora use ~0.95)
-    "dd6_embedding_neardup" -> ((s, d) => {
-      CosineSimilarity.register(s)
-      val e = embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      val a = e.select(col("vec_id").as("keep_id"), col("emb").as("ea"))
-      val b = e.select(col("vec_id").as("dup_id"), col("emb").as("eb"))
-      a.join(b, col("keep_id") < col("dup_id"))
-        .withColumn("cs", expr("graft_cosine(ea, eb)"))
-        .filter(col("cs") >= 0.4)
-        .select(col("keep_id"), col("dup_id"), round(col("cs"), 6).as("cos_sim"))
-        .orderBy("keep_id", "dup_id")
-    }),
+  /** Corpus with planted near-duplicates: every 5th vector gets a copy
+    * (vec_id + 1,000,000) perturbed per-dimension by up to ±0.3% via pure
+    * integer arithmetic — byte-reproducible in any engine (the DuckDB
+    * oracle rebuilds it), cos(orig, copy) ≈ 0.99999. The raw synthetic
+    * embeddings are near-orthogonal random vectors whose ≥0.4-cosine
+    * pairs are just the random tail (max ≈ 0.51 at sf0.1) — no bucketing
+    * scheme can separate that regime from noise with recall 1, and no
+    * real corpus near-dup-dedupes at 0.4; planting dups and using the
+    * realistic 0.95 threshold makes the query test the design that
+    * actually runs at 100 TB. */
+  private[queries] def plantedCorpus(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val copies = e.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), expr(
+        "transform(emb, (x, j) -> x * (1.0 + ((((vec_id + 1) * (j + 7)) % 13 - 6) * 0.0005)))")
+        .as("emb"))
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("emb"))
+    e.unionByName(copies)
+  }
 
-    // near-dup CLUSTERING: cosine pairs → connected components → one
-    // canonical member per cluster. Pairs alone under-dedupe (A≈B, B≈C
-    // must collapse together even when A≈C missed the threshold);
-    // operators.ConnectedComponents runs min-label propagation to
-    // fixpoint. Oracle: DuckDB recursive CTE transitive closure.
+  /** Exact-cosine near-dup pairs over LSH candidates: (keep, dup, cos). */
+  private[queries] def neardupPairs(s: SparkSession, d: String): DataFrame = {
+    CosineSimilarity.register(s)
+    val corpus = plantedCorpus(s, d)
+    val cand = graft.operators.CosineLsh
+      .candidatePairs(corpus, "vec_id", "emb", dim = 64)
+    val a = corpus.select(col("vec_id").as("keep_id"), col("emb").as("ea"))
+    val b = corpus.select(col("vec_id").as("dup_id"), col("emb").as("eb"))
+    cand.select(col("src").as("keep_id"), col("dst").as("dup_id"))
+      .join(a, Seq("keep_id")).join(b, Seq("dup_id"))
+      .withColumn("cs", expr("graft_cosine(ea, eb)"))
+      .filter(col("cs") >= 0.95)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // embedding-cosine near-dup pairs: LSH-bucketed candidates, exact
+    // cosine on candidates only, keeper = lower vec_id. Oracle is the
+    // exhaustive all-pairs scan — recall must be (and is) 1.
+    "dd6_embedding_neardup" -> ((s, d) =>
+      neardupPairs(s, d)
+        .select(col("keep_id"), col("dup_id"), round(col("cs"), 6).as("cos_sim"))
+        .orderBy("keep_id", "dup_id")),
+
+    // near-dup CLUSTERING: LSH-candidate cosine pairs → connected
+    // components → one canonical member per cluster. Pairs alone
+    // under-dedupe (A≈B, B≈C must collapse together even when A≈C missed
+    // the threshold); operators.ConnectedComponents runs min-label
+    // propagation to fixpoint. Oracle: DuckDB recursive CTE transitive
+    // closure over the same exhaustively-computed pair set.
     "dd7_neardup_clusters" -> ((s, d) => {
-      CosineSimilarity.register(s)
-      val e = embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      val a = e.select(col("vec_id").as("src"), col("emb").as("ea"))
-      val b = e.select(col("vec_id").as("dst"), col("emb").as("eb"))
-      val pairs = a.join(b, col("src") < col("dst"))
-        .withColumn("cs", expr("graft_cosine(ea, eb)"))
-        .filter(col("cs") >= 0.4)
-        .select("src", "dst")
+      val corpus = plantedCorpus(s, d)
+      val pairs = neardupPairs(s, d)
+        .select(col("keep_id").as("src"), col("dup_id").as("dst"))
       graft.operators.ConnectedComponents
-        .run(e.select(col("vec_id").as("id")), pairs)
+        .run(corpus.select(col("vec_id").as("id")), pairs)
         .select(col("id").as("vec_id"), col("component").as("cluster"),
           (col("id") === col("component")).as("is_canonical"))
         .orderBy("vec_id")
@@ -93,15 +119,23 @@ object DedupExtQueries {
 
   val oracle: Map[String, String] = Map(
     "dd7_neardup_clusters" ->
-      """WITH RECURSIVE pairs AS (
+      """WITH RECURSIVE base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, emb FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(list_zip(emb, range(64)), p ->
+        |      p[1] * (1.0 + ((((vec_id + 1) * (p[2] + 7)) % 13 - 6) * 0.0005))) AS emb
+        |  FROM base WHERE vec_id % 5 = 0),
+        |pairs AS (
         |  SELECT a.vec_id AS u, b.vec_id AS v
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |  WHERE list_cosine_similarity(
-        |      list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-        |      list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.4),
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.95),
         |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
         |reach AS (
-        |  SELECT vec_id AS id, vec_id AS lbl FROM embeddings
+        |  SELECT vec_id AS id, vec_id AS lbl FROM corpus
         |  UNION
         |  SELECT e.v AS id, r.lbl
         |  FROM reach r JOIN edges e ON e.u = r.id
@@ -109,14 +143,22 @@ object DedupExtQueries {
         |SELECT id AS vec_id, MIN(lbl) AS cluster, (id = MIN(lbl)) AS is_canonical
         |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
     "dd6_embedding_neardup" ->
-      """WITH cs AS (
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, emb FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(list_zip(emb, range(64)), p ->
+        |      p[1] * (1.0 + ((((vec_id + 1) * (p[2] + 7)) % 13 - 6) * 0.0005))) AS emb
+        |  FROM base WHERE vec_id % 5 = 0),
+        |cs AS (
         |  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
-        |    list_cosine_similarity(
-        |      list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-        |      list_transform(b.embedding, x -> CAST(x AS DOUBLE))) AS c
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |    list_cosine_similarity(a.emb, b.emb) AS c
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
         |SELECT keep_id, dup_id, ROUND(c, 6) AS cos_sim
-        |FROM cs WHERE c >= 0.4 ORDER BY keep_id, dup_id""".stripMargin,
+        |FROM cs WHERE c >= 0.95 ORDER BY keep_id, dup_id""".stripMargin,
     "tx5_bpe_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
