@@ -31,9 +31,16 @@ import org.apache.spark.sql.functions._
   */
 object CosineLsh {
 
-  /** (id, band, key) — one row per band per vector. */
+  /** (id, band, key) — one row per band per vector.
+    *
+    * bands = 8 by default: at cos ≈ 0.99999 (the planted-dup regime) the
+    * per-plane agreement probability is ≈ 1 − 0.00143 and a 16-bit band
+    * misses with p ≈ 0.023, so 8 independent bands drive the per-pair
+    * all-bands-miss probability to ~0.023^8 ≈ 8e-14 — a margin wide
+    * enough that oracle equality holds deterministically at any sf.
+    */
   def bucketize(e: DataFrame, idCol: String, embCol: String,
-                dim: Int, bands: Int = 4, rowsPerBand: Int = 16): DataFrame = {
+                dim: Int, bands: Int = 8, rowsPerBand: Int = 16): DataFrame = {
     val spark = e.sparkSession
     val nPlanes = bands * rowsPerBand
     // plane weights: w(p, j) deterministic pseudo-random in [-1, 1]
@@ -47,8 +54,11 @@ object CosineLsh {
       .groupBy(col("__id"), col("plane"))
       .agg(sum(col("x") * col("w")).as("proj"))
       .groupBy(col("__id"), (col("plane") / rowsPerBand).cast("int").as("band"))
-      .agg(sum(shiftleft(when(col("proj") >= 0, 1L).otherwise(0L),
-        (col("plane") % rowsPerBand).cast("int"))).as("key"))
+      // per-row variable shift: the Scala DSL's shiftleft takes a literal
+      // Int shift, so route through the SQL form, which accepts a column.
+      .agg(sum(expr(
+        s"shiftleft(CASE WHEN proj >= 0 THEN 1L ELSE 0L END, " +
+          s"CAST(plane % $rowsPerBand AS INT))")).as("key"))
       .select(col("__id").as("id"), col("band"), col("key"))
   }
 
@@ -57,7 +67,7 @@ object CosineLsh {
     * is eagerly materialized (localCheckpoint) — the band table is
     * consumed once and released. */
   def candidatePairs(e: DataFrame, idCol: String, embCol: String,
-                     dim: Int, bands: Int = 4, rowsPerBand: Int = 16): DataFrame = {
+                     dim: Int, bands: Int = 8, rowsPerBand: Int = 16): DataFrame = {
     val bucketed = bucketize(e, idCol, embCol, dim, bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bucketed.select(col("id").as("src"), col("band"), col("key"))

@@ -19,8 +19,14 @@ import graft.functions.CosineSimilarity
 object DedupExtQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** High-bit id offset for planted copies: real vec_ids would have to
+    * reach 2^40 (~1.1e12 rows) before colliding — a fixed +1,000,000
+    * offset would silently corrupt the pair/cluster comparison the moment
+    * the embeddings table crossed 1M rows. Mirrored in the DuckDB oracles. */
+  private[graft] val CopyIdOffset: Long = 1L << 40
+
   /** Corpus with planted near-duplicates: every 5th vector gets a copy
-    * (vec_id + 1,000,000) perturbed per-dimension by up to ±0.3% via pure
+    * (vec_id + 2^40) perturbed per-dimension by up to ±0.3% via pure
     * integer arithmetic — byte-reproducible in any engine (the DuckDB
     * oracle rebuilds it), cos(orig, copy) ≈ 0.99999. The raw synthetic
     * embeddings are near-orthogonal random vectors whose ≥0.4-cosine
@@ -29,14 +35,14 @@ object DedupExtQueries {
     * real corpus near-dup-dedupes at 0.4; planting dups and using the
     * realistic 0.95 threshold makes the query test the design that
     * actually runs at 100 TB. */
-  private[queries] def plantedCorpus(s: SparkSession, d: String): DataFrame = {
+  private[graft] def plantedCorpus(s: SparkSession, d: String): DataFrame = {
     val e = embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val copies = e.filter(col("vec_id") % 5 === 0)
       .select(col("vec_id"), expr(
         "transform(emb, (x, j) -> x * (1.0 + ((((vec_id + 1) * (j + 7)) % 13 - 6) * 0.0005)))")
         .as("emb"))
-      .select((col("vec_id") + 1000000L).as("vec_id"), col("emb"))
+      .select((col("vec_id") + CopyIdOffset).as("vec_id"), col("emb"))
     e.unionByName(copies)
   }
 
@@ -125,7 +131,7 @@ object DedupExtQueries {
         |corpus AS (
         |  SELECT vec_id, emb FROM base
         |  UNION ALL
-        |  SELECT vec_id + 1000000 AS vec_id,
+        |  SELECT vec_id + 1099511627776 AS vec_id,
         |    list_transform(list_zip(emb, range(64)), p ->
         |      p[1] * (1.0 + ((((vec_id + 1) * (p[2] + 7)) % 13 - 6) * 0.0005))) AS emb
         |  FROM base WHERE vec_id % 5 = 0),
@@ -149,7 +155,7 @@ object DedupExtQueries {
         |corpus AS (
         |  SELECT vec_id, emb FROM base
         |  UNION ALL
-        |  SELECT vec_id + 1000000 AS vec_id,
+        |  SELECT vec_id + 1099511627776 AS vec_id,
         |    list_transform(list_zip(emb, range(64)), p ->
         |      p[1] * (1.0 + ((((vec_id + 1) * (p[2] + 7)) % 13 - 6) * 0.0005))) AS emb
         |  FROM base WHERE vec_id % 5 = 0),

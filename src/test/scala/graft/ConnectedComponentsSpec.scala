@@ -21,8 +21,11 @@ class ConnectedComponentsSpec extends SparkSuite {
 
   test("cluster ids are closed under the input pair set on real data") {
     val out = graft.queries.DedupExtQueries.queries("dd7_neardup_clusters")(spark, sf)
-    // every vector appears exactly once
-    assert(out.count() === Tables.embeddings(spark, sf).count())
+    // every corpus vector (real + planted copy) appears exactly once
+    val nReal = Tables.embeddings(spark, sf).count()
+    val nCopies = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 5 === 0).count()
+    assert(out.count() === nReal + nCopies)
     assert(out.select("vec_id").distinct().count() === out.count())
     // each cluster's canonical member is its min vec_id and is flagged
     val bad = out.groupBy("cluster")

@@ -38,10 +38,11 @@ class DedupLshSpec extends SparkSuite {
   test("dd7 clusters collapse each planted duplicate into its original") {
     val out = DedupExtQueries.queries("dd7_neardup_clusters")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    val planted = out.keys.filter(_ >= 1000000L)
+    val planted = out.keys.filter(_ >= DedupExtQueries.CopyIdOffset)
     assert(planted.nonEmpty)
     planted.foreach { cid =>
-      assert(out(cid) == cid - 1000000L, s"copy $cid clustered to ${out(cid)}")
+      assert(out(cid) == cid - DedupExtQueries.CopyIdOffset,
+        s"copy $cid clustered to ${out(cid)}")
     }
   }
 }
