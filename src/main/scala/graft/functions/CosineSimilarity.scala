@@ -49,7 +49,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
         dot += xv * yv; nx += xv * xv; ny += yv * yv
         i += 1
       }
-      dot / (math.sqrt(nx) * math.sqrt(ny))
+      // zero-norm (empty or all-zero vector): cosine is undefined; NaN
+      // would silently fail every `cs >= t` threshold downstream, so
+      // surface the undefined case as SQL null instead.
+      if (nx == 0.0 || ny == 0.0) null
+      else dot / (math.sqrt(nx) * math.sqrt(ny))
     }
   }
 
@@ -73,7 +77,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |    final double $yv = $b.getDouble($i);
          |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  if ($nx == 0.0 || $ny == 0.0) {
+         |    ${ev.isNull} = true;
+         |  } else {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+         |  }
          |}
        """.stripMargin
     })

@@ -44,6 +44,27 @@ class CosineSimilaritySpec extends SparkSuite {
     assert(math.abs(floats.getDouble(0) - 1.0) < 1e-6)
   }
 
+  test("zero-norm vectors yield null, not NaN, in both eval paths") {
+    CosineSimilarity.register(spark)
+    import spark.implicits._
+    // codegen path: zero vector and empty arrays against a real vector
+    val df = Seq(
+      (Array(0.0, 0.0, 0.0), Array(1.0, 2.0, 3.0)),
+      (Array[Double](), Array[Double]())).toDF("a", "b")
+      .withColumn("cs", expr("graft_cosine(a, b)"))
+    df.select("cs").collect().foreach(r =>
+      assert(r.isNullAt(0), "zero-norm cosine must be null, not NaN"))
+    // a NaN would silently fail >= thresholds; null rows must simply drop
+    assert(df.filter(col("cs") >= 0.95).count() === 0L)
+    // interpreted path
+    val nullLit = org.apache.spark.sql.catalyst.expressions.Literal(null)
+    val e = CosineSimilarity(nullLit, nullLit)
+    val interp = e.nullSafeEval(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(0.0, 0.0)),
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array(1.0, 2.0)))
+    assert(interp == null)
+  }
+
   test("interpreted eval agrees with codegen path") {
     CosineSimilarity.register(spark)
     import spark.implicits._
