@@ -202,11 +202,33 @@ object GoldEtl {
     // NOTE: gold FS, not silver's — paths can live on different schemes.
     val goldRoot = new org.apache.hadoop.fs.Path(goldPath)
     val goldFs = goldRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(goldPath + "__inc_tmp")
+    // sibling of the normalized target, NOT raw string concat — a
+    // trailing slash in `goldPath` would otherwise nest the tmp dir
+    // INSIDE the table and the final cleanup would delete live data.
+    val tmp = new org.apache.hadoop.fs.Path(goldRoot.getParent,
+      goldRoot.getName + "__inc_tmp")
     goldFs.delete(tmp, true)
     selected.write.mode(SaveMode.Overwrite)
       .partitionBy("quality_tier", "year", "month")
       .parquet(tmp.toString)
+    swapAffectedPartitions(goldFs, goldPath, goldRoot, tmp, affectedKeys,
+      goldFs.rename)
+    goldFs.delete(tmp, true)
+    selected
+  }
+
+  /** Swap freshly-written tier partitions from `tmp` into the gold root:
+    * delete the stale dirs of each affected (year, month), then rename the
+    * replacements in. `rename` is injectable for fault testing. A failed
+    * rename MUST NOT fall through to the tmp cleanup — after the stale
+    * dirs are gone, tmp holds the only copy of the replacement partition —
+    * so the failure is surfaced with tmp left in place for recovery. */
+  private[graft] def swapAffectedPartitions(
+      goldFs: org.apache.hadoop.fs.FileSystem, goldPath: String,
+      goldRoot: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path,
+      affectedKeys: Seq[(Int, Int)],
+      rename: (org.apache.hadoop.fs.Path, org.apache.hadoop.fs.Path) => Boolean)
+      : Unit = {
     affectedKeys.foreach { case (y, m) =>
       val stale = goldFs.globStatus(new org.apache.hadoop.fs.Path(
         s"$goldPath/quality_tier=*/year=$y/month=$m"))
@@ -219,10 +241,11 @@ object GoldEtl {
         .stripPrefix(tmp.toUri.getPath).stripPrefix("/")
       val dest = new org.apache.hadoop.fs.Path(goldRoot, rel)
       goldFs.mkdirs(dest.getParent)
-      goldFs.rename(st.getPath, dest)
+      if (!rename(st.getPath, dest))
+        throw new java.io.IOException(
+          s"runIncremental: rename ${st.getPath} -> $dest failed; " +
+            s"replacement partitions preserved at $tmp")
     }
-    goldFs.delete(tmp, true)
-    selected
   }
 
   /** Full gold pipeline (gold_ml_etl.py:536-568). */

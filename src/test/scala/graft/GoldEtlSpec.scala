@@ -139,6 +139,35 @@ class GoldEtlSpec extends SparkSuite {
     assert(gold.columns.toSet === expected)
   }
 
+  test("a failed partition rename preserves the replacement data in tmp") {
+    import org.apache.hadoop.fs.Path
+    val root = java.nio.file.Files.createTempDirectory("graft_gold_swap").toString
+    val goldPath = s"$root/gold"
+    val goldRoot = new Path(goldPath)
+    val tmp = new Path(s"$root/gold__inc_tmp")
+    val fs = goldRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // one replacement partition in tmp, one stale partition in gold
+    val part = "quality_tier=high/year=2025/month=1"
+    fs.mkdirs(new Path(tmp, part))
+    fs.create(new Path(tmp, s"$part/part-0.parquet")).close()
+    fs.mkdirs(new Path(goldRoot, part))
+    fs.create(new Path(goldRoot, s"$part/old.parquet")).close()
+    val ex = intercept[java.io.IOException] {
+      GoldEtl.swapAffectedPartitions(fs, goldPath, goldRoot, tmp,
+        Seq((2025, 1)), (_, _) => false)
+    }
+    assert(ex.getMessage.contains("preserved"))
+    // the only remaining copy of the replacement partition must survive
+    assert(fs.exists(new Path(tmp, s"$part/part-0.parquet")))
+    // and a working rename on the same layout completes the swap
+    fs.mkdirs(new Path(goldRoot, part))
+    fs.create(new Path(goldRoot, s"$part/old.parquet")).close()
+    GoldEtl.swapAffectedPartitions(fs, goldPath, goldRoot, tmp,
+      Seq((2025, 1)), fs.rename)
+    assert(fs.exists(new Path(goldRoot, s"$part/part-0.parquet")))
+    assert(!fs.exists(new Path(goldRoot, s"$part/old.parquet")))
+  }
+
   test("incremental gold with all rows affected equals the full run; no-op date leaves gold untouched") {
     gold // force full pipeline on the shared fixture first
     val incBase = java.nio.file.Files.createTempDirectory("graft_gold_inc").toString
