@@ -2,6 +2,7 @@ package graft.scd
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.store.{DirectorySwapCommit, TableCommit}
 
 /** Parquet-native SCD Type 2 (reference: silver_etl_script.py:916-966,
   * Delta MERGE whenMatchedUpdate → close-out + append).
@@ -20,37 +21,43 @@ import org.apache.spark.sql.functions._
   * (project_name, address), documented here rather than replicating the bug.
   *
   * Scale posture: one shuffle on universal_id for the join; the snapshot
-  * rewrite is partition-wise parallel. On object stores swap via a table
-  * format / manifest commit instead of directory rename.
+  * rewrite is partition-wise parallel. Visibility of the rewrite is
+  * pluggable ([[graft.store.TableCommit]]): directory swap by default
+  * (atomic on HDFS/POSIX), or [[graft.store.PointerCommit]] — versioned
+  * snapshot dirs + atomic pointer replacement — on object stores where
+  * directory renames are non-atomic copies.
   */
 object Scd2 {
 
   val DefaultChangeColumns: Seq[String] = Seq("project_name", "address")
 
   /** Close out changed current rows and append the new batch.
-    * Returns the post-merge snapshot row count. */
+    * Returns the post-merge snapshot row count.
+    *
+    * `commit` picks how the rewrite becomes visible: the default
+    * [[DirectorySwapCommit]] (tmp-write + dir rename, atomic on
+    * HDFS/POSIX and readable as plain parquet at `path`), or
+    * [[graft.store.PointerCommit]] for object stores, where directory
+    * renames are non-atomic copies — see [[graft.store.SnapshotStore]]. */
   def merge(spark: SparkSession, newBatch: DataFrame, path: String,
             changeColumns: Seq[String] = DefaultChangeColumns,
             asOfDate: Column = to_date(current_timestamp()).cast("string"),
             partitionColumns: Seq[String] =
-              Seq("spider_name", "ingestion_year", "ingestion_month")): Long = {
-    val target = new org.apache.hadoop.fs.Path(path)
-    // the TARGET's filesystem, not the default one: with fs.defaultFS on a
-    // different scheme, FileSystem.get would probe the wrong FS, see no
-    // table, and take the first-load overwrite — destroying SCD2 history.
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              Seq("spider_name", "ingestion_year", "ingestion_month"),
+            commit: TableCommit = DirectorySwapCommit): Long = {
+    // existence via the commit protocol (probing the TARGET's own
+    // filesystem/pointer): a wrong probe here would misread an existing
+    // table as absent and take the first-load path — destroying history.
+    if (!commit.exists(spark, path))
+      return commit.publish(newBatch, path, partitionColumns)
 
-    if (!fs.exists(target)) {
-      newBatch.write.mode(SaveMode.Overwrite)
-        .partitionBy(partitionColumns: _*).parquet(path)
-      return newBatch.count()
-    }
-
-    val existing = spark.read.parquet(path)
+    val existing = commit.read(spark, path)
     val usableCols = changeColumns.filter(c =>
       existing.columns.contains(c) && newBatch.columns.contains(c))
-    // source side with disambiguated names; broadcast-able when the daily
-    // batch is small relative to the snapshot
+    // source side with disambiguated names. No forced broadcast hint: a
+    // typical daily batch is small and AQE will broadcast it on its own
+    // (runtime size estimate), but a backfill-sized batch under a
+    // mandatory hint would OOM the driver — let the planner choose.
     val source = newBatch.select(
       (col("universal_id").as("_src_uid") +:
         usableCols.map(c => col(c).as(s"_src_$c"))): _*)
@@ -58,7 +65,7 @@ object Scd2 {
       .reduceOption(_ || _).getOrElse(lit(false))
 
     val closedOut = existing
-      .join(broadcast(source),
+      .join(source,
         col("universal_id") === col("_src_uid") && col("is_current") === true,
         "left")
       .withColumn("_close", col("_src_uid").isNotNull && changed)
@@ -84,19 +91,7 @@ object Scd2 {
       .drop((("_cur_uid" +: usableCols.map(c => s"_cur_$c"))): _*)
 
     val merged = closedOut.unionByName(toAppend, allowMissingColumns = true)
-
-    // sibling of the normalized target (see optimize: raw string concat
-    // would nest the tmp dir inside the target on a trailing-slash path).
-    val tmp = new org.apache.hadoop.fs.Path(target.getParent,
-      target.getName + "__tmp_scd2")
-    merged.write.mode(SaveMode.Overwrite)
-      .partitionBy(partitionColumns: _*).parquet(tmp.toString)
-    val written = spark.read.parquet(tmp.toString).count()
-    fs.delete(target, true)
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(
-        s"merge: rename $tmp -> $target failed; table left at $tmp")
-    written
+    commit.publish(merged, path, partitionColumns)
   }
 
   /** SCD2 invariant: at most one is_current row per universal_id. */
@@ -122,11 +117,10 @@ object Scd2 {
                  Seq("universal_id", "spider_name", "ingestion_date"),
                numFiles: Int = 8,
                partitionColumns: Seq[String] =
-                 Seq("spider_name", "ingestion_year", "ingestion_month")): Long = {
-    val target = new org.apache.hadoop.fs.Path(path)
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(target)) return 0L
-    val snapshot = spark.read.parquet(path)
+                 Seq("spider_name", "ingestion_year", "ingestion_month"),
+               commit: TableCommit = DirectorySwapCommit): Long = {
+    if (!commit.exists(spark, path)) return 0L
+    val snapshot = commit.read(spark, path)
     // the partition columns LEAD the within-partition sort: the dynamic
     // partitionBy write requires ordering on them and would otherwise
     // insert its own sort, silently discarding the cluster-key order.
@@ -134,18 +128,6 @@ object Scd2 {
     val clustered = snapshot
       .repartitionByRange(numFiles, clusterCols.map(col): _*)
       .sortWithinPartitions(writeOrder.map(col): _*)
-    // sibling of the normalized target, NOT raw string concat — a
-    // trailing slash in `path` would otherwise nest the tmp dir INSIDE
-    // the target and the delete would destroy both.
-    val tmp = new org.apache.hadoop.fs.Path(target.getParent,
-      target.getName + "__tmp_optimize")
-    clustered.write.mode(SaveMode.Overwrite)
-      .partitionBy(partitionColumns: _*).parquet(tmp.toString)
-    val written = spark.read.parquet(tmp.toString).count()
-    fs.delete(target, true)
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(
-        s"optimize: rename $tmp -> $target failed; table left at $tmp")
-    written
+    commit.publish(clustered, path, partitionColumns)
   }
 }

@@ -1,0 +1,189 @@
+package graft.store
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Object-store-safe table commit: versioned immutable snapshot
+  * directories plus an atomically-replaced single-file pointer.
+  *
+  * Layout:
+  * {{{
+  *   <root>/_snapshots/v000000001/   immutable parquet snapshot dirs
+  *   <root>/_snapshots/v000000002/
+  *   <root>/_CURRENT                 one small file naming the live dir
+  * }}}
+  *
+  * Why this exists: the tmp-write + directory-rename swap used by
+  * [[DirectorySwapCommit]] is atomic on HDFS and POSIX filesystems but
+  * NOT on S3-style object stores, where "rename" is a non-atomic
+  * copy-then-delete over every object — a reader racing the swap can see
+  * a half-moved table, and a crash mid-swap leaves one permanently
+  * (the reference inherited this guarantee from Delta's transaction log,
+  * silver_etl_script.py:946-961; parquet-native tables must rebuild it).
+  * Writing a brand-new immutable snapshot directory and then publishing
+  * it by replacing ONE tiny pointer object is safe on both families:
+  * single-object PUT is atomic per key on object stores, and the
+  * implementation here publishes via create-temp + POSIX/HDFS
+  * rename-with-overwrite. A writer crash before the pointer flip leaves
+  * an orphaned, invisible snapshot dir — readers keep seeing the old
+  * snapshot — and [[vacuum]] collects orphans later (the VACUUM analogue,
+  * silver_etl_script.py:985-988).
+  */
+object SnapshotStore {
+
+  val PointerFile = "_CURRENT"
+  val SnapshotsDir = "_snapshots"
+
+  private def fsOf(root: Path, spark: SparkSession): FileSystem =
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Name of the live snapshot dir, if a pointer has ever been published. */
+  def currentName(spark: SparkSession, root: String): Option[String] = {
+    val ptr = new Path(root, PointerFile)
+    val fs = fsOf(ptr, spark)
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try {
+        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        if (s.isEmpty) None else Some(s)
+      } finally in.close()
+    }
+  }
+
+  /** Resolved path of the live snapshot dir. */
+  def currentPath(spark: SparkSession, root: String): Option[Path] =
+    currentName(spark, root).map(n => new Path(new Path(root, SnapshotsDir), n))
+
+  /** Read the live snapshot. Throws if the table has never been committed. */
+  def read(spark: SparkSession, root: String): DataFrame =
+    currentPath(spark, root) match {
+      case Some(p) => spark.read.parquet(p.toString)
+      case None => throw new java.io.FileNotFoundException(
+        s"no $PointerFile pointer under $root — table never committed")
+    }
+
+  /** Write a new snapshot via `write(dir)` then publish it by atomically
+    * replacing the pointer. The write happens entirely inside a fresh
+    * version dir invisible to readers; only the final single-file pointer
+    * replacement changes what they see. Returns the new snapshot name. */
+  def commit(spark: SparkSession, root: String)(write: String => Unit): String = {
+    val rootPath = new Path(root)
+    val fs = fsOf(rootPath, spark)
+    val seq = currentName(spark, root)
+      .flatMap(n => "^v(\\d+)".r.findFirstMatchIn(n).map(_.group(1).toLong))
+      .getOrElse(0L)
+    val name = f"v${seq + 1}%09d"
+    val dir = new Path(new Path(rootPath, SnapshotsDir), name)
+    write(dir.toString)
+    publishPointer(spark, root, name)
+    name
+  }
+
+  /** Atomically point `_CURRENT` at `name`: write a temp pointer file,
+    * then rename-with-overwrite onto the pointer path (atomic on
+    * POSIX/HDFS; on S3 deployments substitute a direct single-object PUT,
+    * which is atomic per key). */
+  private[store] def publishPointer(spark: SparkSession, root: String,
+                                    name: String): Unit = {
+    val ptr = new Path(root, PointerFile)
+    val fs = fsOf(ptr, spark)
+    val tmp = new Path(root,
+      s"$PointerFile.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(name.getBytes("UTF-8")) finally out.close()
+    val fc = FileContext.getFileContext(ptr.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, ptr, Options.Rename.OVERWRITE)
+  }
+
+  /** Delete snapshot dirs that are neither current nor among the
+    * `keepLast` highest sequence numbers — superseded snapshots plus
+    * orphans from writer crashes. Returns the number deleted. Safe to run
+    * concurrently with readers of the current snapshot: the current dir
+    * is never deleted. */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int = 2): Int = {
+    val snaps = new Path(root, SnapshotsDir)
+    val fs = fsOf(snaps, spark)
+    if (!fs.exists(snaps)) return 0
+    val current = currentName(spark, root)
+    val all = fs.listStatus(snaps).filter(_.isDirectory).map(_.getPath.getName)
+    val keep = all.sorted.takeRight(math.max(keepLast, 1)).toSet ++ current
+    val victims = all.filterNot(keep.contains)
+    victims.foreach(n => fs.delete(new Path(snaps, n), true))
+    victims.length
+  }
+}
+
+/** Strategy for how a full-table rewrite becomes visible to readers. */
+sealed trait TableCommit {
+  /** Does the table exist (has it ever been published)? */
+  def exists(spark: SparkSession, path: String): Boolean
+  /** Read the current published snapshot. */
+  def read(spark: SparkSession, path: String): DataFrame
+  /** Publish `df` as the table's new full snapshot; returns rows written. */
+  def publish(df: DataFrame, path: String, partitionColumns: Seq[String]): Long
+}
+
+/** Write-to-temp-sibling + directory rename. Atomic on HDFS/POSIX — the
+  * right default for the local/HDFS clusters this library targets — but
+  * NOT on S3-style object stores; use [[PointerCommit]] there. */
+object DirectorySwapCommit extends TableCommit {
+  override def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  override def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  override def publish(df: DataFrame, path: String,
+                       partitionColumns: Seq[String]): Long = {
+    val spark = df.sparkSession
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(target)) {
+      writePartitioned(df, path, partitionColumns)
+      return df.count()
+    }
+    // sibling of the normalized target (raw string concat would nest the
+    // tmp dir inside the target on a trailing-slash path)
+    val tmp = new Path(target.getParent, target.getName + "__tmp_swap")
+    writePartitioned(df, tmp.toString, partitionColumns)
+    val written = spark.read.parquet(tmp.toString).count()
+    fs.delete(target, true)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(
+        s"publish: rename $tmp -> $target failed; table left at $tmp")
+    written
+  }
+
+  private def writePartitioned(df: DataFrame, path: String,
+                               partitionColumns: Seq[String]): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w)
+      .parquet(path)
+  }
+}
+
+/** Versioned-snapshot + atomic pointer replacement via [[SnapshotStore]] —
+  * the object-store-safe protocol. Readers go through the pointer, so a
+  * writer crash at ANY step leaves them on the old snapshot. */
+object PointerCommit extends TableCommit {
+  override def exists(spark: SparkSession, path: String): Boolean =
+    SnapshotStore.currentName(spark, path).isDefined
+
+  override def read(spark: SparkSession, path: String): DataFrame =
+    SnapshotStore.read(spark, path)
+
+  override def publish(df: DataFrame, path: String,
+                       partitionColumns: Seq[String]): Long = {
+    val spark = df.sparkSession
+    SnapshotStore.commit(spark, path) { dir =>
+      val w = df.write.mode(SaveMode.Overwrite)
+      (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w)
+        .parquet(dir)
+    }
+    SnapshotStore.read(spark, path).count()
+  }
+}

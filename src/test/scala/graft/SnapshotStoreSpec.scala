@@ -1,0 +1,112 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.store.{DirectorySwapCommit, PointerCommit, SnapshotStore}
+import graft.scd.Scd2
+
+/** Object-store-safe commit protocol: versioned snapshots + atomic
+  * pointer. The load-bearing property is crash isolation — a writer that
+  * dies at ANY point before the pointer flip must leave readers on the
+  * old snapshot, with the half-written data invisible. */
+class SnapshotStoreSpec extends SparkSuite {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_snap").toString + "/table"
+
+  test("commit publishes atomically; readers always see old or new, never partial") {
+    import spark.implicits._
+    val root = freshRoot()
+    assert(!PointerCommit.exists(spark, root))
+    PointerCommit.publish(Seq((1, "a"), (2, "b")).toDF("id", "v"), root, Nil)
+    assert(PointerCommit.exists(spark, root))
+    assert(PointerCommit.read(spark, root).count() === 2)
+
+    // writer crash AFTER fully writing the new snapshot dir but BEFORE
+    // the pointer flip: readers still see v1, the orphan dir is invisible
+    val crash = intercept[RuntimeException] {
+      SnapshotStore.commit(spark, root) { dir =>
+        Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+          .write.parquet(dir)
+        throw new RuntimeException("simulated writer death before publish")
+      }
+    }
+    assert(crash.getMessage.contains("simulated"))
+    assert(PointerCommit.read(spark, root).count() === 2)
+    assert(SnapshotStore.currentName(spark, root).contains("v000000001"))
+
+    // a successful commit lands as v3 (v2's name was consumed by the
+    // crashed attempt's dir) and becomes visible only via the pointer
+    PointerCommit.publish(Seq((1, "a"), (2, "b"), (3, "c"), (4, "d"))
+      .toDF("id", "v"), root, Nil)
+    assert(PointerCommit.read(spark, root).count() === 4)
+  }
+
+  test("vacuum collects orphaned and superseded snapshots, never the current one") {
+    import spark.implicits._
+    val root = freshRoot()
+    (1 to 4).foreach { i =>
+      PointerCommit.publish((1 to i).toDF("id"), root, Nil)
+    }
+    // orphan from a crashed writer
+    intercept[RuntimeException] {
+      SnapshotStore.commit(spark, root) { dir =>
+        Seq(99).toDF("id").write.parquet(dir)
+        throw new RuntimeException("boom")
+      }
+    }
+    val removed = SnapshotStore.vacuum(spark, root, keepLast = 2)
+    assert(removed > 0)
+    // current snapshot survives and still reads correctly
+    assert(PointerCommit.read(spark, root).count() === 4)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val left = fs.listStatus(new org.apache.hadoop.fs.Path(root, "_snapshots"))
+      .map(_.getPath.getName).toSet
+    assert(left.contains(SnapshotStore.currentName(spark, root).get))
+    assert(left.size === 2)
+  }
+
+  test("Scd2 merge over PointerCommit keeps SCD2 semantics and invariants") {
+    import spark.implicits._
+    val root = freshRoot()
+    def batch(name: String, clock: String) =
+      Seq(("u1", name, "addr1", true, clock, null: String, "sp", "2025", "01"),
+        ("u2", "P2", "addr2", true, clock, null: String, "sp", "2025", "01"))
+        .toDF("universal_id", "project_name", "address", "is_current",
+          "valid_from", "valid_to", "spider_name", "ingestion_year",
+          "ingestion_month")
+    // first load
+    val n1 = Scd2.merge(spark, batch("P1", "2025-01-15"), root,
+      asOfDate = lit("2025-01-15"), commit = PointerCommit)
+    assert(n1 === 2)
+    // change u1 → close-out + append; table readable ONLY via pointer
+    val n2 = Scd2.merge(spark, batch("P1-renamed", "2025-01-16"), root,
+      asOfDate = lit("2025-01-16"), commit = PointerCommit)
+    val snap = PointerCommit.read(spark, root)
+    assert(n2 === snap.count())
+    assert(Scd2.violations(snap) === 0)
+    val u1 = snap.filter(col("universal_id") === "u1")
+    assert(u1.count() === 2)
+    assert(u1.filter(col("is_current") === true)
+      .head.getAs[String]("project_name") === "P1-renamed")
+    assert(u1.filter(col("is_current") === false)
+      .head.getAs[String]("valid_to") === "2025-01-16")
+    // unchanged u2 was not duplicated
+    assert(snap.filter(col("universal_id") === "u2").count() === 1)
+    // optimize over the pointer protocol preserves content
+    val n3 = Scd2.optimize(spark, root,
+      clusterCols = Seq("universal_id", "spider_name"), commit = PointerCommit)
+    assert(n3 === n2)
+    assert(PointerCommit.read(spark, root).count() === n2)
+  }
+
+  test("DirectorySwapCommit failed rename surfaces instead of losing the table") {
+    import spark.implicits._
+    val root = freshRoot()
+    DirectorySwapCommit.publish(Seq(1, 2).toDF("id"), root, Nil)
+    assert(DirectorySwapCommit.read(spark, root).count() === 2)
+    DirectorySwapCommit.publish(Seq(1, 2, 3).toDF("id"), root, Nil)
+    assert(DirectorySwapCommit.read(spark, root).count() === 3)
+  }
+}
