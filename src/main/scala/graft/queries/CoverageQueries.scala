@@ -15,13 +15,18 @@ object CoverageQueries {
 
   val queries: Map[String, Q] = Map(
     // A8: summary() descriptive stats. summary() emits strings; cast back
-    // to double and round the aggregates (count/mean/stddev/min/max are
-    // plain ANSI) so the DuckDB oracle can hash-compare.
+    // to double and round so the DuckDB oracle can hash-compare. mean and
+    // stddev are summation-order-sensitive (different partial-sum trees
+    // can flip the 2nd decimal near a .005 boundary), so they get a
+    // coarser 1-decimal round; count/min/max are exact and keep 2.
     "a8_summary_stats" -> ((s, d) =>
       orders(s, d).select("o_totalprice")
         .summary("count", "mean", "stddev", "min", "max")
         .select(col("summary"),
-          round(col("o_totalprice").cast("double"), 2).as("o_totalprice"))
+          when(col("summary").isin("mean", "stddev"),
+            round(col("o_totalprice").cast("double"), 1))
+            .otherwise(round(col("o_totalprice").cast("double"), 2))
+            .as("o_totalprice"))
         .orderBy("summary")),
 
     // F2: phone normalization over synthesized noisy strings.
@@ -126,8 +131,8 @@ object CoverageQueries {
     "a8_summary_stats" ->
       """WITH s AS (
         |  SELECT 'count' AS summary, CAST(COUNT(o_totalprice) AS DOUBLE) AS v FROM orders
-        |  UNION ALL SELECT 'mean', ROUND(AVG(o_totalprice), 2) FROM orders
-        |  UNION ALL SELECT 'stddev', ROUND(stddev_samp(o_totalprice), 2) FROM orders
+        |  UNION ALL SELECT 'mean', ROUND(AVG(o_totalprice), 1) FROM orders
+        |  UNION ALL SELECT 'stddev', ROUND(stddev_samp(o_totalprice), 1) FROM orders
         |  UNION ALL SELECT 'min', ROUND(MIN(o_totalprice), 2) FROM orders
         |  UNION ALL SELECT 'max', ROUND(MAX(o_totalprice), 2) FROM orders)
         |SELECT summary, v AS o_totalprice FROM s ORDER BY summary""".stripMargin,
