@@ -135,10 +135,16 @@ object GoldEtl {
   }
 
   // ------------------------------------------------------------ step 6
-  def writeGold(df: DataFrame, goldPath: String): Unit =
-    df.write.mode(SaveMode.Overwrite)
-      .partitionBy("quality_tier", "year", "month")
-      .parquet(goldPath)
+  /** Full-table publish through a commit protocol rather than a raw
+    * SaveMode.Overwrite: plain overwrite deletes the live table before
+    * writing, so a crash mid-write loses gold entirely. The default
+    * directory-swap materializes the replacement fully first;
+    * [[graft.store.PointerCommit]] extends the guarantee to object
+    * stores. */
+  def writeGold(df: DataFrame, goldPath: String,
+                commit: graft.store.TableCommit =
+                  graft.store.DirectorySwapCommit): Unit =
+    commit.publish(df, goldPath, Seq("quality_tier", "year", "month"))
 
   /** Incremental gold — recompute ONLY the (year, month) ingestion groups
     * touched by silver changes on `runDate`, instead of the reference's
@@ -250,7 +256,9 @@ object GoldEtl {
 
   /** Full gold pipeline (gold_ml_etl.py:536-568). */
   def run(spark: SparkSession, silverPath: String, goldPath: String,
-          clock: Column = current_timestamp()): DataFrame = {
+          clock: Column = current_timestamp(),
+          commit: graft.store.TableCommit =
+            graft.store.DirectorySwapCommit): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(silverPath)
     if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) {
       // no silver table yet (e.g. first day was empty): no-op instead of
@@ -262,7 +270,7 @@ object GoldEtl {
     val features = engineerFeatures(spark, enhanced)
     val tiered = assignQualityTiers(features)
     val selected = selectMlFeatures(tiered, clock)
-    writeGold(selected, goldPath)
+    writeGold(selected, goldPath, commit)
     selected
   }
 }

@@ -382,7 +382,9 @@ object SilverEtl {
     * (the reference's observable per-step counts,
     * silver_etl_script.py:1046-1055). */
   def run(spark: SparkSession, bronze: DataFrame, cfg: RunConfig,
-          clock: Column = current_timestamp()): EtlStats = {
+          clock: Column = current_timestamp(),
+          commit: graft.store.TableCommit =
+            graft.store.DirectorySwapCommit): EtlStats = {
     val recordsRead = bronze.count()
     if (recordsRead == 0) {
       // empty day (no spider ran): no-op, matching the reference's
@@ -410,7 +412,7 @@ object SilverEtl {
     val avgScore = enriched.agg(avg(col("data_completeness_score"))).head
       .getAs[Any](0) match { case d: java.lang.Double => d.doubleValue; case _ => 0.0 }
     val written = Scd2.merge(spark, enriched, cfg.silverPath,
-      asOfDate = to_date(clock).cast("string"))
+      asOfDate = to_date(clock).cast("string"), commit = commit)
     // step 10: quarantine + run-metadata sinks (:997-1041)
     if (recordsInvalid > 0)
       invalid

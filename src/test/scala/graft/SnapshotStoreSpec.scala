@@ -101,6 +101,18 @@ class SnapshotStoreSpec extends SparkSuite {
     assert(PointerCommit.read(spark, root).count() === n2)
   }
 
+  test("gold full-table publish routes through the commit protocol") {
+    import spark.implicits._
+    val root = freshRoot()
+    val df = Seq(("p1", "high", 2025, 1), ("p2", "low", 2025, 2))
+      .toDF("project_id", "quality_tier", "year", "month")
+    graft.gold.GoldEtl.writeGold(df, root, PointerCommit)
+    val back = SnapshotStore.read(spark, root)
+    assert(back.count() === 2)
+    // partition layout preserved inside the versioned snapshot dir
+    assert(back.columns.contains("quality_tier"))
+  }
+
   test("DirectorySwapCommit failed rename surfaces instead of losing the table") {
     import spark.implicits._
     val root = freshRoot()
