@@ -16,12 +16,16 @@ import org.apache.spark.sql.functions._
   * p ≈ 1.5e-5 — so the candidate set is linear-ish, not quadratic, and
   * candidate generation is a shuffle equi-join on (band, key).
   *
-  * The projection itself is computed codegen-style (posexplode →
-  * broadcast-joined plane weights → hash-aggregate dot products), not via
-  * interpreted HOF chains: at corpus scale this is a map-side-combined
-  * aggregate over (id, plane) with no extra shuffle beyond the one
-  * groupBy. Plane weights are deterministic pseudo-random in [-1, 1]
-  * (xxhash64-seeded), so bucket assignment is reproducible across runs.
+  * The projection is a single codegen'd expression per row
+  * (functions.SignRpKeys: a fused loop over planes × dims emitting all
+  * band keys as one array) — zero joins and zero shuffles in bucketize.
+  * The first cut posexploded dims and broadcast-joined a plane-weight
+  * table: correct, but it pushed N × dim × nPlanes intermediate rows
+  * (8192× at dim=64, 128 planes) through two hash aggregates before any
+  * candidate existed — a multi-TB projection shuffle at corpus scale,
+  * replaced here by pure map-side compute. Plane weights are a
+  * deterministic pure function of (plane, dim-index), so bucket
+  * assignment is reproducible across runs.
   *
   * Thresholds: sign-LSH separates ONLY high-cosine pairs from the random
   * cloud (p/plane is 0.999 at cos 0.9999 vs 0.54 at cos 0.125). It cannot
@@ -41,25 +45,10 @@ object CosineLsh {
     */
   def bucketize(e: DataFrame, idCol: String, embCol: String,
                 dim: Int, bands: Int = 8, rowsPerBand: Int = 16): DataFrame = {
-    val spark = e.sparkSession
-    val nPlanes = bands * rowsPerBand
-    // plane weights: w(p, j) deterministic pseudo-random in [-1, 1]
-    val planes = spark.range(nPlanes).toDF("plane")
-      .crossJoin(spark.range(dim).toDF("j"))
-      .select(col("plane"), col("j"),
-        ((abs(xxhash64(col("plane"), col("j"))) % 1000)
-          .cast("double") / 500.0 - 1.0).as("w"))
-    e.select(col(idCol).as("__id"), posexplode(col(embCol)).as(Seq("j", "x")))
-      .join(broadcast(planes), Seq("j"))
-      .groupBy(col("__id"), col("plane"))
-      .agg(sum(col("x") * col("w")).as("proj"))
-      .groupBy(col("__id"), (col("plane") / rowsPerBand).cast("int").as("band"))
-      // per-row variable shift: the Scala DSL's shiftleft takes a literal
-      // Int shift, so route through the SQL form, which accepts a column.
-      .agg(sum(expr(
-        s"shiftleft(CASE WHEN proj >= 0 THEN 1L ELSE 0L END, " +
-          s"CAST(plane % $rowsPerBand AS INT))")).as("key"))
-      .select(col("__id").as("id"), col("band"), col("key"))
+    graft.functions.SignRpKeys.register(e.sparkSession)
+    e.select(col(idCol).as("id"),
+      posexplode(expr(s"graft_sign_rp_keys($embCol, $bands, $rowsPerBand)"))
+        .as(Seq("band", "key")))
   }
 
   /** Distinct candidate pairs (src, dst) with src < dst from same-bucket
