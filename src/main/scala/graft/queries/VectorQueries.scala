@@ -70,19 +70,18 @@ object VectorQueries {
 
     // LSH-bucketed ANN (sign random projection, 8 planes → 256 buckets):
     // candidates = same-bucket pairs for the query set; the scalable path.
-    // Rows-only check (bucket assignment uses Spark's xxhash64-seeded
-    // pseudo-random planes — not expressible in ANSI SQL).
+    // Rows-only check (bucket assignment uses engine-internal
+    // pseudo-random planes — not expressible in ANSI SQL). The bucket is
+    // one 8-bit band key from the codegen'd SignRpKeys expression — the
+    // earlier interpreted nested-HOF formulation evaluated 8×64
+    // lambda frames per row.
     "v4_ann_lsh" -> ((s, d) => {
       graft.functions.CosineSimilarity.register(s)
+      graft.functions.SignRpKeys.register(s)
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      // plane p component j = (xxhash64(p, j) % 1000 / 500.0) - 1.0 — a
-      // deterministic pseudo-random hyperplane in [-1, 1]^64.
-      val bucketed = e.withColumn("bucket", expr(
-        """aggregate(sequence(0, 7), 0, (acc, p) -> acc * 2 + IF(
-          |  aggregate(zip_with(emb, sequence(0, 63), (x, j) ->
-          |    x * ((CAST(abs(xxhash64(p, j)) % 1000 AS DOUBLE) / 500.0) - 1.0)),
-          |    CAST(0.0 AS DOUBLE), (acc2, v) -> acc2 + v) >= 0, 1, 0))""".stripMargin))
+      val bucketed = e.withColumn("bucket",
+        expr("element_at(graft_sign_rp_keys(emb, 1, 8), 1)"))
       val q = bucketed.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("emb").as("ea"), col("bucket"))
       val c = bucketed.select(col("vec_id").as("nid"), col("emb").as("eb"), col("bucket"))
