@@ -171,7 +171,9 @@ object GoldEtl {
     */
   def runIncremental(spark: SparkSession, silverPath: String, goldPath: String,
                      runDate: String,
-                     clock: Column = current_timestamp()): DataFrame = {
+                     clock: Column = current_timestamp(),
+                     commit: graft.store.TableCommit =
+                       graft.store.DirectorySwapCommit): DataFrame = {
     val sp = new org.apache.hadoop.fs.Path(silverPath)
     val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(sp)) return spark.emptyDataFrame
@@ -201,6 +203,15 @@ object GoldEtl {
       .join(broadcast(affectedDim), Seq("year", "month"), "left_semi")
     val selected = selectMlFeatures(assignQualityTiers(features), clock)
 
+    // object-store path: write ONLY the replacement partitions into a
+    // fresh version dir, then publish a manifest that carries every
+    // unchanged partition forward by reference and flip the pointer —
+    // incremental write volume with full-snapshot atomicity.
+    if (commit == graft.store.PointerCommit) {
+      publishIncrementalManifest(spark, goldPath, selected, affectedKeys)
+      return selected
+    }
+
     // write-then-swap: materialize the replacement partitions fully in a
     // temp dir, then clear the stale tier dirs of each affected
     // (year, month) and rename the new ones in. Deleting first would lose
@@ -221,6 +232,45 @@ object GoldEtl {
       goldFs.rename)
     goldFs.delete(tmp, true)
     selected
+  }
+
+  /** Manifest commit for incremental gold on object stores: the affected
+    * (year, month) groups' replacement partitions land in a brand-new
+    * version dir; the manifest maps every partition of the NEW snapshot
+    * to the version dir holding its data — fresh partitions to the new
+    * version, unchanged ones carried forward by reference from the
+    * previous snapshot's entries (affected groups' old entries dropped,
+    * matching the swap path's stale-delete). Written before the pointer
+    * flip, so readers see the whole new snapshot atomically; a crash at
+    * any step leaves them on the old one. Read back via
+    * `SnapshotStore.readPartitioned`. */
+  private[graft] def publishIncrementalManifest(spark: SparkSession, goldPath: String,
+                                         selected: DataFrame,
+                                         affectedKeys: Array[(Int, Int)]): Unit = {
+    import graft.store.SnapshotStore
+    val affected = affectedKeys.toSet
+    val prev = SnapshotStore.currentEntries(spark, goldPath, 3)
+      .getOrElse(Map.empty)
+    SnapshotStore.commit(spark, goldPath) { dir =>
+      selected.write.mode(SaveMode.Overwrite)
+        .partitionBy("quality_tier", "year", "month").parquet(dir)
+      val dirPath = new org.apache.hadoop.fs.Path(dir)
+      val name = dirPath.getName
+      val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fresh = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$dir/quality_tier=*/year=*/month=*"))).getOrElse(Array.empty)
+        .map(_.getPath.toUri.getPath
+          .stripPrefix(dirPath.toUri.getPath).stripPrefix("/") -> name)
+        .toMap
+      def groupOf(rel: String): (Int, Int) = {
+        val kv = rel.split('/').map { s =>
+          val Array(k, v) = s.split("=", 2); k -> v
+        }.toMap
+        (kv("year").toInt, kv("month").toInt)
+      }
+      val carried = prev.filterNot { case (rel, _) => affected(groupOf(rel)) }
+      SnapshotStore.writeManifest(spark, goldPath, name, carried ++ fresh)
+    }
   }
 
   /** Swap freshly-written tier partitions from `tmp` into the gold root:

@@ -97,21 +97,110 @@ object SnapshotStore {
     fc.rename(tmp, ptr, Options.Rename.OVERWRITE)
   }
 
-  /** Delete snapshot dirs that are neither current nor among the
+  /** Delete snapshot dirs that are neither current, nor referenced by
+    * the current manifest (an incremental snapshot carries unchanged
+    * partitions by reference to older version dirs), nor among the
     * `keepLast` highest sequence numbers — superseded snapshots plus
     * orphans from writer crashes. Returns the number deleted. Safe to run
-    * concurrently with readers of the current snapshot: the current dir
-    * is never deleted. */
+    * concurrently with readers of the current snapshot: nothing the
+    * current version can reach is ever deleted. */
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 2): Int = {
     val snaps = new Path(root, SnapshotsDir)
     val fs = fsOf(snaps, spark)
     if (!fs.exists(snaps)) return 0
     val current = currentName(spark, root)
+    val referenced = current.flatMap(readManifest(spark, root, _))
+      .map(_.values.toSet).getOrElse(Set.empty)
     val all = fs.listStatus(snaps).filter(_.isDirectory).map(_.getPath.getName)
-    val keep = all.sorted.takeRight(math.max(keepLast, 1)).toSet ++ current
+    val keep = all.sorted.takeRight(math.max(keepLast, 1)).toSet ++
+      current ++ referenced
     val victims = all.filterNot(keep.contains)
-    victims.foreach(n => fs.delete(new Path(snaps, n), true))
+    victims.foreach { n =>
+      fs.delete(new Path(snaps, n), true)
+      fs.delete(manifestPath(root, n), false)
+    }
     victims.length
+  }
+
+  // ------------------------------------------------- partition manifests
+  // An incremental snapshot need not rewrite the whole table: its
+  // manifest maps each hive partition path (e.g.
+  // "quality_tier=high/year=2025/month=1") to the VERSION DIR holding
+  // that partition's current data — freshly-written partitions point at
+  // the new version, unchanged ones carry the older version forward by
+  // reference. The manifest is written before the pointer flip, so it
+  // becomes visible atomically with its snapshot.
+
+  private[graft] def manifestPath(root: String, name: String): Path =
+    new Path(new Path(root, SnapshotsDir), s"$name.manifest")
+
+  /** entries for `name`, if that version has a manifest. */
+  def readManifest(spark: SparkSession, root: String,
+                   name: String): Option[Map[String, String]] = {
+    val p = manifestPath(root, name)
+    val fs = fsOf(p, spark)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty)
+        .map { line =>
+          val i = line.lastIndexOf('\t')
+          line.substring(0, i) -> line.substring(i + 1)
+        }.toMap)
+      finally in.close()
+    }
+  }
+
+  private[graft] def writeManifest(spark: SparkSession, root: String,
+                                   name: String,
+                                   entries: Map[String, String]): Unit = {
+    val p = manifestPath(root, name)
+    val fs = fsOf(p, spark)
+    val out = fs.create(p, true)
+    try out.write(entries.toSeq.sorted.map { case (rel, ver) => s"$rel\t$ver" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Current entries regardless of how the snapshot was produced: a
+    * manifest if one exists, else every hive partition dir of the plain
+    * snapshot (a full publish), keyed by relative partition path. */
+  def currentEntries(spark: SparkSession, root: String,
+                     depth: Int): Option[Map[String, String]] =
+    currentName(spark, root).map { name =>
+      readManifest(spark, root, name).getOrElse {
+        val base = new Path(new Path(root, SnapshotsDir), name)
+        val fs = fsOf(base, spark)
+        val glob = new Path(base, Seq.fill(depth)("*=*").mkString("/"))
+        val dirs = Option(fs.globStatus(glob)).getOrElse(Array.empty)
+        dirs.map { st =>
+          st.getPath.toUri.getPath.stripPrefix(base.toUri.getPath)
+            .stripPrefix("/") -> name
+        }.toMap
+      }
+    }
+
+  /** Read a partition-manifest table: union of each referenced partition
+    * dir with its partition-column values re-attached from the path
+    * segments (stringly-typed, matching partition-type inference off). */
+  def readPartitioned(spark: SparkSession, root: String,
+                      partitionColumns: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val entries = currentEntries(spark, root, partitionColumns.length)
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"no $PointerFile pointer under $root — table never committed"))
+    val parts = entries.toSeq.sorted.map { case (rel, ver) =>
+      val dir = new Path(new Path(new Path(root, SnapshotsDir), ver), rel)
+      val kvs = rel.split('/').map { seg =>
+        val Array(k, v) = seg.split("=", 2)
+        k -> v
+      }
+      kvs.foldLeft(spark.read.parquet(dir.toString)) { case (df, (k, v)) =>
+        df.withColumn(k, lit(v))
+      }
+    }
+    parts.reduceLeft(_.unionByName(_, allowMissingColumns = true))
   }
 }
 

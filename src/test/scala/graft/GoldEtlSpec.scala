@@ -188,5 +188,15 @@ class GoldEtlSpec extends SparkSuite {
       "2099-01-01", to_timestamp(lit("2025-01-16 13:00:00")))
     assert(noop.isEmpty)
     assert(spark.read.parquet(s"$incBase/gold").count() === before)
+    // same run through the object-store manifest protocol: identical gold
+    val pBase = java.nio.file.Files.createTempDirectory("graft_gold_ptr").toString
+    GoldEtl.runIncremental(spark, s"$base/silver", s"$pBase/gold",
+      "2025-01-15", to_timestamp(lit("2025-01-15 13:00:00")),
+      commit = graft.store.PointerCommit)
+    val ptrRead = graft.store.SnapshotStore.readPartitioned(spark,
+      s"$pBase/gold", Seq("quality_tier", "year", "month"))
+    assert(ptrRead.count() === full.count())
+    val ptrIds = ptrRead.select("project_id").collect().map(_.getString(0)).sorted
+    assert(ptrIds.toSeq === fullIds.toSeq)
   }
 }

@@ -113,6 +113,48 @@ class SnapshotStoreSpec extends SparkSuite {
     assert(back.columns.contains("quality_tier"))
   }
 
+  test("manifest incremental publish carries unchanged partitions by reference") {
+    import spark.implicits._
+    import graft.gold.GoldEtl
+    val root = freshRoot()
+    def frame(rows: Seq[(String, String, Int, Int)]) =
+      rows.toDF("project_id", "quality_tier", "year", "month")
+    // v1: both month groups written
+    GoldEtl.publishIncrementalManifest(spark, root,
+      frame(Seq(("p1", "high", 2025, 1), ("p2", "low", 2025, 2))),
+      Array((2025, 1), (2025, 2)))
+    val v1 = SnapshotStore.currentName(spark, root).get
+    // v2: only month 2 recomputed (p2 replaced by p3); month 1 untouched
+    GoldEtl.publishIncrementalManifest(spark, root,
+      frame(Seq(("p3", "low", 2025, 2))), Array((2025, 2)))
+    val entries = SnapshotStore.currentEntries(spark, root, 3).get
+    assert(entries("quality_tier=high/year=2025/month=1") === v1,
+      "unchanged partition must be carried from v1 by reference")
+    assert(entries("quality_tier=low/year=2025/month=2") !== v1)
+    val back = SnapshotStore.readPartitioned(spark, root,
+      Seq("quality_tier", "year", "month"))
+    assert(back.select("project_id").collect().map(_.getString(0)).sorted
+      .toSeq === Seq("p1", "p3"))
+    // partition columns re-attached from the manifest paths
+    assert(back.filter(col("project_id") === "p1")
+      .head.getAs[String]("month") === "1")
+
+    // crash after data write, before manifest+pointer: readers unchanged
+    intercept[RuntimeException] {
+      SnapshotStore.commit(spark, root) { dir =>
+        frame(Seq(("p9", "high", 2025, 1))).write.parquet(dir)
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(SnapshotStore.readPartitioned(spark, root,
+      Seq("quality_tier", "year", "month")).count() === 2)
+
+    // vacuum keeps v1: the current manifest still references it
+    SnapshotStore.vacuum(spark, root, keepLast = 1)
+    assert(SnapshotStore.readPartitioned(spark, root,
+      Seq("quality_tier", "year", "month")).count() === 2)
+  }
+
   test("DirectorySwapCommit failed rename surfaces instead of losing the table") {
     import spark.implicits._
     val root = freshRoot()
