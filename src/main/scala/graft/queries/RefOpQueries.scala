@@ -151,6 +151,71 @@ object RefOpQueries {
         .orderBy("c_custkey")
     }),
 
+    // M13: declared cast table through the production loop — numeric
+    // strings cast to their declared types, garbage and null to null
+    // (ANSI off, the reference's null-on-bad-cast contract).
+    "m13_cast_table" -> ((s, d) => {
+      val raw = orders(s, d).select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, lit("not-a-number"))
+          .when(col("o_orderkey") % 11 === 0, lit(null).cast("string"))
+          .otherwise(concat((col("o_orderkey") % 997).cast("string"), lit(".25")))
+          .as("min_selling_price"),
+        (col("o_orderkey") % 50).cast("string").as("number_of_floors"),
+        when(col("o_orderkey") % 5 === 0, lit("12.75")).otherwise(lit("3.5"))
+          .as("total_area"))
+      graft.schema.Mappings.applyTypeConversions(raw)
+        .select("o_orderkey", "min_selling_price", "number_of_floors",
+          "total_area")
+        .orderBy("o_orderkey")
+    }),
+
+    // N9: dotted struct paths (investorRelated.investor.name,
+    // utilities.basicUtilities) through the meey source specials.
+    "n9_dotted_paths" -> ((s, d) => {
+      val raw = customer(s, d).select(col("c_custkey"),
+        struct(struct(col("c_name").as("name")).as("investor"))
+          .as("investorRelated"),
+        struct(array(col("c_mktsegment"), lit("parking"))
+          .as("basicUtilities")).as("utilities"))
+      graft.silver.SilverEtl.applySourceSpecials(raw, "meeyproject_api")
+        .select(col("c_custkey"), col("investor_name"),
+          concat_ws("|", col("utilities_internal")).as("utilities_internal"))
+        .orderBy("c_custkey")
+    }),
+
+    // N10: size()>0 guards — empty and null struct-arrays both surface as
+    // null through the meey images special, populated ones flatten to urls.
+    "n10_size_guards" -> ((s, d) => {
+      val raw = orders(s, d).select(col("o_orderkey"),
+        when(col("o_orderkey") % 3 === 0,
+          expr("CAST(array() AS array<struct<url:string>>)"))
+          .when(col("o_orderkey") % 7 === 0,
+            lit(null).cast("array<struct<url:string>>"))
+          .otherwise(array(
+            struct(concat(lit("u"), col("o_orderkey").cast("string")).as("url")),
+            struct(col("o_orderstatus").as("url")))).as("images"))
+      graft.silver.SilverEtl.applySourceSpecials(raw, "meeyproject_api")
+        .select(col("o_orderkey"),
+          when(col("images").isNotNull, concat_ws(",", col("images")))
+            .otherwise(lit(null).cast("string")).as("images"))
+        .orderBy("o_orderkey")
+    }),
+
+    // D7: audit columns from the injectable clock through the production
+    // enrich — deterministic surrogate key + processed/valid_from dates.
+    "d7_audit_clock" -> ((s, d) => {
+      val raw = customer(s, d).select(
+        lit("sp").as("spider_name"),
+        col("c_custkey").cast("string").as("record_key"),
+        col("c_name").as("project_name"))
+      graft.silver.SilverEtl.enrich(raw,
+        to_timestamp(lit("2025-01-15 12:00:00")))
+        .select(col("record_key"), col("universal_id"),
+          col("silver_processed_at"), col("silver_version"),
+          col("is_current"), col("valid_from"), col("valid_to"))
+        .orderBy(col("record_key").cast("int"))
+    }),
+
     // X1: district-centroid geocoding — prefix-strip + lowercase normalize,
     // broadcast join against the centroid dim, impute only missing/zero.
     "x1_centroid_geocode" -> ((s, d) => {
@@ -174,6 +239,35 @@ object RefOpQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "m13_cast_table" ->
+      """SELECT o_orderkey,
+        |  TRY_CAST(CASE WHEN o_orderkey % 7 = 0 THEN 'not-a-number'
+        |                WHEN o_orderkey % 11 = 0 THEN NULL
+        |                ELSE CAST(o_orderkey % 997 AS VARCHAR) || '.25' END
+        |    AS DOUBLE) AS min_selling_price,
+        |  TRY_CAST(CAST(o_orderkey % 50 AS VARCHAR) AS INTEGER) AS number_of_floors,
+        |  TRY_CAST(CASE WHEN o_orderkey % 5 = 0 THEN '12.75' ELSE '3.5' END
+        |    AS DOUBLE) AS total_area
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "n9_dotted_paths" ->
+      """SELECT c_custkey, c_name AS investor_name,
+        |  c_mktsegment || '|parking' AS utilities_internal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "n10_size_guards" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0 OR o_orderkey % 7 = 0 THEN NULL
+        |       ELSE 'u' || CAST(o_orderkey AS VARCHAR) || ',' || o_orderstatus
+        |  END AS images
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "d7_audit_clock" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS record_key,
+        |  sha256('sp_' || CAST(c_custkey AS VARCHAR)) AS universal_id,
+        |  '2025-01-15' AS silver_processed_at,
+        |  '2.0' AS silver_version,
+        |  TRUE AS is_current,
+        |  '2025-01-15' AS valid_from,
+        |  CAST(NULL AS VARCHAR) AS valid_to
+        |FROM customer ORDER BY CAST(record_key AS INTEGER)""".stripMargin,
     "f4_normalize_text" ->
       """SELECT c_custkey,
         |  regexp_replace(trim('  ' || c_name || '   ' || c_mktsegment || '	' || CAST(c_acctbal AS VARCHAR) || '  '),

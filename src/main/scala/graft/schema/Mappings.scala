@@ -64,6 +64,16 @@ object Mappings {
   val ProjectSpiders: Seq[String] =
     Seq("chotot_api", "meeyproject_api", "onehousing_api")
 
+  /** M13: apply the declared cast table to whichever of its columns are
+    * present — the production loop SilverEtl.mapSource runs on every
+    * source (null on unparseable values; ANSI off). */
+  def applyTypeConversions(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    TypeConversions.foldLeft(df) { case (d, (f, t)) =>
+      if (d.columns.contains(f))
+        d.withColumn(f, org.apache.spark.sql.functions.col(f).cast(t))
+      else d
+    }
+
   /** field -> spark cast type (schema_config.py:241-268). */
   val TypeConversions: Seq[(String, String)] = Seq(
     "min_selling_price" -> "double", "max_selling_price" -> "double",

@@ -130,9 +130,7 @@ object SilverEtl {
         }
     }
     // declared casts (:356-361)
-    Mappings.TypeConversions.foreach { case (f, t) =>
-      if (d.columns.contains(f)) d = d.withColumn(f, col(f).cast(t))
-    }
+    d = Mappings.applyTypeConversions(d)
     // OneHousing dual-format handover_date_from (:363-389)
     if (spider == "onehousing_api" && d.columns.contains("handover_date_from"))
       d = d.withColumn("handover_date_from",
