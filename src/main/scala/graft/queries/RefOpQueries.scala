@@ -216,6 +216,45 @@ object RefOpQueries {
         .orderBy(col("record_key").cast("int"))
     }),
 
+    // P7: rename/drop/prune through the full production mapSource — source
+    // field names rename per the chotot mapping, numeric strings cast per
+    // the declared table, absent fields default (project_type UNKNOWN) or
+    // pad as typed nulls, and everything off-schema is pruned.
+    "p7_rename_prune" -> ((s, d) => {
+      val raw = customer(s, d).select(
+        col("c_custkey").cast("string").as("project_oid"),
+        col("c_name").as("project_name"),
+        col("c_mktsegment").as("address"),
+        (col("c_custkey") % 500).cast("string").as("area_total"))
+      graft.silver.SilverEtl.mapSource(raw, "chotot_api")
+        .select("source_id", "project_name", "address", "total_area",
+          "project_type")
+        .orderBy(col("source_id").cast("int"))
+    }),
+
+    // N12: schema-introspecting array<string> coercion — a struct-array
+    // column projects its `name` field; a plain string wraps (or JSON-
+    // parses when "["-prefixed) through the production coerce.
+    "n12_coerce_introspect" -> ((s, d) => {
+      val raw = customer(s, d).select(col("c_custkey"),
+        when(col("c_custkey") % 4 === 0,
+          lit(null).cast("array<struct<name:string,weight:int>>"))
+          .otherwise(array(
+            struct(col("c_mktsegment").as("name"), lit(1).as("weight")),
+            struct(col("c_name").as("name"), lit(2).as("weight"))))
+          .as("facilities"),
+        when(col("c_custkey") % 3 === 0,
+          concat(lit("[\"x\",\""), col("c_mktsegment"), lit("\"]")))
+          .otherwise(col("c_mktsegment")).as("quality_indexes"))
+      val coerced = Transforms.coerceToStringArray(
+        Transforms.coerceToStringArray(raw, "facilities"), "quality_indexes")
+      coerced.select(col("c_custkey"),
+        when(col("facilities").isNotNull, concat_ws(",", col("facilities")))
+          .otherwise(lit(null).cast("string")).as("facilities"),
+        concat_ws(",", col("quality_indexes")).as("quality_indexes"))
+        .orderBy("c_custkey")
+    }),
+
     // X1: district-centroid geocoding — prefix-strip + lowercase normalize,
     // broadcast join against the centroid dim, impute only missing/zero.
     "x1_centroid_geocode" -> ((s, d) => {
@@ -249,6 +288,20 @@ object RefOpQueries {
         |  TRY_CAST(CASE WHEN o_orderkey % 5 = 0 THEN '12.75' ELSE '3.5' END
         |    AS DOUBLE) AS total_area
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "p7_rename_prune" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS source_id,
+        |  c_name AS project_name,
+        |  c_mktsegment AS address,
+        |  TRY_CAST(CAST(c_custkey % 500 AS VARCHAR) AS DOUBLE) AS total_area,
+        |  'UNKNOWN' AS project_type
+        |FROM customer ORDER BY CAST(source_id AS INTEGER)""".stripMargin,
+    "n12_coerce_introspect" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 4 = 0 THEN NULL
+        |       ELSE c_mktsegment || ',' || c_name END AS facilities,
+        |  CASE WHEN c_custkey % 3 = 0 THEN 'x,' || c_mktsegment
+        |       ELSE c_mktsegment END AS quality_indexes
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "n9_dotted_paths" ->
       """SELECT c_custkey, c_name AS investor_name,
         |  c_mktsegment || '|parking' AS utilities_internal
