@@ -255,6 +255,18 @@ object RefOpQueries {
         .orderBy("c_custkey")
     }),
 
+    // M8: hectare → m² conversion through the onehousing source specials
+    // (nulls pass through untouched).
+    "m8_ha_conversion" -> ((s, d) => {
+      val raw = orders(s, d).select(col("o_orderkey"),
+        when(col("o_orderkey") % 9 === 0, lit(null).cast("double"))
+          .otherwise((col("o_orderkey") % 30).cast("double") / 10.0)
+          .as("total_area"))
+      graft.silver.SilverEtl.applySourceSpecials(raw, "onehousing_api")
+        .select("o_orderkey", "total_area")
+        .orderBy("o_orderkey")
+    }),
+
     // X1: district-centroid geocoding — prefix-strip + lowercase normalize,
     // broadcast join against the centroid dim, impute only missing/zero.
     "x1_centroid_geocode" -> ((s, d) => {
@@ -287,6 +299,11 @@ object RefOpQueries {
         |  TRY_CAST(CAST(o_orderkey % 50 AS VARCHAR) AS INTEGER) AS number_of_floors,
         |  TRY_CAST(CASE WHEN o_orderkey % 5 = 0 THEN '12.75' ELSE '3.5' END
         |    AS DOUBLE) AS total_area
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "m8_ha_conversion" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 9 = 0 THEN NULL
+        |       ELSE CAST(o_orderkey % 30 AS DOUBLE) / 10.0 * 10000 END AS total_area
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "p7_rename_prune" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS source_id,
