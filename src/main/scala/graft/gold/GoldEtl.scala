@@ -13,8 +13,13 @@ object GoldEtl {
   val GoldVersion = "1.0"
 
   // ------------------------------------------------------------ step 1
-  def readSilver(spark: SparkSession, silverPath: String): DataFrame =
-    spark.read.parquet(silverPath).filter(col("is_current") === true)
+  /** Current-snapshot scan. `commit` picks the table protocol for the
+    * READ side — a deployment runs one protocol across its lake, so
+    * run/runIncremental pass their own `commit` through. */
+  def readSilver(spark: SparkSession, silverPath: String,
+                 commit: graft.store.TableCommit =
+                   graft.store.DirectorySwapCommit): DataFrame =
+    commit.read(spark, silverPath).filter(col("is_current") === true)
 
   /** Silver only writes columns present in that day's bronze
     * (silver_etl_script.py:490-499 prunes to available columns), so a
@@ -174,13 +179,11 @@ object GoldEtl {
                      clock: Column = current_timestamp(),
                      commit: graft.store.TableCommit =
                        graft.store.DirectorySwapCommit): DataFrame = {
-    val sp = new org.apache.hadoop.fs.Path(silverPath)
-    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(sp)) return spark.emptyDataFrame
+    if (!commit.exists(spark, silverPath)) return spark.emptyDataFrame
     // on-or-after, not equality: a run that crosses UTC midnight stamps
     // some versions with the previous date (ISO strings compare
     // lexicographically = chronologically).
-    val history = spark.read.parquet(silverPath)
+    val history = commit.read(spark, silverPath)
     val affected = history
       .filter(col("valid_from") >= runDate ||
         (col("valid_to").isNotNull && col("valid_to") >= runDate))
@@ -197,7 +200,7 @@ object GoldEtl {
       import spark.implicits._
       affectedKeys.toSeq.toDF("year", "month")
     }
-    val silver = conformToSilverSchema(readSilver(spark, silverPath))
+    val silver = conformToSilverSchema(readSilver(spark, silverPath, commit))
     val enhanced = Enhancement.enhanceSilverData(spark, silver)
     val features = engineerFeatures(spark, enhanced)
       .join(broadcast(affectedDim), Seq("year", "month"), "left_semi")
@@ -309,13 +312,12 @@ object GoldEtl {
           clock: Column = current_timestamp(),
           commit: graft.store.TableCommit =
             graft.store.DirectorySwapCommit): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(silverPath)
-    if (!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) {
+    if (!commit.exists(spark, silverPath)) {
       // no silver table yet (e.g. first day was empty): no-op instead of
       // PATH_NOT_FOUND — gold stays absent until silver exists.
       return spark.emptyDataFrame
     }
-    val silver = conformToSilverSchema(readSilver(spark, silverPath))
+    val silver = conformToSilverSchema(readSilver(spark, silverPath, commit))
     val enhanced = Enhancement.enhanceSilverData(spark, silver)
     val features = engineerFeatures(spark, enhanced)
     val tiered = assignQualityTiers(features)

@@ -8,7 +8,7 @@ import graft.gold.GoldEtl
 /** Production-shaped CLI for the silver + gold pipelines over arbitrary
   * bronze data (the spark-submit surface of the engine):
   *
-  *   sbt "runMain graft.tools.EtlRunner <bronzeBase> <yyyy-MM-dd> <outBase> [full|incremental]"
+  *   sbt "runMain graft.tools.EtlRunner <bronzeBase> <yyyy-MM-dd> <outBase> [full|incremental] [swap|pointer]"
   *
   * Reads bronze/{spider}/year=Y/month=M/<date>*.jsonl under bronzeBase,
   * runs the 10-stage silver ETL (SCD2 merge into outBase/silver,
@@ -16,7 +16,9 @@ import graft.gold.GoldEtl
   * outBase/gold, and prints the run stats. Gold mode `incremental`
   * (default `full`) rewrites only the partitions touched by the day's
   * silver churn — the steady-state daily mode once a full baseline
-  * exists. */
+  * exists. Protocol `pointer` (default `swap`) publishes every table
+  * through the object-store-safe versioned-snapshot pointer commit
+  * (graft.store.SnapshotStore) instead of directory renames. */
 object EtlRunner {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
@@ -24,6 +26,12 @@ object EtlRunner {
     val goldMode = args.lift(3).getOrElse("full")
     require(goldMode == "full" || goldMode == "incremental",
       s"unknown gold mode '$goldMode' (use full or incremental)")
+    val protocol: graft.store.TableCommit = args.lift(4).getOrElse("swap") match {
+      case "pointer" => graft.store.PointerCommit
+      case "swap" => graft.store.DirectorySwapCommit
+      case other => throw new IllegalArgumentException(
+        s"unknown protocol '$other' (use swap or pointer)")
+    }
     // captured BEFORE the silver run, in the session's UTC — the SCD2
     // valid_from/valid_to stamps are UTC dates, and the JVM default zone
     // may disagree around midnight.
@@ -36,7 +44,7 @@ object EtlRunner {
       s"$outBase/metadata", runId = s"run_$date", startDate = date)
     val t0 = System.nanoTime()
     val bronze = SilverEtl.readBronze(spark, bronzeBase, date)
-    val stats = SilverEtl.run(spark, bronze, cfg)
+    val stats = SilverEtl.run(spark, bronze, cfg, commit = protocol)
     val tSilver = (System.nanoTime() - t0) / 1e9
     println(f"[etl] silver: $stats in $tSilver%.1f s")
 
@@ -48,9 +56,9 @@ object EtlRunner {
         // date, not the bronze logical date; runIncremental matches
         // on-or-after, covering a silver run that crossed UTC midnight.
         GoldEtl.runIncremental(spark, cfg.silverPath, s"$outBase/gold",
-          processingDate)
+          processingDate, commit = protocol)
       case _ =>
-        GoldEtl.run(spark, cfg.silverPath, s"$outBase/gold")
+        GoldEtl.run(spark, cfg.silverPath, s"$outBase/gold", commit = protocol)
     }
     val tGold = (System.nanoTime() - t1) / 1e9
     println(f"[etl] gold ($goldMode) written in $tGold%.1f s to $outBase/gold")

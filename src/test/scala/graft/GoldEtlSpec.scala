@@ -188,9 +188,15 @@ class GoldEtlSpec extends SparkSuite {
       "2099-01-01", to_timestamp(lit("2025-01-16 13:00:00")))
     assert(noop.isEmpty)
     assert(spark.read.parquet(s"$incBase/gold").count() === before)
-    // same run through the object-store manifest protocol: identical gold
+    // same run through the object-store manifest protocol end to end
+    // (pointer silver + manifest-incremental gold): identical gold
     val pBase = java.nio.file.Files.createTempDirectory("graft_gold_ptr").toString
-    GoldEtl.runIncremental(spark, s"$base/silver", s"$pBase/gold",
+    graft.fixtures.BronzeFixtures.write(pBase)
+    val pCfg = SilverEtl.RunConfig(s"$pBase/silver", s"$pBase/quarantine",
+      s"$pBase/metadata", "ptr_inc_run", "2025-01-15")
+    SilverEtl.run(spark, SilverEtl.readBronze(spark, s"$pBase/bronze", "2025-01-15"),
+      pCfg, to_timestamp(lit("2025-01-15 12:00:00")), graft.store.PointerCommit)
+    GoldEtl.runIncremental(spark, s"$pBase/silver", s"$pBase/gold",
       "2025-01-15", to_timestamp(lit("2025-01-15 13:00:00")),
       commit = graft.store.PointerCommit)
     val ptrRead = graft.store.SnapshotStore.readPartitioned(spark,

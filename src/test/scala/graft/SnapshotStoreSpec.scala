@@ -155,6 +155,36 @@ class SnapshotStoreSpec extends SparkSuite {
       Seq("quality_tier", "year", "month")).count() === 2)
   }
 
+  test("full silver+gold pipeline over PointerCommit matches the directory-swap run") {
+    import graft.silver.SilverEtl
+    import graft.gold.GoldEtl
+    def pipeline(commit: graft.store.TableCommit): (String, Long) = {
+      val dir = Files.createTempDirectory("graft_e2e_ptr").toString
+      graft.fixtures.BronzeFixtures.write(dir)
+      val cfg = SilverEtl.RunConfig(s"$dir/silver", s"$dir/quarantine",
+        s"$dir/metadata", "ptr_run", "2025-01-15")
+      val bronze = SilverEtl.readBronze(spark, s"$dir/bronze", "2025-01-15")
+      val stats = SilverEtl.run(spark, bronze, cfg,
+        to_timestamp(lit("2025-01-15 12:00:00")), commit)
+      GoldEtl.run(spark, s"$dir/silver", s"$dir/gold",
+        to_timestamp(lit("2025-01-15 13:00:00")), commit)
+      (dir, stats.recordsWritten)
+    }
+    val (swapDir, swapWritten) = pipeline(DirectorySwapCommit)
+    val (ptrDir, ptrWritten) = pipeline(PointerCommit)
+    assert(ptrWritten === swapWritten)
+    // silver invariants hold through the pointer protocol
+    val ptrSilver = PointerCommit.read(spark, s"$ptrDir/silver")
+    assert(graft.scd.Scd2.violations(ptrSilver) === 0)
+    assert(ptrSilver.count() === spark.read.parquet(s"$swapDir/silver").count())
+    // gold parity: same project rows either way
+    val swapIds = spark.read.parquet(s"$swapDir/gold")
+      .select("project_id").collect().map(_.getString(0)).sorted
+    val ptrIds = PointerCommit.read(spark, s"$ptrDir/gold")
+      .select("project_id").collect().map(_.getString(0)).sorted
+    assert(ptrIds.toSeq === swapIds.toSeq)
+  }
+
   test("DirectorySwapCommit failed rename surfaces instead of losing the table") {
     import spark.implicits._
     val root = freshRoot()
