@@ -38,8 +38,11 @@ object StreamingOps {
         if (!batch.isEmpty) {
           val mapped = SilverEtl.applySchemaMapping(batch)
           val (valid, _) = SilverEtl.validate(mapped)
+          // as in the batch path: the _has_valid_* witness flags from
+          // validate() are run-internal and must not reach the table
           val enriched = SilverEtl.enrich(
             SilverEtl.standardize(SilverEtl.cleanse(valid)))
+            .drop("_has_valid_coords", "_has_valid_price")
           enriched.write.mode("append")
             .partitionBy("spider_name", "ingestion_year", "ingestion_month")
             .parquet(silverPath)

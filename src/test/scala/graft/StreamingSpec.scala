@@ -53,6 +53,9 @@ class StreamingSpec extends SparkSuite {
     runOnce() // AvailableNow again: no new files → no new rows
     val n2 = spark.read.parquet(s"$base/silver_stream").count()
     assert(n2 === n1)
+    // internal witness columns must not leak into the streamed table
+    assert(!spark.read.parquet(s"$base/silver_stream")
+      .columns.exists(_.startsWith("_")))
   }
 
   test("flatMapGroupsWithState sessionization emits on event-time idle timeout") {
