@@ -35,6 +35,33 @@ class DedupLshSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
   }
 
+  test("candidate generation keeps recall 1 on planted near-dups across random corpora") {
+    import spark.implicits._
+    // 5 independently-seeded corpora: 80 pseudo-random vectors (dim 32)
+    // each with 16 planted near-copies (±0.05% perturbation). Every
+    // planted pair must appear among the LSH candidates — the bands=8
+    // margin makes a miss at cos≈0.9999995 a ~1e-13 event per pair.
+    (1 to 5).foreach { seed =>
+      val base = (0 until 80).map { i =>
+        (i.toLong, Array.tabulate(32)(j =>
+          math.sin(seed * 7919 + i * 131 + j * 17) +
+            0.3 * math.cos(seed * 31 + i * 13 * j)))
+      }
+      val copies = base.filter(_._1 % 5 == 0).map { case (id, v) =>
+        (id + 1000L, v.zipWithIndex.map { case (x, j) =>
+          x * (1.0 + ((id + j) % 11 - 5) * 1e-4 / 2)
+        })
+      }
+      val corpus = (base ++ copies).toDF("id", "emb")
+      val cand = graft.operators.CosineLsh
+        .candidatePairs(corpus, "id", "emb", dim = 32)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val planted = base.filter(_._1 % 5 == 0).map(p => (p._1, p._1 + 1000L)).toSet
+      val missed = planted -- cand
+      assert(missed.isEmpty, s"seed $seed missed planted pairs: $missed")
+    }
+  }
+
   test("dd7 clusters collapse each planted duplicate into its original") {
     val out = DedupExtQueries.queries("dd7_neardup_clusters")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
