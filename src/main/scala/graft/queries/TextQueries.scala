@@ -24,6 +24,27 @@ object TextQueries {
   private val cleanText = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
 
   val queries: Map[String, Q] = Map(
+    // PII redaction for corpus curation: synthesize URL/email/phone into
+    // the document text deterministically, then run the production
+    // Transforms.redactPii (URL → EMAIL → PHONE pass order).
+    "tx11_pii_redact" -> ((s, d) => {
+      val withPii = documents(s, d).select(col("doc_id"),
+        concat(
+          substring(col("text"), 1, 60),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" visit https://ex.vn/p/"), col("doc_id").cast("string"),
+              lit("?u=a@b.com now"))).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" mail user"), col("doc_id").cast("string"),
+              lit(".vn@example.com.vn"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" call +84"), lpad((col("doc_id") % 1000000000L).cast("string"), 9, "5"),
+              lit(" or 09"), lpad((col("doc_id") % 10000000L).cast("string"), 8, "7")))
+            .otherwise(lit(""))).as("text"))
+      graft.transform.Transforms.redactPii(withPii, Seq("text"))
+        .orderBy("doc_id")
+    }),
+
     // token counting (whitespace tokenizer).
     "tx1_token_count" -> ((s, d) =>
       documents(s, d)
@@ -246,6 +267,22 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tx11_pii_redact" ->
+      """WITH withpii AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 60) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' visit https://ex.vn/p/' || CAST(doc_id AS VARCHAR) || '?u=a@b.com now' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' mail user' || CAST(doc_id AS VARCHAR) || '.vn@example.com.vn' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' call +84' || lpad(CAST(doc_id % 1000000000 AS VARCHAR), 9, '5') || ' or 09' || lpad(CAST(doc_id % 10000000 AS VARCHAR), 8, '7') ELSE '' END
+        |    AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '(\+84|0)[0-9]{9,10}', '<PHONE>', 'g') AS text
+        |FROM withpii ORDER BY doc_id""".stripMargin,
     "tx10_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id,

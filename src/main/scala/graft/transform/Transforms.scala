@@ -270,4 +270,21 @@ object Transforms {
       case None => df
     }
   }
+
+  /** PII redaction for training-data curation: URLs, emails, and
+    * Vietnamese-style phone numbers → placeholder tokens. URL first (an
+    * email-looking userinfo inside a URL must redact as part of the URL),
+    * then email, then phone. Patterns are RE2-compatible (no lookaround /
+    * backrefs) so external engines reproduce them exactly; codegen'd
+    * regexp_replace, one pass per pattern. */
+  def redactPii(df: DataFrame, textCols: Seq[String]): DataFrame =
+    textCols.filter(df.columns.contains).foldLeft(df) { (acc, c) =>
+      val noUrl = regexp_replace(col(c), "https?://[^\\s]+", "<URL>")
+      val noEmail = regexp_replace(noUrl,
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+      val noPhone = regexp_replace(noEmail,
+        "(\\+84|0)[0-9]{9,10}", "<PHONE>")
+      acc.withColumn(c,
+        when(col(c).isNotNull, noPhone).otherwise(col(c)))
+    }
 }
