@@ -1,0 +1,48 @@
+package graft
+
+/** Global plan-shape guard: no registered query may plan a
+  * CartesianProduct or BroadcastNestedLoopJoin — the all-pairs shapes
+  * that kill 100 TB runs — except a short whitelist where the shape is
+  * the documented design. A new query (or a refactor of an old one)
+  * that regresses into an all-pairs plan fails here immediately instead
+  * of surfacing as a bench cliff at scale.
+  */
+class PlanGuardSpec extends SparkSuite {
+
+  /** Queries whose nested-loop plan is deliberate, with the reason. */
+  private val allowedNestedLoop: Map[String, String] = Map(
+    "v2_ann_topk" -> ("brute-force exact ANN baseline: broadcast 10-query " +
+      "set against one corpus scan — the yardstick the bucketed paths are " +
+      "measured against"),
+    "v5_ann_ivf" -> ("broadcast 8-cell codebook crossJoin for cell " +
+      "assignment — the codebook is O(cells), not O(corpus)"),
+    "rj1_range_join" -> ("band/range theta join over a broadcast bands dim " +
+      "— bands side is tiny and fixed"),
+    "p8_outlier_4sigma" -> ("global (mu, sd) stats broadcast back as a " +
+      "1-row crossJoin — the no-driver-collect alternative to the " +
+      "reference's collect loop; broadcast side is O(1)"),
+    "dd3_ngram_jaccard" -> ("gram counting is an equi-join on gram (the " +
+      "scale path); the nested loop is only the doc_id < doc_id pair " +
+      "skeleton, bounded to 50 docs by design so zero-overlap pairs stay " +
+      "in the oracle output")
+  )
+
+  test("no registered query plans an all-pairs join outside the whitelist") {
+    val offenders = scala.collection.mutable.ListBuffer[String]()
+    val unusedWhitelist = scala.collection.mutable.Set(allowedNestedLoop.keys.toSeq: _*)
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, q) =>
+      val plan =
+        try q(spark, sf).queryExecution.executedPlan.toString
+        catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+      val bad = plan.contains("CartesianProduct") ||
+        plan.contains("BroadcastNestedLoopJoin")
+      if (bad && !allowedNestedLoop.contains(name)) offenders += name
+      if (bad) unusedWhitelist -= name
+    }
+    assert(offenders.isEmpty,
+      s"all-pairs plans outside the whitelist: ${offenders.mkString(", ")}")
+    // a whitelist entry whose query no longer needs it should be removed
+    assert(unusedWhitelist.isEmpty,
+      s"stale whitelist entries (no longer nested-loop): ${unusedWhitelist.mkString(", ")}")
+  }
+}
