@@ -26,6 +26,31 @@ object SamplingQueries {
         graft.operators.Splits.hashSplit(col("doc_id")).as("split"))
         .orderBy("doc_id")),
 
+    // CM1: train/eval contamination audit — an eval document is
+    // contaminated when any of its distinct character-8-grams appears
+    // anywhere in the train split (the n-gram-overlap decontamination
+    // check training pipelines run before eval). Linear shape: grams
+    // shuffle once on the gram key, the train gram set is an equi-join
+    // side — never a doc×doc comparison.
+    "cm1_split_contamination" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("text"),
+        graft.operators.Splits.hashSplit(col("doc_id")).as("split"))
+      val grams = docs.select(col("doc_id"), col("split"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, greatest(length(text) - 7, 1)), i -> substring(text, i, 8))")))
+          .as("g"))
+      val trainGrams = grams.filter(col("split") === "train")
+        .select("g").distinct()
+      val shared = grams.filter(col("split") === "eval")
+        .join(trainGrams, "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      docs.filter(col("split") === "eval").select("doc_id")
+        .join(shared, Seq("doc_id"), "left")
+        .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+        .withColumn("contaminated", col("n_shared") > 0)
+        .orderBy("doc_id")
+    }),
+
     // CP1: full corpus-curation composite (quality gate → lang filter →
     // exact dedup → MinHash-LSH near-dup clustering → canonical select →
     // content-hash split). Rows-only: MinHash internals aren't
@@ -105,6 +130,28 @@ object SamplingQueries {
       """SELECT doc_id,
         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
         |       THEN 'train' ELSE 'eval' END AS split
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "cm1_split_contamination" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+        |         THEN 'train' ELSE 'eval' END AS split
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, split,
+        |    UNNEST(list_distinct(list_transform(
+        |      generate_series(1, GREATEST(len(text) - 7, 1)),
+        |      i -> substr(text, CAST(i AS INT), 8)))) AS g
+        |  FROM docs),
+        |tg AS (SELECT DISTINCT g FROM grams WHERE split = 'train'),
+        |shared AS (
+        |  SELECT doc_id, COUNT(*) AS n_shared
+        |  FROM grams JOIN tg USING (g)
+        |  WHERE split = 'eval' GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(s.n_shared, 0) AS n_shared,
+        |  COALESCE(s.n_shared, 0) > 0 AS contaminated
+        |FROM docs d LEFT JOIN shared s USING (doc_id)
+        |WHERE d.split = 'eval'
+        |ORDER BY d.doc_id""".stripMargin
   )
 }
