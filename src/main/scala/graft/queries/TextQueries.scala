@@ -45,6 +45,26 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // TX12: context-window chunking — fixed-width character chunks with
+    // overlap (stride = width − overlap), the doc→training-sample
+    // explode every pretraining pipeline runs. Pure generator shape:
+    // sequence() of chunk starts → explode → substring; one narrow
+    // dependency, no shuffle at all until a downstream op needs one.
+    "tx12_chunking" -> ((s, d) => {
+      val width = 256
+      val stride = 224 // 32-char overlap
+      documents(s, d)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0),
+            greatest(expr(s"CAST((length(text) - 1) DIV $stride AS INT)"),
+              lit(0)))).as("k"))
+        .select(col("doc_id"), col("k").as("chunk_idx"),
+          col("text").substr(col("k") * stride + 1, lit(width)).as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          length(col("chunk")).as("chunk_len"), md5(col("chunk")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // token counting (whitespace tokenizer).
     "tx1_token_count" -> ((s, d) =>
       documents(s, d)
@@ -267,6 +287,13 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tx12_chunking" ->
+      """SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
+        |  CAST(len(substr(text, CAST(k AS INT) * 224 + 1, 256)) AS INTEGER) AS chunk_len,
+        |  md5(substr(text, CAST(k AS INT) * 224 + 1, 256)) AS chunk_md5
+        |FROM documents,
+        |  UNNEST(generate_series(0, GREATEST((len(text) - 1) // 224, 0))) t(k)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "tx11_pii_redact" ->
       """WITH withpii AS (
         |  SELECT doc_id,
