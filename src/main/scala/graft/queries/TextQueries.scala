@@ -65,6 +65,24 @@ object TextQueries {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // TX13: sequence packing — assign documents to fixed-capacity
+    // training bins (2048 tokens) by running token total per source
+    // shard: bin = floor(tokens_before_doc / capacity). One window pass
+    // per shard — the distributed analogue of greedy sample packing, and
+    // deterministic under re-runs (ordered by doc_id, no RNG).
+    "tx13_sequence_pack" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Long.MinValue, 0)
+      documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(trim(col("text")), "\\s+")).as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          expr("CAST((cum - n_tokens) DIV 2048 AS INT)").as("bin_idx"))
+        .orderBy("doc_id")
+    }),
+
     // token counting (whitespace tokenizer).
     "tx1_token_count" -> ((s, d) =>
       documents(s, d)
@@ -287,6 +305,19 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tx13_sequence_pack" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens
+        |  FROM documents),
+        |cums AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM toks)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST((cum - n_tokens) // 2048 AS INTEGER) AS bin_idx
+        |FROM cums ORDER BY doc_id""".stripMargin,
     "tx12_chunking" ->
       """SELECT doc_id, CAST(k AS INTEGER) AS chunk_idx,
         |  CAST(len(substr(text, CAST(k AS INT) * 224 + 1, 256)) AS INTEGER) AS chunk_len,
