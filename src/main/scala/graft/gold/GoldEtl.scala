@@ -15,11 +15,15 @@ object GoldEtl {
   // ------------------------------------------------------------ step 1
   /** Current-snapshot scan. `commit` picks the table protocol for the
     * READ side — a deployment runs one protocol across its lake, so
-    * run/runIncremental pass their own `commit` through. */
+    * run/runIncremental pass their own `commit` through. With the
+    * regioned silver layout this never opens the closed region at all:
+    * gold's input is O(live keys) regardless of how much history the
+    * silver table has accumulated. */
   def readSilver(spark: SparkSession, silverPath: String,
                  commit: graft.store.TableCommit =
-                   graft.store.DirectorySwapCommit): DataFrame =
-    commit.read(spark, silverPath).filter(col("is_current") === true)
+                   graft.store.DirectorySwapCommit,
+                 layout: graft.scd.SilverLayout = graft.scd.FlatLayout): DataFrame =
+    layout.readCurrent(spark, silverPath, commit)
 
   /** Silver only writes columns present in that day's bronze
     * (silver_etl_script.py:490-499 prunes to available columns), so a
@@ -178,12 +182,14 @@ object GoldEtl {
                      runDate: String,
                      clock: Column = current_timestamp(),
                      commit: graft.store.TableCommit =
-                       graft.store.DirectorySwapCommit): DataFrame = {
-    if (!commit.exists(spark, silverPath)) return spark.emptyDataFrame
+                       graft.store.DirectorySwapCommit,
+                     layout: graft.scd.SilverLayout = graft.scd.FlatLayout): DataFrame = {
+    if (!layout.exists(spark, silverPath, commit)) return spark.emptyDataFrame
     // on-or-after, not equality: a run that crosses UTC midnight stamps
     // some versions with the previous date (ISO strings compare
-    // lexicographically = chronologically).
-    val history = commit.read(spark, silverPath)
+    // lexicographically = chronologically). With the regioned layout the
+    // closed side of this scan prunes on its valid_to partitioning.
+    val history = layout.read(spark, silverPath, commit)
     val affected = history
       .filter(col("valid_from") >= runDate ||
         (col("valid_to").isNotNull && col("valid_to") >= runDate))
@@ -200,7 +206,7 @@ object GoldEtl {
       import spark.implicits._
       affectedKeys.toSeq.toDF("year", "month")
     }
-    val silver = conformToSilverSchema(readSilver(spark, silverPath, commit))
+    val silver = conformToSilverSchema(readSilver(spark, silverPath, commit, layout))
     val enhanced = Enhancement.enhanceSilverData(spark, silver)
     val features = engineerFeatures(spark, enhanced)
       .join(broadcast(affectedDim), Seq("year", "month"), "left_semi")
@@ -311,13 +317,14 @@ object GoldEtl {
   def run(spark: SparkSession, silverPath: String, goldPath: String,
           clock: Column = current_timestamp(),
           commit: graft.store.TableCommit =
-            graft.store.DirectorySwapCommit): DataFrame = {
-    if (!commit.exists(spark, silverPath)) {
+            graft.store.DirectorySwapCommit,
+          layout: graft.scd.SilverLayout = graft.scd.FlatLayout): DataFrame = {
+    if (!layout.exists(spark, silverPath, commit)) {
       // no silver table yet (e.g. first day was empty): no-op instead of
       // PATH_NOT_FOUND — gold stays absent until silver exists.
       return spark.emptyDataFrame
     }
-    val silver = conformToSilverSchema(readSilver(spark, silverPath, commit))
+    val silver = conformToSilverSchema(readSilver(spark, silverPath, commit, layout))
     val enhanced = Enhancement.enhanceSilverData(spark, silver)
     val features = engineerFeatures(spark, enhanced)
     val tiered = assignQualityTiers(features)

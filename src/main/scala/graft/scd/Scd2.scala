@@ -1,18 +1,35 @@
 package graft.scd
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.store.{DirectorySwapCommit, TableCommit}
+import org.apache.spark.storage.StorageLevel
+import graft.store.{DirectorySwapCommit, PointerCommit, SnapshotStore, TableCommit}
 
 /** Parquet-native SCD Type 2 (reference: silver_etl_script.py:916-966,
   * Delta MERGE whenMatchedUpdate → close-out + append).
   *
   * No Delta jar ships in this runtime, so the merge is a join-based
-  * rewrite: current snapshot ⟕ new batch on (universal_id, is_current);
-  * matched rows whose business attributes changed are closed out
-  * (is_current=false, valid_to=asOfDate), everything else passes through,
-  * the new batch appends, and the result lands via write-to-temp + atomic
-  * directory swap.
+  * rewrite. Two layouts:
+  *
+  *  - [[merge]] — the reference-parity single table: the whole history
+  *    lives at `path` and every merge republishes it. Simple, but write
+  *    volume is O(history) per run — at 100 TB of accumulated history a
+  *    daily merge rewrites years of immutable closed-out rows.
+  *  - [[mergeRegioned]] — the scale layout: `path/current` holds only the
+  *    live rows (rewritten per merge, O(live keys) — bounded by the
+  *    active listing set, not by time), and `path/closed` is APPEND-ONLY
+  *    (each merge adds just that day's close-outs, partitioned by
+  *    `valid_to` for pruned history scans). This matches what Delta MERGE
+  *    actually touches — only files containing matched rows — without a
+  *    transaction log: closed rows are immutable, so the append needs no
+  *    rewrite, and the current region is the only mutable surface.
+  *
+  * Both layouts share one merge core ([[splitCurrent]]): a single
+  * full-outer join of the current rows against the batch yields all three
+  * row classes (retained current, newly closed, new/changed versions) in
+  * one shuffle — the round-3 shape joined the snapshot against the batch
+  * twice.
   *
   * Note: the reference's merge change-predicate names target.phone/email —
   * columns absent from SILVER_SCHEMA — so its Delta merge always throws and
@@ -30,9 +47,65 @@ import graft.store.{DirectorySwapCommit, TableCommit}
 object Scd2 {
 
   val DefaultChangeColumns: Seq[String] = Seq("project_name", "address")
+  val DefaultPartitionColumns: Seq[String] =
+    Seq("spider_name", "ingestion_year", "ingestion_month")
 
-  /** Close out changed current rows and append the new batch.
-    * Returns the post-merge snapshot row count.
+  // ------------------------------------------------------------------
+  // fused merge core
+  // ------------------------------------------------------------------
+
+  /** One full-outer join of the CURRENT rows against the new batch,
+    * classifying every key in a single shuffle:
+    *
+    *  - current only, or matched-unchanged  → retained current row
+    *  - batch only, or matched-changed      → batch row becomes current
+    *  - matched-changed                     → current row closed out
+    *
+    * Returns (newCurrent, newlyClosed, joined). `joined` is persisted
+    * (MEMORY_AND_DISK) because both outputs — written to different
+    * destinations — derive from it; the caller unpersists after
+    * publishing. The persisted frame is O(current + batch), never
+    * O(history). */
+  private def splitCurrent(cur: DataFrame, newBatch: DataFrame,
+                           changeColumns: Seq[String], asOfDate: Column)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val usableCols = changeColumns.filter(c =>
+      cur.columns.contains(c) && newBatch.columns.contains(c))
+    // batch side fully prefixed: the two sides share most column names
+    val srcCols = newBatch.columns.toSeq
+    val source = newBatch.select(srcCols.map(c => col(c).as(s"_src_$c")): _*)
+    // No forced broadcast hint: a typical daily batch is small and AQE
+    // will broadcast it from runtime size estimates, but a backfill-sized
+    // batch under a mandatory hint would OOM the driver — let the
+    // planner choose.
+    val joined = cur
+      .join(source, col("universal_id") === col("_src_universal_id"),
+        "full_outer")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val curHit = col("universal_id").isNotNull
+    val srcHit = col("_src_universal_id").isNotNull
+    val changed = usableCols.map(c => !(col(c) <=> col(s"_src_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+
+    val retained = joined.filter(curHit && (!srcHit || !changed))
+      .select(cur.columns.map(col).toSeq: _*)
+    val fromBatch = joined.filter(srcHit && (!curHit || changed))
+      .select(srcCols.map(c => col(s"_src_$c").as(c)): _*)
+    val newCurrent = retained.unionByName(fromBatch, allowMissingColumns = true)
+    val newlyClosed = joined.filter(curHit && srcHit && changed)
+      .select(cur.columns.map(col).toSeq: _*)
+      .withColumn("is_current", lit(false))
+      .withColumn("valid_to", asOfDate)
+    (newCurrent, newlyClosed, joined)
+  }
+
+  // ------------------------------------------------------------------
+  // reference-parity single-table layout
+  // ------------------------------------------------------------------
+
+  /** Close out changed current rows and append the new batch; the whole
+    * history republishes at `path`. Returns the post-merge snapshot row
+    * count. Prefer [[mergeRegioned]] where history outgrows the live set.
     *
     * `commit` picks how the rewrite becomes visible: the default
     * [[DirectorySwapCommit]] (tmp-write + dir rename, atomic on
@@ -42,8 +115,7 @@ object Scd2 {
   def merge(spark: SparkSession, newBatch: DataFrame, path: String,
             changeColumns: Seq[String] = DefaultChangeColumns,
             asOfDate: Column = to_date(current_timestamp()).cast("string"),
-            partitionColumns: Seq[String] =
-              Seq("spider_name", "ingestion_year", "ingestion_month"),
+            partitionColumns: Seq[String] = DefaultPartitionColumns,
             commit: TableCommit = DirectorySwapCommit): Long = {
     // existence via the commit protocol (probing the TARGET's own
     // filesystem/pointer): a wrong probe here would misread an existing
@@ -52,47 +124,154 @@ object Scd2 {
       return commit.publish(newBatch, path, partitionColumns)
 
     val existing = commit.read(spark, path)
-    val usableCols = changeColumns.filter(c =>
-      existing.columns.contains(c) && newBatch.columns.contains(c))
-    // source side with disambiguated names. No forced broadcast hint: a
-    // typical daily batch is small and AQE will broadcast it on its own
-    // (runtime size estimate), but a backfill-sized batch under a
-    // mandatory hint would OOM the driver — let the planner choose.
-    val source = newBatch.select(
-      (col("universal_id").as("_src_uid") +:
-        usableCols.map(c => col(c).as(s"_src_$c"))): _*)
-    val changed = usableCols.map(c => !(col(c) <=> col(s"_src_$c")))
-      .reduceOption(_ || _).getOrElse(lit(false))
-
-    val closedOut = existing
-      .join(source,
-        col("universal_id") === col("_src_uid") && col("is_current") === true,
-        "left")
-      .withColumn("_close", col("_src_uid").isNotNull && changed)
-      .withColumn("is_current",
-        when(col("_close"), lit(false)).otherwise(col("is_current")))
-      .withColumn("valid_to",
-        when(col("_close"), asOfDate).otherwise(col("valid_to")))
-      .select(existing.columns.map(col): _*)
-
-    // Append only NEW or CHANGED rows. (The reference appends the whole
-    // batch — silver_etl_script.py:946-951 — which duplicates is_current
-    // rows for unchanged keys; fixed here to keep the SCD2 invariant of
-    // ≤1 current row per universal_id.)
-    val currentKeys = existing.filter(col("is_current") === true).select(
-      (col("universal_id").as("_cur_uid") +:
-        usableCols.map(c => col(c).as(s"_cur_$c"))): _*)
-    val curChanged = usableCols.map(c => !(col(c) <=> col(s"_cur_$c")))
-      .reduceOption(_ || _).getOrElse(lit(false))
-    // no broadcast hint: the snapshot-keys side is the big one at scale
-    val toAppend = newBatch
-      .join(currentKeys, col("universal_id") === col("_cur_uid"), "left")
-      .filter(col("_cur_uid").isNull || curChanged)
-      .drop((("_cur_uid" +: usableCols.map(c => s"_cur_$c"))): _*)
-
-    val merged = closedOut.unionByName(toAppend, allowMissingColumns = true)
-    commit.publish(merged, path, partitionColumns)
+    // rows already closed (or with a null flag, which the reference's
+    // merge condition never matches) pass through the rewrite untouched
+    val cur = existing.filter(col("is_current") === true)
+    val passThrough = existing.filter(!(col("is_current") <=> true))
+    val (newCurrent, newlyClosed, joined) =
+      splitCurrent(cur, newBatch, changeColumns, asOfDate)
+    val merged = passThrough
+      .unionByName(newlyClosed, allowMissingColumns = true)
+      .unionByName(newCurrent, allowMissingColumns = true)
+    try commit.publish(merged, path, partitionColumns)
+    finally joined.unpersist()
   }
+
+  // ------------------------------------------------------------------
+  // regioned layout: rewriteable current + append-only closed
+  // ------------------------------------------------------------------
+
+  def currentRoot(root: String): String =
+    new Path(root, "current").toString
+  def closedRoot(root: String): String =
+    new Path(root, "closed").toString
+
+  /** SCD2 merge with O(current + churn) write volume: the current region
+    * is republished (it holds one row per live key — bounded), and the
+    * day's close-outs APPEND to the closed region; closed rows written on
+    * previous days are never touched again. Returns the post-merge total
+    * row count (current + closed).
+    *
+    * Crash ordering: close-outs land before the current region flips. A
+    * writer that dies between the two steps leaves the table consistent
+    * for readers (old current region still live) and the re-run
+    * reproduces the same close-outs — which the append step dedups
+    * against the day's closed partition (a pruned O(day) read, not an
+    * O(history) scan), so the retry is idempotent. The opposite order
+    * would LOSE close-outs on a crash: once the current region flips, the
+    * changed keys no longer look changed and a re-run closes nothing. */
+  def mergeRegioned(spark: SparkSession, newBatch: DataFrame, root: String,
+                    changeColumns: Seq[String] = DefaultChangeColumns,
+                    asOfDate: Column = to_date(current_timestamp()).cast("string"),
+                    partitionColumns: Seq[String] = DefaultPartitionColumns,
+                    commit: TableCommit = DirectorySwapCommit): Long = {
+    val curPath = currentRoot(root)
+    if (!commit.exists(spark, curPath))
+      return commit.publish(newBatch, curPath, partitionColumns)
+
+    val cur = commit.read(spark, curPath)
+    val (newCurrent, newlyClosed, joined) =
+      splitCurrent(cur, newBatch, changeColumns, asOfDate)
+    try {
+      if (!newlyClosed.isEmpty)
+        appendClosed(spark, newlyClosed, closedRoot(root), commit)
+      commit.publish(newCurrent, curPath, partitionColumns)
+    } finally joined.unpersist()
+    readRegioned(spark, root, commit).count()
+  }
+
+  /** Append the day's close-outs to the closed region, partitioned by
+    * `valid_to` so history scans filtered on close date prune at the
+    * directory level.
+    *
+    *  - swap protocol: a plain SaveMode.Append — new files drop into the
+    *    day's partition dir, existing files untouched (append-only is
+    *    exactly what POSIX/HDFS/object stores all do well).
+    *  - pointer protocol: the batch lands in a fresh immutable version
+    *    dir and the new manifest carries every earlier batch forward by
+    *    reference (the [[SnapshotStore]] incremental-manifest mechanism);
+    *    the per-batch `close_batch` partition key keeps manifest entries
+    *    unique when two merges close rows on the same date. `vacuum`
+    *    keeps manifest-referenced versions, so earlier batches survive.
+    *
+    * Before writing, the batch is anti-joined against the SAME
+    * `valid_to` partition of the closed region — a pruned read of one
+    * day's close-outs — so a crash-retry of the same merge cannot
+    * duplicate close-out rows. */
+  private def appendClosed(spark: SparkSession, newlyClosed: DataFrame,
+                           closedPath: String, commit: TableCommit): Unit = {
+    val existingDay = readClosedRegion(spark, closedPath, commit).map { closed =>
+      val dates = newlyClosed.select("valid_to").distinct()
+      closed.join(broadcast(dates), Seq("valid_to"), "left_semi")
+        .select(col("universal_id").as("_dup_uid"), col("valid_from").as("_dup_vf"),
+          col("valid_to").as("_dup_vt"))
+    }
+    val deduped = existingDay match {
+      case Some(dup) => newlyClosed.join(dup,
+        col("universal_id") === col("_dup_uid") &&
+          col("valid_from") <=> col("_dup_vf") &&
+          col("valid_to") <=> col("_dup_vt"),
+        "left_anti")
+      case None => newlyClosed
+    }
+    commit match {
+      case PointerCommit =>
+        val prev = SnapshotStore.currentEntries(spark, closedPath, 2)
+          .getOrElse(Map.empty)
+        SnapshotStore.commit(spark, closedPath) { dir =>
+          val dirPath = new Path(dir)
+          val name = dirPath.getName
+          deduped.withColumn("close_batch", lit(name))
+            .write.mode(SaveMode.Overwrite)
+            .partitionBy("valid_to", "close_batch").parquet(dir)
+          val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val fresh = Option(fs.globStatus(
+            new Path(s"$dir/valid_to=*/close_batch=*")))
+            .getOrElse(Array.empty)
+            .map(_.getPath.toUri.getPath
+              .stripPrefix(dirPath.toUri.getPath).stripPrefix("/") -> name)
+            .toMap
+          SnapshotStore.writeManifest(spark, closedPath, name, prev ++ fresh)
+        }
+      case _ =>
+        deduped.write.mode(SaveMode.Append)
+          .partitionBy("valid_to").parquet(closedPath)
+    }
+  }
+
+  /** The closed region, if any close-out has ever been written.
+    * `valid_to` comes back as a (string) partition column. */
+  private def readClosedRegion(spark: SparkSession, closedPath: String,
+                               commit: TableCommit): Option[DataFrame] =
+    commit match {
+      case PointerCommit =>
+        if (!PointerCommit.exists(spark, closedPath)) None
+        else Some(SnapshotStore
+          .readPartitioned(spark, closedPath, Seq("valid_to", "close_batch"))
+          .drop("close_batch"))
+      case _ =>
+        val p = new Path(closedPath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) Some(spark.read.parquet(closedPath)) else None
+    }
+
+  /** Full history of a regioned table: current ∪ closed. */
+  def readRegioned(spark: SparkSession, root: String,
+                   commit: TableCommit = DirectorySwapCommit): DataFrame = {
+    val cur = commit.read(spark, currentRoot(root))
+    readClosedRegion(spark, closedRoot(root), commit) match {
+      case Some(closed) => cur.unionByName(closed, allowMissingColumns = true)
+      case None => cur
+    }
+  }
+
+  /** Only the live rows — a current-snapshot consumer (gold) never
+    * touches the closed region at all. */
+  def readRegionedCurrent(spark: SparkSession, root: String,
+                          commit: TableCommit = DirectorySwapCommit): DataFrame =
+    commit.read(spark, currentRoot(root))
+
+  // ------------------------------------------------------------------
 
   /** SCD2 invariant: at most one is_current row per universal_id. */
   def violations(snapshot: DataFrame): Long =
@@ -116,8 +295,7 @@ object Scd2 {
                clusterCols: Seq[String] =
                  Seq("universal_id", "spider_name", "ingestion_date"),
                numFiles: Int = 8,
-               partitionColumns: Seq[String] =
-                 Seq("spider_name", "ingestion_year", "ingestion_month"),
+               partitionColumns: Seq[String] = DefaultPartitionColumns,
                commit: TableCommit = DirectorySwapCommit): Long = {
     if (!commit.exists(spark, path)) return 0L
     val snapshot = commit.read(spark, path)
@@ -130,4 +308,51 @@ object Scd2 {
       .sortWithinPartitions(writeOrder.map(col): _*)
     commit.publish(clustered, path, partitionColumns)
   }
+}
+
+/** How the silver SCD2 table is laid out on disk — the seam that lets
+  * SilverEtl/GoldEtl/EtlRunner run either layout without caring which. */
+sealed trait SilverLayout {
+  /** Run the SCD2 merge for this layout; returns post-merge total rows. */
+  def merge(spark: SparkSession, newBatch: DataFrame, path: String,
+            asOfDate: Column, commit: TableCommit): Long
+  /** Full history (current + closed versions). */
+  def read(spark: SparkSession, path: String, commit: TableCommit): DataFrame
+  /** Only the live rows. */
+  def readCurrent(spark: SparkSession, path: String,
+                  commit: TableCommit): DataFrame
+  def exists(spark: SparkSession, path: String, commit: TableCommit): Boolean
+}
+
+/** Reference-parity single table: history and current rows interleave at
+  * `path`; every merge rewrites all of it. */
+case object FlatLayout extends SilverLayout {
+  override def merge(spark: SparkSession, newBatch: DataFrame, path: String,
+                     asOfDate: Column, commit: TableCommit): Long =
+    Scd2.merge(spark, newBatch, path, asOfDate = asOfDate, commit = commit)
+  override def read(spark: SparkSession, path: String,
+                    commit: TableCommit): DataFrame = commit.read(spark, path)
+  override def readCurrent(spark: SparkSession, path: String,
+                           commit: TableCommit): DataFrame =
+    commit.read(spark, path).filter(col("is_current") === true)
+  override def exists(spark: SparkSession, path: String,
+                      commit: TableCommit): Boolean = commit.exists(spark, path)
+}
+
+/** Scale layout: `path/current` rewriteable, `path/closed` append-only —
+  * per-merge write volume is O(live keys + day's churn), not O(history). */
+case object RegionedLayout extends SilverLayout {
+  override def merge(spark: SparkSession, newBatch: DataFrame, path: String,
+                     asOfDate: Column, commit: TableCommit): Long =
+    Scd2.mergeRegioned(spark, newBatch, path, asOfDate = asOfDate,
+      commit = commit)
+  override def read(spark: SparkSession, path: String,
+                    commit: TableCommit): DataFrame =
+    Scd2.readRegioned(spark, path, commit)
+  override def readCurrent(spark: SparkSession, path: String,
+                           commit: TableCommit): DataFrame =
+    Scd2.readRegionedCurrent(spark, path, commit)
+  override def exists(spark: SparkSession, path: String,
+                      commit: TableCommit): Boolean =
+    commit.exists(spark, Scd2.currentRoot(path))
 }

@@ -7,7 +7,6 @@ import org.apache.spark.sql.types._
 import graft.schema.{Mappings, Schemas}
 import graft.transform.Transforms
 import graft.quality.QualityChecks
-import graft.scd.Scd2
 
 /** Silver-layer ETL — the reference's 10-step batch pipeline
   * (silver_etl_script.py:1060-1113) as composable DataFrame stages.
@@ -382,7 +381,8 @@ object SilverEtl {
   def run(spark: SparkSession, bronze: DataFrame, cfg: RunConfig,
           clock: Column = current_timestamp(),
           commit: graft.store.TableCommit =
-            graft.store.DirectorySwapCommit): EtlStats = {
+            graft.store.DirectorySwapCommit,
+          layout: graft.scd.SilverLayout = graft.scd.FlatLayout): EtlStats = {
     val recordsRead = bronze.count()
     if (recordsRead == 0) {
       // empty day (no spider ran): no-op, matching the reference's
@@ -409,7 +409,7 @@ object SilverEtl {
       .drop("_has_valid_coords", "_has_valid_price").cache()
     val avgScore = enriched.agg(avg(col("data_completeness_score"))).head
       .getAs[Any](0) match { case d: java.lang.Double => d.doubleValue; case _ => 0.0 }
-    val written = Scd2.merge(spark, enriched, cfg.silverPath,
+    val written = layout.merge(spark, enriched, cfg.silverPath,
       asOfDate = to_date(clock).cast("string"), commit = commit)
     // step 10: quarantine + run-metadata sinks (:997-1041)
     if (recordsInvalid > 0)

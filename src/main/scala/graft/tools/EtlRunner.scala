@@ -8,7 +8,7 @@ import graft.gold.GoldEtl
 /** Production-shaped CLI for the silver + gold pipelines over arbitrary
   * bronze data (the spark-submit surface of the engine):
   *
-  *   sbt "runMain graft.tools.EtlRunner <bronzeBase> <yyyy-MM-dd> <outBase> [full|incremental] [swap|pointer]"
+  *   sbt "runMain graft.tools.EtlRunner <bronzeBase> <yyyy-MM-dd> <outBase> [full|incremental] [swap|pointer] [flat|regioned]"
   *
   * Reads bronze/{spider}/year=Y/month=M/<date>*.jsonl under bronzeBase,
   * runs the 10-stage silver ETL (SCD2 merge into outBase/silver,
@@ -18,7 +18,10 @@ import graft.gold.GoldEtl
   * silver churn — the steady-state daily mode once a full baseline
   * exists. Protocol `pointer` (default `swap`) publishes every table
   * through the object-store-safe versioned-snapshot pointer commit
-  * (graft.store.SnapshotStore) instead of directory renames. */
+  * (graft.store.SnapshotStore) instead of directory renames. Layout
+  * `regioned` (default `flat`) splits silver into a rewriteable current
+  * region and an append-only closed region, so each day's merge writes
+  * O(live keys + churn) instead of rewriting the whole history. */
 object EtlRunner {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3,
@@ -32,6 +35,12 @@ object EtlRunner {
       case other => throw new IllegalArgumentException(
         s"unknown protocol '$other' (use swap or pointer)")
     }
+    val layout: graft.scd.SilverLayout = args.lift(5).getOrElse("flat") match {
+      case "regioned" => graft.scd.RegionedLayout
+      case "flat" => graft.scd.FlatLayout
+      case other => throw new IllegalArgumentException(
+        s"unknown layout '$other' (use flat or regioned)")
+    }
     // captured BEFORE the silver run, in the session's UTC — the SCD2
     // valid_from/valid_to stamps are UTC dates, and the JVM default zone
     // may disagree around midnight.
@@ -44,7 +53,8 @@ object EtlRunner {
       s"$outBase/metadata", runId = s"run_$date", startDate = date)
     val t0 = System.nanoTime()
     val bronze = SilverEtl.readBronze(spark, bronzeBase, date)
-    val stats = SilverEtl.run(spark, bronze, cfg, commit = protocol)
+    val stats = SilverEtl.run(spark, bronze, cfg, commit = protocol,
+      layout = layout)
     val tSilver = (System.nanoTime() - t0) / 1e9
     println(f"[etl] silver: $stats in $tSilver%.1f s")
 
@@ -56,9 +66,10 @@ object EtlRunner {
         // date, not the bronze logical date; runIncremental matches
         // on-or-after, covering a silver run that crossed UTC midnight.
         GoldEtl.runIncremental(spark, cfg.silverPath, s"$outBase/gold",
-          processingDate, commit = protocol)
+          processingDate, commit = protocol, layout = layout)
       case _ =>
-        GoldEtl.run(spark, cfg.silverPath, s"$outBase/gold", commit = protocol)
+        GoldEtl.run(spark, cfg.silverPath, s"$outBase/gold", commit = protocol,
+          layout = layout)
     }
     val tGold = (System.nanoTime() - t1) / 1e9
     println(f"[etl] gold ($goldMode) written in $tGold%.1f s to $outBase/gold")

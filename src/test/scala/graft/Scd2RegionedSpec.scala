@@ -1,0 +1,195 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.scd.{FlatLayout, RegionedLayout, Scd2}
+import graft.store.PointerCommit
+
+/** The round-3 verdict's one scale-killer: the flat SCD2 merge rewrites
+  * the full history snapshot every run. The regioned layout must (a)
+  * produce byte-for-byte the same logical table as the flat merge, (b)
+  * never rewrite a previously-written close-out file — append-only
+  * closed region — and (c) keep per-day write volume proportional to
+  * live keys + churn, not to accumulated history. All three are pinned
+  * here, (b)/(c) by inventorying actual files on disk across a 3-day
+  * soak. */
+class Scd2RegionedSpec extends SparkSuite {
+
+  private def mkBatch(ids: Range, name: String, date: String) = {
+    import spark.implicits._
+    ids.map(i => (s"u$i", s"$name-$i", s"addr-$i", true, date, null: String,
+      "sp", "2025", "01"))
+      .toDF("universal_id", "project_name", "address", "is_current",
+        "valid_from", "valid_to", "spider_name", "ingestion_year",
+        "ingestion_month")
+  }
+
+  private def canon(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.toSeq
+    df.select(cols.map(col): _*).collect()
+      .map(_.toSeq.map(String.valueOf).mkString("|")).toSeq.sorted
+  }
+
+  /** (path, length) of every data file under `root`. */
+  private def inventory(root: String): Set[(String, Long)] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Set.empty
+    val it = fs.listFiles(p, true)
+    val b = Set.newBuilder[(String, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet"))
+        b += ((st.getPath.toUri.getPath, st.getLen))
+    }
+    b.result()
+  }
+
+  // day 1: 2000 keys; day 2: 400 updated + 200 new; day 3: 400 updated
+  private val day1 = 0 until 2000
+  private val day2upd = 0 until 400
+  private val day2new = 2000 until 2200
+  private val day3upd = 1000 until 1400
+
+  test("regioned merge equals flat merge across a 3-day churn sequence") {
+    val base = Files.createTempDirectory("graft_scd2_reg_eq").toString
+    val flat = s"$base/flat"
+    val reg = s"$base/reg"
+    def runDay(batch: DataFrame, date: String): (Long, Long) = {
+      val nFlat = Scd2.merge(spark, batch, flat, asOfDate = lit(date))
+      val nReg = Scd2.mergeRegioned(spark, batch, reg, asOfDate = lit(date))
+      (nFlat, nReg)
+    }
+    val d1 = runDay(mkBatch(day1, "v1", "2025-01-15"), "2025-01-15")
+    assert(d1._1 === d1._2)
+    val d2 = runDay(
+      mkBatch(day2upd, "v2", "2025-01-16")
+        .unionByName(mkBatch(day2new, "v1", "2025-01-16")), "2025-01-16")
+    assert(d2._1 === d2._2 && d2._1 === 2000 + 200 + 400)
+    val d3 = runDay(mkBatch(day3upd, "v3", "2025-01-17"), "2025-01-17")
+    assert(d3._1 === d3._2 && d3._1 === 2600 + 400)
+
+    val flatSnap = spark.read.parquet(flat)
+    val regSnap = Scd2.readRegioned(spark, reg)
+    assert(canon(flatSnap) === canon(regSnap))
+    assert(Scd2.violations(regSnap) === 0)
+    // the cheap consumer path: current region only, no history union
+    assert(Scd2.readRegionedCurrent(spark, reg).count() === 2200)
+    assert(RegionedLayout.readCurrent(spark, reg,
+      graft.store.DirectorySwapCommit).filter(col("is_current") === false)
+      .count() === 0)
+  }
+
+  test("closed region is append-only and write volume tracks churn, not history") {
+    val root = Files.createTempDirectory("graft_scd2_reg_soak").toString + "/t"
+    Scd2.mergeRegioned(spark, mkBatch(day1, "v1", "2025-01-15"), root,
+      asOfDate = lit("2025-01-15"))
+    val afterD1 = inventory(root)
+
+    Scd2.mergeRegioned(spark,
+      mkBatch(day2upd, "v2", "2025-01-16")
+        .unionByName(mkBatch(day2new, "v1", "2025-01-16")), root,
+      asOfDate = lit("2025-01-16"))
+    val afterD2 = inventory(root)
+    val closedAfterD2 = inventory(Scd2.closedRoot(root))
+
+    Scd2.mergeRegioned(spark, mkBatch(day3upd, "v3", "2025-01-17"), root,
+      asOfDate = lit("2025-01-17"))
+    val afterD3 = inventory(root)
+    val closedAfterD3 = inventory(Scd2.closedRoot(root))
+
+    // append-only: every closed file present after day 2 survives day 3
+    // at the same path and size — day 3 never rewrote day 2's closures
+    assert(closedAfterD2.subsetOf(closedAfterD3),
+      s"day-3 merge rewrote closed files: ${closedAfterD2 -- closedAfterD3}")
+
+    // write volume: each day's new bytes cover the current region
+    // (O(live keys)) plus that day's closures only. The flat layout
+    // would ALSO rewrite all prior closures, so its day-3 delta strictly
+    // exceeds the regioned one by the accumulated history. Proportions:
+    // day-3 current rewrite ≈ day-2's (live set 2600 vs 2200), day-3
+    // closed delta ≈ 400 rows — so the day-3 delta must stay within ~2x
+    // of day-2's even as history accumulates, and closed deltas must be
+    // small next to the current region.
+    def delta(b: Set[(String, Long)], a: Set[(String, Long)]): Long =
+      (a -- b).toSeq.map(_._2).sum
+    val d2Bytes = delta(afterD1, afterD2)
+    val d3Bytes = delta(afterD2, afterD3)
+    val d3Closed = delta(closedAfterD2, closedAfterD3)
+    assert(d3Bytes <= d2Bytes * 2,
+      s"day-3 write volume $d3Bytes not churn-proportional (day-2 $d2Bytes)")
+    // closures are 400 rows vs 2600 current — well under the current
+    // region's share of the day's write
+    assert(d3Closed < d3Bytes, s"closed delta $d3Closed >= total $d3Bytes")
+
+    // read-back correctness at the end of the soak
+    val snap = Scd2.readRegioned(spark, root)
+    assert(snap.count() === 3000)
+    assert(snap.filter(col("is_current") === false).count() === 800)
+    assert(Scd2.violations(snap) === 0)
+    // valid_to partitioning visible for pruned history scans
+    assert(closedAfterD3.exists(_._1.contains("valid_to=2025-01-16")))
+    assert(closedAfterD3.exists(_._1.contains("valid_to=2025-01-17")))
+  }
+
+  test("crash-retry of the same merge does not duplicate close-outs") {
+    val root = Files.createTempDirectory("graft_scd2_reg_retry").toString + "/t"
+    val d1 = mkBatch(0 until 300, "v1", "2025-01-15")
+    val d2 = mkBatch(0 until 100, "v2", "2025-01-16")
+    Scd2.mergeRegioned(spark, d1, root, asOfDate = lit("2025-01-15"))
+    Scd2.mergeRegioned(spark, d2, root, asOfDate = lit("2025-01-16"))
+    // simulate a writer that died AFTER appending closures but BEFORE
+    // publishing the new current region: restore day-1 current and
+    // re-run the same merge — the closed-region dedup must swallow the
+    // recomputed closures instead of appending them twice
+    graft.store.DirectorySwapCommit.publish(d1, Scd2.currentRoot(root),
+      Scd2.DefaultPartitionColumns)
+    Scd2.mergeRegioned(spark, d2, root, asOfDate = lit("2025-01-16"))
+    val snap = Scd2.readRegioned(spark, root)
+    assert(snap.filter(col("is_current") === false).count() === 100)
+    assert(Scd2.violations(snap) === 0)
+    assert(snap.count() === 400)
+  }
+
+  test("regioned merge under the pointer protocol: parity + vacuum keeps referenced batches") {
+    val root = Files.createTempDirectory("graft_scd2_reg_ptr").toString + "/t"
+    def day(batch: DataFrame, date: String): Long =
+      Scd2.mergeRegioned(spark, batch, root, asOfDate = lit(date),
+        commit = PointerCommit)
+    day(mkBatch(day1, "v1", "2025-01-15"), "2025-01-15")
+    day(mkBatch(day2upd, "v2", "2025-01-16")
+      .unionByName(mkBatch(day2new, "v1", "2025-01-16")), "2025-01-16")
+    val n3 = day(mkBatch(day3upd, "v3", "2025-01-17"), "2025-01-17")
+    assert(n3 === 3000)
+
+    // three closed-batch versions exist (v1 has no closures — appends
+    // started on day 2); vacuum with keepLast=1 must preserve the day-2
+    // batch dir because the current manifest still references it
+    val closed = Scd2.closedRoot(root)
+    graft.store.SnapshotStore.vacuum(spark, closed, keepLast = 1)
+    val snap = Scd2.readRegioned(spark, root, PointerCommit)
+    assert(snap.count() === 3000)
+    assert(snap.filter(col("is_current") === false).count() === 800)
+    assert(snap.filter(col("valid_to") === "2025-01-16").count() === 400)
+    assert(Scd2.violations(snap) === 0)
+
+    // layout seam: RegionedLayout routes read/readCurrent/exists
+    assert(RegionedLayout.exists(spark, root, PointerCommit))
+    assert(RegionedLayout.readCurrent(spark, root, PointerCommit).count() === 2200)
+    assert(canon(RegionedLayout.read(spark, root, PointerCommit)) === canon(snap))
+  }
+
+  test("FlatLayout keeps the reference-parity single-table behavior") {
+    val root = Files.createTempDirectory("graft_scd2_flat_seam").toString + "/t"
+    FlatLayout.merge(spark, mkBatch(0 until 50, "v1", "2025-01-15"), root,
+      lit("2025-01-15"), graft.store.DirectorySwapCommit)
+    FlatLayout.merge(spark, mkBatch(0 until 50, "v2", "2025-01-16"), root,
+      lit("2025-01-16"), graft.store.DirectorySwapCommit)
+    val snap = spark.read.parquet(root)
+    assert(snap.count() === 100)
+    assert(FlatLayout.readCurrent(spark, root,
+      graft.store.DirectorySwapCommit).count() === 50)
+  }
+}
