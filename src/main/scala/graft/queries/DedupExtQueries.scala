@@ -98,22 +98,29 @@ object DedupExtQueries {
 
     // winnowing-style fingerprint: the 4 smallest distinct xxhash64 values
     // over the document's character-8-grams (rows-only: engine-specific
-    // hash function by design). Shape: explode gram START POSITIONS, then
-    // substring+xxhash64 as codegen'd per-row expressions, then ONE
+    // hash function by design). Shape: CHUNKED position-explode — the
+    // document splits into 1 KiB chunks overlapping by gram-1 chars (an
+    // interpreted transform, but only len/1024 lambda evals per doc),
+    // then gram positions explode WITHIN each chunk, so every generated
+    // row carries a 1 KiB chunk instead of the whole document, and
+    // substring+xxhash64 stay codegen'd scalar expressions feeding ONE
     // ObjectHashAggregate pass with a k-bounded dedup buffer
-    // (graft.functions.BottomKLong) — no interpreted per-doc HOF arrays,
-    // no array_distinct materialization, no window sort of every gram.
-    // Measured 5x faster than transform+array_distinct at this corpus's
-    // doc sizes; note the generator carries `text` per position row
-    // (O(len²) bytes), so for very long documents flip to the
-    // gram-array-then-explode shape (see tx8) — crossover is where 64+
-    // interpreted array walks beat the duplicated-string volume.
+    // (graft.functions.BottomKLong). Bytes through the generator are
+    // O(len·1024), not the round-3 shape's O(len²) — linear in document
+    // length, so book-length documents no longer blow up the stage —
+    // while keeping the codegen hot path that beats a per-doc gram-hash
+    // HOF array 5x at this corpus's sizes (the chunk starts partition
+    // [1, len-7] exactly; equality with the round-3 shape pinned in
+    // BottomKSpec).
     "tx6_winnow_fingerprint" -> ((s, d) =>
       documents(s, d)
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(1), greatest(length(col("text")) - 7, lit(1))))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, greatest(length(text) - 7, 1), 1024), s -> substring(text, s, 1031))"))
+          .as("chunk"))
+        .select(col("doc_id"), col("chunk"),
+          explode(sequence(lit(1), greatest(length(col("chunk")) - 7, lit(1))))
             .as("i"))
-        .select(col("doc_id"), expr("xxhash64(substring(text, i, 8))").as("h"))
+        .select(col("doc_id"), expr("xxhash64(substring(chunk, i, 8))").as("h"))
         .groupBy("doc_id")
         // concat_ws: driver gate hashes columns via pandas, which can't
         // sort/hash raw array cells — serialize the 4 hashes to one string.
