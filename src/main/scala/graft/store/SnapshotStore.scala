@@ -63,6 +63,37 @@ object SnapshotStore {
         s"no $PointerFile pointer under $root — table never committed")
     }
 
+  /** All snapshot version names still on disk, ascending (oldest first).
+    * The version dirs ARE the table's history — this plus [[readAt]] is
+    * the time-travel surface (the one Delta affordance the reference
+    * leaned on, silver_etl_script.py:979-988 context). */
+  def versions(spark: SparkSession, root: String): Seq[String] = {
+    val snaps = new Path(root, SnapshotsDir)
+    val fs = fsOf(snaps, spark)
+    if (!fs.exists(snaps)) Seq.empty
+    else fs.listStatus(snaps).filter(_.isDirectory)
+      .map(_.getPath.getName).sorted.toSeq
+  }
+
+  /** Version-pinned read: the table exactly as snapshot `name` published
+    * it, regardless of how many commits have happened since. Works for
+    * both full snapshots (plain parquet dir) and manifest snapshots
+    * (partitions resolved through that version's OWN manifest — including
+    * partitions it carried forward by reference from older versions).
+    * Throws FileNotFoundException once [[vacuum]] has collected the
+    * version; retention is the `keepLast` window plus anything a kept
+    * manifest still references. */
+  def readAt(spark: SparkSession, root: String, name: String): DataFrame =
+    readManifest(spark, root, name) match {
+      case Some(entries) => readEntries(spark, root, entries)
+      case None =>
+        val dir = new Path(new Path(root, SnapshotsDir), name)
+        val fs = fsOf(dir, spark)
+        if (!fs.exists(dir)) throw new java.io.FileNotFoundException(
+          s"snapshot $name not found under $root — never published or vacuumed")
+        spark.read.parquet(dir.toString)
+    }
+
   /** Write a new snapshot via `write(dir)` then publish it by atomically
     * replacing the pointer. The write happens entirely inside a fresh
     * version dir invisible to readers; only the final single-file pointer
@@ -97,23 +128,29 @@ object SnapshotStore {
     fc.rename(tmp, ptr, Options.Rename.OVERWRITE)
   }
 
-  /** Delete snapshot dirs that are neither current, nor referenced by
-    * the current manifest (an incremental snapshot carries unchanged
-    * partitions by reference to older version dirs), nor among the
-    * `keepLast` highest sequence numbers — superseded snapshots plus
-    * orphans from writer crashes. Returns the number deleted. Safe to run
-    * concurrently with readers of the current snapshot: nothing the
-    * current version can reach is ever deleted. */
+  /** Delete snapshot dirs that are not retained — superseded snapshots
+    * plus orphans from writer crashes. Retained = the `keepLast` highest
+    * sequence numbers, the current version, and (to fixpoint) every
+    * version any retained manifest references — an incremental snapshot
+    * carries unchanged partitions by reference to older version dirs, so
+    * a kept version must keep its references alive or [[readAt]] on it
+    * would dangle. Returns the number deleted. Safe to run concurrently
+    * with readers of the current snapshot: nothing a retained version
+    * can reach is ever deleted. */
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 2): Int = {
     val snaps = new Path(root, SnapshotsDir)
     val fs = fsOf(snaps, spark)
     if (!fs.exists(snaps)) return 0
     val current = currentName(spark, root)
-    val referenced = current.flatMap(readManifest(spark, root, _))
-      .map(_.values.toSet).getOrElse(Set.empty)
     val all = fs.listStatus(snaps).filter(_.isDirectory).map(_.getPath.getName)
-    val keep = all.sorted.takeRight(math.max(keepLast, 1)).toSet ++
-      current ++ referenced
+    var keep = all.sorted.takeRight(math.max(keepLast, 1)).toSet ++ current
+    var frontier = keep
+    while (frontier.nonEmpty) {
+      val refs = frontier.flatMap(n =>
+        readManifest(spark, root, n).map(_.values.toSet).getOrElse(Set.empty))
+      frontier = refs -- keep
+      keep ++= frontier
+    }
     val victims = all.filterNot(keep.contains)
     victims.foreach { n =>
       fs.delete(new Path(snaps, n), true)
@@ -186,10 +223,17 @@ object SnapshotStore {
     * segments (stringly-typed, matching partition-type inference off). */
   def readPartitioned(spark: SparkSession, root: String,
                       partitionColumns: Seq[String]): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.lit
     val entries = currentEntries(spark, root, partitionColumns.length)
       .getOrElse(throw new java.io.FileNotFoundException(
         s"no $PointerFile pointer under $root — table never committed"))
+    readEntries(spark, root, entries)
+  }
+
+  /** Union of manifest entries: each referenced partition dir with its
+    * partition values re-attached from the relative-path segments. */
+  private def readEntries(spark: SparkSession, root: String,
+                          entries: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.functions.lit
     val parts = entries.toSeq.sorted.map { case (rel, ver) =>
       val dir = new Path(new Path(new Path(root, SnapshotsDir), ver), rel)
       val kvs = rel.split('/').map { seg =>

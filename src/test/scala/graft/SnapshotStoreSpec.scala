@@ -185,6 +185,118 @@ class SnapshotStoreSpec extends SparkSuite {
     assert(ptrIds.toSeq === swapIds.toSeq)
   }
 
+  test("readAt pins a version: old snapshots stay readable after new commits") {
+    import spark.implicits._
+    val root = freshRoot()
+    PointerCommit.publish(Seq((1, "a")).toDF("id", "v"), root, Nil)
+    PointerCommit.publish(Seq((1, "a2"), (2, "b")).toDF("id", "v"), root, Nil)
+    PointerCommit.publish(Seq((3, "c")).toDF("id", "v"), root, Nil)
+    assert(SnapshotStore.versions(spark, root) ===
+      Seq("v000000001", "v000000002", "v000000003"))
+    // v1 exactly as published, after two later commits
+    val v1 = SnapshotStore.readAt(spark, root, "v000000001")
+    assert(v1.collect().map(r => (r.getInt(0), r.getString(1))).toSeq ===
+      Seq((1, "a")))
+    assert(SnapshotStore.readAt(spark, root, "v000000002").count() === 2)
+    // the live read still resolves through the pointer
+    assert(SnapshotStore.read(spark, root).count() === 1)
+    // a vacuumed version is gone for good — readAt says so
+    SnapshotStore.vacuum(spark, root, keepLast = 1)
+    intercept[java.io.FileNotFoundException] {
+      SnapshotStore.readAt(spark, root, "v000000001")
+    }
+    // the current version still reads pinned
+    assert(SnapshotStore.readAt(spark, root, "v000000003").count() === 1)
+  }
+
+  test("readAt resolves manifest snapshots, and vacuum keeps what kept manifests reference") {
+    import spark.implicits._
+    import graft.gold.GoldEtl
+    val root = freshRoot()
+    def frame(rows: Seq[(String, String, Int, Int)]) =
+      rows.toDF("project_id", "quality_tier", "year", "month")
+    // v1 writes both month groups; v2 and v3 each touch only month 2,
+    // so both their manifests carry month 1 forward by reference to v1
+    GoldEtl.publishIncrementalManifest(spark, root,
+      frame(Seq(("p1", "high", 2025, 1), ("p2", "low", 2025, 2))),
+      Array((2025, 1), (2025, 2)))
+    GoldEtl.publishIncrementalManifest(spark, root,
+      frame(Seq(("p3", "low", 2025, 2))), Array((2025, 2)))
+    GoldEtl.publishIncrementalManifest(spark, root,
+      frame(Seq(("p4", "low", 2025, 2))), Array((2025, 2)))
+
+    // pinned read of the middle manifest version: month-1 data via the
+    // v1 reference + its own month-2 write
+    val v2 = SnapshotStore.readAt(spark, root, "v000000002")
+    assert(v2.select("project_id").collect().map(_.getString(0)).sorted
+      .toSeq === Seq("p1", "p3"))
+
+    // keepLast=2 retains v2+v3; v1 is older BUT both kept manifests
+    // reference its month-1 partition — the round-3 vacuum only honored
+    // the CURRENT manifest's references, which would have left v2
+    // readable but dangling had v3 rewritten month 1
+    val removed = SnapshotStore.vacuum(spark, root, keepLast = 2)
+    assert(removed === 0)
+    assert(SnapshotStore.readAt(spark, root, "v000000002").count() === 2)
+    assert(SnapshotStore.readAt(spark, root, "v000000003")
+      .select("project_id").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("p1", "p4"))
+
+    // shrinking the window to 1 still keeps v1 alive transitively (the
+    // current manifest needs it), but v2 goes
+    SnapshotStore.vacuum(spark, root, keepLast = 1)
+    assert(SnapshotStore.readPartitioned(spark, root,
+      Seq("quality_tier", "year", "month")).count() === 2)
+    intercept[java.io.FileNotFoundException] {
+      SnapshotStore.readAt(spark, root, "v000000002")
+    }
+  }
+
+  test("PointerCommit runs end-to-end on an s3a:// scheme (fake object store)") {
+    import spark.implicits._
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.impl", classOf[FakeS3AFileSystem].getName)
+    hc.set("fs.AbstractFileSystem.s3a.impl",
+      classOf[FakeS3AAbstractFileSystem].getName)
+    val local = Files.createTempDirectory("graft_fake_s3").toString
+    val root = s"s3a://test-bucket$local/table"
+
+    PointerCommit.publish(Seq((1, "a"), (2, "b")).toDF("id", "v"), root, Nil)
+    assert(PointerCommit.exists(spark, root))
+    assert(PointerCommit.read(spark, root).count() === 2)
+    PointerCommit.publish(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"),
+      root, Nil)
+    assert(PointerCommit.read(spark, root).count() === 3)
+    assert(SnapshotStore.versions(spark, root) ===
+      Seq("v000000001", "v000000002"))
+    assert(SnapshotStore.readAt(spark, root, "v000000001").count() === 2)
+
+    // the versioned layout physically landed under the fake bucket's
+    // local backing dir — proof the s3a FileSystem carried the writes
+    assert(Files.exists(java.nio.file.Paths.get(s"$local/table/_CURRENT")))
+    assert(Files.exists(java.nio.file.Paths.get(
+      s"$local/table/_snapshots/v000000002")))
+
+    // a regioned SCD2 merge (current rewrite + manifest-append closed
+    // region) over the same scheme: the full multi-table protocol
+    def batch(ids: Range, name: String, date: String) = {
+      ids.map(i => (s"u$i", s"$name-$i", s"addr-$i", true, date,
+        null: String, "sp", "2025", "01"))
+        .toDF("universal_id", "project_name", "address", "is_current",
+          "valid_from", "valid_to", "spider_name", "ingestion_year",
+          "ingestion_month")
+    }
+    val scdRoot = s"s3a://test-bucket$local/silver"
+    Scd2.mergeRegioned(spark, batch(0 until 40, "v1", "2025-01-15"), scdRoot,
+      asOfDate = lit("2025-01-15"), commit = PointerCommit)
+    val n = Scd2.mergeRegioned(spark, batch(0 until 10, "v2", "2025-01-16"),
+      scdRoot, asOfDate = lit("2025-01-16"), commit = PointerCommit)
+    assert(n === 50)
+    val snap = Scd2.readRegioned(spark, scdRoot, PointerCommit)
+    assert(snap.filter(col("is_current") === false).count() === 10)
+    assert(Scd2.violations(snap) === 0)
+  }
+
   test("DirectorySwapCommit failed rename surfaces instead of losing the table") {
     import spark.implicits._
     val root = freshRoot()
