@@ -21,7 +21,8 @@ object SparkEntry {
       WindowedAggQueries.queries ++ CoverageQueries.queries ++
       DedupExtQueries.queries ++ ExtraWindowQueries.queries ++
       AnalyticQueries.queries ++ SamplingQueries.queries ++
-      RefOpQueries.queries ++ MultimodalQueries.queries
+      RefOpQueries.queries ++ MultimodalQueries.queries ++
+      WritePathQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       WindowedAggQueries.oracle ++ CoverageQueries.oracle ++
       DedupExtQueries.oracle ++ ExtraWindowQueries.oracle ++
       AnalyticQueries.oracle ++ SamplingQueries.oracle ++
-      RefOpQueries.oracle ++ MultimodalQueries.oracle
+      RefOpQueries.oracle ++ MultimodalQueries.oracle ++
+      WritePathQueries.oracle
 }

@@ -1,0 +1,463 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.gold.GoldEtl
+import graft.scd.{FlatLayout, Scd2}
+import graft.silver.SilverEtl
+import graft.store.{PointerCommit, SnapshotStore}
+
+/** Driver-visible gate coverage for the WRITE path (SURVEY §2 S2–S11, P6)
+  * — the round-3 verdict's "what's missing" item 1: the sinks were green
+  * only via ScalaTest goldens, invisible to CORRECTNESS_r*.json.
+  *
+  * Each query here builds a deterministic fixture FROM the sf tables
+  * (so DuckDB can recompute the expected result from the same parquet),
+  * runs the production write path — SCD2 merge (flat and regioned),
+  * optimize, pointer-commit time travel + vacuum, dynamic partition
+  * overwrite, append+mergeSchema, quarantine/metadata sinks, the full
+  * gold ETL — into a FRESH temp dir per invocation, and returns the
+  * READ-BACK table. What's gated is therefore the storage machinery
+  * end-to-end: partitioned writes, hive read-back typing (partition
+  * values come back as strings), merge semantics, commit protocols.
+  *
+  * Oracle-parity details: every numeric literal in the oracles is CAST
+  * to DOUBLE (a bare 0.9 parses as DECIMAL in DuckDB and its decimal
+  * arithmetic diverges from IEEE doubles); transcendental outputs
+  * (ln) round to 6 places (the m5 rule); exact IEEE ops (+ - * /) are
+  * left unrounded; ORDER BY casts the string key back to BIGINT so both
+  * engines sort numerically.
+  */
+object WritePathQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  private val ScdCols = Seq("universal_id", "project_name", "address",
+    "is_current", "valid_from", "valid_to", "spider_name",
+    "ingestion_year", "ingestion_month")
+
+  /** Day-1 SCD2 batch: every customer becomes a current row. */
+  private def scdDay1(s: SparkSession, d: String): DataFrame = {
+    val ck = col("c_custkey")
+    customer(s, d).select(
+      ck.cast("string").as("universal_id"),
+      col("c_name").as("project_name"),
+      col("c_mktsegment").as("address"),
+      lit(true).as("is_current"),
+      lit("2025-01-15").as("valid_from"),
+      lit(null).cast("string").as("valid_to"),
+      concat(lit("sp"), (ck % 3).cast("string")).as("spider_name"),
+      lit("2025").as("ingestion_year"),
+      lit("01").as("ingestion_month"))
+  }
+
+  /** Day-2 batch: every 7th key renamed (→ close-out + new version),
+    * every 13th key re-appears under a shifted id (→ brand-new row). */
+  private def scdDay2(s: SparkSession, d: String): DataFrame = {
+    val ck = col("c_custkey")
+    val c = customer(s, d)
+    val upd = c.filter(ck % 7 === 0).select(
+      ck.cast("string").as("universal_id"),
+      concat(col("c_name"), lit(" v2")).as("project_name"),
+      col("c_mktsegment").as("address"),
+      lit(true).as("is_current"),
+      lit("2025-01-16").as("valid_from"),
+      lit(null).cast("string").as("valid_to"),
+      concat(lit("sp"), (ck % 3).cast("string")).as("spider_name"),
+      lit("2025").as("ingestion_year"),
+      lit("01").as("ingestion_month"))
+    val fresh = c.filter(ck % 13 === 0).select(
+      (ck + 3000000).cast("string").as("universal_id"),
+      concat(lit("NEW "), col("c_name")).as("project_name"),
+      col("c_mktsegment").as("address"),
+      lit(true).as("is_current"),
+      lit("2025-01-16").as("valid_from"),
+      lit(null).cast("string").as("valid_to"),
+      concat(lit("sp"), (ck % 3).cast("string")).as("spider_name"),
+      lit("2025").as("ingestion_year"),
+      lit("01").as("ingestion_month"))
+    upd.unionByName(fresh)
+  }
+
+  /** Run the 2-day flat merge into a fresh dir; returns the table path. */
+  private def runFlatScenario(s: SparkSession, d: String): String = {
+    val root = tmp("graft_gate_scd2")
+    Scd2.merge(s, scdDay1(s, d), root, asOfDate = lit("2025-01-15"))
+    Scd2.merge(s, scdDay2(s, d), root, asOfDate = lit("2025-01-16"))
+    root
+  }
+
+  private def orderedScd(df: DataFrame): DataFrame =
+    df.select(ScdCols.map(col): _*)
+      .orderBy(col("universal_id").cast("long"), col("is_current"))
+
+  /** Deterministic complete-enough silver table for the gold ETL: prices
+    * always present (imputation must be a no-op), coordinates missing on
+    * every 5th key (tier demotion + geocode-miss path — the districts
+    * are deliberately absent from the centroid dim). */
+  private def silverFixture(s: SparkSession, d: String): DataFrame = {
+    val ck = col("c_custkey")
+    customer(s, d).select(
+      ck.cast("string").as("universal_id"),
+      concat(lit("src"), ck.cast("string")).as("source_id"),
+      concat(lit("sp"), (ck % 3).cast("string")).as("spider_name"),
+      col("c_name").as("project_name"),
+      when(ck % 3 === 0, "Hanoi").when(ck % 3 === 1, "Ho Chi Minh")
+        .otherwise("Da Nang").as("city"),
+      // "Zone N", not "District N": HCMC's real districts ARE named
+      // "District 1..10" and live in the centroid dim — a name collision
+      // would geocode the planted missing-coord rows
+      concat(lit("Zone "), (ck % 12).cast("string")).as("district"),
+      concat(lit("Ward "), (ck % 20).cast("string")).as("ward"),
+      when(ck % 5 === 0, lit(null).cast("double"))
+        .otherwise(lit(10.0) + (ck % 80).cast("double") * 0.1).as("latitude"),
+      when(ck % 5 === 0, lit(null).cast("double"))
+        .otherwise(lit(105.0) + (ck % 40).cast("double") * 0.1).as("longitude"),
+      (lit(4.0e7) + (ck % 100).cast("double") * 1.0e5).as("avg_unit_price"),
+      (lit(50.0) + (ck % 200).cast("double")).as("total_area"),
+      (lit(10) + ck % 50).cast("int").as("total_property"),
+      (lit(5) + ck % 30).cast("int").as("number_of_floors"),
+      (lit(1) + ck % 2).cast("int").as("min_bedroom"),
+      (lit(3) + ck % 2).cast("int").as("max_bedroom"),
+      (ck % 2 === 0).as("has_swimming_pool"),
+      (ck % 3 === 0).as("has_gym"),
+      (ck % 5 === 0).as("has_parking"),
+      lit(false).as("has_garden"),
+      lit(true).as("has_security"),
+      (ck % 7 === 0).as("has_playground"),
+      concat(lit("Dev "), (ck % 10).cast("string")).as("developer_name"),
+      lit(null).cast("string").as("investor_name"),
+      lit("2025-01-15").as("ingestion_date"),
+      lit(true).as("is_current"))
+      .withColumn("avg_selling_price", col("avg_unit_price") * col("total_area"))
+      .withColumn("min_selling_price", col("avg_selling_price") * 0.9)
+      .withColumn("max_selling_price", col("avg_selling_price") * 1.1)
+      .withColumn("construction_area", col("total_area") * 0.6)
+  }
+
+  val queries: Map[String, Q] = Map(
+    // S3/S4/S6: full SCD2 merge roundtrip through the flat layout —
+    // first-load partitioned publish, then close-out + append, read back
+    // as plain parquet (partition values return as strings).
+    "s6_scd2_merge" -> ((s, d) =>
+      orderedScd(s.read.parquet(runFlatScenario(s, d)))),
+
+    // S6 at scale: the SAME scenario through the regioned layout
+    // (rewriteable current region + append-only valid_to-partitioned
+    // closed region) must produce the identical logical table — one
+    // oracle gates both layouts.
+    "s6b_scd2_regioned" -> ((s, d) => {
+      val root = tmp("graft_gate_scd2r")
+      Scd2.mergeRegioned(s, scdDay1(s, d), root, asOfDate = lit("2025-01-15"))
+      Scd2.mergeRegioned(s, scdDay2(s, d), root, asOfDate = lit("2025-01-16"))
+      orderedScd(Scd2.readRegioned(s, root))
+    }),
+
+    // S2: current-snapshot scan over the merged table (gold's read path).
+    "s2_current_scan" -> ((s, d) =>
+      orderedScd(FlatLayout.readCurrent(s, runFlatScenario(s, d),
+        graft.store.DirectorySwapCommit))),
+
+    // S7: OPTIMIZE-analogue clustering rewrite preserves table content
+    // exactly (range-repartition + sort + tmp-swap republish).
+    "s7_optimize_roundtrip" -> ((s, d) => {
+      val root = runFlatScenario(s, d)
+      Scd2.optimize(s, root, clusterCols = Seq("universal_id", "spider_name"),
+        numFiles = 4)
+      orderedScd(s.read.parquet(root))
+    }),
+
+    // S8 + time travel: two pointer-commit publishes, vacuum with a
+    // window that must retain both, then a version-pinned read of v1 —
+    // exactly what it contained before v2 rewrote every name.
+    "s8_time_travel" -> ((s, d) => {
+      val root = tmp("graft_gate_tt")
+      val parts = Seq("spider_name", "ingestion_year", "ingestion_month")
+      PointerCommit.publish(scdDay1(s, d), root, parts)
+      PointerCommit.publish(
+        scdDay1(s, d)
+          .withColumn("project_name", concat(col("project_name"), lit(" v2")))
+          .withColumn("valid_from", lit("2025-01-16")),
+        root, parts)
+      SnapshotStore.vacuum(s, root, keepLast = 2)
+      orderedScd(SnapshotStore.readAt(s, root, "v000000001"))
+    }),
+
+    // S11: dynamic partition overwrite — day 2 touches only spider sp1;
+    // sp0/sp2 keep day-1 data.
+    "s11_dynamic_overwrite" -> ((s, d) => {
+      val dir = tmp("graft_gate_dyn")
+      val day1 = scdDay1(s, d)
+        .select("universal_id", "project_name", "spider_name")
+      day1.write.partitionBy("spider_name").parquet(dir)
+      val day2 = day1.filter(col("spider_name") === "sp1")
+        .withColumn("project_name", concat(col("project_name"), lit(" v2")))
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "dynamic")
+      try day2.write.mode(SaveMode.Overwrite).partitionBy("spider_name")
+        .parquet(dir)
+      finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+      s.read.parquet(dir)
+        .select("universal_id", "project_name", "spider_name")
+        .orderBy(col("universal_id").cast("long"))
+    }),
+
+    // S3: append + mergeSchema — the second write carries a column the
+    // first never had; merged read pads day-1 rows with typed nulls.
+    "s3_append_mergeschema" -> ((s, d) => {
+      val dir = tmp("graft_gate_append")
+      val ck = col("c_custkey")
+      customer(s, d)
+        .select(ck.cast("string").as("universal_id"),
+          col("c_name").as("project_name"))
+        .write.parquet(dir)
+      customer(s, d).filter(ck % 13 === 0)
+        .select((ck + 3000000).cast("string").as("universal_id"),
+          concat(lit("NEW "), col("c_name")).as("project_name"),
+          ((ck % 10).cast("double") * 0.5).as("extra_score"))
+        .write.mode(SaveMode.Append).parquet(dir)
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .select("universal_id", "project_name", "extra_score")
+        .orderBy(col("universal_id").cast("long"))
+    }),
+
+    // S9: validation split + quarantine sink (production
+    // SilverEtl.validate + writeQuarantine): every 11th key has no
+    // project name → quarantined with reason, partitioned by spider.
+    "s9_quarantine_sink" -> ((s, d) => {
+      val dir = tmp("graft_gate_quar")
+      val ck = col("c_custkey")
+      val mapped = customer(s, d).select(
+        concat(lit("sp"), (ck % 3).cast("string")).as("spider_name"),
+        concat(lit("src"), ck.cast("string")).as("source_id"),
+        to_timestamp(lit("2025-01-15 08:00:00")).as("ingested_at_utc"),
+        when(ck % 11 === 0, lit(null).cast("string"))
+          .otherwise(col("c_name")).as("project_name"),
+        lit(10.5).as("latitude"), lit(106.5).as("longitude"),
+        lit(2.0e9).as("min_selling_price"), lit(3.0e9).as("max_selling_price"),
+        lit(null).cast("double").as("min_unit_price"),
+        lit(null).cast("double").as("max_unit_price"))
+      val (_, invalid) = SilverEtl.validate(mapped)
+      SilverEtl.writeQuarantine(invalid, dir,
+        to_timestamp(lit("2025-01-15 12:00:00")))
+      s.read.parquet(dir)
+        .select("spider_name", "source_id", "quarantine_reason")
+        .orderBy(col("source_id"))
+    }),
+
+    // S10: run-metadata sink (production SilverEtl.writeRunMetadata) —
+    // two runs' audit rows appended with counts derived from customer.
+    "s10_metadata_sink" -> ((s, d) => {
+      val dir = tmp("graft_gate_meta")
+      val ck = col("c_custkey")
+      def mkStats(df: DataFrame): SilverEtl.EtlStats = {
+        val r = df.agg(count(lit(1)),
+          sum(when(ck % 11 === 0, 1L).otherwise(0L))).head
+        val (n, inv) = (r.getLong(0), r.getLong(1))
+        SilverEtl.EtlStats(n, n - inv, inv, 0L, n - inv, 0.0)
+      }
+      SilverEtl.writeRunMetadata(s, "run_a", "2025-01-15",
+        mkStats(customer(s, d)), dir)
+      SilverEtl.writeRunMetadata(s, "run_b", "2025-01-16",
+        mkStats(customer(s, d).filter(ck % 2 === 0)), dir)
+      s.read.parquet(dir).orderBy("pipeline_run_id")
+    }),
+
+    // S5 + P6: the FULL gold ETL (enhance → features → tiers → 60-col
+    // select → partitioned publish) on a deterministic silver table,
+    // read back from the published gold dir. Hash-encoded columns
+    // (district/developer: Murmur3) are excluded from the projection;
+    // everything else — targets, log/ratio features, city dim encoding,
+    // amenity scores, calendar, quality scores, tiers — is recomputed by
+    // the oracle from the same fixture definition.
+    "s5_gold_roundtrip" -> ((s, d) => {
+      val silverDir = tmp("graft_gate_silver")
+      val goldDir = tmp("graft_gate_gold")
+      silverFixture(s, d).write.parquet(silverDir)
+      GoldEtl.run(s, silverDir, goldDir,
+        clock = to_timestamp(lit("2025-01-15 12:00:00")))
+      s.read.parquet(goldDir).select(
+        col("project_id"), col("source_id"), col("spider_name"),
+        col("project_name"), col("snapshot_date"),
+        col("target_price_per_sqm"), col("target_total_price"),
+        col("target_min_price"), col("target_max_price"),
+        col("target_price_range"),
+        col("city_encoded").cast("int").as("city_encoded"),
+        round(col("log_total_area"), 6).as("log_total_area"),
+        round(col("log_total_property"), 6).as("log_total_property"),
+        round(col("floor_area_ratio"), 6).as("floor_area_ratio"),
+        round(col("avg_property_per_floor"), 6).as("avg_property_per_floor"),
+        round(col("avg_area_per_unit"), 6).as("avg_area_per_unit"),
+        col("avg_bedroom"),
+        col("amenity_count").cast("int").as("amenity_count"),
+        round(col("amenity_score"), 6).as("amenity_score"),
+        col("year").cast("int").as("year"),
+        col("quarter").cast("int").as("quarter"),
+        col("month").cast("int").as("month"),
+        round(col("location_quality_score"), 6).as("location_quality_score"),
+        round(col("data_completeness_score"), 6).as("data_completeness_score"),
+        col("quality_tier"), col("is_training_ready"),
+        col("price_imputed"), col("coordinates_imputed"),
+        col("gold_version"))
+        .orderBy(col("project_id").cast("long"))
+    })
+  )
+
+  /** Shared expected-SCD2-table CTE: what the 2-day merge must produce. */
+  private val ScdOracleCte: String =
+    """WITH cust AS (
+      |  SELECT c_custkey AS ck, c_name, c_mktsegment,
+      |         'sp' || CAST(c_custkey % 3 AS VARCHAR) AS spider_name
+      |  FROM customer),
+      |full_scd AS (
+      |  SELECT CAST(ck AS VARCHAR) AS universal_id, c_name AS project_name,
+      |         c_mktsegment AS address, TRUE AS is_current,
+      |         '2025-01-15' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+      |         spider_name, '2025' AS ingestion_year, '01' AS ingestion_month
+      |  FROM cust WHERE ck % 7 <> 0
+      |  UNION ALL
+      |  SELECT CAST(ck AS VARCHAR), c_name, c_mktsegment, FALSE,
+      |         '2025-01-15', '2025-01-16', spider_name, '2025', '01'
+      |  FROM cust WHERE ck % 7 = 0
+      |  UNION ALL
+      |  SELECT CAST(ck AS VARCHAR), c_name || ' v2', c_mktsegment, TRUE,
+      |         '2025-01-16', NULL, spider_name, '2025', '01'
+      |  FROM cust WHERE ck % 7 = 0
+      |  UNION ALL
+      |  SELECT CAST(ck + 3000000 AS VARCHAR), 'NEW ' || c_name, c_mktsegment,
+      |         TRUE, '2025-01-16', NULL, spider_name, '2025', '01'
+      |  FROM cust WHERE ck % 13 = 0)
+      |""".stripMargin
+
+  private val ScdOracleSelect: String =
+    """SELECT universal_id, project_name, address, is_current, valid_from,
+      |       valid_to, spider_name, ingestion_year, ingestion_month
+      |FROM full_scd
+      |ORDER BY CAST(universal_id AS BIGINT), is_current""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "s6_scd2_merge" -> (ScdOracleCte + ScdOracleSelect),
+    "s6b_scd2_regioned" -> (ScdOracleCte + ScdOracleSelect),
+    "s2_current_scan" -> (ScdOracleCte +
+      """SELECT universal_id, project_name, address, is_current, valid_from,
+        |       valid_to, spider_name, ingestion_year, ingestion_month
+        |FROM full_scd WHERE is_current
+        |ORDER BY CAST(universal_id AS BIGINT), is_current""".stripMargin),
+    "s7_optimize_roundtrip" -> (ScdOracleCte + ScdOracleSelect),
+    "s8_time_travel" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS universal_id,
+        |       c_name AS project_name, c_mktsegment AS address,
+        |       TRUE AS is_current, '2025-01-15' AS valid_from,
+        |       CAST(NULL AS VARCHAR) AS valid_to,
+        |       'sp' || CAST(c_custkey % 3 AS VARCHAR) AS spider_name,
+        |       '2025' AS ingestion_year, '01' AS ingestion_month
+        |FROM customer
+        |ORDER BY CAST(universal_id AS BIGINT), is_current""".stripMargin,
+    "s11_dynamic_overwrite" ->
+      """SELECT CAST(c_custkey AS VARCHAR) AS universal_id,
+        |       CASE WHEN c_custkey % 3 = 1 THEN c_name || ' v2'
+        |            ELSE c_name END AS project_name,
+        |       'sp' || CAST(c_custkey % 3 AS VARCHAR) AS spider_name
+        |FROM customer
+        |ORDER BY CAST(universal_id AS BIGINT)""".stripMargin,
+    "s3_append_mergeschema" ->
+      """SELECT * FROM (
+        |  SELECT CAST(c_custkey AS VARCHAR) AS universal_id,
+        |         c_name AS project_name, CAST(NULL AS DOUBLE) AS extra_score
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT CAST(c_custkey + 3000000 AS VARCHAR), 'NEW ' || c_name,
+        |         CAST(c_custkey % 10 AS DOUBLE) * CAST(0.5 AS DOUBLE)
+        |  FROM customer WHERE c_custkey % 13 = 0) t
+        |ORDER BY CAST(universal_id AS BIGINT)""".stripMargin,
+    "s9_quarantine_sink" ->
+      """SELECT 'sp' || CAST(c_custkey % 3 AS VARCHAR) AS spider_name,
+        |       'src' || CAST(c_custkey AS VARCHAR) AS source_id,
+        |       'Failed validation rules' AS quarantine_reason
+        |FROM customer WHERE c_custkey % 11 = 0
+        |ORDER BY source_id""".stripMargin,
+    "s10_metadata_sink" ->
+      """WITH a AS (
+        |  SELECT COUNT(*) AS n,
+        |         CAST(SUM(CASE WHEN c_custkey % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS inv
+        |  FROM customer),
+        |b AS (
+        |  SELECT COUNT(*) AS n,
+        |         CAST(SUM(CASE WHEN c_custkey % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS inv
+        |  FROM customer WHERE c_custkey % 2 = 0)
+        |SELECT 'run_a' AS pipeline_run_id, '2025-01-15' AS execution_date,
+        |       'bronze' AS source_layer, 'silver' AS target_layer,
+        |       'chotot_api,meeyproject_api,onehousing_api' AS spiders,
+        |       n AS records_read, n - inv AS records_valid,
+        |       inv AS records_invalid, n - inv AS records_written,
+        |       CAST(0 AS BIGINT) AS duplicates_removed,
+        |       CAST(0.0 AS DOUBLE) AS avg_completeness_score,
+        |       'SUCCESS' AS status
+        |FROM a
+        |UNION ALL
+        |SELECT 'run_b', '2025-01-16', 'bronze', 'silver',
+        |       'chotot_api,meeyproject_api,onehousing_api',
+        |       n, n - inv, inv, n - inv, CAST(0 AS BIGINT),
+        |       CAST(0.0 AS DOUBLE), 'SUCCESS'
+        |FROM b
+        |ORDER BY pipeline_run_id""".stripMargin,
+    "s5_gold_roundtrip" ->
+      """WITH f AS (
+        |  SELECT c_custkey AS ck, c_name,
+        |    CAST(4.0e7 AS DOUBLE) + CAST(c_custkey % 100 AS DOUBLE) * CAST(1.0e5 AS DOUBLE) AS unit_price,
+        |    CAST(50.0 AS DOUBLE) + CAST(c_custkey % 200 AS DOUBLE) AS area,
+        |    CAST(10 + c_custkey % 50 AS INTEGER) AS tot_prop,
+        |    CAST(5 + c_custkey % 30 AS INTEGER) AS floors,
+        |    CAST(1 + c_custkey % 2 AS INTEGER) AS minbed,
+        |    CAST(3 + c_custkey % 2 AS INTEGER) AS maxbed,
+        |    (c_custkey % 5 <> 0) AS has_coords,
+        |    CAST(CASE WHEN c_custkey % 2 = 0 THEN 1 ELSE 0 END +
+        |         CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END +
+        |         CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END +
+        |         1 +
+        |         CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END AS INTEGER) AS am_count
+        |  FROM customer),
+        |g AS (
+        |  SELECT ck, c_name, unit_price, area, unit_price * area AS sell_price,
+        |         has_coords, am_count, tot_prop, floors, minbed, maxbed
+        |  FROM f)
+        |SELECT
+        |  CAST(ck AS VARCHAR) AS project_id,
+        |  'src' || CAST(ck AS VARCHAR) AS source_id,
+        |  'sp' || CAST(ck % 3 AS VARCHAR) AS spider_name,
+        |  c_name AS project_name,
+        |  '2025-01-15' AS snapshot_date,
+        |  unit_price AS target_price_per_sqm,
+        |  sell_price AS target_total_price,
+        |  sell_price * CAST(0.9 AS DOUBLE) AS target_min_price,
+        |  sell_price * CAST(1.1 AS DOUBLE) AS target_max_price,
+        |  sell_price * CAST(1.1 AS DOUBLE) - sell_price * CAST(0.9 AS DOUBLE) AS target_price_range,
+        |  CAST(ck % 3 + 1 AS INTEGER) AS city_encoded,
+        |  ROUND(LN(area), 6) AS log_total_area,
+        |  ROUND(LN(tot_prop), 6) AS log_total_property,
+        |  ROUND(area * CAST(0.6 AS DOUBLE) / area, 6) AS floor_area_ratio,
+        |  ROUND(CAST(tot_prop AS DOUBLE) / floors, 6) AS avg_property_per_floor,
+        |  ROUND(area / tot_prop, 6) AS avg_area_per_unit,
+        |  CAST(minbed + maxbed AS DOUBLE) / 2 AS avg_bedroom,
+        |  am_count AS amenity_count,
+        |  ROUND(CAST(am_count AS DOUBLE) / CAST(6.0 AS DOUBLE), 6) AS amenity_score,
+        |  2025 AS year, 1 AS quarter, 1 AS month,
+        |  ROUND(CASE WHEN has_coords THEN CAST(0.4 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+        |        + CAST(0.3 AS DOUBLE) + CAST(0.3 AS DOUBLE), 6) AS location_quality_score,
+        |  ROUND((1 + CASE WHEN has_coords THEN 1 ELSE 0 END + 1 + 1 + 1 + 1)
+        |        / CAST(6.0 AS DOUBLE), 6) AS data_completeness_score,
+        |  CASE WHEN has_coords THEN 'high' ELSE 'medium' END AS quality_tier,
+        |  has_coords AS is_training_ready,
+        |  FALSE AS price_imputed,
+        |  NOT has_coords AS coordinates_imputed,
+        |  '1.0' AS gold_version
+        |FROM g ORDER BY ck""".stripMargin
+  )
+}

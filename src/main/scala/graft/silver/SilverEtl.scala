@@ -413,15 +413,29 @@ object SilverEtl {
       asOfDate = to_date(clock).cast("string"), commit = commit)
     // step 10: quarantine + run-metadata sinks (:997-1041)
     if (recordsInvalid > 0)
-      invalid
-        .withColumn("quarantine_timestamp", clock)
-        .withColumn("quarantine_reason", lit("Failed validation rules"))
-        .write.mode(SaveMode.Append).partitionBy("spider_name")
-        .parquet(cfg.quarantinePath)
+      writeQuarantine(invalid, cfg.quarantinePath, clock)
     val stats = EtlStats(recordsRead, recordsValid, recordsInvalid,
       recordsValid - dedupCount, written, avgScore)
+    writeRunMetadata(spark, cfg.runId, cfg.startDate, stats, cfg.metadataPath)
+    stats
+  }
+
+  /** Quarantine sink (silver_etl_script.py:997-1014): failed-validation
+    * rows append, partitioned by spider, stamped with reason + clock. */
+  def writeQuarantine(invalid: DataFrame, path: String,
+                      clock: Column = current_timestamp()): Unit =
+    invalid
+      .withColumn("quarantine_timestamp", clock)
+      .withColumn("quarantine_reason", lit("Failed validation rules"))
+      .write.mode(SaveMode.Append).partitionBy("spider_name")
+      .parquet(path)
+
+  /** Run-metadata sink (silver_etl_script.py:1019-1041): one audit row
+    * per pipeline run, appended. */
+  def writeRunMetadata(spark: SparkSession, runId: String, startDate: String,
+                       stats: EtlStats, path: String): Unit = {
     import spark.implicits._
-    Seq((cfg.runId, cfg.startDate, "bronze", "silver",
+    Seq((runId, startDate, "bronze", "silver",
       Mappings.ProjectSpiders.mkString(","), stats.recordsRead,
       stats.recordsValid, stats.recordsInvalid, stats.recordsWritten,
       stats.duplicatesRemoved, stats.avgCompletenessScore, "SUCCESS"))
@@ -429,7 +443,6 @@ object SilverEtl {
         "spiders", "records_read", "records_valid", "records_invalid",
         "records_written", "duplicates_removed", "avg_completeness_score",
         "status")
-      .write.mode(SaveMode.Append).parquet(cfg.metadataPath)
-    stats
+      .write.mode(SaveMode.Append).parquet(path)
   }
 }
