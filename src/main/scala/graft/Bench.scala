@@ -1,6 +1,44 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry point. Times every registered query at
+  * SPARK_GRAFT_SF_DIR and prints two JSON lines:
+  *   1. a `"metric":"detail"` line with every per-query time (for humans
+  *      and for anyone capturing full stdout), then
+  *   2. a compact `"metric":"total"` line — total seconds over ALL
+  *      queries, query count, and a fixed headline subset of per-query
+  *      times — emitted LAST and deliberately short: the harness that
+  *      records bench output keeps only a ~2 KB tail of stdout, and the
+  *      full 120+-query map overflows it (every prior round's artifact
+  *      shows `parsed: null` because the line's opening brace scrolled
+  *      out of the tail window). The compact line always fits.
+  *
+  * Queries run in name-sorted order so cold-start costs (codegen/JIT of
+  * shared expressions, parquet footer reads) land on the same queries
+  * every round and cross-round per-query comparisons are meaningful —
+  * map-iteration order used to reshuffle whenever a query was added,
+  * which moved multi-second first-touch costs between unrelated entries.
+  */
 object Bench {
+  /** Representative subset printed in the compact line: one or more per
+    * operator family (scan, join, agg, window, write-path, streaming
+    * analogue, dedup, ANN, text, multimodal, corpus pipeline). */
+  private val headline: Seq[String] = Seq(
+    "q1_agg", "s1_scan_prune", "p8_outlier_4sigma", "j1_broadcast_dim",
+    "j2_stats_backjoin", "w1_dedup_latest", "o1_topk", "a6_distinct_count",
+    "g4_pivot", "aj1_asof_join", "rj1_range_join", "u1_union_by_name",
+    "n13_explode", "f7_price_parse", "d2_multiformat_date",
+    "m9_indicator_sum", "st1_tumbling_window", "sw1_session_window",
+    "s6b_scd2_regioned", "dd1_dedup_exact", "dd4_minhash_lsh",
+    "dd6_embedding_neardup", "dd7_neardup_clusters", "v2_ann_topk",
+    "v4_ann_lsh", "tx8_lang_trigram", "tx10_tfidf", "cp1_corpus_curate",
+    "mm1_media_features", "sm1_hash_split")
+
+  // Locale.ROOT: the f-interpolator honors the default locale, and a
+  // comma decimal separator would corrupt the JSON.
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -17,15 +55,19 @@ object Bench {
     // Warm the JVM/codegen/IO paths once so the first timed query isn't
     // charged session startup (~2-4s of JIT + parquet footer reads).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val total = results.map(_._2).sum
+    val detail = results.map { case (k, v) => s"\"$k\":${fmt(v)}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"detail","unit":"sec","queries":$detail,"sf":"$sfDir"}""")
+    val byName = results.toMap
+    val compact = headline.flatMap(k => byName.get(k).map(v => s"\"$k\":${fmt(v)}"))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$compact,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -39,6 +39,20 @@ object ExtraWindowQueries {
         .orderBy("o_orderpriority", "o_orderkey")
     }),
 
+    // W1's keep-latest dedup through the skew-safe two-phase salted
+    // operator — same oracle as w1_dedup_latest, proving the salted
+    // plan is row-identical to the single-window plan. The shape a
+    // 100 TB run uses when one listing id holds a disproportionate
+    // share of rows (see operators/SaltedDedup.scala + SkewSpec).
+    "w8_salted_dedup" -> ((s, d) =>
+      graft.operators.SaltedDedup.topOne(
+        lineitem(s, d),
+        keys = Seq("l_orderkey"),
+        order = Seq(col("l_shipdate").desc, col("l_linenumber").desc),
+        saltOn = Seq(col("l_shipdate"), col("l_linenumber")))
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .orderBy("l_orderkey")),
+
     // the DataQualityChecker battery as one single-pass aggregate:
     // null %, distinct count, out-of-range count, complete-row count.
     "qc1_quality_battery" -> ((s, d) =>
@@ -67,6 +81,13 @@ object ExtraWindowQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    // deliberately identical to w1_dedup_latest's oracle: the salted
+    // two-phase plan must be row-identical to the single-window dedup.
+    "w8_salted_dedup" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |  ORDER BY l_shipdate DESC, l_linenumber DESC) = 1
+        |ORDER BY l_orderkey""".stripMargin,
     "qc1_quality_battery" ->
       """SELECT COUNT(*) AS total_rows,
         |  CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_rf,

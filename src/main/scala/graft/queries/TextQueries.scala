@@ -254,11 +254,24 @@ object TextQueries {
         .join(sh.select(col("doc_id").as("doc_b"), col("g")), "g")
         .filter(col("doc_a") < col("doc_b"))
         .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-      // full pair skeleton keeps zero-overlap pairs in the output
-      val ids = sizes.select(col("doc_id"), col("sz"))
-      val pairs = ids.select(col("doc_id").as("doc_a"), col("sz").as("sa"))
-        .join(ids.select(col("doc_id").as("doc_b"), col("sz").as("sb")),
-          col("doc_a") < col("doc_b"))
+      // full pair skeleton keeps zero-overlap pairs in the output —
+      // built WITHOUT a nested-loop join: dense-rank the (50-doc-bounded)
+      // id list, explode each doc's strictly-higher rank range, and
+      // equi-join the rank back to (doc_b, sb). The single-partition
+      // window is fine here by construction (the skeleton is bounded);
+      // gram counting above stays the unbounded-scale equi-join path.
+      val wAll = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      val wTot = org.apache.spark.sql.expressions.Window.partitionBy()
+      val ranked = sizes
+        .withColumn("rn", row_number().over(wAll))
+        .withColumn("n_docs", count(lit(1)).over(wTot).cast("int"))
+      val pairs = ranked
+        .select(col("doc_id").as("doc_a"), col("sz").as("sa"),
+          explode(when(col("rn") < col("n_docs"),
+            sequence(col("rn") + 1, col("n_docs")))
+            .otherwise(expr("CAST(array() AS array<int>)"))).as("rb"))
+        .join(ranked.select(col("rn").as("rb"), col("doc_id").as("doc_b"),
+          col("sz").as("sb")), "rb")
       pairs.join(common, Seq("doc_a", "doc_b"), "left")
         .withColumn("c", coalesce(col("common"), lit(0L)))
         .select(col("doc_a"), col("doc_b"),

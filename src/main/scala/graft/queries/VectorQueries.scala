@@ -68,26 +68,43 @@ object VectorQueries {
         .agg(round(avg(col("v")), 6).as("centroid_v"))
         .orderBy("label", "pos")),
 
-    // LSH-bucketed ANN (sign random projection, 8 planes → 256 buckets):
-    // candidates = same-bucket pairs for the query set; the scalable path.
-    // Rows-only check (bucket assignment uses engine-internal
-    // pseudo-random planes — not expressible in ANSI SQL). The bucket is
-    // one 8-bit band key from the codegen'd SignRpKeys expression — the
-    // earlier interpreted nested-HOF formulation evaluated 8×64
-    // lambda frames per row.
+    // Multi-probe LSH ANN (sign random projection, 8 bands × 8 planes):
+    // the corpus is hashed once into one 8-bit bucket per band; the
+    // QUERY side additionally probes every bucket within Hamming
+    // distance 2 of its own signature (1 + 8 + 28 = 37 keys per band).
+    // Candidates are an equi-join on (band, key) against the tiny
+    // exploded probe set, so the corpus-side cost stays one scan + one
+    // fixed-width-key join no matter how many probes a query makes —
+    // multi-probing buys recall on the query side for free, instead of
+    // multiplying the corpus-side band rows. Rows-only check (bucket
+    // assignment uses engine-internal pseudo-random planes — not
+    // expressible in ANSI SQL); QueriesSpec gates recall@5 >= 0.95
+    // against the exact brute-force ranking (deterministic: the planes
+    // and the data are both fixed).
     "v4_ann_lsh" -> ((s, d) => {
       graft.functions.CosineSimilarity.register(s)
       graft.functions.SignRpKeys.register(s)
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      val bucketed = e.withColumn("bucket",
-        expr("element_at(graft_sign_rp_keys(emb, 1, 8), 1)"))
-      val q = bucketed.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("emb").as("ea"), col("bucket"))
-      val c = bucketed.select(col("vec_id").as("nid"), col("emb").as("eb"), col("bucket"))
+      val keyed = e.withColumn("keys", expr("graft_sign_rp_keys(emb, 8, 8)"))
+      val corpus = keyed.select(col("vec_id").as("nid"), col("emb").as("eb"),
+        posexplode(col("keys")).as(Seq("band", "key")))
+      // XOR masks for Hamming radius <= 2 over an 8-bit signature
+      val masks: Seq[Long] =
+        Seq(0L) ++ (0 until 8).map(1L << _) ++
+          (for { i <- 0 until 8; j <- (i + 1) until 8 }
+            yield (1L << i) | (1L << j))
+      val probes = keyed.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("ea"),
+          posexplode(col("keys")).as(Seq("band", "k0")))
+        .select(col("qid"), col("ea"), col("band"),
+          explode(array(masks.map(m => col("k0").bitwiseXOR(lit(m))): _*))
+            .as("key"))
       val w = Window.partitionBy("qid").orderBy(col("cs").desc, col("nid"))
-      c.join(q, Seq("bucket"))
+      corpus.join(broadcast(probes), Seq("band", "key"))
         .filter(col("nid") =!= col("qid"))
+        // a pair can collide in several (band, probe) cells; keep one
+        .dropDuplicates("qid", "nid")
         .withColumn("cs", cosine("ea", "eb"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)

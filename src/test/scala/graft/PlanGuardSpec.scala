@@ -20,11 +20,9 @@ class PlanGuardSpec extends SparkSuite {
       "— bands side is tiny and fixed"),
     "p8_outlier_4sigma" -> ("global (mu, sd) stats broadcast back as a " +
       "1-row crossJoin — the no-driver-collect alternative to the " +
-      "reference's collect loop; broadcast side is O(1)"),
-    "dd3_ngram_jaccard" -> ("gram counting is an equi-join on gram (the " +
-      "scale path); the nested loop is only the doc_id < doc_id pair " +
-      "skeleton, bounded to 50 docs by design so zero-overlap pairs stay " +
-      "in the oracle output")
+      "reference's collect loop; broadcast side is O(1)")
+    // dd3_ngram_jaccard left this list in round 5: its zero-overlap pair
+    // skeleton is now a rank-explode + equi-join, not a theta join.
   )
 
   test("no registered query plans an all-pairs join outside the whitelist") {

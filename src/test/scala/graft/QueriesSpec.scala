@@ -57,16 +57,19 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
-  test("v4 LSH ANN recall vs brute force is non-trivial") {
-    // LSH candidates are a subset of the corpus; every returned neighbor
-    // must also appear in the brute-force ranking, and similarity must be
-    // within the brute-force top-similarity range.
+  test("v4 multi-probe LSH ANN recall@5 >= 0.95 vs brute force") {
+    // The multi-probe (Hamming radius 2) candidate generator must
+    // recover at least 95% of the exact brute-force top-5 pairs. This is
+    // deterministic — the sign-RP planes are a pure function of
+    // (plane, dim) and the fixture is fixed — so a recall regression
+    // here means the probe set or band layout changed, not bad luck.
     val bf = SparkEntry.queries("v2_ann_topk")(spark, sf)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = SparkEntry.queries("v4_ann_lsh")(spark, sf).collect()
     assert(lsh.nonEmpty)
     val hits = lsh.count(r => bf.contains((r.getAs[Long]("qid"), r.getAs[Long]("nid"))))
-    assert(hits >= 1, "LSH found none of the brute-force top-5 neighbors")
+    assert(hits >= math.ceil(bf.size * 0.95).toInt,
+      s"LSH recall@5 too low: $hits/${bf.size} brute-force pairs recovered")
   }
 
   test("v5 IVF ANN returns 5 candidates per query with brute-force overlap") {
