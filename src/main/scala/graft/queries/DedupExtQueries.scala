@@ -61,6 +61,23 @@ object DedupExtQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // incremental dedup of a new crawl batch (doc_id >= 400) against the
+    // seen-before history (doc_id < 400): bloom prefilter routes
+    // definitely-new rows past the join entirely; only the maybe-seen
+    // sliver anti-joins history on the raw text. Row-identical to the
+    // plain anti-join (bloom filters have no false negatives), so the
+    // DuckDB NOT EXISTS oracle gates it exactly — see
+    // operators/BloomDedup.scala for the 100 TB shuffle math.
+    "dd8_bloom_incremental" -> ((s, d) => {
+      val docs = documents(s, d)
+      val history = docs.filter(col("doc_id") < 400)
+      val batch = docs.filter(col("doc_id") >= 400)
+      graft.operators.BloomDedup
+        .newRows(batch, history, "text", expectedItems = 400L)
+        .select(col("doc_id"), length(col("text")).as("text_len"))
+        .orderBy("doc_id")
+    }),
+
     // embedding-cosine near-dup pairs: LSH-bucketed candidates, exact
     // cosine on candidates only, keeper = lower vec_id. Oracle is the
     // exhaustive all-pairs scan — recall must be (and is) 1.
@@ -131,6 +148,12 @@ object DedupExtQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "dd8_bloom_incremental" ->
+      """SELECT b.doc_id, CAST(LENGTH(b.text) AS INTEGER) AS text_len
+        |FROM documents b
+        |WHERE b.doc_id >= 400 AND NOT EXISTS (
+        |  SELECT 1 FROM documents h WHERE h.doc_id < 400 AND h.text = b.text)
+        |ORDER BY b.doc_id""".stripMargin,
     "dd7_neardup_clusters" ->
       """WITH RECURSIVE base AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

@@ -154,6 +154,33 @@ object VectorQueries {
         .filter(col("rnk") <= 5)
         .select(col("qid"), col("rnk"), col("nid"), round(col("cs"), 6).as("cos_sim"))
         .orderBy("qid", "rnk")
+    }),
+
+    // int8 symmetric quantization roundtrip: per-vector scale =
+    // 127/max|x|, q = round(x*scale) as int8, dequantize, report the
+    // reconstruction cosine and max absolute error. The storage-scale
+    // op: a 100 TB float32 embedding store shrinks 4x with ~1e-3
+    // cosine loss, and the quantized table (not the floats) is what a
+    // cluster-scale ANN index should scan. Fully SQL-expressible, so
+    // DuckDB gates the exact roundtrip; QuantizationSpec pins the error
+    // bound |x - q/scale| <= 0.5/scale and ANN recall on the
+    // dequantized corpus.
+    "v6_int8_quant" -> ((s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      e.withColumn("scale",
+          lit(127.0) / greatest(array_max(transform(col("emb"), x => abs(x))),
+            lit(1e-12)))
+        .withColumn("deq",
+          transform(transform(col("emb"),
+              x => round(x * col("scale")).cast("int")),
+            q => q.cast("double") / col("scale")))
+        .select(col("vec_id"),
+          round(expr("graft_cosine(emb, deq)"), 6).as("cos_deq"),
+          round(array_max(zip_with(col("emb"), col("deq"),
+            (a, b) => abs(a - b))), 6).as("max_abs_err"))
+        .orderBy("vec_id")
     })
   )
 
@@ -181,6 +208,26 @@ object VectorQueries {
       """SELECT label, CAST(i AS INTEGER) AS pos,
         |  ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_v
         |FROM embeddings, UNNEST(generate_series(1, 64)) t(i)
-        |GROUP BY label, i ORDER BY label, pos""".stripMargin
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
+    "v6_int8_quant" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |scaled AS (
+        |  SELECT vec_id, emb,
+        |    CAST(127.0 AS DOUBLE) / GREATEST(
+        |      list_aggregate(list_transform(emb, x -> abs(x)), 'max'), 1e-12) AS scale
+        |  FROM base),
+        |deq AS (
+        |  SELECT vec_id, emb,
+        |    list_transform(list_transform(emb, x -> CAST(round(x * scale) AS INTEGER)),
+        |      q -> q / scale) AS dv
+        |  FROM scaled)
+        |SELECT vec_id,
+        |  ROUND(list_cosine_similarity(emb, dv), 6) AS cos_deq,
+        |  ROUND(list_aggregate(
+        |    list_transform(list_zip(emb, dv), p -> abs(p[1] - p[2])), 'max'), 6)
+        |    AS max_abs_err
+        |FROM deq ORDER BY vec_id""".stripMargin
   )
 }

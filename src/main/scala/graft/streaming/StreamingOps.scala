@@ -109,6 +109,44 @@ object StreamingOps {
       .groupBy(col("user_id"), session_window(col("ts"), gap))
       .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
 
+  /** Streaming upsert into the regioned SCD2 store: every micro-batch
+    * runs the same [[graft.scd.Scd2.mergeRegioned]] the daily batch path
+    * uses, via foreachBatch — the standard Structured Streaming escape
+    * hatch for sinks with their own transactional story.
+    *
+    * Exactly-once composition: foreachBatch is at-least-once (a crashed
+    * epoch replays), and the merge is idempotent under replay — the
+    * close-out append dedups against the day's closed partition and the
+    * current-region publish is an atomic last-writer-wins swap — so the
+    * pair is effectively exactly-once without any sink-side epoch
+    * bookkeeping.
+    *
+    * `asOfOfBatch` maps (batch, batchId) to the merge's as-of date
+    * column; the default stamps wall-clock date, tests inject fixed
+    * dates per epoch. Scale posture: identical to the batch merge —
+    * one shuffle per micro-batch on universal_id, O(current + churn)
+    * write volume, no state store involvement at all (the TABLE is the
+    * state).
+    */
+  def scd2Sink(batches: DataFrame, root: String, checkpoint: String,
+               asOfOfBatch: (DataFrame, Long) => org.apache.spark.sql.Column =
+                 (_, _) => to_date(current_timestamp()).cast("string"),
+               changeColumns: Seq[String] = graft.scd.Scd2.DefaultChangeColumns,
+               partitionColumns: Seq[String] = graft.scd.Scd2.DefaultPartitionColumns)
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    batches.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.scd.Scd2.mergeRegioned(batch.sparkSession, batch, root,
+            changeColumns = changeColumns,
+            asOfDate = asOfOfBatch(batch, batchId),
+            partitionColumns = partitionColumns)
+          ()
+        }
+      }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(count: Long, total: Double, lastTs: Long)

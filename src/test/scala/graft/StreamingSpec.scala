@@ -14,6 +14,54 @@ class StreamingSpec extends SparkSuite {
   private def ts(minute: Int): java.sql.Timestamp =
     java.sql.Timestamp.valueOf(f"2025-01-15 10:$minute%02d:00")
 
+  test("streaming scd2Sink == batch mergeRegioned over the same epochs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingSpec.ScdRow
+
+    def day1: Seq[ScdRow] = (1 to 100).map(k => ScdRow(
+      k.toString, s"name $k", s"addr ${k % 10}", is_current = true,
+      "2025-01-15", null, s"sp${k % 3}", "2025", "01"))
+    def day2: Seq[ScdRow] =
+      (1 to 100).filter(_ % 7 == 0).map(k => ScdRow(
+        k.toString, s"name $k v2", s"addr ${k % 10}", is_current = true,
+        "2025-01-16", null, s"sp${k % 3}", "2025", "01")) :+
+        ScdRow("900001", "brand new", "addr x", is_current = true,
+          "2025-01-16", null, "sp0", "2025", "01")
+    def asOf(id: Long) = if (id == 0L) "2025-01-15" else "2025-01-16"
+
+    val base = Files.createTempDirectory("graft_scd_sink").toString
+    val streamRoot = s"$base/stream_table"
+    val mem = MemoryStream[ScdRow]
+    val q = StreamingOps.scd2Sink(mem.toDF(), streamRoot, s"$base/ckpt",
+      asOfOfBatch = (_, id) => lit(asOf(id))).start()
+    try {
+      mem.addData(day1: _*)
+      q.processAllAvailable() // epoch 0 → first-load publish
+      mem.addData(day2: _*)
+      q.processAllAvailable() // epoch 1 → merge (close-outs + new versions)
+    } finally q.stop()
+
+    val batchRoot = s"$base/batch_table"
+    graft.scd.Scd2.mergeRegioned(spark, day1.toDF(), batchRoot,
+      asOfDate = lit(asOf(0)))
+    graft.scd.Scd2.mergeRegioned(spark, day2.toDF(), batchRoot,
+      asOfDate = lit(asOf(1)))
+
+    val cols = Seq("universal_id", "project_name", "address", "is_current",
+      "valid_from", "valid_to")
+    def snap(root: String) =
+      graft.scd.Scd2.readRegioned(spark, root, graft.store.DirectorySwapCommit)
+        .select(cols.head, cols.tail: _*)
+        .orderBy("universal_id", "valid_from").collect().toSeq
+    val streamed = snap(streamRoot)
+    val batch = snap(batchRoot)
+    assert(streamed.nonEmpty)
+    assert(streamed === batch)
+    // the day-2 merge closed out every 7th key exactly once
+    assert(streamed.count(r => r.getAs[String]("valid_to") != null) === 14)
+  }
+
   test("tumbling window counts over a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -143,4 +191,13 @@ class StreamingSpec extends SparkSuite {
       assert(got.toSeq === Seq((1L, 101L)))
     } finally q.stop()
   }
+}
+
+object StreamingSpec {
+  /** SCD2 batch row for the streaming-sink equivalence test. */
+  final case class ScdRow(universal_id: String, project_name: String,
+                          address: String, is_current: Boolean,
+                          valid_from: String, valid_to: String,
+                          spider_name: String, ingestion_year: String,
+                          ingestion_month: String)
 }
