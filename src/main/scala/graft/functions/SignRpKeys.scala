@@ -104,19 +104,20 @@ object SignRpKeys {
   /** Register `graft_sign_rp_keys(emb, bands, rowsPerBand)` (idempotent);
     * the band parameters must be integer literals. Float arrays widen via
     * an inserted Cast. */
+  private[graft] val builder: Seq[Expression] => Expression =
+    exprs => {
+      def lit(e: Expression, what: String): Int = e match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_sign_rp_keys: $what must be an integer literal, got $other")
+      }
+      SignRpKeys(widen(exprs(0)), lit(exprs(1), "bands"),
+        lit(exprs(2), "rowsPerBand"))
+    }
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_sign_rp_keys",
-      exprs => {
-        def lit(e: Expression, what: String): Int = e match {
-          case Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_sign_rp_keys: $what must be an integer literal, got $other")
-        }
-        SignRpKeys(widen(exprs(0)), lit(exprs(1), "bands"),
-          lit(exprs(2), "rowsPerBand"))
-      },
-      "built-in")
+      "graft_sign_rp_keys", builder, "built-in")
 
   private def widen(e: Expression): Expression = e.dataType match {
     case ArrayType(FloatType, n) => Cast(e, ArrayType(DoubleType, n))

@@ -73,9 +73,10 @@ case class SignatureAgreement(left: Expression, right: Expression)
 
 object SignatureAgreement {
   /** Register `graft_sig_agreement(a, b)` for SQL/expr use (idempotent). */
+  private[graft] val builder: Seq[Expression] => Expression =
+    exprs => SignatureAgreement(exprs(0), exprs(1))
+
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_sig_agreement",
-      exprs => SignatureAgreement(exprs(0), exprs(1)),
-      "built-in")
+      "graft_sig_agreement", builder, "built-in")
 }

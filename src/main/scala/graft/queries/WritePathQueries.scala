@@ -186,6 +186,33 @@ object WritePathQueries {
       orderedScd(SnapshotStore.readAt(s, root, "v000000001"))
     }),
 
+    // Bucketed co-located join: both fact sides land bucketed by the
+    // join key (operators.Bucketing), then join + aggregate read ONLY
+    // the bucketed tables — the storage-side answer to repeated
+    // fact-to-fact joins (zero shuffle exchanges, pinned by
+    // BucketingSpec; this gate pins that the bucketed path returns the
+    // same rows the raw tables do). Unique table names per invocation:
+    // the catalog outlives the query in a shared session.
+    "sb1_bucketed_join" -> ((s, d) => {
+      val base = tmp("graft_gate_bucket")
+      val tag = java.util.UUID.randomUUID.toString.replace("-", "")
+      val liT = s"sb1_li_$tag"; val ordT = s"sb1_ord_$tag"
+      val li = lineitem(s, d).select("l_orderkey", "l_quantity")
+      val ord = orders(s, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      graft.operators.Bucketing.writeBucketed(
+        li, s"$base/li", liT, Seq("l_orderkey"), 8)
+      graft.operators.Bucketing.writeBucketed(
+        ord, s"$base/ord", ordT, Seq("l_orderkey"), 8)
+      s.table(liT).hint("merge").join(s.table(ordT), Seq("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_qty"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("o_orderpriority")
+    }),
+
     // S11: dynamic partition overwrite — day 2 touches only spider sp1;
     // sp0/sp2 keep day-1 data.
     "s11_dynamic_overwrite" -> ((s, d) => {
@@ -360,6 +387,13 @@ object WritePathQueries {
         |       '2025' AS ingestion_year, '01' AS ingestion_month
         |FROM customer
         |ORDER BY CAST(universal_id AS BIGINT), is_current""".stripMargin,
+    "sb1_bucketed_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "s11_dynamic_overwrite" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS universal_id,
         |       CASE WHEN c_custkey % 3 = 1 THEN c_name || ' v2'

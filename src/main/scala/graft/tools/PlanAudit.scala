@@ -22,19 +22,29 @@ object PlanAudit {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { name =>
-      val plan = graft.SparkEntry.queries(name)(spark, sf)
-        .queryExecution.explainString(ExplainMode.fromString("formatted"))
-      val lines = plan.linesIterator.toSeq
-      def grab(tag: String) = lines.filter(_.contains(tag)).map(_.trim)
+      val df = graft.SparkEntry.queries(name)(spark, sf)
+      val qe = df.queryExecution
+      val formatted = qe.explainString(ExplainMode.fromString("formatted"))
+        .linesIterator.toSeq
+      def grab(tag: String) = formatted.filter(_.contains(tag)).map(_.trim).distinct
+      // execute so AQE finalizes: the pre-execution adaptive plan hides
+      // codegen stars and runtime join rewrites
+      df.collect()
+      // operator counts come from the TREE (one line per operator;
+      // formatted mode would double-count tree + detail sections), and
+      // codegen'd operators are the `*(n)`-starred ones
+      val tree = qe.executedPlan.toString.linesIterator.toSeq
+        .takeWhile(!_.contains("== Initial Plan ==")) // AQE echoes both
       println(s"\n==== $name")
-      grab("PushedFilters").foreach(l => println(s"  $l"))
+      grab("PushedFilters: [").filterNot(_.endsWith("[]"))
+        .foreach(l => println(s"  $l"))
       grab("ReadSchema").foreach(l => println(s"  ${l.take(140)}"))
-      println(s"  BroadcastHashJoin=${lines.count(_.contains("BroadcastHashJoin"))}" +
-        s" SortMergeJoin=${lines.count(_.contains("SortMergeJoin"))}" +
-        s" NestedLoop=${lines.count(_.contains("NestedLoop"))}" +
-        s" HashAggregate=${lines.count(_.contains("HashAggregate"))}" +
-        s" Exchange=${lines.count(l => l.contains("Exchange") && !l.contains("Reused"))}" +
-        s" WholeStageCodegen=${lines.count(_.contains("WholeStageCodegen"))}")
+      println(s"  BroadcastHashJoin=${tree.count(_.contains("BroadcastHashJoin"))}" +
+        s" SortMergeJoin=${tree.count(_.contains("SortMergeJoin"))}" +
+        s" NestedLoop=${tree.count(_.contains("NestedLoop"))}" +
+        s" HashAggregate=${tree.count(_.contains("HashAggregate"))}" +
+        s" Exchange=${tree.count(l => l.contains("Exchange") && !l.contains("Reused"))}" +
+        s" codegenOps=${tree.count(_.trim.matches("^[+:\\- ]*\\*\\(\\d+\\).*"))}")
     }
     spark.stop()
   }
