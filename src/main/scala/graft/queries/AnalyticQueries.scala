@@ -98,6 +98,30 @@ object AnalyticQueries {
           round(percentile(col("o_totalprice"), lit(0.75)), 4).as("p75"))
         .orderBy("o_orderpriority")),
 
+    // A15: robust outlier detection (median/MAD, Iglewicz–Hoaglin
+    // modified z > 3.5) — the resistant alternative to p8's mean/σ rule
+    // (one wild value inflates σ and masks every other outlier; the MAD
+    // does not move). Shape: two grouped medians, each broadcast back —
+    // no window over raw rows, no driver collect; same j2 back-join
+    // pattern at any scale.
+    "a15_robust_outliers" -> ((s, d) => {
+      val o = orders(s, d).select(col("o_orderpriority").as("pri"),
+        col("o_totalprice").as("price"))
+      val med = o.groupBy("pri").agg(median(col("price")).as("med"))
+      val withMed = o.join(broadcast(med), Seq("pri"))
+      val mad = withMed.groupBy("pri")
+        .agg(median(abs(col("price") - col("med"))).as("mad"))
+      withMed.join(broadcast(mad), Seq("pri"))
+        .groupBy("pri")
+        .agg(
+          round(first(col("med")), 4).as("med_price"),
+          round(first(col("mad")), 4).as("mad_price"),
+          sum(when(abs(lit(0.6745) * (col("price") - col("med")) / col("mad"))
+            > 3.5, 1).otherwise(0)).as("n_outliers"))
+        .orderBy("pri")
+        .withColumnRenamed("pri", "o_orderpriority")
+    }),
+
     // AJ1: backward as-of join — each event picks the latest order of the
     // same customer at-or-before its timestamp (right side pre-deduped to
     // one row per (custkey, orderdate) for determinism).
@@ -212,6 +236,22 @@ object AnalyticQueries {
         |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
         |  ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "a15_robust_outliers" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority AS pri, MEDIAN(o_totalprice) AS med
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT o.o_orderpriority AS pri, o.o_totalprice AS price, m.med
+        |  FROM orders o JOIN m ON o.o_orderpriority = m.pri),
+        |d AS (SELECT pri, MEDIAN(ABS(price - med)) AS mad FROM j GROUP BY pri)
+        |SELECT j.pri AS o_orderpriority,
+        |  ROUND(ANY_VALUE(j.med), 4) AS med_price,
+        |  ROUND(ANY_VALUE(d.mad), 4) AS mad_price,
+        |  CAST(SUM(CASE WHEN ABS(CAST(0.6745 AS DOUBLE) * (j.price - j.med)
+        |    / d.mad) > CAST(3.5 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers
+        |FROM j JOIN d USING (pri)
+        |GROUP BY j.pri ORDER BY j.pri""".stripMargin,
     "aj1_asof_join" ->
       """WITH r AS (
         |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey

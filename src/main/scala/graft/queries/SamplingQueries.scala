@@ -19,6 +19,30 @@ object SamplingQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // SM4: deterministic weighted sampling without replacement
+    // (Efraimidis–Spirakis): priority = u^(1/w) with u a pure function
+    // of the key (md5 prefix → uniform in (0,1), engine-agnostic like
+    // sm1) and w = n_chars, so longer documents are proportionally more
+    // likely to be drawn — the quality-weighted corpus-sampling shape.
+    // Ordering by ln(u)/w (same order, one less libm call); top-10 per
+    // language stratum. Deterministic: re-runs, re-partitioning, and
+    // other engines draw the SAME sample, which is what makes the DuckDB
+    // oracle possible and corpus experiments reproducible. One pass +
+    // one per-stratum window — no RNG state anywhere.
+    "sm4_weighted_sample" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("es_key").desc, col("doc_id"))
+      documents(s, d)
+        .withColumn("u",
+          (expr("conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10)")
+            .cast("double") + lit(0.5)) / lit(16777216.0))
+        .withColumn("es_key", log(col("u")) / col("n_chars"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .select(col("lang"), col("rnk"), col("doc_id"), col("n_chars"))
+        .orderBy("lang", "rnk")
+    }),
+
     // 80/20 split on the first two md5 hex chars of the key: 'cc' = 204
     // of 256 buckets ≈ 79.7% train (shared definition — operators.Splits).
     "sm1_hash_split" -> ((s, d) =>
@@ -126,6 +150,19 @@ object SamplingQueries {
         |WHERE o.o_orderstatus = 'F'
         |GROUP BY c.c_mktsegment
         |ORDER BY c.c_mktsegment""".stripMargin,
+    "sm4_weighted_sample" ->
+      """WITH keyed AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+        |           AS BIGINT) + CAST(0.5 AS DOUBLE))
+        |       / CAST(16777216 AS DOUBLE)) / n_chars AS es_key
+        |  FROM documents)
+        |SELECT lang,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY es_key DESC, doc_id) AS INTEGER) AS rnk,
+        |  doc_id, n_chars
+        |FROM keyed QUALIFY rnk <= 10
+        |ORDER BY lang, rnk""".stripMargin,
     "sm1_hash_split" ->
       """SELECT doc_id,
         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'

@@ -170,6 +170,18 @@ object WritePathQueries {
       orderedScd(s.read.parquet(root))
     }),
 
+    // S7 ZORDER: the Morton-curve re-clustering preserves table content
+    // exactly (same oracle as the linear optimize); the multi-column
+    // pruning win itself is measured in ZOrderSpec.
+    "s7b_optimize_zorder" -> ((s, d) => {
+      val root = runFlatScenario(s, d)
+      Scd2.optimizeZOrder(s, root,
+        zCols = Seq(col("universal_id").cast("long"),
+          length(col("project_name")).cast("long")),
+        numFiles = 4)
+      orderedScd(s.read.parquet(root))
+    }),
+
     // S8 + time travel: two pointer-commit publishes, vacuum with a
     // window that must retain both, then a version-pinned read of v1 —
     // exactly what it contained before v2 rewrote every name.
@@ -378,6 +390,7 @@ object WritePathQueries {
         |FROM full_scd WHERE is_current
         |ORDER BY CAST(universal_id AS BIGINT), is_current""".stripMargin),
     "s7_optimize_roundtrip" -> (ScdOracleCte + ScdOracleSelect),
+    "s7b_optimize_zorder" -> (ScdOracleCte + ScdOracleSelect),
     "s8_time_travel" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS universal_id,
         |       c_name AS project_name, c_mktsegment AS address,

@@ -141,6 +141,21 @@ object Scd2 {
   // regioned layout: rewriteable current + append-only closed
   // ------------------------------------------------------------------
 
+  /** OPTIMIZE ... ZORDER BY: re-cluster the table along a Morton curve
+    * over `zCols` (see [[graft.operators.ZOrder]]) so per-file min/max
+    * ranges stay tight for EVERY clustered column — multi-column lookups
+    * prune files where [[optimize]]'s linear composite sort only serves
+    * its leading column. Publishes unpartitioned: the z-layout replaces
+    * hive partitioning as the pruning mechanism for these columns. */
+  def optimizeZOrder(spark: SparkSession, path: String, zCols: Seq[Column],
+                     numFiles: Int = 8,
+                     commit: TableCommit = DirectorySwapCommit): Long = {
+    if (!commit.exists(spark, path)) return 0L
+    val snapshot = commit.read(spark, path)
+    commit.publish(
+      graft.operators.ZOrder.cluster(snapshot, zCols, numFiles), path, Nil)
+  }
+
   def currentRoot(root: String): String =
     new Path(root, "current").toString
   def closedRoot(root: String): String =
