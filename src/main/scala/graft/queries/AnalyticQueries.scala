@@ -191,7 +191,32 @@ object AnalyticQueries {
         .select(col("user_id"),
           col("session_window.start").as("session_start"),
           col("n_events"), col("sum_value"))
-        .orderBy("user_id", "session_start"))
+        .orderBy("user_id", "session_start")),
+
+    // A16: winsorization — clamp each group's tail values to its exact
+    // [p05, p95] before summing (the robust-mean feature transform;
+    // a15 detects outliers, this REPLACES them). One grouped percentile
+    // pass over a 5-row result broadcast back to the fact side, then a
+    // single aggregate: two shuffles total, both on the 5-key group
+    // column. Decimal-cast sum keeps the clamped total
+    // addition-order-independent across engines.
+    "a16_winsorize" -> ((s, d) => {
+      val o = orders(s, d).select(col("o_orderpriority").as("pri"),
+        col("o_totalprice").as("price"))
+      val pct = o.groupBy("pri").agg(
+        percentile(col("price"), lit(0.05)).as("p05"),
+        percentile(col("price"), lit(0.95)).as("p95"))
+      o.join(broadcast(pct), Seq("pri"))
+        .groupBy("pri")
+        .agg(
+          round(first(col("p05")), 4).as("p05"),
+          round(first(col("p95")), 4).as("p95"),
+          sum(when(col("price") < col("p05") || col("price") > col("p95"), 1L)
+            .otherwise(0L)).as("n_clamped"),
+          dsum(least(greatest(col("price"), col("p05")), col("p95")), 6)
+            .as("sum_winsorized"))
+        .orderBy("pri")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -300,6 +325,21 @@ object AnalyticQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM sessions GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+    "a16_winsorize" ->
+      """WITH pct AS (
+        |  SELECT o_orderpriority AS pri,
+        |    quantile_cont(o_totalprice, 0.05) AS p05,
+        |    quantile_cont(o_totalprice, 0.95) AS p95
+        |  FROM orders GROUP BY 1)
+        |SELECT o.o_orderpriority AS pri,
+        |  ROUND(ANY_VALUE(p.p05), 4) AS p05,
+        |  ROUND(ANY_VALUE(p.p95), 4) AS p95,
+        |  CAST(SUM(CASE WHEN o.o_totalprice < p.p05 OR o.o_totalprice > p.p95
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+        |  CAST(SUM(CAST(LEAST(GREATEST(o.o_totalprice, p.p05), p.p95)
+        |    AS DECIMAL(18,6))) AS DOUBLE) AS sum_winsorized
+        |FROM orders o JOIN pct p ON o.o_orderpriority = p.pri
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

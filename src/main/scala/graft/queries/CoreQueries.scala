@@ -276,7 +276,17 @@ object CoreQueries {
     "u3_except" -> ((s, d) =>
       orders(s, d).select(col("o_orderkey").as("k"))
         .except(lineitem(s, d).select(col("l_orderkey").as("k")))
-        .orderBy("k"))
+        .orderBy("k")),
+
+    // O2: global total-order sort, no limit — the plan must range-sample
+    // the sort key and repartition by range (Exchange rangepartitioning)
+    // so every partition holds a contiguous key span and partition files
+    // concatenate into one sorted table; a single-partition sort would
+    // serialize the whole table through one task at scale.
+    "o2_global_sort" -> ((s, d) =>
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")))
   )
 
   val oracle: Map[String, String] = Map(
@@ -410,6 +420,9 @@ object CoreQueries {
         |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin,
     "u3_except" ->
       """SELECT o_orderkey AS k FROM orders
-        |EXCEPT SELECT l_orderkey FROM lineitem ORDER BY k""".stripMargin
+        |EXCEPT SELECT l_orderkey FROM lineitem ORDER BY k""".stripMargin,
+    "o2_global_sort" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin
   )
 }

@@ -144,7 +144,56 @@ object DedupExtQueries {
         .agg(concat_ws(",",
           transform(graft.functions.BottomK.bottomK(col("h"), 4),
             x => x.cast("string"))).as("fingerprint"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // DD9: exact-substring duplicate pairs — the suffix-array-free form
+    // of "find documents sharing a long verbatim span" (the exact-dedup
+    // complement to dd4's probabilistic MinHash): every 5-word shingle,
+    // hashed to a fixed-width md5 key, document-frequency-capped (a
+    // shingle in >50 docs is boilerplate; the cap is what stops the
+    // self-join from going quadratic on hot shingles at corpus scale —
+    // the same postings cap substring-dedup pipelines apply), then a
+    // shingle-hash equi-join counts shared spans per pair. Only 32-byte
+    // hashes shuffle; text never leaves the scan stage.
+    "dd9_substring_dup" -> ((s, d) => {
+      val grams = documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(1, greatest(size(w) - 4, 1)), i -> concat_ws(' ', slice(w, i, 5)))")))
+          .as("g"))
+        .select(col("doc_id"), md5(col("g")).as("gh"))
+      val keep = grams.groupBy("gh").agg(count(lit(1)).as("gdf"))
+        .filter(col("gdf") <= 50).select("gh")
+      val kept = grams.join(keep, Seq("gh"))
+      kept.select(col("doc_id").as("doc_a"), col("gh"))
+        .join(kept.select(col("doc_id").as("doc_b"), col("gh")), Seq("gh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // DD10: fuzzy entity resolution on the part-name dictionary. Exact
+    // duplicates collapse FIRST (the dictionary saturates — 64 distinct
+    // names at every scale factor — so this grouped count is the stage
+    // that absorbs table growth); the banded-levenshtein join then runs
+    // over DISTINCT names within a brand block, with Spark's threshold
+    // levenshtein (early exit, returns -1 past the bound) so each
+    // comparison is O(threshold·len) not O(len²). Quadratic work is
+    // bounded by dictionary² / blocks, never by table size.
+    "dd10_fuzzy_name_match" -> ((s, d) => {
+      val names = part(s, d).groupBy("p_brand", "p_name")
+        .agg(count(lit(1)).as("cnt"))
+      val a = names.select(col("p_brand"), col("p_name").as("name_a"),
+        col("cnt").as("n_a"))
+      val b = names.select(col("p_brand"), col("p_name").as("name_b"),
+        col("cnt").as("n_b"))
+      a.join(b, Seq("p_brand")).filter(col("name_a") < col("name_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
+        .filter(col("dist") >= 1)
+        .select(col("p_brand"), col("name_a"), col("name_b"), col("dist"),
+          col("n_a"), col("n_b"))
+        .orderBy("p_brand", "name_a", "name_b")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -199,6 +248,29 @@ object DedupExtQueries {
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
         |  CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_numeric
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dd9_substring_dup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, md5(g) AS gh FROM (
+        |    SELECT doc_id, unnest(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(w) - 4, 1)),
+        |      i -> array_to_string(w[i:i+4], ' ')))) AS g
+        |    FROM w)),
+        |keep AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) <= 50),
+        |k AS (SELECT g.doc_id, g.gh FROM g JOIN keep USING (gh))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        |FROM k a JOIN k b ON a.gh = b.gh AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "dd10_fuzzy_name_match" ->
+      """WITH n AS (
+        |  SELECT p_brand, p_name, COUNT(*) AS cnt FROM part GROUP BY 1, 2)
+        |SELECT a.p_brand, a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+        |  a.cnt AS n_a, b.cnt AS n_b
+        |FROM n a JOIN n b
+        |  ON a.p_brand = b.p_brand AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+        |ORDER BY a.p_brand, name_a, name_b""".stripMargin
   )
 }

@@ -53,6 +53,31 @@ object ExtraWindowQueries {
         .select("l_orderkey", "l_linenumber", "l_shipdate")
         .orderBy("l_orderkey")),
 
+    // W9: gaps-and-islands sessionization with plain window functions —
+    // the batch form that generalizes past fixed-gap session_window
+    // (sw1) to ARBITRARY session-open rules: a session opens when the
+    // user was idle > 8h; session id = running count of opens. Both
+    // windows share one (user_id → ts, event_id) sort, so the whole
+    // query is one shuffle on user_id. Session value sums through
+    // DECIMAL so the result is addition-order-independent across
+    // engines.
+    "w9_session_islands" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, d)
+        .withColumn("new_sess",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long") > 28800,
+            1L).otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess_id")
+        .agg(min(col("ts")).as("session_start"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double")
+            .as("sess_value"))
+        .orderBy("user_id", "sess_id")
+    }),
+
     // the DataQualityChecker battery as one single-pass aggregate:
     // null %, distinct count, out-of-range count, complete-row count.
     "qc1_quality_battery" -> ((s, d) =>
@@ -95,6 +120,23 @@ object ExtraWindowQueries {
         |  CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS qty_out_of_range,
         |  CAST(SUM(CASE WHEN l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
         |    AND l_shipdate IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS complete_rows
-        |FROM lineitem""".stripMargin
+        |FROM lineitem""".stripMargin,
+    "w9_session_islands" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR date_diff('second', lag(ts) OVER w, ts) > 28800
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM e)
+        |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+        |  MIN(ts) AS session_start, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sess_value
+        |FROM s GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_id""".stripMargin
   )
 }

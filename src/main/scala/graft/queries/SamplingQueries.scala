@@ -126,7 +126,18 @@ object SamplingQueries {
       embeddings(s, d)
         .filter(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 8) <
           when(col("label") % 2 === 0, lit("80000000")).otherwise(lit("1999999a")))
-        .select("vec_id", "label").orderBy("vec_id"))
+        .select("vec_id", "label").orderBy("vec_id")),
+
+    // SM5: deterministic k-fold cross-validation assignment — fold =
+    // md5(key) mod k, a pure function of the key like sm1's split:
+    // folds survive re-runs, engine swaps, repartitioning, and corpus
+    // growth (a new document lands in a fold without moving any existing
+    // one). Narrow per-row math; the only exchange is the output sort.
+    "sm5_kfold" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+        pmod(expr("conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10)")
+          .cast("long"), lit(5L)).cast("int").as("fold"))
+        .orderBy("doc_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -189,6 +200,11 @@ object SamplingQueries {
         |  COALESCE(s.n_shared, 0) > 0 AS contaminated
         |FROM docs d LEFT JOIN shared s USING (doc_id)
         |WHERE d.split = 'eval'
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+    "sm5_kfold" ->
+      """SELECT doc_id,
+        |  CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+        |    AS BIGINT) % 5 AS INTEGER) AS fold
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -92,4 +92,33 @@ class AnalyticQueriesSpec extends SparkSuite {
     val out = AnalyticQueries.queries("rj1_range_join")(spark, sf).collect()
     assert(out.map(_.getLong(1)).sum === Tables.lineitem(spark, sf).count())
   }
+
+  test("winsorize clamps ~10% of each group and keeps the sum in-range") {
+    val groups = Tables.orders(spark, sf).groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    AnalyticQueries.queries("a16_winsorize")(spark, sf).collect().foreach { r =>
+      val (pri, p05, p95) = (r.getString(0), r.getDouble(1), r.getDouble(2))
+      val n = groups(pri)
+      val clamped = r.getLong(3)
+      assert(p05 < p95)
+      // both 5% tails clamp: between 5% and 15% of the group in total
+      assert(clamped >= n / 20 && clamped <= n * 3 / 20 + 1,
+        s"$pri clamped $clamped of $n")
+      // the winsorized sum is bounded by n·p05 .. n·p95
+      val sum = r.getDouble(4)
+      assert(sum >= n * p05 - 1e-6 && sum <= n * p95 + 1e-6)
+    }
+  }
+
+  test("session islands partition events exactly, ids dense from 1") {
+    val out = graft.SparkEntry.queries("w9_session_islands")(spark, sf)
+    assert(out.agg(sum(col("n_events"))).head.getLong(0) ===
+      Tables.events(spark, sf).count())
+    // per user, session ids are 1..k with no gaps
+    val bad = out.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), max(col("sess_id")).as("mx"),
+        min(col("sess_id")).as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1).count()
+    assert(bad === 0)
+  }
 }

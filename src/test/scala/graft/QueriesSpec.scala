@@ -113,4 +113,33 @@ class QueriesSpec extends SparkSuite {
       .filter(col("mid_price") < col("mn") || col("mid_price") > col("mx"))
     assert(chk.count() === 0)
   }
+
+  test("dd9 pairs really share a verbatim 5-word span (spot re-check)") {
+    val pairs = SparkEntry.queries("dd9_substring_dup")(spark, sf)
+      .limit(5).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val texts = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length <= 5) Set(w.mkString(" "))
+      else w.sliding(5).map(_.mkString(" ")).toSet
+    }
+    pairs.foreach { case (a, b) =>
+      assert(shingles(texts(a)).intersect(shingles(texts(b))).nonEmpty,
+        s"pair ($a,$b) shares no 5-word shingle")
+    }
+  }
+
+  test("dd10 fuzzy matches are within-brand, ordered, dist in [1,2]") {
+    val rows = SparkEntry.queries("dd10_fuzzy_name_match")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, dist) = (r.getString(1), r.getString(2), r.getInt(3))
+      assert(a < b)
+      assert(dist >= 1 && dist <= 2)
+      assert(r.getLong(4) >= 1 && r.getLong(5) >= 1)
+    }
+  }
 }

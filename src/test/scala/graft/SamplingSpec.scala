@@ -43,4 +43,24 @@ class SamplingSpec extends SparkSuite {
     assert(evenRate > 0.35 && evenRate < 0.65, s"even rate $evenRate")
     assert(oddRate < 0.25, s"odd rate $oddRate")
   }
+
+  test("k-fold assignment: every doc in exactly one of 5 roughly-even folds") {
+    val out = queries.SamplingQueries.queries("sm5_kfold")(spark, sf)
+    val total = Tables.documents(spark, sf).count()
+    assert(out.count() === total)
+    val byFold = out.groupBy("fold").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byFold.keySet.subsetOf((0 until 5).toSet))
+    assert(byFold.size === 5, s"folds seen: ${byFold.keySet}")
+    // md5 mod 5 is uniform: no fold holds more than twice its fair share
+    byFold.values.foreach(n => assert(n <= 2 * total / 5 + 1, byFold))
+    // pure function of the key: repartitioning cannot move a document
+    val again = Tables.documents(spark, sf).repartition(7)
+      .select(col("doc_id"),
+        pmod(expr("conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10)")
+          .cast("long"), lit(5L)).cast("int").as("fold"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.collect().foreach(r =>
+      assert(again(r.getLong(0)) === r.getInt(1)))
+  }
 }
