@@ -155,22 +155,9 @@ object DedupExtQueries {
     // the same postings cap substring-dedup pipelines apply), then a
     // shingle-hash equi-join counts shared spans per pair. Only 32-byte
     // hashes shuffle; text never leaves the scan stage.
-    "dd9_substring_dup" -> ((s, d) => {
-      val grams = documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), explode(array_distinct(expr(
-          "transform(sequence(1, greatest(size(w) - 4, 1)), i -> concat_ws(' ', slice(w, i, 5)))")))
-          .as("g"))
-        .select(col("doc_id"), md5(col("g")).as("gh"))
-      val keep = grams.groupBy("gh").agg(count(lit(1)).as("gdf"))
-        .filter(col("gdf") <= 50).select("gh")
-      val kept = grams.join(keep, Seq("gh"))
-      kept.select(col("doc_id").as("doc_a"), col("gh"))
-        .join(kept.select(col("doc_id").as("doc_b"), col("gh")), Seq("gh"))
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
-        .orderBy("doc_a", "doc_b")
-    }),
+    "dd9_substring_dup" -> ((s, d) =>
+      graft.operators.SubstringDedup.pairs(documents(s, d))
+        .orderBy("doc_a", "doc_b")),
 
     // DD10: fuzzy entity resolution on the part-name dictionary. Exact
     // duplicates collapse FIRST (the dictionary saturates — 64 distinct
