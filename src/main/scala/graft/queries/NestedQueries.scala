@@ -107,7 +107,22 @@ object NestedQueries {
       lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
           explode(array(col("l_quantity"), col("l_extendedprice"))).as("val"))
-        .orderBy("l_orderkey", "l_linenumber", "val"))
+        .orderBy("l_orderkey", "l_linenumber", "val")),
+
+    // N15: Spark 4 VARIANT — semi-structured ingestion without a declared
+    // schema and without string re-parsing per access: parse_json once
+    // into the binary variant encoding, then typed path extraction
+    // (variant_get) straight in codegen. The modern replacement for the
+    // get_json_object-per-field pattern (n7) when the payload shape
+    // drifts; oracle recomputes via DuckDB's JSON extraction.
+    "n15_variant_get" -> ((s, d) =>
+      events(s, d)
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(col("event_id"),
+          variant_get(col("v"), "$.k", "int").as("k"),
+          try_variant_get(col("v"), "$.missing", "int").as("k_missing"))
+        .withColumn("k_band", (col("k") % 10).cast("int"))
+        .orderBy("event_id"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -154,6 +169,12 @@ object NestedQueries {
     "n13_explode" ->
       """SELECT l_orderkey, l_linenumber, t.val
         |FROM lineitem CROSS JOIN UNNEST([l_quantity, l_extendedprice]) AS t(val)
-        |ORDER BY l_orderkey, l_linenumber, val""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber, val""".stripMargin,
+    "n15_variant_get" ->
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+        |  CAST(json_extract(props, '$.missing') AS INTEGER) AS k_missing,
+        |  CAST(CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS INTEGER) AS k_band
+        |FROM events ORDER BY event_id""".stripMargin
   )
 }
