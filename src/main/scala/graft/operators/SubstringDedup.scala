@@ -35,7 +35,16 @@ object SubstringDedup {
     * sharing at least one exact `k`-word shingle that occurs in at most
     * `dfCap` documents. `docs` must carry (`idCol`, `textCol`);
     * documents shorter than k words contribute their whole text as one
-    * shingle. */
+    * shingle.
+    *
+    * Shape: ONE aggregation builds each shingle's posting list (the
+    * dfCap bound makes collect_list safe — a list never exceeds cap+1
+    * entries because oversized postings are dropped anyway), postings
+    * with a single document vanish there too (no pair to emit), and the
+    * surviving lists expand to their ordered pairs in-place with array
+    * HOFs. No join-back, no self-join: two data shuffles total (shingle
+    * agg, pair agg), and the pair generator's input is only the shared
+    * shingles — a sliver of the postings at real corpus skew. */
   def pairs(docs: DataFrame, idCol: String = "doc_id",
             textCol: String = "text", k: Int = 5,
             dfCap: Int = 50): DataFrame = {
@@ -44,13 +53,23 @@ object SubstringDedup {
       .select(col("doc_id"), explode(array_distinct(expr(
         s"transform(sequence(1, greatest(size(w) - ${k - 1}, 1)), " +
           s"i -> concat_ws(' ', slice(w, i, $k)))"))).as("g"))
-      .select(col("doc_id"), md5(col("g")).as("gh"))
-    val keep = grams.groupBy("gh").agg(count(lit(1)).as("gdf"))
-      .filter(col("gdf") <= dfCap).select("gh")
-    val kept = grams.join(keep, Seq("gh"))
-    kept.select(col("doc_id").as("doc_a"), col("gh"))
-      .join(kept.select(col("doc_id").as("doc_b"), col("gh")), Seq("gh"))
-      .filter(col("doc_a") < col("doc_b"))
+      // 60-bit key from the md5 prefix: an 8-byte long shuffles 5x
+      // lighter than the 32-char hex string and still collides only at
+      // ~|postings|²/2^61 (engine-reproducible, unlike xxhash64, should
+      // an oracle ever need to mirror it).
+      .select(col("doc_id"),
+        expr("conv(substring(md5(g), 1, 15), 16, 10)").cast("long").as("gh"))
+    val postings = grams.groupBy("gh")
+      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, dfCap))
+    // ds is strictly increasing (per-doc shingles are distinct), so
+    // pairing each element with its successors yields doc_a < doc_b.
+    postings
+      .select(explode(expr(
+        """flatten(transform(ds, (a, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), b ->
+          |    struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
   }
 }
