@@ -81,9 +81,12 @@ object CorpusPipeline {
     val curated = near.withColumn("split",
       graft.operators.Splits.hashSplit(col("doc_id"), trainHexThreshold))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val afterNear = curated.count()
+    // one action yields both stage counts (total + per-split)
+    val bySplit = curated.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val afterNear = bySplit.values.sum
     exact.unpersist()
-    val train = curated.filter(col("split") === "train").count()
+    val train = bySplit.getOrElse("train", 0L)
 
     (curated, CorpusStats(input, afterQuality, afterExact, afterNear,
       train, afterNear - train))

@@ -82,13 +82,22 @@ object WritePathQueries {
     upd.unionByName(fresh)
   }
 
-  /** Run the 2-day flat merge into a fresh dir; returns the table path. */
-  private def runFlatScenario(s: SparkSession, d: String): String = {
-    val root = tmp("graft_gate_scd2")
-    Scd2.merge(s, scdDay1(s, d), root, asOfDate = lit("2025-01-15"))
-    Scd2.merge(s, scdDay2(s, d), root, asOfDate = lit("2025-01-16"))
-    root
-  }
+  /** Run the 2-day flat merge once per (JVM, sfDir); s2/s6/s7/s7b share
+    * the result (the VectorQueries build-once pattern). Sharing is sound
+    * because every consumer's gated invariant is CONTENT equality and
+    * the optimize passes preserve content exactly — s7/s7b may rewrite
+    * the shared table's layout in place and later readers still see the
+    * same logical rows (if an optimize ever broke that, every sharer's
+    * oracle would fail loudly, which is the right failure mode). */
+  private val flatScenarioCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def runFlatScenario(s: SparkSession, d: String): String =
+    flatScenarioCache.getOrElseUpdate(d, {
+      val root = tmp("graft_gate_scd2")
+      Scd2.merge(s, scdDay1(s, d), root, asOfDate = lit("2025-01-15"))
+      Scd2.merge(s, scdDay2(s, d), root, asOfDate = lit("2025-01-16"))
+      root
+    })
 
   private def orderedScd(df: DataFrame): DataFrame =
     df.select(ScdCols.map(col): _*)
