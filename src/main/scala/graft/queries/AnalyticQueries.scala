@@ -158,6 +158,28 @@ object AnalyticQueries {
         .orderBy("band")
     }),
 
+    // RJ2: time-interval join — per click, how many views did the same
+    // user make in the trailing 24h? Unlike rj1 (pure inequality against
+    // a broadcast dim) the user_id EQUI key carries the join: Catalyst
+    // plans a hash/sort-merge equi-join on user_id with the time band as
+    // a residual filter — the shape that survives fact×fact at scale
+    // (never a nested loop); the streaming twin (watermarked,
+    // state-bounded) is streaming.StreamingOps.intervalJoin.
+    "rj2_interval_join" -> ((s, d) => {
+      val e = events(s, d)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts").as("cts"))
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id").as("vuid"), col("ts").as("vts"))
+      clicks.join(views,
+          col("user_id") === col("vuid") &&
+            col("vts") >= col("cts") - expr("INTERVAL 24 HOURS") &&
+            col("vts") <= col("cts"), "left")
+        .groupBy("event_id")
+        .agg(count(col("vts")).as("n_prior_views"))
+        .orderBy("event_id")
+    }),
+
     // J7: multi-way star join (TPC-H Q5 shape) — two fact-sized equi-joins
     // shuffling on their keys, then broadcast dim chain (nation, region),
     // date filter pushed to the orders scan, grouped decimal-exact revenue,
@@ -285,6 +307,17 @@ object AnalyticQueries {
         |FROM events e
         |ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+    "rj2_interval_join" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts AS cts FROM events
+        |  WHERE event_type = 'click'),
+        |v AS (
+        |  SELECT user_id AS vuid, ts AS vts FROM events
+        |  WHERE event_type = 'view')
+        |SELECT c.event_id, COUNT(v.vts) AS n_prior_views
+        |FROM c LEFT JOIN v ON c.user_id = v.vuid
+        |  AND v.vts BETWEEN c.cts - INTERVAL 24 HOUR AND c.cts
+        |GROUP BY c.event_id ORDER BY c.event_id""".stripMargin,
     "rj1_range_join" ->
       """WITH bands AS (
         |  SELECT range AS band, range * 2000.0 AS lo, (range + 1) * 2000.0 AS hi
