@@ -42,7 +42,7 @@ object ConnectedComponents {
       .localCheckpoint(true)
     // sum() over zero rows is null — an empty vertex set (fully-filtered
     // corpus) must yield an empty result, not an NPE.
-    val sum0 = labels.agg(sum("lbl")).head
+    val sum0 = labels.agg(sum("lbl")).head()
     if (sum0.isNullAt(0)) {
       bidir.unpersist()
       return labels.select(col("id"), col("lbl").as("component"))
@@ -63,7 +63,7 @@ object ConnectedComponents {
       val jumpTo = combined.select(col("id").as("jid"), col("lbl").as("jlbl"))
       val next = combined.join(jumpTo, col("lbl") === col("jid"), "left")
         .select(col("id"), coalesce(col("jlbl"), col("lbl")).as("lbl"))
-      val nextSum = next.agg(sum("lbl")).head.getLong(0)
+      val nextSum = next.agg(sum("lbl")).head().getLong(0)
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(f"CC iter=$iter sum=$nextSum t=${(System.nanoTime() - t0) / 1e9}%.2f")
       converged = nextSum == labelSum

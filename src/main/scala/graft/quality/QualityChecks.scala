@@ -22,7 +22,7 @@ object QualityChecks {
     if (present.isEmpty) return Seq.empty
     val aggs = count(lit(1)).as("_total") +:
       present.map(c => sum(when(col(c).isNull, 1).otherwise(0)).as(s"_null_$c"))
-    val row = df.agg(aggs.head, aggs.tail: _*).head
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
     val total = row.getAs[Long]("_total")
     present.map { c =>
       val nulls = row.getAs[Long](s"_null_$c")
@@ -38,7 +38,7 @@ object QualityChecks {
     if (present.isEmpty) return Seq.empty
     val aggs = count(lit(1)).as("_total") +:
       present.map(c => countDistinct(col(c)).as(s"_dist_$c"))
-    val row = df.agg(aggs.head, aggs.tail: _*).head
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
     val total = row.getAs[Long]("_total")
     present.map { c =>
       val distinct = row.getAs[Long](s"_dist_$c")
@@ -54,7 +54,7 @@ object QualityChecks {
     val row = df.agg(
       count(lit(1)).as("_total"),
       sum(when(col(column) < minVal || col(column) > maxVal, 1).otherwise(0))
-        .as("_oor")).head
+        .as("_oor")).head()
     val total = row.getAs[Long]("_total")
     val oor = row.getAs[Long]("_oor")
     CheckResult(s"range_check_$column", oor == 0,
@@ -70,7 +70,7 @@ object QualityChecks {
     val age = (unix_timestamp(now) - unix_timestamp(col(tsColumn))) / 3600
     val row = df.agg(
       count(lit(1)).as("_total"),
-      sum(when(age > maxAgeHours, 1).otherwise(0)).as("_stale")).head
+      sum(when(age > maxAgeHours, 1).otherwise(0)).as("_stale")).head()
     val total = row.getAs[Long]("_total")
     val stale = row.getAs[Long]("_stale")
     CheckResult("freshness_check", stale == 0,
@@ -97,7 +97,7 @@ object QualityChecks {
     val row = df.agg(
       sum(when(col(column).isNotNull, 1).otherwise(0)).as("_nonnull"),
       sum(when(!col(column).rlike(pattern) && col(column).isNotNull, 1).otherwise(0))
-        .as("_invalid")).head
+        .as("_invalid")).head()
     val nonNull = row.getAs[Long]("_nonnull")
     val invalid = row.getAs[Long]("_invalid")
     CheckResult(s"format_check_$column", invalid == 0,
@@ -113,7 +113,7 @@ object QualityChecks {
       .reduceOption(_ && _).getOrElse(lit(true))
     val row = df.agg(
       count(lit(1)).as("_total"),
-      sum(when(completePred, 1).otherwise(0)).as("_complete")).head
+      sum(when(completePred, 1).otherwise(0)).as("_complete")).head()
     val total = row.getAs[Long]("_total")
     val complete = row.getAs[Long]("_complete")
     CheckResult("completeness_check", total - complete == 0,

@@ -307,7 +307,7 @@ object WritePathQueries {
       val ck = col("c_custkey")
       def mkStats(df: DataFrame): SilverEtl.EtlStats = {
         val r = df.agg(count(lit(1)),
-          sum(when(ck % 11 === 0, 1L).otherwise(0L))).head
+          sum(when(ck % 11 === 0, 1L).otherwise(0L))).head()
         val (n, inv) = (r.getLong(0), r.getLong(1))
         SilverEtl.EtlStats(n, n - inv, inv, 0L, n - inv, 0.0)
       }

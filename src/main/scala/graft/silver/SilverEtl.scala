@@ -255,7 +255,7 @@ object SilverEtl {
     if (fills.nonEmpty) d = d.na.fill(fills)
     OutlierColumns.filter(d.columns.contains).foreach { c =>
       val row = d.filter(col(c).isNotNull)
-        .agg(avg(col(c)).as("mu"), stddev_samp(col(c)).as("sd")).head
+        .agg(avg(col(c)).as("mu"), stddev_samp(col(c)).as("sd")).head()
       if (!row.isNullAt(1) && row.getDouble(1) > 0) {
         val (mu, sd) = (row.getDouble(0), row.getDouble(1))
         d = d.filter(col(c).isNull || abs((col(c) - mu) / sd) < 4)
@@ -281,7 +281,7 @@ object SilverEtl {
     if (cols.isEmpty) return d
     val aggs = cols.flatMap(c => Seq(
       avg(col(c)).as(s"mu_$c"), stddev_samp(col(c)).as(s"sd_$c")))
-    val row = d.agg(aggs.head, aggs.tail: _*).head
+    val row = d.agg(aggs.head, aggs.tail: _*).head()
     val preds = cols.flatMap { c =>
       val iMu = row.fieldIndex(s"mu_$c"); val iSd = row.fieldIndex(s"sd_$c")
       if (row.isNullAt(iSd) || row.getDouble(iSd) <= 0) None

@@ -49,7 +49,7 @@ object PipelineDemo {
     val feats = graft.multimodal.Multimodal.featureTable(spark, 50)
     println("[demo] multimodal features: " + feats.count() +
       " rows, embedding dims = " +
-      feats.select(size(col("embedding"))).head.getInt(0))
+      feats.select(size(col("embedding"))).head().getInt(0))
     println(s"[demo] outputs under $base")
     spark.stop()
   }
