@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types.StructType
 import graft.silver.SilverEtl
 
@@ -181,5 +181,45 @@ object StreamingOps {
             Iterator.empty
           }
       }.toDF()
+  }
+
+  final case class RunState(count: Long, total: Double)
+  final case class UserRunning(user_id: Long, n_events: Long,
+                               total_value: Double)
+
+  /** Per-user running totals on the Spark 4 `transformWithState` API —
+    * the successor to flatMapGroupsWithState: named, typed,
+    * individually-TTL-able state handles acquired from the processor
+    * handle, RocksDB-backed (the operator requires the RocksDB provider;
+    * set `spark.sql.streaming.stateStore.providerClass` accordingly).
+    * Emits the updated cumulative (count, total) for every user touched
+    * in each micro-batch. */
+  class RunningTotalsProcessor
+      extends StatefulProcessor[Long, Event, UserRunning] {
+    @transient private var totals: ValueState[RunState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[RunState]("totals",
+        org.apache.spark.sql.Encoders.product[RunState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[UserRunning] = {
+      val prev = if (totals.exists()) totals.get() else RunState(0L, 0.0)
+      var count = prev.count
+      var total = prev.total
+      rows.foreach { e => count += 1; total += e.value }
+      totals.update(RunState(count, total))
+      Iterator.single(UserRunning(key, count, total))
+    }
+  }
+
+  /** Streaming per-user running totals; Update-mode emission per batch. */
+  def runningTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events.as[Event]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Update())
+      .toDF()
   }
 }

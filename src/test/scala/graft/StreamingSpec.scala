@@ -129,6 +129,40 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState running totals accumulate across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    // transformWithState requires the RocksDB provider
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Event]
+    val q = StreamingOps.runningTotals(spark, mem.toDF())
+      .writeStream.format("memory").queryName("running_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(Event(1, ts(1), 42, "click", 1.5), Event(2, ts(2), 42, "view", 2.5))
+      q.processAllAvailable()
+      mem.addData(Event(3, ts(3), 42, "click", 6.0), Event(4, ts(3), 7, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("running_out")
+        .groupBy("user_id")
+        .agg(max("n_events").as("n"), max("total_value").as("t"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      // user 42: batch 1 emitted (2, 4.0), batch 2 emitted (3, 10.0) —
+      // state carried across batches, not recomputed per batch
+      assert(rows(42L) === ((3L, 10.0)))
+      assert(rows(7L) === ((1L, 1.0)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("dropDuplicatesWithinWatermark removes repeats, bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
