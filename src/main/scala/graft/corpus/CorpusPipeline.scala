@@ -37,6 +37,42 @@ object CorpusPipeline {
       .filter(col("est_jaccard") >= minJaccard)
       .select("src", "dst")
 
+  /** Stage 1+2: per-row quality + language gate (no shuffle). */
+  def qualityGate(docs: DataFrame, langs: Seq[String], minChars: Int,
+                  maxChars: Int, maxPunctRatio: Double): DataFrame =
+    docs
+      .withColumn("__len", greatest(length(col("text")), lit(1)))
+      .withColumn("__punct",
+        expr("CAST(regexp_count(text, '[.,!?;:]') AS DOUBLE)") / col("__len"))
+      .filter(col("n_chars").between(minChars, maxChars) &&
+        col("__punct") <= maxPunctRatio &&
+        col("lang").isin(langs: _*))
+      .drop("__len", "__punct")
+
+  /** Stage 3: exact dedup on content hash, keep min doc_id (one shuffle
+    * on the 16-byte hash, never on text). */
+  def exactDedupKeepMin(gated: DataFrame): DataFrame = {
+    val keep = gated
+      .groupBy(md5(col("text")).as("__fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .drop("__fp")
+    gated.join(keep, Seq("doc_id"), "left_semi")
+  }
+
+  /** The deterministic (SQL-expressible) sub-pipeline: quality gate →
+    * exact dedup → content-hash split, skipping the probabilistic
+    * near-dup stage — runs the SAME production stage functions `curate`
+    * composes, which is what lets the driver's DuckDB oracle gate them
+    * end-to-end (cp2) while the full composite stays rows-only (cp1). */
+  def curateExact(docs: DataFrame, langs: Seq[String] = Seq("en"),
+                  minChars: Int = 100, maxChars: Int = 100000,
+                  maxPunctRatio: Double = 0.2,
+                  trainHexThreshold: String = "cc"): DataFrame =
+    exactDedupKeepMin(
+      qualityGate(docs, langs, minChars, maxChars, maxPunctRatio))
+      .withColumn("split",
+        graft.operators.Splits.hashSplit(col("doc_id"), trainHexThreshold))
+
   /** Curate `docs` (doc_id, text, lang, n_chars …) → (curated corpus with
     * `split` column, per-stage stats). */
   def curate(spark: SparkSession, docs: DataFrame,
@@ -48,23 +84,12 @@ object CorpusPipeline {
     val input = docs.count()
 
     // 1+2: per-row quality + language gate
-    val gated = docs
-      .withColumn("__len", greatest(length(col("text")), lit(1)))
-      .withColumn("__punct",
-        expr("CAST(regexp_count(text, '[.,!?;:]') AS DOUBLE)") / col("__len"))
-      .filter(col("n_chars").between(minChars, maxChars) &&
-        col("__punct") <= maxPunctRatio &&
-        col("lang").isin(langs: _*))
-      .drop("__len", "__punct")
+    val gated = qualityGate(docs, langs, minChars, maxChars, maxPunctRatio)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val afterQuality = gated.count()
 
     // 3: exact dedup on content hash, keep min doc_id
-    val keepExact = gated
-      .groupBy(md5(col("text")).as("__fp"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .drop("__fp")
-    val exact = gated.join(keepExact, Seq("doc_id"), "left_semi")
+    val exact = exactDedupKeepMin(gated)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val afterExact = exact.count()
     gated.unpersist()

@@ -86,6 +86,17 @@ object SamplingQueries {
       curated.select("doc_id", "split").orderBy("doc_id")
     }),
 
+    // CP2: the deterministic sub-pipeline of cp1 — quality gate → exact
+    // dedup → content-hash split, the SAME production stage functions
+    // cp1 composes, minus the probabilistic near-dup stage — so the
+    // driver's DuckDB oracle gates the curation stages end-to-end while
+    // cp1's MinHash composite stays rows-only.
+    "cp2_curate_exact" -> ((s, d) =>
+      graft.corpus.CorpusPipeline.curateExact(
+        graft.Tables.documents(s, d),
+        langs = Seq("en", "vi", "de", "fr"), minChars = 1)
+        .select("doc_id", "split").orderBy("doc_id")),
+
     // SM3: deterministic per-group sample — the k docs with the smallest
     // content-hash per source. Reproducible across runs/engines (unlike
     // rand()-based sampleBy) and shuffles only (source, hash) pairs.
@@ -205,6 +216,19 @@ object SamplingQueries {
       """SELECT doc_id,
         |  CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)
         |    AS BIGINT) % 5 AS INTEGER) AS fold
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "cp2_curate_exact" ->
+      """WITH gated AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE n_chars BETWEEN 1 AND 100000
+        |    AND CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE)
+        |        / GREATEST(len(text), 1) <= CAST(0.2 AS DOUBLE)
+        |    AND lang IN ('en', 'vi', 'de', 'fr')),
+        |keep AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY md5(text))
+        |SELECT g.doc_id,
+        |  CASE WHEN substring(md5(CAST(g.doc_id AS VARCHAR)), 1, 2) < 'cc'
+        |       THEN 'train' ELSE 'eval' END AS split
+        |FROM gated g SEMI JOIN keep USING (doc_id)
+        |ORDER BY g.doc_id""".stripMargin
   )
 }
