@@ -314,6 +314,31 @@ object TextQueries {
           expr("aggregate(zip_with(bits_a, bits_b, (x, y) -> IF(x = y, 0, 1)), 0, (acc, v) -> acc + v)")
             .as("hamming"))
         .orderBy("doc_a")
+    }),
+
+    // TX14: unigram language-model log-probability — the CCNet-style
+    // "train an LM on the corpus, score each document" quality signal
+    // (perplexity = exp(-avg_logp)). Token frequencies are one hash agg;
+    // the vocabulary is a broadcast dim joined back; the corpus token
+    // total is a 1-row scalar pull re-injected as a literal (the
+    // SilverEtl stats shape — no crossJoin, no whitelist entry). Each
+    // logp is decimal-cast and SUMMED exactly (sum, not avg: decimal
+    // division rounds HALF_UP in Spark vs float division in DuckDB on
+    // halfway digits — the mean is derivable from sum/n_toks); ln
+    // rounds at 6 (the m5 rule) AFTER the exact-decimal sum.
+    "tx14_unigram_logprob" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val total = freq.agg(sum("cnt")).head().getLong(0)
+      toks.join(broadcast(freq), "tok")
+        .withColumn("logp",
+          log(col("cnt").cast("double") / lit(total.toDouble))
+            .cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          round(sum(col("logp")).cast("double"), 6).as("sum_logp"))
+        .orderBy("doc_id")
     })
   )
 
@@ -466,6 +491,17 @@ object TextQueries {
         |  ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
         |    / len(list_distinct(a.grams || b.grams)), 6) AS jac
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "tx14_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |freq AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+        |total AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS t FROM freq)
+        |SELECT doc_id, COUNT(*) AS n_toks,
+        |  ROUND(CAST(SUM(CAST(ln(CAST(cnt AS DOUBLE) / t)
+        |    AS DECIMAL(28,10))) AS DOUBLE), 6) AS sum_logp
+        |FROM toks JOIN freq USING (tok) CROSS JOIN total
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
