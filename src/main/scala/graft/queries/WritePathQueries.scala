@@ -207,6 +207,32 @@ object WritePathQueries {
       orderedScd(SnapshotStore.readAt(s, root, "v000000001"))
     }),
 
+    // S12: change data feed between two pinned versions — v2 deletes
+    // every 13th key, renames every (7th ∧ not-13th) key, and inserts a
+    // shifted copy of each deleted key; the feed must classify exactly
+    // those rows (insert / update_pre+postimage / delete) and NOTHING
+    // for the untouched majority — churn-sized output, the property the
+    // oracle recomputes logically from the same customer fixture.
+    "s12_change_feed" -> ((s, d) => {
+      val root = tmp("graft_gate_cdf")
+      val parts = Seq("spider_name", "ingestion_year", "ingestion_month")
+      val day1 = scdDay1(s, d)
+      PointerCommit.publish(day1, root, parts)
+      val ck = col("universal_id").cast("long")
+      val survived = day1.filter(ck % 13 =!= 0)
+        .withColumn("project_name",
+          when(ck % 7 === 0, concat(col("project_name"), lit(" v2")))
+            .otherwise(col("project_name")))
+      val inserts = day1.filter(ck % 13 === 0)
+        .withColumn("universal_id", (ck + 3000000).cast("string"))
+        .withColumn("project_name", concat(lit("NEW "), col("project_name")))
+      PointerCommit.publish(survived.unionByName(inserts), root, parts)
+      SnapshotStore.changesBetween(s, root, "v000000001", "v000000002",
+          keyCols = Seq("universal_id"))
+        .select(col("universal_id"), col("project_name"), col("change_type"))
+        .orderBy(col("universal_id").cast("long"), col("change_type"))
+    }),
+
     // Bucketed co-located join: both fact sides land bucketed by the
     // join key (operators.Bucketing), then join + aggregate read ONLY
     // the bucketed tables — the storage-side answer to repeated
@@ -416,6 +442,23 @@ object WritePathQueries {
         |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "s12_change_feed" ->
+      """WITH base AS (SELECT c_custkey AS ck, c_name FROM customer),
+        |changes AS (
+        |  SELECT CAST(ck + 3000000 AS VARCHAR) AS universal_id,
+        |         'NEW ' || c_name AS project_name, 'insert' AS change_type
+        |  FROM base WHERE ck % 13 = 0
+        |  UNION ALL
+        |  SELECT CAST(ck AS VARCHAR), c_name || ' v2', 'update_postimage'
+        |  FROM base WHERE ck % 7 = 0 AND ck % 13 <> 0
+        |  UNION ALL
+        |  SELECT CAST(ck AS VARCHAR), c_name, 'update_preimage'
+        |  FROM base WHERE ck % 7 = 0 AND ck % 13 <> 0
+        |  UNION ALL
+        |  SELECT CAST(ck AS VARCHAR), c_name, 'delete'
+        |  FROM base WHERE ck % 13 = 0)
+        |SELECT universal_id, project_name, change_type FROM changes
+        |ORDER BY CAST(universal_id AS BIGINT), change_type""".stripMargin,
     "s11_dynamic_overwrite" ->
       """SELECT CAST(c_custkey AS VARCHAR) AS universal_id,
         |       CASE WHEN c_custkey % 3 = 1 THEN c_name || ' v2'

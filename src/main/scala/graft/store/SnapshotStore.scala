@@ -2,6 +2,7 @@ package graft.store
 
 import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Object-store-safe table commit: versioned immutable snapshot
   * directories plus an atomically-replaced single-file pointer.
@@ -93,6 +94,50 @@ object SnapshotStore {
           s"snapshot $name not found under $root — never published or vacuumed")
         spark.read.parquet(dir.toString)
     }
+
+  /** Change data feed between two pinned versions — Delta CDF's sibling
+    * to [[readAt]] time travel, recovered from plain snapshots: rows are
+    * matched by full-row content hash (an equi anti-join on a 128-bit
+    * key, never a row-by-row comparison), then classified by whether the
+    * row's KEY survives on the other side:
+    *
+    *   - in vTo only, key new          → `insert`
+    *   - in vTo only, key existed      → `update_postimage`
+    *   - in vFrom only, key survives   → `update_preimage`
+    *   - in vFrom only, key gone       → `delete`
+    *
+    * Unchanged rows hash-match and drop out of BOTH anti-joins, so the
+    * feed's size scales with the churn between the versions, not the
+    * table — the property that makes downstream incremental consumers
+    * (sync jobs, aggregate maintenance) O(changes). Columns are aligned
+    * by name; the row hash uses a field separator + null sentinel so
+    * ("a","bc") never collides with ("ab","c") or null. */
+  def changesBetween(spark: SparkSession, root: String,
+                     vFrom: String, vTo: String,
+                     keyCols: Seq[String]): DataFrame = {
+    val from = readAt(spark, root, vFrom)
+    val cols = from.columns.sorted.toSeq
+    val rowHash = md5(concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+    val f = readAt(spark, root, vFrom).select(cols.map(col): _*)
+      .withColumn("__rh", rowHash)
+    val t = readAt(spark, root, vTo).select(cols.map(col): _*)
+      .withColumn("__rh", rowHash)
+    val fromKeys = f.select(keyCols.map(col): _*).distinct()
+    val toKeys = t.select(keyCols.map(col): _*).distinct()
+    val appeared = t.join(f.select("__rh"), Seq("__rh"), "left_anti")
+    val vanished = f.join(t.select("__rh"), Seq("__rh"), "left_anti")
+    val inserts = appeared.join(fromKeys, keyCols, "left_anti")
+      .withColumn("change_type", lit("insert"))
+    val postimages = appeared.join(fromKeys, keyCols, "left_semi")
+      .withColumn("change_type", lit("update_postimage"))
+    val preimages = vanished.join(toKeys, keyCols, "left_semi")
+      .withColumn("change_type", lit("update_preimage"))
+    val deletes = vanished.join(toKeys, keyCols, "left_anti")
+      .withColumn("change_type", lit("delete"))
+    inserts.unionByName(postimages).unionByName(preimages)
+      .unionByName(deletes).drop("__rh")
+  }
 
   /** Write a new snapshot via `write(dir)` then publish it by atomically
     * replacing the pointer. The write happens entirely inside a fresh

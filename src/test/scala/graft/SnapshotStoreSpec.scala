@@ -297,6 +297,31 @@ class SnapshotStoreSpec extends SparkSuite {
     assert(Scd2.violations(snap) === 0)
   }
 
+  test("change feed: republish of identical content yields an empty feed") {
+    import spark.implicits._
+    val root = freshRoot()
+    val rows = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, null, 3.5))
+      .toDF("id", "name", "v")
+    PointerCommit.publish(rows, root, Nil)
+    PointerCommit.publish(rows, root, Nil) // same content, new version
+    val feed = SnapshotStore.changesBetween(spark, root,
+      "v000000001", "v000000002", keyCols = Seq("id"))
+    assert(feed.count() === 0) // churn-sized: no churn, no rows
+  }
+
+  test("change feed: null and empty-string fields don't collide in the row hash") {
+    import spark.implicits._
+    val root = freshRoot()
+    PointerCommit.publish(Seq((1L, null.asInstanceOf[String]))
+      .toDF("id", "name"), root, Nil)
+    PointerCommit.publish(Seq((1L, "")).toDF("id", "name"), root, Nil)
+    val feed = SnapshotStore.changesBetween(spark, root,
+      "v000000001", "v000000002", keyCols = Seq("id"))
+      .select("change_type").collect().map(_.getString(0)).sorted
+    // null → "" IS a change: pre+post images, never a silent match
+    assert(feed.toSeq === Seq("update_postimage", "update_preimage"))
+  }
+
   test("DirectorySwapCommit failed rename surfaces instead of losing the table") {
     import spark.implicits._
     val root = freshRoot()
