@@ -78,6 +78,25 @@ object ExtraWindowQueries {
         .orderBy("user_id", "sess_id")
     }),
 
+    // W10: top-k WITHOUT a window sort — the 3 most recent distinct
+    // event times per user through the k-bounded BottomK aggregator
+    // (negated: bottom-k of -ts = top-k of ts). w2's window formulation
+    // sorts every row of every partition before discarding all but k;
+    // this is one ObjectHashAggregate pass with a k-slot buffer,
+    // combining map-side — the shape that matters when one user has
+    // millions of events. Oracle recomputes via the window form: same
+    // rows, independently derived.
+    "w10_topk_agg" -> ((s, d) =>
+      events(s, d)
+        .groupBy("user_id")
+        .agg(transform(
+          graft.functions.BottomK.bottomK(col("ts").cast("long") * -1, 3),
+          x => x * -1).as("recent"))
+        .select(col("user_id"), posexplode(col("recent")).as(Seq("pos", "ts_epoch")))
+        .select(col("user_id"), (col("pos") + 1).cast("int").as("rnk"),
+          col("ts_epoch"))
+        .orderBy("user_id", "rnk")),
+
     // the DataQualityChecker battery as one single-pass aggregate:
     // null %, distinct count, out-of-range count, complete-row count.
     "qc1_quality_battery" -> ((s, d) =>
@@ -121,6 +140,19 @@ object ExtraWindowQueries {
         |  CAST(SUM(CASE WHEN l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
         |    AND l_shipdate IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS complete_rows
         |FROM lineitem""".stripMargin,
+    "w10_topk_agg" ->
+      """WITH t AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 1000000000 AS ts_epoch
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, ts_epoch,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts_epoch DESC) AS rnk
+        |  FROM t)
+        |SELECT user_id, CAST(rnk AS INTEGER) AS rnk, ts_epoch
+        |FROM r WHERE rnk <= 3
+        |ORDER BY user_id, rnk""".stripMargin,
     "w9_session_islands" ->
       """WITH e AS (
         |  SELECT user_id, event_id, ts, value,
