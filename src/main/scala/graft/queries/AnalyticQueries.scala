@@ -215,6 +215,21 @@ object AnalyticQueries {
           col("n_events"), col("sum_value"))
         .orderBy("user_id", "session_start")),
 
+    // A17: bivariate statistics — Pearson correlation and sample
+    // covariance as single-pass co-moment aggregates (no two-pass
+    // mean-then-deviation scan); rounded at 4 because the co-moment
+    // merge order differs across engines in the last ulps.
+    "a17_corr_cov" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("qty_price_corr"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 4)
+            .as("qty_disc_cov"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     // A16: winsorization — clamp each group's tail values to its exact
     // [p05, p95] before summing (the robust-mean feature transform;
     // a15 detects outliers, this REPLACES them). One grouped percentile
@@ -359,6 +374,13 @@ object AnalyticQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM sessions GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "a17_corr_cov" ->
+      """SELECT l_returnflag,
+        |  ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+        |  ROUND(covar_samp(l_quantity, l_discount), 4) AS qty_disc_cov,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "a16_winsorize" ->
       """WITH pct AS (
         |  SELECT o_orderpriority AS pri,

@@ -163,6 +163,28 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("stream-static broadcast join enriches the stream against a fixed dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // static user→segment dim joins into every micro-batch; Catalyst
+    // broadcasts the static side, so no stream-side state is kept
+    val dim = Seq((42L, "gold"), (7L, "basic")).toDF("user_id", "segment")
+    val mem = MemoryStream[Event]
+    val q = mem.toDF()
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+      .writeStream.format("memory").queryName("enriched_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(Event(1, ts(1), 42, "click", 1.0), Event(2, ts(2), 99, "view", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched_out")
+        .select("user_id", "segment").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(rows(42L) === Some("gold"))
+      assert(rows(99L) === None) // left join: unknown users pass through
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark removes repeats, bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
