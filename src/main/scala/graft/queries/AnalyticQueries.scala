@@ -230,6 +230,25 @@ object AnalyticQueries {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
+    // A18: per-group least-squares fit as aggregates — slope, intercept
+    // and R² of price against quantity in ONE pass over each group
+    // (regr_* co-moments; no feature matrix, no collect, no ML library)
+    // — the distributed form of the reference's price-model feature
+    // prep. Rounded at 4 like a17: co-moment merge order is
+    // engine-internal.
+    "a18_regr_fit" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("r2"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     // A16: winsorization — clamp each group's tail values to its exact
     // [p05, p95] before summing (the robust-mean feature transform;
     // a15 detects outliers, this REPLACES them). One grouped percentile
@@ -374,6 +393,14 @@ object AnalyticQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM sessions GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "a18_regr_fit" ->
+      """SELECT l_returnflag,
+        |  ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        |  ROUND(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "a17_corr_cov" ->
       """SELECT l_returnflag,
         |  ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
