@@ -2,24 +2,41 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark entry point. Times every registered query at
-  * SPARK_GRAFT_SF_DIR and prints two JSON lines:
-  *   1. a `"metric":"detail"` line with every per-query time (for humans
-  *      and for anyone capturing full stdout), then
-  *   2. a compact `"metric":"total"` line — total seconds over ALL
-  *      queries, query count, and a fixed headline subset of per-query
-  *      times — emitted LAST and deliberately short: the harness that
-  *      records bench output keeps only a ~2 KB tail of stdout, and the
-  *      full 120+-query map overflows it (every prior round's artifact
-  *      shows `parsed: null` because the line's opening brace scrolled
-  *      out of the tail window). The compact line always fits.
+  * SPARK_GRAFT_SF_DIR and prints three JSON lines:
+  *
+  *   1. a compact `"metric":"total"` SUMMARY line — emitted FIRST so a
+  *      head-truncated capture still carries the totals,
+  *   2. a `"metric":"detail"` line with every per-query time,
+  *   3. the identical summary line again, LAST — the harness that records
+  *      bench output keeps only a ~2 KB tail of stdout, and the full
+  *      150+-query detail map overflows it (BENCH_r04 lost its total
+  *      exactly this way). Whichever end survives, the totals do.
+  *
+  * The summary splits the total into `total_read` (the headline engine
+  * queries — the apples-to-apples comparison against BASELINE.md's
+  * round-1 numbers, which predate every write-path gate) and
+  * `total_write_gates` (queries that run full multi-publish disk
+  * scenarios inside the timed loop: every WritePathQueries entry plus
+  * the corpus-curation composites — real work, but measuring `local[32]`
+  * disk churn, not query execution). It also carries `medians`:
+  * steady-state re-run medians for the slowest read-path queries, since
+  * single first-runs at sf0.1 swing ±20-50% (BASELINE.md documents dd4
+  * first-runs of 2.4 s against 1.09 s medians).
   *
   * Queries run in name-sorted order so cold-start costs (codegen/JIT of
   * shared expressions, parquet footer reads) land on the same queries
-  * every round and cross-round per-query comparisons are meaningful —
-  * map-iteration order used to reshuffle whenever a query was added,
-  * which moved multi-second first-touch costs between unrelated entries.
+  * every round and cross-round per-query comparisons are meaningful.
   */
 object Bench {
+  /** Queries whose timed body is a multi-publish disk scenario rather
+    * than a read-path query plan: the write-path driver gates and the
+    * corpus-curation composites (which persist staged frames and publish
+    * splits). Derived from the WritePathQueries map so a new gate query
+    * is classified automatically. */
+  private def writeGateNames: Set[String] =
+    graft.queries.WritePathQueries.queries.keySet ++
+      Set("cp1_corpus_curate", "cp2_curate_exact")
+
   /** Representative subset printed in the compact line: one or more per
     * operator family (scan, join, agg, window, write-path, streaming
     * analogue, dedup, ANN, text, multimodal, corpus pipeline). */
@@ -34,10 +51,18 @@ object Bench {
     "v4_ann_lsh", "tx8_lang_trigram", "tx10_tfidf", "cp1_corpus_curate",
     "mm1_media_features", "sm1_hash_split")
 
+  /** Read-path queries re-run for a steady-state median regardless of
+    * their first-run rank: the pair the round-5 verdict flagged as
+    * possible regressions that turned out to sit inside first-run noise. */
+  private val alwaysMedian: Seq[String] = Seq("dd4_minhash_lsh", "aj1_asof_join")
+
   // Locale.ROOT: the f-interpolator honors the default locale, and a
   // comma decimal separator would corrupt the JSON.
   private def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  private def jmap(kvs: Seq[(String, Double)]): String =
+    kvs.map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -55,19 +80,43 @@ object Bench {
     // Warm the JVM/codegen/IO paths once so the first timed query isn't
     // charged session startup (~2-4s of JIT + parquet footer reads).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
-    val total = results.map(_._2).sum
-    val detail = results.map { case (k, v) => s"\"$k\":${fmt(v)}" }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"detail","unit":"sec","queries":$detail,"sf":"$sfDir"}""")
+
+    val queries = SparkEntry.queries
+    val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> time(fn)
+    }
     val byName = results.toMap
-    val compact = headline.flatMap(k => byName.get(k).map(v => s"\"$k\":${fmt(v)}"))
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$compact,"sf":"$sfDir"}""")
+    val gates = writeGateNames
+    val (writes, reads) = results.partition { case (n, _) => gates(n) }
+    val total = results.map(_._2).sum
+
+    // Steady-state medians: the 10 slowest read-path queries by first-run
+    // time, plus the pinned always-median pair. 3 warm re-runs each;
+    // write-gate queries are excluded — their cost IS the disk scenario.
+    val medianTargets = (reads.sortBy(-_._2).take(10).map(_._1) ++
+      alwaysMedian).distinct.filter(byName.contains)
+    val medians = medianTargets.map { name =>
+      val runs = (1 to 3).map(_ => time(queries(name))).sorted
+      name -> runs(runs.length / 2)
+    }
+
+    val summary =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
+      s""","n_queries":${results.size}""" +
+      s""","total_read":${fmt(reads.map(_._2).sum)},"n_read":${reads.size}""" +
+      s""","total_write_gates":${fmt(writes.map(_._2).sum)},"n_write_gates":${writes.size}""" +
+      s""","medians":${jmap(medians)}""" +
+      s""","queries":${jmap(headline.flatMap(k => byName.get(k).map(k -> _)))}""" +
+      s""","sf":"$sfDir"}"""
+    println(summary)
+    println(s"""{"metric":"detail","unit":"sec","queries":${jmap(results)},"sf":"$sfDir"}""")
+    println(summary)
     spark.stop()
   }
 }

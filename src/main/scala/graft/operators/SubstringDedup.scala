@@ -9,21 +9,22 @@ import org.apache.spark.sql.functions._
   * inside two otherwise-different documents).
   *
   * Suffix-array pipelines answer this with a corpus-wide sorted suffix
-  * structure; the shuffle-friendly equivalent is a postings join:
+  * structure; the shuffle-friendly equivalent is a postings pipeline:
   *
   *   1. every k-word shingle of every document, deduplicated per doc,
-  *      hashed to a fixed-width md5 key (only 32-byte hashes shuffle —
-  *      text never leaves the scan stage);
+  *      hashed to an 8-byte long (a 60-bit md5 prefix — only fixed-width
+  *      keys shuffle; text never leaves the scan stage);
   *   2. a document-frequency cap drops shingles appearing in more than
-  *      `dfCap` documents. This is the scale valve, not a heuristic
-  *      nicety: a boilerplate span shared by f documents would emit
-  *      f·(f−1)/2 pairs from the self-join — one viral header in 1M
-  *      docs is 5·10¹¹ rows. Real substring-dedup pipelines cap or
-  *      drop hot postings for exactly this reason; a capped shingle
-  *      still contributes nothing to "near-identical pair" evidence
-  *      because everything matches it.
-  *   3. the self-equi-join on the shingle hash counts shared spans per
-  *      ordered pair.
+  *      `dfCap` documents — BEFORE any posting list materializes (a
+  *      count aggregate whose buffer is one counter, then a semi-join).
+  *      This is the scale valve, not a heuristic nicety: a boilerplate
+  *      span shared by f documents would emit f·(f−1)/2 pairs — one
+  *      viral header in 1M docs is 5·10¹¹ rows — and would equally
+  *      build an f-element aggregation buffer if collected first. A
+  *      capped shingle contributes nothing to "near-identical pair"
+  *      evidence anyway, because everything matches it.
+  *   3. each surviving (≤ dfCap-element) posting list expands to its
+  *      ordered pairs in place — no postings self-join.
   *
   * Work is Σ f_i² over per-shingle doc frequencies, bounded by
   * dfCap·Σ f_i = dfCap·|postings| — linear in corpus size for a fixed
@@ -37,14 +38,19 @@ object SubstringDedup {
     * documents shorter than k words contribute their whole text as one
     * shingle.
     *
-    * Shape: ONE aggregation builds each shingle's posting list (the
-    * dfCap bound makes collect_list safe — a list never exceeds cap+1
-    * entries because oversized postings are dropped anyway), postings
-    * with a single document vanish there too (no pair to emit), and the
-    * surviving lists expand to their ordered pairs in-place with array
-    * HOFs. No join-back, no self-join: two data shuffles total (shingle
-    * agg, pair agg), and the pair generator's input is only the shared
-    * shingles — a sliver of the postings at real corpus skew. */
+    * Shape: a count aggregate (constant-size buffer, map-side partial
+    * combine) finds the shingles shared by 2..dfCap documents; a
+    * semi-join keeps only their postings — so when collect_list THEN
+    * builds the posting lists, no list can exceed dfCap entries, even
+    * for a shingle viral across millions of documents (collecting
+    * first and size-filtering after would build the multi-million-entry
+    * buffer before discarding it). Singleton postings vanish in the
+    * same count filter (no pair to emit), and the surviving lists
+    * expand to their ordered pairs in-place with array HOFs. No
+    * join-back, no self-join: three hash-key shuffles total (count agg,
+    * postings semi-join, pair agg) — the middle one is the price of the
+    * bounded buffers — and the pair generator's input is only the
+    * shared shingles, a sliver of the postings at real corpus skew. */
   def pairs(docs: DataFrame, idCol: String = "doc_id",
             textCol: String = "text", k: Int = 5,
             dfCap: Int = 50): DataFrame = {
@@ -59,9 +65,14 @@ object SubstringDedup {
       // an oracle ever need to mirror it).
       .select(col("doc_id"),
         expr("conv(substring(md5(g), 1, 15), 16, 10)").cast("long").as("gh"))
-    val postings = grams.groupBy("gh")
+    // hot-shingle valve FIRST: survivors known from a counter before any
+    // posting list exists, so the collect below is provably ≤ dfCap
+    val shared = grams.groupBy("gh").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, dfCap))
+      .select("gh")
+    val postings = grams.join(shared, Seq("gh"), "left_semi")
+      .groupBy("gh")
       .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")).between(2, dfCap))
     // ds is strictly increasing (per-doc shingles are distinct), so
     // pairing each element with its successors yields doc_a < doc_b.
     postings

@@ -149,12 +149,14 @@ object DedupExtQueries {
     // DD9: exact-substring duplicate pairs — the suffix-array-free form
     // of "find documents sharing a long verbatim span" (the exact-dedup
     // complement to dd4's probabilistic MinHash): every 5-word shingle,
-    // hashed to a fixed-width md5 key, document-frequency-capped (a
-    // shingle in >50 docs is boilerplate; the cap is what stops the
-    // self-join from going quadratic on hot shingles at corpus scale —
-    // the same postings cap substring-dedup pipelines apply), then a
-    // shingle-hash equi-join counts shared spans per pair. Only 32-byte
-    // hashes shuffle; text never leaves the scan stage.
+    // hashed to an 8-byte long (60-bit md5 prefix), document-frequency-
+    // capped BEFORE posting lists materialize (a shingle in >50 docs is
+    // boilerplate; the count-then-semi-join cap is what stops pair
+    // generation going quadratic — and aggregation buffers unbounded —
+    // on hot shingles at corpus scale, the same postings cap
+    // substring-dedup pipelines apply), then each bounded posting list
+    // expands to its ordered pairs in place — no postings self-join.
+    // Only 8-byte keys shuffle; text never leaves the scan stage.
     "dd9_substring_dup" -> ((s, d) =>
       graft.operators.SubstringDedup.pairs(documents(s, d))
         .orderBy("doc_a", "doc_b")),

@@ -267,6 +267,26 @@ object RefOpQueries {
         .orderBy("o_orderkey")
     }),
 
+    // N7: Meeyproject GeoJSON location.coordinates [lon, lat] → two
+    // double columns through the PRODUCTION extractor
+    // (transformation_utils.py:782-809): null struct and short arrays
+    // (<2 coords) both yield null lon/lat; integral coordinate values
+    // keep the cross-engine double compare exact.
+    "n7b_geojson_coords" -> ((s, d) => {
+      val ck = col("c_custkey")
+      val raw = customer(s, d).select(ck,
+        when(ck % 7 === 0, lit(null).cast("struct<coordinates:array<double>>"))
+          .when(ck % 5 === 0,
+            struct(array((lit(100) + ck % 40).cast("double")).as("coordinates")))
+          .otherwise(struct(array(
+            (lit(100) + ck % 40).cast("double"),
+            (lit(10) + ck % 80).cast("double")).as("coordinates")))
+          .as("location"))
+      Transforms.extractMeeyprojectLocation(raw)
+        .select(col("c_custkey"), col("longitude"), col("latitude"))
+        .orderBy("c_custkey")
+    }),
+
     // X1: district-centroid geocoding — prefix-strip + lowercase normalize,
     // broadcast join against the centroid dim, impute only missing/zero.
     "x1_centroid_geocode" -> ((s, d) => {
@@ -290,6 +310,13 @@ object RefOpQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "n7b_geojson_coords" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_custkey % 7 <> 0 AND c_custkey % 5 <> 0
+        |       THEN CAST(100 + c_custkey % 40 AS DOUBLE) END AS longitude,
+        |  CASE WHEN c_custkey % 7 <> 0 AND c_custkey % 5 <> 0
+        |       THEN CAST(10 + c_custkey % 80 AS DOUBLE) END AS latitude
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "m13_cast_table" ->
       """SELECT o_orderkey,
         |  TRY_CAST(CASE WHEN o_orderkey % 7 = 0 THEN 'not-a-number'

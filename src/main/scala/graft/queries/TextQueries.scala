@@ -329,7 +329,15 @@ object TextQueries {
     "tx14_unigram_logprob" -> ((s, d) => {
       val toks = documents(s, d)
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      // The vocab dim is read twice — the eager total pull below, then
+      // the broadcast join when the caller executes the returned plan —
+      // and without a cache each read re-tokenizes the whole corpus.
+      // Persist the SMALL side only (vocab ≈ distinct tokens, a few MB;
+      // left to LRU eviction since the lazy return leaves no sound
+      // unpersist point): tokenization runs twice instead of three
+      // times, and nothing O(corpus tokens) is ever cached.
       val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val total = freq.agg(sum("cnt")).head().getLong(0)
       toks.join(broadcast(freq), "tok")
         .withColumn("logp",

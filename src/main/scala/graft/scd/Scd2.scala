@@ -17,13 +17,14 @@ import graft.store.{DirectorySwapCommit, PointerCommit, SnapshotStore, TableComm
   *    volume is O(history) per run — at 100 TB of accumulated history a
   *    daily merge rewrites years of immutable closed-out rows.
   *  - [[mergeRegioned]] — the scale layout: `path/current` holds only the
-  *    live rows (rewritten per merge, O(live keys) — bounded by the
-  *    active listing set, not by time), and `path/closed` is APPEND-ONLY
-  *    (each merge adds just that day's close-outs, partitioned by
-  *    `valid_to` for pruned history scans). This matches what Delta MERGE
-  *    actually touches — only files containing matched rows — without a
-  *    transaction log: closed rows are immutable, so the append needs no
-  *    rewrite, and the current region is the only mutable surface.
+  *    live rows, and a merge rewrites only the current PARTITIONS the
+  *    batch churned (O(day's churn), not even O(live keys)); `path/closed`
+  *    is APPEND-ONLY (each merge adds just that day's close-outs,
+  *    partitioned by `valid_to` for pruned history scans). This matches
+  *    what Delta MERGE actually touches — only files containing matched
+  *    rows — without a transaction log: closed rows are immutable, so the
+  *    append needs no rewrite, and the churned current partitions are the
+  *    only mutable surface.
   *
   * Both layouts share one merge core ([[splitCurrent]]): a single
   * full-outer join of the current rows against the batch yields all three
@@ -54,6 +55,16 @@ object Scd2 {
   // fused merge core
   // ------------------------------------------------------------------
 
+  /** The three row classes a merge produces, all derived from one
+    * persisted full-outer join. `retained ∪ fromBatch` is the new current
+    * region; `fromBatch` and `newlyClosed` are ALSO the churn surface —
+    * the only rows whose partitions the regioned publish must touch. */
+  private case class MergeSplit(retained: DataFrame, fromBatch: DataFrame,
+                                newlyClosed: DataFrame, joined: DataFrame) {
+    def newCurrent: DataFrame =
+      retained.unionByName(fromBatch, allowMissingColumns = true)
+  }
+
   /** One full-outer join of the CURRENT rows against the new batch,
     * classifying every key in a single shuffle:
     *
@@ -61,14 +72,13 @@ object Scd2 {
     *  - batch only, or matched-changed      → batch row becomes current
     *  - matched-changed                     → current row closed out
     *
-    * Returns (newCurrent, newlyClosed, joined). `joined` is persisted
-    * (MEMORY_AND_DISK) because both outputs — written to different
-    * destinations — derive from it; the caller unpersists after
-    * publishing. The persisted frame is O(current + batch), never
-    * O(history). */
+    * `joined` is persisted (MEMORY_AND_DISK) because every output —
+    * written to different destinations — derives from it; the caller
+    * unpersists after publishing. The persisted frame is
+    * O(current + batch), never O(history). */
   private def splitCurrent(cur: DataFrame, newBatch: DataFrame,
                            changeColumns: Seq[String], asOfDate: Column)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : MergeSplit = {
     val usableCols = changeColumns.filter(c =>
       cur.columns.contains(c) && newBatch.columns.contains(c))
     // batch side fully prefixed: the two sides share most column names
@@ -91,12 +101,11 @@ object Scd2 {
       .select(cur.columns.map(col).toSeq: _*)
     val fromBatch = joined.filter(srcHit && (!curHit || changed))
       .select(srcCols.map(c => col(s"_src_$c").as(c)): _*)
-    val newCurrent = retained.unionByName(fromBatch, allowMissingColumns = true)
     val newlyClosed = joined.filter(curHit && srcHit && changed)
       .select(cur.columns.map(col).toSeq: _*)
       .withColumn("is_current", lit(false))
       .withColumn("valid_to", asOfDate)
-    (newCurrent, newlyClosed, joined)
+    MergeSplit(retained, fromBatch, newlyClosed, joined)
   }
 
   // ------------------------------------------------------------------
@@ -128,13 +137,12 @@ object Scd2 {
     // merge condition never matches) pass through the rewrite untouched
     val cur = existing.filter(col("is_current") === true)
     val passThrough = existing.filter(!(col("is_current") <=> true))
-    val (newCurrent, newlyClosed, joined) =
-      splitCurrent(cur, newBatch, changeColumns, asOfDate)
+    val split = splitCurrent(cur, newBatch, changeColumns, asOfDate)
     val merged = passThrough
-      .unionByName(newlyClosed, allowMissingColumns = true)
-      .unionByName(newCurrent, allowMissingColumns = true)
+      .unionByName(split.newlyClosed, allowMissingColumns = true)
+      .unionByName(split.newCurrent, allowMissingColumns = true)
     try commit.publish(merged, path, partitionColumns)
-    finally joined.unpersist()
+    finally split.joined.unpersist()
   }
 
   // ------------------------------------------------------------------
@@ -161,11 +169,18 @@ object Scd2 {
   def closedRoot(root: String): String =
     new Path(root, "closed").toString
 
-  /** SCD2 merge with O(current + churn) write volume: the current region
-    * is republished (it holds one row per live key — bounded), and the
-    * day's close-outs APPEND to the closed region; closed rows written on
-    * previous days are never touched again. Returns the post-merge total
-    * row count (current + closed).
+  /** SCD2 merge with O(churn) write volume: only the current-region
+    * PARTITIONS the batch actually touched are republished — partitions
+    * holding a new/changed version, or a row that was closed out — and
+    * the day's close-outs APPEND to the closed region; everything else
+    * (most of the live set on a typical day, all prior close-outs) is
+    * never rewritten. This matches what Delta MERGE touches — only files
+    * containing matched rows (silver_etl_script.py:922-951) — without a
+    * transaction log. Returns the post-merge total row count
+    * (current + closed): the current side from the already-persisted
+    * merge join, the closed side from a column-less parquet count that
+    * reads footers, not data pages — no re-read of what was just
+    * published.
     *
     * Crash ordering: close-outs land before the current region flips. A
     * writer that dies between the two steps leaves the table consistent
@@ -174,7 +189,15 @@ object Scd2 {
     * against the day's closed partition (a pruned O(day) read, not an
     * O(history) scan), so the retry is idempotent. The opposite order
     * would LOSE close-outs on a crash: once the current region flips, the
-    * changed keys no longer look changed and a re-run closes nothing. */
+    * changed keys no longer look changed and a re-run closes nothing.
+    * A crash mid-way through the partition swap leaves some partitions
+    * updated and some not; the re-run converges — already-swapped rows
+    * now match the batch unchanged (their partitions aren't touched
+    * again), unswapped rows re-close (deduped) and re-swap. Under
+    * [[PointerCommit]] even that window closes: the churned partitions
+    * land in a fresh version dir, the manifest carries every untouched
+    * partition forward by reference, and the pointer flip publishes the
+    * whole region atomically. */
   def mergeRegioned(spark: SparkSession, newBatch: DataFrame, root: String,
                     changeColumns: Seq[String] = DefaultChangeColumns,
                     asOfDate: Column = to_date(current_timestamp()).cast("string"),
@@ -185,14 +208,123 @@ object Scd2 {
       return commit.publish(newBatch, curPath, partitionColumns)
 
     val cur = commit.read(spark, curPath)
-    val (newCurrent, newlyClosed, joined) =
-      splitCurrent(cur, newBatch, changeColumns, asOfDate)
-    try {
-      if (!newlyClosed.isEmpty)
-        appendClosed(spark, newlyClosed, closedRoot(root), commit)
-      commit.publish(newCurrent, curPath, partitionColumns)
-    } finally joined.unpersist()
-    readRegioned(spark, root, commit).count()
+    val split = splitCurrent(cur, newBatch, changeColumns, asOfDate)
+    val currentTotal =
+      try {
+        if (!split.newlyClosed.isEmpty)
+          appendClosed(spark, split.newlyClosed, closedRoot(root), commit)
+        publishCurrentChurned(spark, split, curPath, partitionColumns, commit)
+      } finally split.joined.unpersist()
+    val closedTotal = readClosedRegion(spark, closedRoot(root), commit)
+      .map(_.count()).getOrElse(0L)
+    currentTotal + closedTotal
+  }
+
+  /** Publish only the churned partitions of the current region.
+    *
+    * Churned = partitions holding a `fromBatch` row (a key's new/changed
+    * version lands there) ∪ partitions holding a `newlyClosed` row (the
+    * key's OLD version leaves there — possibly a different partition than
+    * the new version's, and possibly left empty). The key list is
+    * collected to the driver: it is bounded by the number of distinct
+    * partitions the day's batch touches (the same bounded-collect the
+    * gold incremental publish makes, GoldEtl.runIncremental), never by
+    * row count.
+    *
+    *  - swap protocol: replacement partitions are fully written to a tmp
+    *    sibling first, then each churned partition dir is deleted and its
+    *    replacement renamed in (churned-but-now-empty partitions are just
+    *    deleted). A failed rename preserves the tmp dir for recovery —
+    *    the same window [[DirectorySwapCommit]] itself accepts; use the
+    *    pointer protocol where that window must not exist.
+    *  - pointer protocol: churned partitions land in a fresh immutable
+    *    version dir; the manifest carries untouched partitions forward by
+    *    reference (the [[SnapshotStore]] incremental-manifest mechanism,
+    *    shared with the gold ETL and the closed-region append) and the
+    *    pointer flip is atomic.
+    *
+    * An unpartitioned current region has no partitions to prune — falls
+    * back to the full publish. Returns the post-merge current-region row
+    * count, computed from the persisted merge join (no disk re-read). */
+  private def publishCurrentChurned(spark: SparkSession, split: MergeSplit,
+                                    curPath: String,
+                                    partitionColumns: Seq[String],
+                                    commit: TableCommit): Long = {
+    val newCurrent = split.newCurrent
+    if (partitionColumns.isEmpty)
+      return commit.publish(newCurrent, curPath, partitionColumns)
+
+    val asStrings = (df: DataFrame) =>
+      df.select(partitionColumns.map(c => col(c).cast("string").as(c)): _*)
+    val churned = asStrings(split.fromBatch)
+      .unionByName(asStrings(split.newlyClosed)).distinct().collect()
+      .map(r => partitionColumns.indices.map(i => r.getString(i)))
+    val total = newCurrent.count()
+    if (churned.isEmpty) return total // no-op batch: nothing to republish
+
+    // null-safe broadcast semi-join against the churned key dim — only
+    // rows landing in a churned partition are rewritten
+    val dim = spark.createDataFrame(
+      java.util.Arrays.asList(churned.map(k =>
+        org.apache.spark.sql.Row.fromSeq(k)): _*),
+      org.apache.spark.sql.types.StructType(partitionColumns.map(c =>
+        org.apache.spark.sql.types.StructField(s"__ck_$c",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+    val cond = partitionColumns.map(c =>
+      col(c).cast("string") <=> col(s"__ck_$c")).reduce(_ && _)
+    val replacement = newCurrent.join(broadcast(dim), cond, "left_semi")
+
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val churnedRel = churned.map(k =>
+      partitionColumns.zip(k).map { case (c, v) =>
+        val ev = if (v == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+                 else ExternalCatalogUtils.escapePathName(v)
+        s"${ExternalCatalogUtils.escapePathName(c)}=$ev"
+      }.mkString("/")).toSet
+
+    commit match {
+      case PointerCommit =>
+        val prev = SnapshotStore
+          .currentEntries(spark, curPath, partitionColumns.length)
+          .getOrElse(Map.empty)
+        SnapshotStore.commit(spark, curPath) { dir =>
+          replacement.write.mode(SaveMode.Overwrite)
+            .partitionBy(partitionColumns: _*).parquet(dir)
+          val dirPath = new Path(dir)
+          val name = dirPath.getName
+          val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val glob = new Path(dir,
+            Seq.fill(partitionColumns.length)("*=*").mkString("/"))
+          val fresh = Option(fs.globStatus(glob)).getOrElse(Array.empty)
+            .map(_.getPath.toUri.getPath
+              .stripPrefix(dirPath.toUri.getPath).stripPrefix("/") -> name)
+            .toMap
+          val carried = prev.filterNot { case (rel, _) => churnedRel(rel) }
+          SnapshotStore.writeManifest(spark, curPath, name, carried ++ fresh)
+        }
+      case _ =>
+        val target = new Path(curPath)
+        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val tmp = new Path(target.getParent, target.getName + "__cur_inc_tmp")
+        fs.delete(tmp, true)
+        replacement.write.mode(SaveMode.Overwrite)
+          .partitionBy(partitionColumns: _*).parquet(tmp.toString)
+        churnedRel.foreach(rel => fs.delete(new Path(target, rel), true))
+        val glob = new Path(tmp,
+          Seq.fill(partitionColumns.length)("*=*").mkString("/"))
+        Option(fs.globStatus(glob)).getOrElse(Array.empty).foreach { st =>
+          val rel = st.getPath.toUri.getPath
+            .stripPrefix(tmp.toUri.getPath).stripPrefix("/")
+          val dest = new Path(target, rel)
+          fs.mkdirs(dest.getParent)
+          if (!fs.rename(st.getPath, dest))
+            throw new java.io.IOException(
+              s"mergeRegioned: rename ${st.getPath} -> $dest failed; " +
+                s"replacement partitions preserved at $tmp")
+        }
+        fs.delete(tmp, true)
+    }
+    total
   }
 
   /** Append the day's close-outs to the closed region, partitioned by

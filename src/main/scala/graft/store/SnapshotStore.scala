@@ -56,10 +56,14 @@ object SnapshotStore {
   def currentPath(spark: SparkSession, root: String): Option[Path] =
     currentName(spark, root).map(n => new Path(new Path(root, SnapshotsDir), n))
 
-  /** Read the live snapshot. Throws if the table has never been committed. */
+  /** Read the live snapshot. Resolves through the version's manifest when
+    * it has one (an incremental publish carries untouched partitions
+    * forward by reference — plain-reading its version dir would see only
+    * the freshly-written partitions), else reads the version dir as plain
+    * parquet. Throws if the table has never been committed. */
   def read(spark: SparkSession, root: String): DataFrame =
-    currentPath(spark, root) match {
-      case Some(p) => spark.read.parquet(p.toString)
+    currentName(spark, root) match {
+      case Some(n) => readAt(spark, root, n)
       case None => throw new java.io.FileNotFoundException(
         s"no $PointerFile pointer under $root — table never committed")
     }
@@ -106,27 +110,59 @@ object SnapshotStore {
     *   - in vFrom only, key survives   → `update_preimage`
     *   - in vFrom only, key gone       → `delete`
     *
-    * Unchanged rows hash-match and drop out of BOTH anti-joins, so the
-    * feed's size scales with the churn between the versions, not the
-    * table — the property that makes downstream incremental consumers
-    * (sync jobs, aggregate maintenance) O(changes). Columns are aligned
-    * by name; the row hash uses a field separator + null sentinel so
-    * ("a","bc") never collides with ("ab","c") or null. */
+    * Unchanged rows hash-match and drop out of the feed, so the feed's
+    * size scales with the churn between the versions, not the table —
+    * the property that makes downstream incremental consumers (sync
+    * jobs, aggregate maintenance) O(changes). Duplicate rows are
+    * handled by COUNT, not set difference: each side aggregates its
+    * per-content multiplicity first and only the count DELTA feeds the
+    * feed — deleting one of N identical copies emits exactly one feed
+    * row (classified by the usual key-survival rule), where a plain
+    * anti-join would see the surviving copy's hash on both sides and
+    * silently drop the change entirely. Columns are aligned by
+    * name over the UNION of the two schemas — a column only one version
+    * has reads as null on the other side, so schema adds/drops surface
+    * as updates instead of being silently excluded (or throwing). The
+    * row hash uses a field separator + null sentinel so ("a","bc")
+    * never collides with ("ab","c") or null. */
   def changesBetween(spark: SparkSession, root: String,
                      vFrom: String, vTo: String,
                      keyCols: Seq[String]): DataFrame = {
     val from = readAt(spark, root, vFrom)
-    val cols = from.columns.sorted.toSeq
+    val to = readAt(spark, root, vTo)
+    val cols = (from.columns.toSet ++ to.columns.toSet).toSeq.sorted
+    def align(df: DataFrame): DataFrame = df.select(cols.map(c =>
+      (if (df.columns.contains(c)) col(c) else lit(null)).as(c)): _*)
     val rowHash = md5(concat_ws("\u0001",
       cols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
-    val f = readAt(spark, root, vFrom).select(cols.map(col): _*)
-      .withColumn("__rh", rowHash)
-    val t = readAt(spark, root, vTo).select(cols.map(col): _*)
-      .withColumn("__rh", rowHash)
-    val fromKeys = f.select(keyCols.map(col): _*).distinct()
-    val toKeys = t.select(keyCols.map(col): _*).distinct()
-    val appeared = t.join(f.select("__rh"), Seq("__rh"), "left_anti")
-    val vanished = f.join(t.select("__rh"), Seq("__rh"), "left_anti")
+    // per-content multiplicity on each side; __rh hashes every column,
+    // so grouping by (cols, __rh) is grouping by full row content
+    def counted(df: DataFrame, cnt: String): DataFrame =
+      align(df).withColumn("__rh", rowHash)
+        .groupBy((cols :+ "__rh").map(col): _*)
+        .agg(count(lit(1)).as(cnt))
+    val fc = counted(from, "__nf")
+    val tc = counted(to, "__nt")
+    val fromKeys = fc.select(keyCols.map(col): _*).distinct()
+    val toKeys = tc.select(keyCols.map(col): _*).distinct()
+    // full-outer on the content hash; the data columns come from
+    // whichever side has the row (when both do, content is identical by
+    // construction of __rh, so either copy serves)
+    val fr = fc.select((Seq(col("__rh"), col("__nf")) ++
+      cols.map(c => col(c).as(s"__f_$c"))): _*)
+    val delta = fr.join(tc, Seq("__rh"), "full_outer")
+      .select((Seq(col("__rh"), col("__nf"), col("__nt")) ++
+        cols.map(c => coalesce(col(c), col(s"__f_$c")).as(c))): _*)
+      .withColumn("__d",
+        coalesce(col("__nt"), lit(0L)) - coalesce(col("__nf"), lit(0L)))
+    // replicate each changed content-row |delta| times so multi-copy
+    // churn round-trips through the feed exactly
+    def replicate(n: org.apache.spark.sql.Column): DataFrame =
+      delta.filter(n > 0)
+        .withColumn("__i", explode(sequence(lit(1L), n)))
+        .drop("__i", "__d", "__nf", "__nt")
+    val appeared = replicate(col("__d"))
+    val vanished = replicate(-col("__d"))
     val inserts = appeared.join(fromKeys, keyCols, "left_anti")
       .withColumn("change_type", lit("insert"))
     val postimages = appeared.join(fromKeys, keyCols, "left_semi")

@@ -181,6 +181,89 @@ class Scd2RegionedSpec extends SparkSuite {
     assert(canon(RegionedLayout.read(spark, root, PointerCommit)) === canon(snap))
   }
 
+  // keys spread over 4 spider partitions; the batch's ingestion_month is
+  // a parameter so a re-ingested key can MOVE partitions
+  private def mkSpiderBatch(ids: Seq[Int], name: String, date: String,
+                            month: String = "01") = {
+    import spark.implicits._
+    ids.map(i => (s"u$i", s"$name-$i", s"addr-$i", true, date, null: String,
+      s"sp${i % 4}", "2025", month))
+      .toDF("universal_id", "project_name", "address", "is_current",
+        "valid_from", "valid_to", "spider_name", "ingestion_year",
+        "ingestion_month")
+  }
+
+  test("current-region rewrite touches only churned partitions") {
+    val root = Files.createTempDirectory("graft_scd2_reg_prune").toString + "/t"
+    val allKeys = 0 until 2000
+    Scd2.mergeRegioned(spark, mkSpiderBatch(allKeys, "v1", "2025-01-15"), root,
+      asOfDate = lit("2025-01-15"))
+    val curRoot = Scd2.currentRoot(root)
+    val afterD1 = inventory(curRoot)
+
+    // day 2 churns ONLY spider sp3, and its new versions land in a NEW
+    // ingestion_month partition — old sp3/month=01 rows must leave the
+    // current region, sp3/month=02 must appear, sp0..sp2 must not move
+    val sp3Keys = allKeys.filter(_ % 4 == 3).take(100)
+    val n = Scd2.mergeRegioned(spark,
+      mkSpiderBatch(sp3Keys, "v2", "2025-01-16", month = "02"), root,
+      asOfDate = lit("2025-01-16"))
+    assert(n === 2000 + 100) // 2000 live + 100 closed, no full-table rescan
+
+    val afterD2 = inventory(curRoot)
+    val untouched = (f: (String, Long)) => !f._1.contains("spider_name=sp3")
+    // the untouched spiders' files survive byte-identical at the same
+    // paths — a full-region republish would rewrite every one of them
+    assert(afterD1.filter(untouched) === afterD2.filter(untouched),
+      "merge rewrote current partitions the batch never touched")
+    // every new byte is confined to the churned spider
+    assert((afterD2 -- afterD1).forall(_._1.contains("spider_name=sp3")),
+      s"fresh files outside churned partitions: ${(afterD2 -- afterD1).filter(untouched)}")
+
+    val snap = Scd2.readRegioned(spark, root)
+    assert(snap.count() === 2100)
+    assert(snap.filter(col("is_current") === true).count() === 2000)
+    assert(Scd2.violations(snap) === 0)
+    val cur = Scd2.readRegionedCurrent(spark, root)
+    assert(cur.filter(col("ingestion_month") === "02").count() === 100)
+    assert(cur.filter(col("spider_name") === "sp3")
+      .filter(col("ingestion_month") === "01").count() === 500 - 100)
+  }
+
+  test("pointer protocol: incremental manifest publishes only churned current partitions") {
+    val root = Files.createTempDirectory("graft_scd2_reg_ptr_inc").toString + "/t"
+    val allKeys = 0 until 400
+    Scd2.mergeRegioned(spark, mkSpiderBatch(allKeys, "v1", "2025-01-15"), root,
+      asOfDate = lit("2025-01-15"), commit = PointerCommit)
+    val sp3Keys = allKeys.filter(_ % 4 == 3).take(40)
+    val n = Scd2.mergeRegioned(spark,
+      mkSpiderBatch(sp3Keys, "v2", "2025-01-16", month = "02"), root,
+      asOfDate = lit("2025-01-16"), commit = PointerCommit)
+    assert(n === 440)
+
+    // the incremental version dir holds ONLY the churned spider's
+    // partitions; everything else is carried forward by manifest reference
+    val curRoot = Scd2.currentRoot(root)
+    val v2dir = s"$curRoot/_snapshots/v000000002"
+    val v2files = inventory(v2dir)
+    assert(v2files.nonEmpty)
+    assert(v2files.forall(_._1.contains("spider_name=sp3")),
+      s"v2 wrote non-churned partitions: ${v2files.filterNot(_._1.contains("spider_name=sp3"))}")
+
+    val cur = Scd2.readRegionedCurrent(spark, root, PointerCommit)
+    assert(cur.count() === 400)
+    assert(cur.filter(col("ingestion_month") === "02").count() === 40)
+    assert(Scd2.violations(Scd2.readRegioned(spark, root, PointerCommit)) === 0)
+
+    // time travel to the pre-merge snapshot still works...
+    assert(graft.store.SnapshotStore
+      .readAt(spark, curRoot, "v000000001").count() === 400)
+    // ...and vacuum keeps v1 alive even at keepLast=1, because v2's
+    // manifest carries its untouched partitions by reference
+    graft.store.SnapshotStore.vacuum(spark, curRoot, keepLast = 1)
+    assert(Scd2.readRegionedCurrent(spark, root, PointerCommit).count() === 400)
+  }
+
   test("FlatLayout keeps the reference-parity single-table behavior") {
     val root = Files.createTempDirectory("graft_scd2_flat_seam").toString + "/t"
     FlatLayout.merge(spark, mkBatch(0 until 50, "v1", "2025-01-15"), root,

@@ -309,6 +309,38 @@ class SnapshotStoreSpec extends SparkSuite {
     assert(feed.count() === 0) // churn-sized: no churn, no rows
   }
 
+  test("change feed: duplicate-copy churn and schema drift surface, not vanish") {
+    import spark.implicits._
+    val root = freshRoot()
+    // v1 holds THREE identical copies of id=1; v2 drops one copy and
+    // adds a copy of id=2 — count-delta matching must emit exactly one
+    // row per copy changed (an anti-join would see both hashes survive
+    // and emit nothing at all)
+    PointerCommit.publish(
+      Seq((1L, "a"), (1L, "a"), (1L, "a"), (2L, "b")).toDF("id", "name"),
+      root, Nil)
+    PointerCommit.publish(
+      Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b")).toDF("id", "name"),
+      root, Nil)
+    val feed = SnapshotStore.changesBetween(spark, root,
+      "v000000001", "v000000002", keyCols = Seq("id"))
+    val byType = feed.groupBy("change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // both keys survive → the copy-count changes classify as updates
+    assert(byType === Map("update_preimage" -> 1L, "update_postimage" -> 1L))
+
+    // v3 adds a column; the feed aligns on the schema UNION instead of
+    // throwing, and every surviving row reads as updated (its content
+    // genuinely changed shape)
+    PointerCommit.publish(
+      Seq((1L, "a", 9), (2L, "b", 9)).toDF("id", "name", "extra"),
+      root, Nil)
+    val drift = SnapshotStore.changesBetween(spark, root,
+      "v000000002", "v000000003", keyCols = Seq("id"))
+    assert(drift.filter(col("change_type") === "update_postimage").count() === 2)
+    assert(drift.columns.contains("extra"))
+  }
+
   test("change feed: null and empty-string fields don't collide in the row hash") {
     import spark.implicits._
     val root = freshRoot()
