@@ -36,6 +36,24 @@ class SubstringDedupSpec extends SparkSuite {
     assert(out.toSeq === Seq((101L, 102L)))
   }
 
+  test("capped-buffer path (integral ids) equals the count+semi-join fallback (string ids)") {
+    // mixed corpus: boilerplate over the cap, one rare pair, identical docs
+    val quote = "he said the exact same words twice"
+    val docs = ((1 to 30).map(i => (i.toLong, s"${uniq(i)} $boiler")) ++
+      Seq((101L, s"alpha beta $quote"), (102L, s"$quote gamma delta"),
+        (201L, "a b c d e f"), (202L, "a b c d e f")))
+      .toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(String, String, Long)] =
+      df.collect().map(r =>
+        (r.get(0).toString, r.get(1).toString, r.getLong(2))).toSet
+    val viaCapped = SubstringDedup.pairs(docs, k = 5, dfCap = 10)
+    val viaFallback = SubstringDedup.pairs(
+      docs.withColumn("doc_id", col("doc_id").cast("string")),
+      k = 5, dfCap = 10)
+    assert(canon(viaCapped) === canon(viaFallback))
+    assert(canon(viaCapped).nonEmpty)
+  }
+
   test("n_shared counts distinct shared shingles, short docs fall back to whole text") {
     val docs = Seq(
       (1L, "a b c d e f"),   // shingles: "a b c d e", "b c d e f"
