@@ -7,12 +7,18 @@ import org.apache.spark.sql.functions._
   * opaque BINARY columns with typed metadata, processed by batch-shaped
   * partition functions.
   *
-  * The actual media decoding is STUBBED (this container ships no image/
-  * audio codecs): `decodeStub` derives deterministic pseudo-features from
-  * the bytes. Everything around it — the schema, the Dataset[MediaRow]
-  * encoder, the batch iteration shape (decode `batchSize` blobs at a time,
-  * like a vectorized/Arrow UDF would), the per-media_id partitioning, the
-  * frame-explode — is real Spark and tested.
+  * Decoding: IMAGE (24-bit uncompressed BMP) and AUDIO (16-bit PCM WAV)
+  * are decoded for REAL by pure-JVM parsers in this file — header fields
+  * read from the actual bytes, features computed from the actual pixel /
+  * sample payload (no codec jar needed for either format, which is why
+  * they can be real in a codec-less container). Formats without a
+  * pure-JVM parser here (the mp4 video rows) fall back to `decodeStub`,
+  * which derives deterministic pseudo-features from the raw bytes — the
+  * one remaining stub, and labeled as such. Everything around decode —
+  * the schema, the Dataset[MediaRow] encoder, the batch iteration shape
+  * (decode `batchSize` blobs at a time, like a vectorized/Arrow UDF
+  * would), the per-media_id partitioning, the frame-explode — is real
+  * Spark and tested.
   *
   * Scale posture: binary stays opaque end-to-end (no driver collect, no
   * base64 round-trips); feature extraction is mapPartitions (one JVM call
@@ -31,28 +37,184 @@ object Multimodal {
 
   final case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  /** Deterministic synthetic media table (seeded by media_id). */
+  /** Image fixture geometry: width 16/24/32/40 px (all multiples of 4,
+    * so 24-bit rows need no padding), 8 rows; grayscale pixel value at
+    * (x, y) is (id·31 + x·7 + y·13) mod 251 — a formula an oracle can
+    * recompute without parsing BMP. */
+  private[multimodal] def imageWidth(id: Long): Int = 16 + (id % 4).toInt * 8
+  private[multimodal] val ImageHeight = 8
+  private[multimodal] def imagePixel(id: Long, x: Int, y: Int): Int =
+    ((id * 31 + x * 7 + y * 13) % 251).toInt
+
+  /** Audio fixture: 16-bit mono PCM at 16 kHz; sample j is
+    * ((id·31 + j·7) mod 2003) − 1001, i.e. deterministic values spanning
+    * ±1001 — again recomputable without parsing WAV. */
+  private[multimodal] def audioSamples(id: Long): Int = 400 + (id % 5).toInt * 100
+  private[multimodal] def audioSample(id: Long, j: Int): Int =
+    ((id * 31 + j * 7) % 2003).toInt - 1001
+
+  /** A real, valid 24-bit uncompressed BMP: 54-byte header + bottom-up
+    * BGR rows, every channel set to the grayscale [[imagePixel]]. */
+  private[multimodal] def bmpBytes(id: Long): Array[Byte] = {
+    val w = imageWidth(id); val h = ImageHeight
+    val data = w * h * 3 // widths are multiples of 4: no row padding
+    val bb = java.nio.ByteBuffer.allocate(54 + data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + data)
+      .putInt(0).putInt(54) // reserved, pixel-data offset
+    bb.putInt(40).putInt(w).putInt(h) // BITMAPINFOHEADER
+      .putShort(1).putShort(24) // planes, bpp
+      .putInt(0).putInt(data) // BI_RGB, image size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 dpi, palette
+    var y = h - 1 // bottom-up row order, as BMP stores them
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val v = imagePixel(id, x, y).toByte
+        bb.put(v).put(v).put(v) // B, G, R
+        x += 1
+      }
+      y -= 1
+    }
+    bb.array()
+  }
+
+  /** A real, valid RIFF/WAVE file: canonical 44-byte header + 16-bit LE
+    * mono PCM [[audioSample]]s. */
+  private[multimodal] def wavBytes(id: Long, rate: Int = 16000): Array[Byte] = {
+    val n = audioSamples(id)
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2) // sample rate, byte rate
+      .putShort(2).putShort(16) // block align, bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(2 * n)
+    var j = 0
+    while (j < n) { bb.putShort(audioSample(id, j).toShort); j += 1 }
+    bb.array()
+  }
+
+  /** Deterministic synthetic media table (seeded by media_id): REAL BMP
+    * bytes for images, REAL WAV bytes for audio, raw pseudo-bytes for
+    * video (no pure-JVM mp4 parser — see [[decodeStub]]). */
   def fixture(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { i =>
       val id = i
-      val kind = (id % 3) match {
-        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      (id % 3) match {
+        case 0 =>
+          MediaRow(id, "image", bmpBytes(id), format = "bmp",
+            width = imageWidth(id), height = ImageHeight,
+            sample_rate = 0, duration_ms = 0)
+        case 1 =>
+          MediaRow(id, "audio", wavBytes(id), format = "wav",
+            width = 0, height = 0, sample_rate = 16000,
+            duration_ms = audioSamples(id) * 1000L / 16000)
+        case _ =>
+          val len = 256 + (id % 7).toInt * 64
+          val bytes =
+            Array.tabulate[Byte](len)(j => ((id * 31 + j * 7) % 251).toByte)
+          MediaRow(id, "video", bytes, format = "mp4",
+            width = 0, height = 0, sample_rate = 0,
+            duration_ms = 1000 + id * 10)
       }
-      val len = 256 + (id % 7).toInt * 64
-      val bytes = Array.tabulate[Byte](len)(j => ((id * 31 + j * 7) % 251).toByte)
-      MediaRow(id, kind, bytes,
-        format = if (kind == "image") "png" else if (kind == "audio") "wav" else "mp4",
-        width = if (kind == "image") 64 + (id % 4).toInt * 32 else 0,
-        height = if (kind == "image") 64 else 0,
-        sample_rate = if (kind == "audio") 16000 else 0,
-        duration_ms = if (kind == "video") 1000 + id * 10 else 0)
     }
   }
 
-  /** STUB decode: a real implementation would decode the codec here
-    * (JPEG/PNG/WAV). Returns deterministic pseudo pixel/sample statistics
-    * derived from the raw bytes so the pipeline stays testable. */
+  // ------------------------------------------------------------ decode
+
+  private def isBmp(c: Array[Byte]): Boolean =
+    c.length > 54 && c(0) == 'B'.toByte && c(1) == 'M'.toByte
+
+  private def isWav(c: Array[Byte]): Boolean =
+    c.length > 44 &&
+      c(0) == 'R'.toByte && c(1) == 'I'.toByte && c(2) == 'F'.toByte &&
+      c(3) == 'F'.toByte && c(8) == 'W'.toByte && c(9) == 'A'.toByte &&
+      c(10) == 'V'.toByte && c(11) == 'E'.toByte
+
+  /** REAL BMP decode: pixel-data offset, dimensions and bpp read from
+    * the header; luminance aggregated from the actual BGR payload.
+    * brightness = mean channel value / 255; embedding bucket k holds
+    * the luminance sum of pixel columns with x ≡ k (mod 16), mod 1000 —
+    * orientation-free aggregates, so bottom-up row storage needs no
+    * flip. */
+  private[graft] def decodeBmp(c: Array[Byte]): (Double, Array[Float]) = {
+    val bb = java.nio.ByteBuffer.wrap(c)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val off = bb.getInt(10)
+    val w = bb.getInt(18)
+    val h = math.abs(bb.getInt(22)) // negative height = top-down storage
+    val bpp = bb.getShort(28)
+    require(bpp == 24, s"only 24-bit BMP supported, got $bpp")
+    val rowSize = (w * 3 + 3) / 4 * 4
+    var chanSum = 0L
+    val buckets = new Array[Long](16)
+    var r = 0
+    while (r < h) {
+      var x = 0
+      while (x < w) {
+        val p = off + r * rowSize + x * 3
+        val lum3 = (c(p) & 0xff) + (c(p + 1) & 0xff) + (c(p + 2) & 0xff)
+        chanSum += lum3
+        buckets(x % 16) += lum3 / 3
+        x += 1
+      }
+      r += 1
+    }
+    val px = w.toLong * h
+    val brightness = if (px == 0) 0.0 else chanSum / 3.0 / 255.0 / px
+    (brightness, buckets.map(b => (b % 1000).toFloat / 1000.0f))
+  }
+
+  /** REAL WAV decode: walks the RIFF chunk list to the fmt and data
+    * chunks (no fixed-offset assumptions beyond the RIFF/WAVE preamble),
+    * then aggregates the actual 16-bit samples. brightness = mean
+    * absolute amplitude / 32768 (the loudness analogue of image
+    * brightness); embedding bucket k holds the |sample| sum of samples
+    * with index ≡ k (mod 16), mod 1000. */
+  private[graft] def decodeWav(c: Array[Byte]): (Double, Array[Float]) = {
+    val bb = java.nio.ByteBuffer.wrap(c)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12 // past RIFF size WAVE
+    var dataPos = -1
+    var dataLen = 0
+    var bits = 16
+    while (pos + 8 <= c.length && (dataPos < 0 || bits == 0)) {
+      val tag = new String(c, pos, 4, "US-ASCII")
+      val len = bb.getInt(pos + 4)
+      if (tag == "fmt ") bits = bb.getShort(pos + 22)
+      else if (tag == "data") { dataPos = pos + 8; dataLen = len }
+      pos += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    require(dataPos >= 0, "WAV without a data chunk")
+    require(bits == 16, s"only 16-bit PCM supported, got $bits")
+    val n = dataLen / 2
+    var absSum = 0L
+    val buckets = new Array[Long](16)
+    var j = 0
+    while (j < n) {
+      val s = math.abs(bb.getShort(dataPos + 2 * j).toInt).toLong
+      absSum += s
+      buckets(j % 16) += s
+      j += 1
+    }
+    val brightness = if (n == 0) 0.0 else absSum.toDouble / n / 32768.0
+    (brightness, buckets.map(b => (b % 1000).toFloat / 1000.0f))
+  }
+
+  /** Decode dispatch: real parsers where the format has one, stub
+    * otherwise. */
+  private[graft] def decode(content: Array[Byte]): (Double, Array[Float]) =
+    if (isBmp(content)) decodeBmp(content)
+    else if (isWav(content)) decodeWav(content)
+    else decodeStub(content)
+
+  /** STUB decode for formats without a pure-JVM parser here (mp4 video):
+    * deterministic pseudo pixel/sample statistics derived from the raw
+    * bytes so the pipeline stays testable end-to-end. */
   private[multimodal] def decodeStub(content: Array[Byte]): (Double, Array[Float]) = {
     val brightness =
       if (content.isEmpty) 0.0
@@ -75,7 +237,7 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // per-batch setup is where a real codec/session handle would live
         batch.iterator.map { m =>
-          val (brightness, emb) = decodeStub(m.content)
+          val (brightness, emb) = decode(m.content)
           val phash = m.content.foldLeft(1125899906842597L)((h, b) =>
             31 * h + (b & 0xff))
           MediaFeatures(m.media_id, m.kind, phash, brightness,

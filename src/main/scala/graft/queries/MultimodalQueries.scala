@@ -4,13 +4,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
 
-/** Driver-visible checks for the multimodal plumbing: the fixture bytes
-  * and the stub decode are pure integer functions of media_id, so the
-  * whole mapPartitions batch path (binary column → per-batch decode →
-  * typed features) is reproducible in ANSI SQL from `range()` — the
-  * oracle recomputes byte statistics without ever materializing bytes.
-  * (A real deployment swaps decodeStub for a codec; the plumbing under
-  * test — schema, encoder, batch iteration, partitioning — is identical.)
+/** Driver-visible checks for the multimodal path. Image rows are REAL
+  * 24-bit BMPs and audio rows REAL 16-bit PCM WAVs, decoded by the
+  * pure-JVM parsers in [[Multimodal]] — header fields read from the
+  * bytes, features from the actual pixel/sample payload. The fixture
+  * GENERATES those pixels/samples from integer formulas of media_id, so
+  * the oracle recomputes the expected features in ANSI SQL from
+  * `range()` without parsing any container format: if the BMP/WAV
+  * parser misread the header or payload, brightness/embedding would
+  * diverge from the formula and the hash compare would fail. Video rows
+  * keep the documented byte-statistics stub (no pure-JVM mp4 parser).
   */
 object MultimodalQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -42,30 +45,74 @@ object MultimodalQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // three branches, one per kind: image features recomputed from the
+    // BMP pixel formula (16+(i%4)*8 × 8 grayscale, v=(i31+x7+y13)%251),
+    // audio from the WAV sample formula (s=((i31+j7)%2003)-1001),
+    // video from the stub's raw-byte statistics. n_bytes covers the
+    // real container sizes (54-byte BMP header + 3wh; 44-byte WAV
+    // header + 2n).
     "mm1_media_features" ->
-      """WITH m AS (
-        |  SELECT i AS media_id,
-        |    CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |    CAST(256 + (i % 7) * 64 AS INTEGER) AS len
-        |  FROM range(500) t(i)),
-        |b AS (
-        |  SELECT m.media_id, m.kind, m.len, j,
-        |    (m.media_id * 31 + j * 7) % 251 AS v
-        |  FROM m, LATERAL (SELECT UNNEST(range(m.len)) AS j) u),
-        |bright AS (
-        |  SELECT media_id, ANY_VALUE(kind) AS kind, ANY_VALUE(len) AS len,
+      """WITH img AS (
+        |  SELECT i AS media_id, CAST(16 + (i % 4) * 8 AS INTEGER) AS w
+        |  FROM range(500) t(i) WHERE i % 3 = 0),
+        |imgpx AS (
+        |  SELECT media_id, w, x, y, (media_id * 31 + x * 7 + y * 13) % 251 AS v
+        |  FROM img,
+        |    LATERAL (SELECT UNNEST(range(w)) AS x) a,
+        |    LATERAL (SELECT UNNEST(range(8)) AS y) b),
+        |imgb AS (
+        |  SELECT media_id, ANY_VALUE(w) AS w,
+        |    ROUND(CAST(SUM(v) AS DOUBLE) / 255.0 / (ANY_VALUE(w) * 8), 6) AS brightness
+        |  FROM imgpx GROUP BY media_id),
+        |imge AS (
+        |  SELECT media_id, string_agg(CAST(e AS VARCHAR), ',' ORDER BY k) AS emb_q
+        |  FROM (SELECT media_id, CAST(x % 16 AS INTEGER) AS k,
+        |          CAST(SUM(v) % 1000 AS INTEGER) AS e
+        |        FROM imgpx GROUP BY media_id, x % 16) GROUP BY media_id),
+        |imgf AS (
+        |  SELECT imgb.media_id, 'image' AS kind,
+        |    CAST(54 + 3 * w * 8 AS INTEGER) AS n_bytes, brightness, emb_q
+        |  FROM imgb JOIN imge USING (media_id)),
+        |aud AS (
+        |  SELECT i AS media_id, CAST(400 + (i % 5) * 100 AS INTEGER) AS n
+        |  FROM range(500) t(i) WHERE i % 3 = 1),
+        |audsm AS (
+        |  SELECT media_id, n, j, ABS((media_id * 31 + j * 7) % 2003 - 1001) AS s
+        |  FROM aud, LATERAL (SELECT UNNEST(range(n)) AS j) u),
+        |audb AS (
+        |  SELECT media_id, ANY_VALUE(n) AS n,
+        |    ROUND(CAST(SUM(s) AS DOUBLE) / ANY_VALUE(n) / 32768.0, 6) AS brightness
+        |  FROM audsm GROUP BY media_id),
+        |aude AS (
+        |  SELECT media_id, string_agg(CAST(e AS VARCHAR), ',' ORDER BY k) AS emb_q
+        |  FROM (SELECT media_id, CAST(j % 16 AS INTEGER) AS k,
+        |          CAST(SUM(s) % 1000 AS INTEGER) AS e
+        |        FROM audsm GROUP BY media_id, j % 16) GROUP BY media_id),
+        |audf AS (
+        |  SELECT audb.media_id, 'audio' AS kind,
+        |    CAST(44 + 2 * n AS INTEGER) AS n_bytes, brightness, emb_q
+        |  FROM audb JOIN aude USING (media_id)),
+        |vid AS (
+        |  SELECT i AS media_id, CAST(256 + (i % 7) * 64 AS INTEGER) AS len
+        |  FROM range(500) t(i) WHERE i % 3 = 2),
+        |vidby AS (
+        |  SELECT media_id, len, j, (media_id * 31 + j * 7) % 251 AS v
+        |  FROM vid, LATERAL (SELECT UNNEST(range(len)) AS j) u),
+        |vidb AS (
+        |  SELECT media_id, ANY_VALUE(len) AS len,
         |    ROUND(CAST(SUM(v) AS DOUBLE) / ANY_VALUE(len) / 255.0, 6) AS brightness
-        |  FROM b GROUP BY media_id),
-        |emb AS (
-        |  SELECT media_id, CAST(j % 16 AS INTEGER) AS k,
-        |    CAST(SUM(v) % 1000 AS INTEGER) AS e
-        |  FROM b GROUP BY media_id, j % 16),
-        |embs AS (
-        |  SELECT media_id,
-        |    string_agg(CAST(e AS VARCHAR), ',' ORDER BY k) AS emb_q
-        |  FROM emb GROUP BY media_id)
-        |SELECT bright.media_id, kind, len AS n_bytes, brightness, emb_q
-        |FROM bright JOIN embs USING (media_id)
+        |  FROM vidby GROUP BY media_id),
+        |vide AS (
+        |  SELECT media_id, string_agg(CAST(e AS VARCHAR), ',' ORDER BY k) AS emb_q
+        |  FROM (SELECT media_id, CAST(j % 16 AS INTEGER) AS k,
+        |          CAST(SUM(v) % 1000 AS INTEGER) AS e
+        |        FROM vidby GROUP BY media_id, j % 16) GROUP BY media_id),
+        |vidf AS (
+        |  SELECT vidb.media_id, 'video' AS kind, len AS n_bytes, brightness, emb_q
+        |  FROM vidb JOIN vide USING (media_id))
+        |SELECT * FROM imgf
+        |UNION ALL SELECT * FROM audf
+        |UNION ALL SELECT * FROM vidf
         |ORDER BY media_id""".stripMargin,
     "mm2_frame_sample" ->
       """WITH m AS (

@@ -32,6 +32,13 @@ import graft.store.{PointerCommit, SnapshotStore}
 object WritePathQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Typed row for driving the SCD2 fixtures through a MemoryStream. */
+  final case class ScdFixtureRow(universal_id: String, project_name: String,
+                                 address: String, is_current: Boolean,
+                                 valid_from: String, valid_to: String,
+                                 spider_name: String, ingestion_year: String,
+                                 ingestion_month: String)
+
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
 
@@ -201,6 +208,34 @@ object WritePathQueries {
       val root = tmp("graft_gate_scd2r")
       Scd2.mergeRegioned(s, scdDay1(s, d), root, asOfDate = lit("2025-01-15"))
       Scd2.mergeRegioned(s, scdDay2(s, d), root, asOfDate = lit("2025-01-16"))
+      orderedScd(Scd2.readRegioned(s, root))
+    }),
+
+    // §2.13 streaming → S6: the SAME 2-day scenario streamed through
+    // StreamingOps.scd2Sink (foreachBatch → mergeRegioned per epoch,
+    // MemoryStream-driven with one epoch per day) must land the
+    // identical logical table — the batch oracle gates the streaming
+    // sink. The fixture collect is bounded by the gate's customer
+    // fixture size; production streams never pass through the driver.
+    "s6c_scd2_stream_sink" -> ((s, d) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val base = tmp("graft_gate_scd2strm")
+      val root = s"$base/table"
+      def rows(df: DataFrame): Seq[ScdFixtureRow] =
+        df.as[ScdFixtureRow].collect().toSeq
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[ScdFixtureRow]
+      val q = graft.streaming.StreamingOps.scd2Sink(mem.toDF(), root,
+        s"$base/ckpt",
+        asOfOfBatch = (_, id) =>
+          lit(if (id == 0L) "2025-01-15" else "2025-01-16")).start()
+      try {
+        mem.addData(rows(scdDay1(s, d)): _*)
+        q.processAllAvailable() // epoch 0 → first-load publish
+        mem.addData(rows(scdDay2(s, d)): _*)
+        q.processAllAvailable() // epoch 1 → close-outs + new versions
+      } finally q.stop()
       orderedScd(Scd2.readRegioned(s, root))
     }),
 
@@ -466,6 +501,7 @@ object WritePathQueries {
         |FROM customer ORDER BY id""".stripMargin,
     "s6_scd2_merge" -> (ScdOracleCte + ScdOracleSelect),
     "s6b_scd2_regioned" -> (ScdOracleCte + ScdOracleSelect),
+    "s6c_scd2_stream_sink" -> (ScdOracleCte + ScdOracleSelect),
     "s2_current_scan" -> (ScdOracleCte +
       """SELECT universal_id, project_name, address, is_current, valid_from,
         |       valid_to, spider_name, ingestion_year, ingestion_month
