@@ -339,6 +339,25 @@ sealed trait TableCommit {
   def publish(df: DataFrame, path: String, partitionColumns: Seq[String]): Long
 }
 
+object TableCommit {
+  /** Write `df` as (optionally partitioned) parquet and return the row
+    * count OBSERVED during the write job itself (`Dataset.observe` +
+    * `Observation`) — the count costs one metric accumulator, where the
+    * previous read-back (`spark.read.parquet(written).count()`) re-listed
+    * and footer-scanned everything just written, doubling publish
+    * metadata I/O on every merge/ETL commit. */
+  private[store] def writeCounted(df: DataFrame, path: String,
+                                  partitionColumns: Seq[String]): Long = {
+    val obs = org.apache.spark.sql.Observation()
+    val counted = df.observe(obs, org.apache.spark.sql.functions
+      .count(org.apache.spark.sql.functions.lit(1)).as("rows"))
+    val w = counted.write.mode(SaveMode.Overwrite)
+    (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w)
+      .parquet(path)
+    obs.get("rows").asInstanceOf[Long]
+  }
+}
+
 /** Write-to-temp-sibling + directory rename. Atomic on HDFS/POSIX — the
   * right default for the local/HDFS clusters this library targets — but
   * NOT on S3-style object stores; use [[PointerCommit]] there. */
@@ -356,27 +375,17 @@ object DirectorySwapCommit extends TableCommit {
     val spark = df.sparkSession
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(target)) {
-      writePartitioned(df, path, partitionColumns)
-      return df.count()
-    }
+    if (!fs.exists(target))
+      return TableCommit.writeCounted(df, path, partitionColumns)
     // sibling of the normalized target (raw string concat would nest the
     // tmp dir inside the target on a trailing-slash path)
     val tmp = new Path(target.getParent, target.getName + "__tmp_swap")
-    writePartitioned(df, tmp.toString, partitionColumns)
-    val written = spark.read.parquet(tmp.toString).count()
+    val written = TableCommit.writeCounted(df, tmp.toString, partitionColumns)
     fs.delete(target, true)
     if (!fs.rename(tmp, target))
       throw new java.io.IOException(
         s"publish: rename $tmp -> $target failed; table left at $tmp")
     written
-  }
-
-  private def writePartitioned(df: DataFrame, path: String,
-                               partitionColumns: Seq[String]): Unit = {
-    val w = df.write.mode(SaveMode.Overwrite)
-    (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w)
-      .parquet(path)
   }
 }
 
@@ -393,11 +402,10 @@ object PointerCommit extends TableCommit {
   override def publish(df: DataFrame, path: String,
                        partitionColumns: Seq[String]): Long = {
     val spark = df.sparkSession
+    var written = 0L
     SnapshotStore.commit(spark, path) { dir =>
-      val w = df.write.mode(SaveMode.Overwrite)
-      (if (partitionColumns.nonEmpty) w.partitionBy(partitionColumns: _*) else w)
-        .parquet(dir)
+      written = TableCommit.writeCounted(df, dir, partitionColumns)
     }
-    SnapshotStore.read(spark, path).count()
+    written
   }
 }
