@@ -281,6 +281,49 @@ object WritePathQueries {
       orderedScd(SnapshotStore.readAt(s, root, "v000000001"))
     }),
 
+    // S13: incremental aggregate MAINTENANCE off the change feed — the
+    // consumer pattern that makes CDF pay at scale: a per-spider
+    // aggregate is maintained as base(v1) + signed delta(feed) instead
+    // of recomputed from v2, touching O(churn) rows. The oracle
+    // recomputes the v2 aggregate DIRECTLY from the fixture, so any
+    // error in the feed classification or the delta math surfaces as a
+    // hash mismatch.
+    "s13_cdf_incr_agg" -> ((s, d) => {
+      val root = tmp("graft_gate_cdfagg")
+      val parts = Seq("spider_name", "ingestion_year", "ingestion_month")
+      val day1 = scdDay1(s, d)
+      PointerCommit.publish(day1, root, parts)
+      val ck = col("universal_id").cast("long")
+      val survived = day1.filter(ck % 13 =!= 0)
+        .withColumn("project_name",
+          when(ck % 7 === 0, concat(col("project_name"), lit(" v2")))
+            .otherwise(col("project_name")))
+      val inserts = day1.filter(ck % 13 === 0)
+        .withColumn("universal_id", (ck + 3000000).cast("string"))
+        .withColumn("project_name", concat(lit("NEW "), col("project_name")))
+      PointerCommit.publish(survived.unionByName(inserts), root, parts)
+
+      val baseAgg = SnapshotStore.readAt(s, root, "v000000001")
+        .groupBy("spider_name")
+        .agg(count(lit(1)).as("n_projects"),
+          sum(length(col("project_name")).cast("long")).as("name_chars"))
+      val feed = SnapshotStore.changesBetween(s, root,
+        "v000000001", "v000000002", keyCols = Seq("universal_id"))
+      val sign = when(col("change_type")
+        .isin("insert", "update_postimage"), 1L).otherwise(-1L)
+      val delta = feed.groupBy("spider_name")
+        .agg(sum(sign).as("dn"),
+          sum(sign * length(col("project_name")).cast("long")).as("dchars"))
+      baseAgg.join(delta, Seq("spider_name"), "full_outer")
+        .select(col("spider_name"),
+          (coalesce(col("n_projects"), lit(0L)) +
+            coalesce(col("dn"), lit(0L))).as("n_projects"),
+          (coalesce(col("name_chars"), lit(0L)) +
+            coalesce(col("dchars"), lit(0L))).as("name_chars"))
+        .filter(col("n_projects") > 0)
+        .orderBy("spider_name")
+    }),
+
     // S12: change data feed between two pinned versions — v2 deletes
     // every 13th key, renames every (7th ∧ not-13th) key, and inserts a
     // shifted copy of each deleted key; the feed must classify exactly
@@ -502,6 +545,18 @@ object WritePathQueries {
     "s6_scd2_merge" -> (ScdOracleCte + ScdOracleSelect),
     "s6b_scd2_regioned" -> (ScdOracleCte + ScdOracleSelect),
     "s6c_scd2_stream_sink" -> (ScdOracleCte + ScdOracleSelect),
+    "s13_cdf_incr_agg" ->
+      """WITH v2 AS (
+        |  SELECT 'sp' || CAST(c_custkey % 3 AS VARCHAR) AS spider_name,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_name || ' v2' ELSE c_name END
+        |      AS project_name
+        |  FROM customer WHERE c_custkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT 'sp' || CAST(c_custkey % 3 AS VARCHAR), 'NEW ' || c_name
+        |  FROM customer WHERE c_custkey % 13 = 0)
+        |SELECT spider_name, COUNT(*) AS n_projects,
+        |  CAST(SUM(len(project_name)) AS BIGINT) AS name_chars
+        |FROM v2 GROUP BY spider_name ORDER BY spider_name""".stripMargin,
     "s2_current_scan" -> (ScdOracleCte +
       """SELECT universal_id, project_name, address, is_current, valid_from,
         |       valid_to, spider_name, ingestion_year, ingestion_month
