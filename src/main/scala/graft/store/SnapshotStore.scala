@@ -310,20 +310,24 @@ object SnapshotStore {
     readEntries(spark, root, entries)
   }
 
-  /** Union of manifest entries: each referenced partition dir with its
-    * partition values re-attached from the relative-path segments. */
+  /** Union of manifest entries. ONE scan relation per referenced
+    * VERSION dir (`basePath` re-attaches the partition values from the
+    * dir names — stringly, matching partition-type inference off), not
+    * one per partition: a manifest naming 100k partitions must not
+    * become a 100k-way union plan (Catalyst analysis goes quadratic
+    * long before that), and the union width here is bounded by the
+    * retention window instead. `mergeSchema` keeps per-partition schema
+    * drift readable, as the per-partition union form did. */
   private def readEntries(spark: SparkSession, root: String,
                           entries: Map[String, String]): DataFrame = {
-    import org.apache.spark.sql.functions.lit
-    val parts = entries.toSeq.sorted.map { case (rel, ver) =>
-      val dir = new Path(new Path(new Path(root, SnapshotsDir), ver), rel)
-      val kvs = rel.split('/').map { seg =>
-        val Array(k, v) = seg.split("=", 2)
-        k -> v
-      }
-      kvs.foldLeft(spark.read.parquet(dir.toString)) { case (df, (k, v)) =>
-        df.withColumn(k, lit(v))
-      }
+    val byVersion = entries.toSeq.groupBy(_._2)
+    val parts = byVersion.toSeq.sortBy(_._1).map { case (ver, es) =>
+      val base = new Path(new Path(root, SnapshotsDir), ver)
+      val dirs = es.map { case (rel, _) => new Path(base, rel).toString }.sorted
+      spark.read
+        .option("basePath", base.toString)
+        .option("mergeSchema", "true")
+        .parquet(dirs: _*)
     }
     parts.reduceLeft(_.unionByName(_, allowMissingColumns = true))
   }
