@@ -230,6 +230,19 @@ class Scd2RegionedSpec extends SparkSuite {
       .filter(col("ingestion_month") === "01").count() === 500 - 100)
   }
 
+  test("no-op re-merge of an unchanged batch writes nothing at all") {
+    val root = Files.createTempDirectory("graft_scd2_reg_noop").toString + "/t"
+    val batch = mkSpiderBatch(0 until 500, "v1", "2025-01-15")
+    Scd2.mergeRegioned(spark, batch, root, asOfDate = lit("2025-01-15"))
+    val before = inventory(root)
+    // same content again: zero churned partitions → no close-outs, no
+    // current-region publish — the merge is a pure read
+    val n = Scd2.mergeRegioned(spark, batch, root, asOfDate = lit("2025-01-16"))
+    assert(n === 500)
+    assert(inventory(root) === before,
+      "idempotent re-merge rewrote files despite zero churn")
+  }
+
   test("pointer protocol: incremental manifest publishes only churned current partitions") {
     val root = Files.createTempDirectory("graft_scd2_reg_ptr_inc").toString + "/t"
     val allKeys = 0 until 400
