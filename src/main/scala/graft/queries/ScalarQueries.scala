@@ -137,6 +137,19 @@ object ScalarQueries {
           (abs(hash(col("p_type"))) % 1000).as("type_code"))
         .orderBy("p_partkey")),
 
+    // M7 with an ENGINE-REPRODUCIBLE hash: the same abs(hash)%N encoding
+    // over an md5-derived value both engines compute identically (the
+    // murmur3 form above stays rows-only because DuckDB has no murmur3).
+    // The last two hex chars of md5 carry value%64 exactly.
+    "m7b_hash_mod_md5" -> ((s, d) =>
+      part(s, d)
+        .select(col("p_partkey"),
+          (conv(substring(md5(col("p_brand")), 31, 2), 16, 10).cast("long") % 64)
+            .as("brand_code"),
+          (conv(substring(md5(col("p_type")), 31, 2), 16, 10).cast("long") % 64)
+            .as("type_code"))
+        .orderBy("p_partkey")),
+
     // M9: indicator-sum score (amenity_count analog).
     "m9_indicator_sum" -> ((s, d) =>
       lineitem(s, d)
@@ -170,6 +183,17 @@ object ScalarQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // hex-pair parse via strpos: DuckDB lacks conv(base16), but
+    // value%64 only needs md5's last two hex chars
+    "m7b_hash_mod_md5" ->
+      """SELECT p_partkey,
+        |  ((strpos('0123456789abcdef', substring(md5(p_brand), 31, 1)) - 1) * 16
+        |   + strpos('0123456789abcdef', substring(md5(p_brand), 32, 1)) - 1) % 64
+        |    AS brand_code,
+        |  ((strpos('0123456789abcdef', substring(md5(p_type), 31, 1)) - 1) * 16
+        |   + strpos('0123456789abcdef', substring(md5(p_type), 32, 1)) - 1) % 64
+        |    AS type_code
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "f1_clean_text" ->
       """SELECT doc_id,
         |  LOWER(TRIM(REGEXP_REPLACE(text, '\s+', ' ', 'g'))) AS cleaned,

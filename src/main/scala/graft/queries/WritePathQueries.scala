@@ -194,6 +194,35 @@ object WritePathQueries {
         .orderBy("id")
     }),
 
+    // S1 robustness: PERMISSIVE parse of DIRTY JSONL — the crawler-feed
+    // reality the reference's bronze reader faces. Every 7th line is
+    // truncated mid-string; the gate pins Spark's corrupt-record
+    // contract (data columns null, raw line preserved in
+    // _corrupt_record, good lines parse normally). The oracle
+    // recomputes both the parsed rows and the exact raw corrupt lines
+    // from the same customer fixture.
+    "s1c_jsonl_corrupt" -> ((s, d) => {
+      val root = tmp("graft_gate_jsonlbad")
+      val ck = col("c_custkey")
+      customer(s, d).select(
+        when(ck % 7 === 0,
+          concat(lit("{\"id\":"), ck.cast("string"),
+            lit(",\"name\":\"truncated")))
+          .otherwise(concat(lit("{\"id\":"), ck.cast("string"),
+            lit(",\"name\":\""), col("c_name"), lit("\"}")))
+          .as("value"))
+        .write.mode(SaveMode.Overwrite).text(root)
+      s.read
+        .schema("id LONG, name STRING, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(root)
+        .select(col("id"), col("name"),
+          col("_corrupt_record").isNotNull.as("is_corrupt"),
+          col("_corrupt_record").as("corrupt_raw"))
+        .orderBy(col("is_corrupt"), col("id"), col("corrupt_raw"))
+    }),
+
     // S3/S4/S6: full SCD2 merge roundtrip through the flat layout —
     // first-load partitioned publish, then close-out + append, read back
     // as plain parquet (partition values return as strings).
@@ -545,6 +574,17 @@ object WritePathQueries {
     "s6_scd2_merge" -> (ScdOracleCte + ScdOracleSelect),
     "s6b_scd2_regioned" -> (ScdOracleCte + ScdOracleSelect),
     "s6c_scd2_stream_sink" -> (ScdOracleCte + ScdOracleSelect),
+    "s1c_jsonl_corrupt" ->
+      """SELECT
+        |  CASE WHEN c_custkey % 7 = 0 THEN NULL
+        |       ELSE CAST(c_custkey AS BIGINT) END AS id,
+        |  CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_name END AS name,
+        |  (c_custkey % 7 = 0) AS is_corrupt,
+        |  CASE WHEN c_custkey % 7 = 0
+        |       THEN '{"id":' || CAST(c_custkey AS VARCHAR) || ',"name":"truncated'
+        |       ELSE NULL END AS corrupt_raw
+        |FROM customer
+        |ORDER BY is_corrupt, id, corrupt_raw""".stripMargin,
     "s13_cdf_incr_agg" ->
       """WITH v2 AS (
         |  SELECT 'sp' || CAST(c_custkey % 3 AS VARCHAR) AS spider_name,
