@@ -268,6 +268,25 @@ object WritePathQueries {
       orderedScd(Scd2.readRegioned(s, root))
     }),
 
+    // S7 for the REGIONED layout: the day-2 batch lands in two merges
+    // on the same as-of date (two close-out file sets accrete in one
+    // valid_to partition — the small-files reality of append-only),
+    // then compactClosed rewrites that partition to one file. The
+    // logical table must be IDENTICAL to the one-shot merge — the same
+    // oracle gates content through the compaction rewrite.
+    "s6d_scd2_compact" -> ((s, d) => {
+      val root = tmp("graft_gate_scd2cmp")
+      Scd2.mergeRegioned(s, scdDay1(s, d), root, asOfDate = lit("2025-01-15"))
+      val d2 = scdDay2(s, d)
+      val ck2 = col("universal_id").cast("long")
+      Scd2.mergeRegioned(s, d2.filter(ck2 % 2 === 0), root,
+        asOfDate = lit("2025-01-16"))
+      Scd2.mergeRegioned(s, d2.filter(ck2 % 2 =!= 0), root,
+        asOfDate = lit("2025-01-16"))
+      Scd2.compactClosed(s, root, maxFilesPerPartition = 1)
+      orderedScd(Scd2.readRegioned(s, root))
+    }),
+
     // S2: current-snapshot scan over the merged table (gold's read path).
     "s2_current_scan" -> ((s, d) =>
       orderedScd(FlatLayout.readCurrent(s, runFlatScenario(s, d),
@@ -574,6 +593,7 @@ object WritePathQueries {
     "s6_scd2_merge" -> (ScdOracleCte + ScdOracleSelect),
     "s6b_scd2_regioned" -> (ScdOracleCte + ScdOracleSelect),
     "s6c_scd2_stream_sink" -> (ScdOracleCte + ScdOracleSelect),
+    "s6d_scd2_compact" -> (ScdOracleCte + ScdOracleSelect),
     "s1c_jsonl_corrupt" ->
       """SELECT
         |  CASE WHEN c_custkey % 7 = 0 THEN NULL

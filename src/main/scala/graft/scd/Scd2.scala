@@ -386,6 +386,104 @@ object Scd2 {
     }
   }
 
+  /** OPTIMIZE for the closed region: append-only accrues one file set
+    * per merge — a year of daily merges leaves hundreds of small files
+    * behind, and small files are the classic parquet scan killer.
+    * Compaction rewrites each `valid_to` partition holding more than
+    * `maxFilesPerPartition` data files down to that many, preserving
+    * content exactly. It is an explicit MAINTENANCE operation — the only
+    * writer that ever rewrites closed bytes; day-to-day merges stay
+    * append-only (run compaction on a schedule, as the reference ran
+    * Delta OPTIMIZE, silver_etl_script.py:978-983).
+    *
+    *  - swap protocol: per-partition tmp-write + dir swap (same crash
+    *    window as [[graft.store.DirectorySwapCommit]]: a failed rename
+    *    leaves the tmp dir for recovery).
+    *  - pointer protocol: every compacted date's rows land in ONE fresh
+    *    version dir under a new `close_batch`; the manifest drops the
+    *    old batch entries for those dates and carries untouched batches
+    *    by reference — readers flip atomically, and vacuum later
+    *    collects versions no retained manifest references.
+    *
+    * Returns the number of partitions compacted. */
+  def compactClosed(spark: SparkSession, root: String,
+                    maxFilesPerPartition: Int = 1,
+                    commit: TableCommit = DirectorySwapCommit): Int = {
+    val closedPath = closedRoot(root)
+    def parquetFiles(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Int =
+      if (!fs.exists(dir)) 0
+      else fs.listStatus(dir).count(f =>
+        f.isFile && f.getPath.getName.endsWith(".parquet"))
+    commit match {
+      case PointerCommit =>
+        if (!PointerCommit.exists(spark, closedPath)) return 0
+        val entries = SnapshotStore.currentEntries(spark, closedPath, 2)
+          .getOrElse(Map.empty)
+        val snaps = new Path(closedPath, SnapshotStore.SnapshotsDir)
+        val fs = snaps.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val byDate = entries.toSeq.groupBy(_._1.split('/').head)
+        // a date needs compaction when its rows are spread over several
+        // close_batch dirs, or one batch dir itself has too many files
+        val oversized = byDate.filter { case (_, es) =>
+          es.size > 1 || es.exists { case (rel, ver) =>
+            parquetFiles(fs, new Path(new Path(snaps, ver), rel)) >
+              maxFilesPerPartition
+          }
+        }
+        if (oversized.isEmpty) return 0
+        val dates = oversized.keySet.map(_.stripPrefix("valid_to="))
+        SnapshotStore.commit(spark, closedPath) { dir =>
+          val dirPath = new Path(dir)
+          val name = dirPath.getName
+          SnapshotStore.readPartitioned(spark, closedPath,
+            Seq("valid_to", "close_batch"))
+            .filter(col("valid_to").isin(dates.toSeq: _*))
+            .drop("close_batch")
+            .coalesce(maxFilesPerPartition)
+            .withColumn("close_batch", lit(name))
+            .write.mode(SaveMode.Overwrite)
+            .partitionBy("valid_to", "close_batch").parquet(dir)
+          val fresh = Option(fs.globStatus(
+            new Path(s"$dir/valid_to=*/close_batch=*")))
+            .getOrElse(Array.empty)
+            .map(_.getPath.toUri.getPath
+              .stripPrefix(dirPath.toUri.getPath).stripPrefix("/") -> name)
+            .toMap
+          val carried = entries.filterNot { case (rel, _) =>
+            oversized.contains(rel.split('/').head)
+          }
+          SnapshotStore.writeManifest(spark, closedPath, name, carried ++ fresh)
+        }
+        oversized.size
+      case _ =>
+        val rootPath = new Path(closedPath)
+        val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(rootPath)) return 0
+        var compacted = 0
+        fs.listStatus(rootPath)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("valid_to="))
+          .foreach { st =>
+            if (parquetFiles(fs, st.getPath) > maxFilesPerPartition) {
+              val dir = st.getPath
+              val tmp = new Path(rootPath, dir.getName + "__compact_tmp")
+              fs.delete(tmp, true)
+              // rows carry no valid_to column inside partition dirs —
+              // the rewrite preserves exactly that layout
+              spark.read.parquet(dir.toString)
+                .coalesce(maxFilesPerPartition)
+                .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+              fs.delete(dir, true)
+              if (!fs.rename(tmp, dir))
+                throw new java.io.IOException(
+                  s"compactClosed: rename $tmp -> $dir failed; " +
+                    s"compacted partition preserved at $tmp")
+              compacted += 1
+            }
+          }
+        compacted
+    }
+  }
+
   /** The closed region, if any close-out has ever been written.
     * `valid_to` comes back as a (string) partition column. */
   private def readClosedRegion(spark: SparkSession, closedPath: String,

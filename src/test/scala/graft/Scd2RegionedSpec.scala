@@ -277,6 +277,52 @@ class Scd2RegionedSpec extends SparkSuite {
     assert(Scd2.readRegionedCurrent(spark, root, PointerCommit).count() === 400)
   }
 
+  test("closed-region compaction merges small files and preserves content exactly") {
+    val root = Files.createTempDirectory("graft_scd2_compact").toString + "/t"
+    Scd2.mergeRegioned(spark, mkBatch(0 until 500, "v1", "2025-01-15"), root,
+      asOfDate = lit("2025-01-15"))
+    // two merges closing DIFFERENT keys on the SAME date: two file sets
+    // land in the one valid_to partition — the small-files accretion
+    Scd2.mergeRegioned(spark, mkBatch(0 until 50, "v2", "2025-01-16"), root,
+      asOfDate = lit("2025-01-16"))
+    Scd2.mergeRegioned(spark, mkBatch(50 until 100, "v3", "2025-01-16"), root,
+      asOfDate = lit("2025-01-16"))
+    val closedDir = s"${Scd2.closedRoot(root)}/valid_to=2025-01-16"
+    def files(dir: String): Int =
+      inventory(dir).count(_._1.endsWith(".parquet"))
+    assert(files(closedDir) >= 2, "fixture should have accreted file sets")
+    val before = canon(Scd2.readRegioned(spark, root))
+
+    assert(Scd2.compactClosed(spark, root, maxFilesPerPartition = 1) === 1)
+    assert(files(closedDir) === 1)
+    assert(canon(Scd2.readRegioned(spark, root)) === before)
+    // append-only resumes cleanly after compaction
+    Scd2.mergeRegioned(spark, mkBatch(100 until 120, "v4", "2025-01-17"), root,
+      asOfDate = lit("2025-01-17"))
+    assert(Scd2.readRegioned(spark, root).count() === 500 + 120)
+    // idempotent: nothing left to compact at the same threshold
+    assert(Scd2.compactClosed(spark, root, maxFilesPerPartition = 1) <= 1)
+  }
+
+  test("closed-region compaction under the pointer protocol: atomic manifest flip") {
+    val root = Files.createTempDirectory("graft_scd2_compact_ptr").toString + "/t"
+    def day(batch: DataFrame, date: String): Unit = {
+      Scd2.mergeRegioned(spark, batch, root, asOfDate = lit(date),
+        commit = PointerCommit); ()
+    }
+    day(mkBatch(0 until 500, "v1", "2025-01-15"), "2025-01-15")
+    day(mkBatch(0 until 50, "v2", "2025-01-16"), "2025-01-16")
+    day(mkBatch(50 until 100, "v3", "2025-01-16"), "2025-01-16")
+    val before = canon(Scd2.readRegioned(spark, root, PointerCommit))
+
+    assert(Scd2.compactClosed(spark, root, maxFilesPerPartition = 1,
+      commit = PointerCommit) === 1)
+    assert(canon(Scd2.readRegioned(spark, root, PointerCommit)) === before)
+    // the compacted snapshot survives a tight vacuum (manifest-referenced)
+    graft.store.SnapshotStore.vacuum(spark, Scd2.closedRoot(root), keepLast = 1)
+    assert(canon(Scd2.readRegioned(spark, root, PointerCommit)) === before)
+  }
+
   test("FlatLayout keeps the reference-parity single-table behavior") {
     val root = Files.createTempDirectory("graft_scd2_flat_seam").toString + "/t"
     FlatLayout.merge(spark, mkBatch(0 until 50, "v1", "2025-01-15"), root,
