@@ -169,18 +169,25 @@ object Scd2 {
   def closedRoot(root: String): String =
     new Path(root, "closed").toString
 
-  /** SCD2 merge with O(churn) write volume: only the current-region
-    * PARTITIONS the batch actually touched are republished — partitions
-    * holding a new/changed version, or a row that was closed out — and
-    * the day's close-outs APPEND to the closed region; everything else
-    * (most of the live set on a typical day, all prior close-outs) is
-    * never rewritten. This matches what Delta MERGE touches — only files
-    * containing matched rows (silver_etl_script.py:922-951) — without a
-    * transaction log. Returns the post-merge total row count
-    * (current + closed): the current side from the already-persisted
-    * merge join, the closed side from a column-less parquet count that
-    * reads footers, not data pages — no re-read of what was just
-    * published.
+  /** SCD2 merge with O(churn) READ and WRITE volume.
+    *
+    * Read side: classification runs over a NARROW scan of the current
+    * region — key + partition + change-predicate columns only (a
+    * handful of the silver table's 30+ columns) — full-outer-joined
+    * with the batch. Full-width current rows are then read ONLY from
+    * the churned partitions (partition-pruned scan); the wide rows of
+    * untouched partitions never leave parquet. Write side: only the
+    * churned current partitions are republished — where a new/changed
+    * version lands, or where a closed key's old version lived — and the
+    * day's close-outs APPEND to the closed region; everything else is
+    * never rewritten. This matches what Delta MERGE touches — only
+    * files containing matched rows (silver_etl_script.py:922-951) —
+    * without a transaction log.
+    *
+    * Returns the post-merge total row count (current + closed): the
+    * current side from counts observed in the classification join, the
+    * closed side from a column-less parquet count that reads footers,
+    * not data pages — no re-read of what was just published.
     *
     * Crash ordering: close-outs land before the current region flips. A
     * writer that dies between the two steps leaves the table consistent
@@ -188,16 +195,16 @@ object Scd2 {
     * reproduces the same close-outs — which the append step dedups
     * against the day's closed partition (a pruned O(day) read, not an
     * O(history) scan), so the retry is idempotent. The opposite order
-    * would LOSE close-outs on a crash: once the current region flips, the
-    * changed keys no longer look changed and a re-run closes nothing.
-    * A crash mid-way through the partition swap leaves some partitions
-    * updated and some not; the re-run converges — already-swapped rows
-    * now match the batch unchanged (their partitions aren't touched
-    * again), unswapped rows re-close (deduped) and re-swap. Under
-    * [[PointerCommit]] even that window closes: the churned partitions
-    * land in a fresh version dir, the manifest carries every untouched
-    * partition forward by reference, and the pointer flip publishes the
-    * whole region atomically. */
+    * would LOSE close-outs on a crash: once the current region flips,
+    * the changed keys no longer look changed and a re-run closes
+    * nothing. A crash mid-way through the partition swap leaves some
+    * partitions updated and some not; the re-run converges —
+    * already-swapped rows now match the batch unchanged (their
+    * partitions aren't touched again), unswapped rows re-close
+    * (deduped) and re-swap. Under [[PointerCommit]] even that window
+    * closes: the churned partitions land in a fresh version dir, the
+    * manifest carries every untouched partition forward by reference,
+    * and the pointer flip publishes the whole region atomically. */
   def mergeRegioned(spark: SparkSession, newBatch: DataFrame, root: String,
                     changeColumns: Seq[String] = DefaultChangeColumns,
                     asOfDate: Column = to_date(current_timestamp()).cast("string"),
@@ -208,28 +215,128 @@ object Scd2 {
       return commit.publish(newBatch, curPath, partitionColumns)
 
     val cur = commit.read(spark, curPath)
-    val split = splitCurrent(cur, newBatch, changeColumns, asOfDate)
+    val usable = changeColumns.filter(c =>
+      cur.columns.contains(c) && newBatch.columns.contains(c))
+    val narrowCols = (Seq("universal_id") ++ partitionColumns ++ usable)
+      .distinct.filter(cur.columns.contains)
+    val curNarrow = cur.select(narrowCols.map(col): _*)
+    val srcCols = newBatch.columns.toSeq
+    val source = newBatch.select(srcCols.map(c => col(c).as(s"_src_$c")): _*)
+    // the persisted frame is O(current keys + batch) NARROW rows
+    val joined = curNarrow
+      .join(source, col("universal_id") === col("_src_universal_id"),
+        "full_outer")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val currentTotal =
       try {
-        if (!split.newlyClosed.isEmpty)
-          appendClosed(spark, split.newlyClosed, closedRoot(root), commit)
-        publishCurrentChurned(spark, split, curPath, partitionColumns, commit)
-      } finally split.joined.unpersist()
+        val curHit = col("universal_id").isNotNull
+        val srcHit = col("_src_universal_id").isNotNull
+        val changed = usable.map(c => !(col(c) <=> col(s"_src_$c")))
+          .reduceOption(_ || _).getOrElse(lit(false))
+        val isClosed = curHit && srcHit && changed
+        val isFromBatch = srcHit && (!curHit || changed)
+        // every classification count in ONE pass over the persisted join
+        val cnts = joined.agg(
+          count(when(curHit, lit(1))).as("cur"),
+          count(when(isClosed, lit(1))).as("closed"),
+          count(when(isFromBatch, lit(1))).as("batch")).head()
+        val (curCount, closedCount, fromBatchCount) =
+          (cnts.getLong(0), cnts.getLong(1), cnts.getLong(2))
+        val total = curCount - closedCount + fromBatchCount
+        if (closedCount == 0L && fromBatchCount == 0L) total // pure no-op
+        else {
+          val fromBatch = joined.filter(isFromBatch)
+            .select(srcCols.map(c => col(s"_src_$c").as(c)): _*)
+          val closedKeys = joined.filter(isClosed).select("universal_id")
+          if (partitionColumns.isEmpty) {
+            // unpartitioned region: nothing to prune — full-width rewrite
+            val newlyClosed = closeOut(
+              cur.join(closedKeys, Seq("universal_id"), "left_semi"), asOfDate)
+            if (closedCount > 0) appendClosed(spark, newlyClosed,
+              closedRoot(root), commit)
+            commit.publish(
+              cur.join(closedKeys, Seq("universal_id"), "left_anti")
+                .unionByName(fromBatch, allowMissingColumns = true),
+              curPath, Nil)
+          } else {
+            mergeChurned(spark, cur, fromBatch, closedKeys, closedCount,
+              asOfDate, root, curPath, partitionColumns, commit, joined,
+              isFromBatch, isClosed)
+          }
+          total
+        }
+      } finally joined.unpersist()
     val closedTotal = readClosedRegion(spark, closedRoot(root), commit)
       .map(_.count()).getOrElse(0L)
     currentTotal + closedTotal
   }
 
-  /** Publish only the churned partitions of the current region.
+  private def closeOut(rows: DataFrame, asOfDate: Column): DataFrame =
+    rows.withColumn("is_current", lit(false)).withColumn("valid_to", asOfDate)
+
+  /** The churn-pruned merge body: derive the churned partition keys from
+    * the classification join, read full-width current rows from ONLY
+    * those partitions, close out + publish.
     *
-    * Churned = partitions holding a `fromBatch` row (a key's new/changed
-    * version lands there) ∪ partitions holding a `newlyClosed` row (the
-    * key's OLD version leaves there — possibly a different partition than
-    * the new version's, and possibly left empty). The key list is
-    * collected to the driver: it is bounded by the number of distinct
-    * partitions the day's batch touches (the same bounded-collect the
-    * gold incremental publish makes, GoldEtl.runIncremental), never by
-    * row count.
+    * Churned = partitions where a `fromBatch` row lands (batch-side
+    * values) ∪ partitions holding a closed key's old version (cur-side
+    * values — possibly a different partition than the new version's, and
+    * possibly left empty). The key list is collected to the driver:
+    * bounded by the number of distinct partitions the day's batch
+    * touches (the same bounded-collect the gold incremental publish
+    * makes, GoldEtl.runIncremental), never by row count. */
+  private def mergeChurned(spark: SparkSession, cur: DataFrame,
+                           fromBatch: DataFrame, closedKeys: DataFrame,
+                           closedCount: Long, asOfDate: Column, root: String,
+                           curPath: String, partitionColumns: Seq[String],
+                           commit: TableCommit, joined: DataFrame,
+                           isFromBatch: Column, isClosed: Column): Unit = {
+    val churned = joined.filter(isFromBatch)
+      .select(partitionColumns.map(c =>
+        col(s"_src_$c").cast("string").as(c)): _*)
+      .unionByName(joined.filter(isClosed)
+        .select(partitionColumns.map(c => col(c).cast("string").as(c)): _*))
+      .distinct().collect()
+      .map(r => partitionColumns.indices.map(i => r.getString(i)): Seq[String])
+
+    // full-width current rows from churned partitions ONLY: per-column
+    // isin prunes partition dirs at the scan, the exact tuple semi-join
+    // against the churned-key dim removes the cartesian-superset residue
+    val perCol = partitionColumns.zipWithIndex.map { case (c, i) =>
+      val vals = churned.map(_(i)).distinct.toSeq
+      val nonNull = vals.filter(_ != null)
+      val base = if (nonNull.isEmpty) lit(false)
+                 else col(c).cast("string").isin(nonNull: _*)
+      if (vals.contains(null)) base || col(c).isNull else base
+    }
+    val dim = spark.createDataFrame(
+      java.util.Arrays.asList(churned.map(k =>
+        org.apache.spark.sql.Row.fromSeq(k)): _*),
+      org.apache.spark.sql.types.StructType(partitionColumns.map(c =>
+        org.apache.spark.sql.types.StructField(s"__ck_$c",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+    val cond = partitionColumns.map(c =>
+      col(c).cast("string") <=> col(s"__ck_$c")).reduce(_ && _)
+    val prunedCur = cur.filter(perCol.reduce(_ && _))
+      .join(broadcast(dim), cond, "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (closedCount > 0) {
+        val newlyClosed = closeOut(
+          prunedCur.join(closedKeys, Seq("universal_id"), "left_semi"),
+          asOfDate)
+        appendClosed(spark, newlyClosed, closedRoot(root), commit)
+      }
+      val replacement = prunedCur
+        .join(closedKeys, Seq("universal_id"), "left_anti")
+        .unionByName(fromBatch, allowMissingColumns = true)
+      writeChurnedPartitions(spark, replacement, churned, curPath,
+        partitionColumns, commit)
+    } finally prunedCur.unpersist()
+  }
+
+  /** Publish `replacement` into ONLY the churned partitions of the
+    * current region.
     *
     *  - swap protocol: replacement partitions are fully written to a tmp
     *    sibling first, then each churned partition dir is deleted and its
@@ -241,39 +348,13 @@ object Scd2 {
     *    version dir; the manifest carries untouched partitions forward by
     *    reference (the [[SnapshotStore]] incremental-manifest mechanism,
     *    shared with the gold ETL and the closed-region append) and the
-    *    pointer flip is atomic.
-    *
-    * An unpartitioned current region has no partitions to prune — falls
-    * back to the full publish. Returns the post-merge current-region row
-    * count, computed from the persisted merge join (no disk re-read). */
-  private def publishCurrentChurned(spark: SparkSession, split: MergeSplit,
-                                    curPath: String,
-                                    partitionColumns: Seq[String],
-                                    commit: TableCommit): Long = {
-    val newCurrent = split.newCurrent
-    if (partitionColumns.isEmpty)
-      return commit.publish(newCurrent, curPath, partitionColumns)
-
-    val asStrings = (df: DataFrame) =>
-      df.select(partitionColumns.map(c => col(c).cast("string").as(c)): _*)
-    val churned = asStrings(split.fromBatch)
-      .unionByName(asStrings(split.newlyClosed)).distinct().collect()
-      .map(r => partitionColumns.indices.map(i => r.getString(i)))
-    val total = newCurrent.count()
-    if (churned.isEmpty) return total // no-op batch: nothing to republish
-
-    // null-safe broadcast semi-join against the churned key dim — only
-    // rows landing in a churned partition are rewritten
-    val dim = spark.createDataFrame(
-      java.util.Arrays.asList(churned.map(k =>
-        org.apache.spark.sql.Row.fromSeq(k)): _*),
-      org.apache.spark.sql.types.StructType(partitionColumns.map(c =>
-        org.apache.spark.sql.types.StructField(s"__ck_$c",
-          org.apache.spark.sql.types.StringType, nullable = true))))
-    val cond = partitionColumns.map(c =>
-      col(c).cast("string") <=> col(s"__ck_$c")).reduce(_ && _)
-    val replacement = newCurrent.join(broadcast(dim), cond, "left_semi")
-
+    *    pointer flip is atomic. */
+  private def writeChurnedPartitions(spark: SparkSession,
+                                     replacement: DataFrame,
+                                     churned: Array[Seq[String]],
+                                     curPath: String,
+                                     partitionColumns: Seq[String],
+                                     commit: TableCommit): Unit = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val churnedRel = churned.map(k =>
       partitionColumns.zip(k).map { case (c, v) =>
@@ -302,6 +383,7 @@ object Scd2 {
           val carried = prev.filterNot { case (rel, _) => churnedRel(rel) }
           SnapshotStore.writeManifest(spark, curPath, name, carried ++ fresh)
         }
+        ()
       case _ =>
         val target = new Path(curPath)
         val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -324,7 +406,6 @@ object Scd2 {
         }
         fs.delete(tmp, true)
     }
-    total
   }
 
   /** Append the day's close-outs to the closed region, partitioned by
