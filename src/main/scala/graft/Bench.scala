@@ -35,7 +35,7 @@ object Bench {
     * is classified automatically. */
   private def writeGateNames: Set[String] =
     graft.queries.WritePathQueries.queries.keySet ++
-      Set("cp1_corpus_curate", "cp2_curate_exact")
+      Set("cp1_corpus_curate", "cp2_curate_exact", "st1b_stream_tumbling")
 
   /** Representative subset printed in the compact line: one or more per
     * operator family (scan, join, agg, window, write-path, streaming
