@@ -73,6 +73,30 @@ object EtlRunner {
     }
     val tGold = (System.nanoTime() - t1) / 1e9
     println(f"[etl] gold ($goldMode) written in $tGold%.1f s to $outBase/gold")
+
+    // scheduled maintenance (the reference ran OPTIMIZE + VACUUM after
+    // its merge, silver_etl_script.py:978-988): compact the regioned
+    // closed region's accreted file sets, then collect superseded
+    // pointer-commit snapshots. Both are no-ops where they don't apply.
+    if (sys.env.get("GRAFT_ETL_MAINTAIN").contains("1")) {
+      val t2 = System.nanoTime()
+      val compacted = layout match {
+        case graft.scd.RegionedLayout =>
+          graft.scd.Scd2.compactClosed(spark, cfg.silverPath, commit = protocol)
+        case _ => 0
+      }
+      val vacuumed = protocol match {
+        case graft.store.PointerCommit =>
+          Seq(cfg.silverPath, graft.scd.Scd2.currentRoot(cfg.silverPath),
+            graft.scd.Scd2.closedRoot(cfg.silverPath), s"$outBase/gold")
+            .map(p => scala.util.Try(
+              graft.store.SnapshotStore.vacuum(spark, p)).getOrElse(0)).sum
+        case _ => 0
+      }
+      val tM = (System.nanoTime() - t2) / 1e9
+      println(f"[etl] maintenance: $compacted partitions compacted, " +
+        f"$vacuumed snapshots vacuumed in $tM%.1f s")
+    }
     spark.stop()
   }
 }
