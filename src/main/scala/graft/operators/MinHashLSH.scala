@@ -7,12 +7,16 @@ import org.apache.spark.sql.functions._
   * implementation behind `dd4_minhash_lsh` and `CorpusPipeline` (keeping
   * shingling/banding in one place so the two can't drift).
   *
-  * Shape (the scale story): each word-3-shingle is string-hashed ONCE to a
-  * long; the `numPerms` permutations are derived by integer rehash
-  * (`xxhash64(h, perm)`) inside a codegen'd hash aggregate — no interpreted
-  * HOFs on the hot path and the shuffle key is fixed-width. Banding turns
-  * candidate generation into an equi-join on (band_id, band_hash), so
-  * candidates ≪ n² — the whole point of LSH at corpus scale.
+  * Shape (the scale story): the whole signature is computed by ONE fused
+  * codegen expression per document row ([[graft.functions.MinHashSig]] —
+  * shingle, hash, and all permutation minima in a single loop), so
+  * signature computation involves NO shuffle at all. The
+  * explode + 16-column hash-aggregate formulation this replaced shuffled
+  * ~|tokens| rows per document before a signature existed — the compute
+  * hot spot the 100× scale proof surfaced. Banding then turns candidate
+  * generation into an equi-join on (band_id, band_hash), so candidates
+  * ≪ n² — the whole point of LSH at corpus scale. The only shuffle left
+  * is that band join.
   *
   * The signature table is persisted only while the band self-join runs;
   * candidate pairs are eagerly materialized (they're tiny relative to the
@@ -34,21 +38,16 @@ object MinHashLSH {
                      materialize: Boolean = true): DataFrame = {
     require(numPerms % bands == 0, s"numPerms=$numPerms not divisible by bands=$bands")
     val rowsPerBand = numPerms / bands
-    val hashed = docs
+    graft.functions.MinHashSig.register(docs.sparkSession)
+    val sigs = docs
       .select(col(idCol).as("__id"),
         split(lower(trim(regexp_replace(col(textCol), "\\s+", " "))), " ").as("toks"))
-      .select(col("__id"), explode(expr(
-        """array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1)),
-          |  i -> xxhash64(concat_ws(' ', toks[i-1], toks[i], toks[i+1]))))""".stripMargin))
-        .as("h"))
-    val aggs = (0 until numPerms).map(p => min(xxhash64(col("h"), lit(p))).as(s"m$p"))
-    val sigs = hashed.groupBy("__id").agg(aggs.head, aggs.tail: _*)
-      .select(col("__id"),
-        array((0 until numPerms).map(p => col(s"m$p")): _*).as("sig"),
+      .select(col("__id"), expr(s"graft_minhash_sig(toks, $numPerms)").as("sig"))
+      .select(col("__id"), col("sig"),
         array((0 until bands).map(b => struct(
           lit(b).as("band_id"),
           xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
-            .map(i => col(s"m$i")): _*).as("band_hash"))): _*).as("bands"))
+            .map(i => col("sig").getItem(i)): _*).as("band_hash"))): _*).as("bands"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs
       .select(col("__id"), col("sig"), explode(col("bands")).as("band"))

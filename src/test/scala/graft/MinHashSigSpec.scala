@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.MinHashSig
+
+/** The fused one-pass signature expression must be VALUE-IDENTICAL to the
+  * explode + groupBy SQL formulation it replaced (same shingling, same
+  * xxhash64 chaining, same null/short-doc semantics) — otherwise swapping
+  * it into MinHashLSH would silently change dd4/cp1 candidate sets. */
+class MinHashSigSpec extends SparkSuite {
+
+  private val NumPerms = 16
+
+  /** The ORIGINAL formulation, kept verbatim as the executable contract. */
+  private def legacySigs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = docs
+      .select(col(idCol).as("__id"),
+        split(lower(trim(regexp_replace(col(textCol), "\\s+", " "))), " ").as("toks"))
+      .select(col("__id"), explode(expr(
+        """array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1)),
+          |  i -> xxhash64(concat_ws(' ', toks[i-1], toks[i], toks[i+1]))))""".stripMargin))
+        .as("h"))
+    val aggs = (0 until NumPerms).map(p => min(xxhash64(col("h"), lit(p))).as(s"m$p"))
+    hashed.groupBy("__id").agg(aggs.head, aggs.tail: _*)
+      .select(col("__id"),
+        array((0 until NumPerms).map(p => col(s"m$p")): _*).as("sig"))
+  }
+
+  private def fusedSigs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    MinHashSig.register(docs.sparkSession)
+    docs
+      .select(col(idCol).as("__id"),
+        split(lower(trim(regexp_replace(col(textCol), "\\s+", " "))), " ").as("toks"))
+      .select(col("__id"), expr(s"graft_minhash_sig(toks, $NumPerms)").as("sig"))
+  }
+
+  private def assertIdentical(docs: DataFrame, idCol: String, textCol: String): Unit = {
+    val legacy = legacySigs(docs, idCol, textCol).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val fused = fusedSigs(docs, idCol, textCol).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(fused.keySet === legacy.keySet, "row coverage diverged")
+    legacy.foreach { case (id, sig) =>
+      assert(fused(id) === sig, s"signature diverged for id=$id")
+    }
+  }
+
+  test("fused signature is value-identical to the legacy SQL formulation on real documents") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assertIdentical(docs, "doc_id", "text")
+  }
+
+  test("edge cases: short docs, empty text, whitespace runs, unicode, null text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one"),
+      (2L, "two words"),
+      (3L, "exactly three tokens"),
+      (4L, "  leading and\ttrailing   whitespace runs collapse  "),
+      (5L, ""),
+      (6L, "MiXeD Case ÀCCÉNTS Straße tokens here"),
+      (7L, null.asInstanceOf[String]),
+      (8L, "a a a a a a repeated shingles dedup is a no-op for min")
+    ).toDF("doc_id", "text")
+    assertIdentical(docs, "doc_id", "text")
+    // null text is NOT dropped: the legacy form emitted the single
+    // empty-string shingle for it (sequence(1,1) + concat_ws null-skip),
+    // so both sides must carry id 7 with that same signature
+    val legacyIds = legacySigs(docs, "doc_id", "text").collect().map(_.getLong(0)).toSet
+    assert(legacyIds.contains(7L), "contract drift: legacy stopped emitting null-text docs")
+  }
+
+  test("interpreted eval path matches codegen (compute called directly)") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val toks = ArrayData.toArrayData(
+      Array("three", "word", "shingle", "doc").map(UTF8String.fromString))
+    val direct = MinHashSig.compute(toks, NumPerms)
+    assert(direct.numElements() === NumPerms)
+    import spark.implicits._
+    val viaPlan = fusedSigs(Seq((1L, "three word shingle doc")).toDF("doc_id", "text"),
+      "doc_id", "text").collect()(0).getSeq[Long](1)
+    assert((0 until NumPerms).map(direct.getLong) === viaPlan)
+  }
+
+  test("signature computation plan has no shuffle (the fusion's point)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = fusedSigs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"fused signature plan should be shuffle-free, got:\n$plan")
+  }
+}
