@@ -7,18 +7,20 @@ import org.apache.spark.sql.functions._
   * opaque BINARY columns with typed metadata, processed by batch-shaped
   * partition functions.
   *
-  * Decoding: IMAGE (24-bit uncompressed BMP) and AUDIO (16-bit PCM WAV)
-  * are decoded for REAL by pure-JVM parsers in this file — header fields
-  * read from the actual bytes, features computed from the actual pixel /
-  * sample payload (no codec jar needed for either format, which is why
-  * they can be real in a codec-less container). Formats without a
-  * pure-JVM parser here (the mp4 video rows) fall back to `decodeStub`,
-  * which derives deterministic pseudo-features from the raw bytes — the
-  * one remaining stub, and labeled as such. Everything around decode —
-  * the schema, the Dataset[MediaRow] encoder, the batch iteration shape
-  * (decode `batchSize` blobs at a time, like a vectorized/Arrow UDF
-  * would), the per-media_id partitioning, the frame-explode — is real
-  * Spark and tested.
+  * Decoding is REAL for all three fixture kinds: IMAGE (24-bit
+  * uncompressed BMP) and AUDIO (16-bit PCM WAV) by pure-JVM parsers in
+  * this file, VIDEO (MP4/ISO-BMFF carrying uncompressed 8-bpp luma
+  * frames) by the box-walking parser in [[Mp4]] — header fields read
+  * from the actual bytes, features computed from the actual
+  * pixel/sample payload located through the real sample table
+  * (stsc × stsz × stco). No codec jar is needed for any of them, which
+  * is why they can be real in a codec-less container. `decodeStub`
+  * remains only as the documented fallback for byte streams in a format
+  * none of the parsers recognize; no fixture row reaches it. Everything
+  * around decode — the schema, the Dataset[MediaRow] encoder, the batch
+  * iteration shape (decode `batchSize` blobs at a time, like a
+  * vectorized/Arrow UDF would), the per-media_id partitioning, the
+  * frame-explode — is real Spark and tested.
   *
   * Scale posture: binary stays opaque end-to-end (no driver collect, no
   * base64 round-trips); feature extraction is mapPartitions (one JVM call
@@ -52,6 +54,15 @@ object Multimodal {
   private[multimodal] def audioSamples(id: Long): Int = 400 + (id % 5).toInt * 100
   private[multimodal] def audioSample(id: Long, j: Int): Int =
     ((id * 31 + j * 7) % 2003).toInt - 1001
+
+  /** Video fixture geometry: 2–4 frames of 16- or 24-px-wide 8-row
+    * 8-bpp luma, pixel (f, x, y) = (id·31 + f·17 + x·7 + y·13) mod 251 —
+    * like the image/audio formulas, recomputable by an oracle without
+    * parsing the MP4 container. 10 fps ⇒ duration = frames·100 ms. */
+  private[multimodal] def videoFrames(id: Long): Int = 2 + (id % 3).toInt
+  private[multimodal] def videoWidth(id: Long): Int = 16 + (id % 2).toInt * 8
+  private[multimodal] def videoPixel(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 31 + f * 17 + x * 7 + y * 13) % 251).toInt
 
   /** A real, valid 24-bit uncompressed BMP: 54-byte header + bottom-up
     * BGR rows, every channel set to the grayscale [[imagePixel]]. */
@@ -98,8 +109,9 @@ object Multimodal {
   }
 
   /** Deterministic synthetic media table (seeded by media_id): REAL BMP
-    * bytes for images, REAL WAV bytes for audio, raw pseudo-bytes for
-    * video (no pure-JVM mp4 parser — see [[decodeStub]]). */
+    * bytes for images, REAL WAV bytes for audio, REAL MP4 (ISO-BMFF
+    * with an uncompressed-luma sample table) for video — every row's
+    * metadata matches what its own container header declares. */
   def fixture(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { i =>
@@ -114,12 +126,13 @@ object Multimodal {
             width = 0, height = 0, sample_rate = 16000,
             duration_ms = audioSamples(id) * 1000L / 16000)
         case _ =>
-          val len = 256 + (id % 7).toInt * 64
-          val bytes =
-            Array.tabulate[Byte](len)(j => ((id * 31 + j * 7) % 251).toByte)
+          val w = videoWidth(id)
+          val frames = videoFrames(id)
+          val bytes = Mp4.build(w, ImageHeight, frames,
+            (f, x, y) => videoPixel(id, f, x, y))
           MediaRow(id, "video", bytes, format = "mp4",
-            width = 0, height = 0, sample_rate = 0,
-            duration_ms = 1000 + id * 10)
+            width = w, height = ImageHeight, sample_rate = 0,
+            duration_ms = frames * 100L)
       }
     }
   }
@@ -205,16 +218,18 @@ object Multimodal {
     (brightness, buckets.map(b => (b % 1000).toFloat / 1000.0f))
   }
 
-  /** Decode dispatch: real parsers where the format has one, stub
-    * otherwise. */
+  /** Decode dispatch: real parsers for every fixture format (BMP, WAV,
+    * MP4); the stub only for unrecognized byte streams. */
   private[graft] def decode(content: Array[Byte]): (Double, Array[Float]) =
     if (isBmp(content)) decodeBmp(content)
     else if (isWav(content)) decodeWav(content)
+    else if (Mp4.isMp4(content)) Mp4.features(content)
     else decodeStub(content)
 
-  /** STUB decode for formats without a pure-JVM parser here (mp4 video):
-    * deterministic pseudo pixel/sample statistics derived from the raw
-    * bytes so the pipeline stays testable end-to-end. */
+  /** STUB decode, now only a fallback for formats none of the real
+    * parsers recognize (no fixture row reaches it): deterministic pseudo
+    * statistics from the raw bytes so an unknown-format row degrades
+    * instead of failing the batch. */
   private[multimodal] def decodeStub(content: Array[Byte]): (Double, Array[Float]) = {
     val brightness =
       if (content.isEmpty) 0.0
@@ -247,32 +262,76 @@ object Multimodal {
     }
   }
 
-  /** STUB resize: a real implementation would re-encode; here the plumbing
-    * (binary in → binary out, metadata updated) is what's exercised. */
+  /** REAL nearest-neighbor BMP resize: decodes the 24-bit source through
+    * its header, maps each target pixel to floor(x·w/w2, y·h/h2) in the
+    * source payload, and re-encodes a valid BMP of the new geometry.
+    * Non-BMP rows pass through untouched (resize of a coded video frame
+    * would need the codec). */
   def resizeImages(spark: SparkSession, media: Dataset[MediaRow],
                    w: Int, h: Int): Dataset[MediaRow] = {
     import spark.implicits._
     media.map { m =>
-      if (m.kind != "image") m
-      else {
-        val scaled = java.util.Arrays.copyOf(m.content,
-          math.max(1, math.min(m.content.length, w * h / 16)))
-        m.copy(content = scaled, width = w, height = h)
-      }
+      if (m.kind != "image" || !isBmp(m.content)) m
+      else m.copy(content = resizeBmp(m.content, w, h), width = w, height = h)
     }
   }
 
-  /** STUB frame sampling: emits `framesPerVideo` deterministic byte slices
-    * per video row (the explode/generator shape of video preprocessing). */
+  private[graft] def resizeBmp(c: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
+    val src = java.nio.ByteBuffer.wrap(c)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val off = src.getInt(10)
+    val w = src.getInt(18)
+    val h = math.abs(src.getInt(22))
+    require(src.getShort(28) == 24, "resize supports 24-bit BMP")
+    val srcRow = (w * 3 + 3) / 4 * 4
+    val dstRow = (w2 * 3 + 3) / 4 * 4
+    val out = java.nio.ByteBuffer.allocate(54 + dstRow * h2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + dstRow * h2)
+      .putInt(0).putInt(54)
+    out.putInt(40).putInt(w2).putInt(h2).putShort(1).putShort(24)
+      .putInt(0).putInt(dstRow * h2).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var r = 0 // row index in stored (bottom-up) order on both sides
+    while (r < h2) {
+      val sr = r * h / h2
+      var x = 0
+      while (x < w2) {
+        val sx = x * w / w2
+        val p = off + sr * srcRow + sx * 3
+        out.put(c(p)).put(c(p + 1)).put(c(p + 2))
+        x += 1
+      }
+      var pad = w2 * 3
+      while (pad < dstRow) { out.put(0.toByte); pad += 1 }
+      r += 1
+    }
+    out.array()
+  }
+
+  /** REAL frame sampling: for MP4 rows, `framesPerVideo` evenly-spaced
+    * frames are located through the sample table (stsc × stsz × stco)
+    * and each emitted `frame` is the actual stored sample bytes — the
+    * explode/generator shape of video preprocessing over real payloads.
+    * Non-ISO-BMFF byte streams keep the byte-slice fallback so unknown
+    * formats still flow through the pipeline shape. */
   def sampleFrames(spark: SparkSession, media: Dataset[MediaRow],
                    framesPerVideo: Int = 4): Dataset[Frame] = {
     import spark.implicits._
     media.filter(_.kind == "video").flatMap { m =>
-      val step = math.max(1, m.content.length / framesPerVideo)
-      (0 until framesPerVideo).map { k =>
-        val from = math.min(k * step, math.max(m.content.length - 1, 0))
-        val until = math.min(from + step, m.content.length)
-        Frame(m.media_id, k, java.util.Arrays.copyOfRange(m.content, from, until))
+      if (Mp4.isMp4(m.content)) {
+        val movie = Mp4.parse(m.content)
+        val n = movie.samples.sizes.length
+        (0 until framesPerVideo).map { k =>
+          val src = k * n / framesPerVideo // evenly spaced; repeats if n < fpv
+          Frame(m.media_id, k, Mp4.sampleBytes(m.content, movie, src))
+        }
+      } else {
+        val step = math.max(1, m.content.length / framesPerVideo)
+        (0 until framesPerVideo).map { k =>
+          val from = math.min(k * step, math.max(m.content.length - 1, 0))
+          val until = math.min(from + step, m.content.length)
+          Frame(m.media_id, k, java.util.Arrays.copyOfRange(m.content, from, until))
+        }
       }
     }
   }

@@ -5,15 +5,17 @@ import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
 
 /** Driver-visible checks for the multimodal path. Image rows are REAL
-  * 24-bit BMPs and audio rows REAL 16-bit PCM WAVs, decoded by the
-  * pure-JVM parsers in [[Multimodal]] — header fields read from the
-  * bytes, features from the actual pixel/sample payload. The fixture
-  * GENERATES those pixels/samples from integer formulas of media_id, so
-  * the oracle recomputes the expected features in ANSI SQL from
-  * `range()` without parsing any container format: if the BMP/WAV
-  * parser misread the header or payload, brightness/embedding would
-  * diverge from the formula and the hash compare would fail. Video rows
-  * keep the documented byte-statistics stub (no pure-JVM mp4 parser).
+  * 24-bit BMPs, audio rows REAL 16-bit PCM WAVs, and video rows REAL
+  * MP4 (ISO-BMFF) containers with uncompressed-luma sample tables — all
+  * decoded by the pure-JVM parsers in [[Multimodal]]/[[Mp4]]: header
+  * fields read from the bytes, features from the actual
+  * pixel/sample/frame payload located through each container's own
+  * index structures. The fixture GENERATES those pixels/samples from
+  * integer formulas of media_id, so the oracle recomputes the expected
+  * features in ANSI SQL from `range()` without parsing any container
+  * format: if a parser misread a header, the sample table, or the
+  * payload, brightness/embedding/frame sums would diverge from the
+  * formula and the hash compare would fail.
   */
 object MultimodalQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -33,13 +35,17 @@ object MultimodalQueries {
         .orderBy("media_id")
     }),
 
-    // video frame sampling: the explode/generator shape — 4 deterministic
-    // slices per video with slice byte counts.
+    // video frame sampling: 4 evenly-spaced REAL frames per video,
+    // located via the MP4 sample table — byte count proves the stsz
+    // geometry, the per-frame pixel sum proves the payload came from the
+    // right stco offsets.
     "mm2_frame_sample" -> ((s, d) => {
+      import s.implicits._
       val media = Multimodal.fixture(s, 500)
-      Multimodal.sampleFrames(s, media, framesPerVideo = 4).toDF()
-        .select(col("media_id"), col("frame_idx"),
-          length(col("frame")).as("frame_bytes"))
+      Multimodal.sampleFrames(s, media, framesPerVideo = 4)
+        .map(fr => (fr.media_id, fr.frame_idx, fr.frame.length,
+          fr.frame.foldLeft(0L)((a, b) => a + (b & 0xff))))
+        .toDF("media_id", "frame_idx", "frame_bytes", "frame_pixsum")
         .orderBy("media_id", "frame_idx")
     })
   )
@@ -47,10 +53,11 @@ object MultimodalQueries {
   val oracle: Map[String, String] = Map(
     // three branches, one per kind: image features recomputed from the
     // BMP pixel formula (16+(i%4)*8 × 8 grayscale, v=(i31+x7+y13)%251),
-    // audio from the WAV sample formula (s=((i31+j7)%2003)-1001),
-    // video from the stub's raw-byte statistics. n_bytes covers the
-    // real container sizes (54-byte BMP header + 3wh; 44-byte WAV
-    // header + 2n).
+    // audio from the WAV sample formula (s=((i31+j7)%2003)-1001), video
+    // from the MP4 luma-frame formula (v=(i31+g17+x7+y13)%251 over
+    // f frames). n_bytes covers the real container sizes (54-byte BMP
+    // header + 3wh; 44-byte WAV header + 2n; 592-byte MP4 scaffolding +
+    // f·w·8).
     "mm1_media_features" ->
       """WITH img AS (
         |  SELECT i AS media_id, CAST(16 + (i % 4) * 8 AS INTEGER) AS w
@@ -93,22 +100,32 @@ object MultimodalQueries {
         |    CAST(44 + 2 * n AS INTEGER) AS n_bytes, brightness, emb_q
         |  FROM audb JOIN aude USING (media_id)),
         |vid AS (
-        |  SELECT i AS media_id, CAST(256 + (i % 7) * 64 AS INTEGER) AS len
+        |  SELECT i AS media_id, CAST(2 + (i % 3) AS INTEGER) AS f,
+        |         CAST(16 + (i % 2) * 8 AS INTEGER) AS w
         |  FROM range(500) t(i) WHERE i % 3 = 2),
-        |vidby AS (
-        |  SELECT media_id, len, j, (media_id * 31 + j * 7) % 251 AS v
-        |  FROM vid, LATERAL (SELECT UNNEST(range(len)) AS j) u),
+        |vidpx AS (
+        |  SELECT media_id, f, w, x,
+        |    (media_id * 31 + g * 17 + x * 7 + y * 13) % 251 AS v
+        |  FROM vid,
+        |    LATERAL (SELECT UNNEST(range(f)) AS g) gg,
+        |    LATERAL (SELECT UNNEST(range(w)) AS x) a,
+        |    LATERAL (SELECT UNNEST(range(8)) AS y) b),
         |vidb AS (
-        |  SELECT media_id, ANY_VALUE(len) AS len,
-        |    ROUND(CAST(SUM(v) AS DOUBLE) / ANY_VALUE(len) / 255.0, 6) AS brightness
-        |  FROM vidby GROUP BY media_id),
+        |  SELECT media_id, ANY_VALUE(f) AS f, ANY_VALUE(w) AS w,
+        |    ROUND(CAST(SUM(v) AS DOUBLE) / 255.0
+        |          / (ANY_VALUE(f) * ANY_VALUE(w) * 8), 6) AS brightness
+        |  FROM vidpx GROUP BY media_id),
         |vide AS (
         |  SELECT media_id, string_agg(CAST(e AS VARCHAR), ',' ORDER BY k) AS emb_q
-        |  FROM (SELECT media_id, CAST(j % 16 AS INTEGER) AS k,
+        |  FROM (SELECT media_id, CAST(x % 16 AS INTEGER) AS k,
         |          CAST(SUM(v) % 1000 AS INTEGER) AS e
-        |        FROM vidby GROUP BY media_id, j % 16) GROUP BY media_id),
+        |        FROM vidpx GROUP BY media_id, x % 16) GROUP BY media_id),
+        |-- n_bytes: 24-byte ftyp + 8-byte mdat header + f·w·8 luma payload
+        |-- + the 560-byte constant moov tree (Mp4.MoovSize, asserted by a
+        |-- require in Mp4.build and by MultimodalSpec)
         |vidf AS (
-        |  SELECT vidb.media_id, 'video' AS kind, len AS n_bytes, brightness, emb_q
+        |  SELECT vidb.media_id, 'video' AS kind,
+        |    CAST(592 + f * w * 8 AS INTEGER) AS n_bytes, brightness, emb_q
         |  FROM vidb JOIN vide USING (media_id))
         |SELECT * FROM imgf
         |UNION ALL SELECT * FROM audf
@@ -116,17 +133,23 @@ object MultimodalQueries {
         |ORDER BY media_id""".stripMargin,
     "mm2_frame_sample" ->
       """WITH m AS (
-        |  SELECT i AS media_id, CAST(256 + (i % 7) * 64 AS INTEGER) AS len
+        |  SELECT i AS media_id, CAST(2 + (i % 3) AS INTEGER) AS f,
+        |         CAST(16 + (i % 2) * 8 AS INTEGER) AS w
         |  FROM range(500) t(i) WHERE i % 3 = 2),
-        |f AS (
-        |  SELECT media_id, CAST(k AS INTEGER) AS frame_idx, len,
-        |    GREATEST(1, len // 4) AS step
-        |  FROM m, LATERAL (SELECT UNNEST(range(4)) AS k) u)
-        |SELECT media_id, frame_idx,
-        |  CAST(LEAST(LEAST(k_from + step, len) - k_from, step) AS INTEGER) AS frame_bytes
-        |FROM (SELECT media_id, frame_idx, len, step,
-        |        LEAST(frame_idx * step, GREATEST(len - 1, 0)) AS k_from
-        |      FROM f) t
+        |fr AS (
+        |  SELECT media_id, CAST(k AS INTEGER) AS frame_idx, w,
+        |    CAST((k * f) // 4 AS INTEGER) AS src
+        |  FROM m, LATERAL (SELECT UNNEST(range(4)) AS k) u),
+        |px AS (
+        |  SELECT media_id, frame_idx, w,
+        |    SUM((media_id * 31 + src * 17 + x * 7 + y * 13) % 251) AS pixsum
+        |  FROM fr,
+        |    LATERAL (SELECT UNNEST(range(w)) AS x) a,
+        |    LATERAL (SELECT UNNEST(range(8)) AS y) b
+        |  GROUP BY media_id, frame_idx, w)
+        |SELECT media_id, frame_idx, CAST(w * 8 AS INTEGER) AS frame_bytes,
+        |  CAST(pixsum AS BIGINT) AS frame_pixsum
+        |FROM px
         |ORDER BY media_id, frame_idx""".stripMargin
   )
 }

@@ -3,11 +3,12 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
 
-/** Multimodal tests: BMP/WAV decode is REAL (pure-JVM header+payload
-  * parsers) and pinned against analytically-computed feature values;
-  * video decode remains a documented stub. Schema, batch shape,
+/** Multimodal tests: BMP/WAV/MP4 decode is REAL (pure-JVM
+  * header+payload+sample-table parsers) and pinned against
+  * analytically-computed feature values. Schema, batch shape,
   * partitioning, and determinism are exercised throughout. */
 class MultimodalSpec extends SparkSuite {
+  import graft.multimodal.Mp4
 
   test("BMP decode reads real pixels: brightness matches the analytic value") {
     // media_id 0 is an image: 16x8 grayscale, pixel v = (x*7 + y*13) % 251
@@ -61,6 +62,67 @@ class MultimodalSpec extends SparkSuite {
     assert(emb.length === 16)
   }
 
+  test("MP4 decode walks the sample table to real frames: brightness matches the analytic value") {
+    // media_id 2 is a video: 4 frames of 16×8 luma, v = (62 + f*17 + x*7 + y*13) % 251
+    val expectedSum = (for (f <- 0 until 4; x <- 0 until 16; y <- 0 until 8)
+      yield (2 * 31 + f * 17 + x * 7 + y * 13) % 251).sum
+    val expected = expectedSum.toDouble / 255.0 / (4 * 16 * 8)
+    val video = Multimodal.fixture(spark, 3).filter(_.kind == "video")
+    val feats = Multimodal.extractFeatures(spark, video).collect()
+    assert(feats.length === 1)
+    assert(math.abs(feats(0).brightness - expected) < 1e-12,
+      s"got ${feats(0).brightness}, expected $expected — parser not reading mdat payload")
+  }
+
+  test("MP4 container is structurally valid with constant moov overhead") {
+    val bytes = Multimodal.fixture(spark, 3).filter(_.kind == "video")
+      .collect()(0).content
+    assert(new String(bytes, 4, 4, "US-ASCII") === "ftyp")
+    assert(bytes.length === 592 + 4 * 16 * 8,
+      "container size drifted from the 592 + f·w·8 formula the mm1 oracle uses")
+    val m = Mp4.parse(bytes)
+    assert(m.timescale === 1000 && m.duration === 400 && m.durationMs === 400)
+    assert(m.trackWidth === 16 && m.trackHeight === 8)
+    assert(m.samples.format === "raw " && m.samples.depth === 8)
+    assert(m.samples.sizes.toSeq === Seq.fill(4)(16 * 8))
+  }
+
+  test("MP4 parser is box-order robust, not offset-hardcoded") {
+    // rebuild media 2's container as ftyp | free | moov | mdat (moov-first
+    // streaming layout plus a skippable box) with the stco offset patched;
+    // the walker must produce identical features
+    val std = Multimodal.fixture(spark, 3).filter(_.kind == "video")
+      .collect()(0).content
+    val ftyp = std.slice(0, 24)
+    val mdat = std.slice(24, std.length - 560)
+    val moov = std.slice(std.length - 560, std.length)
+    val free = java.nio.ByteBuffer.allocate(16)
+      .putInt(16).put("free".getBytes("US-ASCII"))
+      .put("skipme!!".getBytes("US-ASCII")).array()
+    // stco's single chunk offset is the last 4 bytes of this moov layout
+    val patched = moov.clone()
+    java.nio.ByteBuffer.wrap(patched, patched.length - 4, 4)
+      .putInt(24 + 16 + 560 + 8)
+    val reordered = ftyp ++ free ++ patched ++ mdat
+    val (b1, e1) = Mp4.features(reordered)
+    val (b2, e2) = Mp4.features(std)
+    assert(b1 === b2)
+    assert(e1.toSeq === e2.toSeq)
+  }
+
+  test("frame sampling extracts the REAL stored frame bytes") {
+    // media 2, frame_idx 0 → sample 0: bytes must equal the pixel formula
+    val frames = Multimodal.sampleFrames(spark,
+      Multimodal.fixture(spark, 3).filter(_.kind == "video")).collect()
+      .sortBy(_.frame_idx)
+    val expected = (for (y <- 0 until 8; x <- 0 until 16)
+      yield ((2 * 31 + 0 * 17 + x * 7 + y * 13) % 251).toByte).toArray
+    assert(frames(0).frame.toSeq === expected.toSeq,
+      "frame 0 bytes are not the stored sample payload")
+    // evenly-spaced sampling: 4 of 4 frames → src = frame_idx, all distinct
+    assert(frames.map(_.frame.toSeq).distinct.length === 4)
+  }
+
   test("feature extraction is deterministic and schema-complete") {
     val f1 = Multimodal.featureTable(spark, 30).collect()
     val f2 = Multimodal.featureTable(spark, 30).collect()
@@ -92,6 +154,27 @@ class MultimodalSpec extends SparkSuite {
     resized.filter(_.kind != "image").foreach { m =>
       assert(m.content.toSeq === orig(m.media_id).content.toSeq)
     }
+  }
+
+  test("resize is a REAL nearest-neighbor re-encode, not a byte trim") {
+    // identity resize must reproduce the source payload exactly
+    val src = Multimodal.fixture(spark, 1).collect()(0).content
+    assert(Multimodal.resizeBmp(src, 16, 8).toSeq === src.toSeq)
+    // 16×8 → 8×4: output is a valid BMP of the new geometry, and the
+    // first stored pixel (bottom row, x=0) samples source stored row 0,
+    // i.e. logical y=7: value = imagePixel(0, 0, 7) in all 3 channels
+    val down = Multimodal.resizeBmp(src, 8, 4)
+    val bb = java.nio.ByteBuffer.wrap(down)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(bb.getInt(18) === 8 && bb.getInt(22) === 4)
+    assert(down.length === 54 + 24 * 4) // 8*3=24-byte rows, already aligned
+    val expected = ((0 * 31 + 0 * 7 + 7 * 13) % 251).toByte
+    assert(down(54) === expected && down(55) === expected && down(56) === expected)
+    // downscaled brightness equals the analytic mean over sampled pixels
+    val expBright = (for (r <- 0 until 4; x <- 0 until 8)
+      yield (2 * x * 7 + (7 - 2 * r) * 13) % 251).sum.toDouble / 255.0 / 32
+    val (gotBright, _) = Multimodal.decodeBmp(down)
+    assert(math.abs(gotBright - expBright) < 1e-12)
   }
 
   test("frame sampling emits framesPerVideo rows per video") {
