@@ -19,13 +19,18 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * behavior cannot drift between them.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, builder) =>
       extensions.injectFunction((
         new FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name),
         builder))
     }
+    // whole-operator extension: band/range join (logical node + rewrite
+    // rule + planner strategy — graft.plans.RangeJoin)
+    extensions.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    extensions.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
+  }
 }
 
 object GraftExtensions {

@@ -138,10 +138,13 @@ object AnalyticQueries {
     }),
 
     // RJ1: band/range join — lineitem prices binned by a 53-row band dim
-    // joined on lo <= price < hi. Broadcast keeps the inequality join a
-    // nested-loop over a tiny build side; at 100 TB with *uniform* bands
-    // you'd compute the band key arithmetically instead (documented here,
-    // the join form covers the general non-uniform-band case).
+    // joined on lo <= price < hi. The query stays a plain declarative
+    // join; in graft sessions the RangeJoinRewrite rule
+    // (graft.plans.RangeJoin) plans it as RangeJoinExec — binary search
+    // over the broadcast bands, O(log m) per row instead of the built-in
+    // BroadcastNestedLoopJoin's O(m) scan. At 100 TB with *uniform*
+    // bands you'd compute the band key arithmetically instead
+    // (documented here, the join form covers the non-uniform-band case).
     "rj1_range_join" -> ((s, d) => {
       val bands = s.range(0, 53).select(
         col("id").as("band"),
@@ -151,6 +154,25 @@ object AnalyticQueries {
         .join(broadcast(bands),
           col("l_extendedprice") >= col("lo") &&
             col("l_extendedprice") < col("hi"))
+        .groupBy("band")
+        .agg(
+          count(lit(1)).as("cnt"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("band")
+    }),
+
+    // RJ1b: the same band join through the explicit whole-operator API
+    // (graft.plans.RangeJoin.bandJoin → RangeJoinPlan → RangeJoinExec),
+    // gating the custom logical-node path independently of the rewrite
+    // rule. Shares rj1's oracle.
+    "rj1b_band_join_exec" -> ((s, d) => {
+      val bands = s.range(0, 53).select(
+        col("id").as("band"),
+        (col("id") * 2000).cast("double").as("lo"),
+        ((col("id") + 1) * 2000).cast("double").as("hi"))
+      graft.plans.RangeJoin
+        .bandJoin(lineitem(s, d).select("l_extendedprice"), bands,
+          value = "l_extendedprice", lo = "lo", hi = "hi")
         .groupBy("band")
         .agg(
           count(lit(1)).as("cnt"),
@@ -353,6 +375,15 @@ object AnalyticQueries {
         |  AND v.vts BETWEEN c.cts - INTERVAL 24 HOUR AND c.cts
         |GROUP BY c.event_id ORDER BY c.event_id""".stripMargin,
     "rj1_range_join" ->
+      """WITH bands AS (
+        |  SELECT range AS band, range * 2000.0 AS lo, (range + 1) * 2000.0 AS hi
+        |  FROM range(0, 53))
+        |SELECT band, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem l JOIN bands b
+        |  ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+    "rj1b_band_join_exec" ->
       """WITH bands AS (
         |  SELECT range AS band, range * 2000.0 AS lo, (range + 1) * 2000.0 AS hi
         |  FROM range(0, 53))

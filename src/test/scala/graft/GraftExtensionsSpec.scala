@@ -1,17 +1,16 @@
 package graft
 
-/** The extensions entry point registers every graft-native function on a
-  * session that never called a per-object `register` — proven on an
-  * isolated `newSession()` (fresh function registry, shared context). */
+/** The extensions entry point registers every graft-native function and
+  * the RangeJoin rule/strategy at session build. Since round 7 every
+  * graft session (incl. the shared test session) is built with
+  * `spark.sql.extensions=graft.GraftExtensions`, so `newSession()`
+  * clones INHERIT the injected functions — that inheritance is itself
+  * the injection-path proof. `registerAll` stays for sessions built
+  * without the conf. */
 class GraftExtensionsSpec extends SparkSuite {
 
-  test("registerAll makes every graft function resolvable on a fresh session") {
+  test("extension-built sessions (and their newSession clones) resolve every graft function") {
     val fresh = spark.newSession()
-    // isolated registry: graft functions must NOT pre-exist here
-    intercept[Exception] {
-      fresh.sql("SELECT graft_cosine(array(1.0D), array(1.0D))").collect()
-    }
-    GraftExtensions.registerAll(fresh)
     val cos = fresh.sql(
       "SELECT graft_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c")
       .collect().head.getDouble(0)
@@ -26,6 +25,19 @@ class GraftExtensionsSpec extends SparkSuite {
         .functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)),
         s"$name not registered")
     }
+  }
+
+  test("registerAll restores a dropped function on a live session") {
+    val fresh = spark.newSession()
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_cosine")
+    fresh.sessionState.functionRegistry.dropFunction(id)
+    assert(!fresh.sessionState.functionRegistry.functionExists(id))
+    GraftExtensions.registerAll(fresh)
+    assert(fresh.sessionState.functionRegistry.functionExists(id))
+    val cos = fresh.sql(
+      "SELECT graft_cosine(array(0.0D, 2.0D), array(0.0D, 1.0D)) AS c")
+      .collect().head.getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
   }
 
   test("the extension injector carries the same builder set") {

@@ -16,8 +16,10 @@ class PlanGuardSpec extends SparkSuite {
       "measured against"),
     "v5_ann_ivf" -> ("broadcast 8-cell codebook crossJoin for cell " +
       "assignment — the codebook is O(cells), not O(corpus)"),
-    "rj1_range_join" -> ("band/range theta join over a broadcast bands dim " +
-      "— bands side is tiny and fixed"),
+    // rj1_range_join left this list in round 7: the RangeJoinRewrite rule
+    // (graft.plans.RangeJoin) now plans its band predicate as a
+    // RangeJoinExec (binary search over the broadcast bands), so the
+    // query no longer produces a BroadcastNestedLoopJoin at all.
     "p8_outlier_4sigma" -> ("global (mu, sd) stats broadcast back as a " +
       "1-row crossJoin — the no-driver-collect alternative to the " +
       "reference's collect loop; broadcast side is O(1)")

@@ -19,6 +19,7 @@ object SparkSpec {
       .config("spark.sql.ansi.enabled", "false")
       // keep ingestion_year=2025 partition values as strings on read-back
       .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
