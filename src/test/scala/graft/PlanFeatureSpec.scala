@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-path plan features the engine leans on at 100 TB, pinned so a
+  * conf or upgrade regression surfaces here instead of as a cluster
+  * bench cliff:
+  *
+  *  - runtime bloom-filter injection (`InjectRuntimeFilter`): a
+  *    selective dim-side predicate becomes a bloom probe on the fact
+  *    side of a shuffle join, pruning fact rows BEFORE the shuffle.
+  *    The rule is threshold-gated (creation side under
+  *    `...bloomFilter.creationSideThreshold`, application-side scan
+  *    over `...bloomFilter.applicationSideScanSizeThreshold`, default
+  *    10 GB — far above sf0.1, which is why the thresholds are lowered
+  *    here: at the 100 TB target the defaults fire on their own);
+  *  - `WindowGroupLimit`: the rank-filter top-n pattern (w2) prunes to
+  *    k rows per group BEFORE the full window sort, so a top-10 over a
+  *    100 TB partition never materializes the whole group.
+  */
+class PlanFeatureSpec extends SparkSuite {
+
+  private def withConfs(pairs: (String, String)*)(body: => Unit): Unit = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      body
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("selective dim filter injects a runtime bloom filter on the fact side") {
+    withConfs(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force the shuffle join shape
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val fact = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      val dim = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("qty"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$optimized")
+      // and the probe is semantically free: result matches the plain join
+      val got = joined.collect().head
+      val want = fact.join(
+          spark.read.parquet(s"$sf/orders.parquet")
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_orderkey").as("ok2")),
+          col("l_orderkey") === col("ok2"))
+        .agg(count(lit(1)), sum("l_quantity")).collect().head
+      assert(got.getLong(0) === want.getLong(0))
+      assert(got.getDouble(1) === want.getDouble(1))
+    }
+  }
+
+  test("w2's rank<=k filter plans a WindowGroupLimit (per-group prune before the sort)") {
+    val df = SparkEntry.queries("w2_rank_topn")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-n window lost its group-limit prune:\n$plan")
+  }
+}
