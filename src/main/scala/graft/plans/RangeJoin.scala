@@ -3,13 +3,14 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftDatasetShim, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, BindReferences, Expression, GreaterThan, GreaterThanOrEqual, JoinedRow, LessThan, LessThanOrEqual, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, BindReferences, BoundReference, Expression, GreaterThan, GreaterThanOrEqual, JoinedRow, LessThan, LessThanOrEqual, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, BROADCAST, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.TypeUtils
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 
 /** Whole-operator band/range join — graft's deepest Catalyst extension
   * tier: a custom `LogicalPlan` node, a `Rule[LogicalPlan]` that
@@ -196,11 +197,76 @@ object RangeJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Per-task search index over the broadcast band rows: bands with
+  * non-null bounds sorted by `lo`, plus a prefix-max over `hi` that
+  * lets the backward candidate walk stop as soon as no earlier band
+  * can still cover the probe value. Built once per task (O(m log m),
+  * m broadcast-small), served per probe row in O(log m + hits).
+  * Methods take boxed values so the generated code can call them
+  * directly ([[RangeJoinExec.doConsume]]). */
+final class RangeJoinIndex(los: Array[Any], his: Array[Any],
+                           prefixMaxHi: Array[Any], rows: Array[InternalRow],
+                           ordering: Ordering[Any],
+                           loInc: Boolean, hiInc: Boolean) {
+  def row(i: Int): InternalRow = rows(i)
+
+  /** Last index whose `lo` passes the lower bound for v; -1 if none. */
+  def searchStart(v: Any): Int = {
+    var a = 0
+    var b = rows.length
+    while (a < b) {
+      val m = (a + b) >>> 1
+      val ok = if (loInc) ordering.lteq(los(m), v) else ordering.lt(los(m), v)
+      if (ok) a = m + 1 else b = m
+    }
+    a - 1
+  }
+
+  /** Can any band at index ≤ i still cover v? (prefix-max-hi cutoff) */
+  def canCover(i: Int, v: Any): Boolean =
+    if (hiInc) ordering.gteq(prefixMaxHi(i), v) else ordering.gt(prefixMaxHi(i), v)
+
+  /** Does band i's own hi cover v? */
+  def matches(i: Int, v: Any): Boolean =
+    if (hiInc) ordering.gteq(his(i), v) else ordering.gt(his(i), v)
+}
+
+/** Driver-built, task-shipped builder: carries the BOUND lo/hi
+  * expressions and rebuilds the sorted index from the broadcast rows on
+  * each task (both execution paths share it, so interpreted and
+  * generated plans cannot diverge). */
+case class RangeJoinIndexFactory(loBound: Expression, hiBound: Expression,
+                                 dataType: org.apache.spark.sql.types.DataType,
+                                 loInc: Boolean, hiInc: Boolean) {
+  @transient private lazy val ordering = TypeUtils.getInterpretedOrdering(dataType)
+
+  def build(bandRows: Array[InternalRow]): RangeJoinIndex = {
+    val bands = bandRows.iterator.flatMap { r =>
+      val l = loBound.eval(r)
+      val h = hiBound.eval(r)
+      if (l == null || h == null) Iterator.empty
+      else Iterator.single((l, h, r))
+    }.toArray
+    val sorted = bands.sortBy(_._1)(ordering)
+    val n = sorted.length
+    val his = sorted.map(_._2)
+    val prefixMaxHi = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      prefixMaxHi(i) =
+        if (i == 0 || ordering.gteq(his(i), prefixMaxHi(i - 1))) his(i)
+        else prefixMaxHi(i - 1)
+      i += 1
+    }
+    new RangeJoinIndex(sorted.map(_._1), his, prefixMaxHi, sorted.map(_._3),
+      ordering, loInc, hiInc)
+  }
+}
+
 /** Physical band join. The band side arrives through a standard
   * `BroadcastExchange` (Identity mode — whole rows, reused across
   * probe-side partitions and across plan reuse like any broadcast);
-  * each task sorts the m bands by `lo` once (O(m log m), m is
-  * broadcast-small by the rewrite's own guard) and serves each probe
+  * each task builds a [[RangeJoinIndex]] once and serves each probe
   * row in O(log m + hits): binary search for the last band with
   * `lo ⟨≤|<⟩ v`, then walk left emitting matches until the running
   * prefix-max of `hi` proves no earlier band can still cover v. Probe
@@ -208,14 +274,16 @@ object RangeJoinStrategy extends SparkStrategy {
   * left's`) — no shuffle, no per-row O(m) scan, no codegen-breaking
   * driver collect.
   *
-  * Interpreted (non-codegen) eval of three bound expressions per row is
-  * the cost of generality here; the arithmetic is three comparisons per
-  * probe row against the BNL's m, so the trade wins for any m > ~4.
+  * Implements [[CodegenSupport]] the way BroadcastHashJoinExec does:
+  * the probe side's WholeStageCodegen span runs THROUGH the join — the
+  * generated loop evaluates the probe value in-pipeline and calls the
+  * index's search/match methods directly, so scan → band join →
+  * aggregate is one codegen stage with no row materialization between.
   */
 case class RangeJoinExec(value: Expression, lo: Expression, hi: Expression,
                          loInclusive: Boolean, hiInclusive: Boolean,
                          left: SparkPlan, right: SparkPlan)
-    extends BinaryExecNode {
+    extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = left.output ++ right.output
   override def outputPartitioning: Partitioning = left.outputPartitioning
@@ -226,66 +294,41 @@ case class RangeJoinExec(value: Expression, lo: Expression, hi: Expression,
       newLeft: SparkPlan, newRight: SparkPlan): RangeJoinExec =
     copy(left = newLeft, right = newRight)
 
+  private def indexFactory: RangeJoinIndexFactory =
+    RangeJoinIndexFactory(
+      BindReferences.bindReference(lo, right.output),
+      BindReferences.bindReference(hi, right.output),
+      value.dataType, loInclusive, hiInclusive)
+
+  /** Interpreted path (codegen off / fallback). */
   override protected def doExecute(): RDD[InternalRow] = {
     val bcast = right.executeBroadcast[Array[InternalRow]]()
     val vBound = BindReferences.bindReference(value, left.output)
-    val loBound = BindReferences.bindReference(lo, right.output)
-    val hiBound = BindReferences.bindReference(hi, right.output)
-    val ordering = TypeUtils.getInterpretedOrdering(value.dataType)
-    val (loInc, hiInc) = (loInclusive, hiInclusive)
+    val factory = indexFactory
     val (outAttrs, leftAttrs, rightAttrs) = (output, left.output, right.output)
 
     left.execute().mapPartitions({ iter =>
-      // build the per-task index from the broadcast band rows
-      val bands = bcast.value.iterator.flatMap { r =>
-        val l = loBound.eval(r)
-        val h = hiBound.eval(r)
-        if (l == null || h == null) Iterator.empty
-        else Iterator.single((l, h, r))
-      }.toArray
-      val sorted = bands.sortBy(_._1)(ordering)
-      val n = sorted.length
-      val los = sorted.map(_._1)
-      val his = sorted.map(_._2)
-      val rows = sorted.map(_._3)
-      val prefixMaxHi = new Array[Any](n)
-      var i = 0
-      while (i < n) {
-        prefixMaxHi(i) =
-          if (i == 0 || ordering.gteq(his(i), prefixMaxHi(i - 1))) his(i)
-          else prefixMaxHi(i - 1)
-        i += 1
-      }
+      val index = factory.build(bcast.value)
       val joined = new JoinedRow
       val proj = UnsafeProjection.create(outAttrs, leftAttrs ++ rightAttrs)
 
       iter.flatMap { probeRow =>
         val v = vBound.eval(probeRow)
-        if (v == null || n == 0) Iterator.empty
+        if (v == null) Iterator.empty
         else {
-          // first index whose lo fails the lower bound: candidates are < firstBad
-          var a = 0
-          var b = n
-          while (a < b) {
-            val m = (a + b) >>> 1
-            val ok = if (loInc) ordering.lteq(los(m), v) else ordering.lt(los(m), v)
-            if (ok) a = m + 1 else b = m
-          }
-          val start = a - 1
+          val start = index.searchStart(v)
           // The projection is materialized inside next() (never ahead of
           // it): proj reuses one row buffer, so building the next match
           // early would corrupt the row already handed downstream.
           new Iterator[InternalRow] {
             private var idx = start
             private var found = -1
-            private def hiOk(h: Any): Boolean =
-              if (hiInc) ordering.gteq(h, v) else ordering.gt(h, v)
             private def seek(): Unit = {
               found = -1
               while (idx >= 0 && found == -1) {
-                if (!hiOk(prefixMaxHi(idx))) idx = -1 // nothing left can cover v
+                if (!index.canCover(idx, v)) idx = -1 // nothing left can cover v
                 else {
-                  if (hiOk(his(idx))) found = idx
+                  if (index.matches(idx, v)) found = idx
                   idx -= 1
                 }
               }
@@ -293,7 +336,7 @@ case class RangeJoinExec(value: Expression, lo: Expression, hi: Expression,
             seek()
             override def hasNext: Boolean = found >= 0
             override def next(): InternalRow = {
-              val r = proj(joined(probeRow, rows(found)))
+              val r = proj(joined(probeRow, index.row(found)))
               seek()
               r
             }
@@ -301,5 +344,55 @@ case class RangeJoinExec(value: Expression, lo: Expression, hi: Expression,
         }
       }
     }, preservesPartitioning = true)
+  }
+
+  // ---- codegen: the probe-side WholeStageCodegen span runs through ----
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.asInstanceOf[CodegenSupport].inputRDDs()
+
+  override protected def doProduce(ctx: CodegenContext): String =
+    left.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+  // one probe row can emit several joined rows: downstream buffers must copy
+  override def needCopyResult: Boolean = true
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode],
+                         row: ExprCode): String = {
+    // broadcast handle + index builder live in the references array; the
+    // sorted index itself is built once per task in mutable-state init
+    val bcast = right.executeBroadcast[Array[InternalRow]]()
+    val bcTerm = ctx.addReferenceObj("rangeJoinBroadcast", bcast,
+      "org.apache.spark.broadcast.Broadcast")
+    val factoryTerm = ctx.addReferenceObj("rangeJoinIndexFactory", indexFactory,
+      classOf[RangeJoinIndexFactory].getName)
+    val idxTerm = ctx.addMutableState(classOf[RangeJoinIndex].getName, "rangeJoinIndex",
+      v => s"$v = $factoryTerm.build((InternalRow[]) $bcTerm.value());")
+
+    ctx.currentVars = input
+    val valueEv = BindReferences.bindReference(value, left.output).genCode(ctx)
+    val bandRow = ctx.freshName("rangeJoinBandRow")
+    ctx.currentVars = null
+    ctx.INPUT_ROW = bandRow
+    val bandVars = right.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    ctx.INPUT_ROW = null
+    val i = ctx.freshName("rangeJoinIdx")
+    val vBoxed = ctx.freshName("rangeJoinProbe")
+    val boxed = CodeGenerator.boxedType(value.dataType)
+    s"""
+       |${valueEv.code}
+       |if (!${valueEv.isNull}) {
+       |  Object $vBoxed = ($boxed) ${valueEv.value};
+       |  for (int $i = $idxTerm.searchStart($vBoxed);
+       |       $i >= 0 && $idxTerm.canCover($i, $vBoxed); $i--) {
+       |    if ($idxTerm.matches($i, $vBoxed)) {
+       |      InternalRow $bandRow = $idxTerm.row($i);
+       |      ${consume(ctx, input ++ bandVars)}
+       |    }
+       |  }
+       |}
+     """.stripMargin
   }
 }

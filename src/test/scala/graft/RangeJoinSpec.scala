@@ -63,6 +63,25 @@ class RangeJoinSpec extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNL still present:\n$plan")
   }
 
+  test("the join runs INSIDE WholeStageCodegen (probe-side span not broken)") {
+    val df = RangeJoin.bandJoin(probe, bands, "v", "lo", "hi")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // a codegen'd operator renders as "*(n) RangeJoin"; a broken span
+    // would show it bare with the scan's span ending underneath
+    assert(plan.linesIterator.exists(l => l.contains("RangeJoin") && l.contains("*(")),
+      s"RangeJoinExec not inside a WholeStageCodegen span:\n$plan")
+  }
+
+  test("interpreted fallback path (codegen off) matches the oracle") {
+    val old = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val got = RangeJoin.bandJoin(probe, bands, "v", "lo", "hi")
+      assert(collected(got) === oracle(loInc = true, hiInc = false).sorted)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", old)
+  }
+
   test("rewrite rule turns a plain declarative band join into RangeJoinExec") {
     // the shared test session carries spark.sql.extensions=graft.GraftExtensions
     val df = probe.join(broadcast(bands),
