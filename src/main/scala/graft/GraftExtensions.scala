@@ -27,8 +27,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     // whole-operator extension: band/range join (logical node + rewrite
-    // rule + planner strategy — graft.plans.RangeJoin)
-    extensions.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // rule + planner strategy — graft.plans.RangeJoin). The rewrite goes
+    // into the ONE-SHOT pre-CBO batch, not injectOptimizerRule's
+    // fixed-point operator batch: there it would re-traverse every
+    // query's plan (stats lookups included) on every fixed-point
+    // iteration — measured as a double-digit-seconds planning tax across
+    // a 160-query bench sweep. Pre-CBO also runs after pushdown/pruning,
+    // which is exactly when the 2-conjunct band shape is visible.
+    extensions.injectPreCBORule(_ => graft.plans.RangeJoinRewrite)
     extensions.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
   }
 }

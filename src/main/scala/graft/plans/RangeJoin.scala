@@ -155,7 +155,10 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     } yield plan
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  // tree-pattern pruning: join-free plans (most of a mixed workload) are
+  // skipped by a bitmask check instead of a full-tree traversal
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformWithPruning(
+    _.containsPattern(org.apache.spark.sql.catalyst.trees.TreePattern.JOIN)) {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
       val split = splitAnd(cond)
       if (split.length != 2) j
