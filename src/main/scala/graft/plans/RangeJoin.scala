@@ -191,11 +191,33 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   }
 }
 
-/** Plans [[RangeJoinPlan]] to [[RangeJoinExec]]. */
+/** Plans [[RangeJoinPlan]] to [[RangeJoinExec]] — unless the band side
+  * has outgrown broadcastability (possible only through the explicit
+  * [[RangeJoin.bandJoin]] API; the rewrite rule checks stats before it
+  * ever builds the node). An oversized band side degrades to the
+  * equivalent ordinary join and Catalyst's native planning, instead of
+  * letting `executeBroadcast` pull an arbitrarily large relation onto
+  * the driver. 8× the autoBroadcastJoinThreshold is the cutoff: band
+  * rows are narrow (bounds + payload) and the index is O(m), so the
+  * operator tolerates more than a hash relation would, but not
+  * unbounded. */
 object RangeJoinStrategy extends SparkStrategy {
+  private def bandSideFits(bands: LogicalPlan): Boolean = {
+    val threshold = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+    threshold <= 0 || bands.stats.sizeInBytes <= BigInt(threshold) * 8
+  }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case RangeJoinPlan(l, r, v, lo, hi, li, hiI) =>
-      RangeJoinExec(v, lo, hi, li, hiI, planLater(l), planLater(r)) :: Nil
+      if (bandSideFits(r))
+        RangeJoinExec(v, lo, hi, li, hiI, planLater(l), planLater(r)) :: Nil
+      else {
+        val lower = if (li) GreaterThanOrEqual(v, lo) else GreaterThan(v, lo)
+        val upper = if (hiI) LessThanOrEqual(v, hi) else LessThan(v, hi)
+        val cond = org.apache.spark.sql.catalyst.expressions.And(lower, upper)
+        planLater(Join(l, r, Inner, Some(cond),
+          org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)) :: Nil
+      }
     case _ => Nil
   }
 }

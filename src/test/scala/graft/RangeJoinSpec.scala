@@ -143,6 +143,20 @@ class RangeJoinSpec extends SparkSuite {
     assert(got.count() === 0)
   }
 
+  test("oversized band side degrades to native planning instead of a forced broadcast") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1") // 8x1 bytes: nothing fits
+      val got = RangeJoin.bandJoin(probe, bands, "v", "lo", "hi")
+      got.collect()
+      val plan = got.queryExecution.executedPlan.toString
+      assert(!plan.contains("RangeJoin"),
+        s"band side over the cutoff must not be force-broadcast:\n$plan")
+      assert(collected(got) === oracle(loInc = true, hiInc = false).sorted,
+        "the degraded plan must still produce the oracle result")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("self-derived band side (shared expr ids) is re-aliased, not crossed") {
     import spark.implicits._
     val base = (0L until 100L).map(id => (id, id.toDouble)).toDF("id", "v")
