@@ -247,6 +247,61 @@ class StreamingSpec extends SparkSuite {
       assert(got.toSeq === Seq((1L, 101L)))
     } finally q.stop()
   }
+
+  test("streaming near-dup detection catches near-duplicates ACROSS micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, String)]
+    val base = "the quick brown fox jumps over the lazy dog and then runs far " +
+      "away into the deep green forest to find some food for its hungry cubs"
+    val q = StreamingOps.nearDupHits(spark,
+        mem.toDF().toDF("doc_id", "text"), tau = 0.5)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: the original, plus an unrelated document
+      mem.addData((1L, base),
+        (2L, "completely different content about spark catalyst optimizer " +
+          "rules strategies physical plans and whole stage code generation"))
+      q.processAllAvailable()
+      assert(spark.table("neardup_out").count() === 0,
+        "no near-dups exist in batch 1")
+      // batch 2: a light edit of doc 1 (one word changed) — must match doc 1
+      // via state written by batch 1 — plus another unrelated doc
+      mem.addData((3L, base.replace("lazy", "sleepy")),
+        (4L, "unrelated text regarding medallion architecture bronze silver " +
+          "gold tables quality checks and scd type two history tracking"))
+      q.processAllAvailable()
+      val hits = spark.table("neardup_out")
+        .select("doc_id", "matched_id").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits === Set((3L, 1L)),
+        s"expected exactly the planted cross-batch near-dup, got $hits")
+      // batch 3: an EXACT copy of doc 1 — agreement 1.0, still only vs 1/3
+      mem.addData((5L, base))
+      q.processAllAvailable()
+      val all = spark.table("neardup_out")
+        .select("doc_id", "matched_id", "est_jaccard").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val exact = all.filter(_._1 == 5L)
+      assert(exact.map(t => (t._1, t._2)).toSet === Set((5L, 1L), (5L, 3L)),
+        s"exact copy must match both originals, got ${exact.toSeq}")
+      assert(exact.find(_._2 == 1L).get._3 === 1.0,
+        "identical text must estimate Jaccard 1.0")
+      assert(!all.exists(t => t._2 == 2L || t._2 == 4L),
+        "unrelated documents must never appear as matches")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
 
 object StreamingSpec {
