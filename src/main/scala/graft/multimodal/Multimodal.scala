@@ -219,12 +219,21 @@ object Multimodal {
   }
 
   /** Decode dispatch: real parsers for every fixture format (BMP, WAV,
-    * MP4); the stub only for unrecognized byte streams. */
+    * MP4); the stub for unrecognized byte streams AND for rows whose
+    * container is recognized but corrupt (truncated payload, malformed
+    * header/sample table). At corpus scale some fraction of media is
+    * always damaged — a bad row must degrade to pseudo-features, not
+    * fail its whole task. */
   private[graft] def decode(content: Array[Byte]): (Double, Array[Float]) =
-    if (isBmp(content)) decodeBmp(content)
-    else if (isWav(content)) decodeWav(content)
-    else if (Mp4.isMp4(content)) Mp4.features(content)
-    else decodeStub(content)
+    try {
+      if (isBmp(content)) decodeBmp(content)
+      else if (isWav(content)) decodeWav(content)
+      else if (Mp4.isMp4(content)) Mp4.features(content)
+      else decodeStub(content)
+    } catch {
+      case _: RuntimeException | _: IndexOutOfBoundsException =>
+        decodeStub(content)
+    }
 
   /** STUB decode, now only a fallback for formats none of the real
     * parsers recognize (no fixture row reaches it): deterministic pseudo
@@ -318,20 +327,26 @@ object Multimodal {
                    framesPerVideo: Int = 4): Dataset[Frame] = {
     import spark.implicits._
     media.filter(_.kind == "video").flatMap { m =>
-      if (Mp4.isMp4(m.content)) {
-        val movie = Mp4.parse(m.content)
-        val n = movie.samples.sizes.length
-        (0 until framesPerVideo).map { k =>
-          val src = k * n / framesPerVideo // evenly spaced; repeats if n < fpv
-          Frame(m.media_id, k, Mp4.sampleBytes(m.content, movie, src))
-        }
-      } else {
-        val step = math.max(1, m.content.length / framesPerVideo)
-        (0 until framesPerVideo).map { k =>
-          val from = math.min(k * step, math.max(m.content.length - 1, 0))
-          val until = math.min(from + step, m.content.length)
-          Frame(m.media_id, k, java.util.Arrays.copyOfRange(m.content, from, until))
-        }
+      val parsed =
+        if (Mp4.isMp4(m.content))
+          try Some(Mp4.parse(m.content)) catch {
+            case _: RuntimeException | _: IndexOutOfBoundsException => None
+          }
+        else None
+      parsed match {
+        case Some(movie) if movie.samples.sizes.nonEmpty =>
+          val n = movie.samples.sizes.length
+          (0 until framesPerVideo).map { k =>
+            val src = k * n / framesPerVideo // evenly spaced; repeats if n < fpv
+            Frame(m.media_id, k, Mp4.sampleBytes(m.content, movie, src))
+          }
+        case _ => // unrecognized or corrupt container: byte-slice fallback
+          val step = math.max(1, m.content.length / framesPerVideo)
+          (0 until framesPerVideo).map { k =>
+            val from = math.min(k * step, math.max(m.content.length - 1, 0))
+            val until = math.min(from + step, m.content.length)
+            Frame(m.media_id, k, java.util.Arrays.copyOfRange(m.content, from, until))
+          }
       }
     }
   }

@@ -47,6 +47,23 @@ object MultimodalQueries {
           fr.frame.foldLeft(0L)((a, b) => a + (b & 0xff))))
         .toDF("media_id", "frame_idx", "frame_bytes", "frame_pixsum")
         .orderBy("media_id", "frame_idx")
+    }),
+
+    // container-metadata extraction: every header field the MP4 parser
+    // reads (track + sample-entry geometry, sample count, movie duration,
+    // coded format) against the fixture formulas — gates the box-walk
+    // itself, independent of payload decode.
+    "mm3_video_metadata" -> ((s, d) => {
+      import s.implicits._
+      Multimodal.fixture(s, 500).filter(_.kind == "video")
+        .map { m =>
+          val mv = graft.multimodal.Mp4.parse(m.content)
+          (m.media_id, mv.trackWidth, mv.trackHeight,
+            mv.samples.sizes.length, mv.durationMs, mv.samples.format)
+        }
+        .toDF("media_id", "width", "height", "n_frames", "duration_ms",
+          "sample_format")
+        .orderBy("media_id")
     })
   )
 
@@ -150,6 +167,15 @@ object MultimodalQueries {
         |SELECT media_id, frame_idx, CAST(w * 8 AS INTEGER) AS frame_bytes,
         |  CAST(pixsum AS BIGINT) AS frame_pixsum
         |FROM px
-        |ORDER BY media_id, frame_idx""".stripMargin
+        |ORDER BY media_id, frame_idx""".stripMargin,
+    "mm3_video_metadata" ->
+      """SELECT i AS media_id,
+        |  CAST(16 + (i % 2) * 8 AS INTEGER) AS width,
+        |  CAST(8 AS INTEGER) AS height,
+        |  CAST(2 + (i % 3) AS INTEGER) AS n_frames,
+        |  CAST((2 + (i % 3)) * 100 AS BIGINT) AS duration_ms,
+        |  'raw ' AS sample_format
+        |FROM range(500) t(i) WHERE i % 3 = 2
+        |ORDER BY media_id""".stripMargin
   )
 }

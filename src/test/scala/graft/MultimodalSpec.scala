@@ -123,6 +123,28 @@ class MultimodalSpec extends SparkSuite {
     assert(frames.map(_.frame.toSeq).distinct.length === 4)
   }
 
+  test("corrupt media degrades to stub features instead of failing the batch") {
+    import org.apache.spark.sql.{Encoders => E}
+    val good = Multimodal.fixture(spark, 3).collect()
+    // corrupt each format: truncated BMP, WAV with a lying chunk size,
+    // MP4 magic followed by garbage boxes
+    val corrupt = Seq(
+      good(0).copy(content = good(0).content.take(20)),             // BMP cut mid-header
+      good(2).copy(content = good(2).content.take(40)),             // MP4 cut mid-moov ref
+      good(2).copy(content = good(2).content.updated(30, 0x7f.toByte)
+        .take(200))                                                  // mangled box sizes
+    )
+    val ds = spark.createDataset(corrupt)(E.product[graft.multimodal.Multimodal.MediaRow])
+    val feats = Multimodal.extractFeatures(spark, ds).collect()
+    assert(feats.length === corrupt.length, "every corrupt row must still emit features")
+    assert(feats.forall(_.embedding.length == 16))
+    // and frame sampling over a corrupt video falls back to byte slices
+    val frames = Multimodal.sampleFrames(spark,
+      spark.createDataset(corrupt.filter(_.kind == "video"))(
+        E.product[graft.multimodal.Multimodal.MediaRow])).collect()
+    assert(frames.length === 2 * 4, "4 fallback slices per corrupt video")
+  }
+
   test("feature extraction is deterministic and schema-complete") {
     val f1 = Multimodal.featureTable(spark, 30).collect()
     val f2 = Multimodal.featureTable(spark, 30).collect()
