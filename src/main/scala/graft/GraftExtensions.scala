@@ -45,7 +45,8 @@ object GraftExtensions {
     "graft_cosine" -> graft.functions.CosineSimilarity.builder,
     "graft_sign_rp_keys" -> graft.functions.SignRpKeys.builder,
     "graft_sig_agreement" -> graft.functions.SignatureAgreement.builder,
-    "graft_bloom_contains" -> graft.functions.BloomContains.builder)
+    "graft_bloom_contains" -> graft.functions.BloomContains.builder,
+    "graft_minhash_sig" -> graft.functions.MinHashSig.builder)
 
   /** The same set onto an EXISTING session (e.g. `spark.newSession()`),
     * for callers who cannot influence session construction. */

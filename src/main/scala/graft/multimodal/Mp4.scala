@@ -194,17 +194,35 @@ object Mp4 {
           seW = be16(c, b + 8 + 32); seH = be16(c, b + 8 + 34)
           seDepth = be16(c, b + 8 + 82)
         }
-      case ("stsz", b, _) =>
+      case ("stsz", b, e) =>
         val uniform = be32(c, b + 4); val n = be32(c, b + 8).toInt
+        // Bound BEFORE allocating: a corrupt-but-positive count would
+        // otherwise allocate gigabytes and die with OutOfMemoryError —
+        // an Error the decode() fallback (catching RuntimeException)
+        // cannot absorb. Non-uniform entries must fit the box body;
+        // uniform total payload must fit the file.
+        require(n >= 0, s"stsz sample_count $n negative")
+        if (uniform != 0)
+          require(n.toLong * (uniform & 0xffffffffL) <= c.length,
+            s"stsz uniform $uniform x $n exceeds file of ${c.length} bytes")
+        else
+          require(b + 12 + 4L * n <= e,
+            s"stsz sample_count $n overruns box body")
         stszSizes =
           if (uniform != 0) Array.fill(n)(uniform.toInt)
           else Array.tabulate(n)(i => be32(c, b + 12 + 4 * i).toInt)
-      case ("stco", b, _) =>
-        chunkOffsets = Array.tabulate(be32(c, b + 4).toInt)(i => be32(c, b + 8 + 4 * i))
-      case ("co64", b, _) =>
-        chunkOffsets = Array.tabulate(be32(c, b + 4).toInt)(i => be64(c, b + 8 + 8 * i))
-      case ("stsc", b, _) =>
-        stscRuns = Array.tabulate(be32(c, b + 4).toInt)(i =>
+      case ("stco", b, e) =>
+        val n = be32(c, b + 4).toInt
+        require(n >= 0 && b + 8 + 4L * n <= e, s"stco entry_count $n overruns box body")
+        chunkOffsets = Array.tabulate(n)(i => be32(c, b + 8 + 4 * i))
+      case ("co64", b, e) =>
+        val n = be32(c, b + 4).toInt
+        require(n >= 0 && b + 8 + 8L * n <= e, s"co64 entry_count $n overruns box body")
+        chunkOffsets = Array.tabulate(n)(i => be64(c, b + 8 + 8 * i))
+      case ("stsc", b, e) =>
+        val n = be32(c, b + 4).toInt
+        require(n >= 0 && b + 8 + 12L * n <= e, s"stsc entry_count $n overruns box body")
+        stscRuns = Array.tabulate(n)(i =>
           (be32(c, b + 8 + 12 * i).toInt, be32(c, b + 12 + 12 * i).toInt))
       case _ => // stts etc.: durations come from mvhd
     }

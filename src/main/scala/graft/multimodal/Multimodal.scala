@@ -281,7 +281,14 @@ object Multimodal {
     import spark.implicits._
     media.map { m =>
       if (m.kind != "image" || !isBmp(m.content)) m
-      else m.copy(content = resizeBmp(m.content, w, h), width = w, height = h)
+      else
+        // same degradation contract as decode(): a truncated payload or
+        // a header that lies about geometry passes the row through
+        // unchanged instead of failing the whole task
+        try m.copy(content = resizeBmp(m.content, w, h), width = w, height = h)
+        catch {
+          case _: RuntimeException | _: IndexOutOfBoundsException => m
+        }
     }
   }
 
@@ -290,9 +297,15 @@ object Multimodal {
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val off = src.getInt(10)
     val w = src.getInt(18)
-    val h = math.abs(src.getInt(22))
+    val hRaw = src.getInt(22)
+    val topDown = hRaw < 0 // negative biHeight = rows stored top-down
+    val h = math.abs(hRaw)
     require(src.getShort(28) == 24, "resize supports 24-bit BMP")
+    require(w > 0 && h > 0, s"BMP geometry ${w}x$hRaw invalid")
     val srcRow = (w * 3 + 3) / 4 * 4
+    // header must not lie: the declared payload has to fit the file
+    require(off >= 54 && off.toLong + srcRow.toLong * h <= c.length,
+      s"BMP payload (off=$off row=$srcRow h=$h) overruns ${c.length} bytes")
     val dstRow = (w2 * 3 + 3) / 4 * 4
     val out = java.nio.ByteBuffer.allocate(54 + dstRow * h2)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -300,13 +313,14 @@ object Multimodal {
       .putInt(0).putInt(54)
     out.putInt(40).putInt(w2).putInt(h2).putShort(1).putShort(24)
       .putInt(0).putInt(dstRow * h2).putInt(2835).putInt(2835).putInt(0).putInt(0)
-    var r = 0 // row index in stored (bottom-up) order on both sides
+    var r = 0 // output row index in stored (bottom-up) order
     while (r < h2) {
-      val sr = r * h / h2
+      val sr = r * h / h2 // source row, counted from the bottom
+      val srStored = if (topDown) h - 1 - sr else sr
       var x = 0
       while (x < w2) {
         val sx = x * w / w2
-        val p = off + sr * srcRow + sx * 3
+        val p = off + srStored * srcRow + sx * 3
         out.put(c(p)).put(c(p + 1)).put(c(p + 2))
         x += 1
       }

@@ -9,14 +9,14 @@ import org.apache.spark.sql.functions._
   *
   * Shape (the scale story): the whole signature is computed by ONE fused
   * codegen expression per document row ([[graft.functions.MinHashSig]] —
-  * shingle, hash, and all permutation minima in a single loop), so
-  * signature computation involves NO shuffle at all. The
+  * shingle, hash, and all permutation minima in a single loop). The
   * explode + 16-column hash-aggregate formulation this replaced shuffled
   * ~|tokens| rows per document before a signature existed — the compute
-  * hot spot the 100× scale proof surfaced. Banding then turns candidate
+  * hot spot the 100× scale proof surfaced; the only per-doc shuffle now
+  * is the duplicate-id merge over (id, numPerms longs) rows, map-side
+  * combined. Banding then turns candidate
   * generation into an equi-join on (band_id, band_hash), so candidates
-  * ≪ n² — the whole point of LSH at corpus scale. The only shuffle left
-  * is that band join.
+  * ≪ n² — the whole point of LSH at corpus scale.
   *
   * The signature table is persisted only while the band self-join runs;
   * candidate pairs are eagerly materialized (they're tiny relative to the
@@ -32,17 +32,30 @@ object MinHashLSH {
     * pairs. Pass `false` for explain-only/plan-audit use: the plan stays
     * lazy and auditable, at the cost of the signature table being
     * computed once per consuming branch. */
+  /** One `(__id, sig)` row per DISTINCT doc id. Duplicate doc ids merge
+    * into one signature via element-wise min — the MinHash of the union
+    * of the rows' token sets, matching the pre-fused groupBy formulation.
+    * The agg shuffles only (id, numPerms longs) per row with map-side
+    * partial combine; without it, duplicate ids would multiply band rows
+    * and candidate pairs downstream. */
+  def signatures(docs: DataFrame, idCol: String, textCol: String,
+                 numPerms: Int): DataFrame = {
+    graft.functions.MinHashSig.register(docs.sparkSession)
+    docs
+      .select(col(idCol).as("__id"),
+        split(lower(trim(regexp_replace(col(textCol), "\\s+", " "))), " ").as("toks"))
+      .select(col("__id"), expr(s"graft_minhash_sig(toks, $numPerms)").as("sig"))
+      .groupBy(col("__id"))
+      .agg(array((0 until numPerms).map(i => min(col("sig").getItem(i))): _*).as("sig"))
+  }
+
   def candidatePairs(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text",
                      numPerms: Int = 16, bands: Int = 4,
                      materialize: Boolean = true): DataFrame = {
     require(numPerms % bands == 0, s"numPerms=$numPerms not divisible by bands=$bands")
     val rowsPerBand = numPerms / bands
-    graft.functions.MinHashSig.register(docs.sparkSession)
-    val sigs = docs
-      .select(col(idCol).as("__id"),
-        split(lower(trim(regexp_replace(col(textCol), "\\s+", " "))), " ").as("toks"))
-      .select(col("__id"), expr(s"graft_minhash_sig(toks, $numPerms)").as("sig"))
+    val sigs = signatures(docs, idCol, textCol, numPerms)
       .select(col("__id"), col("sig"),
         array((0 until bands).map(b => struct(
           lit(b).as("band_id"),

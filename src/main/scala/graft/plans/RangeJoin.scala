@@ -68,8 +68,22 @@ object RangeJoin {
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column '$name' not in [${plan.output.map(_.name).mkString(", ")}]"))
-    val node = RangeJoinPlan(pPlan, bPlan, attr(pPlan, value),
-      attr(bPlan, lo), attr(bPlan, hi), loInclusive, hiInclusive)
+    val vAttr = attr(pPlan, value)
+    val loAttr = attr(bPlan, lo)
+    val hiAttr = attr(bPlan, hi)
+    // The rewrite path gets analyzer-inserted casts; this direct-build
+    // path does not, so a double value against decimal bounds would only
+    // surface as a ClassCastException inside the per-task ordering.
+    if (loAttr.dataType != vAttr.dataType || hiAttr.dataType != vAttr.dataType)
+      throw new IllegalArgumentException(
+        s"bandJoin bounds must share the value's type: value '$value' is " +
+          s"${vAttr.dataType.simpleString}, lo '$lo' is ${loAttr.dataType.simpleString}, " +
+          s"hi '$hi' is ${hiAttr.dataType.simpleString} — cast the columns to a common type first")
+    if (!org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(vAttr.dataType))
+      throw new IllegalArgumentException(
+        s"bandJoin value type ${vAttr.dataType.simpleString} is not orderable")
+    val node = RangeJoinPlan(pPlan, bPlan, vAttr,
+      loAttr, hiAttr, loInclusive, hiInclusive)
     GraftDatasetShim.ofRows(spark, node)
   }
 }

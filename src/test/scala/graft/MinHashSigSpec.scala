@@ -84,6 +84,31 @@ class MinHashSigSpec extends SparkSuite {
     assert((0 until NumPerms).map(direct.getLong) === viaPlan)
   }
 
+  test("duplicate doc ids merge into one signature (element-wise min, legacy semantics)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (1L, "zeta eta theta iota kappa lambda"), // same id, different text
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "solo document with unique id")
+    ).toDF("doc_id", "text")
+    // the legacy groupBy formulation already merges duplicate ids: its
+    // min() runs across ALL the id's shingles — the executable contract
+    val legacy = legacySigs(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val prod = graft.operators.MinHashLSH.signatures(docs, "doc_id", "text", NumPerms)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(prod.keySet === Set(1L, 2L, 3L), "one signature row per distinct id")
+    legacy.foreach { case (id, sig) =>
+      assert(prod(id) === sig, s"merged signature diverged for id=$id")
+    }
+    // and candidate generation sees ONE row for id 1: no duplicated pairs
+    val pairs = graft.operators.MinHashLSH.candidatePairs(docs, "doc_id", "text",
+      numPerms = NumPerms, bands = 4).collect()
+    val keys = pairs.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.length === keys.distinct.length, "duplicate candidate pairs emitted")
+  }
+
   test("signature computation plan has no shuffle (the fusion's point)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = fusedSigs(docs, "doc_id", "text")

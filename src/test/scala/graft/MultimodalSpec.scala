@@ -145,6 +145,48 @@ class MultimodalSpec extends SparkSuite {
     assert(frames.length === 2 * 4, "4 fallback slices per corrupt video")
   }
 
+  test("corrupt stsz count bombs degrade instead of allocating gigabytes") {
+    import org.apache.spark.sql.{Encoders => E}
+    val good = Multimodal.fixture(spark, 3).collect().find(_.kind == "video").get
+    // locate the stsz box and patch sample_count to ~1 billion: parse()
+    // must reject it BEFORE allocating (OutOfMemoryError is an Error the
+    // decode() fallback cannot absorb)
+    val c = good.content.clone()
+    val stszAt = c.indices.find(p => p + 4 < c.length &&
+      c(p) == 's' && c(p + 1) == 't' && c(p + 2) == 's' && c(p + 3) == 'z').get
+    val countAt = stszAt + 4 + 8 // past tag, version/flags, uniform size
+    c(countAt) = 0x40.toByte; c(countAt + 1) = 0; c(countAt + 2) = 0; c(countAt + 3) = 0
+    intercept[IllegalArgumentException](graft.multimodal.Mp4.parse(c))
+    // and through the pipeline it degrades to stub features, same contract
+    val ds = spark.createDataset(Seq(good.copy(content = c)))(
+      E.product[graft.multimodal.Multimodal.MediaRow])
+    val feats = Multimodal.extractFeatures(spark, ds).collect()
+    assert(feats.length === 1 && feats(0).embedding.length === 16)
+  }
+
+  test("corrupt BMP passes through resize unchanged; top-down sources resize unflipped") {
+    import org.apache.spark.sql.{Encoders => E}
+    val good = Multimodal.fixture(spark, 1).collect()(0) // id 0: 16x8 image
+    // header claims 16x8 but payload is truncated: resizeImages must pass
+    // the row through unchanged, not fail the task
+    val truncated = good.copy(content = good.content.take(60))
+    val out = Multimodal.resizeImages(spark,
+      spark.createDataset(Seq(truncated))(
+        E.product[graft.multimodal.Multimodal.MediaRow]), 8, 4).collect()(0)
+    assert(out.content.toSeq === truncated.content.toSeq, "corrupt BMP must pass through")
+    // top-down variant (negative biHeight, rows stored top-first) must
+    // resize to the same bottom-up output as the bottom-up original
+    val src = good.content
+    val topDown = src.clone()
+    val bb = java.nio.ByteBuffer.wrap(topDown).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -8)
+    val rowSize = 16 * 3
+    for (r <- 0 until 8; i <- 0 until rowSize)
+      topDown(54 + r * rowSize + i) = src(54 + (7 - r) * rowSize + i)
+    assert(Multimodal.resizeBmp(topDown, 8, 4).toSeq ===
+      Multimodal.resizeBmp(src, 8, 4).toSeq, "top-down source re-encoded flipped")
+  }
+
   test("feature extraction is deterministic and schema-complete") {
     val f1 = Multimodal.featureTable(spark, 30).collect()
     val f2 = Multimodal.featureTable(spark, 30).collect()
