@@ -132,6 +132,10 @@ object Scd2 {
     if (!commit.exists(spark, path))
       return commit.publish(newBatch, path, partitionColumns)
 
+    // fence the publish on the version this merge READS: a writer that
+    // publishes in between makes this merge's rewrite a lost update, and
+    // publishFrom turns that into ConcurrentCommitException + retry
+    val base = commit.version(spark, path)
     val existing = commit.read(spark, path)
     // rows already closed (or with a null flag, which the reference's
     // merge condition never matches) pass through the rewrite untouched
@@ -141,7 +145,7 @@ object Scd2 {
     val merged = passThrough
       .unionByName(split.newlyClosed, allowMissingColumns = true)
       .unionByName(split.newCurrent, allowMissingColumns = true)
-    try commit.publish(merged, path, partitionColumns)
+    try commit.publishFrom(merged, path, partitionColumns, base)
     finally split.joined.unpersist()
   }
 
@@ -159,9 +163,11 @@ object Scd2 {
                      numFiles: Int = 8,
                      commit: TableCommit = DirectorySwapCommit): Long = {
     if (!commit.exists(spark, path)) return 0L
+    val base = commit.version(spark, path)
     val snapshot = commit.read(spark, path)
-    commit.publish(
-      graft.operators.ZOrder.cluster(snapshot, zCols, numFiles), path, Nil)
+    commit.publishFrom(
+      graft.operators.ZOrder.cluster(snapshot, zCols, numFiles), path, Nil,
+      base)
   }
 
   def currentRoot(root: String): String =
@@ -214,6 +220,10 @@ object Scd2 {
     if (!commit.exists(spark, curPath))
       return commit.publish(newBatch, curPath, partitionColumns)
 
+    // fence the current-region publish on the version this merge reads
+    // (see merge()); the closed-region append fences itself inside
+    // appendClosed, against ITS region's version at append time
+    val curBase = commit.version(spark, curPath)
     val cur = commit.read(spark, curPath)
     val usable = changeColumns.filter(c =>
       cur.columns.contains(c) && newBatch.columns.contains(c))
@@ -254,14 +264,14 @@ object Scd2 {
               cur.join(closedKeys, Seq("universal_id"), "left_semi"), asOfDate)
             if (closedCount > 0) appendClosed(spark, newlyClosed,
               closedRoot(root), commit)
-            commit.publish(
+            commit.publishFrom(
               cur.join(closedKeys, Seq("universal_id"), "left_anti")
                 .unionByName(fromBatch, allowMissingColumns = true),
-              curPath, Nil)
+              curPath, Nil, curBase)
           } else {
             mergeChurned(spark, cur, fromBatch, closedKeys, closedCount,
               asOfDate, root, curPath, partitionColumns, commit, joined,
-              isFromBatch, isClosed)
+              isFromBatch, isClosed, curBase)
           }
           total
         }
@@ -290,7 +300,8 @@ object Scd2 {
                            closedCount: Long, asOfDate: Column, root: String,
                            curPath: String, partitionColumns: Seq[String],
                            commit: TableCommit, joined: DataFrame,
-                           isFromBatch: Column, isClosed: Column): Unit = {
+                           isFromBatch: Column, isClosed: Column,
+                           curBase: Option[String]): Unit = {
     val churned = joined.filter(isFromBatch)
       .select(partitionColumns.map(c =>
         col(s"_src_$c").cast("string").as(c)): _*)
@@ -331,7 +342,7 @@ object Scd2 {
         .join(closedKeys, Seq("universal_id"), "left_anti")
         .unionByName(fromBatch, allowMissingColumns = true)
       writeChurnedPartitions(spark, replacement, churned, curPath,
-        partitionColumns, commit)
+        partitionColumns, commit, curBase)
     } finally prunedCur.unpersist()
   }
 
@@ -354,7 +365,8 @@ object Scd2 {
                                      churned: Array[Seq[String]],
                                      curPath: String,
                                      partitionColumns: Seq[String],
-                                     commit: TableCommit): Unit = {
+                                     commit: TableCommit,
+                                     curBase: Option[String]): Unit = {
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val churnedRel = churned.map(k =>
       partitionColumns.zip(k).map { case (c, v) =>
@@ -368,7 +380,7 @@ object Scd2 {
         val prev = SnapshotStore
           .currentEntries(spark, curPath, partitionColumns.length)
           .getOrElse(Map.empty)
-        SnapshotStore.commit(spark, curPath) { dir =>
+        SnapshotStore.commitFrom(spark, curPath, curBase) { dir =>
           replacement.write.mode(SaveMode.Overwrite)
             .partitionBy(partitionColumns: _*).parquet(dir)
           val dirPath = new Path(dir)
@@ -428,6 +440,9 @@ object Scd2 {
     * duplicate close-out rows. */
   private def appendClosed(spark: SparkSession, newlyClosed: DataFrame,
                            closedPath: String, commit: TableCommit): Unit = {
+    // the append is a read-modify-write too (the dedup check below reads
+    // the day's partition) — fence on the closed region's version here
+    val closedBase = commit.version(spark, closedPath)
     val existingDay = readClosedRegion(spark, closedPath, commit).map { closed =>
       val dates = newlyClosed.select("valid_to").distinct()
       closed.join(broadcast(dates), Seq("valid_to"), "left_semi")
@@ -446,7 +461,7 @@ object Scd2 {
       case PointerCommit =>
         val prev = SnapshotStore.currentEntries(spark, closedPath, 2)
           .getOrElse(Map.empty)
-        SnapshotStore.commit(spark, closedPath) { dir =>
+        SnapshotStore.commitFrom(spark, closedPath, closedBase) { dir =>
           val dirPath = new Path(dir)
           val name = dirPath.getName
           deduped.withColumn("close_batch", lit(name))
@@ -498,6 +513,7 @@ object Scd2 {
     commit match {
       case PointerCommit =>
         if (!PointerCommit.exists(spark, closedPath)) return 0
+        val closedBase = SnapshotStore.currentName(spark, closedPath)
         val entries = SnapshotStore.currentEntries(spark, closedPath, 2)
           .getOrElse(Map.empty)
         val snaps = new Path(closedPath, SnapshotStore.SnapshotsDir)
@@ -513,7 +529,7 @@ object Scd2 {
         }
         if (oversized.isEmpty) return 0
         val dates = oversized.keySet.map(_.stripPrefix("valid_to="))
-        SnapshotStore.commit(spark, closedPath) { dir =>
+        SnapshotStore.commitFrom(spark, closedPath, closedBase) { dir =>
           val dirPath = new Path(dir)
           val name = dirPath.getName
           SnapshotStore.readPartitioned(spark, closedPath,
@@ -624,6 +640,7 @@ object Scd2 {
                partitionColumns: Seq[String] = DefaultPartitionColumns,
                commit: TableCommit = DirectorySwapCommit): Long = {
     if (!commit.exists(spark, path)) return 0L
+    val base = commit.version(spark, path)
     val snapshot = commit.read(spark, path)
     // the partition columns LEAD the within-partition sort: the dynamic
     // partitionBy write requires ordering on them and would otherwise
@@ -632,7 +649,7 @@ object Scd2 {
     val clustered = snapshot
       .repartitionByRange(numFiles, clusterCols.map(col): _*)
       .sortWithinPartitions(writeOrder.map(col): _*)
-    commit.publish(clustered, path, partitionColumns)
+    commit.publishFrom(clustered, path, partitionColumns, base)
   }
 }
 

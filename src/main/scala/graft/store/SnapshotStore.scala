@@ -30,10 +30,30 @@ import org.apache.spark.sql.functions._
   * snapshot — and [[vacuum]] collects orphans later (the VACUUM analogue,
   * silver_etl_script.py:985-988).
   */
+/** A racing writer committed first: the version slot this commit claimed
+  * was taken, or the table advanced past the snapshot this commit was
+  * based on. The table is untouched by the loser — re-read the (new)
+  * current snapshot, recompute, and commit again. */
+class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
+
 object SnapshotStore {
 
   val PointerFile = "_CURRENT"
   val SnapshotsDir = "_snapshots"
+
+  /** A `.claim` older than this that was never published may be broken by
+    * a competing writer (the claimant is presumed crashed). Generous on
+    * purpose: breaking the claim of a writer that is merely slow hands
+    * its version dir to the breaker. */
+  val DefaultClaimTtlMs: Long = 15L * 60 * 1000
+
+  /** Serializes claim creation within this JVM: RawLocalFileSystem's
+    * `create(overwrite = false)` is exists-then-create, not atomic, so
+    * two local threads could both win a slot without this. HDFS creates
+    * are atomic namenode-side; S3 deployments substitute a conditional
+    * PUT (If-None-Match) — per-process locking is only the local-FS leg. */
+  private val claimLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   private def fsOf(root: Path, spark: SparkSession): FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -178,18 +198,149 @@ object SnapshotStore {
   /** Write a new snapshot via `write(dir)` then publish it by atomically
     * replacing the pointer. The write happens entirely inside a fresh
     * version dir invisible to readers; only the final single-file pointer
-    * replacement changes what they see. Returns the new snapshot name. */
-  def commit(spark: SparkSession, root: String)(write: String => Unit): String = {
+    * replacement changes what they see. Returns the new snapshot name.
+    *
+    * Concurrency: last-writer-wins between commits that did not read the
+    * table (each bases itself on whatever is current when it starts), but
+    * two commits RACING from the same current version conflict — exactly
+    * one wins its version slot, the other raises
+    * [[ConcurrentCommitException]] (see [[commitFrom]]). */
+  def commit(spark: SparkSession, root: String)(write: String => Unit): String =
+    commitFrom(spark, root, currentName(spark, root))(write)
+
+  /** [[commit]] with an optimistic-concurrency fence: the commit is valid
+    * only against `base` — the version the caller READ when it computed
+    * what it is about to write (None for a first load). A read-modify-
+    * write cycle (SCD2 merge, compaction, incremental gold) passes the
+    * version it read; if any other writer publishes in between, this
+    * commit fails with [[ConcurrentCommitException]] instead of silently
+    * dropping the interloper's snapshot — the lost-update guard the
+    * reference inherited from Delta's optimistic transaction protocol
+    * (silver_etl_script.py:922-951 merges are transactional under racing
+    * writers; graft rebuilds the guard over plain parquet).
+    *
+    * Protocol, all steps ordered so a crash at ANY point leaves readers
+    * on `base` and the table uncorrupted:
+    *
+    *  1. Fence #1: current must still equal `base`, else conflict now
+    *     (cheap, before any data is written).
+    *  2. Claim the version slot `base+1` by atomically creating
+    *     `_snapshots/v<n>.claim` (create-exclusive = compare-and-swap on
+    *     the slot; atomic on HDFS/POSIX-via-lock, conditional PUT on S3).
+    *     Exactly one racing writer wins the slot; losers conflict without
+    *     having written anything. A claim whose version was never
+    *     published and whose stamp is older than `claimTtlMs` is broken
+    *     once (claimant presumed crashed); published claims are never
+    *     broken — they are the commit record protecting live version
+    *     dirs from being overwritten by a writer racing an old base.
+    *  3. Write the snapshot data into the claimed version dir.
+    *  4. Fence #2: the claim must still carry OUR token (a TTL-breaker
+    *     may have taken the slot while we stalled) and current must still
+    *     equal `base`. On either failure the loser deletes what it wrote
+    *     (only if it still owns the claim) and conflicts; it never
+    *     touches the pointer.
+    *  5. Flip the pointer.
+    *
+    * The loser's retry re-enters with the WINNER's version as its new
+    * base and lands on top — nothing is ever silently dropped. */
+  def commitFrom(spark: SparkSession, root: String, base: Option[String],
+                 claimTtlMs: Long = DefaultClaimTtlMs)
+                (write: String => Unit): String = {
     val rootPath = new Path(root)
     val fs = fsOf(rootPath, spark)
-    val seq = currentName(spark, root)
+    val cur0 = currentName(spark, root)
+    if (cur0 != base)
+      throw new ConcurrentCommitException(
+        s"table $root advanced to ${cur0.getOrElse("<none>")} since this " +
+          s"commit read ${base.getOrElse("<none>")} — re-read and retry")
+    val seq = base
       .flatMap(n => "^v(\\d+)".r.findFirstMatchIn(n).map(_.group(1).toLong))
       .getOrElse(0L)
     val name = f"v${seq + 1}%09d"
+    val token = java.util.UUID.randomUUID().toString
+    claimSlot(spark, fs, root, name, token, claimTtlMs)
     val dir = new Path(new Path(rootPath, SnapshotsDir), name)
-    write(dir.toString)
+    // we own the slot, so anything already at its dir is debris from a
+    // crashed earlier attempt (a PUBLISHED version could not be claimed);
+    // clear it so the callback starts from an empty dir in any save mode
+    if (fs.exists(dir)) fs.delete(dir, true)
+    // a write() that THROWS releases its slot immediately (we still own
+    // the claim): the crashed attempt's data stays on disk, invisible —
+    // the established crash-isolation contract — and a retry re-claims
+    // the same slot without waiting out the TTL. Only JVM death mid-write
+    // leaves a claim that must age out.
+    try write(dir.toString)
+    catch {
+      case e: Throwable =>
+        if (claimToken(fs, claimPath(root, name)).contains(token))
+          fs.delete(claimPath(root, name), false)
+        throw e
+    }
+    // fence #2 — between our claim and this point a TTL-breaker may have
+    // taken the slot, or (if our claim was broken) the table may have
+    // moved; check ownership FIRST: once the claim is someone else's, the
+    // version dir is theirs too and we must not delete it
+    if (!claimToken(fs, claimPath(root, name)).contains(token))
+      throw new ConcurrentCommitException(
+        s"claim on $name at $root was broken (writer presumed crashed " +
+          s"after ${claimTtlMs}ms) and the slot re-used — recompute and retry")
+    if (currentName(spark, root) != base) {
+      fs.delete(dir, true)
+      fs.delete(claimPath(root, name), false)
+      throw new ConcurrentCommitException(
+        s"table $root advanced past ${base.getOrElse("<none>")} before " +
+          s"$name could publish — recompute and retry")
+    }
     publishPointer(spark, root, name)
     name
+  }
+
+  private[graft] def claimPath(root: String, name: String): Path =
+    new Path(new Path(root, SnapshotsDir), s"$name.claim")
+
+  /** `<token>\t<epoch-millis>` content of a claim file, if readable. */
+  private def claimContent(fs: FileSystem, p: Path): Option[(String, Long)] =
+    try {
+      val in = fs.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+      val i = s.indexOf('\t')
+      if (i < 0) None else Some((s.substring(0, i), s.substring(i + 1).toLong))
+    } catch { case _: java.io.IOException | _: NumberFormatException => None }
+
+  private def claimToken(fs: FileSystem, p: Path): Option[String] =
+    claimContent(fs, p).map(_._1)
+
+  /** Atomically take version slot `name` or raise
+    * [[ConcurrentCommitException]]. Create-exclusive is the CAS; an
+    * existing claim is broken only when its version was never published
+    * AND its stamp exceeds the TTL. */
+  private def claimSlot(spark: SparkSession, fs: FileSystem, root: String,
+                        name: String, token: String, ttlMs: Long): Unit = {
+    val claim = claimPath(root, name)
+    val lock = claimLocks.computeIfAbsent(claim.toString, _ => new Object)
+    lock.synchronized {
+      def tryCreate(): Boolean =
+        try {
+          val out = fs.create(claim, false)
+          try out.write(s"$token\t${System.currentTimeMillis()}".getBytes("UTF-8"))
+          finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (tryCreate()) return
+      // slot taken: published claims are permanent commit records; an
+      // unpublished one is breakable once its writer is presumed dead
+      val published = currentName(spark, root).exists(_ >= name)
+      val stale = claimContent(fs, claim)
+        .forall { case (_, ts) => System.currentTimeMillis() - ts > ttlMs }
+      if (!published && stale) {
+        fs.delete(claim, false)
+        if (tryCreate()) return
+      }
+      throw new ConcurrentCommitException(
+        s"version $name at $root already claimed by a racing writer — " +
+          s"re-read the current snapshot and retry")
+    }
   }
 
   /** Atomically point `_CURRENT` at `name`: write a temp pointer file,
@@ -236,6 +387,20 @@ object SnapshotStore {
     victims.foreach { n =>
       fs.delete(new Path(snaps, n), true)
       fs.delete(manifestPath(root, n), false)
+      fs.delete(claimPath(root, n), false)
+    }
+    // claim files are the commit records of their version dirs; once the
+    // dir is gone (vacuumed above, or a writer crashed between claim and
+    // write) a claim only blocks slot reuse — collect it when its version
+    // is already superseded or its writer is past the break TTL
+    fs.listStatus(snaps).filter(f =>
+      f.isFile && f.getPath.getName.endsWith(".claim")).foreach { f =>
+      val ver = f.getPath.getName.stripSuffix(".claim")
+      val dirGone = !fs.exists(new Path(snaps, ver))
+      val superseded = current.exists(_ >= ver)
+      val stale = claimContent(fs, f.getPath).forall { case (_, ts) =>
+        System.currentTimeMillis() - ts > DefaultClaimTtlMs }
+      if (dirGone && (superseded || stale)) fs.delete(f.getPath, false)
     }
     victims.length
   }
@@ -341,6 +506,18 @@ sealed trait TableCommit {
   def read(spark: SparkSession, path: String): DataFrame
   /** Publish `df` as the table's new full snapshot; returns rows written. */
   def publish(df: DataFrame, path: String, partitionColumns: Seq[String]): Long
+  /** The version a read-modify-write cycle should fence its publish on —
+    * capture BEFORE [[read]], hand to [[publishFrom]]. None when the
+    * protocol has no version notion (directory swap) or the table has
+    * never been published. */
+  def version(spark: SparkSession, path: String): Option[String] = None
+  /** [[publish]] fenced on `base`: raises
+    * [[ConcurrentCommitException]] if another writer published since
+    * `base` was captured, instead of silently overwriting their commit.
+    * Protocols without versions degrade to last-writer-wins [[publish]]. */
+  def publishFrom(df: DataFrame, path: String, partitionColumns: Seq[String],
+                  base: Option[String]): Long =
+    publish(df, path, partitionColumns)
 }
 
 object TableCommit {
@@ -403,11 +580,20 @@ object PointerCommit extends TableCommit {
   override def read(spark: SparkSession, path: String): DataFrame =
     SnapshotStore.read(spark, path)
 
+  override def version(spark: SparkSession, path: String): Option[String] =
+    SnapshotStore.currentName(spark, path)
+
   override def publish(df: DataFrame, path: String,
-                       partitionColumns: Seq[String]): Long = {
+                       partitionColumns: Seq[String]): Long =
+    publishFrom(df, path, partitionColumns,
+      SnapshotStore.currentName(df.sparkSession, path))
+
+  override def publishFrom(df: DataFrame, path: String,
+                           partitionColumns: Seq[String],
+                           base: Option[String]): Long = {
     val spark = df.sparkSession
     var written = 0L
-    SnapshotStore.commit(spark, path) { dir =>
+    SnapshotStore.commitFrom(spark, path, base) { dir =>
       written = TableCommit.writeCounted(df, dir, partitionColumns)
     }
     written

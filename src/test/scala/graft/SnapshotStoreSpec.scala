@@ -61,8 +61,11 @@ class SnapshotStoreSpec extends SparkSuite {
     assert(PointerCommit.read(spark, root).count() === 4)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // count version DIRS: commit-record .claim files coexist in
+    // _snapshots (one per retained version; ConcurrencySpec pins their
+    // lifecycle)
     val left = fs.listStatus(new org.apache.hadoop.fs.Path(root, "_snapshots"))
-      .map(_.getPath.getName).toSet
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
     assert(left.contains(SnapshotStore.currentName(spark, root).get))
     assert(left.size === 2)
   }
