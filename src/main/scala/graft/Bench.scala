@@ -2,15 +2,20 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark entry point. Times every registered query at
-  * SPARK_GRAFT_SF_DIR and prints three JSON lines:
+  * SPARK_GRAFT_SF_DIR and emits totals through three independent
+  * channels, because the recording harness keeps only a ~2 KB tail of
+  * stdout (BENCH_r04 lost its totals to the detail map's length;
+  * BENCH_r07 captured the tail but could not parse a totals line out
+  * of it):
   *
-  *   1. a compact `"metric":"total"` SUMMARY line — emitted FIRST so a
-  *      head-truncated capture still carries the totals,
-  *   2. a `"metric":"detail"` line with every per-query time,
-  *   3. the identical summary line again, LAST — the harness that records
-  *      bench output keeps only a ~2 KB tail of stdout, and the full
-  *      150+-query detail map overflows it (BENCH_r04 lost its total
-  *      exactly this way). Whichever end survives, the totals do.
+  *   1. `GRAFT_BENCH_JSON: {...}` — a sentinel-prefixed ~250-byte
+  *      compact totals line, printed FIRST and LAST: grep the sentinel,
+  *      parse the rest of the line as JSON,
+  *   2. stdout lines: full summary (`"metric":"total"`, with medians and
+  *      headline queries), the `"metric":"detail"` per-query map, and
+  *      the full summary repeated last,
+  *   3. `bench_summary.json` in the working directory — the full summary
+  *      as a file, immune to stdout truncation entirely.
   *
   * The summary splits the total into `total_read` (the headline engine
   * queries — the apples-to-apples comparison against BASELINE.md's
@@ -107,17 +112,31 @@ object Bench {
       name -> runs(runs.length / 2)
     }
 
-    val summary =
+    val compact =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
       s""","n_queries":${results.size}""" +
       s""","total_read":${fmt(reads.map(_._2).sum)},"n_read":${reads.size}""" +
       s""","total_write_gates":${fmt(writes.map(_._2).sum)},"n_write_gates":${writes.size}""" +
-      s""","medians":${jmap(medians)}""" +
-      s""","queries":${jmap(headline.flatMap(k => byName.get(k).map(k -> _)))}""" +
       s""","sf":"$sfDir"}"""
+    val summary = compact.dropRight(1) +
+      s""","medians":${jmap(medians)}""" +
+      s""","queries":${jmap(headline.flatMap(k => byName.get(k).map(k -> _)))}}"""
+    // The harness keeps only a ~2 KB tail of stdout and parses what it
+    // finds there; the full summary alone can overflow that window. So:
+    // a sentinel-prefixed COMPACT totals line (~250 bytes) goes out first
+    // AND last, and the full machine-readable summary is also written to
+    // bench_summary.json in the working directory — three independent
+    // ways for the totals to survive any truncation.
+    println(s"GRAFT_BENCH_JSON: $compact")
     println(summary)
     println(s"""{"metric":"detail","unit":"sec","queries":${jmap(results)},"sf":"$sfDir"}""")
     println(summary)
+    println(s"GRAFT_BENCH_JSON: $compact")
+    try {
+      val w = new java.io.PrintWriter(
+        new java.io.File("bench_summary.json"), "UTF-8")
+      try w.println(summary) finally w.close()
+    } catch { case _: java.io.IOException => () }
     spark.stop()
   }
 }
