@@ -4,8 +4,9 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftDatasetShim, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, BindReferences, BoundReference, Expression, GreaterThan, GreaterThanOrEqual, JoinedRow, LessThan, LessThanOrEqual, UnsafeProjection}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode}
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodeGenerator, ExprCode, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, BROADCAST, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -57,9 +58,13 @@ object RangeJoin {
     * their expr-ids collide with the probe side (self-join safety). */
   def bandJoin(probe: DataFrame, bands: DataFrame, value: String,
                lo: String, hi: String, loInclusive: Boolean = true,
-               hiInclusive: Boolean = false): DataFrame = {
+               hiInclusive: Boolean = false,
+               joinType: String = "inner"): DataFrame = {
     val spark = probe.sparkSession
     install(spark)
+    val jt = JoinType(joinType)
+    require(jt == Inner || jt == LeftOuter || jt == LeftSemi,
+      s"bandJoin supports inner, left_outer and left_semi, not $joinType")
     val pPlan = probe.queryExecution.analyzed
     var bPlan = bands.queryExecution.analyzed
     if (pPlan.outputSet.intersect(bPlan.outputSet).nonEmpty)
@@ -83,17 +88,24 @@ object RangeJoin {
       throw new IllegalArgumentException(
         s"bandJoin value type ${vAttr.dataType.simpleString} is not orderable")
     val node = RangeJoinPlan(pPlan, bPlan, vAttr,
-      loAttr, hiAttr, loInclusive, hiInclusive)
+      loAttr, hiAttr, loInclusive, hiInclusive, jt)
     GraftDatasetShim.ofRows(spark, node)
   }
 }
 
-/** Logical band join: output = probe ++ bands, inner semantics. */
+/** Logical band join. Output by join type: Inner → probe ++ bands,
+  * LeftOuter → probe ++ bands-as-nullable (unmatched and null-valued
+  * probe rows keep their band columns null), LeftSemi → probe only. */
 case class RangeJoinPlan(left: LogicalPlan, right: LogicalPlan,
                          value: Expression, lo: Expression, hi: Expression,
-                         loInclusive: Boolean, hiInclusive: Boolean)
+                         loInclusive: Boolean, hiInclusive: Boolean,
+                         joinType: JoinType = Inner)
     extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] = joinType match {
+    case LeftSemi => left.output
+    case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
+    case _ => left.output ++ right.output
+  }
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): RangeJoinPlan =
     copy(left = newLeft, right = newRight)
@@ -152,7 +164,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       side.stats.sizeInBytes <= conf.autoBroadcastJoinThreshold)
 
   private def asBandJoin(probe: LogicalPlan, bands: LogicalPlan,
-                         conjuncts: Seq[Expression]): Option[RangeJoinPlan] = {
+                         conjuncts: Seq[Expression],
+                         joinType: JoinType): Option[RangeJoinPlan] = {
     val Seq(c1, c2) = conjuncts
     for {
       (v1, b1) <- classify(c1, probe, bands)
@@ -161,9 +174,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       if org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(v1.dataType)
       plan <- (b1, b2) match {
         case (Lower(lo, li), Upper(hi, hiI)) =>
-          Some(RangeJoinPlan(probe, bands, v1, lo, hi, li, hiI))
+          Some(RangeJoinPlan(probe, bands, v1, lo, hi, li, hiI, joinType))
         case (Upper(hi, hiI), Lower(lo, li)) =>
-          Some(RangeJoinPlan(probe, bands, v1, lo, hi, li, hiI))
+          Some(RangeJoinPlan(probe, bands, v1, lo, hi, li, hiI, joinType))
         case _ => None // two lowers / two uppers: not a band
       }
     } yield plan
@@ -173,22 +186,27 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   // skipped by a bitmask check instead of a full-tree traversal
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformWithPruning(
     _.containsPattern(org.apache.spark.sql.catalyst.trees.TreePattern.JOIN)) {
-    case j @ Join(left, right, Inner, Some(cond), hint) =>
+    case j @ Join(left, right, jt @ (Inner | LeftOuter | LeftSemi),
+                  Some(cond), hint) =>
       val split = splitAnd(cond)
       if (split.length != 2) j
       else {
         val rightHinted = hint.rightHint.exists(_.strategy.contains(BROADCAST))
         val leftHinted = hint.leftHint.exists(_.strategy.contains(BROADCAST))
         val bandsOnRight =
-          if (broadcastable(right, rightHinted)) asBandJoin(left, right, split)
+          if (broadcastable(right, rightHinted)) asBandJoin(left, right, split, jt)
           else None
         bandsOnRight match {
           case Some(p) => p
           case None =>
-            // probe on the right, bands on the left: join, then restore
-            // the original left++right attribute order
+            // probe on the right, bands on the left: swap, then restore
+            // the original left++right attribute order. Only sound for
+            // Inner — a LEFT outer/semi join preserves the LEFT side,
+            // and with bands there the probe is on the preserved side's
+            // opposite: not this operator's shape.
             val swapped =
-              if (broadcastable(left, leftHinted)) asBandJoin(right, left, split)
+              if (jt == Inner && broadcastable(left, leftHinted))
+                asBandJoin(right, left, split, jt)
               else None
             swapped match {
               case Some(p) => Project(j.output, p)
@@ -222,14 +240,14 @@ object RangeJoinStrategy extends SparkStrategy {
   }
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case RangeJoinPlan(l, r, v, lo, hi, li, hiI) =>
+    case RangeJoinPlan(l, r, v, lo, hi, li, hiI, jt) =>
       if (bandSideFits(r))
-        RangeJoinExec(v, lo, hi, li, hiI, planLater(l), planLater(r)) :: Nil
+        RangeJoinExec(v, lo, hi, li, hiI, jt, planLater(l), planLater(r)) :: Nil
       else {
         val lower = if (li) GreaterThanOrEqual(v, lo) else GreaterThan(v, lo)
         val upper = if (hiI) LessThanOrEqual(v, hi) else LessThan(v, hi)
         val cond = org.apache.spark.sql.catalyst.expressions.And(lower, upper)
-        planLater(Join(l, r, Inner, Some(cond),
+        planLater(Join(l, r, jt, Some(cond),
           org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)) :: Nil
       }
     case _ => Nil
@@ -321,10 +339,15 @@ case class RangeJoinIndexFactory(loBound: Expression, hiBound: Expression,
   */
 case class RangeJoinExec(value: Expression, lo: Expression, hi: Expression,
                          loInclusive: Boolean, hiInclusive: Boolean,
+                         joinType: JoinType,
                          left: SparkPlan, right: SparkPlan)
     extends BinaryExecNode with CodegenSupport {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] = joinType match {
+    case LeftSemi => left.output
+    case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
+    case _ => left.output ++ right.output
+  }
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
     UnspecifiedDistribution :: BroadcastDistribution(IdentityBroadcastMode) :: Nil
@@ -345,41 +368,64 @@ case class RangeJoinExec(value: Expression, lo: Expression, hi: Expression,
     val vBound = BindReferences.bindReference(value, left.output)
     val factory = indexFactory
     val (outAttrs, leftAttrs, rightAttrs) = (output, left.output, right.output)
+    val jt = joinType
 
     left.execute().mapPartitions({ iter =>
       val index = factory.build(bcast.value)
       val joined = new JoinedRow
-      val proj = UnsafeProjection.create(outAttrs, leftAttrs ++ rightAttrs)
+      // under LeftOuter the band fields CAN be null (the all-null pad
+      // row); binding against the original non-nullable attrs would let
+      // the projection skip isNullAt and read type defaults instead
+      val bindAttrs = leftAttrs ++ (
+        if (jt == LeftOuter) rightAttrs.map(_.withNullability(true))
+        else rightAttrs)
+      val proj = UnsafeProjection.create(outAttrs, bindAttrs)
+      val semiProj =
+        if (jt == LeftSemi) UnsafeProjection.create(outAttrs, leftAttrs) else null
+      val nullBand = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(rightAttrs.length)
 
       iter.flatMap { probeRow =>
         val v = vBound.eval(probeRow)
-        if (v == null) Iterator.empty
-        else {
-          val start = index.searchStart(v)
-          // The projection is materialized inside next() (never ahead of
-          // it): proj reuses one row buffer, so building the next match
-          // early would corrupt the row already handed downstream.
-          new Iterator[InternalRow] {
-            private var idx = start
-            private var found = -1
-            private def seek(): Unit = {
-              found = -1
-              while (idx >= 0 && found == -1) {
-                if (!index.canCover(idx, v)) idx = -1 // nothing left can cover v
-                else {
-                  if (index.matches(idx, v)) found = idx
-                  idx -= 1
+        val start = if (v == null) -1 else index.searchStart(v)
+        jt match {
+          case LeftSemi =>
+            // emit the probe row once iff ANY band covers it
+            var idx = start
+            var hit = false
+            while (idx >= 0 && !hit) {
+              if (!index.canCover(idx, v)) idx = -1
+              else { hit = index.matches(idx, v); idx -= 1 }
+            }
+            if (hit) Iterator.single(semiProj(probeRow)) else Iterator.empty
+          case _ =>
+            // The projection is materialized inside next() (never ahead of
+            // it): proj reuses one row buffer, so building the next match
+            // early would corrupt the row already handed downstream.
+            val inner = new Iterator[InternalRow] {
+              private var idx = start
+              private var found = -1
+              private def seek(): Unit = {
+                found = -1
+                while (idx >= 0 && found == -1) {
+                  if (!index.canCover(idx, v)) idx = -1 // nothing left can cover v
+                  else {
+                    if (index.matches(idx, v)) found = idx
+                    idx -= 1
+                  }
                 }
               }
-            }
-            seek()
-            override def hasNext: Boolean = found >= 0
-            override def next(): InternalRow = {
-              val r = proj(joined(probeRow, index.row(found)))
               seek()
-              r
+              override def hasNext: Boolean = found >= 0
+              override def next(): InternalRow = {
+                val r = proj(joined(probeRow, index.row(found)))
+                seek()
+                r
+              }
             }
-          }
+            if (jt == LeftOuter && !inner.hasNext)
+              Iterator.single(proj(joined(probeRow, nullBand)))
+            else inner
         }
       }
     }, preservesPartitioning = true)
@@ -410,28 +456,87 @@ case class RangeJoinExec(value: Expression, lo: Expression, hi: Expression,
 
     ctx.currentVars = input
     val valueEv = BindReferences.bindReference(value, left.output).genCode(ctx)
-    val bandRow = ctx.freshName("rangeJoinBandRow")
     ctx.currentVars = null
-    ctx.INPUT_ROW = bandRow
-    val bandVars = right.output.zipWithIndex.map { case (a, i) =>
-      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
-    }
-    ctx.INPUT_ROW = null
+    val bandRow = ctx.freshName("rangeJoinBandRow")
     val i = ctx.freshName("rangeJoinIdx")
     val vBoxed = ctx.freshName("rangeJoinProbe")
     val boxed = CodeGenerator.boxedType(value.dataType)
-    s"""
-       |${valueEv.code}
-       |if (!${valueEv.isNull}) {
-       |  Object $vBoxed = ($boxed) ${valueEv.value};
-       |  for (int $i = $idxTerm.searchStart($vBoxed);
-       |       $i >= 0 && $idxTerm.canCover($i, $vBoxed); $i--) {
-       |    if ($idxTerm.matches($i, $vBoxed)) {
-       |      InternalRow $bandRow = $idxTerm.row($i);
-       |      ${consume(ctx, input ++ bandVars)}
-       |    }
-       |  }
-       |}
-     """.stripMargin
+
+    joinType match {
+      case LeftSemi =>
+        // emit the probe row once on the FIRST covering band, then stop
+        s"""
+           |${valueEv.code}
+           |if (!${valueEv.isNull}) {
+           |  Object $vBoxed = ($boxed) ${valueEv.value};
+           |  for (int $i = $idxTerm.searchStart($vBoxed);
+           |       $i >= 0 && $idxTerm.canCover($i, $vBoxed); $i--) {
+           |    if ($idxTerm.matches($i, $vBoxed)) {
+           |      ${consume(ctx, input)}
+           |      break;
+           |    }
+           |  }
+           |}
+         """.stripMargin
+
+      case LeftOuter =>
+        // BroadcastHashJoin's non-unique outer shape: ONE consume site
+        // inside a loop that yields each match, or a single null band row
+        // when there were none (or the probe value is null). Band vars
+        // are hand-built null-guarded reads so a null bandRow reads as
+        // all-null band columns.
+        val bandVars = right.output.zipWithIndex.map { case (a, idx0) =>
+          val isNull = ctx.freshName("rangeJoinBandIsNull")
+          val v = ctx.freshName("rangeJoinBandValue")
+          val jType = CodeGenerator.javaType(a.dataType)
+          val getter = CodeGenerator.getValue(bandRow, a.dataType, idx0.toString)
+          val c =
+            code"""
+               |boolean $isNull = $bandRow == null || $bandRow.isNullAt($idx0);
+               |$jType $v = $isNull ? ${CodeGenerator.defaultValue(a.dataType)} : ($getter);
+             """.stripMargin
+          ExprCode(c, JavaCode.isNullVariable(isNull),
+            JavaCode.variable(v, a.dataType))
+        }
+        val found = ctx.freshName("rangeJoinFound")
+        s"""
+           |${valueEv.code}
+           |Object $vBoxed = ${valueEv.isNull} ? null : (Object)($boxed) ${valueEv.value};
+           |int $i = ($vBoxed == null) ? -1 : $idxTerm.searchStart($vBoxed);
+           |boolean $found = false;
+           |while (true) {
+           |  InternalRow $bandRow = null;
+           |  while ($i >= 0 && $idxTerm.canCover($i, $vBoxed)) {
+           |    boolean _m = $idxTerm.matches($i, $vBoxed);
+           |    if (_m) { $bandRow = $idxTerm.row($i); $i--; break; }
+           |    $i--;
+           |  }
+           |  if ($bandRow == null && $found) break;
+           |  $found = true;
+           |  ${consume(ctx, input ++ bandVars)}
+           |  if ($bandRow == null) break;
+           |}
+         """.stripMargin
+
+      case _ =>
+        ctx.INPUT_ROW = bandRow
+        val bandVars = right.output.zipWithIndex.map { case (a, idx0) =>
+          BoundReference(idx0, a.dataType, a.nullable).genCode(ctx)
+        }
+        ctx.INPUT_ROW = null
+        s"""
+           |${valueEv.code}
+           |if (!${valueEv.isNull}) {
+           |  Object $vBoxed = ($boxed) ${valueEv.value};
+           |  for (int $i = $idxTerm.searchStart($vBoxed);
+           |       $i >= 0 && $idxTerm.canCover($i, $vBoxed); $i--) {
+           |    if ($idxTerm.matches($i, $vBoxed)) {
+           |      InternalRow $bandRow = $idxTerm.row($i);
+           |      ${consume(ctx, input ++ bandVars)}
+           |    }
+           |  }
+           |}
+         """.stripMargin
+    }
   }
 }

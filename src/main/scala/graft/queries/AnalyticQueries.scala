@@ -180,6 +180,28 @@ object AnalyticQueries {
         .orderBy("band")
     }),
 
+    // RJ1c: LEFT band join — prices tagged with a SPARSE band dim
+    // (bands 10..24 only), unmatched rows KEPT with a null band. The
+    // declarative left join is rewritten to RangeJoinExec by
+    // RangeJoinRewrite (LeftOuter support; RangeJoinSpec plan-asserts
+    // not-BNL) — without it, Spark's only non-equi left-join plan is the
+    // O(n·m) BroadcastNestedLoopJoin.
+    "rj1c_left_band" -> ((s, d) => {
+      val bands = s.range(10, 25).select(
+        col("id").as("band"),
+        (col("id") * 2000).cast("double").as("lo"),
+        ((col("id") + 1) * 2000).cast("double").as("hi"))
+      lineitem(s, d)
+        .join(broadcast(bands),
+          col("l_extendedprice") >= col("lo") &&
+            col("l_extendedprice") < col("hi"), "left")
+        .groupBy("band")
+        .agg(
+          count(lit(1)).as("cnt"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("band").asc_nulls_first)
+    }),
+
     // RJ2: time-interval join — per click, how many views did the same
     // user make in the trailing 24h? Unlike rj1 (pure inequality against
     // a broadcast dim) the user_id EQUI key carries the join: Catalyst
@@ -392,6 +414,15 @@ object AnalyticQueries {
         |FROM lineitem l JOIN bands b
         |  ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
         |GROUP BY band ORDER BY band""".stripMargin,
+    "rj1c_left_band" ->
+      """WITH bands AS (
+        |  SELECT range AS band, range * 2000.0 AS lo, (range + 1) * 2000.0 AS hi
+        |  FROM range(10, 25))
+        |SELECT band, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem l LEFT JOIN bands b
+        |  ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+        |GROUP BY band ORDER BY band NULLS FIRST""".stripMargin,
     "j7_multiway_star" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)))

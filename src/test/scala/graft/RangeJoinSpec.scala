@@ -117,6 +117,95 @@ class RangeJoinSpec extends SparkSuite {
     assert(collected(df) === oracle(loInc = true, hiInc = false).sorted)
   }
 
+  // ------------------------------------------------ left outer / semi
+
+  /** Outer oracle: every probe row appears; unmatched (or null-valued)
+    * rows carry a null band. */
+  private def outerOracle(loInc: Boolean, hiInc: Boolean)
+      : Seq[(Long, Option[Double], Option[Long])] = {
+    val matched = oracle(loInc, hiInc).groupBy(_._1)
+    probeRows.flatMap { case (id, vOpt) =>
+      matched.get(id) match {
+        case Some(hits) if vOpt.isDefined =>
+          hits.map { case (_, v, b) => (id, Some(v), Some(b)) }
+        case _ => Seq((id, vOpt, None))
+      }
+    }
+  }
+
+  private def collectedOuter(df: DataFrame): Seq[(Long, Option[Double], Option[Long])] =
+    df.select("id", "v", "band").collect().map(r =>
+      (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq.sorted
+
+  for ((loInc, hiInc) <- Seq((true, false), (false, true)))
+    test(s"LEFT band join matches the outer oracle (loInclusive=$loInc, hiInclusive=$hiInc)") {
+      val got = RangeJoin.bandJoin(probe, bands, "v", "lo", "hi", loInc, hiInc,
+        joinType = "left_outer")
+      assert(collectedOuter(got) === outerOracle(loInc, hiInc).sorted)
+    }
+
+  test("LEFT band join keeps every probe row exactly once when unmatched") {
+    val got = RangeJoin.bandJoin(probe, bands, "v", "lo", "hi",
+      joinType = "left_outer")
+    // null-valued probes survive with null bands (an inner join drops them)
+    assert(got.filter(col("v").isNull).count() ===
+      probeRows.count(_._2.isEmpty))
+    assert(got.select("id").distinct().count() === probeRows.size)
+  }
+
+  test("LEFT SEMI band join emits each covered probe row once") {
+    val got = RangeJoin.bandJoin(probe, bands, "v", "lo", "hi",
+      joinType = "left_semi")
+    assert(got.columns.toSeq === probe.columns.toSeq, "semi keeps probe columns only")
+    val want = oracle(loInc = true, hiInc = false).map(_._1).distinct.sorted
+    assert(got.select("id").collect().map(_.getLong(0)).toSeq.sorted === want)
+  }
+
+  test("rewrite plans a declarative LEFT band join as RangeJoinExec (not BNL)") {
+    val df = probe.join(broadcast(bands),
+      col("v") >= col("lo") && col("v") < col("hi"), "left")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("RangeJoin"), s"left-outer rule did not fire:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNL survived:\n$plan")
+    assert(collectedOuter(df) === outerOracle(loInc = true, hiInc = false).sorted)
+  }
+
+  test("rewrite plans a declarative LEFT SEMI band join as RangeJoinExec") {
+    val df = probe.join(broadcast(bands),
+      col("v") >= col("lo") && col("v") < col("hi"), "left_semi")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("RangeJoin"), s"left-semi rule did not fire:\n$plan")
+    val want = oracle(loInc = true, hiInc = false).map(_._1).distinct.sorted
+    assert(df.select("id").collect().map(_.getLong(0)).toSeq.sorted === want)
+  }
+
+  test("LEFT band join: interpreted fallback matches codegen") {
+    val old = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val outer = RangeJoin.bandJoin(probe, bands, "v", "lo", "hi",
+        joinType = "left_outer")
+      assert(collectedOuter(outer) === outerOracle(loInc = true, hiInc = false).sorted)
+      val semi = RangeJoin.bandJoin(probe, bands, "v", "lo", "hi",
+        joinType = "left_semi")
+      assert(semi.select("id").collect().map(_.getLong(0)).toSeq.sorted ===
+        oracle(loInc = true, hiInc = false).map(_._1).distinct.sorted)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", old)
+  }
+
+  test("a LEFT join with bands on the LEFT is not rewritten (preserved side is the bands)") {
+    val df = broadcast(bands).join(probe,
+      col("v") >= col("lo") && col("v") < col("hi"), "left")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("RangeJoin"),
+      s"bands-preserving left join must stay with Catalyst:\n$plan")
+  }
+
   test("equi+band joins are left to Catalyst (rj2 shape must stay an equi join)") {
     val left = spark.range(100).toDF("k")
       .withColumn("v", (col("k") * 3 % 50).cast("double"))
