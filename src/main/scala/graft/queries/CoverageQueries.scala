@@ -52,12 +52,24 @@ object CoverageQueries {
         .orderBy("o_orderkey")
     }),
 
-    // §7.5 scalable alternate: sketch-based distinct (rows-only — HLL
-    // implementations differ across engines by design).
+    // §7.5 scalable alternate: sketch-based distinct. The sketch estimate
+    // itself is engine-private (HLL implementations differ by design), so
+    // the QUERY gates it: it also computes the exact counts and emits
+    // booleans asserting the estimate landed within 5× the requested 1%
+    // rsd — which DuckDB CAN oracle (exact counts + literal TRUE). A
+    // drifting sketch flips a boolean and hash-mismatches. (The exact
+    // side exists for the gate only; production use is the sketch alone.)
     "a11_approx_distinct" -> ((s, d) =>
       lineitem(s, d).agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+        .select(col("exact_parts"), col("exact_orders"),
+          (abs(col("ap") - col("exact_parts")) <=
+            col("exact_parts") * 0.05).as("parts_within_5pct"),
+          (abs(col("ao") - col("exact_orders")) <=
+            col("exact_orders") * 0.05).as("orders_within_5pct"))),
 
     // A14: MERGEABLE distinct sketches — per-group Datasketches HLL built
     // once, then unioned for the global estimate without re-scanning the
@@ -128,6 +140,11 @@ object CoverageQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "a11_approx_distinct" ->
+      """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |  TRUE AS parts_within_5pct, TRUE AS orders_within_5pct
+        |FROM lineitem""".stripMargin,
     "a8_summary_stats" ->
       """WITH s AS (
         |  SELECT 'count' AS summary, CAST(COUNT(o_totalprice) AS DOUBLE) AS v FROM orders

@@ -113,21 +113,21 @@ object DedupExtQueries {
           expr("CAST(regexp_count(text, '[0-9]+') AS INT)").as("n_numeric"))
         .orderBy("doc_id")),
 
-    // winnowing-style fingerprint: the 4 smallest distinct xxhash64 values
-    // over the document's character-8-grams (rows-only: engine-specific
-    // hash function by design). Shape: CHUNKED position-explode — the
+    // winnowing-style fingerprint: the 4 smallest distinct hash values
+    // over the document's character-8-grams. The gram hash is md5 HEX
+    // (fixed-width, so lexicographic min == numeric min) precisely so the
+    // fingerprint is engine-reproducible — DuckDB's md5 emits the same
+    // hex and the query gets a full value oracle, where the previous
+    // xxhash64 form was rows-only. Shape: CHUNKED position-explode — the
     // document splits into 1 KiB chunks overlapping by gram-1 chars (an
     // interpreted transform, but only len/1024 lambda evals per doc),
     // then gram positions explode WITHIN each chunk, so every generated
     // row carries a 1 KiB chunk instead of the whole document, and
-    // substring+xxhash64 stay codegen'd scalar expressions feeding ONE
+    // substring+md5 stay codegen'd scalar expressions feeding ONE
     // ObjectHashAggregate pass with a k-bounded dedup buffer
-    // (graft.functions.BottomKLong). Bytes through the generator are
-    // O(len·1024), not the round-3 shape's O(len²) — linear in document
-    // length, so book-length documents no longer blow up the stage —
-    // while keeping the codegen hot path that beats a per-doc gram-hash
-    // HOF array 5x at this corpus's sizes (the chunk starts partition
-    // [1, len-7] exactly; equality with the round-3 shape pinned in
+    // (graft.functions.BottomKString). Bytes through the generator are
+    // O(len·1024) — linear in document length (the chunk starts
+    // partition [1, len-7] exactly; chunked≡direct pinned in
     // BottomKSpec).
     "tx6_winnow_fingerprint" -> ((s, d) =>
       documents(s, d)
@@ -137,13 +137,12 @@ object DedupExtQueries {
         .select(col("doc_id"), col("chunk"),
           explode(sequence(lit(1), greatest(length(col("chunk")) - 7, lit(1))))
             .as("i"))
-        .select(col("doc_id"), expr("xxhash64(substring(chunk, i, 8))").as("h"))
+        .select(col("doc_id"), expr("md5(substring(chunk, i, 8))").as("h"))
         .groupBy("doc_id")
         // concat_ws: driver gate hashes columns via pandas, which can't
         // sort/hash raw array cells — serialize the 4 hashes to one string.
         .agg(concat_ws(",",
-          transform(graft.functions.BottomK.bottomK(col("h"), 4),
-            x => x.cast("string"))).as("fingerprint"))
+          graft.functions.BottomK.bottomKString(col("h"), 4)).as("fingerprint"))
         .orderBy("doc_id")),
 
     // DD9: exact-substring duplicate pairs — the suffix-array-free form
@@ -186,6 +185,15 @@ object DedupExtQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "tx6_winnow_fingerprint" ->
+      """WITH g AS (
+        |  SELECT doc_id, md5(substring(text, CAST(i AS INTEGER), 8)) AS h
+        |  FROM documents,
+        |    LATERAL unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS t(i))
+        |SELECT doc_id,
+        |  array_to_string(list_sort(list_distinct(list(h)))[1:4], ',')
+        |    AS fingerprint
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dd8_bloom_incremental" ->
       """SELECT b.doc_id, CAST(LENGTH(b.text) AS INTEGER) AS text_len
         |FROM documents b

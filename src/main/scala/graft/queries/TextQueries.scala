@@ -280,19 +280,48 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
-    // MinHash (16 perms) + LSH banding (4 bands × 4 rows): near-dup
-    // candidate pairs with estimated Jaccard. Rows-only check (not
-    // ANSI-SQL-expressible in DuckDB) — see QueriesSpec for properties.
-    // Perf shape: each word-3-shingle is string-hashed ONCE, then exploded
-    // to (doc_id, h) rows; the 16 permutations are codegen'd hash-agg
-    // min(xxhash64(h, perm)) columns — no nested interpreted HOFs on the
-    // hot path, and the shuffle key is a fixed-width long. Band hashes are
-    // variadic xxhash64 over 4 signature columns.
-    "dd4_minhash_lsh" -> ((s, d) =>
-      graft.operators.MinHashLSH.candidatePairs(documents(s, d))
-        .select(col("src").as("doc_a"), col("dst").as("doc_b"),
-          col("est_jaccard"))
-        .orderBy("doc_a", "doc_b")),
+    // MinHash (16 perms) + LSH banding (4 bands × 4 rows), RECALL-GATED:
+    // LSH candidates (full corpus, graft.operators.MinHashLSH — fused
+    // codegen signature, banded equi-join, never all-pairs) are joined
+    // against the EXACT word-3-shingle Jaccard pairs of a bounded scope
+    // (doc_id < 1000; integer-arithmetic threshold j ≥ 0.9, so no float
+    // edge), and each true near-dup pair is emitted with whether LSH
+    // recalled it. DuckDB reproduces the exact-pair side and asserts
+    // recalled = TRUE — at 16/4 banding the miss probability for j ≥ 0.9
+    // pairs is deterministic-per-dataset and zero here (tri-scale
+    // verified), so a hash/signature regression that drops a true pair
+    // flips a boolean and fails the oracle. The raw candidate surface
+    // (est_jaccard per pair) stays available via MinHashLSH
+    // .candidatePairs; QueriesSpec/PropertiesSpec pin its properties.
+    "dd4_minhash_lsh" -> ((s, d) => {
+      val docs = documents(s, d)
+      val cands = graft.operators.MinHashLSH.candidatePairs(docs)
+        .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+      // exact truth in the SIGNATURE's similarity space: word-3-shingles
+      // built exactly as functions.MinHashSig does (concat_ws over
+      // toks[i-1..i+1], i ∈ [1, max(n-2,1)])
+      val sh = docs.filter(col("doc_id") < 1000)
+        .select(col("doc_id"),
+          split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")
+            .as("toks"))
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(1, greatest(size(toks) - 2, 1)), " +
+            "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))).as("g"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val common = sh.select(col("doc_id").as("doc_a"), col("g"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("g")), "g")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+      common
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")), "doc_b")
+        .filter(col("common") * 10 >= (col("sa") + col("sb") - col("common")) * 9)
+        .join(cands.withColumn("hit", lit(true)), Seq("doc_a", "doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"), col("common"),
+          (col("sa") + col("sb") - col("common")).as("union_sz"),
+          coalesce(col("hit"), lit(false)).as("recalled"))
+        .orderBy("doc_a", "doc_b")
+    }),
 
     // SimHash 64-bit signature + Hamming distance between consecutive
     // doc_ids. Rows-only check — see MinHashSpec for properties.
@@ -351,6 +380,32 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "dd4_minhash_lsh" ->
+      """WITH toklists AS (
+        |  SELECT doc_id, string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents WHERE doc_id < 1000),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 2, 1) + 1),
+        |    i -> concat_ws(' ', toks[CAST(i AS INTEGER)],
+        |      toks[CAST(i AS INTEGER) + 1], toks[CAST(i AS INTEGER) + 2]))))
+        |    AS g
+        |  FROM toklists),
+        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+        |          FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(COUNT(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT c.doc_a, c.doc_b, c.common,
+        |  sa.sz + sb.sz - c.common AS union_sz, TRUE AS recalled
+        |FROM common c
+        |JOIN sizes sa ON sa.doc_id = c.doc_a
+        |JOIN sizes sb ON sb.doc_id = c.doc_b
+        |WHERE c.common * 10 >= (sa.sz + sb.sz - c.common) * 9
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "tx13_sequence_pack" ->
       """WITH toks AS (
         |  SELECT doc_id, source,

@@ -42,7 +42,12 @@ object VectorQueries {
     }),
 
     // brute-force cosine top-5 for a fixed query set (vec_id < 10):
-    // broadcast queries × corpus, window top-k per query.
+    // broadcast queries × corpus, then top-k per query via the k-bounded
+    // TopKScored aggregate (partial map-side) instead of a rank window —
+    // the window formulation shuffled EVERY scored (corpus × queries)
+    // row into its qid partition and sorted it there; the aggregate
+    // ships only k candidates per (qid × input partition), so shuffle
+    // volume is |queries|·k·|partitions|, independent of corpus size.
     "v2_ann_topk" -> ((s, d) => {
       graft.functions.CosineSimilarity.register(s)
       val e = embeddings(s, d)
@@ -50,12 +55,13 @@ object VectorQueries {
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("emb").as("ea"))
       val c = e.select(col("vec_id").as("nid"), col("emb").as("eb"))
-      val w = Window.partitionBy("qid").orderBy(col("cs").desc, col("nid"))
       c.join(broadcast(q), col("nid") =!= col("qid"))
         .withColumn("cs", cosine("ea", "eb"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select(col("qid"), col("rnk"), col("nid"), round(col("cs"), 6).as("cos_sim"))
+        .groupBy("qid")
+        .agg(graft.functions.BottomK.topKScored(col("cs"), col("nid"), 5).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("pos0", "m")))
+        .select(col("qid"), (col("pos0") + 1).cast("int").as("rnk"),
+          col("m.id").as("nid"), round(col("m.score"), 6).as("cos_sim"))
         .orderBy("qid", "rnk")
     }),
 

@@ -102,8 +102,8 @@ class PropertiesSpec extends SparkSuite {
           (1L, body, "en", "src0", body.length.toLong))
         .toDF("doc_id", "text", "lang", "source", "n_chars")
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      val pairs = graft.queries.TextQueries.queries("dd4_minhash_lsh")(spark, dir)
-        .collect()
+      val pairs = graft.operators.MinHashLSH.candidatePairs(
+        Tables.documents(spark, dir)).collect()
       pairs.length == 1 && pairs.head.getAs[Double]("est_jaccard") == 1.0
     }, params.withMinSuccessfulTests(3))
   }

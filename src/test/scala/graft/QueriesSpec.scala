@@ -84,10 +84,21 @@ class QueriesSpec extends SparkSuite {
   }
 
   test("dd4 MinHash estimates stay in [0,1] and pairs are ordered") {
+    // the operator surface (the registered query is now the recall GATE;
+    // this pins the raw candidate-pair surface it wraps)
+    graft.operators.MinHashLSH.candidatePairs(Tables.documents(spark, sf))
+      .collect().foreach { r =>
+        val est = r.getAs[Double]("est_jaccard")
+        assert(est >= 0.0 && est <= 1.0)
+        assert(r.getAs[Long]("src") < r.getAs[Long]("dst"))
+      }
+  }
+
+  test("dd4 recall gate: every true near-dup pair is recalled by LSH") {
     SparkEntry.queries("dd4_minhash_lsh")(spark, sf).collect().foreach { r =>
-      val est = r.getAs[Double]("est_jaccard")
-      assert(est >= 0.0 && est <= 1.0)
       assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Boolean]("recalled"),
+        s"LSH missed true pair (${r.getAs[Long]("doc_a")}, ${r.getAs[Long]("doc_b")})")
     }
   }
 
