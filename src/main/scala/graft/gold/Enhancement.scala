@@ -21,20 +21,49 @@ import graft.schema.Mappings
   */
 object Enhancement {
 
-  /** district-median price imputation with city + national fallbacks
-    * (data_enhancement.py:18-157). */
-  def imputeMissingPrices(df: DataFrame): DataFrame = {
+  /** The imputation statistics of a silver snapshot — one row per
+    * (city, district) at level 'district' plus one per city at level
+    * 'city' (district null): the median unit price among PRICED rows and
+    * the priced-row count (the count is the drift signal incremental
+    * consumers watch; the median is all imputation ever reads). This
+    * table is tiny (|city × district|) and is what [[GoldEtl]] persists
+    * at re-baseline so incremental runs never re-scan the corpus for
+    * stats. */
+  def imputationStats(df: DataFrame): DataFrame = {
     val priced = df.filter(col("avg_unit_price").isNotNull &&
       col("avg_unit_price") > 0 && col("city").isNotNull)
-    val districtStats = priced.filter(col("district").isNotNull)
+    val district = priced.filter(col("district").isNotNull)
       .groupBy("city", "district")
-      .agg(median(col("avg_unit_price")).as("district_median_unit_price"),
-        avg(col("avg_unit_price")).as("district_avg_unit_price"),
-        stddev_samp(col("avg_unit_price")).as("district_std_unit_price"),
-        count(lit(1)).as("district_sample_count"))
-    val cityStats = priced.groupBy("city")
-      .agg(median(col("avg_unit_price")).as("city_median_unit_price"),
-        avg(col("avg_unit_price")).as("city_avg_unit_price"))
+      .agg(median(col("avg_unit_price")).as("median_unit_price"),
+        count(lit(1)).as("n_priced"))
+      .withColumn("level", lit("district"))
+    val city = priced.groupBy("city")
+      .agg(median(col("avg_unit_price")).as("median_unit_price"),
+        count(lit(1)).as("n_priced"))
+      .withColumn("district", lit(null).cast("string"))
+      .withColumn("level", lit("city"))
+    district.unionByName(city)
+      .select("level", "city", "district", "median_unit_price", "n_priced")
+  }
+
+  /** district-median price imputation with city + national fallbacks
+    * (data_enhancement.py:18-157). Stats from `df` itself — full-run
+    * parity semantics. */
+  def imputeMissingPrices(df: DataFrame): DataFrame =
+    imputeMissingPricesWith(df, imputationStats(df))
+
+  /** [[imputeMissingPrices]] against a PROVIDED stats table (schema of
+    * [[imputationStats]]) — the churn-proportional path: callers hand in
+    * persisted stats and `df` can be a partition-pruned slice, with no
+    * corpus-wide aggregation in this plan at all. Byte-identical to
+    * [[imputeMissingPrices]] when `stats` equals `imputationStats` of
+    * the full snapshot. */
+  def imputeMissingPricesWith(df: DataFrame, stats: DataFrame): DataFrame = {
+    val districtStats = stats.filter(col("level") === "district")
+      .select(col("city"), col("district"),
+        col("median_unit_price").as("district_median_unit_price"))
+    val cityStats = stats.filter(col("level") === "city")
+      .select(col("city"), col("median_unit_price").as("city_median_unit_price"))
 
     df.join(broadcast(districtStats), Seq("city", "district"), "left")
       .join(broadcast(cityStats), Seq("city"), "left")
@@ -59,9 +88,7 @@ object Enhancement {
       .withColumn("max_selling_price",
         when(col("price_imputed"), col("avg_selling_price") * 1.1)
           .otherwise(col("max_selling_price")))
-      .drop("district_median_unit_price", "district_avg_unit_price",
-        "district_std_unit_price", "district_sample_count",
-        "city_median_unit_price", "city_avg_unit_price",
+      .drop("district_median_unit_price", "city_median_unit_price",
         "imputed_unit_price", "imputed_selling_price")
   }
 
@@ -137,4 +164,12 @@ object Enhancement {
   /** full enhancement chain (data_enhancement.py:344-365). */
   def enhanceSilverData(spark: SparkSession, df: DataFrame): DataFrame =
     updateQualityScores(geocodeMissingCoordinates(spark, imputeMissingPrices(df)))
+
+  /** [[enhanceSilverData]] with persisted imputation stats — geocoding
+    * and quality scores are row-local, so this is the whole chain with
+    * zero corpus-wide aggregation. */
+  def enhanceSilverDataWith(spark: SparkSession, df: DataFrame,
+                            stats: DataFrame): DataFrame =
+    updateQualityScores(geocodeMissingCoordinates(spark,
+      imputeMissingPricesWith(df, stats)))
 }

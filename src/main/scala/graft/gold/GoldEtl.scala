@@ -155,10 +155,19 @@ object GoldEtl {
                   graft.store.DirectorySwapCommit): Unit =
     commit.publish(df, goldPath, Seq("quality_tier", "year", "month"))
 
+  /** Sibling table holding [[Enhancement.imputationStats]] of the silver
+    * snapshot the last FULL gold run (re-baseline) saw — the state that
+    * makes [[runIncremental]] churn-proportional. */
+  def statsPath(goldPath: String): String = {
+    val p = new org.apache.hadoop.fs.Path(goldPath)
+    new org.apache.hadoop.fs.Path(p.getParent, p.getName + "__stats").toString
+  }
+
   /** Incremental gold — recompute ONLY the (year, month) ingestion groups
     * touched by silver changes on `runDate`, instead of the reference's
     * full overwrite (gold_ml_etl.py:458-464). This is the 100 TB shape:
-    * gold write volume is proportional to the day's churn, not the table.
+    * gold READ, compute, and WRITE volume are all proportional to the
+    * day's churn, not the table.
     *
     * Affected groups = ingestion year-months of versions that became
     * current on `runDate` (valid_from) PLUS versions closed out on
@@ -171,12 +180,21 @@ object GoldEtl {
     * untouched (on object stores use a table-format commit instead of
     * dir renames).
     *
-    * Exact parity with the full run: enhancement stats (district/city
-    * medians) are computed over the FULL current snapshot before the
-    * affected-group filter, so imputed values match what the full job
-    * would produce for those rows. (Unchanged partitions keep their
-    * older imputations until touched — re-baseline with a periodic full
-    * run, as with any incremental feature store.)
+    * Imputation stats: the only corpus-wide state in the whole pipeline
+    * (district/city price medians — everything else is row-local). When
+    * the persisted stats table ([[statsPath]], published by every full
+    * run and by the first incremental) exists, this run reads it instead
+    * of re-aggregating the corpus, and the silver scan PRUNES to the
+    * affected (ingestion_year, ingestion_month) partitions — the full
+    * current snapshot is never read. Churned partitions' output is then
+    * byte-equal to a full run executed at the stats' baseline. The
+    * DOCUMENTED DRIFT WINDOW: rows whose imputation group's median moved
+    * since the baseline keep the baseline's imputed values until the
+    * next full run re-baselines the stats — the standard incremental
+    * feature-store contract (stats lag churn; re-baseline bounds the
+    * lag). Without a stats table the run falls back to full-snapshot
+    * stats (exact, legacy shape) and publishes the table so the NEXT run
+    * is incremental.
     */
   def runIncremental(spark: SparkSession, silverPath: String, goldPath: String,
                      runDate: String,
@@ -206,11 +224,41 @@ object GoldEtl {
       import spark.implicits._
       affectedKeys.toSeq.toDF("year", "month")
     }
-    val silver = conformToSilverSchema(readSilver(spark, silverPath, commit, layout))
-    val enhanced = Enhancement.enhanceSilverData(spark, silver)
+    val statsP = statsPath(goldPath)
+    val stats =
+      if (commit.exists(spark, statsP)) Some(commit.read(spark, statsP))
+      else None
+    val silverFull = conformToSilverSchema(
+      readSilver(spark, silverPath, commit, layout))
+    // partition-pruned read: with persisted stats nothing downstream
+    // needs unchurned rows, and (ingestion_year, ingestion_month) are
+    // the silver table's own partition columns, so this predicate prunes
+    // whole directories at the scan. Cast handles zero-padded values.
+    val canPrune = stats.isDefined &&
+      silverFull.columns.contains("ingestion_year") &&
+      silverFull.columns.contains("ingestion_month")
+    val silver =
+      if (canPrune)
+        silverFull.filter(affectedKeys.map { case (y, m) =>
+          col("ingestion_year").cast("int") === y &&
+            col("ingestion_month").cast("int") === m
+        }.reduce(_ || _))
+      else silverFull
+    val enhanced = stats match {
+      case Some(st) => Enhancement.enhanceSilverDataWith(spark, silver, st)
+      case None => Enhancement.enhanceSilverData(spark, silver)
+    }
     val features = engineerFeatures(spark, enhanced)
       .join(broadcast(affectedDim), Seq("year", "month"), "left_semi")
     val selected = selectMlFeatures(assignQualityTiers(features), clock)
+    // first incremental on a gold table with no stats yet: publish the
+    // baseline (computed from the FULL snapshot this run already read)
+    // so the next run prunes. Failure is non-fatal — stats are an
+    // optimization, the legacy path stays correct without them.
+    if (stats.isEmpty)
+      try commit.publish(
+        Enhancement.imputationStats(silverFull), statsP, Nil)
+      catch { case _: RuntimeException => () }
 
     // object-store path: write ONLY the replacement partitions into a
     // fresh version dir, then publish a manifest that carries every
@@ -330,6 +378,9 @@ object GoldEtl {
     val tiered = assignQualityTiers(features)
     val selected = selectMlFeatures(tiered, clock)
     writeGold(selected, goldPath, commit)
+    // re-baseline the imputation-stats table: every full run resets the
+    // incremental drift window (runIncremental's doc) to zero
+    commit.publish(Enhancement.imputationStats(silver), statsPath(goldPath), Nil)
     selected
   }
 }

@@ -168,6 +168,89 @@ class GoldEtlSpec extends SparkSuite {
     assert(!fs.exists(new Path(goldRoot, s"$part/old.parquet")))
   }
 
+  test("incremental gold with persisted stats: pruned scan, baseline medians, re-baseline") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_gold_stats").toString
+    val silverPath = s"$dir/silver"
+    val goldPath = s"$dir/gold"
+    def rows(t: (String, Option[Double], String, String, String)*) = {
+      val base = t.toSeq.map { case (uid, price, vf, y, m) =>
+        (uid, "Hanoi", "CG", price.map(Double.box).orNull,
+          price.map(p => Double.box(p * 80)).orNull, 80.0,
+          true, vf, null: String, s"2025-0$m-15", y, m)
+      }.toDF("universal_id", "city", "district", "avg_unit_price",
+        "avg_selling_price", "total_area", "is_current", "valid_from",
+        "valid_to", "ingestion_date", "ingestion_year", "ingestion_month")
+      // amenity flags are silver-derived (not in the declared schema that
+      // conformToSilverSchema pads), so the fixture must carry them
+      graft.schema.Mappings.AmenityPatterns.foldLeft(base) {
+        case (df, (c, _)) => df.withColumn(c, lit(false))
+      }
+    }
+    // day 1: two ingestion months; CG priced medians: (90,110,100) → 100;
+    // u3 unpriced → imputed at the district median
+    rows(("u1", Some(90.0), "2025-01-10", "2025", "1"),
+      ("u2", Some(110.0), "2025-01-10", "2025", "1"),
+      ("u3", None, "2025-01-10", "2025", "1"),
+      ("u4", Some(100.0), "2025-01-10", "2025", "2"))
+      .write.partitionBy("ingestion_year", "ingestion_month").parquet(silverPath)
+    val clock = to_timestamp(lit("2025-01-20 12:00:00"))
+    GoldEtl.run(spark, silverPath, goldPath, clock)
+    val stats0 = spark.read.parquet(GoldEtl.statsPath(goldPath))
+    assert(stats0.filter(col("level") === "district").head
+      .getAs[Double]("median_unit_price") === 100.0)
+
+    // day 2: stats-NEUTRAL churn in month 1 (new row at the median).
+    // The incremental run must (a) prune the silver scan to month 1,
+    // (b) produce byte-identical output to a full run for that group.
+    rows(("u5", Some(100.0), "2025-01-21", "2025", "1"))
+      .write.mode("append")
+      .partitionBy("ingestion_year", "ingestion_month").parquet(silverPath)
+    val clock2 = to_timestamp(lit("2025-01-21 12:00:00"))
+    val inc = GoldEtl.runIncremental(spark, silverPath, goldPath,
+      "2025-01-21", clock2)
+    // pruning proof: the silver scan's SELECTED partitions (post
+    // partition-filter) exclude the untouched ingestion month —
+    // df.inputFiles would list the whole table regardless of pruning
+    val silverScans = inc.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("/silver")) => f
+    }
+    assert(silverScans.nonEmpty, "expected a silver file scan in the plan")
+    val scanned = silverScans.flatMap(_.selectedPartitions.toPartitionArray)
+      .map(_.filePath.toString)
+    assert(scanned.nonEmpty && !scanned.exists(_.contains("ingestion_month=2")),
+      s"silver scan must prune to the churned ingestion partitions, read: $scanned")
+    val goldFull = s"$dir/gold_full"
+    GoldEtl.run(spark, silverPath, goldFull, clock2)
+    def monthOne(path: String) = spark.read.parquet(path)
+      .filter(col("month") === "1").orderBy("project_id")
+      .collect().map(_.toString).toSeq
+    assert(monthOne(goldPath) === monthOne(goldFull),
+      "churned partitions must be byte-equal to a full run at the same stats baseline")
+
+    // day 3: stats-MOVING churn (two high prices shift the live median to
+    // 105). The incremental keeps the BASELINE median (documented drift
+    // window): u3 stays imputed at 100, not 105.
+    rows(("u6", Some(500.0), "2025-01-22", "2025", "1"),
+      ("u7", Some(600.0), "2025-01-22", "2025", "1"))
+      .write.mode("append")
+      .partitionBy("ingestion_year", "ingestion_month").parquet(silverPath)
+    GoldEtl.runIncremental(spark, silverPath, goldPath, "2025-01-22",
+      to_timestamp(lit("2025-01-22 12:00:00")))
+    def u3Price(path: String) = spark.read.parquet(path)
+      .filter(col("project_id") === "u3").head.getAs[Double]("target_price_per_sqm")
+    assert(u3Price(goldPath) === 100.0, "incremental keeps baseline stats (drift window)")
+
+    // re-baseline: a full run refreshes both gold and the stats table
+    GoldEtl.run(spark, silverPath, goldPath,
+      to_timestamp(lit("2025-01-23 12:00:00")))
+    assert(u3Price(goldPath) === 105.0, "re-baseline closes the drift window")
+    val stats1 = spark.read.parquet(GoldEtl.statsPath(goldPath))
+    assert(stats1.filter(col("level") === "district").head
+      .getAs[Double]("median_unit_price") === 105.0)
+  }
+
   test("incremental gold with all rows affected equals the full run; no-op date leaves gold untouched") {
     gold // force full pipeline on the shared fixture first
     val incBase = java.nio.file.Files.createTempDirectory("graft_gold_inc").toString
