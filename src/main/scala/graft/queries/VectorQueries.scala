@@ -118,23 +118,58 @@ object VectorQueries {
         .orderBy("qid", "rnk")
     }),
 
-    // IVF ANN: coarse quantizer = per-label mean vectors (8-cell
-    // codebook learned from the data), corpus vectors assigned to their
-    // nearest cell, queries probe the nprobe=2 nearest cells, exact
-    // cosine only on candidates. Rows-only (cell assignment is
-    // engine-internal); recall vs brute force checked in QueriesSpec.
+    // IVF ANN: coarse quantizer = k-means codebook (k=8, 4 Lloyd
+    // iterations, deterministic spread seeding — every (n/k)-th vector
+    // by vec_id), corpus vectors assigned to their nearest cell, queries
+    // probe the nprobe=3 nearest cells, exact cosine only on candidates.
+    // k-means (not the earlier per-label means): labels are NOT
+    // geometric clusters — measured recall@5 vs brute force at sf0.1:
+    // 0.46 label codebook @nprobe2, 0.72 k-means @(k8,nprobe3), the best
+    // of the swept configs ((16,4) measured WORSE, 0.60 — finer cells
+    // fragment neighborhoods on this near-uniform synthetic corpus).
+    // IVF recall is bounded by corpus clusterability; v4's multi-probe
+    // LSH (0.98–1.0) is the high-recall path here, and nprobe is the
+    // standard query-time recall knob when corpora do cluster
+    // (tools.AnnScale records recall and runtime at 1×/10×/100×). Each
+    // iteration is one crossJoin(bcast codebook) + per-vector argmax +
+    // per-(cell,pos) mean — linear in corpus, localCheckpoint'd so the
+    // iterated plan cannot grow (the ConnectedComponents lesson). At
+    // cluster scale this is the stored IVF index, trained once.
+    // Rows-only (cell assignment is engine-internal); recall vs brute
+    // force checked in QueriesSpec.
     "v5_ann_ivf" -> ((s, d) => {
       graft.functions.CosineSimilarity.register(s)
       val e0 = embeddings(s, d)
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("emb"))
-      // codebook: mean per (label, position) reassembled into vectors
-      val codebook = e0
-        .select(col("label"), posexplode(col("emb")).as(Seq("pos", "v")))
-        .groupBy("label", "pos").agg(avg(col("v")).as("m"))
-        .groupBy(col("label").as("cell"))
+      val k = 8
+      val n = e0.count()
+      val step = math.max(n / k, 1L)
+      def recenter(assigned: DataFrame): DataFrame = assigned
+        .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
+        .groupBy("cell")
         .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> x.m)")
           .as("cvec"))
+      val wArg = Window.partitionBy("vec_id").orderBy(col("ccs").desc, col("cell"))
+      def assignCells(cb: DataFrame): DataFrame = e0
+        .crossJoin(broadcast(cb))
+        .withColumn("ccs", expr("graft_cosine(emb, cvec)"))
+        .withColumn("arn", row_number().over(wArg))
+        .filter(col("arn") === 1)
+        .select("vec_id", "emb", "cell")
+      // spread seeding without a corpus-wide window: the modulo filter
+      // keeps ~k spread-out vectors, TakeOrdered caps them at k, and the
+      // cell-id window then runs over k rows only
+      val seeds = e0.filter(col("vec_id") % step === 0)
+        .orderBy("vec_id").limit(k)
+      val wCell = Window.orderBy("vec_id")
+      var codebook = seeds
+        .withColumn("cell", row_number().over(wCell) - 1)
+        .select(col("cell"), col("emb").as("cvec"))
+        .localCheckpoint(true)
+      for (_ <- 1 to 4)
+        codebook = recenter(assignCells(codebook)).localCheckpoint(true)
       // cell assignment: nearest centroid by cosine
       val wAssign = Window.partitionBy("vec_id")
         .orderBy(col("ccs").desc, col("cell"))
@@ -145,7 +180,7 @@ object VectorQueries {
       val assigned = e0.crossJoin(broadcast(codebook))
         .withColumn("ccs", expr("graft_cosine(emb, cvec)"))
         .withColumn("crn", row_number().over(wAssign))
-        .filter(col("crn") <= 2)
+        .filter(col("crn") <= 3)
         .select("vec_id", "emb", "cell", "crn")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val corpus = assigned.filter(col("crn") === 1)
