@@ -233,21 +233,48 @@ object StreamingOps {
     * this LSH bucket so far. An arriving document is compared against its
     * bucket-mates only — the streaming twin of the batch band equi-join
     * (`MinHashLSH.candidatePairs`): candidates never leave their bucket,
-    * so per-batch work is O(bucket occupancy), not O(corpus). */
-  class NearDupProcessor(tau: Double)
+    * so per-batch work is O(bucket occupancy), not O(corpus).
+    *
+    * State hygiene (the part that keeps an always-on stream runnable):
+    *
+    *  - **Replay idempotence** — a doc_id already present in the bucket is
+    *    an at-least-once redelivery: nothing is re-emitted and nothing is
+    *    re-appended, so a replayed epoch cannot grow state or duplicate
+    *    hits.
+    *  - **Bucket cap with FIFO eviction** — each bucket holds at most
+    *    `maxBucket` entries; overflow evicts the OLDEST entries, so state
+    *    is hard-bounded at O(buckets × maxBucket) regardless of stream
+    *    length. Near-dups of evicted (old) documents are no longer caught
+    *    — the standard recency trade-off of every bounded-state sketch.
+    *  - **Optional processing-time TTL** (`ttlMs`) — entries additionally
+    *    expire by age via the state store's native TTL, the
+    *    wall-clock-bounded alternative when "recent" is defined in time
+    *    rather than arrivals.
+    *
+    * The whole bucket is read once per (bucket, micro-batch) and written
+    * back once if changed — one RocksDB get + one put, not one per row. */
+  class NearDupProcessor(tau: Double, maxBucket: Int, ttlMs: Long)
       extends StatefulProcessor[Long, BandedSig, NearDupHit] {
     @transient private var seen: ListState[SigEntry] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      val ttl = if (ttlMs > 0) new TTLConfig(java.time.Duration.ofMillis(ttlMs))
+                else TTLConfig.NONE
       seen = getHandle.getListState[SigEntry]("seen",
-        org.apache.spark.sql.Encoders.product[SigEntry], TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.product[SigEntry], ttl)
+    }
 
     override def handleInputRows(key: Long, rows: Iterator[BandedSig],
                                  timerValues: TimerValues): Iterator[NearDupHit] = {
+      val bucket = scala.collection.mutable.ArrayBuffer.empty[SigEntry]
+      seen.get().foreach(bucket += _)
+      val ids = scala.collection.mutable.HashSet.empty[Long]
+      bucket.foreach(ids += _.doc_id)
       val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+      var changed = false
       rows.foreach { r =>
-        seen.get().foreach { e =>
-          if (e.doc_id != r.doc_id) {
+        if (!ids.contains(r.doc_id)) {
+          bucket.foreach { e =>
             var agree = 0
             var i = 0
             while (i < r.sig.length) {
@@ -257,9 +284,16 @@ object StreamingOps {
             val est = agree.toDouble / r.sig.length
             if (est >= tau) out += NearDupHit(r.doc_id, e.doc_id, est)
           }
+          bucket += SigEntry(r.doc_id, r.sig)
+          ids += r.doc_id
+          changed = true
         }
-        seen.appendValue(SigEntry(r.doc_id, r.sig))
       }
+      if (bucket.length > maxBucket) {
+        bucket.remove(0, bucket.length - maxBucket)
+        changed = true
+      }
+      if (changed) seen.put(bucket.toArray)
       out.iterator
     }
   }
@@ -272,12 +306,15 @@ object StreamingOps {
     * estimated Jaccard ≥ tau — near-duplicates are caught ACROSS
     * micro-batches, not just within one; the same pair surfacing through
     * several bands dedups downstream (`dropDuplicates` or a distinct
-    * consumer). State is per band bucket; production deployments bound it
-    * by recency with a TTLConfig instead of the NONE used here — the knob
-    * is one argument away in the handle call. */
+    * consumer). State is per band bucket and HARD-BOUNDED: at most
+    * `maxBucket` signatures per bucket (FIFO eviction of the oldest),
+    * optionally also aged out by `ttlMs` of processing time — see
+    * [[NearDupProcessor]]. Replayed doc_ids are ignored, so an
+    * at-least-once upstream cannot inflate state or duplicate hits. */
   def nearDupHits(spark: SparkSession, docs: DataFrame,
                   numPerms: Int = 16, bands: Int = 4,
-                  tau: Double = 0.8): Dataset[NearDupHit] = {
+                  tau: Double = 0.8, maxBucket: Int = 1024,
+                  ttlMs: Long = 0L): Dataset[NearDupHit] = {
     import spark.implicits._
     require(numPerms % bands == 0, s"numPerms=$numPerms not divisible by bands=$bands")
     val rowsPerBand = numPerms / bands
@@ -295,7 +332,8 @@ object StreamingOps {
       .select(col("band_key"), col("doc_id"), col("sig"))
       .as[BandedSig]
       .groupByKey(_.band_key)
-      .transformWithState(new NearDupProcessor(tau),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new NearDupProcessor(tau, maxBucket, ttlMs),
+        if (ttlMs > 0) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
   }
 }

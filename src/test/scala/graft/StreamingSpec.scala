@@ -302,6 +302,65 @@ class StreamingSpec extends SparkSuite {
       }
     }
   }
+
+  test("near-dup state is hard-bounded: replay adds nothing, cap evicts oldest") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = Files.createTempDirectory("graft_neardup_state").toString
+    val mem = MemoryStream[(Long, String)]
+    // identical text -> identical signature -> every doc lands in the SAME
+    // 4 band buckets, the densest-possible bucket traffic
+    val text = "the quick brown fox jumps over the lazy dog and then runs " +
+      "far away into the deep green forest to find some food for its cubs"
+    def docs(ids: Range): Seq[(Long, String)] = ids.map(i => (i.toLong, text))
+    val bands = 4
+    val cap = 12
+    val q = StreamingOps.nearDupHits(spark,
+        mem.toDF().toDF("doc_id", "text"), bands = bands, tau = 0.9,
+        maxBucket = cap)
+      .writeStream.format("memory").queryName("neardup_cap_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      mem.addData(docs(1 to 8): _*); q.processAllAvailable()   // batch 0
+      val afterB0 = spark.table("neardup_cap_out").count()
+      mem.addData(docs(1 to 8): _*); q.processAllAvailable()   // batch 1: replay
+      assert(spark.table("neardup_cap_out").count() === afterB0,
+        "an at-least-once replay must not emit duplicate hits")
+      mem.addData(docs(9 to 16): _*); q.processAllAvailable()  // batch 2: 16/bucket -> cap
+      mem.addData(docs(17 to 24): _*); q.processAllAvailable() // batch 3: still capped
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    // state plateau, read back through the state-store data source
+    def stateRows(batchId: Int): Long =
+      spark.read.format("statestore")
+        .option("stateVarName", "seen")
+        .option("batchId", batchId)
+        .load(ckpt).count()
+    assert(stateRows(0) === bands * 8L, "batch 0: 8 signatures per bucket")
+    assert(stateRows(1) === stateRows(0),
+      "replayed doc_ids must not grow state")
+    assert(stateRows(2) === bands * cap.toLong,
+      "bucket cap must bound state at maxBucket per bucket")
+    assert(stateRows(3) === stateRows(2),
+      "state must PLATEAU at the cap under continued traffic")
+    // FIFO eviction: by batch 3 each bucket holds ids 13..24, so the last
+    // arrival must match recent bucket-mates only — never the evicted 1..12
+    val last = spark.table("neardup_cap_out")
+      .filter(col("doc_id") === 24L).select("matched_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(last.nonEmpty && last.forall(_ >= 13L),
+      s"doc 24 must only match survivors (ids >= 13), got $last")
+  }
 }
 
 object StreamingSpec {
