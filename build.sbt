@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output normally passes through the sbt logger, which
+// prefixes every line with `[info] ` — that prefix is why the recording
+// harness could never parse Bench's `GRAFT_BENCH_JSON: {...}` sentinel
+// line (BENCH_r07/r08 "parsed": null). StdoutOutput hands the forked
+// JVM the real stdout, so the sentinel reaches the driver verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

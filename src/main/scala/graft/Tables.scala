@@ -15,10 +15,14 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores `ts` as INT64 TIMESTAMP(NANOS) which Spark only
-    * reads with spark.sql.legacy.parquet.nanosAsLong=true (set in
-    * Verify/Bench/test sessions). Normalize back to a microsecond
-    * timestamp here so queries see a real TimestampType column. */
+  /** events.parquet's `ts` encoding has varied across driver testdata
+    * generations: INT64 TIMESTAMP(NANOS) (reads as LongType nanos under
+    * spark.sql.legacy.parquet.nanosAsLong=true, which Verify/Bench/test
+    * sessions all set) and, since the round-9 regeneration, plain
+    * timestamp[us] with isAdjustedToUTC=false (reads as TIMESTAMP_NTZ).
+    * Normalize BOTH to a session-TZ TimestampType column (sessions run
+    * UTC, so the NTZ cast relabels the same wall-clock micros DuckDB's
+    * naive TIMESTAMP oracle sees) so queries are encoding-agnostic. */
   private def normalizeTs(df: DataFrame): DataFrame =
     df.schema.find(_.name == "ts") match {
       case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
@@ -26,6 +30,8 @@ object Tables {
         // mantissa, so float division rounds the last microsecond while
         // DuckDB (and any exact reader) floors it.
         df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case Some(f) if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
 

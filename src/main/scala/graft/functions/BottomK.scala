@@ -100,8 +100,15 @@ case class ScoredId(score: Double, id: Long)
   * scale. */
 case class TopKScored(k: Int)
     extends Aggregator[ScoredId, Array[ScoredId], Array[ScoredId]] {
-  private def better(a: ScoredId, b: ScoredId): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  // java.lang.Double.compare, not `>`: primitive comparison is not a
+  // strict weak ordering when a score is NaN (NaN compares unordered
+  // against everything), and sortWith/TimSort throws "Comparison method
+  // violates its general contract" on such inputs. Double.compare is the
+  // same total order Spark's own sorts use (NaN greatest, -0.0 < 0.0).
+  private def better(a: ScoredId, b: ScoredId): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   override def zero: Array[ScoredId] = Array.empty
 

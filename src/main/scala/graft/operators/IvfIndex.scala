@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Persisted IVF (inverted-file) coarse-quantizer index over the
+  * `embeddings` table — the train-ONCE half of IVF ANN, split out of the
+  * query path (round-8 verdict: `v5_ann_ivf` retrained its k-means
+  * codebook inline on every invocation — 5 crossJoin + argmax-window
+  * passes over the full corpus before the query even probed; at 100 TB
+  * that is index *training* in the query path).
+  *
+  * Layout under `indexPath(sfDir)`:
+  *   - `codebook/` — k rows `(cell int, cvec array<double>)`,
+  *   - `cells/`    — the corpus re-stored as `(vec_id, emb)` PARTITIONED
+  *     BY its nearest cell: a probe of `nprobe` cells reads only
+  *     `nprobe/k` of the index directories (static partition pruning at
+  *     the scan — the on-disk analogue of FAISS's inverted lists),
+  *   - `meta/`     — one row `(n long)`: the corpus row count the index
+  *     was built from. `ensure` compares it against the live corpus
+  *     (a parquet metadata-only count) and retrains on mismatch, so a
+  *     regenerated testdata dir cannot serve a stale index.
+  *
+  * Training (unchanged semantics from the inline version, so the recall
+  * gate in QueriesSpec still holds): k=8 codebook, deterministic spread
+  * seeding (every (n/k)-th vector by vec_id), 4 Lloyd iterations, each
+  * one crossJoin(broadcast codebook) + per-vector argmax + per-(cell,pos)
+  * mean — linear in corpus size, localCheckpoint'd so the iterated plan
+  * cannot grow. Publication is write-to-sibling + rename (the
+  * DirectorySwapCommit pattern), so a reader never sees a half-built
+  * index. The index lives under java.io.tmpdir (keyed by corpus path) —
+  * on a cluster it would be a managed table beside the corpus.
+  */
+object IvfIndex {
+  val K = 8
+  val LloydIters = 4
+
+  /** Root for all persisted indexes; overridable for tests. */
+  def indexRoot: String = sys.env.getOrElse(
+    "GRAFT_IVF_INDEX_DIR",
+    new java.io.File(sys.props("java.io.tmpdir"), "graft_ivf_index").toString)
+
+  def indexPath(sfDir: String): String = {
+    // readable + collision-free key: basename plus a hash of the full path
+    val base = new Path(sfDir).getName
+    val h = Integer.toHexString(sfDir.hashCode)
+    s"$indexRoot/${base}_$h"
+  }
+
+  private def corpus(spark: SparkSession, sfDir: String): DataFrame =
+    graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+
+  /** Ensure a fresh index exists for `sfDir`; returns its path. Reuses an
+    * existing index only when its recorded corpus count matches the live
+    * table (metadata-only count — no data scan). Serialized per-JVM so
+    * concurrently running test suites don't race the build; cross-JVM
+    * the atomic rename publish makes the last writer win with no
+    * torn-state window. */
+  def ensure(spark: SparkSession, sfDir: String): String = buildLock.synchronized {
+    val path = indexPath(sfDir)
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new Path(path, "meta"))) {
+      val recorded = spark.read.parquet(s"$path/meta").head().getLong(0)
+      val live = corpus(spark, sfDir).count()
+      if (recorded == live) return path
+      fs.delete(p, true)
+    }
+    build(spark, sfDir, path)
+    path
+  }
+
+  private val buildLock = new Object
+
+  /** Train the codebook and write codebook + cell-partitioned corpus +
+    * meta, publishing via build-to-sibling + atomic rename. */
+  def build(spark: SparkSession, sfDir: String, path: String): Unit = {
+    graft.functions.CosineSimilarity.register(spark)
+    val e0 = corpus(spark, sfDir)
+    val n = e0.count()
+    val step = math.max(n / K, 1L)
+    def recenter(assigned: DataFrame): DataFrame = assigned
+      .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
+      .groupBy("cell")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> x.m)")
+        .as("cvec"))
+    val wArg = Window.partitionBy("vec_id").orderBy(col("ccs").desc, col("cell"))
+    def assignCells(cb: DataFrame): DataFrame = e0
+      .crossJoin(broadcast(cb))
+      .withColumn("ccs", expr("graft_cosine(emb, cvec)"))
+      .withColumn("arn", row_number().over(wArg))
+      .filter(col("arn") === 1)
+      .select("vec_id", "emb", "cell")
+    // spread seeding without a corpus-wide window: the modulo filter
+    // keeps ~k spread-out vectors, limit caps them at k, and the
+    // cell-id window then runs over k rows only
+    val seeds = e0.filter(col("vec_id") % step === 0)
+      .orderBy("vec_id").limit(K)
+    val wCell = Window.orderBy("vec_id")
+    var codebook = seeds
+      .withColumn("cell", row_number().over(wCell) - 1)
+      .select(col("cell"), col("emb").as("cvec"))
+      .localCheckpoint(true)
+    for (_ <- 1 to LloydIters)
+      codebook = recenter(assignCells(codebook)).localCheckpoint(true)
+
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(target.getParent, target.getName + "__tmp_build")
+    fs.delete(tmp, true)
+    codebook.repartition(1).write.parquet(s"$tmp/codebook")
+    // one directory per cell; a probe reads only its nprobe directories
+    assignCells(codebook)
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(s"$tmp/cells")
+    import spark.implicits._
+    Seq(n).toDF("n").repartition(1).write.parquet(s"$tmp/meta")
+    fs.delete(target, true)
+    fs.mkdirs(target.getParent)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(
+        s"IvfIndex.build: rename $tmp -> $target failed")
+  }
+
+  def codebook(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/codebook")
+
+  /** The cell-partitioned corpus. `cell` comes back as a partition
+    * column whose type depends on the session's partition-type-inference
+    * setting (Verify/Bench disable it), so normalize to int here. */
+  def cells(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/cells")
+      .withColumn("cell", col("cell").cast("int"))
+
+  /** The cell-partitioned corpus restricted to `probed` cells, with the
+    * `isin` literals typed to MATCH the partition column (string when the
+    * session's partition-type inference is off, int when on) so the
+    * filter stays a direct `In` on the partition column and Catalyst
+    * prunes the non-probed cell directories at the scan — reading
+    * nprobe/k of the index, which is the entire point of IVF. */
+  def cellsPruned(spark: SparkSession, path: String,
+                  probed: Seq[Int]): DataFrame = {
+    val raw = spark.read.parquet(s"$path/cells")
+    val lits: Seq[Any] =
+      if (raw.schema("cell").dataType ==
+          org.apache.spark.sql.types.StringType) probed.map(_.toString)
+      else probed
+    raw.filter(col("cell").isin(lits: _*))
+      .withColumn("cell", col("cell").cast("int"))
+  }
+}

@@ -499,6 +499,11 @@ case class RangeJoinExec(value: Expression, lo: Expression, hi: Expression,
             JavaCode.variable(v, a.dataType))
         }
         val found = ctx.freshName("rangeJoinFound")
+        // freshName, not a literal local: two LeftOuter RangeJoinExec
+        // nodes fused into one WholeStageCodegen stage nest their loops,
+        // and a hardcoded name would be declared twice — janino rejects
+        // the duplicate and Spark silently falls back to interpreted.
+        val m = ctx.freshName("rangeJoinMatch")
         s"""
            |${valueEv.code}
            |Object $vBoxed = ${valueEv.isNull} ? null : (Object)($boxed) ${valueEv.value};
@@ -507,8 +512,8 @@ case class RangeJoinExec(value: Expression, lo: Expression, hi: Expression,
            |while (true) {
            |  InternalRow $bandRow = null;
            |  while ($i >= 0 && $idxTerm.canCover($i, $vBoxed)) {
-           |    boolean _m = $idxTerm.matches($i, $vBoxed);
-           |    if (_m) { $bandRow = $idxTerm.row($i); $i--; break; }
+           |    boolean $m = $idxTerm.matches($i, $vBoxed);
+           |    if ($m) { $bandRow = $idxTerm.row($i); $i--; break; }
            |    $i--;
            |  }
            |  if ($bandRow == null && $found) break;

@@ -106,94 +106,70 @@ object VectorQueries {
         .select(col("qid"), col("ea"), col("band"),
           explode(array(masks.map(m => col("k0").bitwiseXOR(lit(m))): _*))
             .as("key"))
-      val w = Window.partitionBy("qid").orderBy(col("cs").desc, col("nid"))
       corpus.join(broadcast(probes), Seq("band", "key"))
         .filter(col("nid") =!= col("qid"))
         // a pair can collide in several (band, probe) cells; keep one
         .dropDuplicates("qid", "nid")
         .withColumn("cs", cosine("ea", "eb"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select(col("qid"), col("rnk"), col("nid"), round(col("cs"), 6).as("cos_sim"))
+        // k-bounded TopKScored aggregate instead of a rank window (the
+        // v2 migration, round-8 verdict item 6): the window shuffled and
+        // sorted EVERY candidate row inside its qid partition; the
+        // aggregate ships only k candidates per (qid × input partition).
+        .groupBy("qid")
+        .agg(graft.functions.BottomK.topKScored(col("cs"), col("nid"), 5).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("pos0", "m")))
+        .select(col("qid"), (col("pos0") + 1).cast("int").as("rnk"),
+          col("m.id").as("nid"), round(col("m.score"), 6).as("cos_sim"))
         .orderBy("qid", "rnk")
     }),
 
-    // IVF ANN: coarse quantizer = k-means codebook (k=8, 4 Lloyd
-    // iterations, deterministic spread seeding — every (n/k)-th vector
-    // by vec_id), corpus vectors assigned to their nearest cell, queries
-    // probe the nprobe=3 nearest cells, exact cosine only on candidates.
-    // k-means (not the earlier per-label means): labels are NOT
-    // geometric clusters — measured recall@5 vs brute force at sf0.1:
-    // 0.46 label codebook @nprobe2, 0.72 k-means @(k8,nprobe3), the best
-    // of the swept configs ((16,4) measured WORSE, 0.60 — finer cells
-    // fragment neighborhoods on this near-uniform synthetic corpus).
-    // IVF recall is bounded by corpus clusterability; v4's multi-probe
-    // LSH (0.98–1.0) is the high-recall path here, and nprobe is the
-    // standard query-time recall knob when corpora do cluster
-    // (tools.AnnScale records recall and runtime at 1×/10×/100×). Each
-    // iteration is one crossJoin(bcast codebook) + per-vector argmax +
-    // per-(cell,pos) mean — linear in corpus, localCheckpoint'd so the
-    // iterated plan cannot grow (the ConnectedComponents lesson). At
-    // cluster scale this is the stored IVF index, trained once.
-    // Rows-only (cell assignment is engine-internal); recall vs brute
-    // force checked in QueriesSpec.
+    // IVF ANN, probe-only: the k-means codebook and the cell-partitioned
+    // corpus are a PERSISTED index (graft.operators.IvfIndex — k=8,
+    // 4 Lloyd iterations, deterministic spread seeding; trained once per
+    // corpus and reused across invocations, with a metadata-only
+    // row-count check to detect a regenerated corpus). The query itself
+    // does what a 100 TB IVF query should do and nothing else: score the
+    // tiny query set against the 8-row broadcast codebook to pick the
+    // nprobe=3 nearest cells, statically PRUNE the index scan to those
+    // cell directories (reads nprobe/k of the index), exact cosine on
+    // the candidates, and a k-bounded TopKScored aggregate (map-side
+    // partial, no rank window) for the final top-5. The one collect()
+    // pulls <= k=8 probed cell ids to the driver — bounded by the
+    // codebook size, needed to turn the probe set into a static
+    // partition-pruning predicate.
+    // Recall context (measured, QueriesSpec): 0.72 @ (k8, nprobe3) at
+    // sf0.1 — bounded by this near-uniform synthetic corpus's
+    // clusterability ((16,4) measured WORSE, 0.60); v4's multi-probe LSH
+    // (0.98–1.0) is the high-recall path, nprobe the standard knob when
+    // corpora do cluster. Rows-only (cell assignment is
+    // engine-internal); recall vs brute force gated in QueriesSpec.
     "v5_ann_ivf" -> ((s, d) => {
       graft.functions.CosineSimilarity.register(s)
-      val e0 = embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          col("embedding").cast("array<double>").as("emb"))
-      val k = 8
-      val n = e0.count()
-      val step = math.max(n / k, 1L)
-      def recenter(assigned: DataFrame): DataFrame = assigned
-        .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
-        .groupBy("cell")
-        .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> x.m)")
-          .as("cvec"))
-      val wArg = Window.partitionBy("vec_id").orderBy(col("ccs").desc, col("cell"))
-      def assignCells(cb: DataFrame): DataFrame = e0
-        .crossJoin(broadcast(cb))
-        .withColumn("ccs", expr("graft_cosine(emb, cvec)"))
-        .withColumn("arn", row_number().over(wArg))
-        .filter(col("arn") === 1)
-        .select("vec_id", "emb", "cell")
-      // spread seeding without a corpus-wide window: the modulo filter
-      // keeps ~k spread-out vectors, TakeOrdered caps them at k, and the
-      // cell-id window then runs over k rows only
-      val seeds = e0.filter(col("vec_id") % step === 0)
-        .orderBy("vec_id").limit(k)
-      val wCell = Window.orderBy("vec_id")
-      var codebook = seeds
-        .withColumn("cell", row_number().over(wCell) - 1)
-        .select(col("cell"), col("emb").as("cvec"))
+      val idx = graft.operators.IvfIndex.ensure(s, d)
+      val cb = graft.operators.IvfIndex.codebook(s, idx)
+      val q = embeddings(s, d)
+        .filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"),
+          col("embedding").cast("array<double>").as("ea"))
+      val wProbe = Window.partitionBy("qid").orderBy(col("ccs").desc, col("cell"))
+      val probes = q.crossJoin(broadcast(cb))
+        .withColumn("ccs", expr("graft_cosine(ea, cvec)"))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= 3)
+        .select("qid", "ea", "cell")
         .localCheckpoint(true)
-      for (_ <- 1 to 4)
-        codebook = recenter(assignCells(codebook)).localCheckpoint(true)
-      // cell assignment: nearest centroid by cosine
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("ccs").desc, col("cell"))
-      // persist the 2-nearest-cell assignment: the corpus and probe
-      // branches would otherwise each re-run the crossJoin + window
-      // (aliased exchanges don't reuse). At corpus scale this is the
-      // stored IVF index, written once.
-      val assigned = e0.crossJoin(broadcast(codebook))
-        .withColumn("ccs", expr("graft_cosine(emb, cvec)"))
-        .withColumn("crn", row_number().over(wAssign))
-        .filter(col("crn") <= 3)
-        .select("vec_id", "emb", "cell", "crn")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val corpus = assigned.filter(col("crn") === 1)
+      val probedCells = probes.select("cell").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val corpus = graft.operators.IvfIndex.cellsPruned(s, idx, probedCells)
         .select(col("vec_id").as("nid"), col("emb").as("eb"), col("cell"))
-      val probes = assigned.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("emb").as("ea"), col("cell"))
-      val wTop = Window.partitionBy("qid").orderBy(col("cs").desc, col("nid"))
       corpus.join(broadcast(probes), Seq("cell"))
         .filter(col("nid") =!= col("qid"))
         .withColumn("cs", cosine("ea", "eb"))
-        .withColumn("rnk", row_number().over(wTop))
-        .filter(col("rnk") <= 5)
-        .select(col("qid"), col("rnk"), col("nid"), round(col("cs"), 6).as("cos_sim"))
+        .groupBy("qid")
+        .agg(graft.functions.BottomK.topKScored(col("cs"), col("nid"), 5).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("pos0", "m")))
+        .select(col("qid"), (col("pos0") + 1).cast("int").as("rnk"),
+          col("m.id").as("nid"), round(col("m.score"), 6).as("cos_sim"))
         .orderBy("qid", "rnk")
     }),
 

@@ -229,6 +229,38 @@ object WritePathQueries {
     "s6_scd2_merge" -> ((s, d) =>
       orderedScd(s.read.parquet(runFlatScenario(s, d)))),
 
+    // S4 in ISOLATION: the first-load partitioned overwrite branch of
+    // the merge (reference silver_etl_script.py:956-961 — no existing
+    // table → straight partitioned write, every row current). s6 runs
+    // this branch too but its oracle gates the 2-day END state; this row
+    // gates the day-1 table itself, closing the round-8 "S4 golden-only"
+    // gap.
+    "s4_first_load" -> ((s, d) => {
+      val root = tmp("graft_gate_scd2first")
+      Scd2.merge(s, scdDay1(s, d), root, asOfDate = lit("2025-01-15"))
+      orderedScd(s.read.parquet(root))
+    }),
+
+    // P6: the ML feature-select CONTRACT (gold_ml_etl.py:391-436) as a
+    // direct driver-visible gate: run the production gold ETL on the
+    // silver fixture and pin the read-back schema — position and name —
+    // against a literal oracle. s5_gold_roundtrip gates the VALUES;
+    // this row pins the column SET, so a feature a refactor silently
+    // drops, renames, or reorders fails CORRECTNESS, not just a golden.
+    // (Partition columns quality_tier/year/month read back LAST — hive
+    // layout — hence their position at the list's tail.)
+    "p6_feature_select" -> ((s, d) => {
+      import s.implicits._
+      val silverDir = tmp("graft_gate_silver_p6")
+      val goldDir = tmp("graft_gate_gold_p6")
+      silverFixture(s, d).write.parquet(silverDir)
+      GoldEtl.run(s, silverDir, goldDir,
+        clock = to_timestamp(lit("2025-01-15 12:00:00")))
+      s.read.parquet(goldDir).schema.fieldNames.zipWithIndex.toSeq
+        .map { case (c, i) => (i + 1, c) }
+        .toDF("pos", "col_name").orderBy("pos")
+    }),
+
     // S6 at scale: the SAME scenario through the regioned layout
     // (rewriteable current region + append-only valid_to-partitioned
     // closed region) must produce the identical logical table — one
@@ -582,6 +614,49 @@ object WritePathQueries {
       |ORDER BY CAST(universal_id AS BIGINT), is_current""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "s4_first_load" ->
+      """WITH cust AS (
+        |  SELECT c_custkey AS ck, c_name, c_mktsegment,
+        |         'sp' || CAST(c_custkey % 3 AS VARCHAR) AS spider_name
+        |  FROM customer)
+        |SELECT CAST(ck AS VARCHAR) AS universal_id, c_name AS project_name,
+        |       c_mktsegment AS address, TRUE AS is_current,
+        |       '2025-01-15' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to,
+        |       spider_name, '2025' AS ingestion_year, '01' AS ingestion_month
+        |FROM cust
+        |ORDER BY CAST(universal_id AS BIGINT), is_current""".stripMargin,
+    // the literal 63-column contract: 60 selected features + the two
+    // audit columns, with the three write-partition columns read back
+    // last (hive layout)
+    "p6_feature_select" -> {
+      val cols = Seq(
+        "project_id", "source_id", "spider_name", "snapshot_date",
+        "project_name", "project_type", "status",
+        "target_price_per_sqm", "target_total_price",
+        "target_min_price", "target_max_price", "target_price_range",
+        "latitude", "longitude", "city", "district", "ward",
+        "city_encoded", "district_encoded", "location_quality_score",
+        "total_area", "log_total_area", "construction_area",
+        "total_property", "log_total_property",
+        "number_of_blocks", "number_of_floors", "total_floor",
+        "number_of_basement", "number_of_elevators",
+        "construction_density", "green_density", "floor_area_ratio",
+        "avg_property_per_floor", "avg_area_per_unit",
+        "min_bedroom", "max_bedroom", "avg_bedroom",
+        "developer_name", "investor_name", "developer_encoded",
+        "has_swimming_pool", "has_gym", "has_parking",
+        "has_garden", "has_security", "has_playground",
+        "amenity_count", "amenity_score",
+        "quality_indexes", "trans_grade", "infra_grade", "school_grade",
+        "quarter", "data_completeness_score", "is_training_ready",
+        "price_imputed", "coordinates_imputed",
+        "gold_processed_at", "gold_version",
+        "quality_tier", "year", "month")
+      cols.zipWithIndex
+        .map { case (c, i) => s"(${i + 1}, '$c')" }
+        .mkString("SELECT * FROM (VALUES ", ", ",
+          ") t(pos, col_name) ORDER BY pos")
+    },
     "s1b_jsonl_infer" ->
       """SELECT CAST(c_custkey AS BIGINT) AS id,
         |  'sp' || CAST(c_custkey % 3 AS VARCHAR) AS spider_name,

@@ -291,6 +291,21 @@ object SnapshotStore {
         s"table $root advanced past ${base.getOrElse("<none>")} before " +
           s"$name could publish — recompute and retry")
     }
+    // fence #3 — LAST ownership re-check immediately before the pointer
+    // flip: a TTL-breaker that fired between fence #2 and here would
+    // otherwise race our publishPointer with its own. RESIDUAL WINDOW:
+    // delete-then-create claim breaking is not atomic cross-process, so a
+    // breaker whose clock fired between this read and the rename below
+    // can still double-publish — the window is now one filesystem op
+    // wide, not a whole write() wide. Closing it entirely needs a
+    // conditional pointer swap (HDFS rename has no compare-and-set; on
+    // S3 use a conditional PUT with If-Match), which is why
+    // DefaultClaimTtlMs is sized in minutes: a breaker only fires against
+    // a writer that has been silent for the full TTL.
+    if (!claimToken(fs, claimPath(root, name)).contains(token))
+      throw new ConcurrentCommitException(
+        s"claim on $name at $root was broken between fence #2 and " +
+          s"publish — recompute and retry")
     publishPointer(spark, root, name)
     name
   }

@@ -242,14 +242,25 @@ object StreamingOps {
     *    re-appended, so a replayed epoch cannot grow state or duplicate
     *    hits.
     *  - **Bucket cap with FIFO eviction** — each bucket holds at most
-    *    `maxBucket` entries; overflow evicts the OLDEST entries, so state
-    *    is hard-bounded at O(buckets × maxBucket) regardless of stream
-    *    length. Near-dups of evicted (old) documents are no longer caught
-    *    — the standard recency trade-off of every bounded-state sketch.
+    *    `maxBucket` entries; overflow evicts the OLDEST entries *per
+    *    arrival, before the new row is compared*, so state is hard-bounded
+    *    at O(buckets × maxBucket) regardless of stream length AND no row —
+    *    even one arriving in the same micro-batch — is ever matched
+    *    against an entry the cap has already pushed out. Near-dups of
+    *    evicted (old) documents are no longer caught — the standard
+    *    recency trade-off of every bounded-state sketch. A doc_id that was
+    *    evicted and later REDELIVERED is treated as brand new (the
+    *    replay-dedup set forgets evicted ids): it is re-compared and
+    *    re-inserted, which can re-emit hits for it — at-least-once
+    *    semantics degrade gracefully to the same recency window.
     *  - **Optional processing-time TTL** (`ttlMs`) — entries additionally
     *    expire by age via the state store's native TTL, the
     *    wall-clock-bounded alternative when "recent" is defined in time
-    *    rather than arrivals.
+    *    rather than arrivals. Caveat: the processor rewrites the whole
+    *    bucket with one `put()` whenever any entry is added or evicted, so
+    *    the TTL clock is *since the bucket was last updated*, not since
+    *    each entry's ingest — in a continuously active bucket, entries age
+    *    out by the FIFO cap, not by TTL; TTL expires entire idle buckets.
     *
     * The whole bucket is read once per (bucket, micro-batch) and written
     * back once if changed — one RocksDB get + one put, not one per row. */
@@ -274,6 +285,17 @@ object StreamingOps {
       var changed = false
       rows.foreach { r =>
         if (!ids.contains(r.doc_id)) {
+          // Evict BEFORE comparing: a new arrival must never match an
+          // entry the cap has already pushed out, even mid-batch. Trim
+          // the oldest down to maxBucket-1 so the append below lands
+          // exactly at the cap.
+          if (bucket.length >= maxBucket) {
+            val evict = bucket.length - (maxBucket - 1)
+            var i = 0
+            while (i < evict) { ids -= bucket(i).doc_id; i += 1 }
+            bucket.remove(0, evict)
+            changed = true
+          }
           bucket.foreach { e =>
             var agree = 0
             var i = 0
@@ -288,10 +310,6 @@ object StreamingOps {
           ids += r.doc_id
           changed = true
         }
-      }
-      if (bucket.length > maxBucket) {
-        bucket.remove(0, bucket.length - maxBucket)
-        changed = true
       }
       if (changed) seen.put(bucket.toArray)
       out.iterator

@@ -14,8 +14,11 @@ class PlanGuardSpec extends SparkSuite {
     "v2_ann_topk" -> ("brute-force exact ANN baseline: broadcast 10-query " +
       "set against one corpus scan — the yardstick the bucketed paths are " +
       "measured against"),
-    "v5_ann_ivf" -> ("broadcast 8-cell codebook crossJoin for cell " +
-      "assignment — the codebook is O(cells), not O(corpus)"),
+    // v5_ann_ivf left this list in round 9: codebook training and cell
+    // assignment moved into the persisted IvfIndex build (train-once),
+    // and the query's own 10-row × 8-cell probe crossJoin materializes
+    // behind a localCheckpoint — the registered plan is scan + broadcast
+    // equi-join + top-k aggregate, no nested loop.
     // rj1_range_join left this list in round 7: the RangeJoinRewrite rule
     // (graft.plans.RangeJoin) now plans its band predicate as a
     // RangeJoinExec (binary search over the broadcast bands), so the

@@ -361,6 +361,119 @@ class StreamingSpec extends SparkSuite {
     assert(last.nonEmpty && last.forall(_ >= 13L),
       s"doc 24 must only match survivors (ids >= 13), got $last")
   }
+
+  test("near-dup: an evicted doc_id redelivered later is treated as NEW " +
+       "(re-compared against survivors, re-inserted)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = Files.createTempDirectory("graft_neardup_replay").toString
+    val mem = MemoryStream[(Long, String)]
+    val text = "the quick brown fox jumps over the lazy dog and then runs " +
+      "far away into the deep green forest to find some food for its cubs"
+    def docs(ids: Range): Seq[(Long, String)] = ids.map(i => (i.toLong, text))
+    val cap = 4
+    val q = StreamingOps.nearDupHits(spark,
+        mem.toDF().toDF("doc_id", "text"), bands = 4, tau = 0.9,
+        maxBucket = cap)
+      .writeStream.format("memory").queryName("neardup_replay_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      mem.addData(docs(1 to 4): _*); q.processAllAvailable()  // fills to cap
+      mem.addData(docs(5 to 8): _*); q.processAllAvailable()  // evicts 1..4
+      // doc 1 was evicted by the cap; its redelivery must be handled as a
+      // brand-new arrival: compared against the current survivors and
+      // re-inserted (at-least-once degrades to the recency window).
+      mem.addData((1L, text)); q.processAllAvailable()
+      val hitsFor1 = spark.table("neardup_replay_out")
+        .filter(col("doc_id") === 1L).select("matched_id")
+        .collect().map(_.getLong(0)).toSet
+      // batch 0 emitted nothing for doc 1 (it arrived first into an empty
+      // bucket), so everything here comes from the redelivery
+      assert(hitsFor1.nonEmpty && hitsFor1.forall(_ >= 5L),
+        s"redelivered evictee must match only current survivors, got $hitsFor1")
+      // and it is back in state: a subsequent near-dup finds it
+      mem.addData((99L, text)); q.processAllAvailable()
+      val hitsFor99 = spark.table("neardup_replay_out")
+        .filter(col("doc_id") === 99L).select("matched_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(hitsFor99.contains(1L),
+        s"re-inserted evictee must be matchable again, got $hitsFor99")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  test("near-dup: processing-time TTL ages out idle-bucket entries, so a " +
+       "late near-dup is (correctly) missed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // ProcessingTime mode + no-data micro-batches = the query re-triggers
+    // empty batches continuously to advance timers, so processAllAvailable
+    // never sees quiescence (observed: first call blocked 20+ min burning
+    // a core on per-batch checkpoint chmod forks). State TTL does not
+    // need them: TTLConfig expiry is enforced at state READ time, so an
+    // idle bucket read after the deadline is empty either way.
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = spark.conf.getOption(noDataKey)
+    spark.conf.set(noDataKey, "false")
+    val ckpt = Files.createTempDirectory("graft_neardup_ttl").toString
+    val mem = MemoryStream[(Long, String)]
+    val text = "the quick brown fox jumps over the lazy dog and then runs " +
+      "far away into the deep green forest to find some food for its cubs"
+    val q = StreamingOps.nearDupHits(spark,
+        mem.toDF().toDF("doc_id", "text"), bands = 4, tau = 0.9,
+        maxBucket = 1024, ttlMs = 2500L)
+      .writeStream.format("memory").queryName("neardup_ttl_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, text)); q.processAllAvailable()
+      // within TTL: near-dup of doc 1 is caught
+      mem.addData((2L, text)); q.processAllAvailable()
+      val within = spark.table("neardup_ttl_out")
+        .filter(col("doc_id") === 2L).select("matched_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(within === Set(1L), s"within-TTL near-dup must hit, got $within")
+      // let the bucket go idle past the TTL; the state store expires it
+      Thread.sleep(3500L)
+      mem.addData((3L, text)); q.processAllAvailable()
+      val late = spark.table("neardup_ttl_out")
+        .filter(col("doc_id") === 3L).select("matched_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(late.isEmpty,
+        s"after TTL expiry the bucket is empty — no hits expected, got $late")
+      // but doc 3 re-seeded the bucket: the window restarts from it
+      mem.addData((4L, text)); q.processAllAvailable()
+      val reseed = spark.table("neardup_ttl_out")
+        .filter(col("doc_id") === 4L).select("matched_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(reseed === Set(3L),
+        s"post-expiry arrivals start a fresh window, got $reseed")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+      prevNoData match {
+        case Some(v) => spark.conf.set(noDataKey, v)
+        case None => spark.conf.unset(noDataKey)
+      }
+    }
+  }
 }
 
 object StreamingSpec {
