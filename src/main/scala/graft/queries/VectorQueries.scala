@@ -76,30 +76,46 @@ object VectorQueries {
 
     // Multi-probe LSH ANN (sign random projection, 8 bands × 8 planes):
     // the corpus is hashed once into one 8-bit bucket per band; the
-    // QUERY side additionally probes every bucket within Hamming
-    // distance 2 of its own signature (1 + 8 + 28 = 37 keys per band).
-    // Candidates are an equi-join on (band, key) against the tiny
-    // exploded probe set, so the corpus-side cost stays one scan + one
-    // fixed-width-key join no matter how many probes a query makes —
-    // multi-probing buys recall on the query side for free, instead of
-    // multiplying the corpus-side band rows. Rows-only check (bucket
-    // assignment uses engine-internal pseudo-random planes — not
-    // expressible in ANSI SQL); QueriesSpec gates recall@5 >= 0.95
+    // QUERY side additionally probes every bucket within a Hamming
+    // RADIUS of its own signature. Candidates are an equi-join on
+    // (band, key) against the tiny exploded probe set, so the
+    // corpus-side cost stays one scan + one fixed-width-key join no
+    // matter how many probes a query makes — multi-probing buys recall
+    // on the query side for free, instead of multiplying the corpus-side
+    // band rows.
+    //
+    // The radius ADAPTS to corpus density: expected candidates per
+    // (query, band, probe key) is ~n/256, so a fixed radius-2 probe set
+    // (37 keys/band) that is pure recall upside on a sparse corpus
+    // degenerates toward a full scan on a dense one (measured on the
+    // 100×-replicated corpus, 200k vecs: 1.4M candidate pairs ≈ 70% of
+    // corpus × queries — brute-force cost with LSH overhead on top).
+    // Radius 2 below ~24k vectors, 1 below ~120k, else 0 keeps the
+    // probed fraction of the corpus bounded as density grows; the count
+    // driving the choice is a parquet metadata-only action. Rows-only
+    // check (bucket assignment uses engine-internal pseudo-random planes
+    // — not expressible in ANSI SQL); QueriesSpec gates recall@5 >= 0.95
     // against the exact brute-force ranking (deterministic: the planes
-    // and the data are both fixed).
+    // and the data are both fixed), and tools.AnnScale re-measures
+    // recall at 10×/100× density where the schedule steps down.
     "v4_ann_lsh" -> ((s, d) => {
       graft.functions.CosineSimilarity.register(s)
       graft.functions.SignRpKeys.register(s)
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val n = e.count() // metadata-only: parquet row-group counts
+      val radius = if (n <= 24000L) 2 else if (n <= 120000L) 1 else 0
       val keyed = e.withColumn("keys", expr("graft_sign_rp_keys(emb, 8, 8)"))
       val corpus = keyed.select(col("vec_id").as("nid"), col("emb").as("eb"),
         posexplode(col("keys")).as(Seq("band", "key")))
-      // XOR masks for Hamming radius <= 2 over an 8-bit signature
+      // XOR masks for Hamming radius <= `radius` over an 8-bit signature
       val masks: Seq[Long] =
-        Seq(0L) ++ (0 until 8).map(1L << _) ++
-          (for { i <- 0 until 8; j <- (i + 1) until 8 }
-            yield (1L << i) | (1L << j))
+        Seq(0L) ++
+          (if (radius >= 1) (0 until 8).map(1L << _) else Nil) ++
+          (if (radius >= 2)
+            for { i <- 0 until 8; j <- (i + 1) until 8 }
+              yield (1L << i) | (1L << j)
+          else Nil)
       val probes = keyed.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("emb").as("ea"),
           posexplode(col("keys")).as(Seq("band", "k0")))
@@ -144,6 +160,7 @@ object VectorQueries {
     // corpora do cluster. Rows-only (cell assignment is
     // engine-internal); recall vs brute force gated in QueriesSpec.
     "v5_ann_ivf" -> ((s, d) => {
+      import s.implicits._
       graft.functions.CosineSimilarity.register(s)
       val idx = graft.operators.IvfIndex.ensure(s, d)
       val cb = graft.operators.IvfIndex.codebook(s, idx)
@@ -152,14 +169,20 @@ object VectorQueries {
         .select(col("vec_id").as("qid"),
           col("embedding").cast("array<double>").as("ea"))
       val wProbe = Window.partitionBy("qid").orderBy(col("ccs").desc, col("cell"))
-      val probes = q.crossJoin(broadcast(cb))
+      // ONE driver action materializes the probe set: |queries| × nprobe
+      // rows (30 here — bounded by the query set and the k=8 codebook,
+      // never by the corpus). The rows feed both the static
+      // partition-pruning predicate and the broadcast join side, so the
+      // registered plan is scan + broadcast equi-join + top-k aggregate.
+      val probeRows = q.crossJoin(broadcast(cb))
         .withColumn("ccs", expr("graft_cosine(ea, cvec)"))
         .withColumn("prn", row_number().over(wProbe))
         .filter(col("prn") <= 3)
         .select("qid", "ea", "cell")
-        .localCheckpoint(true)
-      val probedCells = probes.select("cell").distinct()
-        .collect().map(_.getInt(0)).toSeq
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2)))
+      val probedCells = probeRows.map(_._3).distinct.toSeq
+      val probes = probeRows.toSeq.toDF("qid", "ea", "cell")
       val corpus = graft.operators.IvfIndex.cellsPruned(s, idx, probedCells)
         .select(col("vec_id").as("nid"), col("emb").as("eb"), col("cell"))
       corpus.join(broadcast(probes), Seq("cell"))

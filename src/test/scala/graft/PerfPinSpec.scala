@@ -39,4 +39,14 @@ class PerfPinSpec extends SparkSuite {
   test("dd9_substring_dup steady-state median stays in its recorded band") {
     assert(median3("dd9_substring_dup") < 1.6)
   }
+
+  test("v5_ann_ivf steady-state median stays probe-only (index persisted, " +
+       "never retrained in the query path)") {
+    // round-8 regression tripwire: inline k-means re-training pushed the
+    // sf0.1 median to 1.5 s; the persisted-index probe path medians
+    // ~0.9 s here (sf0.01, local[4], index build amortized by the
+    // median3 warmup). A breach means training crept back into the
+    // query path or the partition-pruned index scan stopped pruning.
+    assert(median3("v5_ann_ivf") < 2.5)
+  }
 }
