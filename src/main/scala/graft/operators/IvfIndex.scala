@@ -36,6 +36,21 @@ import org.apache.spark.sql.expressions.Window
 object IvfIndex {
   val K = 8
   val LloydIters = 4
+  /** Product-quantization layout: the vector is split into `PqSub`
+    * contiguous subspaces, each quantized against its own `PqCids`-entry
+    * codebook — a vector becomes `PqSub` small ints (here 8 × 4 bits vs
+    * 64 × 8-byte doubles: 64× smaller), and an inner product against it
+    * becomes `PqSub` table lookups (ADC — asymmetric distance
+    * computation). The compressed-domain column is what a 100 TB ANN
+    * scan should read; the raw vectors stay in the index only for
+    * exact-rerank paths. */
+  val PqSub = 8
+  val PqCids = 16
+  val PqIters = 3
+  /** Bumped when the on-disk layout changes; `ensure` retrains an index
+    * whose recorded version differs (format 2 added the PQ codebook and
+    * the cells' `code`/`rnorm` columns). */
+  val FormatVersion = 2
 
   /** Root for all persisted indexes; overridable for tests. */
   def indexRoot: String = sys.env.getOrElse(
@@ -68,9 +83,12 @@ object IvfIndex {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new Path(path, "meta"))) {
-      val recorded = spark.read.parquet(s"$path/meta").head().getLong(0)
+      val meta = spark.read.parquet(s"$path/meta")
+      val fmtOk = meta.columns.contains("fmt") &&
+        meta.head().getAs[Int]("fmt") == FormatVersion
+      val recorded = meta.head().getAs[Long]("n")
       val live = corpus(spark, sfDir).count()
-      if (recorded == live) { validated += path; return path }
+      if (fmtOk && recorded == live) { validated += path; return path }
       fs.delete(p, true)
     }
     build(spark, sfDir, path)
@@ -114,23 +132,86 @@ object IvfIndex {
     for (_ <- 1 to LloydIters)
       codebook = recenter(assignCells(codebook)).localCheckpoint(true)
 
+    // ---- product quantization: per-subspace k-means over the SAME
+    // corpus scan shapes as the coarse training (equi-join on `sub`
+    // instead of crossJoin — the subquantizer codebook is PqSub × PqCids
+    // rows, broadcast). L2 in the subspace (the PQ objective is
+    // reconstruction error, not angle); codes are the per-sub argmin
+    // centroid ids, `rnorm` the reconstruction's norm so ADC inner
+    // products can be rescaled to cosine at query time.
+    val dim = e0.select(size(col("emb"))).head().getInt(0)
+    val subLen = math.max(dim / PqSub, 1)
+    val subs = e0.select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${PqSub - 1}), " +
+          s"i -> slice(emb, i * $subLen + 1, $subLen))"))
+        .as(Seq("sub", "svec")))
+      .localCheckpoint(true)
+    val l2 = expr("aggregate(zip_with(svec, cvec, (x, y) -> (x - y) * (x - y)), " +
+      "0D, (acc, v) -> acc + v)")
+    def assignPq(cb: DataFrame): DataFrame = subs
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("d2", l2)
+      .groupBy("vec_id", "sub")
+      // svec is constant within the (vec_id, sub) group — carrying it
+      // through first() saves recenterPq a corpus-sized shuffle join
+      .agg(min_by(struct(col("cid"), col("cvec")),
+        struct(col("d2"), col("cid"))).as("best"),
+        first(col("svec")).as("svec"))
+      .select(col("vec_id"), col("sub"),
+        col("best.cid").as("cid"), col("best.cvec").as("cvec"), col("svec"))
+    def recenterPq(ass: DataFrame): DataFrame = ass
+      .select(col("sub"), col("cid"), posexplode(col("svec")).as(Seq("pos", "v")))
+      .groupBy("sub", "cid", "pos").agg(avg(col("v")).as("m"))
+      .groupBy("sub", "cid")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> x.m)")
+        .as("cvec"))
+    val stepPq = math.max(n / PqCids, 1L)
+    val wCid = Window.orderBy("vec_id")
+    val seedIds = e0.filter(col("vec_id") % stepPq === 0)
+      .orderBy("vec_id").limit(PqCids)
+      .select(col("vec_id"), (row_number().over(wCid) - 1).as("cid"))
+    var pqCb = subs.join(broadcast(seedIds), Seq("vec_id"))
+      .select(col("sub"), col("cid"), col("svec").as("cvec"))
+      .localCheckpoint(true)
+    for (_ <- 1 to PqIters)
+      pqCb = recenterPq(assignPq(pqCb)).localCheckpoint(true)
+    val codes = assignPq(pqCb)
+      .withColumn("cn2",
+        expr("aggregate(cvec, 0D, (acc, v) -> acc + v * v)"))
+      .groupBy("vec_id")
+      .agg(
+        expr("transform(sort_array(collect_list(struct(sub, cid))), x -> x.cid)")
+          .as("code"),
+        sqrt(sum(col("cn2"))).as("rnorm"))
+
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(target.getParent, target.getName + "__tmp_build")
     fs.delete(tmp, true)
     codebook.repartition(1).write.parquet(s"$tmp/codebook")
-    // one directory per cell; a probe reads only its nprobe directories
+    pqCb.repartition(1).write.parquet(s"$tmp/pq")
+    // one directory per cell; a probe reads only its nprobe directories,
+    // and a compressed-domain probe reads only (vec_id, code, rnorm) of
+    // them (parquet column pruning — emb stays on disk for reranks)
     assignCells(codebook)
+      .join(codes, Seq("vec_id"))
       .repartition(col("cell"))
       .write.partitionBy("cell").parquet(s"$tmp/cells")
     import spark.implicits._
-    Seq(n).toDF("n").repartition(1).write.parquet(s"$tmp/meta")
+    Seq((n, FormatVersion)).toDF("n", "fmt")
+      .repartition(1).write.parquet(s"$tmp/meta")
     fs.delete(target, true)
     fs.mkdirs(target.getParent)
     if (!fs.rename(tmp, target))
       throw new java.io.IOException(
         s"IvfIndex.build: rename $tmp -> $target failed")
   }
+
+  /** The PQ subquantizer codebook: `(sub, cid, cvec)` —
+    * [[PqSub]] × ≤[[PqCids]] rows (a centroid that loses all members
+    * during Lloyd iteration drops out, like the coarse k-means). */
+  def pqCodebook(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/pq")
 
   def codebook(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/codebook")

@@ -196,6 +196,100 @@ object VectorQueries {
         .orderBy("qid", "rnk")
     }),
 
+    // IVF-PQ compressed-domain ANN: the scan that makes 100 TB ANN
+    // tractable. The persisted index (graft.operators.IvfIndex, format 2)
+    // stores per-vector PRODUCT-QUANTIZATION codes — 8 subspaces × 16
+    // centroids = 8 small ints per vector instead of 64 doubles — and
+    // the query scores candidates via ADC (asymmetric distance
+    // computation): per query, an 8×16 table of dot(query_sub, centroid)
+    // is precomputed DRIVER-side (bounded: |queries| × PqSub × PqCids
+    // doubles) and broadcast; a candidate's approximate inner product is
+    // then 8 array lookups + adds, rescaled by the stored reconstruction
+    // norm to approximate cosine. The timed plan reads ONLY
+    // (vec_id, code, rnorm) from the nprobe pruned cell directories —
+    // never the raw vectors (ReadSchema shows the 64-double column
+    // pruned away): IO shrinks by the PQ compression ratio on top of the
+    // IVF cell pruning, which is exactly the FAISS IVFADC shape
+    // re-expressed as parquet partition pruning + column pruning +
+    // broadcast equi-join + codegen HOFs. Candidate ranking is the
+    // k-bounded TopKScored aggregate; driver-side math is limited to the
+    // 8-row coarse codebook and the fixed query set. Rows-only
+    // (codes are engine-internal); QueriesSpec gates candidate overlap
+    // vs exact brute force, IvfPqSpec the reconstruction-error bound.
+    "v7_ann_ivfpq" -> ((s, d) => {
+      import s.implicits._
+      val idx = graft.operators.IvfIndex.ensure(s, d)
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length && i < b.length) { acc += a(i) * b(i); i += 1 }
+        acc
+      }
+      val coarse = graft.operators.IvfIndex.codebook(s, idx).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      val pq = graft.operators.IvfIndex.pqCodebook(s, idx).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      val nSub = graft.operators.IvfIndex.PqSub
+      val maxCid = pq.map(_._2).max
+      val qs = embeddings(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      val subLen = math.max(qs.headOption.map(_._2.length).getOrElse(nSub) / nSub, 1)
+      val probeRows = qs.flatMap { case (qid, q) =>
+        val qnorm = math.max(math.sqrt(dot(q, q)), 1e-12)
+        // nprobe=3 nearest coarse cells by cosine (score desc, cell asc —
+        // the same tie-break as the v5 probe window)
+        val cells = coarse
+          .map { case (cell, cv) =>
+            (cell, dot(q, cv) / (qnorm * math.max(math.sqrt(dot(cv, cv)), 1e-12)))
+          }
+          .sortBy { case (cell, cs) => (-cs, cell) }.take(3).map(_._1)
+        // dense ADC tables indexed by cid (gaps from dropped centroids
+        // score 0 — no code references them)
+        val tables: Seq[Seq[Double]] = (0 until nSub).map { sub =>
+          val qsub = q.slice(sub * subLen, (sub + 1) * subLen)
+          val row = Array.fill(maxCid + 1)(0.0)
+          pq.iterator.filter(_._1 == sub)
+            .foreach { case (_, cid, cv) => row(cid) = dot(qsub, cv) }
+          row.toSeq
+        }
+        cells.map(cell => (qid, qnorm, cell, tables))
+      }
+      val probes = probeRows.toSeq.toDF("qid", "qnorm", "cell", "tables")
+      val probedCells = probeRows.map(_._3).distinct.toSeq
+      val corpus = graft.operators.IvfIndex.cellsPruned(s, idx, probedCells)
+        .select(col("vec_id").as("nid"), col("cell"),
+          col("code"), greatest(col("rnorm"), lit(1e-12)).as("rnorm"))
+      // phase 1 — compressed-domain candidate generation: ADC-score every
+      // vector in the probed cells from codes alone, keep top-96 per
+      // query (the FAISS "refine factor": PQ error means the true top-5
+      // sits inside the ADC top-~10k, not the ADC top-5)
+      val cand = corpus.join(broadcast(probes), Seq("cell"))
+        .filter(col("nid") =!= col("qid"))
+        .withColumn("ip", expr(
+          "aggregate(zip_with(code, tables, (c, t) -> t[c]), 0D, (acc, v) -> acc + v)"))
+        .withColumn("adc", col("ip") / (col("qnorm") * col("rnorm")))
+        .groupBy("qid")
+        .agg(graft.functions.BottomK.topKScored(col("adc"), col("nid"), 96).as("top"))
+        .select(col("qid"), explode(expr("transform(top, x -> x.id)")).as("nid"))
+      // phase 2 — exact rerank of the |queries| × 96 survivors: broadcast
+      // the candidate ids against the same pruned cell scan (this is the
+      // only read of the raw vectors, and only over nprobe/k of the
+      // index; on a cluster with a point-lookup side index even that
+      // scan collapses to id fetches)
+      graft.functions.CosineSimilarity.register(s)
+      val qdf = qs.toSeq.toDF("qid", "ea")
+      val emb64 = graft.operators.IvfIndex.cellsPruned(s, idx, probedCells)
+        .select(col("vec_id").as("nid"), col("emb").as("eb"))
+      emb64.join(broadcast(cand.join(broadcast(qdf), Seq("qid"))), Seq("nid"))
+        .withColumn("cs", expr("graft_cosine(ea, eb)"))
+        .groupBy("qid")
+        .agg(graft.functions.BottomK.topKScored(col("cs"), col("nid"), 5).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("pos0", "m")))
+        .select(col("qid"), (col("pos0") + 1).cast("int").as("rnk"),
+          col("m.id").as("nid"), round(col("m.score"), 6).as("cos_sim"))
+        .orderBy("qid", "rnk")
+    }),
+
     // int8 symmetric quantization roundtrip: per-vector scale =
     // 127/max|x|, q = round(x*scale) as int8, dequantize, report the
     // reconstruction cosine and max absolute error. The storage-scale

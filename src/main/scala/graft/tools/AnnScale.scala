@@ -80,17 +80,21 @@ object AnnScale {
     val (bf1t, bf1) = topk("v2_ann_topk", base)
     val (v4t1, v41) = topk("v4_ann_lsh", base)
     val (v5t1, v51) = topk("v5_ann_ivf", base)
+    val (v7t1, v71) = topk("v7_ann_ivfpq", base)
     println(f"ANNSCALE 1x bf=$bf1t%.2f s v4=$v4t1%.2f s (recall@5=${recall(v41, bf1)}%.3f) " +
-      f"v5=$v5t1%.2f s (recall@5=${recall(v51, bf1)}%.3f)")
+      f"v5=$v5t1%.2f s (recall@5=${recall(v51, bf1)}%.3f) " +
+      f"v7=$v7t1%.2f s (recall@5=${recall(v71, bf1)}%.3f)")
 
     factors.foreach { f =>
       val dir = scaledDir(f)
       val (bft, bf) = topk("v2_ann_topk", dir)
       val (v4t, v4) = topk("v4_ann_lsh", dir)
       val (v5t, v5) = topk("v5_ann_ivf", dir)
+      val (v7t, v7) = topk("v7_ann_ivfpq", dir)
       println(f"ANNSCALE ${f}x bf=$bft%.2f s " +
         f"v4=$v4t%.2f s ratio=${v4t / v4t1}%.1f recall@5=${recall(v4, bf)}%.3f " +
-        f"v5=$v5t%.2f s ratio=${v5t / v5t1}%.1f recall@5=${recall(v5, bf)}%.3f")
+        f"v5=$v5t%.2f s ratio=${v5t / v5t1}%.1f recall@5=${recall(v5, bf)}%.3f " +
+        f"v7=$v7t%.2f s ratio=${v7t / v7t1}%.1f recall@5=${recall(v7, bf)}%.3f")
     }
     spark.stop()
   }

@@ -83,6 +83,30 @@ class QueriesSpec extends SparkSuite {
     assert(hits >= 5, s"IVF recall too low: $hits/50 brute-force hits")
   }
 
+  test("v7 IVF-PQ ANN: 5 exact-reranked rows per query, overlap with brute force") {
+    val bfRows = SparkEntry.queries("v2_ann_topk")(spark, sf).collect()
+    val bfScore = bfRows.map(r =>
+      ((r.getAs[Long]("qid"), r.getAs[Long]("nid")), r.getAs[Double]("cos_sim"))).toMap
+    val pqr = SparkEntry.queries("v7_ann_ivfpq")(spark, sf).collect()
+    val byQ = pqr.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size === 10)
+    byQ.foreach { case (_, rs) => assert(rs.length === 5) }
+    // the rerank phase scores with EXACT cosine, so every pair v7 shares
+    // with the brute-force ranking must carry the identical rounded
+    // value — an ADC score leaking into the output fails here
+    val hits = pqr.filter(r =>
+      bfScore.contains((r.getAs[Long]("qid"), r.getAs[Long]("nid"))))
+    hits.foreach { r =>
+      val k = (r.getAs[Long]("qid"), r.getAs[Long]("nid"))
+      assert(math.abs(r.getAs[Double]("cos_sim") - bfScore(k)) <= 1e-6,
+        s"rerank score differs from exact cosine for $k")
+    }
+    info(s"v7 overlap: ${hits.length}/${bfScore.size}")
+    // floor, not a tight bound: recall is capped by the nprobe=3 IVF
+    // ceiling (~0.72 on this corpus) and PQ candidate ordering
+    assert(hits.length >= 15, s"IVF-PQ recall too low: ${hits.length}/50")
+  }
+
   test("dd4 MinHash estimates stay in [0,1] and pairs are ordered") {
     // the operator surface (the registered query is now the recall GATE;
     // this pins the raw candidate-pair surface it wraps)
