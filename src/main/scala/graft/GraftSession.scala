@@ -7,7 +7,9 @@ import org.apache.spark.sql.SparkSession
   * Centralizes the confs every graft entrypoint needs (Verify/Bench/demo
   * mains and tests duplicate these today by contract):
   *  - ANSI off: the reference's semantics rely on null-on-bad-cast;
-  *  - nanosAsLong: events.parquet carries INT64 TIMESTAMP(NANOS);
+  *  - nanosAsLong: tolerated events.parquet generations carrying INT64
+  *    TIMESTAMP(NANOS); harmless on the current timestamp[us] encoding
+  *    (Tables.normalizeTs handles both);
   *  - partition-type inference off: silver partition values are strings;
   *  - UTC, AQE on (incl. skew-join handling), shuffle partitions sized to
   *    the executor count rather than the 200 default.

@@ -15,9 +15,9 @@ object PlanAudit {
     val sf = args.headOption.getOrElse("/root/testdata/sf0.01")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("s1_scan_prune", "q1_agg", "j1_broadcast_dim", "w1_dedup_latest",
-        "p8_outlier_4sigma", "v2_ann_topk", "a7_conditional_agg",
-        "j7_multiway_star", "aj1_asof_join", "rj1_range_join",
-        "sw1_session_window", "g1_rollup", "tx10_tfidf")
+        "p8_outlier_4sigma", "v2_ann_topk", "v7_ann_ivfpq",
+        "a7_conditional_agg", "j7_multiway_star", "aj1_asof_join",
+        "rj1_range_join", "sw1_session_window", "g1_rollup", "tx10_tfidf")
     val spark = graft.GraftSession.local("graft-plan-audit",
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("ERROR")

@@ -66,4 +66,29 @@ class PlanFeatureSpec extends SparkSuite {
     assert(plan.contains("WindowGroupLimit"),
       s"top-n window lost its group-limit prune:\n$plan")
   }
+
+  test("v7's ADC scan is compressed-domain: cell-pruned, embedding column " +
+       "never read") {
+    // the IVF-PQ claim is an IO claim — the candidate-generation scan
+    // reads (vec_id, code, rnorm) from nprobe cell directories and the
+    // 64-double embedding column stays on disk. A column reference
+    // sneaking into the ADC phase (or a filter shape change that stops
+    // partition pruning) silently turns the query back into a full
+    // vector scan; pin both plan features here.
+    val df = SparkEntry.queries("v7_ann_ivfpq")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val cellScans = plan.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("code:array"))
+      .toSeq
+    assert(cellScans.nonEmpty, s"no code-column scan found:\n$plan")
+    cellScans.foreach(l =>
+      assert(!l.contains("emb:"),
+        s"ADC scan reads the raw embedding column:\n$l"))
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"cell partition pruning lost:\n$plan")
+    // the rerank scan DOES read emb — but only that scan
+    assert(plan.linesIterator.exists(l =>
+      l.contains("ReadSchema") && l.contains("emb:")),
+      s"exact-rerank vector scan missing:\n$plan")
+  }
 }
