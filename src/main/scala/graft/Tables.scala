@@ -31,6 +31,14 @@ object Tables {
         // DuckDB (and any exact reader) floors it.
         df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       case Some(f) if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        // CONTRACT: the NTZ->LTZ cast relabels wall-clock micros in the
+        // SESSION time zone, so this branch is only instant-correct in a
+        // UTC session — which every graft entrypoint pins
+        // (GraftSession/Verify/Bench/test sessions all set
+        // spark.sql.session.timeZone=UTC). A non-UTC ad-hoc session
+        // would shift these instants by its zone offset; the nanos
+        // branch above has no such dependence (timestamp_micros is
+        // absolute).
         df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }

@@ -49,8 +49,9 @@ object IvfIndex {
   val PqIters = 3
   /** Bumped when the on-disk layout changes; `ensure` retrains an index
     * whose recorded version differs (format 2 added the PQ codebook and
-    * the cells' `code`/`rnorm` columns). */
-  val FormatVersion = 2
+    * the cells' `code`/`rnorm` columns; format 3 added the content
+    * fingerprint to meta). */
+  val FormatVersion = 3
 
   /** Root for all persisted indexes; overridable for tests. */
   def indexRoot: String = sys.env.getOrElse(
@@ -68,27 +69,45 @@ object IvfIndex {
     graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
 
+  /** Content fingerprint of the corpus: order-insensitive sum of per-row
+    * hashes over (vec_id, embedding). One narrow scan — cheap at the
+    * scales this library benches at, and memoized per JVM; a cluster
+    * deployment would key the index on the corpus table's snapshot/commit
+    * id instead of hashing content (see store.SnapshotStore). Catches
+    * what a row COUNT cannot: a regenerated corpus with the same
+    * cardinality but different values (exactly what a deterministic data
+    * generator produces). */
+  private def fingerprint(e0: DataFrame): Long =
+    e0.agg(sum(xxhash64(col("vec_id"), col("emb")))).head().getLong(0)
+
   /** Ensure a fresh index exists for `sfDir`; returns its path. Reuses an
-    * existing index only when its recorded corpus count matches the live
-    * table (metadata-only count — no data scan). Serialized per-JVM so
-    * concurrently running test suites don't race the build; cross-JVM
-    * the atomic rename publish makes the last writer win with no
-    * torn-state window. */
+    * existing index only when its recorded format version, corpus count,
+    * and content fingerprint all match the live table. Serialized per-JVM
+    * so concurrently running test suites don't race the build. Cross-JVM
+    * a concurrent rebuild is NOT fully atomic for readers (see
+    * [[build]]); the drivers that share an index (Verify, Bench, tests)
+    * run their gate queries sequentially, which is the contract here. */
   def ensure(spark: SparkSession, sfDir: String): String = buildLock.synchronized {
     val path = indexPath(sfDir)
-    // the staleness probe (meta read + metadata-only corpus count) costs
-    // two small jobs; once validated in this JVM the answer cannot change
-    // under us (the testdata contract is read-only), so memoize it
+    // once validated in this JVM the answer cannot change under us (the
+    // testdata contract is read-only), so memoize the probe
     if (validated.contains(path)) return path
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new Path(path, "meta"))) {
       val meta = spark.read.parquet(s"$path/meta")
+      val row = meta.head()
+      // column-presence guards, not just the version value: an index
+      // written by an OLDER build lacks the newer meta columns entirely,
+      // and that must read as "stale — rebuild", never as an error
       val fmtOk = meta.columns.contains("fmt") &&
-        meta.head().getAs[Int]("fmt") == FormatVersion
-      val recorded = meta.head().getAs[Long]("n")
-      val live = corpus(spark, sfDir).count()
-      if (fmtOk && recorded == live) { validated += path; return path }
+        meta.columns.contains("fp") &&
+        row.getAs[Int]("fmt") == FormatVersion
+      val e0 = corpus(spark, sfDir)
+      if (fmtOk && row.getAs[Long]("n") == e0.count() &&
+          row.getAs[Long]("fp") == fingerprint(e0)) {
+        validated += path; return path
+      }
       fs.delete(p, true)
     }
     build(spark, sfDir, path)
@@ -198,13 +217,25 @@ object IvfIndex {
       .repartition(col("cell"))
       .write.partitionBy("cell").parquet(s"$tmp/cells")
     import spark.implicits._
-    Seq((n, FormatVersion)).toDF("n", "fmt")
+    Seq((n, FormatVersion, fingerprint(e0))).toDF("n", "fmt", "fp")
       .repartition(1).write.parquet(s"$tmp/meta")
+    // Publish = delete-then-rename: NOT atomic for a cross-JVM reader
+    // (a scan in flight during a rebuild can lose the directory under
+    // it). That is acceptable here because rebuilds only happen when the
+    // corpus changed — at which point concurrent readers hold stale
+    // plans anyway — and the sharing processes (Verify/Bench/tests) run
+    // their queries sequentially. A losing concurrent builder (target
+    // reappeared between our delete and rename — Hadoop rename into an
+    // existing dir would NEST tmp inside it) discards its own build and
+    // uses the winner's.
     fs.delete(target, true)
     fs.mkdirs(target.getParent)
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(
-        s"IvfIndex.build: rename $tmp -> $target failed")
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, true)
+      if (!fs.exists(new Path(target, "meta")))
+        throw new java.io.IOException(
+          s"IvfIndex.build: rename $tmp -> $target failed and no index present")
+    }
   }
 
   /** The PQ subquantizer codebook: `(sub, cid, cvec)` —
@@ -216,12 +247,18 @@ object IvfIndex {
   def codebook(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/codebook")
 
-  /** The cell-partitioned corpus. `cell` comes back as a partition
-    * column whose type depends on the session's partition-type-inference
-    * setting (Verify/Bench disable it), so normalize to int here. */
-  def cells(spark: SparkSession, path: String): DataFrame =
+  /** The cell-partitioned corpus as written, `cell` left at whatever
+    * type the session's partition-type inference produced — the pruning
+    * filter must be applied BEFORE any cast for Catalyst to prune
+    * directories. */
+  private def rawCells(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/cells")
-      .withColumn("cell", col("cell").cast("int"))
+
+  /** The full cell-partitioned corpus with `cell` normalized to int —
+    * for whole-index consumers (compaction, re-training, audits). Probe
+    * paths use [[cellsPruned]]. */
+  def cells(spark: SparkSession, path: String): DataFrame =
+    rawCells(spark, path).withColumn("cell", col("cell").cast("int"))
 
   /** The cell-partitioned corpus restricted to `probed` cells, with the
     * `isin` literals typed to MATCH the partition column (string when the
@@ -231,7 +268,7 @@ object IvfIndex {
     * nprobe/k of the index, which is the entire point of IVF. */
   def cellsPruned(spark: SparkSession, path: String,
                   probed: Seq[Int]): DataFrame = {
-    val raw = spark.read.parquet(s"$path/cells")
+    val raw = rawCells(spark, path)
     val lits: Seq[Any] =
       if (raw.schema("cell").dataType ==
           org.apache.spark.sql.types.StringType) probed.map(_.toString)

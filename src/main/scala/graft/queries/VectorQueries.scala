@@ -28,6 +28,11 @@ object VectorQueries {
   private def cosine(ea: String, eb: String) =
     expr(s"graft_cosine($ea, $eb)")
 
+  /** v4's adaptive probe radius per corpus dir (testdata is read-only,
+    * so the density class of a dir never changes within a JVM). */
+  private val radiusCache =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
   val queries: Map[String, Q] = Map(
     // pairwise cosine between consecutive vec_ids (exact, oracle-checked).
     "v1_cosine_pairs" -> ((s, d) => {
@@ -103,8 +108,14 @@ object VectorQueries {
       graft.functions.SignRpKeys.register(s)
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      val n = e.count() // metadata-only: parquet row-group counts
-      val radius = if (n <= 24000L) 2 else if (n <= 120000L) 1 else 0
+      // the count is metadata-only (parquet row-group counts) and the
+      // radius is constant per corpus dir, so memoize it: plan-only
+      // consumers (PlanAudit, PlanGuardSpec) and repeat invocations skip
+      // the job entirely
+      val radius = radiusCache.getOrElseUpdate(d, {
+        val n = e.count()
+        if (n <= 24000L) 2 else if (n <= 120000L) 1 else 0
+      })
       val keyed = e.withColumn("keys", expr("graft_sign_rp_keys(emb, 8, 8)"))
       val corpus = keyed.select(col("vec_id").as("nid"), col("emb").as("eb"),
         posexplode(col("keys")).as(Seq("band", "key")))

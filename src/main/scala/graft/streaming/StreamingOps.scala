@@ -335,6 +335,9 @@ object StreamingOps {
                   ttlMs: Long = 0L): Dataset[NearDupHit] = {
     import spark.implicits._
     require(numPerms % bands == 0, s"numPerms=$numPerms not divisible by bands=$bands")
+    // the per-arrival eviction trims the bucket to maxBucket-1 before
+    // appending, which is only well-formed for a cap of at least one
+    require(maxBucket >= 1, s"maxBucket=$maxBucket must be >= 1")
     val rowsPerBand = numPerms / bands
     graft.functions.MinHashSig.register(spark)
     docs

@@ -435,7 +435,7 @@ class StreamingSpec extends SparkSuite {
       "far away into the deep green forest to find some food for its cubs"
     val q = StreamingOps.nearDupHits(spark,
         mem.toDF().toDF("doc_id", "text"), bands = 4, tau = 0.9,
-        maxBucket = 1024, ttlMs = 2500L)
+        maxBucket = 1024, ttlMs = 8000L)
       .writeStream.format("memory").queryName("neardup_ttl_out")
       .option("checkpointLocation", ckpt)
       .outputMode("append").start()
@@ -447,8 +447,14 @@ class StreamingSpec extends SparkSuite {
         .filter(col("doc_id") === 2L).select("matched_id")
         .collect().map(_.getLong(0)).toSet
       assert(within === Set(1L), s"within-TTL near-dup must hit, got $within")
-      // let the bucket go idle past the TTL; the state store expires it
-      Thread.sleep(3500L)
+      // let the bucket go idle past the TTL; the state store expires it.
+      // The TTL is deliberately generous (8 s) relative to per-batch
+      // latency: the within-TTL assertion above requires batch 2's state
+      // READ to land inside the window opened by batch 1's write, and a
+      // loaded runner (RocksDB init + per-file checkpoint chmod forks)
+      // can take seconds per micro-batch — a tight TTL makes that
+      // assertion a wall-clock race.
+      Thread.sleep(9000L)
       mem.addData((3L, text)); q.processAllAvailable()
       val late = spark.table("neardup_ttl_out")
         .filter(col("doc_id") === 3L).select("matched_id")
