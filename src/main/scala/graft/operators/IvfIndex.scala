@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -8,29 +8,57 @@ import org.apache.spark.sql.expressions.Window
 /** Persisted IVF (inverted-file) coarse-quantizer index over the
   * `embeddings` table — the train-ONCE half of IVF ANN, split out of the
   * query path (round-8 verdict: `v5_ann_ivf` retrained its k-means
-  * codebook inline on every invocation — 5 crossJoin + argmax-window
-  * passes over the full corpus before the query even probed; at 100 TB
-  * that is index *training* in the query path).
+  * codebook inline on every invocation — 5 crossJoin + argmax passes
+  * over the full corpus before the query even probed; at 100 TB that is
+  * index *training* in the query path).
   *
-  * Layout under `indexPath(sfDir)`:
-  *   - `codebook/` — k rows `(cell int, cvec array<double>)`,
-  *   - `cells/`    — the corpus re-stored as `(vec_id, emb)` PARTITIONED
-  *     BY its nearest cell: a probe of `nprobe` cells reads only
-  *     `nprobe/k` of the index directories (static partition pruning at
-  *     the scan — the on-disk analogue of FAISS's inverted lists),
-  *   - `meta/`     — one row `(n long)`: the corpus row count the index
-  *     was built from. `ensure` compares it against the live corpus
-  *     (a parquet metadata-only count) and retrains on mismatch, so a
-  *     regenerated testdata dir cannot serve a stale index.
+  * Layout under `indexPath(sfDir)` (generation-versioned — the
+  * SnapshotStore pointer pattern, replacing round-9's delete-then-rename
+  * publish that left cross-JVM readers a torn-read window):
+  * {{{
+  *   <root>/_CURRENT         one small file naming the live generation
+  *   <root>/gen-<uuid8>/     immutable generation dirs:
+  *     codebook/  k rows (cell int, cvec array<double>)
+  *     pq/        PqSub × ≤PqCids subquantizer rows (sub, cid, cvec)
+  *     cells/     the corpus re-stored as (vec_id, emb, code, rnorm)
+  *                PARTITIONED BY its nearest cell: a probe of nprobe
+  *                cells reads only nprobe/k of the generation's
+  *                directories (static partition pruning at the scan —
+  *                the on-disk analogue of FAISS's inverted lists)
+  *     meta/      one row (n, fmt, fp, snap): corpus row count, format
+  *                version, content fingerprint (bare-path corpora), and
+  *                the SnapshotStore snapshot name (store corpora)
+  * }}}
   *
-  * Training (unchanged semantics from the inline version, so the recall
-  * gate in QueriesSpec still holds): k=8 codebook, deterministic spread
-  * seeding (every (n/k)-th vector by vec_id), 4 Lloyd iterations, each
-  * one crossJoin(broadcast codebook) + per-vector argmax + per-(cell,pos)
-  * mean — linear in corpus size, localCheckpoint'd so the iterated plan
-  * cannot grow. Publication is write-to-sibling + rename (the
-  * DirectorySwapCommit pattern), so a reader never sees a half-built
-  * index. The index lives under java.io.tmpdir (keyed by corpus path) —
+  * [[ensure]] returns the RESOLVED generation path, so every reader holds
+  * a pinned immutable directory: a concurrent rebuild publishes a new
+  * generation and flips the pointer without touching the one in-flight
+  * scans resolved (the previous generation is retained for one build
+  * cycle before being collected).
+  *
+  * Staleness is decided two ways, matching how the corpus is addressed:
+  *  - bare parquet path ([[ensure]]): recorded row count must equal a
+  *    metadata-only live count AND the recorded content fingerprint must
+  *    match a one-narrow-scan xxhash of the live rows — catches a
+  *    regenerated corpus with the same cardinality but different values
+  *    (exactly what a deterministic data generator produces);
+  *  - SnapshotStore-published corpus ([[ensureForSnapshot]]): validity is
+  *    keyed on the store's current snapshot NAME — a pointer-file read
+  *    plus the index meta row, no corpus scan at all. At 100 TB the
+  *    fingerprint scan is a full read to decide "still fresh"; snapshot
+  *    identity is the cluster-scale answer, and the fingerprint stays the
+  *    fallback for corpora not published through the store.
+  *
+  * Training (semantics unchanged since round 8, so the recall gate in
+  * QueriesSpec still holds): k=8 codebook, deterministic spread seeding
+  * (every (n/k)-th vector by vec_id), 4 Lloyd iterations — each one
+  * crossJoin(broadcast codebook) + per-vector argmax via
+  * `groupBy(vec_id).agg(min_by(...))` (a partial-aggregating hash agg;
+  * the `row_number().over(partitionBy(vec_id))` argmax it replaced
+  * shuffled and SORTED all corpus×K scored rows per Lloyd iteration —
+  * 4 avoidable full-data sort-shuffles on the 100 TB build path) —
+  * linear in corpus size, localCheckpoint'd so the iterated plan cannot
+  * grow. The index lives under java.io.tmpdir (keyed by corpus path) —
   * on a cluster it would be a managed table beside the corpus.
   */
 object IvfIndex {
@@ -43,15 +71,20 @@ object IvfIndex {
     * becomes `PqSub` table lookups (ADC — asymmetric distance
     * computation). The compressed-domain column is what a 100 TB ANN
     * scan should read; the raw vectors stay in the index only for
-    * exact-rerank paths. */
+    * exact-rerank paths. A dimension not divisible by [[PqSub]] folds
+    * the remainder into the LAST subspace (both build and query side
+    * slice with the same rule), so no trailing dimensions are silently
+    * dropped from codes or `rnorm`. */
   val PqSub = 8
   val PqCids = 16
   val PqIters = 3
   /** Bumped when the on-disk layout changes; `ensure` retrains an index
     * whose recorded version differs (format 2 added the PQ codebook and
     * the cells' `code`/`rnorm` columns; format 3 added the content
-    * fingerprint to meta). */
-  val FormatVersion = 3
+    * fingerprint to meta; format 4 moved to generation dirs + pointer
+    * and added the snapshot name to meta). */
+  val FormatVersion = 4
+  val PointerFile = "_CURRENT"
 
   /** Root for all persisted indexes; overridable for tests. */
   def indexRoot: String = sys.env.getOrElse(
@@ -65,65 +98,175 @@ object IvfIndex {
     s"$indexRoot/${base}_$h"
   }
 
+  private def storeIndexPath(storeRoot: String): String = {
+    val base = new Path(storeRoot).getName
+    val h = Integer.toHexString(storeRoot.hashCode)
+    s"$indexRoot/store_${base}_$h"
+  }
+
   private def corpus(spark: SparkSession, sfDir: String): DataFrame =
     graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
 
-  /** Content fingerprint of the corpus: order-insensitive sum of per-row
-    * hashes over (vec_id, embedding). One narrow scan — cheap at the
-    * scales this library benches at, and memoized per JVM; a cluster
-    * deployment would key the index on the corpus table's snapshot/commit
-    * id instead of hashing content (see store.SnapshotStore). Catches
-    * what a row COUNT cannot: a regenerated corpus with the same
-    * cardinality but different values (exactly what a deterministic data
-    * generator produces). */
-  private def fingerprint(e0: DataFrame): Long =
-    e0.agg(sum(xxhash64(col("vec_id"), col("emb")))).head().getLong(0)
+  /** Count of full-corpus fingerprint scans this JVM has run — the test
+    * seam that lets IvfIndexSpec assert snapshot-keyed revalidation is
+    * metadata-only (no corpus scan) while bare-path revalidation still
+    * fingerprints. */
+  private[graft] val fingerprintScans =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Ensure a fresh index exists for `sfDir`; returns its path. Reuses an
-    * existing index only when its recorded format version, corpus count,
-    * and content fingerprint all match the live table. Serialized per-JVM
-    * so concurrently running test suites don't race the build. Cross-JVM
-    * a concurrent rebuild is NOT fully atomic for readers (see
-    * [[build]]); the drivers that share an index (Verify, Bench, tests)
-    * run their gate queries sequentially, which is the contract here. */
-  def ensure(spark: SparkSession, sfDir: String): String = buildLock.synchronized {
-    val path = indexPath(sfDir)
-    // once validated in this JVM the answer cannot change under us (the
-    // testdata contract is read-only), so memoize the probe
-    if (validated.contains(path)) return path
-    val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(path, "meta"))) {
-      val meta = spark.read.parquet(s"$path/meta")
-      val row = meta.head()
-      // column-presence guards, not just the version value: an index
-      // written by an OLDER build lacks the newer meta columns entirely,
-      // and that must read as "stale — rebuild", never as an error
-      val fmtOk = meta.columns.contains("fmt") &&
-        meta.columns.contains("fp") &&
-        row.getAs[Int]("fmt") == FormatVersion
-      val e0 = corpus(spark, sfDir)
-      if (fmtOk && row.getAs[Long]("n") == e0.count() &&
-          row.getAs[Long]("fp") == fingerprint(e0)) {
-        validated += path; return path
-      }
-      fs.delete(p, true)
-    }
-    build(spark, sfDir, path)
-    validated += path
-    path
+  /** Content fingerprint of the corpus: order-insensitive sum of per-row
+    * hashes over (vec_id, embedding) — one narrow scan. `coalesce` to 0
+    * on an empty corpus: `sum` over zero rows is NULL and the bare
+    * `getLong` threw an opaque NPE out of the staleness check. */
+  private def fingerprint(e0: DataFrame): Long = {
+    fingerprintScans.incrementAndGet()
+    e0.agg(coalesce(sum(xxhash64(col("vec_id"), col("emb"))), lit(0L)))
+      .head().getLong(0)
   }
 
-  private val buildLock = new Object
-  private val validated = scala.collection.mutable.Set.empty[String]
+  // ---------------------------------------------- generation resolution
 
-  /** Train the codebook and write codebook + cell-partitioned corpus +
-    * meta, publishing via build-to-sibling + atomic rename. */
-  def build(spark: SparkSession, sfDir: String, path: String): Unit = {
-    graft.functions.CosineSimilarity.register(spark)
+  private def pointerPath(root: String): Path = new Path(root, PointerFile)
+
+  /** The live generation dir named by the pointer, if published and
+    * still on disk. */
+  private def currentGen(fs: FileSystem, root: String): Option[Path] = {
+    val ptr = pointerPath(root)
+    if (!fs.exists(ptr)) return None
+    val in = fs.open(ptr)
+    val name =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    if (name.isEmpty) None
+    else {
+      val gen = new Path(root, name)
+      if (fs.exists(new Path(gen, "meta"))) Some(gen) else None
+    }
+  }
+
+  /** Atomically point `_CURRENT` at `genName`: temp file +
+    * rename-with-overwrite (atomic on POSIX/HDFS; a single-object PUT on
+    * object stores) — the SnapshotStore publish pattern. */
+  private def publishGen(spark: SparkSession, root: String,
+                         genName: String): Unit = {
+    val ptr = pointerPath(root)
+    val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(root))
+    val tmp = new Path(root,
+      s"$PointerFile.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(genName.getBytes("UTF-8")) finally out.close()
+    val fc = FileContext.getFileContext(ptr.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, ptr, Options.Rename.OVERWRITE)
+  }
+
+  /** Meta row of a generation as (n, fp, snap) plus whether the format
+    * matches. Column-presence guards, not just the version value: an
+    * index written by an OLDER build lacks the newer meta columns
+    * entirely, and that must read as "stale — rebuild", never error. */
+  private def readMeta(spark: SparkSession,
+                       gen: Path): Option[(Long, Long, Option[String])] = {
+    val meta = spark.read.parquet(new Path(gen, "meta").toString)
+    val row = meta.head()
+    val fmtOk = meta.columns.contains("fmt") && meta.columns.contains("fp") &&
+      meta.columns.contains("snap") && row.getAs[Int]("fmt") == FormatVersion
+    if (!fmtOk) None
+    else Some((row.getAs[Long]("n"), row.getAs[Long]("fp"),
+      Option(row.getAs[String]("snap"))))
+  }
+
+  // ------------------------------------------------------------- ensure
+
+  private val buildLock = new Object
+  /** Test seam: forget per-JVM validation results so a spec can exercise
+    * the on-disk revalidation path (pointer + meta read) directly. */
+  private[graft] def resetValidationMemo(): Unit = buildLock.synchronized {
+    validated.clear(); validatedSnap.clear()
+  }
+  /** root -> validated generation path (bare-path corpora: the testdata
+    * contract is read-only, so once validated the answer cannot change
+    * within this JVM). */
+  private val validated = scala.collection.mutable.Map.empty[String, String]
+  /** root -> (snapshot name, generation path): store corpora CAN advance
+    * within a JVM, so the memo is keyed on the snapshot identity. */
+  private val validatedSnap =
+    scala.collection.mutable.Map.empty[String, (String, String)]
+
+  /** Ensure a fresh index exists for the bare-parquet corpus at `sfDir`;
+    * returns the resolved (pinned, immutable) generation path. Reuses the
+    * live generation only when its recorded format version, corpus count
+    * (metadata-only), and content fingerprint (one narrow scan) all match
+    * the live table. Serialized per-JVM so concurrently running suites
+    * don't race the build; cross-JVM, racing builders each publish a
+    * complete generation and the pointer flip is atomic — the loser's
+    * generation is collected by the next build's pruning. */
+  def ensure(spark: SparkSession, sfDir: String): String = buildLock.synchronized {
+    val root = indexPath(sfDir)
+    validated.get(root) match {
+      case Some(gen) => return gen
+      case None => ()
+    }
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val e0 = corpus(spark, sfDir)
+    currentGen(fs, root).flatMap(g => readMeta(spark, g).map(g -> _)) match {
+      case Some((gen, (n, fp, _)))
+          if n == e0.count() && fp == fingerprint(e0) =>
+        validated(root) = gen.toString
+        gen.toString
+      case _ =>
+        val gen = build(spark, e0, root, snap = None)
+        validated(root) = gen
+        gen
+    }
+  }
+
+  /** [[ensure]] for a corpus published through
+    * [[graft.store.SnapshotStore]]: index validity is keyed on the
+    * store's current snapshot NAME — revalidation is a pointer-file read
+    * plus the index meta row, never a corpus scan (metadata-only, the
+    * 100 TB answer; IvfIndexSpec asserts no fingerprint scan runs).
+    * Publishing a new corpus snapshot changes the name and triggers a
+    * retrain on the next call. `idCol`/`embCol` name the corpus columns
+    * (embedding cast to array<double>). */
+  def ensureForSnapshot(spark: SparkSession, storeRoot: String,
+                        idCol: String = "vec_id",
+                        embCol: String = "embedding"): String =
+    buildLock.synchronized {
+      val snap = graft.store.SnapshotStore.currentName(spark, storeRoot)
+        .getOrElse(throw new java.io.FileNotFoundException(
+          s"no snapshot published under $storeRoot — commit the corpus first"))
+      val root = storeIndexPath(storeRoot)
+      validatedSnap.get(root) match {
+        case Some((s0, gen)) if s0 == snap => return gen
+        case _ => ()
+      }
+      val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      currentGen(fs, root).flatMap(g => readMeta(spark, g).map(g -> _)) match {
+        case Some((gen, (_, _, Some(s0)))) if s0 == snap =>
+          validatedSnap(root) = (snap, gen.toString)
+          gen.toString
+        case _ =>
+          val e0 = graft.store.SnapshotStore.read(spark, storeRoot)
+            .select(col(idCol).as("vec_id"),
+              col(embCol).cast("array<double>").as("emb"))
+          val gen = build(spark, e0, root, snap = Some(snap))
+          validatedSnap(root) = (snap, gen)
+          gen
+      }
+    }
+
+  /** Train the codebook and write codebook + PQ + cell-partitioned corpus
+    * + meta into a fresh generation dir, publish it via the atomic
+    * pointer flip, and prune generations older than the one just
+    * superseded. Returns the new generation path. */
+  private[graft] def build(spark: SparkSession, e0: DataFrame, root: String,
+                           snap: Option[String]): String = {
+    graft.functions.CosineSimilarity.register(spark)
     val n = e0.count()
+    require(n > 0,
+      s"IvfIndex.build: cannot train an index over an empty corpus ($root)")
     val step = math.max(n / K, 1L)
     def recenter(assigned: DataFrame): DataFrame = assigned
       .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "v")))
@@ -131,13 +274,6 @@ object IvfIndex {
       .groupBy("cell")
       .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> x.m)")
         .as("cvec"))
-    val wArg = Window.partitionBy("vec_id").orderBy(col("ccs").desc, col("cell"))
-    def assignCells(cb: DataFrame): DataFrame = e0
-      .crossJoin(broadcast(cb))
-      .withColumn("ccs", expr("graft_cosine(emb, cvec)"))
-      .withColumn("arn", row_number().over(wArg))
-      .filter(col("arn") === 1)
-      .select("vec_id", "emb", "cell")
     // spread seeding without a corpus-wide window: the modulo filter
     // keeps ~k spread-out vectors, limit caps them at k, and the
     // cell-id window then runs over k rows only
@@ -149,7 +285,7 @@ object IvfIndex {
       .select(col("cell"), col("emb").as("cvec"))
       .localCheckpoint(true)
     for (_ <- 1 to LloydIters)
-      codebook = recenter(assignCells(codebook)).localCheckpoint(true)
+      codebook = recenter(assignCells(e0, codebook)).localCheckpoint(true)
 
     // ---- product quantization: per-subspace k-means over the SAME
     // corpus scan shapes as the coarse training (equi-join on `sub`
@@ -157,12 +293,18 @@ object IvfIndex {
     // rows, broadcast). L2 in the subspace (the PQ objective is
     // reconstruction error, not angle); codes are the per-sub argmin
     // centroid ids, `rnorm` the reconstruction's norm so ADC inner
-    // products can be rescaled to cosine at query time.
+    // products can be rescaled to cosine at query time. The LAST
+    // subspace absorbs dim % PqSub (subSliceLen below), so a
+    // non-divisible dimension degrades nothing silently.
     val dim = e0.select(size(col("emb"))).head().getInt(0)
-    val subLen = math.max(dim / PqSub, 1)
+    require(dim >= PqSub,
+      s"IvfIndex.build: embedding dim $dim < PqSub=$PqSub — no subspace split")
+    val subLen = dim / PqSub
+    val lastLen = dim - (PqSub - 1) * subLen
+    val subSliceLen = s"IF(i = ${PqSub - 1}, $lastLen, $subLen)"
     val subs = e0.select(col("vec_id"), posexplode(expr(
         s"transform(sequence(0, ${PqSub - 1}), " +
-          s"i -> slice(emb, i * $subLen + 1, $subLen))"))
+          s"i -> slice(emb, i * $subLen + 1, $subSliceLen))"))
         .as(Seq("sub", "svec")))
       .localCheckpoint(true)
     val l2 = expr("aggregate(zip_with(svec, cvec, (x, y) -> (x - y) * (x - y)), " +
@@ -203,44 +345,65 @@ object IvfIndex {
           .as("code"),
         sqrt(sum(col("cn2"))).as("rnorm"))
 
-    val target = new Path(path)
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(target.getParent, target.getName + "__tmp_build")
-    fs.delete(tmp, true)
-    codebook.repartition(1).write.parquet(s"$tmp/codebook")
-    pqCb.repartition(1).write.parquet(s"$tmp/pq")
+    // ---- publish: write the complete generation dir (invisible to
+    // readers — nothing names it yet), then flip the pointer atomically.
+    // A reader that resolved the PREVIOUS generation keeps a live
+    // immutable dir; pruning below retains it for one build cycle.
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prevGen = currentGen(fs, root).map(_.getName)
+    val genName = s"gen-${java.util.UUID.randomUUID().toString.take(8)}"
+    val gen = new Path(rootPath, genName)
+    codebook.repartition(1).write.parquet(new Path(gen, "codebook").toString)
+    pqCb.repartition(1).write.parquet(new Path(gen, "pq").toString)
     // one directory per cell; a probe reads only its nprobe directories,
     // and a compressed-domain probe reads only (vec_id, code, rnorm) of
     // them (parquet column pruning — emb stays on disk for reranks)
-    assignCells(codebook)
+    assignCells(e0, codebook)
       .join(codes, Seq("vec_id"))
       .repartition(col("cell"))
-      .write.partitionBy("cell").parquet(s"$tmp/cells")
+      .write.partitionBy("cell").parquet(new Path(gen, "cells").toString)
+    // fingerprint only for bare-path corpora: for store corpora the
+    // snapshot name IS the staleness key and a full-corpus scan here
+    // would defeat the point of snapshot-keyed validation
+    val fp = if (snap.isDefined) 0L else fingerprint(e0)
     import spark.implicits._
-    Seq((n, FormatVersion, fingerprint(e0))).toDF("n", "fmt", "fp")
-      .repartition(1).write.parquet(s"$tmp/meta")
-    // Publish = delete-then-rename: NOT atomic for a cross-JVM reader
-    // (a scan in flight during a rebuild can lose the directory under
-    // it). That is acceptable here because rebuilds only happen when the
-    // corpus changed — at which point concurrent readers hold stale
-    // plans anyway — and the sharing processes (Verify/Bench/tests) run
-    // their queries sequentially. A losing concurrent builder (target
-    // reappeared between our delete and rename — Hadoop rename into an
-    // existing dir would NEST tmp inside it) discards its own build and
-    // uses the winner's.
-    fs.delete(target, true)
-    fs.mkdirs(target.getParent)
-    if (!fs.rename(tmp, target)) {
-      fs.delete(tmp, true)
-      if (!fs.exists(new Path(target, "meta")))
-        throw new java.io.IOException(
-          s"IvfIndex.build: rename $tmp -> $target failed and no index present")
-    }
+    Seq((n, FormatVersion, fp, snap.orNull))
+      .toDF("n", "fmt", "fp", "snap")
+      .repartition(1).write.parquet(new Path(gen, "meta").toString)
+    publishGen(spark, root, genName)
+    // collect generations older than the one just superseded: keep the
+    // new current + its immediate predecessor (readers in flight across
+    // the flip), drop the rest (including any pre-format-4 flat layout's
+    // stray dirs, which are never named by a pointer)
+    val keep = Set(genName) ++ prevGen
+    fs.listStatus(rootPath).filter(_.isDirectory)
+      .map(_.getPath).filterNot(p => keep(p.getName))
+      .foreach(p => fs.delete(p, true))
+    gen.toString
   }
+
+  /** Per-vector nearest-cell assignment `(vec_id, emb, cell)` — the
+    * Lloyd-iteration inner step and the final cell materialization. The
+    * argmax is a hash AGGREGATE (min_by on (-score, cell) = highest
+    * score, ties to the lowest cell id — the same order the round-9
+    * row_number window used), partial-aggregated map-side: no corpus×K
+    * sort-shuffle per Lloyd iteration, matching [[build]]'s `assignPq`
+    * shape. emb is constant within the vec_id group (the crossJoin
+    * replicates it K times); first() carries it through the aggregate.
+    * Package-private so IvfIndexSpec can pin the no-window plan shape. */
+  private[graft] def assignCells(e0: DataFrame, cb: DataFrame): DataFrame = e0
+    .crossJoin(broadcast(cb))
+    .withColumn("ccs", expr("graft_cosine(emb, cvec)"))
+    .groupBy("vec_id")
+    .agg(min_by(col("cell"), struct(negate(col("ccs")), col("cell"))).as("cell"),
+      first(col("emb")).as("emb"))
+    .select("vec_id", "emb", "cell")
 
   /** The PQ subquantizer codebook: `(sub, cid, cvec)` —
     * [[PqSub]] × ≤[[PqCids]] rows (a centroid that loses all members
-    * during Lloyd iteration drops out, like the coarse k-means). */
+    * during Lloyd iteration drops out, like the coarse k-means). `path`
+    * is a generation path returned by [[ensure]]/[[ensureForSnapshot]]. */
   def pqCodebook(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/pq")
 

@@ -244,7 +244,10 @@ object VectorQueries {
       val qs = embeddings(s, d).filter(col("vec_id") < 10)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      val subLen = math.max(qs.headOption.map(_._2.length).getOrElse(nSub) / nSub, 1)
+      val dim = qs.headOption.map(_._2.length).getOrElse(nSub)
+      // same slicing rule as the index build: the LAST subspace absorbs
+      // dim % PqSub, so no trailing dimensions drop out of ADC scoring
+      val subLen = math.max(dim / nSub, 1)
       val probeRows = qs.flatMap { case (qid, q) =>
         val qnorm = math.max(math.sqrt(dot(q, q)), 1e-12)
         // nprobe=3 nearest coarse cells by cosine (score desc, cell asc —
@@ -257,7 +260,8 @@ object VectorQueries {
         // dense ADC tables indexed by cid (gaps from dropped centroids
         // score 0 — no code references them)
         val tables: Seq[Seq[Double]] = (0 until nSub).map { sub =>
-          val qsub = q.slice(sub * subLen, (sub + 1) * subLen)
+          val qsub = q.slice(sub * subLen,
+            if (sub == nSub - 1) q.length else (sub + 1) * subLen)
           val row = Array.fill(maxCid + 1)(0.0)
           pq.iterator.filter(_._1 == sub)
             .foreach { case (_, cid, cv) => row(cid) = dot(qsub, cv) }
