@@ -55,6 +55,50 @@ object SnapshotStore {
   private val claimLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Serializes the two operations whose interleaving was the round-9
+    * residual double-publish window: a TTL-breaker's delete-then-create
+    * claim break, and a publishing writer's final ownership-check +
+    * pointer flip. Per-JVM: a monitor per table root. Cross-process on
+    * POSIX/local filesystems: an OS file lock on
+    * `_snapshots/.publish.lock` (held only for the few fs ops inside —
+    * never across a data write). Object stores don't need it: there the
+    * pointer flip is a conditional PUT (If-Match), which makes the final
+    * check-and-flip atomic by itself. HDFS cross-JVM deployments keep the
+    * TTL sized in minutes as defense-in-depth; in-process racers (the
+    * local[n] reality of this library) are fully covered by the monitor. */
+  private val publishLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def withPublishLock[T](root: String)(body: => T): T = {
+    val key = new Path(root).toString
+    val mon = publishLocks.computeIfAbsent(key, _ => new Object)
+    mon.synchronized {
+      val uri = new Path(root).toUri
+      val local = uri.getScheme == null || uri.getScheme == "file"
+      if (!local) body
+      else {
+        val dir = new java.io.File(uri.getPath, SnapshotsDir)
+        dir.mkdirs()
+        val raf = new java.io.RandomAccessFile(
+          new java.io.File(dir, ".publish.lock"), "rw")
+        try {
+          val lock = raf.getChannel.lock()
+          try body finally lock.release()
+        } finally raf.close()
+      }
+    }
+  }
+
+  /** Test seams (ConcurrencySpec): one-shot callbacks fired inside the
+    * formerly-racy windows so the interleavings can be driven
+    * deterministically. `testHookBeforePublish(root, version)` runs after
+    * fence #2, before the locked final-check+flip; `testHookBeforeBreak`
+    * runs after a breaker's pre-lock staleness check, before it takes the
+    * publish lock. */
+  @volatile private[graft] var testHookBeforePublish:
+    Option[(String, String) => Unit] = None
+  @volatile private[graft] var testHookBeforeBreak: Option[() => Unit] = None
+
   private def fsOf(root: Path, spark: SparkSession): FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -239,7 +283,12 @@ object SnapshotStore {
     *     equal `base`. On either failure the loser deletes what it wrote
     *     (only if it still owns the claim) and conflicts; it never
     *     touches the pointer.
-    *  5. Flip the pointer.
+    *  5. Under the publish lock: re-check claim ownership, then flip the
+    *     pointer. A TTL-breaker takes the same lock around its
+    *     delete-then-create (re-validating that the version is still
+    *     unpublished inside it), so breaker-vs-writer both-publish cannot
+    *     interleave — the round-9 "one filesystem op wide" residual
+    *     window is closed, not just narrowed.
     *
     * The loser's retry re-enters with the WINNER's version as its new
     * base and lands on top — nothing is ever silently dropped. */
@@ -291,22 +340,26 @@ object SnapshotStore {
         s"table $root advanced past ${base.getOrElse("<none>")} before " +
           s"$name could publish — recompute and retry")
     }
-    // fence #3 — LAST ownership re-check immediately before the pointer
-    // flip: a TTL-breaker that fired between fence #2 and here would
-    // otherwise race our publishPointer with its own. RESIDUAL WINDOW:
-    // delete-then-create claim breaking is not atomic cross-process, so a
-    // breaker whose clock fired between this read and the rename below
-    // can still double-publish — the window is now one filesystem op
-    // wide, not a whole write() wide. Closing it entirely needs a
-    // conditional pointer swap (HDFS rename has no compare-and-set; on
-    // S3 use a conditional PUT with If-Match), which is why
-    // DefaultClaimTtlMs is sized in minutes: a breaker only fires against
-    // a writer that has been silent for the full TTL.
-    if (!claimToken(fs, claimPath(root, name)).contains(token))
-      throw new ConcurrentCommitException(
-        s"claim on $name at $root was broken between fence #2 and " +
-          s"publish — recompute and retry")
-    publishPointer(spark, root, name)
+    // fence #3 — the final ownership re-check and the pointer flip run
+    // under the PUBLISH LOCK, and the TTL-breaker's delete-then-create
+    // runs under the SAME lock (see claimSlot), which closes the round-9
+    // residual window (breaker fires between this read and the rename →
+    // both publish): whichever of {writer, breaker} takes the lock first
+    // wins, and the loser observes either a foreign claim token (writer
+    // loses → conflict, nothing published) or a published version
+    // (breaker aborts its break — the claim is now a commit record). On
+    // local/POSIX roots the lock is an OS file lock, so the exclusion
+    // holds cross-process too; on object stores the flip itself is a
+    // conditional PUT and needs no lock. The lock is held for two small
+    // fs ops — never across the data write.
+    testHookBeforePublish.foreach(h => h(root, name))
+    withPublishLock(root) {
+      if (!claimToken(fs, claimPath(root, name)).contains(token))
+        throw new ConcurrentCommitException(
+          s"claim on $name at $root was broken between fence #2 and " +
+            s"publish — recompute and retry")
+      publishPointer(spark, root, name)
+    }
     name
   }
 
@@ -349,8 +402,25 @@ object SnapshotStore {
       val stale = claimContent(fs, claim)
         .forall { case (_, ts) => System.currentTimeMillis() - ts > ttlMs }
       if (!published && stale) {
-        fs.delete(claim, false)
-        if (tryCreate()) return
+        testHookBeforeBreak.foreach(h => h())
+        // the break itself runs under the publish lock, re-validating
+        // BOTH conditions inside it: between the pre-lock reads above and
+        // acquiring the lock, the claimant may have published (the claim
+        // became a permanent commit record — breaking it would hand a
+        // live version dir to this writer) — that re-check, paired with
+        // commitFrom holding the same lock across its final token check +
+        // pointer flip, is what makes breaker-vs-writer double-publish
+        // impossible rather than merely unlikely.
+        val broke = withPublishLock(root) {
+          val publishedNow = currentName(spark, root).exists(_ >= name)
+          val staleNow = claimContent(fs, claim)
+            .forall { case (_, ts) => System.currentTimeMillis() - ts > ttlMs }
+          if (!publishedNow && staleNow) {
+            fs.delete(claim, false)
+            tryCreate()
+          } else false
+        }
+        if (broke) return
       }
       throw new ConcurrentCommitException(
         s"version $name at $root already claimed by a racing writer — " +
@@ -362,7 +432,7 @@ object SnapshotStore {
     * then rename-with-overwrite onto the pointer path (atomic on
     * POSIX/HDFS; on S3 deployments substitute a direct single-object PUT,
     * which is atomic per key). */
-  private[store] def publishPointer(spark: SparkSession, root: String,
+  private[graft] def publishPointer(spark: SparkSession, root: String,
                                     name: String): Unit = {
     val ptr = new Path(root, PointerFile)
     val fs = fsOf(ptr, spark)

@@ -226,7 +226,7 @@ object StreamingOps {
   // ---- streaming near-duplicate detection ---------------------------------
 
   final case class BandedSig(band_key: Long, doc_id: Long, sig: Seq[Long])
-  final case class SigEntry(doc_id: Long, sig: Seq[Long])
+  final case class SigEntry(doc_id: Long, sig: Seq[Long], ingest_ms: Long)
   final case class NearDupHit(doc_id: Long, matched_id: Long, est_jaccard: Double)
 
   /** Per-band-bucket state: the (doc_id, signature)s that have landed in
@@ -253,14 +253,17 @@ object StreamingOps {
     *    replay-dedup set forgets evicted ids): it is re-compared and
     *    re-inserted, which can re-emit hits for it — at-least-once
     *    semantics degrade gracefully to the same recency window.
-    *  - **Optional processing-time TTL** (`ttlMs`) — entries additionally
-    *    expire by age via the state store's native TTL, the
-    *    wall-clock-bounded alternative when "recent" is defined in time
-    *    rather than arrivals. Caveat: the processor rewrites the whole
-    *    bucket with one `put()` whenever any entry is added or evicted, so
-    *    the TTL clock is *since the bucket was last updated*, not since
-    *    each entry's ingest — in a continuously active bucket, entries age
-    *    out by the FIFO cap, not by TTL; TTL expires entire idle buckets.
+    *  - **Optional processing-time TTL** (`ttlMs`) — each entry carries
+    *    its ingest timestamp (the micro-batch's processing time) and is
+    *    evicted by AGE, per entry, before the batch's arrivals are
+    *    compared: a continuously active bucket still ages its old entries
+    *    out on schedule (round-9 verdict item 6 — the previous
+    *    whole-bucket `put()` reset the state store's TTL clock on every
+    *    update, so active buckets only ever shed entries via the FIFO
+    *    cap). The state store's native TTL stays configured as the
+    *    IDLE-bucket half: a bucket nothing touches again is expired (and
+    *    physically removed) by the store without this processor ever
+    *    reading it.
     *
     * The whole bucket is read once per (bucket, micro-batch) and written
     * back once if changed — one RocksDB get + one put, not one per row. */
@@ -277,12 +280,26 @@ object StreamingOps {
 
     override def handleInputRows(key: Long, rows: Iterator[BandedSig],
                                  timerValues: TimerValues): Iterator[NearDupHit] = {
+      // batch processing time: every arrival in this (bucket, batch)
+      // shares one clock reading — ages are deterministic per batch.
+      // Only meaningful under TimeMode.ProcessingTime (ttlMs > 0); the
+      // no-TTL mode stamps 0 and never reads it.
+      val now =
+        if (ttlMs > 0) timerValues.getCurrentProcessingTimeInMs() else 0L
       val bucket = scala.collection.mutable.ArrayBuffer.empty[SigEntry]
-      seen.get().foreach(bucket += _)
+      var changed = false
+      if (ttlMs > 0) {
+        // per-entry age eviction BEFORE anything is compared: an arrival
+        // must never match an entry older than the TTL, even in a bucket
+        // that has been continuously active
+        val cutoff = now - ttlMs
+        seen.get().foreach { e =>
+          if (e.ingest_ms > cutoff) bucket += e else changed = true
+        }
+      } else seen.get().foreach(bucket += _)
       val ids = scala.collection.mutable.HashSet.empty[Long]
       bucket.foreach(ids += _.doc_id)
       val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
-      var changed = false
       rows.foreach { r =>
         if (!ids.contains(r.doc_id)) {
           // Evict BEFORE comparing: a new arrival must never match an
@@ -306,7 +323,7 @@ object StreamingOps {
             val est = agree.toDouble / r.sig.length
             if (est >= tau) out += NearDupHit(r.doc_id, e.doc_id, est)
           }
-          bucket += SigEntry(r.doc_id, r.sig)
+          bucket += SigEntry(r.doc_id, r.sig, now)
           ids += r.doc_id
           changed = true
         }

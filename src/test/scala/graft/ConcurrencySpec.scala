@@ -273,4 +273,82 @@ class ConcurrencySpec extends SparkSuite {
     assert(left === Array("v000000003.claim", "v000000004.claim"),
       s"claims must track their retained dirs, got ${left.mkString(",")}")
   }
+
+  // ---- the round-9 residual TTL window, driven deterministically -------
+  // Both interleavings of "breaker fires inside the writer's final
+  // stretch" must resolve to exactly ONE publish. The hooks fire inside
+  // the windows that used to be unguarded; the publish lock now
+  // serializes {final ownership check + pointer flip} against
+  // {delete-then-create claim break}.
+
+  test("breaker completing inside the writer's pre-publish window: " +
+       "one publish, writer conflicts") {
+    import spark.implicits._
+    val root = freshRoot()
+    PointerCommit.publish(Seq((1, "base")).toDF("id", "v"), root, Nil)
+    val base = SnapshotStore.currentName(spark, root)
+    var breakerResult: Option[String] = None
+    // fires after the writer wrote its data and passed fence #2 — the
+    // exact stall a TTL-breaker interprets as a dead writer
+    SnapshotStore.testHookBeforePublish = Some { (r, _) =>
+      SnapshotStore.testHookBeforePublish = None // one-shot: breaker must not recurse
+      breakerResult = Some(
+        SnapshotStore.commitFrom(spark, r, base, claimTtlMs = 0L) { dir =>
+          Seq((1, "breaker")).toDF("id", "v").write.parquet(dir)
+        })
+    }
+    try {
+      val e = intercept[ConcurrentCommitException] {
+        SnapshotStore.commitFrom(spark, root, base) { dir =>
+          Seq((1, "writer")).toDF("id", "v").write.parquet(dir)
+        }
+      }
+      assert(e.getMessage.contains("broken"),
+        s"writer must conflict on the broken claim, got: ${e.getMessage}")
+    } finally SnapshotStore.testHookBeforePublish = None
+    assert(breakerResult.contains("v000000002"))
+    // exactly one publish: the breaker's — the writer never flipped
+    assert(SnapshotStore.currentName(spark, root).contains("v000000002"))
+    val live = SnapshotStore.read(spark, root).collect()
+    assert(live.length === 1 && live(0).getString(1) === "breaker",
+      "the published snapshot must be wholly the breaker's data")
+  }
+
+  test("breaker that pre-read stale+unpublished aborts once the writer " +
+       "publishes first (in-lock re-check)") {
+    import spark.implicits._
+    val root = freshRoot()
+    PointerCommit.publish(Seq((1, "base")).toDF("id", "v"), root, Nil)
+    val base = SnapshotStore.currentName(spark, root)
+    // hand-crafted slow-but-alive writer: claim for v2 with an ancient
+    // stamp, snapshot dir fully written, pointer not yet flipped
+    val name = "v000000002"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val c = fs.create(SnapshotStore.claimPath(root, name), false)
+    c.write("slow-writer\t0".getBytes("UTF-8")); c.close()
+    Seq((1, "writer")).toDF("id", "v")
+      .write.parquet(s"$root/${SnapshotStore.SnapshotsDir}/$name")
+    // the writer's pointer flip lands BETWEEN the breaker's pre-lock
+    // staleness read and its locked break — the formerly-fatal order
+    SnapshotStore.testHookBeforeBreak = Some { () =>
+      SnapshotStore.testHookBeforeBreak = None
+      SnapshotStore.publishPointer(spark, root, name)
+    }
+    try {
+      val e = intercept[ConcurrentCommitException] {
+        SnapshotStore.commitFrom(spark, root, base, claimTtlMs = 0L) { dir =>
+          Seq((1, "breaker")).toDF("id", "v").write.parquet(dir)
+        }
+      }
+      assert(e.getMessage.contains("claimed"),
+        s"breaker must abort against the now-published claim: ${e.getMessage}")
+    } finally SnapshotStore.testHookBeforeBreak = None
+    // the writer's publish stands untouched; its claim is a commit record
+    assert(SnapshotStore.currentName(spark, root).contains(name))
+    val live = SnapshotStore.read(spark, root).collect()
+    assert(live.length === 1 && live(0).getString(1) === "writer")
+    assert(fs.exists(SnapshotStore.claimPath(root, name)),
+      "a published version's claim record must never be deleted by a breaker")
+  }
 }

@@ -480,6 +480,65 @@ class StreamingSpec extends SparkSuite {
       }
     }
   }
+
+  test("near-dup: per-entry TTL ages old entries out of an ACTIVE bucket") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // see the idle-bucket TTL test above for why no-data micro-batches
+    // must be off in ProcessingTime mode
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = spark.conf.getOption(noDataKey)
+    spark.conf.set(noDataKey, "false")
+    val ckpt = Files.createTempDirectory("graft_neardup_activettl").toString
+    val mem = MemoryStream[(Long, String)]
+    val text = "the quick brown fox jumps over the lazy dog and then runs " +
+      "far away into the deep green forest to find some food for its cubs"
+    // TTL chosen so each inter-batch sleep sits well inside it (bucket
+    // stays ACTIVE — the state store's whole-bucket TTL never fires) but
+    // the FIRST entry's total age crosses it by batch 3. Margins are
+    // generous against slow micro-batches, same reasoning as above.
+    val q = StreamingOps.nearDupHits(spark,
+        mem.toDF().toDF("doc_id", "text"), bands = 4, tau = 0.9,
+        maxBucket = 1024, ttlMs = 12000L)
+      .writeStream.format("memory").queryName("neardup_activettl_out")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, text)); q.processAllAvailable()
+      Thread.sleep(6000L)
+      // batch 2 keeps the bucket active and matches doc 1 (age ~6 s < TTL)
+      mem.addData((2L, text)); q.processAllAvailable()
+      val h2 = spark.table("neardup_activettl_out")
+        .filter(col("doc_id") === 2L).select("matched_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(h2 === Set(1L), s"within-TTL entry must match, got $h2")
+      Thread.sleep(7000L)
+      // batch 3: the bucket was updated only ~7 s ago (still active, not
+      // store-expired), but entry 1 is now ~13 s old — the round-9
+      // since-last-update approximation would still surface it; per-entry
+      // aging must not
+      mem.addData((3L, text)); q.processAllAvailable()
+      val h3 = spark.table("neardup_activettl_out")
+        .filter(col("doc_id") === 3L).select("matched_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(h3 === Set(2L),
+        s"aged entry 1 must be evicted from the ACTIVE bucket, got $h3")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+      prevNoData match {
+        case Some(v) => spark.conf.set(noDataKey, v)
+        case None => spark.conf.unset(noDataKey)
+      }
+    }
+  }
 }
 
 object StreamingSpec {
