@@ -74,17 +74,32 @@ object CoverageQueries {
     // A14: MERGEABLE distinct sketches — per-group Datasketches HLL built
     // once, then unioned for the global estimate without re-scanning the
     // data. The 100 TB shape: persist per-partition sketches and merge
-    // across days/partitions incrementally. Rows-only (sketch binaries
-    // and estimates are engine-specific); mergeability is spec-asserted.
+    // across days/partitions incrementally. Oracled via the a11 pattern:
+    // the sketch binary/estimate is engine-specific, so the row carries
+    // the EXACT distinct count (cross-engine-gated) plus a boolean
+    // asserting the HLL estimate — including the merged one, which is
+    // what proves union-mergeability — lands within 5% of it (default
+    // lgConfigK=12 → σ ≈ 1.6%; 5% ≈ 3σ). A sketch or merge regression
+    // flips the boolean and hash-mismatches. The global exact is one
+    // 1-row driver pull re-injected as a literal (the tx14 stats shape —
+    // no crossJoin, no whitelist entry).
     "a14_hll_sketch_merge" -> ((s, d) => {
       val sk = orders(s, d).groupBy("o_orderpriority")
-        .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
-      val per = sk.select(col("o_orderpriority").as("scope"),
-        expr("hll_sketch_estimate(sk)").as("distinct_est"))
+        .agg(expr("hll_sketch_agg(o_custkey)").as("sk"),
+          countDistinct(col("o_custkey")).as("n_exact"))
+      val per = sk.select(col("o_orderpriority").as("scope"), col("n_exact"),
+        expr("hll_sketch_estimate(sk)").as("est"))
+      val globalExact = orders(s, d)
+        .agg(countDistinct(col("o_custkey"))).head().getLong(0)
       val merged = sk
-        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("distinct_est"))
-        .select(lit("ALL_MERGED").as("scope"), col("distinct_est"))
-      per.unionByName(merged).orderBy("scope")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+        .select(lit("ALL_MERGED").as("scope"),
+          lit(globalExact).as("n_exact"), col("est"))
+      per.unionByName(merged)
+        .select(col("scope"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.05)
+            .as("est_within_5pct"))
+        .orderBy("scope")
     }),
 
     // F3: email normalization (lower+trim, anchored-regex validate else "")
@@ -140,6 +155,15 @@ object CoverageQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "a14_hll_sketch_merge" ->
+      """SELECT scope, n_exact, TRUE AS est_within_5pct FROM (
+        |  SELECT o_orderpriority AS scope,
+        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+        |  FROM orders GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'ALL_MERGED', CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+        |  FROM orders)
+        |ORDER BY scope""".stripMargin,
     "a11_approx_distinct" ->
       """SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
         |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,

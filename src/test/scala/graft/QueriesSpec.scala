@@ -126,11 +126,11 @@ class QueriesSpec extends SparkSuite {
     }
   }
 
-  test("dd5 SimHash hamming distance in [0,64]") {
+  test("dd5 SimHash hamming distance in [0,60]") {
     SparkEntry.queries("dd5_simhash")(spark, sf).collect().foreach { r =>
       val h = r.getAs[Int]("hamming")
-      assert(h >= 0 && h <= 64)
-      assert(r.getAs[String]("simhash_a").length === 64)
+      assert(h >= 0 && h <= 60)
+      assert(r.getAs[String]("simhash_a").length === 60)
     }
   }
 
