@@ -74,13 +74,22 @@ object CorpusPipeline {
         graft.operators.Splits.hashSplit(col("doc_id"), trainHexThreshold))
 
   /** Curate `docs` (doc_id, text, lang, n_chars …) → (curated corpus with
-    * `split` column, per-stage stats). */
+    * `split` column, per-stage stats).
+    *
+    * `precomputedPairs`: optional FULL-CORPUS candidate pairs
+    * (`MinHashLSH.cachedPairs` output) to reuse instead of running the
+    * LSH pass here. Candidate membership is per-pair (two docs collide
+    * iff their own band hashes match), so restricting full-corpus pairs
+    * to the quality+exact survivors is exactly the pair set an LSH pass
+    * over the survivors would produce — one shared pass per corpus
+    * instead of one per consumer. */
   def curate(spark: SparkSession, docs: DataFrame,
              langs: Seq[String] = Seq("en"),
              minChars: Int = 100, maxChars: Int = 100000,
              maxPunctRatio: Double = 0.2,
              minJaccard: Double = 0.8,
-             trainHexThreshold: String = "cc"): (DataFrame, CorpusStats) = {
+             trainHexThreshold: String = "cc",
+             precomputedPairs: Option[DataFrame] = None): (DataFrame, CorpusStats) = {
     val input = docs.count()
 
     // 1+2: per-row quality + language gate
@@ -95,7 +104,15 @@ object CorpusPipeline {
     gated.unpersist()
 
     // 4: near-dup clusters → keep each component's min doc_id
-    val pairs = nearDupPairs(exact, minJaccard)
+    val pairs = precomputedPairs match {
+      case Some(all) =>
+        val ids = exact.select("doc_id")
+        all.filter(col("est_jaccard") >= minJaccard)
+          .join(ids.withColumnRenamed("doc_id", "src"), Seq("src"), "left_semi")
+          .join(ids.withColumnRenamed("doc_id", "dst"), Seq("dst"), "left_semi")
+          .select("src", "dst")
+      case None => nearDupPairs(exact, minJaccard)
+    }
     val components = ConnectedComponents.run(
       exact.select(col("doc_id").as("id")), pairs)
     val canonical = components.filter(col("id") === col("component"))

@@ -79,10 +79,16 @@ object SamplingQueries {
     // exact dedup → MinHash-LSH near-dup clustering → canonical select →
     // content-hash split). Rows-only: MinHash internals aren't
     // SQL-expressible; invariants are spec-tested (CorpusPipelineSpec).
+    // The LSH pass is the shared per-corpus `cachedPairs` (one pass per
+    // session serves cp1 AND dd4's recall gate — restricting full-corpus
+    // pairs to the curation survivors is exact, see CorpusPipeline).
     "cp1_corpus_curate" -> ((s, d) => {
+      val docs = graft.Tables.documents(s, d)
       val (curated, _) = graft.corpus.CorpusPipeline.curate(
-        s, graft.Tables.documents(s, d),
-        langs = Seq("en", "vi", "de", "fr"), minChars = 1, minJaccard = 0.8)
+        s, docs,
+        langs = Seq("en", "vi", "de", "fr"), minChars = 1, minJaccard = 0.8,
+        precomputedPairs =
+          Some(graft.operators.MinHashLSH.cachedPairs(docs, cacheKey = d)))
       curated.select("doc_id", "split").orderBy("doc_id")
     }),
 

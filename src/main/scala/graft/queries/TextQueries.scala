@@ -295,7 +295,9 @@ object TextQueries {
     // .candidatePairs; QueriesSpec/PropertiesSpec pin its properties.
     "dd4_minhash_lsh" -> ((s, d) => {
       val docs = documents(s, d)
-      val cands = graft.operators.MinHashLSH.candidatePairs(docs)
+      // shared per-corpus LSH pass (MinHashLSH.cachedPairs) — cp1's
+      // curation composite reads the same materialized pairs
+      val cands = graft.operators.MinHashLSH.cachedPairs(docs, cacheKey = d)
         .select(col("src").as("doc_a"), col("dst").as("doc_b"))
       // exact truth in the SIGNATURE's similarity space: word-3-shingles
       // built exactly as functions.MinHashSig does (concat_ws over

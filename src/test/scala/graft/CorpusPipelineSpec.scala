@@ -42,6 +42,25 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(stats.afterNear === 2)
   }
 
+  test("precomputed full-corpus pairs curate identically to the inline LSH pass") {
+    val docs = Tables.documents(spark, sf)
+    val params = (Seq("en", "vi", "de", "fr"), 1, 0.8)
+    val (inline, statsInline) = CorpusPipeline.curate(spark, docs,
+      langs = params._1, minChars = params._2, minJaccard = params._3)
+    val full = graft.operators.MinHashLSH.candidatePairs(docs)
+    val (shared, statsShared) = CorpusPipeline.curate(spark, docs,
+      langs = params._1, minChars = params._2, minJaccard = params._3,
+      precomputedPairs = Some(full))
+    // candidate membership is per-pair, so restricting the full-corpus
+    // pair set to the survivors must reproduce the subset LSH exactly
+    assert(statsShared === statsInline)
+    val a = inline.select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val b = shared.select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(a === b)
+  }
+
   test("fully-filtered corpus curates to empty without errors") {
     import spark.implicits._
     val docs = Seq((1L, "short", "de", "s", 5L))
