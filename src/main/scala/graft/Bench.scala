@@ -35,9 +35,12 @@ import org.apache.spark.sql.SparkSession
   * stderr — the cost lands in-loop and v5/v7 numbers are not probe-only);
   * `load_avg_start`/`load_avg_end` carry the 1-minute system load average
   * around the timed loop (≫ the 32 cores this process uses means a
-  * contaminated capture); and `medians` covers every headline query, so
-  * an inflated first-run column self-diagnoses against its own
-  * steady-state numbers.
+  * contaminated capture); `dirty_kb_start`/`dirty_kb_end` carry pending
+  * kernel writeback from /proc/meminfo (hundreds of MB at start means
+  * another process's flush is contending with the fsync-heavy write
+  * gates — a mode load average misses entirely); and `medians` covers
+  * every headline query, so an inflated first-run column self-diagnoses
+  * against its own steady-state numbers.
   *
   * Queries run in name-sorted order so cold-start costs (codegen/JIT of
   * shared expressions, parquet footer reads) land on the same queries
@@ -111,6 +114,25 @@ object Bench {
     // bean doesn't report (Windows); Linux always does.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadStart = osBean.getSystemLoadAverage
+    // I/O-pressure sentinel: load average misses writeback contention
+    // entirely (measured this round: a bench taken minutes after a
+    // 25-minute test-suite run reported load 2.4 on 32 cores yet its
+    // fsync-heavy SCD2 write gates ran 8-13× over steady state while the
+    // kernel flushed the suite's dirty pages; the same gates timed normal
+    // once writeback drained). Dirty+Writeback from /proc/meminfo at
+    // start vs end makes that failure mode self-diagnosing: hundreds of
+    // MB pending at start means write-gate numbers are contaminated by
+    // another process's flush, not by the engine. -1 where /proc is
+    // unavailable.
+    def dirtyKb(): Long = try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines().collect {
+        case l if l.startsWith("Dirty:") || l.startsWith("Writeback:") =>
+          l.trim.split("\\s+")(1).toLong
+      }.sum
+      finally src.close()
+    } catch { case _: Throwable => -1L }
+    val dirtyStart = dirtyKb()
     // Warm the JVM/codegen/IO paths once so the first timed query isn't
     // charged session startup (~2-4s of JIT + parquet footer reads).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -177,6 +199,7 @@ object Bench {
       s""","total_write_gates":${fmt(writes.map(_._2).sum)},"n_write_gates":${writes.size}""" +
       s""","index_build":${fmt(indexBuildSec)}""" +
       s""","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)}""" +
+      s""","dirty_kb_start":$dirtyStart,"dirty_kb_end":${dirtyKb()}""" +
       s""","sf":"$sfDir"}"""
     val summary = compact.dropRight(1) +
       s""","medians":${jmap(medians)}""" +

@@ -316,6 +316,37 @@ object AnalyticQueries {
           dsum(least(greatest(col("price"), col("p05")), col("p95")), 6)
             .as("sum_winsorized"))
         .orderBy("pri")
+    }),
+
+    // A19: heavy hitters via mergeable Misra–Gries summaries (see
+    // operators/HeavyHitters.scala) — frequency sketches next to a14's
+    // HLL distinct. Oracled with the a11/a14 pattern: the row identity is
+    // the EXACT top-10 tokens with exact counts (cross-engine-hashable,
+    // total-ordered by count desc / token asc), plus two booleans
+    // asserting the MG estimate obeys its order-independent contract:
+    // est ≤ exact (MG never overestimates) and est ≥ exact − N/(k+1)
+    // (summed per-partition error bound, N = total token count). A sketch
+    // or merge regression flips a boolean and hash-mismatches. The N
+    // scalar is one driver pull re-injected as a literal — the a14
+    // globalExact shape (at corpus scale N comes from pipeline stats).
+    "a19_heavy_hitters" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+      val k = 64
+      val n = toks.count()
+      val bound = n.toDouble / (k + 1)
+      val exactTop = toks.groupBy("token")
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("token"))
+        .limit(10)
+      val est = graft.operators.HeavyHitters.approxCounts(toks, "token", k)
+      exactTop.join(est, Seq("token"), "left")
+        .select(col("token"), col("n_exact"),
+          (coalesce(col("est"), lit(0L)) <= col("n_exact")).as("est_le_exact"),
+          (coalesce(col("est"), lit(0L)).cast("double") >=
+            col("n_exact").cast("double") - lit(bound)).as("est_within_bound"))
+        .orderBy(col("n_exact").desc, col("token"))
     })
   )
 
@@ -484,6 +515,15 @@ object AnalyticQueries {
         |  CAST(SUM(CAST(LEAST(GREATEST(o.o_totalprice, p.p05), p.p95)
         |    AS DECIMAL(18,6))) AS DOUBLE) AS sum_winsorized
         |FROM orders o JOIN pct p ON o.o_orderpriority = p.pri
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a19_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(TRIM(text), '\s+')) AS token
+        |  FROM documents),
+        |t AS (SELECT token FROM toks WHERE LENGTH(token) > 0)
+        |SELECT token, CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |  TRUE AS est_le_exact, TRUE AS est_within_bound
+        |FROM t GROUP BY token
+        |ORDER BY n_exact DESC, token LIMIT 10""".stripMargin
   )
 }

@@ -107,7 +107,41 @@ object ExtraWindowQueries {
         sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1).otherwise(0))
           .as("qty_out_of_range"),
         sum(when(col("l_returnflag").isNotNull && col("l_linestatus").isNotNull &&
-          col("l_shipdate").isNotNull, 1).otherwise(0)).as("complete_rows")))
+          col("l_shipdate").isNotNull, 1).otherwise(0)).as("complete_rows"))),
+
+    // QC2: dataset drift monitor — Population Stability Index between a
+    // reference window (orders before 1998-04-01) and the current window,
+    // over FIXED-width price bins. Fixed bins, not data-dependent decile
+    // edges: quantile edges interpolate to full-precision doubles whose
+    // last-ulp differences across engines would flip bin membership,
+    // while floor(price/width) is one IEEE division both engines compute
+    // identically — and fixed bins are also what a production monitor
+    // pins, so day-over-day PSIs are comparable. One scan (conditional
+    // agg), then all window math runs over the ≤10-row bin aggregate.
+    // p/q floored at 1e-6 (Laplace) so an empty side yields a large
+    // finite term, not ln(0).
+    "qc2_drift_psi" -> ((s, d) =>
+      graft.operators.Drift.psi(
+        orders(s, d).select(col("o_totalprice").as("price"),
+          (to_date(col("o_orderdate")) < lit("1998-04-01").cast("date"))
+            .as("is_ref")),
+        "price", "is_ref", width = 50000.0, bins = 10)),
+
+    // QC3: two-sample Kolmogorov–Smirnov drift statistic on a BINNED
+    // ECDF (1000 fixed-width bins): D = max |F_ref − F_cur| evaluated at
+    // bin edges. The exact-KS formulation needs a total order over every
+    // raw row (a single-partition window at corpus scale); the binned
+    // ECDF needs one conditional aggregation and then windows over a
+    // ≤1000-row frame — the 100 TB shape — and is itself a well-defined
+    // statistic (D_binned ≤ D_exact, equal when edges straddle the
+    // supremum). Cumulative/total fractions are exact integer ratios, so
+    // both engines derive identical doubles.
+    "qc3_ks_drift" -> ((s, d) =>
+      graft.operators.Drift.ksBinned(
+        orders(s, d).select(col("o_totalprice").as("price"),
+          (to_date(col("o_orderdate")) < lit("1998-04-01").cast("date"))
+            .as("is_ref")),
+        "price", "is_ref", width = 500.0, bins = 1000))
   )
 
   val oracle: Map[String, String] = Map(
@@ -169,6 +203,43 @@ object ExtraWindowQueries {
         |  MIN(ts) AS session_start, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sess_value
         |FROM s GROUP BY user_id, sess_id
-        |ORDER BY user_id, sess_id""".stripMargin
+        |ORDER BY user_id, sess_id""".stripMargin,
+    "qc2_drift_psi" ->
+      """WITH b AS (
+        |  SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 9.0) AS INTEGER) AS bin,
+        |    CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-04-01'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1998-04-01'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT bin, n_ref, n_cur,
+        |    GREATEST(CAST(n_ref AS DOUBLE) / CAST(SUM(n_ref) OVER () AS DOUBLE), 1e-6) AS p,
+        |    GREATEST(CAST(n_cur AS DOUBLE) / CAST(SUM(n_cur) OVER () AS DOUBLE), 1e-6) AS q
+        |  FROM b)
+        |SELECT bin, n_ref, n_cur,
+        |  ROUND((p - q) * LN(p / q), 6) AS psi_term,
+        |  ROUND(SUM((p - q) * LN(p / q)) OVER (), 4) AS psi_total
+        |FROM t ORDER BY bin""".stripMargin,
+    "qc3_ks_drift" ->
+      """WITH b AS (
+        |  SELECT CAST(LEAST(FLOOR(o_totalprice / 500.0), 999.0) AS INTEGER) AS bin,
+        |    CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1998-04-01'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1998-04-01'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT bin,
+        |    SUM(n_ref) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+        |    SUM(n_cur) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+        |    SUM(n_ref) OVER () AS tr, SUM(n_cur) OVER () AS tc
+        |  FROM b)
+        |SELECT CAST(MAX(tr) AS BIGINT) AS n_ref, CAST(MAX(tc) AS BIGINT) AS n_cur,
+        |  ROUND(MAX(ABS(CAST(cr AS DOUBLE) / CAST(tr AS DOUBLE) -
+        |    CAST(cc AS DOUBLE) / CAST(tc AS DOUBLE))), 6) AS ks_d
+        |FROM c""".stripMargin
   )
 }
