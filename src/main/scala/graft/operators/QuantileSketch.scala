@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable ε-approximate quantile summary — the quantile member of the
+  * sketch family next to HLL distinct (a14) and Misra–Gries frequency
+  * (a19). DETERMINISTIC, unlike KLL/t-digest: no sampling, so the rank
+  * bound below holds on every run and merge order, which is what lets
+  * the `a20_quantile_sketch` oracle gate it with always-true booleans.
+  *
+  * Construction (one `mapPartitions` pass, no shuffle of raw rows):
+  * each partition sorts its n_p values and emits every `step`-th one
+  * (step = max(1, ⌊ε·n_p/2⌋)) together with its exact local rank — a
+  * rank-spaced sample of ≤ 2/ε + 1 triples per partition. For any value
+  * v, the partition's true rank of v lies within `step` above the
+  * largest emitted rank with value ≤ v, so the per-partition
+  * lower-bound estimator errs by < ε·n_p/2.
+  *
+  * Merge is pure summation in the rank domain: the merged rank estimate
+  * of v is Σ_p (largest emitted rank ≤ v), computed for every emitted
+  * value with one window over the summary frame (≤ partitions·(2/ε+1)
+  * rows — thousands, not the corpus). Summed one-sided errors give
+  *
+  *     est_rank(v) ≤ true_rank(v) < est_rank(v) + ε·N/2
+  *
+  * independent of partitioning and merge order. Answering quantile q by
+  * the emitted value whose est_rank is closest to q·N adds at most half
+  * the largest adjacent-candidate rank gap (< ε·N/2), so the returned
+  * value v̂ satisfies the rank-INTERVAL guarantee
+  *
+  *     #{x < v̂} ≤ q·N + ε·N   and   #{x ≤ v̂} ≥ q·N − ε·N
+  *
+  * (interval, not point rank: with heavy duplicates one value
+  * legitimately spans many quantiles). That is what the oracle gate
+  * asserts, with 2ε slack for arithmetic headroom.
+  *
+  * At 100 TB: the summary frame is partitions × (2/ε+1) rows (200k
+  * partitions at ε=0.01 → ~40M summary rows), still a DataFrame-sized
+  * problem solved with one bounded window — and hierarchical pre-merge
+  * (summarize the summaries) composes because the structure is closed
+  * under the same operation. The per-partition sort buffers one
+  * partition's doubles in memory (8B·rows); a streaming GK summary
+  * would avoid that at the cost of determinism bookkeeping.
+  */
+object QuantileSketch {
+
+  /** Per-partition rank-spaced samples: (value, localRank) with ranks
+    * 1-based in the partition's sorted order; always includes the last
+    * (maximum) element so every value has an emitted rank ≤ it. */
+  private[graft] def summarizePartition(
+      rows: Iterator[Double], eps: Double): Iterator[(Double, Long)] = {
+    val buf = rows.toArray
+    if (buf.isEmpty) Iterator.empty
+    else {
+      java.util.Arrays.sort(buf)
+      val n = buf.length
+      val step = math.max(1L, (eps * n / 2).toLong)
+      val out = Vector.newBuilder[(Double, Long)]
+      var r = step
+      while (r <= n) { out += ((buf(r.toInt - 1), r)); r += step }
+      if ((n % step) != 0) out += ((buf(n - 1), n.toLong))
+      out.result().iterator
+    }
+  }
+
+  /** Summary frame (value, est_rank): one row per emitted sample, where
+    * est_rank is the MERGED lower-bound rank estimate of that value
+    * across all partitions. The only full-width pass is the
+    * mapPartitions; the window runs over the bounded summary. */
+  def summary(df: DataFrame, valueCol: String, eps: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val samples: Dataset[(Double, Long)] = df
+      .select(col(valueCol).cast("double")).as[Double]
+      .mapPartitions(it => summarizePartition(it, eps))
+    // Each partition's contribution to est_rank(v) changes only at its
+    // own emitted values, by the local-rank delta; summing deltas over
+    // everything ≤ v (value, then rank as tie-break for duplicate
+    // values) yields Σ_p largest-emitted-rank ≤ v in one cumulative
+    // window. spark_partition_id distinguishes same-valued samples from
+    // different partitions.
+    val tagged = samples.toDF("value", "local_rank")
+      .withColumn("pid", spark_partition_id())
+    val wPart = Window.partitionBy("pid").orderBy("value", "local_rank")
+    val wCum = Window.orderBy("value", "local_rank", "pid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("delta",
+        col("local_rank") - coalesce(lag(col("local_rank"), 1).over(wPart),
+          lit(0L)))
+      .withColumn("est_rank", sum(col("delta")).over(wCum))
+      .select(col("value"), col("est_rank"))
+  }
+
+  /** For each requested quantile q: the emitted value whose est_rank is
+    * closest to q·N (ties to the smaller value). Output (q, value,
+    * est_rank), one row per q, ordered by q. */
+  def quantiles(df: DataFrame, valueCol: String, eps: Double,
+      qs: Seq[Double]): DataFrame = {
+    val s = summary(df, valueCol, eps)
+    val n = col("total")
+    val withTotal = s.withColumn("total",
+      max(col("est_rank")).over(Window.partitionBy()))
+    // explode the requested quantiles onto the bounded summary frame —
+    // no join (a literal-array explode keeps the plan NestedLoop-free)
+    withTotal
+      .withColumn("q", explode(array(qs.map(lit(_)): _*)))
+      .groupBy("q")
+      .agg(min_by(struct(col("value"), col("est_rank")),
+        struct(abs(col("est_rank") - col("q") * n), col("value")))
+        .as("best"))
+      .select(col("q"), col("best.value").as("value"),
+        col("best.est_rank").as("est_rank"))
+      .orderBy("q")
+  }
+}

@@ -347,6 +347,47 @@ object AnalyticQueries {
           (coalesce(col("est"), lit(0L)).cast("double") >=
             col("n_exact").cast("double") - lit(bound)).as("est_within_bound"))
         .orderBy(col("n_exact").desc, col("token"))
+    }),
+
+    // A20: mergeable ε-approximate quantile sketch (see
+    // operators/QuantileSketch.scala) — the quantile member of the
+    // sketch family (a14 HLL distinct, a19 MG frequency). Deterministic
+    // rank-spaced per-partition samples merged in the rank domain, so the
+    // bound |true_rank(v̂) − q·N| ≤ ε·N holds on every run/partitioning.
+    // Oracle identity: (q, exact interpolated quantile) — both engines
+    // compute it independently (the a13 pattern) — plus a boolean
+    // asserting the sketch value's EXACT rank (one conditional-agg pass)
+    // lands within 2ε·N of q·N (2× headroom over the proven ε·N). The
+    // driver pulls are gate-bounded: 5 sketch rows, one rank row, one
+    // exact-quantile row (the a14 globalExact shape).
+    "a20_quantile_sketch" -> ((s, d) => {
+      import s.implicits._
+      val ep = 0.01
+      val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+      val o = orders(s, d).select(col("o_totalprice").as("price"))
+      val n = o.count()
+      val est = graft.operators.QuantileSketch
+        .quantiles(o, "price", ep, qs).collect()
+        .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      // rank-INTERVAL check (duplicate-safe): v̂ is an ε-approximate
+      // q-quantile iff #{x < v̂} ≤ q·N + tol and #{x ≤ v̂} ≥ q·N − tol —
+      // with heavy duplicates a single value legitimately spans many
+      // quantiles and a point-rank check would reject it.
+      val rankCols =
+        qs.map(q => sum(when(col("price") < est(q), 1L)).as(s"lo$q")) ++
+          qs.map(q => sum(when(col("price") <= est(q), 1L)).as(s"hi$q"))
+      val rankRow = o.agg(rankCols.head, rankCols.tail: _*).head()
+      val exactRow = o.agg(
+        qs.map(q => round(percentile(col("price"), lit(q)), 4).as(s"p$q")).head,
+        qs.map(q => round(percentile(col("price"), lit(q)), 4).as(s"p$q")).tail: _*)
+        .head()
+      val tol = 2 * ep * n
+      val rows = qs.zipWithIndex.map { case (q, i) =>
+        val (lo, hi) = (rankRow.getLong(i), rankRow.getLong(i + qs.size))
+        (q, exactRow.getDouble(i),
+          lo.toDouble <= q * n + tol && hi.toDouble >= q * n - tol)
+      }
+      rows.toDF("q", "exact_q", "sketch_rank_ok").orderBy("q")
     })
   )
 
@@ -524,6 +565,15 @@ object AnalyticQueries {
         |SELECT token, CAST(COUNT(*) AS BIGINT) AS n_exact,
         |  TRUE AS est_le_exact, TRUE AS est_within_bound
         |FROM t GROUP BY token
-        |ORDER BY n_exact DESC, token LIMIT 10""".stripMargin
+        |ORDER BY n_exact DESC, token LIMIT 10""".stripMargin,
+    "a20_quantile_sketch" ->
+      """SELECT CAST(0.1 AS DOUBLE) AS q,
+        |  ROUND(quantile_cont(o_totalprice, 0.1), 4) AS exact_q,
+        |  TRUE AS sketch_rank_ok FROM orders
+        |UNION ALL SELECT 0.25, ROUND(quantile_cont(o_totalprice, 0.25), 4), TRUE FROM orders
+        |UNION ALL SELECT 0.5, ROUND(quantile_cont(o_totalprice, 0.5), 4), TRUE FROM orders
+        |UNION ALL SELECT 0.75, ROUND(quantile_cont(o_totalprice, 0.75), 4), TRUE FROM orders
+        |UNION ALL SELECT 0.9, ROUND(quantile_cont(o_totalprice, 0.9), 4), TRUE FROM orders
+        |ORDER BY q""".stripMargin
   )
 }

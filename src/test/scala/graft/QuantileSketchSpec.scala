@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.QuantileSketch
+
+/** Deterministic mergeable quantile sketch: the rank bound
+  * |true_rank(v̂) − q·N| ≤ ε·N holds on adversarial distributions and is
+  * invariant to repartitioning; the summary's top rank equals N exactly;
+  * raw rows never shuffle (the only exchanges sit above the
+  * mapPartitions summaries). */
+class QuantileSketchSpec extends SparkSuite {
+  import org.apache.spark.sql.DataFrame
+
+  private val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+
+  private def checkBound(df: DataFrame, eps: Double, parts: Int): Unit = {
+    val data = df.repartition(parts)
+    val n = data.count()
+    val est = QuantileSketch.quantiles(data, "v", eps, qs).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sorted = data.select(col("v").cast("double"))
+      .collect().map(_.getDouble(0)).sorted
+    qs.foreach { q =>
+      val v = est(q)
+      // rank-interval criterion (duplicate-safe): a value spanning ranks
+      // [lo+1, hi] is an ε-approximate q-quantile iff lo ≤ qN+εN and
+      // hi ≥ qN−εN
+      val lo = sorted.count(_ < v)
+      val hi = sorted.count(_ <= v)
+      assert(lo <= q * n + eps * n && hi >= q * n - eps * n,
+        s"q=$q parts=$parts: rank span [$lo,$hi] vs target ${q * n} " +
+          s"(tol ${eps * n}, v=$v)")
+    }
+  }
+
+  test("rank bound holds: uniform, skewed, duplicate-heavy, any partitioning") {
+    import spark.implicits._
+    val uniform = (1 to 20000).map(_.toDouble).toDF("v")
+    val skewed = (1 to 20000).map(i => math.pow(i.toDouble, 3)).toDF("v")
+    // 90% of mass on one duplicated value: quantile answers must still
+    // land within the rank tolerance even when one value spans many qs
+    val dupes = ((1 to 18000).map(_ => 42.0) ++
+      (1 to 2000).map(_.toDouble)).toDF("v")
+    for (df <- Seq(uniform, skewed, dupes); parts <- Seq(1, 7, 32))
+      checkBound(df, eps = 0.01, parts = parts)
+  }
+
+  test("summary top rank is exactly N; est_rank never overestimates") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (i * 37 % 5000).toDouble).toDF("v")
+      .repartition(8)
+    val s = QuantileSketch.summary(df, "v", 0.02).collect()
+    assert(s.map(_.getLong(1)).max === 5000L)
+    val sorted = df.select(col("v")).collect().map(_.getDouble(0)).sorted
+    s.foreach { r =>
+      val (v, estRank) = (r.getDouble(0), r.getLong(1))
+      val trueRank = sorted.count(_ <= v)
+      assert(estRank <= trueRank,
+        s"est_rank must lower-bound true rank: $estRank > $trueRank at $v")
+    }
+  }
+
+  test("plan: raw rows reach only the mapPartitions; exchanges sit above it") {
+    import spark.implicits._
+    val df = (1 to 1000).map(_.toDouble).toDF("v")
+    val plan = QuantileSketch.summary(df, "v", 0.01)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"))
+    val mpIdx = plan.indexOf("MapPartitions")
+    val lastExchange = plan.lastIndexOf("Exchange")
+    assert(lastExchange >= 0 && lastExchange < mpIdx,
+      s"every exchange must be above (printed before) MapPartitions:\n$plan")
+  }
+
+  test("a20 gate booleans all true at test sf") {
+    val rows = SparkEntry.queries("a20_quantile_sketch")(spark, sf).collect()
+    assert(rows.length === 5)
+    assert(rows.forall(_.getBoolean(2)))
+  }
+}
