@@ -62,6 +62,58 @@ object WindowedAggQueries {
         q.processAllAvailable() // epoch 1: state completes the windows
       } finally q.stop()
       s.table(sink).orderBy("win_start", "event_type")
+    }),
+
+    // ST3: STREAMING dataset-drift monitor — per-tumbling-window PSI of
+    // the value distribution against the corpus-wide reference
+    // histogram. The streamed stage is the stateful part (windowed
+    // fixed-bin histogram accumulating across micro-batches, complete
+    // mode); the PSI arithmetic then runs over the bounded sink frame
+    // (windows × ≤8 bins) with the qc2 conventions (fixed-width bins,
+    // 1e-6 Laplace floors, exact integer ratios). A window's PSI term
+    // set covers its PRESENT bins (identical construction in the
+    // oracle). This is the ingest-monitoring shape: the reference
+    // histogram is static infrastructure; each arriving window costs
+    // one bounded aggregate.
+    "st3_stream_drift" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val binCol = least(floor(col("value") / 100.0), lit(7.0)).cast("int")
+      val rows = events(s, d).select(col("ts"), col("value"))
+        .as[(java.sql.Timestamp, Double)].collect().toSeq
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Double)]
+      val sink = s"st3_sink_${StreamSinkSeq.incrementAndGet()}"
+      val q = mem.toDF().toDF("ts", "value")
+        .groupBy(window(col("ts"), "1 hour"), binCol.as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("bin"), col("n"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try {
+        val (h1, h2) = rows.splitAt(rows.length / 2)
+        mem.addData(h1: _*)
+        q.processAllAvailable() // epoch 0: partial window histograms
+        mem.addData(h2: _*)
+        q.processAllAvailable() // epoch 1: state completes them
+      } finally q.stop()
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      val wWin = org.apache.spark.sql.expressions.Window.partitionBy("win_start")
+      val ref = events(s, d)
+        .groupBy(binCol.as("bin")).agg(count(lit(1)).as("rn"))
+        .withColumn("p", greatest(col("rn").cast("double") /
+          sum(col("rn")).over(wAll), lit(1e-6)))
+        .select("bin", "p")
+      s.table(sink)
+        .withColumn("wn", sum(col("n")).over(wWin))
+        .join(broadcast(ref), Seq("bin"))
+        .withColumn("q", greatest(col("n").cast("double") / col("wn"),
+          lit(1e-6)))
+        .groupBy("win_start")
+        .agg(max(col("wn")).as("n"),
+          round(sum((col("q") - col("p")) * log(col("q") / col("p"))), 4)
+            .as("psi"))
+        .orderBy("win_start")
     })
   )
 
@@ -85,6 +137,29 @@ object WindowedAggQueries {
       """SELECT time_bucket(INTERVAL '1 hour', ts) - o.i * INTERVAL '1 hour' AS win_start,
         |  event_type, COUNT(*) AS n
         |FROM events CROSS JOIN UNNEST([0, 1]) AS o(i)
-        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    "st3_stream_drift" ->
+      """WITH wh AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+        |    CAST(LEAST(FLOOR(value / 100.0), 7.0) AS INTEGER) AS bin,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |wt AS (SELECT win_start, SUM(n) AS wn FROM wh GROUP BY 1),
+        |r AS (
+        |  SELECT CAST(LEAST(FLOOR(value / 100.0), 7.0) AS INTEGER) AS bin,
+        |    COUNT(*) AS rn
+        |  FROM events GROUP BY 1),
+        |rt AS (SELECT SUM(rn) AS rtot FROM r),
+        |terms AS (
+        |  SELECT wh.win_start, wt.wn,
+        |    GREATEST(CAST(wh.n AS DOUBLE) / CAST(wt.wn AS DOUBLE), 1e-6) AS q,
+        |    GREATEST(CAST(r.rn AS DOUBLE) / CAST(rt.rtot AS DOUBLE), 1e-6) AS p
+        |  FROM wh
+        |  JOIN wt ON wh.win_start = wt.win_start
+        |  JOIN r ON wh.bin = r.bin
+        |  CROSS JOIN rt)
+        |SELECT win_start, CAST(MAX(wn) AS BIGINT) AS n,
+        |  ROUND(SUM((q - p) * LN(q / p)), 4) AS psi
+        |FROM terms GROUP BY win_start ORDER BY win_start""".stripMargin
   )
 }
