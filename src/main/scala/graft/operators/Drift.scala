@@ -24,7 +24,12 @@ object Drift {
     * current counts. The only full-width pass. */
   def histogram(df: DataFrame, valueCol: String, isRefCol: String,
       width: Double, bins: Int): DataFrame =
-    df.groupBy(least(floor(col(valueCol) / width), lit(bins - 1.0))
+    // NULL metric values are excluded, not binned: Spark's least() skips
+    // nulls, so least(floor(NULL/w), bins-1) would silently land every
+    // NULL in the TOP bin and fabricate drift there. Null-rate monitoring
+    // is its own check (qc1's battery), not a histogram artifact.
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(least(floor(col(valueCol) / width), lit(bins - 1.0))
         .cast("int").as("bin"))
       .agg(sum(when(col(isRefCol), 1L).otherwise(0L)).as("n_ref"),
         sum(when(!col(isRefCol), 1L).otherwise(0L)).as("n_cur"))
@@ -37,11 +42,16 @@ object Drift {
   def psi(df: DataFrame, valueCol: String, isRefCol: String,
       width: Double, bins: Int): DataFrame = {
     val wAll = Window.partitionBy()
+    // greatest(total, 1) denominators: with an entirely-empty side the
+    // ratio would be 0/0 = NaN, and greatest() treats NaN as the largest
+    // double so the 1e-6 floor would never engage — every term NaN and a
+    // NaN > threshold comparison silently false. 0/1 = 0 floors to 1e-6
+    // and yields the documented large finite term instead.
     histogram(df, valueCol, isRefCol, width, bins)
       .withColumn("p", greatest(col("n_ref").cast("double") /
-        sum(col("n_ref")).over(wAll), lit(1e-6)))
+        greatest(sum(col("n_ref")).over(wAll), lit(1L)), lit(1e-6)))
       .withColumn("q", greatest(col("n_cur").cast("double") /
-        sum(col("n_cur")).over(wAll), lit(1e-6)))
+        greatest(sum(col("n_cur")).over(wAll), lit(1L)), lit(1e-6)))
       .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
       .select(col("bin"), col("n_ref"), col("n_cur"),
         round(col("term"), 6).as("psi_term"),
@@ -63,8 +73,12 @@ object Drift {
       .withColumn("cc", sum(col("n_cur")).over(wCum))
       .withColumn("tr", sum(col("n_ref")).over(wAll))
       .withColumn("tc", sum(col("n_cur")).over(wAll))
+      // greatest(total, 1): an empty side's ECDF reads 0 everywhere
+      // (D = sup of the other side's ECDF) instead of 0/0 = NaN
       .agg(max(col("tr")).as("n_ref"), max(col("tc")).as("n_cur"),
-        round(max(abs(col("cr").cast("double") / col("tr") -
-          col("cc").cast("double") / col("tc"))), 6).as("ks_d"))
+        round(max(abs(
+          col("cr").cast("double") / greatest(col("tr"), lit(1L)) -
+            col("cc").cast("double") / greatest(col("tc"), lit(1L)))), 6)
+          .as("ks_d"))
   }
 }

@@ -373,14 +373,18 @@ object AnalyticQueries {
       // q-quantile iff #{x < v̂} ≤ q·N + tol and #{x ≤ v̂} ≥ q·N − tol —
       // with heavy duplicates a single value legitimately spans many
       // quantiles and a point-rank check would reject it.
+      // .otherwise(0L): a conditional sum with zero matching rows is
+      // NULL, and lo CAN be zero (v̂ == min when the minimum carries
+      // ≥ q of the mass) — getLong on NULL would NPE the gate.
       val rankCols =
-        qs.map(q => sum(when(col("price") < est(q), 1L)).as(s"lo$q")) ++
-          qs.map(q => sum(when(col("price") <= est(q), 1L)).as(s"hi$q"))
+        qs.map(q => sum(when(col("price") < est(q), 1L).otherwise(0L))
+          .as(s"lo$q")) ++
+          qs.map(q => sum(when(col("price") <= est(q), 1L).otherwise(0L))
+            .as(s"hi$q"))
       val rankRow = o.agg(rankCols.head, rankCols.tail: _*).head()
-      val exactRow = o.agg(
-        qs.map(q => round(percentile(col("price"), lit(q)), 4).as(s"p$q")).head,
-        qs.map(q => round(percentile(col("price"), lit(q)), 4).as(s"p$q")).tail: _*)
-        .head()
+      val exactCols =
+        qs.map(q => round(percentile(col("price"), lit(q)), 4).as(s"p$q"))
+      val exactRow = o.agg(exactCols.head, exactCols.tail: _*).head()
       val tol = 2 * ep * n
       val rows = qs.zipWithIndex.map { case (q, i) =>
         val (lo, hi) = (rankRow.getLong(i), rankRow.getLong(i + qs.size))

@@ -74,7 +74,9 @@ object WindowedAggQueries {
     // set covers its PRESENT bins (identical construction in the
     // oracle). This is the ingest-monitoring shape: the reference
     // histogram is static infrastructure; each arriving window costs
-    // one bounded aggregate.
+    // one bounded aggregate. (The fixture collect is bounded by the
+    // gate's events table, as in st1b; production streams never pass
+    // through the driver.)
     "st3_stream_drift" -> ((s, d) => {
       import s.implicits._
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -98,17 +100,36 @@ object WindowedAggQueries {
         q.processAllAvailable() // epoch 1: state completes them
       } finally q.stop()
       val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
-      val wWin = org.apache.spark.sql.expressions.Window.partitionBy("win_start")
-      val ref = events(s, d)
+      // The term grid is every (window × REFERENCE bin), not just the
+      // bins a window happens to contain: a reference bin whose mass
+      // VANISHES from a window is the strongest drift signal, and an
+      // inner join on the window's own bins would silently drop exactly
+      // that term. Reference bins are a superset of any window's bins
+      // (the reference is the whole corpus), so the grid covers
+      // everything. The collected reference is static infrastructure —
+      // ≤ 8 (bin, p) pairs — re-broadcast as a literal array.
+      val refRows: Seq[(Int, Double)] = events(s, d)
         .groupBy(binCol.as("bin")).agg(count(lit(1)).as("rn"))
         .withColumn("p", greatest(col("rn").cast("double") /
-          sum(col("rn")).over(wAll), lit(1e-6)))
-        .select("bin", "p")
-      s.table(sink)
-        .withColumn("wn", sum(col("n")).over(wWin))
-        .join(broadcast(ref), Seq("bin"))
-        .withColumn("q", greatest(col("n").cast("double") / col("wn"),
-          lit(1e-6)))
+          greatest(sum(col("rn")).over(wAll), lit(1L)), lit(1e-6)))
+        .select("bin", "p").collect()
+        .map(r => (r.getInt(0), r.getDouble(1))).toSeq.sortBy(_._1)
+      // per-window totals via groupBy, back-joined (the j2 shape). The
+      // sink frame is localCheckpoint'd first: both join sides derive
+      // from the same memory-sink view, and DeduplicateRelations does
+      // not re-alias MemoryPlan leaves (INTERNAL_ERROR "conflicting
+      // references"), while a LogicalRDD self-join dedups fine. The
+      // frame is windows × ≤8 bins — checkpointing it is free.
+      val hist = s.table(sink).localCheckpoint(true)
+      val grid = hist.groupBy("win_start").agg(sum(col("n")).as("wn"))
+        .select(col("win_start"), col("wn"),
+          explode(typedLit(refRows)).as("ref"))
+        .select(col("win_start"), col("wn"),
+          col("ref._1").as("bin"), col("ref._2").as("p"))
+      grid.join(hist.select("win_start", "bin", "n"),
+          Seq("win_start", "bin"), "left")
+        .withColumn("q", greatest(
+          coalesce(col("n"), lit(0L)).cast("double") / col("wn"), lit(1e-6)))
         .groupBy("win_start")
         .agg(max(col("wn")).as("n"),
           round(sum((col("q") - col("p")) * log(col("q") / col("p"))), 4)
@@ -151,13 +172,14 @@ object WindowedAggQueries {
         |  FROM events GROUP BY 1),
         |rt AS (SELECT SUM(rn) AS rtot FROM r),
         |terms AS (
-        |  SELECT wh.win_start, wt.wn,
-        |    GREATEST(CAST(wh.n AS DOUBLE) / CAST(wt.wn AS DOUBLE), 1e-6) AS q,
+        |  SELECT wt.win_start, wt.wn,
+        |    GREATEST(CAST(COALESCE(wh.n, 0) AS DOUBLE)
+        |      / CAST(wt.wn AS DOUBLE), 1e-6) AS q,
         |    GREATEST(CAST(r.rn AS DOUBLE) / CAST(rt.rtot AS DOUBLE), 1e-6) AS p
-        |  FROM wh
-        |  JOIN wt ON wh.win_start = wt.win_start
-        |  JOIN r ON wh.bin = r.bin
-        |  CROSS JOIN rt)
+        |  FROM wt
+        |  CROSS JOIN r
+        |  CROSS JOIN rt
+        |  LEFT JOIN wh ON wh.win_start = wt.win_start AND wh.bin = r.bin)
         |SELECT win_start, CAST(MAX(wn) AS BIGINT) AS n,
         |  ROUND(SUM((q - p) * LN(q / p)), 4) AS psi
         |FROM terms GROUP BY win_start ORDER BY win_start""".stripMargin

@@ -28,17 +28,24 @@ object SketchScale {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    // Zipf-ish stream: head token t of 40 appears N/(t·H) times; the tail
-    // is size× unique singletons — vocabulary grows with scale, as a real
-    // token stream's does.
-    def corpus(size: Int): DataFrame =
+    // Skewed stream: 2/3 of rows carry a GEOMETRIC head — head_j has
+    // probability 2^-(j+1) of the head mass (head_0 ≈ n/3, head_1 ≈ n/6,
+    // …, head_10 ≈ n/1536), spanning well-above-bound through
+    // below-bound frequencies — and 1/3 are unique tail singletons, so
+    // the vocabulary grows linearly with scale as a real token stream's
+    // does. (An earlier multiplicative-hash head was accidentally
+    // uniform: 2654435761 ≡ 1 mod 40.)
+    def corpus(size: Int): DataFrame = {
+      val h = pmod(col("id") * 1103515245L + 12345L, lit(1024))
+      val headIdx = (lit(10) - floor(log2(h + 1))).cast("int")
       spark.range(0, size.toLong)
         .select((when(pmod(col("id"), lit(3)) =!= 0,
-          concat(lit("head_"), pmod(col("id") * 2654435761L, lit(40))))
+          concat(lit("head_"), headIdx))
           .otherwise(concat(lit("tail_"), col("id")))).as("token"),
-          (pmod(col("id") * 1103515245L + 12345L, lit(1000000)).cast("double"))
+          (pmod(col("id") * 69069L + 1L, lit(1000000)).cast("double"))
             .as("v"))
         .repartition(32)
+    }
 
     def time[T](what: String)(f: => T): (T, Double) = {
       val t0 = System.nanoTime()

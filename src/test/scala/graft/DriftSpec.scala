@@ -44,6 +44,35 @@ class DriftSpec extends SparkSuite {
     assert(ks.getLong(0) === 2000L && ks.getLong(1) === 2000L)
   }
 
+  test("an entirely-empty side yields large finite PSI and KS, never NaN") {
+    import spark.implicits._
+    import graft.operators.Drift
+    val allRef = (0 until 300).map(i => (true, (i % 10) * 100.0))
+      .toDF("is_ref", "price")
+    val psiRows = Drift.psi(allRef, "price", "is_ref", 100.0, 10).collect()
+    assert(psiRows.nonEmpty)
+    psiRows.foreach { r =>
+      assert(!r.getDouble(3).isNaN && !r.getDouble(4).isNaN)
+      assert(r.getDouble(3) > 0.0) // (p vs 1e-6 floor) is a large term
+    }
+    val ks = Drift.ksBinned(allRef, "price", "is_ref", 100.0, 10).head()
+    assert(!ks.getDouble(2).isNaN)
+    assert(ks.getDouble(2) === 1.0) // sup of the ref ECDF vs all-zero
+  }
+
+  test("NULL metric values are excluded, not binned into the top bin") {
+    import spark.implicits._
+    import graft.operators.Drift
+    val withNulls = ((0 until 100).map(i => (i % 2 == 0, Some((i % 5) * 100.0)))
+      ++ (0 until 40).map(i => (i % 2 == 0, Option.empty[Double])))
+      .toDF("is_ref", "price")
+    val hist = Drift.histogram(withNulls, "price", "is_ref", 100.0, 10)
+      .collect()
+    assert(hist.map(r => r.getLong(1) + r.getLong(2)).sum === 100L)
+    assert(!hist.map(_.getInt(0)).contains(9),
+      "nulls must not appear as a top-bin spike")
+  }
+
   test("disjoint windows saturate: KS = 1, PSI large") {
     import spark.implicits._
     import graft.operators.Drift

@@ -155,4 +155,47 @@ class PropertiesSpec extends SparkSuite {
       got == expected
     }, Parameters.default.withMinSuccessfulTests(8))
   }
+
+  test("Misra–Gries: per-partition + summed-merge bounds on random streams") {
+    // merging per-partition summaries by summation must obey
+    // est ≤ exact and est ≥ exact − N/(k+1) for EVERY token, on any
+    // stream and any partition split — the contract the a19 oracle gate
+    // asserts on real data. Pure-JVM: drives mgSummarize directly.
+    val tokGen = Gen.frequency(
+      (5, Gen.oneOf("a", "b", "c", "d")),
+      (2, Gen.choose(0, 500).map("t" + _)))
+    val caseGen = for {
+      toks <- Gen.listOfN(400, tokGen)
+      k <- Gen.chooseNum(1, 8)
+      nParts <- Gen.chooseNum(1, 5)
+    } yield (toks, k, nParts)
+    check(forAll(caseGen) { case (toks, k, nParts) =>
+      val exact = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = toks.size
+      val chunk = math.max(1, n / nParts)
+      val merged = toks.grouped(chunk).toList
+        .flatMap(p => graft.operators.HeavyHitters.mgSummarize(p.iterator, k))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      exact.forall { case (t, ex) =>
+        val e = merged.getOrElse(t, 0L)
+        e <= ex && e.toDouble >= ex - n.toDouble / (k + 1)
+      }
+    })
+  }
+
+  test("quantile samples: emitted ranks are exact order statistics, top rank = n") {
+    val caseGen = for {
+      xs <- Gen.listOfN(300, Gen.chooseNum(-1e6, 1e6))
+      eps <- Gen.chooseNum(0.01, 0.3)
+    } yield (xs, eps)
+    check(forAll(caseGen) { case (xs, eps) =>
+      val sorted = xs.sorted
+      val s = graft.operators.QuantileSketch
+        .summarizePartition(xs.iterator, eps).toList
+      s.nonEmpty && s.last._2 == xs.size &&
+        s.forall { case (v, r) =>
+          sorted(r.toInt - 1) == v && sorted.count(_ <= v) >= r
+        }
+    })
+  }
 }
