@@ -103,6 +103,32 @@ object DedupExtQueries {
         .orderBy("vec_id")
     }),
 
+    // DD11: SemDeDup-style semantic dedup (operators.SemDedup): vectors
+    // bucket into semantic cells by nearest fixed centroid (a pure
+    // projection — the bounded centroid set rides along as a literal,
+    // zero shuffles), then near-dup pruning runs only WITHIN a cell via
+    // an equi-join on the cell id — the scale path where dd6's
+    // random-projection LSH is the recall path. Centroids here are the
+    // 16 lowest-vec_id base vectors: deterministic, oracle-replicable,
+    // and a stand-in for the k-means fit a production run would take
+    // from IvfIndex's trained codebook. Keeps the lowest-cent_cos member
+    // of each dup group (the paper's diversity rule). The DuckDB oracle
+    // replicates assignment, ordering, and prune verbatim — including
+    // the documented recall edge where a planted pair straddling a cell
+    // boundary survives in both engines.
+    "dd11_semdedup" -> ((s, d) => {
+      val corpus = plantedCorpus(s, d)
+      // bounded driver-side collect: exactly 16 centroid rows (K ≪ N by
+      // construction — the paper's own K=50k fits driver memory)
+      val cents = corpus.filter(col("vec_id") < 16)
+        .select(col("vec_id"), col("emb")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+      graft.operators.SemDedup.semdedup(corpus, "vec_id", "emb", cents, 0.95)
+        .select(col("vec_id"), col("cluster"),
+          round(col("cent_cos"), 6).as("cent_cos"), col("is_kept"))
+        .orderBy("vec_id")
+    }),
+
     // BPE-ish tokenization: words / numbers / single punctuation, the
     // GPT-2-style pre-tokenizer shape.
     "tx5_bpe_tokens" -> ((s, d) =>
@@ -241,6 +267,34 @@ object DedupExtQueries {
         |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
         |SELECT keep_id, dup_id, ROUND(c, 6) AS cos_sim
         |FROM cs WHERE c >= 0.95 ORDER BY keep_id, dup_id""".stripMargin,
+    "dd11_semdedup" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, emb FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 1099511627776 AS vec_id,
+        |    list_transform(list_zip(emb, range(64)), p ->
+        |      p[1] * (1.0 + ((((vec_id + 1) * (p[2] + 7)) % 13 - 6) * 0.0005))) AS emb
+        |  FROM base WHERE vec_id % 5 = 0),
+        |cents AS (SELECT vec_id AS cid, emb AS cvec FROM corpus WHERE vec_id < 16),
+        |scored AS (
+        |  SELECT v.vec_id, v.emb, c.cid,
+        |    list_cosine_similarity(v.emb, c.cvec) AS c,
+        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        |      ORDER BY list_cosine_similarity(v.emb, c.cvec) DESC, c.cid) AS rn
+        |  FROM corpus v CROSS JOIN cents c),
+        |asg AS (SELECT vec_id, emb, cid, c FROM scored WHERE rn = 1),
+        |dups AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM asg a JOIN asg b ON a.cid = b.cid
+        |    AND ((a.c < b.c) OR (a.c = b.c AND a.vec_id < b.vec_id))
+        |  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.95)
+        |SELECT m.vec_id, m.cid AS cluster, ROUND(m.c, 6) AS cent_cos,
+        |  (d.vec_id IS NULL) AS is_kept
+        |FROM asg m LEFT JOIN dups d ON d.vec_id = m.vec_id
+        |ORDER BY m.vec_id""".stripMargin,
     "tx5_bpe_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS INTEGER) AS n_bpe_tokens,

@@ -416,6 +416,33 @@ object WritePathQueries {
         .orderBy("spider_name")
     }),
 
+    // S14: file-level min/max data skipping (store.FileStats — the
+    // Delta/Iceberg stats-sidecar pattern): publish orders range-sorted
+    // on o_orderkey into 8 files with a per-file stats sidecar inside
+    // the snapshot, then answer a narrow key-range aggregate by pruning
+    // the FILE LIST off the sidecar before Spark ever lists or opens a
+    // footer. The oracle recomputes the aggregate from the raw table, so
+    // any file the pruner wrongly drops surfaces as a hash mismatch; the
+    // skipping itself — invisible to SQL — is carried as data in
+    // `skip_effective` (true iff selected < total files), which the
+    // oracle pins to TRUE. FileStatsSpec covers the boundary/empty/
+    // straddling cases.
+    "s14_stats_skipping" -> ((s, d) => {
+      val root = tmp("graft_gate_skip")
+      graft.store.FileStats.publishSorted(s, root, orders(s, d),
+        "o_orderkey", numFiles = 8,
+        statCols = Seq("o_orderkey", "o_totalprice"))
+      val (sel, all) = graft.store.FileStats.pruneFiles(
+        s, root, "o_orderkey", 100L, 299L)
+      graft.store.FileStats.readRange(s, root, "o_orderkey", 100L, 299L)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types
+            .DecimalType(18, 2))).cast("double").as("sum_price"))
+        .withColumn("skip_effective", lit(sel.length < all.length))
+        .orderBy("o_orderstatus")
+    }),
+
     // S12: change data feed between two pinned versions — v2 deletes
     // every 13th key, renames every (7th ∧ not-13th) key, and inserts a
     // shifted copy of each deleted key; the feed must classify exactly
@@ -716,6 +743,14 @@ object WritePathQueries {
         |       '2025' AS ingestion_year, '01' AS ingestion_month
         |FROM customer
         |ORDER BY CAST(universal_id AS BIGINT), is_current""".stripMargin,
+    "s14_stats_skipping" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  TRUE AS skip_effective
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 100 AND 299
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "sb1_bucketed_join" ->
       """SELECT o_orderpriority,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,126 @@
+package graft.store
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level min/max data skipping for SnapshotStore tables — the
+  * Delta/Iceberg "file statistics" pattern rebuilt parquet-native.
+  *
+  * Why it exists at 100 TB: parquet already carries row-group min/max in
+  * its footers, and Spark prunes row groups with them — but only AFTER
+  * the scan has listed every file and opened every footer. On a
+  * 100k-file table that is 100k driver-side round trips per query just
+  * to discover that 99.9k files cannot match. A table-level stats
+  * sidecar (one tiny parquet, written atomically WITH its snapshot)
+  * moves that decision to one read: the planner consults the sidecar,
+  * selects the handful of files whose [min,max] interval intersects the
+  * predicate, and hands Spark an explicit file list. Z-ordered or
+  * range-sorted layouts (operators.ZOrder, `publishSorted` below) make
+  * the intervals tight, which is what turns skipping from a no-op into
+  * a 10-100× scan reduction.
+  *
+  * Layout: `<root>/_snapshots/vN.stats.parquet` — a SIBLING of the
+  * immutable snapshot dir, the same pattern as `vN.manifest`: written
+  * before the pointer flip (visible atomically with its snapshot),
+  * never seen by readers of the snapshot dir itself, and collected by
+  * `vacuum` together with its version. (The first cut nested it inside
+  * the snapshot dir as `_file_stats.parquet`; that kept it hidden from
+  * data reads, but reading an underscore-prefixed path back trips
+  * Spark's hidden-path filter — `WARN DataSource: All paths were
+  * ignored` — so the sidecar leans on the manifest convention instead.)
+  *
+  * Stats collection here is one column-pruned scan at publish time
+  * (`groupBy(input_file_name())` over just the stat columns — map-side
+  * partial aggs, one tiny shuffle keyed by file). At cluster scale the
+  * same sidecar would be fed task-side from the write itself (each task
+  * knows its own min/max as it writes) or from parquet footers; the
+  * collection seam is `collectStats`, and nothing downstream cares how
+  * the rows were produced.
+  *
+  * The pruned read applies the ORIGINAL predicate after the file-list
+  * cut, so skipping is a pure optimization: stats can only widen the
+  * file list (never narrow the rows), and a file missing from the
+  * sidecar is treated as always-matching (`coalesce(overlap, true)`).
+  */
+object FileStats {
+
+  /** Suffix of the sidecar sibling: `<version dir>.stats.parquet`.
+    * SnapshotStore.vacuum deletes it alongside the version's manifest. */
+  val StatsSuffix = ".stats.parquet"
+
+  /** Per-file (file, rows, min_<c>, max_<c>...) over the parquet files
+    * under `dataDir`, one row per physical file. */
+  def collectStats(spark: SparkSession, dataDir: String,
+                   statCols: Seq[String]): DataFrame = {
+    require(statCols.nonEmpty, "file stats need at least one column")
+    val data = spark.read.parquet(dataDir).select(statCols.map(col): _*)
+    val aggs = count(lit(1)).as("rows") +:
+      statCols.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    data.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Publish `df` as a new snapshot of the SnapshotStore table at
+    * `root`, range-partitioned and sorted on `sortCol` into `numFiles`
+    * files (contiguous key spans per file — the layout that makes
+    * min/max intervals disjoint and skipping maximally effective), with
+    * the stats sidecar written INSIDE the snapshot dir before the
+    * pointer flip — stats become visible atomically with their data.
+    * Returns the published snapshot name. */
+  def publishSorted(spark: SparkSession, root: String, df: DataFrame,
+                    sortCol: String, numFiles: Int,
+                    statCols: Seq[String]): String =
+    SnapshotStore.commit(spark, root) { dir =>
+      df.repartitionByRange(numFiles, col(sortCol))
+        .sortWithinPartitions(sortCol)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+      writeSidecar(spark, dir, statCols)
+    }
+
+  /** Collect stats over an already-written snapshot dir and write the
+    * sibling sidecar for it. Exposed for writers that lay out files
+    * themselves (e.g. ZOrder output). */
+  def writeSidecar(spark: SparkSession, dataDir: String,
+                   statCols: Seq[String]): Unit =
+    collectStats(spark, dataDir, statCols)
+      // the sidecar is one tiny file: |files| rows of scalars
+      .coalesce(1)
+      .write.parquet(dataDir.stripSuffix("/") + StatsSuffix)
+
+  /** The file lists a range predicate `lo <= c <= hi` decides between:
+    * (selected files, all files). Bounded driver-side data — one row per
+    * file of the CURRENT snapshot, the same order of magnitude the
+    * driver already holds to plan any scan. */
+  def pruneFiles(spark: SparkSession, root: String, c: String,
+                 lo: Any, hi: Any): (Seq[String], Seq[String]) = {
+    val name = SnapshotStore.currentName(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(
+        s"no ${SnapshotStore.PointerFile} under $root — table never committed"))
+    val snap = new Path(new Path(root, SnapshotStore.SnapshotsDir),
+      name + StatsSuffix)
+    val stats = spark.read.parquet(snap.toString)
+    // interval overlap, null-safe in BOTH directions: an all-null file
+    // has null min/max (matches nothing for a range predicate — correct,
+    // nulls fail `between`); a file absent from the stats schema would
+    // surface as an analysis error rather than silent wrong pruning
+    val overlap = coalesce(
+      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi), lit(false))
+    val rows = stats.select(col("file"), overlap.as("keep")).collect()
+    (rows.filter(_.getBoolean(1)).map(_.getString(0)).toSeq,
+      rows.map(_.getString(0)).toSeq)
+  }
+
+  /** Read the current snapshot with file-level skipping for
+    * `lo <= c <= hi`, then apply the exact predicate — stats only cut
+    * the file list, rows are always filtered precisely. */
+  def readRange(spark: SparkSession, root: String, c: String,
+                lo: Any, hi: Any): DataFrame = {
+    val (selected, _) = pruneFiles(spark, root, c, lo, hi)
+    val pred = col(c).between(lit(lo), lit(hi))
+    if (selected.isEmpty)
+      SnapshotStore.read(spark, root).filter(lit(false))
+    else spark.read.parquet(selected: _*).filter(pred)
+  }
+}

@@ -140,7 +140,10 @@ object SnapshotStore {
     val snaps = new Path(root, SnapshotsDir)
     val fs = fsOf(snaps, spark)
     if (!fs.exists(snaps)) Seq.empty
-    else fs.listStatus(snaps).filter(_.isDirectory)
+    else fs.listStatus(snaps)
+      // exclude non-version directory siblings (`<name>.stats.parquet`
+      // file-stats sidecars — store.FileStats)
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d{9}"))
       .map(_.getPath.getName).sorted.toSeq
   }
 
@@ -459,7 +462,13 @@ object SnapshotStore {
     val fs = fsOf(snaps, spark)
     if (!fs.exists(snaps)) return 0
     val current = currentName(spark, root)
-    val all = fs.listStatus(snaps).filter(_.isDirectory).map(_.getPath.getName)
+    // version dirs ONLY: `<name>.stats.parquet` sidecars are directories
+    // under _snapshots too, and counting one as a version would both
+    // shrink the keepLast retention window (sidecars sort after their
+    // version) and vacuum live sidecars
+    val all = fs.listStatus(snaps)
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d{9}"))
+      .map(_.getPath.getName)
     var keep = all.sorted.takeRight(math.max(keepLast, 1)).toSet ++ current
     var frontier = keep
     while (frontier.nonEmpty) {
@@ -472,6 +481,9 @@ object SnapshotStore {
     victims.foreach { n =>
       fs.delete(new Path(snaps, n), true)
       fs.delete(manifestPath(root, n), false)
+      // file-stats sidecar (store.FileStats) — a directory sibling, like
+      // the manifest but parquet-shaped, hence the recursive delete
+      fs.delete(new Path(snaps, n + FileStats.StatsSuffix), true)
       fs.delete(claimPath(root, n), false)
     }
     // claim files are the commit records of their version dirs; once the

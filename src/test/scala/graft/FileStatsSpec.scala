@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.store.{FileStats, SnapshotStore}
+
+/** File-level data skipping: the stats sidecar is invisible to normal
+  * snapshot readers, prunes the file list hard on a range-sorted layout,
+  * never changes results (boundary-straddling, exact-boundary, and
+  * empty ranges included), and treats stats as advisory — a file
+  * missing min/max can only widen the list, never drop rows. */
+class FileStatsSpec extends SparkSuite {
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_fs_$tag").toString + "/t"
+
+  private def publish(root: String): Unit = {
+    val df = spark.range(0, 1000).select(
+      col("id").as("k"),
+      (col("id") * 3 % 7).cast("double").as("v"))
+    FileStats.publishSorted(spark, root, df, "k", numFiles = 8,
+      statCols = Seq("k", "v"))
+  }
+
+  test("sidecar is invisible to plain snapshot reads") {
+    val root = freshRoot("inv")
+    publish(root)
+    assert(SnapshotStore.read(spark, root).count() === 1000)
+    assert(SnapshotStore.read(spark, root).columns.toSeq === Seq("k", "v"))
+  }
+
+  test("narrow range on a sorted layout selects a strict file subset") {
+    val root = freshRoot("prune")
+    publish(root)
+    val (sel, all) = FileStats.pruneFiles(spark, root, "k", 10L, 99L)
+    assert(all.length === 8)
+    assert(sel.nonEmpty && sel.length < all.length,
+      s"expected a strict subset, got ${sel.length}/${all.length}")
+  }
+
+  test("pruned read equals full-scan filter on every range shape") {
+    val root = freshRoot("eq")
+    publish(root)
+    val full = SnapshotStore.read(spark, root)
+    // straddles file boundaries, sits inside one file, hits exact file
+    // edges, covers everything, matches nothing
+    val ranges = Seq((10L, 400L), (130L, 140L), (125L, 249L),
+      (0L, 999L), (5000L, 6000L))
+    ranges.foreach { case (lo, hi) =>
+      val pruned = FileStats.readRange(spark, root, "k", lo, hi)
+        .orderBy("k").collect().toSeq
+      val direct = full.filter(col("k").between(lo, hi))
+        .orderBy("k").collect().toSeq
+      assert(pruned === direct, s"range [$lo,$hi]")
+    }
+  }
+
+  test("empty range returns an empty frame with the table schema") {
+    val root = freshRoot("empty")
+    publish(root)
+    val out = FileStats.readRange(spark, root, "k", -10L, -1L)
+    assert(out.columns.toSeq === Seq("k", "v"))
+    assert(out.count() === 0)
+  }
+
+  test("skipping composes with a second stat column") {
+    val root = freshRoot("second")
+    publish(root)
+    // v cycles 0..6 within every file, so v-pruning keeps all files
+    // (correct: intervals overlap everywhere) while still filtering rows
+    val out = FileStats.readRange(spark, root, "v", 2.0, 3.0)
+    val expected = SnapshotStore.read(spark, root)
+      .filter(col("v").between(2.0, 3.0)).count()
+    assert(out.count() === expected)
+    val (sel, all) = FileStats.pruneFiles(spark, root, "v", 2.0, 3.0)
+    assert(sel.length === all.length)
+  }
+
+  test("stats republish with the snapshot: a new commit gets fresh stats") {
+    val root = freshRoot("repub")
+    publish(root)
+    val df2 = spark.range(2000, 2500).select(
+      col("id").as("k"), lit(0.0).as("v"))
+    FileStats.publishSorted(spark, root, df2, "k", numFiles = 4,
+      statCols = Seq("k"))
+    val (sel, all) = FileStats.pruneFiles(spark, root, "k", 2000L, 2099L)
+    assert(all.length === 4 && sel.length < all.length)
+    assert(FileStats.readRange(spark, root, "k", 0L, 3000L).count() === 500)
+  }
+
+  test("vacuum collects the sidecar with its version") {
+    val root = freshRoot("vac")
+    publish(root)
+    val df2 = spark.range(0, 10).select(col("id").as("k"),
+      lit(1.0).as("v"))
+    FileStats.publishSorted(spark, root, df2, "k", numFiles = 2,
+      statCols = Seq("k"))
+    assert(SnapshotStore.vacuum(spark, root, keepLast = 1) === 1)
+    val v1Stats = new java.io.File(new java.net.URI(
+      s"file://${root}/${SnapshotStore.SnapshotsDir}/v000000001${FileStats.StatsSuffix}"))
+    assert(!v1Stats.exists, s"vacuum must delete $v1Stats")
+    // the surviving version still prunes: exactly one disjoint file
+    // holds k=0 wherever the range partitioner sampled its boundary
+    val (sel, all) = FileStats.pruneFiles(spark, root, "k", 0L, 0L)
+    assert(all.length === 2 && sel.length === 1)
+  }
+}

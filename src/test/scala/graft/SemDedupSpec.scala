@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SemDedup
+
+/** SemDeDup cluster-bucketed semantic dedup: assignment is a
+  * zero-shuffle projection; the prune keeps exactly one member of each
+  * within-cell dup group (the lowest-cent_cos one, per the paper's
+  * diversity rule); results are invariant to input partitioning; and
+  * planted near-identical copies are overwhelmingly pruned, with the
+  * only permitted misses being pairs that straddle a cell boundary —
+  * the algorithm's documented recall edge, not an implementation bug. */
+class SemDedupSpec extends SparkSuite {
+
+  private val CopyOffset = 1L << 40
+
+  private def planted = {
+    val (s, d) = (spark, sf)
+    graft.queries.DedupExtQueries.plantedCorpus(s, d)
+  }
+
+  private def centroids16 = planted.filter(col("vec_id") < 16)
+    .select(col("vec_id"), col("emb")).collect()
+    .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+
+  test("assignment plan is a pure projection: zero exchanges, no join") {
+    val plan = SemDedup.assign(planted, "vec_id", "emb", centroids16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assign must not shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"assign must not join:\n$plan")
+  }
+
+  test("every centroid cell is non-degenerate and ids round-trip") {
+    val asg = SemDedup.assign(planted, "vec_id", "emb", centroids16)
+    // each centroid assigns to itself at cosine exactly 1.0
+    val self = asg.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("cluster"), col("cent_cos")).collect()
+    self.foreach { r =>
+      assert(r.getLong(0) === r.getLong(1),
+        s"centroid ${r.getLong(0)} assigned to ${r.getLong(1)}")
+      // self-cosine: 1.0 up to float summation rounding
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    }
+    assert(asg.count() === planted.count())
+  }
+
+  test("exactly one member of each within-cell dup group is kept; " +
+    "keeper has the lowest cent_cos") {
+    val out = SemDedup.semdedup(planted, "vec_id", "emb", centroids16, 0.95)
+      .cache()
+    val orig = out.filter(col("vec_id") < CopyOffset)
+      .select(col("vec_id").as("o_id"), col("cluster").as("o_cl"),
+        col("cent_cos").as("o_cc"), col("is_kept").as("o_kept"))
+    val copy = out.filter(col("vec_id") >= CopyOffset)
+      .select((col("vec_id") - CopyOffset).as("o_id"),
+        col("cluster").as("c_cl"), col("cent_cos").as("c_cc"),
+        col("is_kept").as("c_kept"))
+    val pairs = orig.join(copy, "o_id").collect()
+    assert(pairs.nonEmpty)
+    val sameCell = pairs.filter(r => r.getLong(1) == r.getLong(4))
+    // recall edge: only a cell-boundary straddle may leave both kept —
+    // rare by construction (copies perturb by <=0.3%/dim)
+    assert(sameCell.length >= pairs.length * 9 / 10,
+      s"too many planted pairs straddle cells: ${pairs.length - sameCell.length}/${pairs.length}")
+    sameCell.foreach { r =>
+      val (oCc, oKept, cCc, cKept) =
+        (r.getDouble(2), r.getBoolean(3), r.getDouble(5), r.getBoolean(6))
+      assert(oKept ^ cKept,
+        s"same-cell planted pair must keep exactly one: o_id=${r.getLong(0)}")
+      val keptCc = if (oKept) oCc else cCc
+      val dropCc = if (oKept) cCc else oCc
+      assert(keptCc <= dropCc,
+        s"keeper must have the lowest cent_cos: kept=$keptCc dropped=$dropCc")
+    }
+    out.unpersist()
+  }
+
+  test("result is invariant to input partitioning") {
+    def run(parts: Int) =
+      SemDedup.semdedup(planted.repartition(parts), "vec_id", "emb",
+          centroids16, 0.95)
+        .select("vec_id", "cluster", "cent_cos", "is_kept")
+        .orderBy("vec_id").collect().toSeq
+    assert(run(1) === run(13))
+  }
+
+  test("dd11 gate shape: one row per corpus member, kept+dropped partition it") {
+    val rows = SparkEntry.queries("dd11_semdedup")(spark, sf).collect()
+    assert(rows.length === planted.count())
+    val kept = rows.count(_.getBoolean(3))
+    assert(kept > 0 && kept < rows.length)
+  }
+}
