@@ -443,6 +443,29 @@ object WritePathQueries {
         .orderBy("o_orderstatus")
     }),
 
+    // S15: bloom-filter file skipping for EQUALITY probes (the parquet/
+    // Iceberg bloom pattern, store.FileStats bloomCols): the layout is
+    // range-sorted on o_orderkey, so every file's o_custkey [min,max]
+    // spans the whole customer domain and min/max skipping is useless —
+    // but a per-file bloom answers "could custkey 5 be in this file?"
+    // with no false negatives. 32 files and ≤19 matching orders at any
+    // sf guarantee a strict subset deterministically (k rows can occupy
+    // at most k files; fpp adds at most a sliver). The exact filter
+    // after the cut settles bloom maybes, so the oracle's plain
+    // equality scan must match row-for-row.
+    "s15_bloom_skipping" -> ((s, d) => {
+      val root = tmp("graft_gate_bloom")
+      graft.store.FileStats.publishSorted(s, root, orders(s, d),
+        "o_orderkey", numFiles = 32, statCols = Seq("o_orderkey"),
+        bloomCols = Seq("o_custkey"))
+      val (sel, all) = graft.store.FileStats.pruneFilesEq(
+        s, root, "o_custkey", 5L)
+      graft.store.FileStats.readEq(s, root, "o_custkey", 5L)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .withColumn("skip_effective", lit(sel.length < all.length))
+        .orderBy("o_orderkey")
+    }),
+
     // S12: change data feed between two pinned versions — v2 deletes
     // every 13th key, renames every (7th ∧ not-13th) key, and inserts a
     // shifted copy of each deleted key; the feed must classify exactly
@@ -751,6 +774,11 @@ object WritePathQueries {
         |WHERE o_orderkey BETWEEN 100 AND 299
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    "s15_bloom_skipping" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, TRUE AS skip_effective
+        |FROM orders
+        |WHERE o_custkey = 5
+        |ORDER BY o_orderkey""".stripMargin,
     "sb1_bucketed_join" ->
       """SELECT o_orderpriority,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -42,6 +42,14 @@ import org.apache.spark.sql.functions._
   * cut, so skipping is a pure optimization: stats can only widen the
   * file list (never narrow the rows), and a file missing from the
   * sidecar is treated as always-matching (`coalesce(overlap, true)`).
+  *
+  * Two stat families, for the two predicate shapes:
+  *   - min/max intervals (`statCols`) skip RANGE predicates — effective
+  *    exactly when the layout clusters the column (range-sort, Z-order);
+  *   - per-file blooms (`bloomCols`) skip EQUALITY probes on columns the
+  *    layout is NOT clustered by, where every file's interval spans the
+  *    domain and min/max is useless — a needle-in-haystack key lookup
+  *    reads ~1 file instead of all of them (plus the fpp sliver).
   */
 object FileStats {
 
@@ -49,15 +57,33 @@ object FileStats {
     * SnapshotStore.vacuum deletes it alongside the version's manifest. */
   val StatsSuffix = ".stats.parquet"
 
-  /** Per-file (file, rows, min_<c>, max_<c>...) over the parquet files
-    * under `dataDir`, one row per physical file. */
+  /** Sizes each per-file bloom. Iceberg-style guidance: size for the
+    * file's distinct-key count, not the table's — a 20k-key bloom at
+    * fpp 0.01 is ~24 KB, so even a 100k-file table carries a ~2.4 GB
+    * sidecar total, split across versions. */
+  val DefaultBloomItems: Long = 20000L
+  val DefaultBloomFpp: Double = 0.01
+
+  /** Per-file (file, rows, min_<c>, max_<c>..., bloom_<c>...) over the
+    * parquet files under `dataDir`, one row per physical file. Min/max
+    * (`statCols`) answer range predicates on clustered layouts;
+    * per-file blooms (`bloomCols`, functions.BloomAgg over xxhash64)
+    * answer EQUALITY probes on columns the layout is NOT sorted by —
+    * where every file's [min,max] spans the whole domain and range
+    * stats can never skip anything. */
   def collectStats(spark: SparkSession, dataDir: String,
-                   statCols: Seq[String]): DataFrame = {
+                   statCols: Seq[String], bloomCols: Seq[String] = Nil,
+                   bloomItems: Long = DefaultBloomItems,
+                   bloomFpp: Double = DefaultBloomFpp): DataFrame = {
     require(statCols.nonEmpty, "file stats need at least one column")
-    val data = spark.read.parquet(dataDir).select(statCols.map(col): _*)
+    val cols = (statCols ++ bloomCols).distinct
+    val data = spark.read.parquet(dataDir).select(cols.map(col): _*)
     val aggs = count(lit(1)).as("rows") +:
-      statCols.flatMap(c =>
-        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+      (statCols.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+        bloomCols.map(c => graft.functions.BloomAgg
+          .bloomAgg(xxhash64(col(c)), bloomItems, bloomFpp)
+          .as(s"bloom_$c")))
     data.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -70,22 +96,22 @@ object FileStats {
     * pointer flip — stats become visible atomically with their data.
     * Returns the published snapshot name. */
   def publishSorted(spark: SparkSession, root: String, df: DataFrame,
-                    sortCol: String, numFiles: Int,
-                    statCols: Seq[String]): String =
+                    sortCol: String, numFiles: Int, statCols: Seq[String],
+                    bloomCols: Seq[String] = Nil): String =
     SnapshotStore.commit(spark, root) { dir =>
       df.repartitionByRange(numFiles, col(sortCol))
         .sortWithinPartitions(sortCol)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
-      writeSidecar(spark, dir, statCols)
+      writeSidecar(spark, dir, statCols, bloomCols)
     }
 
   /** Collect stats over an already-written snapshot dir and write the
     * sibling sidecar for it. Exposed for writers that lay out files
     * themselves (e.g. ZOrder output). */
   def writeSidecar(spark: SparkSession, dataDir: String,
-                   statCols: Seq[String]): Unit =
-    collectStats(spark, dataDir, statCols)
-      // the sidecar is one tiny file: |files| rows of scalars
+                   statCols: Seq[String], bloomCols: Seq[String] = Nil): Unit =
+    collectStats(spark, dataDir, statCols, bloomCols)
+      // the sidecar is one tiny file: |files| rows of scalars + blooms
       .coalesce(1)
       .write.parquet(dataDir.stripSuffix("/") + StatsSuffix)
 
@@ -93,14 +119,17 @@ object FileStats {
     * (selected files, all files). Bounded driver-side data — one row per
     * file of the CURRENT snapshot, the same order of magnitude the
     * driver already holds to plan any scan. */
-  def pruneFiles(spark: SparkSession, root: String, c: String,
-                 lo: Any, hi: Any): (Seq[String], Seq[String]) = {
+  private def sidecar(spark: SparkSession, root: String): DataFrame = {
     val name = SnapshotStore.currentName(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(
         s"no ${SnapshotStore.PointerFile} under $root — table never committed"))
-    val snap = new Path(new Path(root, SnapshotStore.SnapshotsDir),
-      name + StatsSuffix)
-    val stats = spark.read.parquet(snap.toString)
+    spark.read.parquet(new Path(new Path(root, SnapshotStore.SnapshotsDir),
+      name + StatsSuffix).toString)
+  }
+
+  def pruneFiles(spark: SparkSession, root: String, c: String,
+                 lo: Any, hi: Any): (Seq[String], Seq[String]) = {
+    val stats = sidecar(spark, root)
     // interval overlap, null-safe in BOTH directions: an all-null file
     // has null min/max (matches nothing for a range predicate — correct,
     // nulls fail `between`); a file absent from the stats schema would
@@ -116,11 +145,46 @@ object FileStats {
     * `lo <= c <= hi`, then apply the exact predicate — stats only cut
     * the file list, rows are always filtered precisely. */
   def readRange(spark: SparkSession, root: String, c: String,
-                lo: Any, hi: Any): DataFrame = {
-    val (selected, _) = pruneFiles(spark, root, c, lo, hi)
-    val pred = col(c).between(lit(lo), lit(hi))
-    if (selected.isEmpty)
-      SnapshotStore.read(spark, root).filter(lit(false))
-    else spark.read.parquet(selected: _*).filter(pred)
+                lo: Any, hi: Any): DataFrame =
+    readPruned(spark, root, pruneFiles(spark, root, c, lo, hi)._1,
+      col(c).between(lit(lo), lit(hi)))
+
+  /** The file lists an equality probe `c = value` decides between,
+    * using the per-file bloom (`bloom_<c>` in the sidecar — see
+    * `collectStats`). Bloom semantics make this one-sided: a negative
+    * is DEFINITELY absent (safe to skip the file), a positive is
+    * "maybe" (the file is read and the exact filter settles it). The
+    * probe hashes through the engine's own xxhash64 so build and probe
+    * can never drift. */
+  def pruneFilesEq(spark: SparkSession, root: String, c: String,
+                   value: Any): (Seq[String], Seq[String]) = {
+    val stats = sidecar(spark, root)
+    require(stats.columns.contains(s"bloom_$c"),
+      s"sidecar has no bloom for '$c' — publish with bloomCols = Seq(\"$c\")")
+    // one 1-row job: the same engine-side hash the build used
+    val hash = spark.range(1).select(xxhash64(lit(value))).head().getLong(0)
+    val rows = stats.select(col("file"), col(s"bloom_$c")).collect()
+    val sel = rows.filter { r =>
+      r.isNullAt(1) || readBloom(r.getAs[Array[Byte]](1))
+        .mightContainLong(hash)
+    }.map(_.getString(0)).toSeq
+    (sel, rows.map(_.getString(0)).toSeq)
   }
+
+  private def readBloom(bytes: Array[Byte]): org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+
+  /** Read the current snapshot with bloom file-skipping for
+    * `c = value`, then apply the exact predicate. */
+  def readEq(spark: SparkSession, root: String, c: String,
+             value: Any): DataFrame =
+    readPruned(spark, root, pruneFilesEq(spark, root, c, value)._1,
+      col(c) === lit(value))
+
+  private def readPruned(spark: SparkSession, root: String,
+                         selected: Seq[String],
+                         pred: org.apache.spark.sql.Column): DataFrame =
+    if (selected.isEmpty) SnapshotStore.read(spark, root).filter(lit(false))
+    else spark.read.parquet(selected: _*).filter(pred)
 }

@@ -87,6 +87,35 @@ class FileStatsSpec extends SparkSuite {
     assert(FileStats.readRange(spark, root, "k", 0L, 3000L).count() === 500)
   }
 
+  test("bloom equality prune: strict subset on an unclustered key, " +
+    "exact parity on every probed value") {
+    val root = freshRoot("bloom")
+    // k is the sort column; u is uncorrelated with it (Knuth-hash
+    // scramble), so every file's u-interval spans the domain and only
+    // the bloom can skip
+    val df = spark.range(0, 1000).select(
+      col("id").as("k"),
+      ((col("id") * 2654435761L) % 1000).as("u"))
+    FileStats.publishSorted(spark, root, df, "k", numFiles = 8,
+      statCols = Seq("k"), bloomCols = Seq("u"))
+    val full = SnapshotStore.read(spark, root)
+    Seq(0L, 1L, 499L, 998L).foreach { v =>
+      val (sel, all) = FileStats.pruneFilesEq(spark, root, "u", v)
+      assert(all.length === 8)
+      assert(sel.length < all.length,
+        s"bloom must cut the file list for u=$v, kept ${sel.length}")
+      val pruned = FileStats.readEq(spark, root, "u", v)
+        .orderBy("k").collect().toSeq
+      val direct = full.filter(col("u") === v).orderBy("k").collect().toSeq
+      assert(pruned === direct, s"u=$v")
+      // gcd(761, 1000) = 1, so id -> u is a bijection: exactly one match
+      assert(pruned.length === 1)
+    }
+    // absent value: bloom may keep a fpp sliver but the exact filter
+    // returns nothing
+    assert(FileStats.readEq(spark, root, "u", 123456L).count() === 0)
+  }
+
   test("vacuum collects the sidecar with its version") {
     val root = freshRoot("vac")
     publish(root)
