@@ -57,11 +57,10 @@ object FileStats {
     * SnapshotStore.vacuum deletes it alongside the version's manifest. */
   val StatsSuffix = ".stats.parquet"
 
-  /** Sizes each per-file bloom. Iceberg-style guidance: size for the
-    * file's distinct-key count, not the table's — a 20k-key bloom at
-    * fpp 0.01 is ~24 KB, so even a 100k-file table carries a ~2.4 GB
-    * sidecar total, split across versions. */
-  val DefaultBloomItems: Long = 20000L
+  /** Target false-positive probability per per-file bloom. The expected
+    * extra files read per probe is fpp × |files| — at 0.01 a 100k-file
+    * table over-reads ~1k files per key probe, so tables that large
+    * should drop fpp (size grows only logarithmically in 1/fpp). */
   val DefaultBloomFpp: Double = 0.01
 
   /** Per-file (file, rows, min_<c>, max_<c>..., bloom_<c>...) over the
@@ -73,16 +72,29 @@ object FileStats {
     * stats can never skip anything. */
   def collectStats(spark: SparkSession, dataDir: String,
                    statCols: Seq[String], bloomCols: Seq[String] = Nil,
-                   bloomItems: Long = DefaultBloomItems,
+                   bloomItems: Long = 0L,
                    bloomFpp: Double = DefaultBloomFpp): DataFrame = {
     require(statCols.nonEmpty, "file stats need at least one column")
+    // bloom geometry must hold the file's ACTUAL key count: an
+    // overloaded bloom quietly saturates (a 50k-row file in a 20k-item
+    // bloom measured fpp ≈ 0.3 — 62/200 files "maybe" for a 1-file key).
+    // bloomItems = 0 auto-sizes from rows/file with 25% headroom; the
+    // row count costs only a parquet-footer pass, and per-file skew is
+    // bounded because writers here lay files out near-uniformly.
+    val sizedItems: Long =
+      if (bloomCols.isEmpty || bloomItems > 0L) bloomItems
+      else {
+        val snap = spark.read.parquet(dataDir)
+        val nFiles = math.max(1, snap.inputFiles.length)
+        math.max(1000L, snap.count() * 5 / (4 * nFiles))
+      }
     val cols = (statCols ++ bloomCols).distinct
     val data = spark.read.parquet(dataDir).select(cols.map(col): _*)
     val aggs = count(lit(1)).as("rows") +:
       (statCols.flatMap(c =>
         Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
         bloomCols.map(c => graft.functions.BloomAgg
-          .bloomAgg(xxhash64(col(c)), bloomItems, bloomFpp)
+          .bloomAgg(xxhash64(col(c)), sizedItems, bloomFpp)
           .as(s"bloom_$c")))
     data.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
