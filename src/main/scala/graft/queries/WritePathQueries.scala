@@ -466,6 +466,28 @@ object WritePathQueries {
         .orderBy("o_orderkey")
     }),
 
+    // S16: metadata-partial aggregation off the stats sidecar
+    // (FileStats.countRange): a range COUNT answers interior files from
+    // their sidecar row counts — zero reads — and scans only the edge
+    // files the range boundaries cut through (at most one per edge on a
+    // range-clustered layout, however large the table). The range spans
+    // 60% of the key domain (the upper bound derives from the table
+    // count so the property holds at every sf), which forces both modes:
+    // `meta_used` pins that interior files answered from metadata,
+    // `scan_bounded` that the scan never degenerated to all files; the
+    // count itself must equal DuckDB's plain recount.
+    "s16_meta_count" -> ((s, d) => {
+      val root = tmp("graft_gate_metacnt")
+      graft.store.FileStats.publishSorted(s, root, orders(s, d),
+        "o_orderkey", numFiles = 8, statCols = Seq("o_orderkey"))
+      val hi = 3L * orders(s, d).count() / 5L
+      val (n, scanned, meta) = graft.store.FileStats.countRange(
+        s, root, "o_orderkey", 100L, hi)
+      import s.implicits._
+      Seq((n, scanned < 8, meta > 0))
+        .toDF("n_rows", "scan_bounded", "meta_used")
+    }),
+
     // S12: change data feed between two pinned versions — v2 deletes
     // every 13th key, renames every (7th ∧ not-13th) key, and inserts a
     // shifted copy of each deleted key; the feed must classify exactly
@@ -774,6 +796,11 @@ object WritePathQueries {
         |WHERE o_orderkey BETWEEN 100 AND 299
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    "s16_meta_count" ->
+      """SELECT COUNT(*) AS n_rows, TRUE AS scan_bounded, TRUE AS meta_used
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 100 AND
+        |  CAST((3 * (SELECT COUNT(*) FROM orders)) / 5 AS BIGINT)""".stripMargin,
     "s15_bloom_skipping" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, TRUE AS skip_effective
         |FROM orders

@@ -117,6 +117,22 @@ object FileStats {
       writeSidecar(spark, dir, statCols, bloomCols)
     }
 
+  /** Publish Z-order-clustered (operators.ZOrder) with the stats
+    * sidecar: EVERY z-column gets tight per-file intervals, so range
+    * predicates on ANY of them prune files — where `publishSorted`
+    * serves only its single sort column. The multi-dimensional
+    * composition is the point: OPTIMIZE ZORDER writes the layout, the
+    * sidecar makes the layout's selectivity visible to the planner. */
+  def publishZOrdered(spark: SparkSession, root: String, df: DataFrame,
+                      zCols: Seq[String], numFiles: Int,
+                      statCols: Seq[String],
+                      bloomCols: Seq[String] = Nil): String =
+    SnapshotStore.commit(spark, root) { dir =>
+      graft.operators.ZOrder.cluster(df, zCols.map(col), numFiles)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
+      writeSidecar(spark, dir, statCols, bloomCols)
+    }
+
   /** Collect stats over an already-written snapshot dir and write the
     * sibling sidecar for it. Exposed for writers that lay out files
     * themselves (e.g. ZOrder output). */
@@ -199,4 +215,39 @@ object FileStats {
                          pred: org.apache.spark.sql.Column): DataFrame =
     if (selected.isEmpty) SnapshotStore.read(spark, root).filter(lit(false))
     else spark.read.parquet(selected: _*).filter(pred)
+
+  /** Exact row count of `lo <= c <= hi`, answered as far as possible
+    * from METADATA: a file whose [min,max] lies entirely inside the
+    * range contributes its sidecar row count with no read at all; only
+    * the boundary files — on a range-clustered layout, at most one per
+    * predicate edge regardless of table size — are scanned and filtered
+    * exactly. The aggregation-pushdown half of skipping: a count over
+    * one month of a date-sorted corpus touches the two edge files, not
+    * the month. Requires `c` null-free (the sidecar tracks min/max of
+    * NON-NULL values, so a contained file's full row count would
+    * overcount its null rows — nulls fail `between`); the sort/cluster
+    * keys this sidecar exists for are null-free by construction, and
+    * nullable columns should use `readRange().count()`.
+    *
+    * Returns (count, files scanned, files answered from metadata). */
+  def countRange(spark: SparkSession, root: String, c: String,
+                 lo: Any, hi: Any): (Long, Int, Int) = {
+    val stats = sidecar(spark, root)
+    val overlap = coalesce(
+      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi), lit(false))
+    val contained = coalesce(
+      col(s"min_$c") >= lit(lo) && col(s"max_$c") <= lit(hi), lit(false))
+    val rows = stats
+      .select(col("file"), col("rows"), overlap.as("ov"), contained.as("cn"))
+      .collect()
+    val fromMeta = rows.filter(_.getBoolean(3))
+    val toScan = rows.filter(r => r.getBoolean(2) && !r.getBoolean(3))
+      .map(_.getString(0)).toSeq
+    val metaCount = fromMeta.map(_.getLong(1)).sum
+    val scanned =
+      if (toScan.isEmpty) 0L
+      else spark.read.parquet(toScan: _*)
+        .filter(col(c).between(lit(lo), lit(hi))).count()
+    (metaCount + scanned, toScan.length, fromMeta.length)
+  }
 }

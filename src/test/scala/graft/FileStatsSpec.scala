@@ -116,6 +116,48 @@ class FileStatsSpec extends SparkSuite {
     assert(FileStats.readEq(spark, root, "u", 123456L).count() === 0)
   }
 
+  test("z-ordered publish prunes on EVERY clustered column; " +
+    "linear sort prunes only its lead column") {
+    val zRoot = freshRoot("zord")
+    val linRoot = freshRoot("lin")
+    // 100x100 grid: x and y both uniform, jointly exhaustive
+    val grid = spark.range(0, 10000).select(
+      (col("id") % 100).as("x"), (col("id") / 100).cast("long").as("y"))
+    FileStats.publishZOrdered(spark, zRoot, grid, Seq("x", "y"),
+      numFiles = 16, statCols = Seq("x", "y"))
+    FileStats.publishSorted(spark, linRoot, grid, "x", numFiles = 16,
+      statCols = Seq("x", "y"))
+    // both layouts prune on x
+    assert(FileStats.pruneFiles(spark, zRoot, "x", 0L, 24L)._1.length < 16)
+    assert(FileStats.pruneFiles(spark, linRoot, "x", 0L, 24L)._1.length < 16)
+    // only the z-order layout prunes on y
+    val (zy, _) = FileStats.pruneFiles(spark, zRoot, "y", 0L, 24L)
+    val (ly, _) = FileStats.pruneFiles(spark, linRoot, "y", 0L, 24L)
+    assert(zy.length < 16, s"z-order must prune on y, kept ${zy.length}")
+    assert(ly.length === 16,
+      "x-sorted layout spans the y domain in every file")
+    // and the pruned read stays exact
+    val got = FileStats.readRange(spark, zRoot, "y", 0L, 24L)
+      .orderBy("x", "y").collect().toSeq
+    val want = SnapshotStore.read(spark, zRoot)
+      .filter(col("y").between(0L, 24L)).orderBy("x", "y").collect().toSeq
+    assert(got === want)
+  }
+
+  test("countRange answers interior files from metadata, scans only edges") {
+    val root = freshRoot("cnt")
+    publish(root)
+    val (n, scanned, fromMeta) = FileStats.countRange(spark, root, "k", 100L, 899L)
+    assert(n === 800)
+    assert(scanned <= 2, s"only edge files may scan, scanned $scanned")
+    assert(fromMeta >= 4, s"interior files must answer from metadata: $fromMeta")
+    // whole-table count: pure metadata
+    val (all, s2, m2) = FileStats.countRange(spark, root, "k", 0L, 999L)
+    assert(all === 1000 && s2 === 0 && m2 === 8)
+    // empty range: nothing scanned, nothing counted
+    assert(FileStats.countRange(spark, root, "k", 5000L, 6000L) === ((0L, 0, 0)))
+  }
+
   test("vacuum collects the sidecar with its version") {
     val root = freshRoot("vac")
     publish(root)
