@@ -73,8 +73,19 @@ object FileStats {
   def collectStats(spark: SparkSession, dataDir: String,
                    statCols: Seq[String], bloomCols: Seq[String] = Nil,
                    bloomItems: Long = 0L,
-                   bloomFpp: Double = DefaultBloomFpp): DataFrame = {
+                   bloomFpp: Double = DefaultBloomFpp): DataFrame =
+    collectStatsDirs(spark, Seq(dataDir), statCols, bloomCols,
+      bloomItems, bloomFpp)
+
+  /** collectStats over several directories in one scan — the shape the
+    * incremental sidecar uses to stat only a publish's FRESH partition
+    * dirs. */
+  def collectStatsDirs(spark: SparkSession, dirs: Seq[String],
+                       statCols: Seq[String], bloomCols: Seq[String] = Nil,
+                       bloomItems: Long = 0L,
+                       bloomFpp: Double = DefaultBloomFpp): DataFrame = {
     require(statCols.nonEmpty, "file stats need at least one column")
+    require(dirs.nonEmpty, "file stats need at least one directory")
     // bloom geometry must hold the file's ACTUAL key count: an
     // overloaded bloom quietly saturates (a 50k-row file in a 20k-item
     // bloom measured fpp ≈ 0.3 — 62/200 files "maybe" for a 1-file key).
@@ -84,12 +95,12 @@ object FileStats {
     val sizedItems: Long =
       if (bloomCols.isEmpty || bloomItems > 0L) bloomItems
       else {
-        val snap = spark.read.parquet(dataDir)
+        val snap = spark.read.parquet(dirs: _*)
         val nFiles = math.max(1, snap.inputFiles.length)
         math.max(1000L, snap.count() * 5 / (4 * nFiles))
       }
     val cols = (statCols ++ bloomCols).distinct
-    val data = spark.read.parquet(dataDir).select(cols.map(col): _*)
+    val data = spark.read.parquet(dirs: _*).select(cols.map(col): _*)
     val aggs = count(lit(1)).as("rows") +:
       (statCols.flatMap(c =>
         Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
@@ -142,6 +153,64 @@ object FileStats {
       // the sidecar is one tiny file: |files| rows of scalars + blooms
       .coalesce(1)
       .write.parquet(dataDir.stripSuffix("/") + StatsSuffix)
+
+  /** Sidecar for a MANIFEST snapshot (an incremental publish that
+    * carries unchanged partitions forward by reference —
+    * `SnapshotStore.writeManifest`), collected O(churn): only the
+    * partition dirs version `name` wrote FRESH are scanned; entries for
+    * carried-forward partitions are copied verbatim from `prevName`'s
+    * sidecar — their files are immutable and keep their paths, so their
+    * stats cannot have changed. This is what keeps stats maintenance
+    * proportional to the day's churn instead of the table: a 100 TB
+    * table whose publish touched 3 partitions stats 3 partitions.
+    * Call inside the publishing commit, after `writeManifest`, so the
+    * sidecar lands before the pointer flip like everything else. */
+  def writeSidecarIncremental(spark: SparkSession, root: String,
+                              name: String, prevName: Option[String],
+                              statCols: Seq[String],
+                              bloomCols: Seq[String] = Nil): Unit = {
+    val entries = SnapshotStore.readManifest(spark, root, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"writeSidecarIncremental: snapshot $name has no manifest"))
+    val snaps = new Path(root, SnapshotStore.SnapshotsDir)
+    val freshDirs = entries.collect { case (rel, ver) if ver == name =>
+      new Path(new Path(snaps, ver), rel).toString }.toSeq
+    val fresh =
+      if (freshDirs.isEmpty) None
+      else Some(collectStatsDirs(spark, freshDirs, statCols, bloomCols))
+    // carried rows: prev-sidecar entries whose file sits under a
+    // partition dir this manifest still references from an OLDER
+    // version. Matched on the scheme-independent path suffix — the
+    // sidecar is one row per file, already driver-sized.
+    val carriedSuffixes = entries.collect { case (rel, ver) if ver != name =>
+      s"/${SnapshotStore.SnapshotsDir}/$ver/$rel/" }.toSeq
+    require(carriedSuffixes.isEmpty || prevName.nonEmpty,
+      s"$name carries partitions forward but no prevName sidecar was given" +
+        " — their stats would silently vanish")
+    val carried = prevName.filter(_ => carriedSuffixes.nonEmpty).map { p =>
+      val prev = spark.read.parquet(
+        new Path(snaps, p + StatsSuffix).toString)
+      val rows = prev.collect().filter { r =>
+        val path = new java.net.URI(r.getString(0)).getPath
+        carriedSuffixes.exists(path.contains)
+      }
+      spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+        prev.schema)
+    }
+    val side = (fresh, carried) match {
+      case (Some(f), Some(c)) =>
+        // align by name: both carry (file, rows, stats...) but fresh may
+        // order columns differently from an older-config sidecar
+        f.unionByName(c.select(f.columns.map(col): _*))
+      case (Some(f), None) => f
+      case (None, Some(c)) => c
+      case (None, None) => throw new IllegalArgumentException(
+        s"writeSidecarIncremental: $name references no files")
+    }
+    side.coalesce(1)
+      .write.parquet(new Path(snaps, name + StatsSuffix).toString)
+  }
 
   /** The file lists a range predicate `lo <= c <= hi` decides between:
     * (selected files, all files). Bounded driver-side data — one row per

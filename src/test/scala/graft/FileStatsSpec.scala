@@ -158,6 +158,61 @@ class FileStatsSpec extends SparkSuite {
     assert(FileStats.countRange(spark, root, "k", 5000L, 6000L) === ((0L, 0, 0)))
   }
 
+  test("incremental sidecar: fresh partitions stat'd, carried rows " +
+    "copied verbatim, pruning spans both") {
+    val root = freshRoot("incr")
+    // v1: full publish of partitions p=0..3 with a manifest + sidecar
+    SnapshotStore.commit(spark, root) { dir =>
+      spark.range(0, 400).select((col("id") % 4).cast("int").as("p"),
+          col("id").as("k"))
+        .write.partitionBy("p").parquet(dir)
+      val name = new org.apache.hadoop.fs.Path(dir).getName
+      val rels = (0 to 3).map(i => s"p=$i" -> name).toMap
+      SnapshotStore.writeManifest(spark, root, name, rels)
+      FileStats.writeSidecar(spark, dir, Seq("k"))
+    }
+    // v2: rewrite ONLY p=3 (values shifted), carry p=0..2 forward
+    SnapshotStore.commit(spark, root) { dir =>
+      spark.range(300, 400).select(lit(3).cast("int").as("p"),
+          (col("id") + 10000).as("k"))
+        .write.partitionBy("p").parquet(dir)
+      val name = new org.apache.hadoop.fs.Path(dir).getName
+      val manifest = (0 to 2).map(i => s"p=$i" -> "v000000001").toMap +
+        ("p=3" -> name)
+      SnapshotStore.writeManifest(spark, root, name, manifest)
+      FileStats.writeSidecarIncremental(spark, root, name,
+        Some("v000000001"), Seq("k"))
+    }
+    val v2Side = spark.read.parquet(
+      s"$root/${SnapshotStore.SnapshotsDir}/v000000002${FileStats.StatsSuffix}")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // carried rows are byte-identical to v1's (never recollected)
+    val v1Rows = spark.read.parquet(
+      s"$root/${SnapshotStore.SnapshotsDir}/v000000001${FileStats.StatsSuffix}")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val carriedKeys = v1Rows.keys.filter(!_.contains("/p=3/"))
+    assert(carriedKeys.nonEmpty)
+    carriedKeys.foreach(k => assert(v2Side(k) === v1Rows(k), k))
+    // fresh p=3 rows point into v2, old p=3 rows are gone
+    assert(v2Side.keys.exists(f =>
+      f.contains("/v000000002/") && f.contains("/p=3/")))
+    assert(!v2Side.keys.exists(f =>
+      f.contains("/v000000001/") && f.contains("/p=3/")))
+    // pruning the manifest table spans carried + fresh files
+    val (selOld, all) = FileStats.pruneFiles(spark, root, "k", 0L, 99L)
+    assert(selOld.nonEmpty && selOld.forall(_.contains("/v000000001/")))
+    val (selNew, _) = FileStats.pruneFiles(spark, root, "k", 10300L, 10399L)
+    assert(selNew.nonEmpty && selNew.forall(_.contains("/v000000002/")))
+    assert(all.size === v2Side.size)
+    // and the pruned read returns the exact row counts: ids 0..99 with
+    // id%4 in {0,1,2} (p=3's originals were rewritten away) = 75 rows;
+    // the fresh p=3 holds exactly the 100 shifted keys
+    assert(FileStats.readRange(spark, root, "k", 0L, 99L).count() === 75)
+    assert(FileStats.readRange(spark, root, "k", 10300L, 10399L).count() === 100)
+  }
+
   test("vacuum collects the sidecar with its version") {
     val root = freshRoot("vac")
     publish(root)
