@@ -108,4 +108,22 @@ object SemDedup {
   def semdedup(corpus: DataFrame, idCol: String, embCol: String,
                centroids: Seq[(Long, Seq[Double])], tau: Double): DataFrame =
     prune(assign(corpus, idCol, embCol, centroids), idCol, embCol, tau)
+
+  /** SemDeDup over the IvfIndex coarse codebook — the production
+    * wiring: the k-means cells a corpus already maintains for ANN
+    * probing ([[IvfIndex.ensure]] trains once, persists, revalidates by
+    * snapshot/fingerprint) double as the semantic cells for dedup, so
+    * no second clustering fit ever runs. `sfDir` names the corpus whose
+    * index to use; `corpus` is the frame to dedup (typically the same
+    * embeddings plus whatever new batch is being screened). The
+    * codebook collect is bounded by K — the same bound `assign`'s
+    * literal centroid design already assumes. */
+  def withIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+                       sfDir: String, corpus: DataFrame, idCol: String,
+                       embCol: String, tau: Double): DataFrame = {
+    val gen = IvfIndex.ensure(spark, sfDir)
+    val cents = IvfIndex.codebook(spark, gen).collect()
+      .map(r => r.getInt(0).toLong -> r.getSeq[Double](1).toSeq).toSeq
+    semdedup(corpus, idCol, embCol, cents, tau)
+  }
 }

@@ -84,6 +84,26 @@ class SemDedupSpec extends SparkSuite {
     assert(run(1) === run(13))
   }
 
+  test("IvfIndex codebook doubles as the semantic cells: planted copies " +
+    "prune under the trained centroids too") {
+    val out = SemDedup.withIvfCentroids(spark, sf, planted,
+      "vec_id", "emb", 0.95).cache()
+    assert(out.count() === planted.count())
+    val orig = out.filter(col("vec_id") < CopyOffset)
+      .select(col("vec_id").as("o_id"), col("cluster").as("o_cl"),
+        col("is_kept").as("o_kept"))
+    val copy = out.filter(col("vec_id") >= CopyOffset)
+      .select((col("vec_id") - CopyOffset).as("o_id"),
+        col("cluster").as("c_cl"), col("is_kept").as("c_kept"))
+    val pairs = orig.join(copy, "o_id").collect()
+    val sameCell = pairs.filter(r => r.getLong(1) == r.getLong(3))
+    assert(sameCell.length >= pairs.length * 9 / 10,
+      s"trained cells split too many planted pairs: ${pairs.length - sameCell.length}/${pairs.length}")
+    sameCell.foreach(r => assert(r.getBoolean(2) ^ r.getBoolean(4),
+      s"same-cell planted pair must keep exactly one: o_id=${r.getLong(0)}"))
+    out.unpersist()
+  }
+
   test("dd11 gate shape: one row per corpus member, kept+dropped partition it") {
     val rows = SparkEntry.queries("dd11_semdedup")(spark, sf).collect()
     assert(rows.length === planted.count())
