@@ -434,7 +434,10 @@ object WritePathQueries {
         statCols = Seq("o_orderkey", "o_totalprice"))
       val (sel, all) = graft.store.FileStats.pruneFiles(
         s, root, "o_orderkey", 100L, 299L)
-      graft.store.FileStats.readRange(s, root, "o_orderkey", 100L, 299L)
+      // readSelected: reuse the prune above instead of paying the
+      // sidecar scan twice through readRange
+      graft.store.FileStats.readSelected(s, root, sel,
+          col("o_orderkey").between(100L, 299L))
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_orders"),
           sum(col("o_totalprice").cast(org.apache.spark.sql.types
@@ -460,7 +463,9 @@ object WritePathQueries {
         bloomCols = Seq("o_custkey"))
       val (sel, all) = graft.store.FileStats.pruneFilesEq(
         s, root, "o_custkey", 5L)
-      graft.store.FileStats.readEq(s, root, "o_custkey", 5L)
+      // readSelected: one bloom-probe pass, not two
+      graft.store.FileStats.readSelected(s, root, sel,
+          col("o_custkey") === 5L)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
         .withColumn("skip_effective", lit(sel.length < all.length))
         .orderBy("o_orderkey")
@@ -800,7 +805,7 @@ object WritePathQueries {
       """SELECT COUNT(*) AS n_rows, TRUE AS scan_bounded, TRUE AS meta_used
         |FROM orders
         |WHERE o_orderkey BETWEEN 100 AND
-        |  CAST((3 * (SELECT COUNT(*) FROM orders)) / 5 AS BIGINT)""".stripMargin,
+        |  (3 * (SELECT COUNT(*) FROM orders)) // 5""".stripMargin,
     "s15_bloom_skipping" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, TRUE AS skip_effective
         |FROM orders

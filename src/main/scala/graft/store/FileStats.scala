@@ -39,9 +39,14 @@ import org.apache.spark.sql.functions._
   * the rows were produced.
   *
   * The pruned read applies the ORIGINAL predicate after the file-list
-  * cut, so skipping is a pure optimization: stats can only widen the
-  * file list (never narrow the rows), and a file missing from the
-  * sidecar is treated as always-matching (`coalesce(overlap, true)`).
+  * cut, so skipping is a pure optimization relative to the sidecar's
+  * contents. Null min/max (a file whose column is entirely null)
+  * resolves to NOT-matching — correct for range predicates, where nulls
+  * fail `between`. The sidecar is generated from the snapshot's own
+  * files in the same commit, so "file present but missing from the
+  * sidecar" cannot arise from this module; a writer feeding externally
+  * collected stats rows must supply min/max for every file it lists,
+  * because an absent row means the file is never read.
   *
   * Two stat families, for the two predicate shapes:
   *   - min/max intervals (`statCols`) skip RANGE predicates — effective
@@ -150,9 +155,14 @@ object FileStats {
   def writeSidecar(spark: SparkSession, dataDir: String,
                    statCols: Seq[String], bloomCols: Seq[String] = Nil): Unit =
     collectStats(spark, dataDir, statCols, bloomCols)
-      // the sidecar is one tiny file: |files| rows of scalars + blooms
+      // the sidecar is one tiny file: |files| rows of scalars + blooms.
+      // Overwrite: a crashed earlier claimant of this version slot may
+      // have left its sidecar behind (the commit protocol clears dir
+      // debris and the sidecar sibling, but belt-and-braces here makes
+      // the write idempotent regardless)
       .coalesce(1)
-      .write.parquet(dataDir.stripSuffix("/") + StatsSuffix)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(dataDir.stripSuffix("/") + StatsSuffix)
 
   /** Sidecar for a MANIFEST snapshot (an incremental publish that
     * carries unchanged partitions forward by reference —
@@ -258,8 +268,17 @@ object FileStats {
     val stats = sidecar(spark, root)
     require(stats.columns.contains(s"bloom_$c"),
       s"sidecar has no bloom for '$c' — publish with bloomCols = Seq(\"$c\")")
-    // one 1-row job: the same engine-side hash the build used
-    val hash = spark.range(1).select(xxhash64(lit(value))).head().getLong(0)
+    // one 1-row job: the same engine-side hash the build used — CAST to
+    // the column's actual type first, because xxhash64 hashes by type
+    // (an INT column hashes through the 4-byte path, so probing it with
+    // a bare Long literal would hash differently, every bloom would
+    // answer "absent", and readEq would silently drop all matching rows)
+    val colType = SnapshotStore.read(spark, root).schema
+      .find(_.name == c).map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"pruneFilesEq: column '$c' not present in $root"))
+    val hash = spark.range(1)
+      .select(xxhash64(lit(value).cast(colType))).head().getLong(0)
     val rows = stats.select(col("file"), col(s"bloom_$c")).collect()
     val sel = rows.filter { r =>
       r.isNullAt(1) || readBloom(r.getAs[Array[Byte]](1))
@@ -279,11 +298,43 @@ object FileStats {
     readPruned(spark, root, pruneFilesEq(spark, root, c, value)._1,
       col(c) === lit(value))
 
+  /** Read an already-pruned file list with the exact predicate applied.
+    * Exposed so a caller that ran `pruneFiles`/`pruneFilesEq` for its
+    * own purposes (e.g. to report skipping effectiveness) doesn't pay
+    * the sidecar scan twice via `readRange`/`readEq`. */
+  def readSelected(spark: SparkSession, root: String,
+                   selected: Seq[String],
+                   pred: org.apache.spark.sql.Column): DataFrame =
+    readPruned(spark, root, selected, pred)
+
+  /** Extracts the snapshot version dir a selected file lives under, so
+    * reads can re-attach hive partition values via basePath. */
+  private val VersionDirRe =
+    (".*/" + SnapshotStore.SnapshotsDir + "/v\\d{9}").r
+
   private def readPruned(spark: SparkSession, root: String,
                          selected: Seq[String],
                          pred: org.apache.spark.sql.Column): DataFrame =
     if (selected.isEmpty) SnapshotStore.read(spark, root).filter(lit(false))
-    else spark.read.parquet(selected: _*).filter(pred)
+    else {
+      // re-attach hive partition values: group files by their version
+      // dir and read each group with that basePath (the
+      // SnapshotStore.readEntries shape — a manifest table's files span
+      // several version dirs). Without basePath a leaf-file read drops
+      // the partition columns, so the schema would differ between a
+      // partitioned and a flat snapshot AND between the empty and
+      // non-empty branches here.
+      // prefix-match on the full URI string so the basePath keeps the
+      // file's own scheme/authority (hdfs://, s3a://)
+      val byVer = selected.groupBy(f => VersionDirRe.findPrefixOf(f))
+      val parts = byVer.toSeq.sortBy(_._1.getOrElse("")).map {
+        case (Some(base), files) =>
+          spark.read.option("basePath", base).parquet(files.sorted: _*)
+        case (None, files) => spark.read.parquet(files.sorted: _*)
+      }
+      parts.reduceLeft(_.unionByName(_, allowMissingColumns = true))
+        .filter(pred)
+    }
 
   /** Exact row count of `lo <= c <= hi`, answered as far as possible
     * from METADATA: a file whose [min,max] lies entirely inside the

@@ -314,8 +314,12 @@ object SnapshotStore {
     val dir = new Path(new Path(rootPath, SnapshotsDir), name)
     // we own the slot, so anything already at its dir is debris from a
     // crashed earlier attempt (a PUBLISHED version could not be claimed);
-    // clear it so the callback starts from an empty dir in any save mode
+    // clear it — and the crashed attempt's stats sidecar sibling, which
+    // would otherwise describe deleted files (or break a sidecar-less
+    // writer's publish) — so the callback starts clean in any save mode
     if (fs.exists(dir)) fs.delete(dir, true)
+    fs.delete(new Path(new Path(rootPath, SnapshotsDir),
+      name + FileStats.StatsSuffix), true)
     // a write() that THROWS releases its slot immediately (we still own
     // the claim): the crashed attempt's data stays on disk, invisible —
     // the established crash-isolation contract — and a retry re-claims
@@ -338,6 +342,9 @@ object SnapshotStore {
           s"after ${claimTtlMs}ms) and the slot re-used — recompute and retry")
     if (currentName(spark, root) != base) {
       fs.delete(dir, true)
+      // the loser's sidecar sibling goes with its data
+      fs.delete(new Path(new Path(rootPath, SnapshotsDir),
+        name + FileStats.StatsSuffix), true)
       fs.delete(claimPath(root, name), false)
       throw new ConcurrentCommitException(
         s"table $root advanced past ${base.getOrElse("<none>")} before " +
@@ -498,6 +505,14 @@ object SnapshotStore {
       val stale = claimContent(fs, f.getPath).forall { case (_, ts) =>
         System.currentTimeMillis() - ts > DefaultClaimTtlMs }
       if (dirGone && (superseded || stale)) fs.delete(f.getPath, false)
+    }
+    // orphan stats sidecars: a sidecar whose version dir is gone (JVM
+    // death between sidecar write and publish, then slot never reused)
+    // describes deleted files — collect it like the claim records
+    fs.listStatus(snaps).filter(st => st.isDirectory &&
+      st.getPath.getName.endsWith(FileStats.StatsSuffix)).foreach { st =>
+      val ver = st.getPath.getName.stripSuffix(FileStats.StatsSuffix)
+      if (!fs.exists(new Path(snaps, ver))) fs.delete(st.getPath, true)
     }
     victims.length
   }

@@ -210,7 +210,56 @@ class FileStatsSpec extends SparkSuite {
     // id%4 in {0,1,2} (p=3's originals were rewritten away) = 75 rows;
     // the fresh p=3 holds exactly the 100 shifted keys
     assert(FileStats.readRange(spark, root, "k", 0L, 99L).count() === 75)
-    assert(FileStats.readRange(spark, root, "k", 10300L, 10399L).count() === 100)
+    val freshRead = FileStats.readRange(spark, root, "k", 10300L, 10399L)
+    assert(freshRead.count() === 100)
+    // hive partition values re-attach through basePath (string-typed,
+    // matching partition-type inference off)
+    assert(freshRead.select("p").distinct().collect().map(_.getString(0))
+      .toSeq === Seq("3"))
+  }
+
+  test("bloom probe casts to the column's type: INT keys found by a Long probe") {
+    val root = freshRoot("inttyp")
+    // xxhash64 hashes INT through the 4-byte path — a bare Long literal
+    // probe would hash differently and every bloom would answer absent
+    val df = spark.range(0, 100).select(col("id").cast("int").as("k"),
+      col("id").cast("int").as("u"))
+    FileStats.publishSorted(spark, root, df, "k", numFiles = 4,
+      statCols = Seq("k"), bloomCols = Seq("u"))
+    assert(FileStats.readEq(spark, root, "u", 42L).count() === 1)
+    assert(FileStats.readEq(spark, root, "u", 42).count() === 1)
+  }
+
+  test("crashed claimant's sidecar debris never leaks into the next publish") {
+    val root = freshRoot("debris")
+    publish(root)
+    // fake a crashed v2 attempt that wrote its sidecar but died before
+    // publishing: an orphan sibling full of junk at the next slot name
+    val orphan = new java.io.File(new java.net.URI(
+      s"file://$root/${SnapshotStore.SnapshotsDir}/v000000002${FileStats.StatsSuffix}"))
+    assert(orphan.mkdirs())
+    java.nio.file.Files.writeString(
+      new java.io.File(orphan, "junk.parquet").toPath, "not parquet")
+    val df2 = spark.range(0, 50).select(col("id").as("k"), lit(9.0).as("v"))
+    FileStats.publishSorted(spark, root, df2, "k", numFiles = 2,
+      statCols = Seq("k"))
+    // the new sidecar is the real one: readable, 2 files, correct totals
+    val (sel, all) = FileStats.pruneFiles(spark, root, "k", 0L, 49L)
+    assert(all.length === 2 && sel.length === 2)
+    assert(FileStats.readRange(spark, root, "k", 0L, 49L).count() === 50)
+  }
+
+  test("vacuum collects an orphan sidecar whose version dir is gone") {
+    val root = freshRoot("orph")
+    publish(root)
+    val orphan = new java.io.File(new java.net.URI(
+      s"file://$root/${SnapshotStore.SnapshotsDir}/v000000007${FileStats.StatsSuffix}"))
+    assert(orphan.mkdirs())
+    SnapshotStore.vacuum(spark, root, keepLast = 2)
+    assert(!orphan.exists, "orphan sidecar must be collected")
+    // the live version's sidecar survives
+    val (_, all) = FileStats.pruneFiles(spark, root, "k", 0L, 0L)
+    assert(all.length === 8)
   }
 
   test("vacuum collects the sidecar with its version") {
