@@ -11,4 +11,12 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftDatasetShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Column ⇄ Expression bridges (`private[sql]` in Spark 4), for
+    * expressions that carry driver-built state a SQL-literal surface
+    * can't (e.g. graft.functions.NearestCentroid's broadcast codebook). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

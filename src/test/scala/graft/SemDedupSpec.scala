@@ -75,6 +75,106 @@ class SemDedupSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("assignBroadcast matches assign bit-for-bit (argmax and ties)") {
+    import org.apache.spark.sql.functions.{col => c}
+    val cents = centroids16
+    val viaLiteral = SemDedup.assign(planted, "vec_id", "emb", cents)
+      .orderBy("vec_id").collect().toSeq
+    val centDf = {
+      val s = spark
+      import s.implicits._
+      cents.toDF("cid", "cvec")
+    }
+    val viaBroadcast = SemDedup
+      .assignBroadcast(planted, "vec_id", "emb", centDf)
+      .orderBy("vec_id").collect().toSeq
+    assert(viaLiteral.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      === viaBroadcast.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+  }
+
+  test("two-level probe at nprobe >= G matches the exact scan bit-for-bit") {
+    // 16 centroids → G = ceil(√16) = 4 groups; nprobe=4 probes every
+    // group THROUGH the probe machinery (not the nprobe=0 shortcut),
+    // which is provably exact — this is the machinery's parity gate
+    val exact = SemDedup.assign(planted, "vec_id", "emb", centroids16)
+      .orderBy("vec_id").collect().toSeq
+    val centDf = {
+      val s = spark
+      import s.implicits._
+      centroids16.toDF("cid", "cvec")
+    }
+    val probed = SemDedup
+      .assignBroadcast(planted, "vec_id", "emb", centDf, nprobe = 4)
+      .orderBy("vec_id").collect().toSeq
+    assert(exact.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      === probed.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+  }
+
+  test("two-level probe at small nprobe: centroids self-assign, and " +
+    "near-dup pairs co-assign as reliably as under the exact scan") {
+    val s = spark
+    import s.implicits._
+    val cents64 = planted.filter(col("vec_id") < 64)
+      .select(col("vec_id"), col("emb")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+    val centDf = cents64.toDF("cid", "cvec")
+    val probed = SemDedup
+      .assignBroadcast(planted, "vec_id", "emb", centDf, nprobe = 2)
+      .cache()
+    // a query equal to a centroid scores its own group's seed exactly as
+    // the build did → its group is probed first → cos 1.0 self-match
+    probed.filter(col("vec_id") < 64)
+      .select(col("vec_id"), col("cluster")).collect().foreach { r =>
+        assert(r.getLong(0) === r.getLong(1),
+          s"centroid ${r.getLong(0)} must self-assign under the probe")
+      }
+    // the property SemDeDup needs from an APPROXIMATE assignment is not
+    // agreement with the exact argmax (on an isotropic corpus like this
+    // one, hierarchical pruning legitimately diverges — no structure to
+    // prune by) but that near-identical embeddings land in the SAME
+    // cell: they score near-identical probe lists, so planted pairs
+    // must co-assign at the suite's usual 9/10 bound
+    val orig = probed.filter(col("vec_id") < CopyOffset)
+      .select(col("vec_id").as("o_id"), col("cluster").as("o_cl"))
+    val copy = probed.filter(col("vec_id") >= CopyOffset)
+      .select((col("vec_id") - CopyOffset).as("o_id"),
+        col("cluster").as("c_cl"))
+    val pairs = orig.join(copy, "o_id").cache()
+    val n = pairs.count()
+    val same = pairs.filter(col("o_cl") === col("c_cl")).count()
+    assert(n > 0 && same >= n * 9 / 10,
+      s"planted pairs must co-assign under the probe: $same/$n")
+    pairs.unpersist()
+    probed.unpersist()
+  }
+
+  test("two-level probe recovers the exact cells on a clustered corpus") {
+    val s = spark
+    import s.implicits._
+    // 2000 points in 32 tight clusters (center + 2% jitter) — the
+    // geometry real embedding corpora have and the regime the probe is
+    // FOR; ids 0..31 hit each cluster once and double as the centroids
+    val clustered = spark.range(0, 2000).select(col("id").as("vec_id"),
+      expr("""transform(sequence(0, 63), j ->
+               CAST(xxhash64(vec_id % 32, j) % 1000 AS DOUBLE) / 1000.0
+               + CAST(xxhash64(vec_id, j) % 100 AS DOUBLE) / 5000.0)""")
+        .as("emb"))
+    val cents = clustered.filter(col("vec_id") < 32)
+      .select(col("vec_id").as("cid"), col("emb").as("cvec"))
+    val exact = SemDedup
+      .assignBroadcast(clustered, "vec_id", "emb", cents)
+      .select(col("vec_id"), col("cluster").as("e_cl"))
+    val probed = SemDedup
+      .assignBroadcast(clustered, "vec_id", "emb", cents, nprobe = 2)
+      .select(col("vec_id"), col("cluster").as("p_cl"))
+    val both = exact.join(probed, "vec_id").cache()
+    val n = both.count()
+    val agree = both.filter(col("e_cl") === col("p_cl")).count()
+    assert(n === 2000 && agree >= n * 95 / 100,
+      s"probe must recover clustered cells: $agree/$n")
+    both.unpersist()
+  }
+
   test("result is invariant to input partitioning") {
     def run(parts: Int) =
       SemDedup.semdedup(planted.repartition(parts), "vec_id", "emb",
