@@ -51,15 +51,20 @@ import org.apache.spark.sql.expressions.Window
   *
   * Training (semantics unchanged since round 8, so the recall gate in
   * QueriesSpec still holds): k=8 codebook, deterministic spread seeding
-  * (every (n/k)-th vector by vec_id), 4 Lloyd iterations — each one
-  * crossJoin(broadcast codebook) + per-vector argmax via
-  * `groupBy(vec_id).agg(min_by(...))` (a partial-aggregating hash agg;
-  * the `row_number().over(partitionBy(vec_id))` argmax it replaced
-  * shuffled and SORTED all corpus×K scored rows per Lloyd iteration —
-  * 4 avoidable full-data sort-shuffles on the 100 TB build path) —
-  * linear in corpus size, localCheckpoint'd so the iterated plan cannot
-  * grow. The index lives under java.io.tmpdir (keyed by corpus path) —
-  * on a cluster it would be a managed table beside the corpus.
+  * (every (n/k)-th vector by vec_id), 4 Lloyd iterations — assignment
+  * is the fused [[graft.functions.NearestCentroid]] argmax, a PURE
+  * PROJECTION per iteration (the codebook collects to the driver —
+  * bounded by k — and broadcasts as flat primitive arrays). Each
+  * iteration's only shuffle is the recenter groupBy(cell). This
+  * replaced, in order: a `row_number().over(partitionBy(vec_id))`
+  * argmax (shuffled and SORTED all corpus×K scored rows), then a
+  * crossJoin(broadcast) + `min_by` argmax (no window, but still
+  * materialized corpus×K physical rows into a SortAggregate — struct
+  * extremum buffers aren't hash-aggregable; measured 77× slower than
+  * the fused kernel at K=2000 in SemDedupScale). Linear in corpus
+  * size, localCheckpoint'd so the iterated plan cannot grow. The index
+  * lives under java.io.tmpdir (keyed by corpus path) — on a cluster it
+  * would be a managed table beside the corpus.
   */
 object IvfIndex {
   val K = 8
@@ -287,10 +292,10 @@ object IvfIndex {
     for (_ <- 1 to LloydIters)
       codebook = recenter(assignCells(e0, codebook)).localCheckpoint(true)
 
-    // ---- product quantization: per-subspace k-means over the SAME
-    // corpus scan shapes as the coarse training (equi-join on `sub`
-    // instead of crossJoin — the subquantizer codebook is PqSub × PqCids
-    // rows, broadcast). L2 in the subspace (the PQ objective is
+    // ---- product quantization: per-subspace k-means with the same
+    // fused-kernel assignment shape as the coarse training (PqSubAssign
+    // scores each sub-vector row against its subspace's broadcast
+    // codebook — a pure projection). L2 in the subspace (the PQ objective is
     // reconstruction error, not angle); codes are the per-sub argmin
     // centroid ids, `rnorm` the reconstruction's norm so ADC inner
     // products can be rescaled to cosine at query time. The LAST
@@ -307,19 +312,26 @@ object IvfIndex {
           s"i -> slice(emb, i * $subLen + 1, $subSliceLen))"))
         .as(Seq("sub", "svec")))
       .localCheckpoint(true)
-    val l2 = expr("aggregate(zip_with(svec, cvec, (x, y) -> (x - y) * (x - y)), " +
-      "0D, (acc, v) -> acc + v)")
-    def assignPq(cb: DataFrame): DataFrame = subs
-      .join(broadcast(cb), Seq("sub"))
-      .withColumn("d2", l2)
-      .groupBy("vec_id", "sub")
-      // svec is constant within the (vec_id, sub) group — carrying it
-      // through first() saves recenterPq a corpus-sized shuffle join
-      .agg(min_by(struct(col("cid"), col("cvec")),
-        struct(col("d2"), col("cid"))).as("best"),
-        first(col("svec")).as("svec"))
-      .select(col("vec_id"), col("sub"),
-        col("best.cid").as("cid"), col("best.cvec").as("cvec"), col("svec"))
+    // per-subspace argmin via the fused PqSubAssign expression: a pure
+    // projection over the N×PqSub sub-vector rows. The equi-join +
+    // min_by spelling it replaces expanded N×PqSub×PqCids physical rows
+    // per PQ iteration into a SortAggregate (struct extremum buffers
+    // aren't hash-aggregable) — the same pathology the coarse
+    // assignCells shed, at a 256× larger multiplier. cn2 (the chosen
+    // centroid's Σv²) rides along for the reconstruction norm.
+    def assignPq(cb: DataFrame): DataFrame = {
+      val entries = cb
+        .select(col("sub").cast("int"), col("cid").cast("int"),
+          col("cvec").cast("array<double>"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq)).toSeq
+      val best = graft.functions.PqSubAssign.assignColumn(
+        subs.sparkSession, col("sub"), col("svec"), entries)
+      subs.withColumn("graft_pq_best", best)
+        .select(col("vec_id"), col("sub"),
+          col("graft_pq_best.cid").as("cid"),
+          col("graft_pq_best.cn2").as("cn2"), col("svec"))
+    }
     def recenterPq(ass: DataFrame): DataFrame = ass
       .select(col("sub"), col("cid"), posexplode(col("svec")).as(Seq("pos", "v")))
       .groupBy("sub", "cid", "pos").agg(avg(col("v")).as("m"))
@@ -337,8 +349,6 @@ object IvfIndex {
     for (_ <- 1 to PqIters)
       pqCb = recenterPq(assignPq(pqCb)).localCheckpoint(true)
     val codes = assignPq(pqCb)
-      .withColumn("cn2",
-        expr("aggregate(cvec, 0D, (acc, v) -> acc + v * v)"))
       .groupBy("vec_id")
       .agg(
         expr("transform(sort_array(collect_list(struct(sub, cid))), x -> x.cid)")
@@ -392,13 +402,22 @@ object IvfIndex {
     * shape. emb is constant within the vec_id group (the crossJoin
     * replicates it K times); first() carries it through the aggregate.
     * Package-private so IvfIndexSpec can pin the no-window plan shape. */
-  private[graft] def assignCells(e0: DataFrame, cb: DataFrame): DataFrame = e0
-    .crossJoin(broadcast(cb))
-    .withColumn("ccs", expr("graft_cosine(emb, cvec)"))
-    .groupBy("vec_id")
-    .agg(min_by(col("cell"), struct(negate(col("ccs")), col("cell"))).as("cell"),
-      first(col("emb")).as("emb"))
-    .select("vec_id", "emb", "cell")
+  /** Per-vector nearest-cell argmax (max cosine, ties to the lowest
+    * cell id) via the fused [[graft.functions.NearestCentroid]]
+    * expression: zero joins, zero shuffles, zero row expansion — the
+    * codebook is collected (≤ k rows) and broadcast as flat primitive
+    * arrays once per Lloyd iteration. */
+  private[graft] def assignCells(e0: DataFrame, cb: DataFrame): DataFrame = {
+    val cents = cb
+      .select(col("cell").cast("long"), col("cvec").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+    val best = graft.functions.NearestCentroid.assignColumn(
+      e0.sparkSession, col("emb"), cents)
+    e0.withColumn("graft_best", best)
+      .select(col("vec_id"), col("emb"),
+        col("graft_best.cid").cast("int").as("cell"))
+  }
 
   /** The PQ subquantizer codebook: `(sub, cid, cvec)` —
     * [[PqSub]] × ≤[[PqCids]] rows (a centroid that loses all members

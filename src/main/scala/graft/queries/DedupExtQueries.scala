@@ -129,6 +129,24 @@ object DedupExtQueries {
         .orderBy("vec_id")
     }),
 
+    // dd11's pipeline through the LARGE-K assignment path: the fused
+    // functions.NearestCentroid expression (broadcast flat-primitive
+    // codebook, exact full-scan argmax — zero joins/shuffles at any K)
+    // against a 64-centroid codebook. The DuckDB oracle replicates the
+    // same argmax verbatim, so the custom Expression itself is gated
+    // row-for-row, not just its parity spec.
+    "dd12_semdedup_fused" -> ((s, d) => {
+      val corpus = plantedCorpus(s, d)
+      val centDf = corpus.filter(col("vec_id") < 64)
+        .select(col("vec_id").as("cid"), col("emb").as("cvec"))
+      val assigned = graft.operators.SemDedup
+        .assignBroadcast(corpus, "vec_id", "emb", centDf)
+      graft.operators.SemDedup.prune(assigned, "vec_id", "emb", 0.95)
+        .select(col("vec_id"), col("cluster"),
+          round(col("cent_cos"), 6).as("cent_cos"), col("is_kept"))
+        .orderBy("vec_id")
+    }),
+
     // BPE-ish tokenization: words / numbers / single punctuation, the
     // GPT-2-style pre-tokenizer shape.
     "tx5_bpe_tokens" -> ((s, d) =>
@@ -279,6 +297,34 @@ object DedupExtQueries {
         |      p[1] * (1.0 + ((((vec_id + 1) * (p[2] + 7)) % 13 - 6) * 0.0005))) AS emb
         |  FROM base WHERE vec_id % 5 = 0),
         |cents AS (SELECT vec_id AS cid, emb AS cvec FROM corpus WHERE vec_id < 16),
+        |scored AS (
+        |  SELECT v.vec_id, v.emb, c.cid,
+        |    list_cosine_similarity(v.emb, c.cvec) AS c,
+        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        |      ORDER BY list_cosine_similarity(v.emb, c.cvec) DESC, c.cid) AS rn
+        |  FROM corpus v CROSS JOIN cents c),
+        |asg AS (SELECT vec_id, emb, cid, c FROM scored WHERE rn = 1),
+        |dups AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM asg a JOIN asg b ON a.cid = b.cid
+        |    AND ((a.c < b.c) OR (a.c = b.c AND a.vec_id < b.vec_id))
+        |  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.95)
+        |SELECT m.vec_id, m.cid AS cluster, ROUND(m.c, 6) AS cent_cos,
+        |  (d.vec_id IS NULL) AS is_kept
+        |FROM asg m LEFT JOIN dups d ON d.vec_id = m.vec_id
+        |ORDER BY m.vec_id""".stripMargin,
+    "dd12_semdedup_fused" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, emb FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 1099511627776 AS vec_id,
+        |    list_transform(list_zip(emb, range(64)), p ->
+        |      p[1] * (1.0 + ((((vec_id + 1) * (p[2] + 7)) % 13 - 6) * 0.0005))) AS emb
+        |  FROM base WHERE vec_id % 5 = 0),
+        |cents AS (SELECT vec_id AS cid, emb AS cvec FROM corpus WHERE vec_id < 64),
         |scored AS (
         |  SELECT v.vec_id, v.emb, c.cid,
         |    list_cosine_similarity(v.emb, c.cvec) AS c,

@@ -26,10 +26,13 @@ class IvfIndexSpec extends SparkSuite {
     }.toDF("vec_id", "emb")
   }
 
-  test("assignCells argmax is a partial aggregate — no window exchange in training") {
+  test("assignCells is a pure projection — zero shuffles per Lloyd iteration") {
     graft.functions.CosineSimilarity.register(spark)
     import spark.implicits._
-    val e0 = mkCorpus(100, 16)
+    // localCheckpoint pins the input as an RDD scan — a LocalRelation
+    // would let ConvertToLocalRelation pre-evaluate the whole
+    // projection on the driver and hide the plan under test
+    val e0 = mkCorpus(100, 16).localCheckpoint(true)
     val cb = Seq(
       (0, Seq.fill(16)(1.0)),
       (1, (0 until 16).map(j => math.cos(j * 3).toDouble)),
@@ -37,18 +40,19 @@ class IvfIndexSpec extends SparkSuite {
     ).toDF("cell", "cvec")
     val assigned = IvfIndex.assignCells(e0, cb)
     val plan = assigned.queryExecution.executedPlan.toString
+    // the fused NearestCentroid argmax replaced (1) the row_number
+    // window (shuffled and sorted corpus×K scored rows) and (2) the
+    // crossJoin+min_by (corpus×K physical rows into a SortAggregate —
+    // struct extremum buffers aren't hash-aggregable): assignment now
+    // adds NOTHING to the plan but a projection
     assert(!plan.contains("Window"),
       s"Lloyd argmax regressed to a window sort-shuffle:\n$plan")
-    // the struct extremum ordering keeps min_by on SortAggregate (struct
-    // buffers aren't hash-aggregable), but the property that matters at
-    // scale is PARTIAL aggregation below the exchange: only one row per
-    // (vec_id × input partition) is shuffled, never the corpus×K scored
-    // rows the window formulation moved
-    assert(plan.contains("partial_min_by"),
-      s"expected a map-side partial argmax aggregate:\n$plan")
-    val exchangeAt = plan.indexOf("Exchange hashpartitioning")
-    assert(exchangeAt >= 0 && plan.indexOf("partial_min_by") > exchangeAt,
-      s"partial aggregation must sit below the vec_id exchange:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"Lloyd assignment must not shuffle:\n$plan")
+    assert(!plan.contains("Join"),
+      s"Lloyd assignment must not join:\n$plan")
+    assert(plan.contains("graft_nearest_centroid"),
+      s"expected the fused argmax expression:\n$plan")
     // semantics: matches the brute-force nearest cell (score desc, cell asc)
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
       val dot = a.zip(b).map { case (x, y) => x * y }.sum
