@@ -298,6 +298,20 @@ object VectorQueries {
           round(array_max(zip_with(col("emb"), col("deq"),
             (a, b) => abs(a - b))), 6).as("max_abs_err"))
         .orderBy("vec_id")
+    }),
+
+    // deterministic cosine k-means, FULLY oracle-replicated (seeding,
+    // the fused-argmax assignment, one decimal-exact Lloyd recenter,
+    // reassignment) — the clustering primitive behind SemDeDup cells /
+    // IVF codebooks / cluster-balanced sampling, gated row-for-row.
+    "v8_kmeans" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      graft.operators.KMeans.fit(e, "vec_id", "emb", k = 8, rounds = 1)
+        .assigned
+        .select(col("vec_id"), col("cluster"),
+          round(col("cent_cos"), 6).as("cent_cos"))
+        .orderBy("vec_id")
     })
   )
 
@@ -345,6 +359,37 @@ object VectorQueries {
         |  ROUND(list_aggregate(
         |    list_transform(list_zip(emb, dv), p -> abs(p[1] - p[2])), 'max'), 6)
         |    AS max_abs_err
-        |FROM deq ORDER BY vec_id""".stripMargin
+        |FROM deq ORDER BY vec_id""".stripMargin,
+    // replicates KMeans.fit(k=8, rounds=1) end-to-end: nearest-seed
+    // assignment, the DECIMAL-exact per-dimension recenter (decimal
+    // addition is associative, so Spark's partial-agg order and
+    // DuckDB's scan order reach the same double), reassignment
+    "v8_kmeans" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
+        |    emb AS cvec
+        |  FROM base ORDER BY vec_id LIMIT 8),
+        |s1 AS (
+        |  SELECT b.vec_id, b.emb, c.cl,
+        |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+        |      ORDER BY list_cosine_similarity(b.emb, c.cvec) DESC, c.cl) AS rn
+        |  FROM base b CROSS JOIN seeds c),
+        |a1 AS (SELECT vec_id, emb, cl FROM s1 WHERE rn = 1),
+        |ex AS (SELECT cl, unnest(emb) AS v,
+        |         unnest(range(len(emb))) AS pos FROM a1),
+        |r1 AS (SELECT cl, pos,
+        |         CAST(SUM(CAST(v AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+        |       FROM ex GROUP BY cl, pos),
+        |c1 AS (SELECT cl, list(m ORDER BY pos) AS cvec FROM r1 GROUP BY cl),
+        |s2 AS (
+        |  SELECT b.vec_id, c.cl, list_cosine_similarity(b.emb, c.cvec) AS c,
+        |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+        |      ORDER BY list_cosine_similarity(b.emb, c.cvec) DESC, c.cl) AS rn
+        |  FROM base b CROSS JOIN c1 c)
+        |SELECT vec_id, cl AS cluster, ROUND(c, 6) AS cent_cos
+        |FROM s2 WHERE rn = 1 ORDER BY vec_id""".stripMargin
   )
 }
