@@ -19,6 +19,27 @@ object SamplingQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // SM6: cluster-balanced sampling — the diversity-preserving
+    // subsample a curation pipeline draws before training: k-means
+    // cells (operators.KMeans, the v8 fit — deterministic and
+    // oracle-replicated end-to-end) instead of a metadata stratum, then
+    // the sm3 per-group idiom (≤10 per cell, md5-ordered) inside each
+    // cell. Head-heavy topics stop dominating the sample while every
+    // semantic region keeps representation.
+    "sm6_cluster_balanced" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val m = graft.operators.KMeans.fit(e, "vec_id", "emb", k = 8, rounds = 1)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster")
+        .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+      m.assigned
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select(col("cluster"), col("vec_id"), col("rn"))
+        .orderBy("cluster", "rn")
+    }),
+
     // SM4: deterministic weighted sampling without replacement
     // (Efraimidis–Spirakis): priority = u^(1/w) with u a pure function
     // of the key (md5 prefix → uniform in (0,1), engine-agnostic like
@@ -158,6 +179,40 @@ object SamplingQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the v8_kmeans CTE chain (seed → assign → decimal-exact recenter
+    // → reassign) feeding the sm3 per-group sampling idiom
+    "sm6_cluster_balanced" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl,
+        |    emb AS cvec
+        |  FROM base ORDER BY vec_id LIMIT 8),
+        |s1 AS (
+        |  SELECT b.vec_id, b.emb, c.cl,
+        |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+        |      ORDER BY list_cosine_similarity(b.emb, c.cvec) DESC, c.cl) AS rn
+        |  FROM base b CROSS JOIN seeds c),
+        |a1 AS (SELECT vec_id, emb, cl FROM s1 WHERE rn = 1),
+        |ex AS (SELECT cl, unnest(emb) AS v,
+        |         unnest(range(len(emb))) AS pos FROM a1),
+        |r1 AS (SELECT cl, pos,
+        |         CAST(SUM(CAST(v AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+        |       FROM ex GROUP BY cl, pos),
+        |c1 AS (SELECT cl, list(m ORDER BY pos) AS cvec FROM r1 GROUP BY cl),
+        |s2 AS (
+        |  SELECT b.vec_id, c.cl,
+        |    ROW_NUMBER() OVER (PARTITION BY b.vec_id
+        |      ORDER BY list_cosine_similarity(b.emb, c.cvec) DESC, c.cl) AS rn
+        |  FROM base b CROSS JOIN c1 c),
+        |asg AS (SELECT vec_id, cl FROM s2 WHERE rn = 1)
+        |SELECT cl AS cluster, vec_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY cl
+        |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) AS rn
+        |FROM asg
+        |QUALIFY rn <= 10
+        |ORDER BY cluster, rn""".stripMargin,
     "sm2_stratified_sample" ->
       """SELECT vec_id, label FROM embeddings
         |WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) <
