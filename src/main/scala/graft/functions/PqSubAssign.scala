@@ -105,6 +105,113 @@ case class PqSubAssign(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Whole-vector PQ encoding in one eval: slice the embedding into the
+  * codebook's subspaces, argmin each against its broadcast subquantizer
+  * (identical per-subspace semantics to [[PqSubAssign]]), and return
+  * `struct(code: array<int>, rnorm: double)` — the per-sub centroid
+  * ids in subspace order plus √(Σ chosen-centroid norms²), the
+  * reconstruction norm ADC rescaling needs.
+  *
+  * This is the FULL-CORPUS coding pass of an IVF-PQ build: a pure
+  * projection (the training loop only ever touches a bounded sample,
+  * so this expression is the only thing that reads every row) — no
+  * sub-vector explode, no corpus-sized shuffle, no join back to the
+  * codebook for norms. A vector whose length differs from the
+  * codebook's Σ subLen — or a codebook with an emptied subspace —
+  * yields null rather than a silently short code. */
+case class PqEncode(child: Expression,
+                    book: Broadcast[PqSubAssign.PqBook])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_encode expects array<double>, got ${t.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("code", ArrayType(IntegerType, containsNull = false),
+      nullable = false),
+    StructField("rnorm", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_encode"
+
+  @transient private lazy val bk: PqSubAssign.PqBook = book.value
+  @transient private lazy val totalLen: Int = bk.subLen.sum
+
+  override def nullSafeEval(v: Any): Any =
+    encodeRow(v.asInstanceOf[ArrayData])
+
+  def encodeRow(x: ArrayData): InternalRow = {
+    if (x.numElements() != totalLen) return null
+    val nSub = bk.subLen.length
+    val code = new Array[Int](nSub)
+    var rn2 = 0.0
+    var base = 0
+    var s = 0
+    while (s < nSub) {
+      val len = bk.subLen(s)
+      val from = bk.entryStart(s)
+      val until = bk.entryStart(s + 1)
+      if (from == until) return null
+      val q = new Array[Double](len)
+      var i = 0
+      while (i < len) { q(i) = x.getDouble(base + i); i += 1 }
+      val flat = bk.flat
+      var best = 0.0
+      var bestAt = -1
+      var e = from
+      while (e < until) {
+        val off = bk.flatOff(s) + (e - from) * len
+        var d2 = 0.0
+        var j = 0
+        while (j < len) {
+          val d = q(j) - flat(off + j); d2 += d * d; j += 1
+        }
+        if (bestAt < 0 || d2 < best ||
+          (d2 == best && bk.cids(e) < bk.cids(bestAt))) {
+          best = d2; bestAt = e
+        }
+        e += 1
+      }
+      code(s) = bk.cids(bestAt)
+      rn2 += bk.cn2(bestAt)
+      base += len
+      s += 1
+    }
+    new GenericInternalRow(Array[Any](
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(code),
+      math.sqrt(rn2)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftPqEnc", this,
+      classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev, v => {
+      s"""
+         |${ev.value} = $ref.encodeRow($v);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqEncode {
+  /** Column surface: broadcast the `(sub, cid, cvec)` codebook once on
+    * `spark` and encode whole `emb` rows. Returns
+    * `struct(code, rnorm)`. */
+  def encodeColumn(spark: org.apache.spark.sql.SparkSession, emb: Column,
+                   entries: Seq[(Int, Int, Seq[Double])]): Column = {
+    val bc = spark.sparkContext.broadcast(PqSubAssign.buildBook(entries))
+    org.apache.spark.sql.GraftDatasetShim.column(
+      PqEncode(org.apache.spark.sql.GraftDatasetShim.expression(
+        emb.cast("array<double>")), bc))
+  }
+}
+
 object PqSubAssign {
 
   /** Per-subspace flat codebooks: subspace `s` holds entries

@@ -49,26 +49,43 @@ import org.apache.spark.sql.expressions.Window
   *    identity is the cluster-scale answer, and the fingerprint stays the
   *    fallback for corpora not published through the store.
   *
-  * Training (semantics unchanged since round 8, so the recall gate in
-  * QueriesSpec still holds): k=8 codebook, deterministic spread seeding
-  * (every (n/k)-th vector by vec_id), 4 Lloyd iterations — assignment
-  * is the fused [[graft.functions.NearestCentroid]] argmax, a PURE
-  * PROJECTION per iteration (the codebook collects to the driver —
-  * bounded by k — and broadcasts as flat primitive arrays). Each
-  * iteration's only shuffle is the recenter groupBy(cell). This
+  * Training (same semantics as round 8 at gate scale, so the recall
+  * gate in QueriesSpec still holds): k=8 codebook, deterministic
+  * spread seeding (every (n/k)-th vector by vec_id), 4 Lloyd
+  * iterations over a [[TrainCap]]-bounded deterministic sample —
+  * assignment is the fused [[graft.functions.NearestCentroid]] argmax,
+  * a PURE PROJECTION per iteration (the codebook collects to the
+  * driver — bounded by k — and broadcasts as flat primitive arrays).
+  * Each iteration's only shuffle is the recenter groupBy(cell). This
   * replaced, in order: a `row_number().over(partitionBy(vec_id))`
   * argmax (shuffled and SORTED all corpus×K scored rows), then a
   * crossJoin(broadcast) + `min_by` argmax (no window, but still
   * materialized corpus×K physical rows into a SortAggregate — struct
   * extremum buffers aren't hash-aggregable; measured 77× slower than
-  * the fused kernel at K=2000 in SemDedupScale). Linear in corpus
-  * size, localCheckpoint'd so the iterated plan cannot grow. The index
-  * lives under java.io.tmpdir (keyed by corpus path) — on a cluster it
-  * would be a managed table beside the corpus.
+  * the fused kernel at K=2000 in SemDedupScale). The FULL corpus is
+  * touched exactly once, by the final fused cell-assignment +
+  * PQ-encoding projection feeding the partitioned write — training
+  * cost is corpus-size-independent, localCheckpoint'd so the iterated
+  * plan cannot grow. The index lives under java.io.tmpdir (keyed by
+  * corpus path) — on a cluster it would be a managed table beside the
+  * corpus.
   */
 object IvfIndex {
   val K = 8
   val LloydIters = 4
+  /** Codebooks (coarse k-means AND the PQ subquantizers) train on a
+    * bounded deterministic sample of at most ~this many vectors — the
+    * FAISS practice (its guidelines train IVF/PQ on 10k-100k points
+    * per centroid-group, never the full corpus). Training cost is then
+    * INDEPENDENT of corpus size; the full corpus is touched only by
+    * pure-projection passes (fused assignment + encoding) and the
+    * partitioned write. Below the cap the sample IS the corpus, so
+    * small-scale results are unchanged. Sampling is content-stable
+    * (xxhash64(vec_id) stride), not row-order-dependent. */
+  val TrainCap = 200000L
+  /** Test seam: lets IvfIndexSpec drive the above-cap sampled-training
+    * path on a small corpus. Production value is [[TrainCap]]. */
+  private[graft] var trainCap: Long = TrainCap
   /** Product-quantization layout: the vector is split into `PqSub`
     * contiguous subspaces, each quantized against its own `PqCids`-entry
     * codebook — a vector becomes `PqSub` small ints (here 8 × 4 bits vs
@@ -272,6 +289,16 @@ object IvfIndex {
     val n = e0.count()
     require(n > 0,
       s"IvfIndex.build: cannot train an index over an empty corpus ($root)")
+    // bounded training sample (see TrainCap): below the cap train IS
+    // e0 — zero behavior change at gate scale; above it, every Lloyd
+    // iteration runs over ≤ ~TrainCap rows while the corpus is only
+    // ever touched by the final projection passes
+    val stride = (n + trainCap - 1) / trainCap
+    val train =
+      if (stride <= 1) e0
+      else e0.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
+        .localCheckpoint(true)
+    val nTrain = if (stride <= 1) n else train.count()
     val step = math.max(n / K, 1L)
     def recenter(assigned: DataFrame): DataFrame = assigned
       .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "v")))
@@ -290,7 +317,7 @@ object IvfIndex {
       .select(col("cell"), col("emb").as("cvec"))
       .localCheckpoint(true)
     for (_ <- 1 to LloydIters)
-      codebook = recenter(assignCells(e0, codebook)).localCheckpoint(true)
+      codebook = recenter(assignCells(train, codebook)).localCheckpoint(true)
 
     // ---- product quantization: per-subspace k-means with the same
     // fused-kernel assignment shape as the coarse training (PqSubAssign
@@ -307,7 +334,10 @@ object IvfIndex {
     val subLen = dim / PqSub
     val lastLen = dim - (PqSub - 1) * subLen
     val subSliceLen = s"IF(i = ${PqSub - 1}, $lastLen, $subLen)"
-    val subs = e0.select(col("vec_id"), posexplode(expr(
+    // TRAINING rows only: ≤ ~TrainCap × PqSub sub-vectors — bounded at
+    // any corpus size (the full corpus is coded later by one PqEncode
+    // projection, never re-sliced into a materialized frame)
+    val subs = train.select(col("vec_id"), posexplode(expr(
         s"transform(sequence(0, ${PqSub - 1}), " +
           s"i -> slice(emb, i * $subLen + 1, $subSliceLen))"))
         .as(Seq("sub", "svec")))
@@ -338,9 +368,12 @@ object IvfIndex {
       .groupBy("sub", "cid")
       .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> x.m)")
         .as("cvec"))
-    val stepPq = math.max(n / PqCids, 1L)
+    // PQ seeds come from the TRAINING sample (stride 1 below the cap →
+    // identical to seeding from the corpus), so every seed id is
+    // guaranteed present in `subs`
+    val stepPq = math.max(nTrain / PqCids, 1L)
     val wCid = Window.orderBy("vec_id")
-    val seedIds = e0.filter(col("vec_id") % stepPq === 0)
+    val seedIds = train.filter(col("vec_id") % stepPq === 0)
       .orderBy("vec_id").limit(PqCids)
       .select(col("vec_id"), (row_number().over(wCid) - 1).as("cid"))
     var pqCb = subs.join(broadcast(seedIds), Seq("vec_id"))
@@ -348,12 +381,6 @@ object IvfIndex {
       .localCheckpoint(true)
     for (_ <- 1 to PqIters)
       pqCb = recenterPq(assignPq(pqCb)).localCheckpoint(true)
-    val codes = assignPq(pqCb)
-      .groupBy("vec_id")
-      .agg(
-        expr("transform(sort_array(collect_list(struct(sub, cid))), x -> x.cid)")
-          .as("code"),
-        sqrt(sum(col("cn2"))).as("rnorm"))
 
     // ---- publish: write the complete generation dir (invisible to
     // readers — nothing names it yet), then flip the pointer atomically.
@@ -368,9 +395,20 @@ object IvfIndex {
     pqCb.repartition(1).write.parquet(new Path(gen, "pq").toString)
     // one directory per cell; a probe reads only its nprobe directories,
     // and a compressed-domain probe reads only (vec_id, code, rnorm) of
-    // them (parquet column pruning — emb stays on disk for reranks)
+    // them (parquet column pruning — emb stays on disk for reranks).
+    // Cell assignment AND PQ coding fuse into ONE projection over the
+    // corpus (NearestCentroid + PqEncode side by side) — the only
+    // full-corpus pass of the build, no self-join of two derived frames
+    val pqEntries = pqCb
+      .select(col("sub").cast("int"), col("cid").cast("int"),
+        col("cvec").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq)).toSeq
+    val enc = graft.functions.PqEncode.encodeColumn(spark, col("emb"), pqEntries)
     assignCells(e0, codebook)
-      .join(codes, Seq("vec_id"))
+      .withColumn("graft_enc", enc)
+      .select(col("vec_id"), col("emb"), col("cell"),
+        col("graft_enc.code").as("code"), col("graft_enc.rnorm").as("rnorm"))
       .repartition(col("cell"))
       .write.partitionBy("cell").parquet(new Path(gen, "cells").toString)
     // fingerprint only for bare-path corpora: for store corpora the

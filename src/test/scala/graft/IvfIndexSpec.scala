@@ -113,6 +113,30 @@ class IvfIndexSpec extends SparkSuite {
       "bare-path revalidation must content-fingerprint the corpus")
   }
 
+  test("above the train cap, codebooks fit on a sample but the full " +
+    "corpus is coded and partitioned") {
+    val root = tmpDir("graft_ivf_cap")
+    val c = mkCorpus(400, 16)
+    val old = IvfIndex.trainCap
+    IvfIndex.trainCap = 100
+    try {
+      val gen = IvfIndex.build(spark, c, root, snap = None)
+      val cells = IvfIndex.cells(spark, gen).cache()
+      // every corpus vector — sampled into training or not — lands in
+      // exactly one cell with a full PQ code and a positive rnorm
+      assert(cells.count() === 400)
+      assert(cells.select("vec_id").distinct().count() === 400)
+      val bad = cells.filter(col("code").isNull ||
+        size(col("code")) =!= IvfIndex.PqSub ||
+        col("rnorm").isNull || col("rnorm") <= 0).count()
+      assert(bad === 0, s"$bad rows with degenerate codes")
+      // the codebook really was fit on the ~stride-sampled subset:
+      // K cells, each non-empty at this geometry
+      assert(IvfIndex.codebook(spark, gen).count() <= IvfIndex.K)
+      cells.unpersist()
+    } finally IvfIndex.trainCap = old
+  }
+
   test("PQ folds dim % PqSub into the last subspace") {
     val root = tmpDir("graft_ivf_dim12")
     // dim=12, PqSub=8 -> subLen=1, last subspace absorbs 5 dims

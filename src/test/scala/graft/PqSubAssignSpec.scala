@@ -59,6 +59,55 @@ class PqSubAssignSpec extends SparkSuite {
     assert(tieRow.getInt(3) === 0, "equidistant tie must pick the lowest cid")
   }
 
+  test("whole-vector encode matches per-sub argmin; rnorm is the " +
+    "reconstruction norm") {
+    val s = spark
+    import s.implicits._
+    val rows = (0 until 200).map { i =>
+      (i.toLong, (0 until 7).map(j => math.cos(i * 11 + j * 5) * 3).toSeq)
+    }
+    val df = rows.toDF("id", "emb").localCheckpoint(true)
+    val enc = graft.functions.PqEncode.encodeColumn(s, col("emb"), book)
+    val out = df.withColumn("e", enc)
+      .select(col("id"), col("emb"), col("e.code").as("code"),
+        col("e.rnorm").as("rnorm"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"encoding must be a projection:\n$plan")
+    assert(plan.contains("graft_pq_encode"), plan)
+    out.collect().foreach { r =>
+      val v = r.getSeq[Double](1)
+      val slices = Seq(v.slice(0, 2), v.slice(2, 4), v.slice(4, 7))
+      val expected = slices.zipWithIndex.map { case (sl, sub) =>
+        bruteBest(sub, sl).get
+      }
+      assert(r.getSeq[Int](2) === expected.map(_._1),
+        s"id=${r.getLong(0)} code mismatch")
+      assert(r.getDouble(3) === math.sqrt(expected.map(_._2).sum),
+        s"id=${r.getLong(0)} rnorm mismatch")
+    }
+  }
+
+  test("encode yields null on wrong length or an emptied subspace") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0)),                     // length 3 != 7
+      (2L, (0 until 7).map(_.toDouble).toSeq)       // fine
+    ).toDF("id", "emb").localCheckpoint(true)
+    val enc = graft.functions.PqEncode.encodeColumn(s, col("emb"), book)
+    val out = df.withColumn("e", enc).select("id", "e").orderBy("id").collect()
+    assert(out(0).isNullAt(1) && !out(1).isNullAt(1))
+    // a codebook whose middle subspace lost every centroid cannot emit
+    // a silently short code — the whole row nulls instead
+    val holey = book.filter(_._1 != 1)
+    val enc2 = graft.functions.PqEncode.encodeColumn(s, col("emb"), holey)
+    val lens = holey.groupBy(_._1).map(_._2.head._3.length).sum
+    val df2 = Seq((3L, (0 until lens).map(_.toDouble).toSeq)).toDF("id", "emb")
+      .localCheckpoint(true)
+    assert(df2.withColumn("e", enc2).select("e").head().isNullAt(0))
+  }
+
   test("unknown subspace and wrong-length sub-vector yield null") {
     val s = spark
     import s.implicits._
