@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic mixture sampling — the data-mixing draw an LLM
+  * training pipeline runs last: given target proportions per stratum
+  * (source, language, domain …) and a document budget, take each
+  * stratum's allocation `round(budget × weight)` as the FIRST rows in
+  * content-hash order.
+  *
+  * Determinism is the whole design: membership is a pure function of
+  * (stratum, key), so re-runs, re-partitionings, and other engines
+  * draw the SAME mixture (the DuckDB oracle replicates it verbatim),
+  * and growing one stratum of the corpus never reshuffles another's
+  * draw (the md5 order is stable under inserts elsewhere). Strata
+  * absent from `weights` are excluded; a stratum with fewer rows than
+  * its allocation contributes everything it has — callers detect an
+  * under-filled mixture by comparing counts, not by a silent re-draw
+  * from other strata (re-balancing is a POLICY, not something a
+  * sampler should improvise).
+  *
+  * Plan shape: one row_number window partitioned by the stratum (a
+  * single hash-partition exchange on ≤ |strata| keys) over the
+  * md5-keyed order, then a literal CASE quota filter — no joins, no
+  * driver-side counting pass.
+  */
+object Mixture {
+
+  /** `allocations`: stratum value → row quota (precomputed from
+    * weights × budget by [[allocate]] or by hand — literal in the
+    * plan, replicable in SQL). */
+  def sample(df: DataFrame, stratumCol: String, keyCol: String,
+             allocations: Map[String, Int]): DataFrame = {
+    require(allocations.nonEmpty, "mixture: empty allocation map")
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(md5(col(keyCol).cast("string").cast("binary")), col(keyCol))
+    val quota: Column = allocations.toSeq.sortBy(_._1)
+      .foldLeft(lit(0)) { case (acc, (s, q)) =>
+        when(col(stratumCol) === s, q).otherwise(acc)
+      }
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= quota)
+  }
+
+  /** Largest-remainder apportionment of `budget` across `weights`
+    * (deterministic; ties to the lexicographically smaller stratum):
+    * exact floor quotas plus one extra for the largest remainders, so
+    * the quotas always sum to `budget` — plain rounding can over- or
+    * under-shoot by |strata|/2. */
+  def allocate(weights: Map[String, Double], budget: Int): Map[String, Int] = {
+    require(weights.nonEmpty && budget >= 0, "mixture: bad allocation input")
+    val total = weights.values.sum
+    require(total > 0, "mixture: weights sum to zero")
+    val exact = weights.toSeq.sortBy(_._1)
+      .map { case (s, wt) => (s, wt / total * budget) }
+    val floors = exact.map { case (s, e) => (s, e.toInt) }
+    var left = budget - floors.map(_._2).sum
+    val byRemainder = exact.map { case (s, e) => (s, e - e.toInt) }
+      .sortBy { case (s, r) => (-r, s) }
+    val bumped = scala.collection.mutable.Map(floors: _*)
+    for ((s, _) <- byRemainder if left > 0) { bumped(s) += 1; left -= 1 }
+    bumped.toMap
+  }
+}

@@ -40,6 +40,22 @@ object SamplingQueries {
         .orderBy("cluster", "rn")
     }),
 
+    // SM7: mixture sampling — the data-mixing draw (Pile/Dolma-style
+    // source proportions) as a deterministic operator: per-language
+    // quotas from largest-remainder apportionment of a 200-doc budget
+    // over target weights (en .4, zh/es .2, de/fr .1), each stratum
+    // taking its FIRST quota rows in md5 order. Membership is a pure
+    // function of (stratum, key): re-runs, re-partitionings, and the
+    // DuckDB oracle draw the same mixture, and growing one stratum
+    // never reshuffles another's draw.
+    "sm7_mixture_sample" -> ((s, d) =>
+      graft.operators.Mixture.sample(documents(s, d), "lang", "doc_id",
+          graft.operators.Mixture.allocate(
+            Map("en" -> 0.4, "zh" -> 0.2, "es" -> 0.2,
+              "de" -> 0.1, "fr" -> 0.1), budget = 200))
+        .select(col("lang"), col("doc_id"), col("rn"))
+        .orderBy("lang", "rn")),
+
     // SM4: deterministic weighted sampling without replacement
     // (Efraimidis–Spirakis): priority = u^(1/w) with u a pure function
     // of the key (md5 prefix → uniform in (0,1), engine-agnostic like
@@ -213,6 +229,17 @@ object SamplingQueries {
         |FROM asg
         |QUALIFY rn <= 10
         |ORDER BY cluster, rn""".stripMargin,
+    // quotas are the largest-remainder apportionment of 200 over the
+    // literal weights — exact here (no remainders): 80/40/40/20/20
+    "sm7_mixture_sample" ->
+      """SELECT lang, doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn
+        |FROM documents
+        |WHERE lang IN ('de', 'en', 'es', 'fr', 'zh')
+        |QUALIFY rn <= CASE lang WHEN 'en' THEN 80 WHEN 'zh' THEN 40
+        |  WHEN 'es' THEN 40 WHEN 'de' THEN 20 WHEN 'fr' THEN 20 ELSE 0 END
+        |ORDER BY lang, rn""".stripMargin,
     "sm2_stratified_sample" ->
       """SELECT vec_id, label FROM embeddings
         |WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) <
