@@ -104,8 +104,9 @@ object IvfIndex {
     * whose recorded version differs (format 2 added the PQ codebook and
     * the cells' `code`/`rnorm` columns; format 3 added the content
     * fingerprint to meta; format 4 moved to generation dirs + pointer
-    * and added the snapshot name to meta). */
-  val FormatVersion = 4
+    * and added the snapshot name to meta; format 5 added the `parent`
+    * chain link for incremental delta generations). */
+  val FormatVersion = 5
   val PointerFile = "_CURRENT"
 
   /** Root for all persisted indexes; overridable for tests. */
@@ -184,19 +185,39 @@ object IvfIndex {
     fc.rename(tmp, ptr, Options.Rename.OVERWRITE)
   }
 
-  /** Meta row of a generation as (n, fp, snap) plus whether the format
-    * matches. Column-presence guards, not just the version value: an
-    * index written by an OLDER build lacks the newer meta columns
+  /** Meta row of a generation as (n, fp, snap, parent) plus whether the
+    * format matches. Column-presence guards, not just the version value:
+    * an index written by an OLDER build lacks the newer meta columns
     * entirely, and that must read as "stale — rebuild", never error. */
-  private def readMeta(spark: SparkSession,
-                       gen: Path): Option[(Long, Long, Option[String])] = {
+  private def readMeta(spark: SparkSession, gen: Path)
+      : Option[(Long, Long, Option[String], Option[String])] = {
     val meta = spark.read.parquet(new Path(gen, "meta").toString)
     val row = meta.head()
     val fmtOk = meta.columns.contains("fmt") && meta.columns.contains("fp") &&
-      meta.columns.contains("snap") && row.getAs[Int]("fmt") == FormatVersion
+      meta.columns.contains("snap") && meta.columns.contains("parent") &&
+      row.getAs[Int]("fmt") == FormatVersion
     if (!fmtOk) None
     else Some((row.getAs[Long]("n"), row.getAs[Long]("fp"),
-      Option(row.getAs[String]("snap"))))
+      Option(row.getAs[String]("snap")),
+      Option(row.getAs[String]("parent"))))
+  }
+
+  /** The generation chain from `gen` (a delta head or a base) back to
+    * its base, head first. Bounded: a broken/cyclic parent link fails
+    * loudly rather than looping. */
+  private def chain(spark: SparkSession, gen: Path): Seq[Path] = {
+    val buf = scala.collection.mutable.ListBuffer[Path](gen)
+    var cur = gen
+    var guard = 0
+    while (guard < 1000) {
+      readMeta(spark, cur).flatMap(_._4) match {
+        case Some(p) =>
+          cur = new Path(cur.getParent, p); buf += cur; guard += 1
+        case None => return buf.toList
+      }
+    }
+    throw new IllegalStateException(
+      s"IvfIndex: generation chain under ${gen.getParent} too long or cyclic")
   }
 
   // ------------------------------------------------------------- ensure
@@ -233,7 +254,7 @@ object IvfIndex {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val e0 = corpus(spark, sfDir)
     currentGen(fs, root).flatMap(g => readMeta(spark, g).map(g -> _)) match {
-      case Some((gen, (n, fp, _)))
+      case Some((gen, (n, fp, _, _)))
           if n == e0.count() && fp == fingerprint(e0) =>
         validated(root) = gen.toString
         gen.toString
@@ -266,7 +287,7 @@ object IvfIndex {
       }
       val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
       currentGen(fs, root).flatMap(g => readMeta(spark, g).map(g -> _)) match {
-        case Some((gen, (_, _, Some(s0)))) if s0 == snap =>
+        case Some((gen, (_, _, Some(s0), _))) if s0 == snap =>
           validatedSnap(root) = (snap, gen.toString)
           gen.toString
         case _ =>
@@ -278,6 +299,117 @@ object IvfIndex {
           gen
       }
     }
+
+  /** [[ensureForSnapshot]] that prefers an INCREMENTAL advance: when
+    * the index is valid for an earlier snapshot and the corpus only
+    * GREW since (the change feed between the indexed and current
+    * snapshots is pure inserts), the new rows are encoded against the
+    * EXISTING codebooks — the FAISS add-after-train pattern — in one
+    * projection and published as a delta generation chained to the
+    * previous head. No Lloyd iteration runs and no indexed row is
+    * re-read or re-written: advance cost is batch-sized, not
+    * corpus-sized. Updates or deletes in the feed, a vacuumed indexed
+    * version, or a missing/stale index fall back to a full retrain
+    * (codebook drift under append-only growth is the documented ANN
+    * trade — retrain policy belongs to the caller, e.g. every N
+    * appended batches). */
+  def advanceForSnapshot(spark: SparkSession, storeRoot: String,
+                         idCol: String = "vec_id",
+                         embCol: String = "embedding"): String =
+    buildLock.synchronized {
+      val snap = graft.store.SnapshotStore.currentName(spark, storeRoot)
+        .getOrElse(throw new java.io.FileNotFoundException(
+          s"no snapshot published under $storeRoot — commit the corpus first"))
+      val root = storeIndexPath(storeRoot)
+      validatedSnap.get(root) match {
+        case Some((s0, gen)) if s0 == snap => return gen
+        case _ => ()
+      }
+      val fs = new Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def retrain(): String = {
+        val e0 = graft.store.SnapshotStore.read(spark, storeRoot)
+          .select(col(idCol).as("vec_id"),
+            col(embCol).cast("array<double>").as("emb"))
+        build(spark, e0, root, snap = Some(snap))
+      }
+      val gen = currentGen(fs, root)
+        .flatMap(g => readMeta(spark, g).map(g -> _)) match {
+        case Some((g, (_, _, Some(s0), _))) if s0 == snap => g.toString
+        case Some((g, (_, _, Some(s0), _))) =>
+          // pure-insert delta from the indexed snapshot? (Try: the
+          // indexed version may have been vacuumed — retrain then)
+          scala.util.Try {
+            val feed = graft.store.SnapshotStore.changesBetween(
+                spark, storeRoot, s0, snap, Seq(idCol))
+              .localCheckpoint(true)
+            val churn = feed.filter(col("change_type") =!= "insert")
+              .limit(1).count()
+            val batch = feed.filter(col("change_type") === "insert")
+              .select(col(idCol).as("vec_id"),
+                col(embCol).cast("array<double>").as("emb"))
+            if (churn > 0 || batch.isEmpty) None
+            else Some(appendGen(spark, root, g, batch, Some(snap)))
+          }.toOption.flatten.getOrElse(retrain())
+        case _ => retrain()
+      }
+      validatedSnap(root) = (snap, gen)
+      gen
+    }
+
+  /** Encode `batch` against `head`'s existing codebooks and publish it
+    * as a delta generation chained to `head`. One projection over the
+    * batch (fused cell argmax + PQ encode), a batch-sized partitioned
+    * write, and a copy of the tiny codebook/pq dirs so every
+    * generation stays self-contained for codebook readers; `meta.n`
+    * and the content fingerprint accumulate (the fingerprint is an
+    * order-insensitive SUM of row hashes, so parent + batch is exactly
+    * the union's fingerprint — bare-path validation keeps working on
+    * chains). */
+  private def appendGen(spark: SparkSession, root: String, head: Path,
+                        batch: DataFrame, snap: Option[String]): String = {
+    val (n0, fp0, _, _) = readMeta(spark, head).getOrElse(
+      throw new IllegalStateException(s"append: unreadable head meta at $head"))
+    val nb = batch.count()
+    require(nb > 0, "IvfIndex.append: empty batch")
+    val cents = codebook(spark, head.toString)
+      .select(col("cell").cast("long"), col("cvec").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toSeq
+    val pqEntries = pqCodebook(spark, head.toString)
+      .select(col("sub").cast("int"), col("cid").cast("int"),
+        col("cvec").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq)).toSeq
+    val best = graft.functions.NearestCentroid.assignColumn(
+      spark, col("emb"), cents)
+    val enc = graft.functions.PqEncode.encodeColumn(spark, col("emb"), pqEntries)
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prevGen = currentGen(fs, root).map(_.getName)
+    val genName = s"gen-${java.util.UUID.randomUUID().toString.take(8)}"
+    val gen = new Path(rootPath, genName)
+    batch
+      .withColumn("graft_best", best)
+      .withColumn("graft_enc", enc)
+      .select(col("vec_id"), col("emb"),
+        col("graft_best.cid").cast("int").as("cell"),
+        col("graft_enc.code").as("code"), col("graft_enc.rnorm").as("rnorm"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(new Path(gen, "cells").toString)
+    spark.read.parquet(new Path(head, "codebook").toString)
+      .repartition(1).write.parquet(new Path(gen, "codebook").toString)
+    spark.read.parquet(new Path(head, "pq").toString)
+      .repartition(1).write.parquet(new Path(gen, "pq").toString)
+    val fpB = if (snap.isDefined) 0L else fingerprint(batch)
+    import spark.implicits._
+    Seq((n0 + nb, FormatVersion, fp0 + fpB, snap.orNull, head.getName))
+      .toDF("n", "fmt", "fp", "snap", "parent")
+      .repartition(1).write.parquet(new Path(gen, "meta").toString)
+    publishGen(spark, root, genName)
+    pruneGens(spark, fs, rootPath, genName, prevGen)
+    gen.toString
+  }
 
   /** Train the codebook and write codebook + PQ + cell-partitioned corpus
     * + meta into a fresh generation dir, publish it via the atomic
@@ -416,19 +548,34 @@ object IvfIndex {
     // would defeat the point of snapshot-keyed validation
     val fp = if (snap.isDefined) 0L else fingerprint(e0)
     import spark.implicits._
-    Seq((n, FormatVersion, fp, snap.orNull))
-      .toDF("n", "fmt", "fp", "snap")
+    Seq((n, FormatVersion, fp, snap.orNull, null: String))
+      .toDF("n", "fmt", "fp", "snap", "parent")
       .repartition(1).write.parquet(new Path(gen, "meta").toString)
     publishGen(spark, root, genName)
-    // collect generations older than the one just superseded: keep the
-    // new current + its immediate predecessor (readers in flight across
-    // the flip), drop the rest (including any pre-format-4 flat layout's
-    // stray dirs, which are never named by a pointer)
-    val keep = Set(genName) ++ prevGen
+    pruneGens(spark, fs, rootPath, genName, prevGen)
+    gen.toString
+  }
+
+  /** Collect generations the just-published head supersedes: keep the
+    * new head's full parent CHAIN (delta generations read their
+    * ancestors' cells) plus the previous pointer target's chain
+    * (readers in flight across the flip), drop the rest — including any
+    * pre-format-4 flat layout's stray dirs, which are never named by a
+    * pointer. */
+  private def pruneGens(spark: SparkSession, fs: FileSystem, rootPath: Path,
+                        genName: String, prevGen: Option[String]): Unit = {
+    val keep = scala.collection.mutable.Set.empty[String]
+    def keepChain(name: String): Unit = {
+      val p = new Path(rootPath, name)
+      if (fs.exists(new Path(p, "meta")))
+        chain(spark, p).foreach(g => keep += g.getName)
+      else keep += name
+    }
+    keepChain(genName)
+    prevGen.foreach(keepChain)
     fs.listStatus(rootPath).filter(_.isDirectory)
       .map(_.getPath).filterNot(p => keep(p.getName))
       .foreach(p => fs.delete(p, true))
-    gen.toString
   }
 
   /** Per-vector nearest-cell assignment `(vec_id, emb, cell)` — the
@@ -471,8 +618,14 @@ object IvfIndex {
     * type the session's partition-type inference produced — the pruning
     * filter must be applied BEFORE any cast for Catalyst to prune
     * directories. */
+  /** Cells of the generation CHAIN rooted at `path`: a base generation
+    * is one partitioned read; a delta head unions its ancestors' cells
+    * (filters — including the partition-pruning `isin` below — push
+    * through the union into every per-generation scan). */
   private def rawCells(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/cells")
+    chain(spark, new Path(path))
+      .map(g => spark.read.parquet(new Path(g, "cells").toString))
+      .reduce(_ unionByName _)
 
   /** The full cell-partitioned corpus with `cell` normalized to int —
     * for whole-index consumers (compaction, re-training, audits). Probe

@@ -113,6 +113,56 @@ class IvfIndexSpec extends SparkSuite {
       "bare-path revalidation must content-fingerprint the corpus")
   }
 
+  test("advanceForSnapshot chains a delta generation on append-only " +
+    "growth: no retrain, batch-sized work, chain reads whole corpus") {
+    val root = tmpDir("graft_ivf_adv")
+    val c1 = mkCorpus(64, 16)
+    SnapshotStore.commit(spark, root)(dir => c1.write.parquet(dir))
+    val g1 = IvfIndex.ensureForSnapshot(spark, root, embCol = "emb")
+    val cb1 = IvfIndex.codebook(spark, g1).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+
+    // append 32 rows (ids 64..95; existing rows byte-identical)
+    val c2 = mkCorpus(96, 16)
+    SnapshotStore.commit(spark, root)(dir => c2.write.parquet(dir))
+    val g2 = IvfIndex.advanceForSnapshot(spark, root, embCol = "emb")
+    assert(g2 !== g1)
+    // delta generation: chained to g1, codebooks untouched (no retrain)
+    assert(spark.read.parquet(s"$g2/meta").head().getAs[String]("parent")
+      === new org.apache.hadoop.fs.Path(g1).getName)
+    val cb2 = IvfIndex.codebook(spark, g2).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    assert(cb2 === cb1, "append must not retrain the codebook")
+    // the chain serves the WHOLE corpus, old rows from the old files
+    val cells = IvfIndex.cells(spark, g2).cache()
+    assert(cells.count() === 96)
+    assert(cells.filter(col("vec_id") >= 64).count() === 32)
+    assert(cells.filter(col("code").isNull || col("rnorm").isNull)
+      .count() === 0)
+    cells.unpersist()
+    // pruned probe still prunes across the chain
+    val probed = IvfIndex.cellsPruned(spark, g2, Seq(0, 1))
+    assert(probed.select("cell").distinct().collect()
+      .map(_.getInt(0)).toSet.subsetOf(Set(0, 1)))
+    // revalidation of the current snapshot is a no-op
+    assert(IvfIndex.advanceForSnapshot(spark, root, embCol = "emb") === g2)
+  }
+
+  test("advanceForSnapshot retrains when the corpus churned (updates)") {
+    val root = tmpDir("graft_ivf_churn")
+    SnapshotStore.commit(spark, root)(dir =>
+      mkCorpus(64, 16).write.parquet(dir))
+    val g1 = IvfIndex.ensureForSnapshot(spark, root, embCol = "emb")
+    // same ids, shifted vectors: update_pre/postimages in the feed
+    SnapshotStore.commit(spark, root)(dir =>
+      mkCorpus(64, 16, shift = 0.5).write.parquet(dir))
+    val g2 = IvfIndex.advanceForSnapshot(spark, root, embCol = "emb")
+    assert(g2 !== g1)
+    assert(spark.read.parquet(s"$g2/meta").head().getAs[String]("parent")
+      === null, "churn must retrain from scratch, not chain")
+    assert(IvfIndex.cells(spark, g2).count() === 64)
+  }
+
   test("above the train cap, codebooks fit on a sample but the full " +
     "corpus is coded and partitioned") {
     val root = tmpDir("graft_ivf_cap")
