@@ -357,6 +357,50 @@ object IvfIndex {
       gen
     }
 
+  /** [[advanceForSnapshot]] with a CALLER-ASSERTED delta: the writer
+    * that just appended `batch` to the corpus (and committed the new
+    * snapshot) hands the same frame here, skipping the change-feed
+    * content diff — the only corpus-sized step of the snapshot-keyed
+    * advance. Work is then truly batch-sized: one fused
+    * encode-projection over `batch` plus a batch-sized partitioned
+    * write. The assertion is guarded by the cheap row-count identity
+    * `count(current snapshot) == indexed n + count(batch)` — a
+    * column-less scan, no content read; a mismatch (the "batch" wasn't
+    * the whole delta, or rows churned) falls back to the content-diff
+    * path of [[advanceForSnapshot]]. */
+  def advanceWithBatch(spark: SparkSession, storeRoot: String,
+                       batch: DataFrame,
+                       idCol: String = "vec_id",
+                       embCol: String = "embedding"): String =
+    buildLock.synchronized {
+      val snap = graft.store.SnapshotStore.currentName(spark, storeRoot)
+        .getOrElse(throw new java.io.FileNotFoundException(
+          s"no snapshot published under $storeRoot — commit the corpus first"))
+      val root = storeIndexPath(storeRoot)
+      validatedSnap.get(root) match {
+        case Some((s0, gen)) if s0 == snap => return gen
+        case _ => ()
+      }
+      val fs = new Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val b = batch.select(col(idCol).as("vec_id"),
+        col(embCol).cast("array<double>").as("emb"))
+      val viaBatch = currentGen(fs, root)
+        .flatMap(g => readMeta(spark, g).map(g -> _)) match {
+        case Some((g, (n0, _, Some(s0), _))) if s0 != snap =>
+          val nNow = graft.store.SnapshotStore.read(spark, storeRoot).count()
+          if (nNow == n0 + b.count())
+            Some(appendGen(spark, root, g, b, Some(snap)))
+          else None
+        case Some((g, (_, _, Some(s0), _))) if s0 == snap => Some(g.toString)
+        case _ => None
+      }
+      viaBatch match {
+        case Some(gen) => validatedSnap(root) = (snap, gen); gen
+        case None => advanceForSnapshot(spark, storeRoot, idCol, embCol)
+      }
+    }
+
   /** Encode `batch` against `head`'s existing codebooks and publish it
     * as a delta generation chained to `head`. One projection over the
     * batch (fused cell argmax + PQ encode), a batch-sized partitioned

@@ -148,6 +148,31 @@ class IvfIndexSpec extends SparkSuite {
     assert(IvfIndex.advanceForSnapshot(spark, root, embCol = "emb") === g2)
   }
 
+  test("advanceWithBatch: caller-asserted delta chains without the " +
+    "content diff; a wrong batch falls back and still lands correct") {
+    val root = tmpDir("graft_ivf_advb")
+    SnapshotStore.commit(spark, root)(dir =>
+      mkCorpus(64, 16).write.parquet(dir))
+    val g1 = IvfIndex.ensureForSnapshot(spark, root, embCol = "emb")
+    SnapshotStore.commit(spark, root)(dir =>
+      mkCorpus(96, 16).write.parquet(dir))
+    val batch = mkCorpus(96, 16).filter(col("vec_id") >= 64)
+    val g2 = IvfIndex.advanceWithBatch(spark, root, batch, embCol = "emb")
+    assert(spark.read.parquet(s"$g2/meta").head().getAs[String]("parent")
+      === new org.apache.hadoop.fs.Path(g1).getName)
+    assert(IvfIndex.cells(spark, g2).count() === 96)
+
+    // grow again but hand over only HALF the delta: the count identity
+    // fails, so the call must fall back (content diff) and still serve
+    // the full corpus
+    SnapshotStore.commit(spark, root)(dir =>
+      mkCorpus(128, 16).write.parquet(dir))
+    val half = mkCorpus(128, 16).filter(col("vec_id") >= 112)
+    val g3 = IvfIndex.advanceWithBatch(spark, root, half, embCol = "emb")
+    assert(IvfIndex.cells(spark, g3).count() === 128,
+      "fallback must still index every row")
+  }
+
   test("advanceForSnapshot retrains when the corpus churned (updates)") {
     val root = tmpDir("graft_ivf_churn")
     SnapshotStore.commit(spark, root)(dir =>
