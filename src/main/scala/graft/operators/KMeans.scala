@@ -65,9 +65,12 @@ object KMeans {
   }
 
   /** Decimal-exact per-cluster mean (see class doc); clusters that
-    * lost every member drop out. */
+    * lost every member drop out. Unassignable rows (null or zero-norm
+    * embeddings carry a null cluster, SQL-style) are excluded rather
+    * than NPE-ing the collect. */
   def recenter(assigned: DataFrame, embCol: String): Seq[(Long, Seq[Double])] =
     assigned
+      .filter(col("cluster").isNotNull)
       .select(col("cluster"), posexplode(col(embCol)).as(Seq("pos", "v")))
       .groupBy("cluster", "pos")
       .agg((sum(col("v").cast("decimal(30,12)")).cast("double") /

@@ -51,6 +51,8 @@ object Mixture {
     * under-shoot by |strata|/2. */
   def allocate(weights: Map[String, Double], budget: Int): Map[String, Int] = {
     require(weights.nonEmpty && budget >= 0, "mixture: bad allocation input")
+    require(weights.values.forall(w => w >= 0 && !w.isNaN),
+      "mixture: weights must be non-negative")
     val total = weights.values.sum
     require(total > 0, "mixture: weights sum to zero")
     val exact = weights.toSeq.sortBy(_._1)

@@ -47,13 +47,15 @@ class KMeansSpec extends SparkSuite {
     assert(run(1) === run(13))
   }
 
-  test("recenter drops a cluster that lost every member") {
+  test("recenter drops emptied clusters and excludes unassignable " +
+    "(null-cluster) rows instead of NPE-ing") {
     val s = spark
     import s.implicits._
     val assigned = Seq(
-      (1L, 0L, 0.9, Seq(1.0, 2.0)),
-      (2L, 0L, 0.8, Seq(3.0, 4.0)),
-      (3L, 2L, 0.7, Seq(5.0, 6.0))
+      (1L, Some(0L), 0.9, Seq(1.0, 2.0)),
+      (2L, Some(0L), 0.8, Seq(3.0, 4.0)),
+      (3L, Some(2L), 0.7, Seq(5.0, 6.0)),
+      (4L, None, 0.0, Seq(0.0, 0.0)) // zero-norm row: null cluster
     ).toDF("vec_id", "cluster", "cent_cos", "emb")
     val cents = KMeans.recenter(assigned, "emb")
     assert(cents.map(_._1) == Seq(0L, 2L))
