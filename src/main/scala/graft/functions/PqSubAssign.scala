@@ -66,27 +66,9 @@ case class PqSubAssign(left: Expression, right: Expression,
     val q = new Array[Double](len)
     var i = 0
     while (i < len) { q(i) = x.getDouble(i); i += 1 }
-    val from = bk.entryStart(sub)
-    val until = bk.entryStart(sub + 1)
-    if (from == until) return null
-    val flat = bk.flat
-    var best = 0.0
-    var bestAt = -1
-    var e = from
-    while (e < until) {
-      val off = bk.flatOff(sub) + (e - from) * len
-      var d2 = 0.0
-      var j = 0
-      while (j < len) {
-        val d = q(j) - flat(off + j); d2 += d * d; j += 1
-      }
-      if (bestAt < 0 || d2 < best ||
-        (d2 == best && bk.cids(e) < bk.cids(bestAt))) {
-        best = d2; bestAt = e
-      }
-      e += 1
-    }
-    new GenericInternalRow(Array[Any](bk.cids(bestAt), bk.cn2(bestAt)))
+    val bestAt = PqSubAssign.argminEntry(bk, sub, q)
+    if (bestAt < 0) null
+    else new GenericInternalRow(Array[Any](bk.cids(bestAt), bk.cn2(bestAt)))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -151,29 +133,11 @@ case class PqEncode(child: Expression,
     var s = 0
     while (s < nSub) {
       val len = bk.subLen(s)
-      val from = bk.entryStart(s)
-      val until = bk.entryStart(s + 1)
-      if (from == until) return null
       val q = new Array[Double](len)
       var i = 0
       while (i < len) { q(i) = x.getDouble(base + i); i += 1 }
-      val flat = bk.flat
-      var best = 0.0
-      var bestAt = -1
-      var e = from
-      while (e < until) {
-        val off = bk.flatOff(s) + (e - from) * len
-        var d2 = 0.0
-        var j = 0
-        while (j < len) {
-          val d = q(j) - flat(off + j); d2 += d * d; j += 1
-        }
-        if (bestAt < 0 || d2 < best ||
-          (d2 == best && bk.cids(e) < bk.cids(bestAt))) {
-          best = d2; bestAt = e
-        }
-        e += 1
-      }
+      val bestAt = PqSubAssign.argminEntry(bk, s, q)
+      if (bestAt < 0) return null // emptied subspace: no silently short code
       code(s) = bk.cids(bestAt)
       rn2 += bk.cn2(bestAt)
       base += len
@@ -213,6 +177,37 @@ object PqEncode {
 }
 
 object PqSubAssign {
+
+  /** THE per-subspace L2 argmin kernel — the single definition both
+    * [[PqSubAssign]] and [[PqEncode]] evaluate (their "identical
+    * per-subspace semantics" contract is this shared code, not a
+    * convention): left-to-right `(x-y)²` accumulation, strict-less
+    * with lowest-cid tie-break. Returns the winning ENTRY index into
+    * the book's flat arrays, or -1 for an emptied subspace. */
+  private[functions] def argminEntry(bk: PqBook, sub: Int,
+                                     q: Array[Double]): Int = {
+    val len = bk.subLen(sub)
+    val from = bk.entryStart(sub)
+    val until = bk.entryStart(sub + 1)
+    val flat = bk.flat
+    var best = 0.0
+    var bestAt = -1
+    var e = from
+    while (e < until) {
+      val off = bk.flatOff(sub) + (e - from) * len
+      var d2 = 0.0
+      var j = 0
+      while (j < len) {
+        val d = q(j) - flat(off + j); d2 += d * d; j += 1
+      }
+      if (bestAt < 0 || d2 < best ||
+        (d2 == best && bk.cids(e) < bk.cids(bestAt))) {
+        best = d2; bestAt = e
+      }
+      e += 1
+    }
+    bestAt
+  }
 
   /** Per-subspace flat codebooks: subspace `s` holds entries
     * `entryStart(s) until entryStart(s+1)` (cids ASCENDING — the

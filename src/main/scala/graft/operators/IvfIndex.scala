@@ -86,6 +86,15 @@ object IvfIndex {
   /** Test seam: lets IvfIndexSpec drive the above-cap sampled-training
     * path on a small corpus. Production value is [[TrainCap]]. */
   private[graft] var trainCap: Long = TrainCap
+  /** Compaction valve for delta-generation chains: once an index has
+    * this many chained generations, the next advance retrains instead
+    * of chaining — collapsing the chain, LSM-style. Bounds both the
+    * per-read chain resolution cost (one meta read per generation) and
+    * codebook drift under long append-only growth. */
+  val MaxChain = 16
+  /** Test seam (the [[trainCap]] pattern): lets IvfIndexSpec exercise
+    * the compaction valve without 16 appends. */
+  private[graft] var maxChain: Int = MaxChain
   /** Product-quantization layout: the vector is split into `PqSub`
     * contiguous subspaces, each quantized against its own `PqCids`-entry
     * codebook — a vector becomes `PqSub` small ints (here 8 × 4 bits vs
@@ -348,7 +357,11 @@ object IvfIndex {
             val batch = feed.filter(col("change_type") === "insert")
               .select(col(idCol).as("vec_id"),
                 col(embCol).cast("array<double>").as("emb"))
-            if (churn > 0 || batch.isEmpty) None
+            // empty feed (identical content republished) is a valid
+            // zero-row append: a meta-only re-key generation, never a
+            // retrain. Churn — or a chain at the compaction cap —
+            // falls through to retrain (which collapses the chain).
+            if (churn > 0 || chain(spark, g).length >= maxChain) None
             else Some(appendGen(spark, root, g, batch, Some(snap)))
           }.toOption.flatten.getOrElse(retrain())
         case _ => retrain()
@@ -363,11 +376,20 @@ object IvfIndex {
     * content diff — the only corpus-sized step of the snapshot-keyed
     * advance. Work is then truly batch-sized: one fused
     * encode-projection over `batch` plus a batch-sized partitioned
-    * write. The assertion is guarded by the cheap row-count identity
-    * `count(current snapshot) == indexed n + count(batch)` — a
-    * column-less scan, no content read; a mismatch (the "batch" wasn't
-    * the whole delta, or rows churned) falls back to the content-diff
-    * path of [[advanceForSnapshot]]. */
+    * write.
+    *
+    * Trust-but-verify: the delta CONTENT is the caller's word (that is
+    * the point — verifying content is the corpus-sized diff this path
+    * exists to skip), but two cheap nets catch the realistic mistakes:
+    * the row-count identity `count(current snapshot) == indexed n +
+    * count(batch)` (a column-less scan), and an id-overlap probe
+    * against the indexed `vec_id` column (one narrow column scan of
+    * the index — catches re-handing an already-indexed batch, which
+    * would otherwise serve duplicate ids). Either failing falls back
+    * to the content-diff path of [[advanceForSnapshot]]. A same-size,
+    * disjoint-id, WRONG batch remains undetectable here by design —
+    * that is the caller corrupting its own write, the same contract as
+    * any store commit. */
   def advanceWithBatch(spark: SparkSession, storeRoot: String,
                        batch: DataFrame,
                        idCol: String = "vec_id",
@@ -383,13 +405,21 @@ object IvfIndex {
       }
       val fs = new Path(root)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // one batch-sized materialization: the count guard, the overlap
+      // probe, and the encode+write below all read THIS frame — a
+      // non-deterministic input can't desynchronize meta.n from the
+      // written rows
       val b = batch.select(col(idCol).as("vec_id"),
-        col(embCol).cast("array<double>").as("emb"))
+        col(embCol).cast("array<double>").as("emb")).localCheckpoint(true)
       val viaBatch = currentGen(fs, root)
         .flatMap(g => readMeta(spark, g).map(g -> _)) match {
         case Some((g, (n0, _, Some(s0), _))) if s0 != snap =>
           val nNow = graft.store.SnapshotStore.read(spark, storeRoot).count()
-          if (nNow == n0 + b.count())
+          val countsOk = nNow == n0 + b.count()
+          lazy val overlaps = cells(spark, g.toString).select("vec_id")
+            .join(b.select("vec_id"), Seq("vec_id"), "left_semi")
+            .limit(1).count() > 0
+          if (countsOk && chain(spark, g).length < maxChain && !overlaps)
             Some(appendGen(spark, root, g, b, Some(snap)))
           else None
         case Some((g, (_, _, Some(s0), _))) if s0 == snap => Some(g.toString)
@@ -415,7 +445,7 @@ object IvfIndex {
     val (n0, fp0, _, _) = readMeta(spark, head).getOrElse(
       throw new IllegalStateException(s"append: unreadable head meta at $head"))
     val nb = batch.count()
-    require(nb > 0, "IvfIndex.append: empty batch")
+    if (nb == 0) return rekeyGen(spark, root, head, n0, fp0, snap)
     val cents = codebook(spark, head.toString)
       .select(col("cell").cast("long"), col("cvec").cast("array<double>"))
       .collect()
@@ -455,6 +485,31 @@ object IvfIndex {
     gen.toString
   }
 
+  /** A META-ONLY generation: the corpus republished with identical
+    * content under a new snapshot name (compaction, no-op commit) —
+    * the index is still exact, so re-key it to the new name instead of
+    * retraining. Chained like a delta; has no cells dir (chain readers
+    * skip it). */
+  private def rekeyGen(spark: SparkSession, root: String, head: Path,
+                       n0: Long, fp0: Long, snap: Option[String]): String = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prevGen = currentGen(fs, root).map(_.getName)
+    val genName = s"gen-${java.util.UUID.randomUUID().toString.take(8)}"
+    val gen = new Path(rootPath, genName)
+    spark.read.parquet(new Path(head, "codebook").toString)
+      .repartition(1).write.parquet(new Path(gen, "codebook").toString)
+    spark.read.parquet(new Path(head, "pq").toString)
+      .repartition(1).write.parquet(new Path(gen, "pq").toString)
+    import spark.implicits._
+    Seq((n0, FormatVersion, fp0, snap.orNull, head.getName))
+      .toDF("n", "fmt", "fp", "snap", "parent")
+      .repartition(1).write.parquet(new Path(gen, "meta").toString)
+    publishGen(spark, root, genName)
+    pruneGens(spark, fs, rootPath, genName, prevGen)
+    gen.toString
+  }
+
   /** Train the codebook and write codebook + PQ + cell-partitioned corpus
     * + meta into a fresh generation dir, publish it via the atomic
     * pointer flip, and prune generations older than the one just
@@ -476,7 +531,11 @@ object IvfIndex {
         .localCheckpoint(true)
     val nTrain = if (stride <= 1) n else train.count()
     val step = math.max(n / K, 1L)
+    // unassignable rows (zero-norm / wrong-dim embeddings score null
+    // against every centroid → null cell) are excluded from training;
+    // the final cells write still carries them, under the null cell
     def recenter(assigned: DataFrame): DataFrame = assigned
+      .filter(col("cell").isNotNull)
       .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "v")))
       .groupBy("cell", "pos").agg(avg(col("v")).as("m"))
       .groupBy("cell")
@@ -665,11 +724,17 @@ object IvfIndex {
   /** Cells of the generation CHAIN rooted at `path`: a base generation
     * is one partitioned read; a delta head unions its ancestors' cells
     * (filters — including the partition-pruning `isin` below — push
-    * through the union into every per-generation scan). */
-  private def rawCells(spark: SparkSession, path: String): DataFrame =
+    * through the union into every per-generation scan). Meta-only
+    * re-key generations have no cells dir and are skipped; the base
+    * always has one (builds require a non-empty corpus). */
+  private def rawCells(spark: SparkSession, path: String): DataFrame = {
+    val hadoop = spark.sparkContext.hadoopConfiguration
     chain(spark, new Path(path))
-      .map(g => spark.read.parquet(new Path(g, "cells").toString))
+      .map(g => new Path(g, "cells"))
+      .filter(c => c.getFileSystem(hadoop).exists(c))
+      .map(c => spark.read.parquet(c.toString))
       .reduce(_ unionByName _)
+  }
 
   /** The full cell-partitioned corpus with `cell` normalized to int —
     * for whole-index consumers (compaction, re-training, audits). Probe

@@ -40,7 +40,11 @@ object Mixture {
       .foldLeft(lit(0)) { case (acc, (s, q)) =>
         when(col(stratumCol) === s, q).otherwise(acc)
       }
-    df.withColumn("rn", row_number().over(w))
+    // pre-filter to the listed strata: unlisted rows would otherwise be
+    // shuffled, sorted, and numbered by the window only to die on the
+    // quota-0 filter (the oracle's WHERE ... IN does the same)
+    df.filter(col(stratumCol).isin(allocations.keySet.toSeq: _*))
+      .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= quota)
   }
 

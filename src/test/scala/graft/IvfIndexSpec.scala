@@ -173,6 +173,83 @@ class IvfIndexSpec extends SparkSuite {
       "fallback must still index every row")
   }
 
+  test("identical-content republish re-keys the index with a META-ONLY " +
+    "generation — no retrain, no corpus rewrite") {
+    val root = tmpDir("graft_ivf_rekey")
+    val c1 = mkCorpus(64, 16)
+    SnapshotStore.commit(spark, root)(dir => c1.write.parquet(dir))
+    val g1 = IvfIndex.ensureForSnapshot(spark, root, embCol = "emb")
+    SnapshotStore.commit(spark, root)(dir => c1.write.parquet(dir))
+    val g2 = IvfIndex.advanceForSnapshot(spark, root, embCol = "emb")
+    assert(g2 !== g1)
+    assert(spark.read.parquet(s"$g2/meta").head().getAs[String]("parent")
+      === new org.apache.hadoop.fs.Path(g1).getName)
+    // meta-only: the re-key generation carries no cells of its own
+    val fs = new org.apache.hadoop.fs.Path(g2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(g2, "cells")))
+    assert(IvfIndex.cells(spark, g2).count() === 64)
+  }
+
+  test("re-handing an already-indexed batch trips the id-overlap guard " +
+    "and falls back to the content diff — no duplicate ids served") {
+    val root = tmpDir("graft_ivf_dupb")
+    SnapshotStore.commit(spark, root)(dir =>
+      mkCorpus(64, 16).write.parquet(dir))
+    IvfIndex.ensureForSnapshot(spark, root, embCol = "emb")
+    SnapshotStore.commit(spark, root)(dir =>
+      mkCorpus(96, 16).write.parquet(dir))
+    // wrong batch, right SIZE (32 rows): already-indexed ids 0..31 —
+    // the count identity passes, the overlap probe must catch it
+    val wrong = mkCorpus(96, 16).filter(col("vec_id") < 32)
+    val g2 = IvfIndex.advanceWithBatch(spark, root, wrong, embCol = "emb")
+    val cells = IvfIndex.cells(spark, g2).cache()
+    assert(cells.count() === 96, "fallback must index the true delta")
+    assert(cells.select("vec_id").distinct().count() === 96,
+      "no vec_id may be served twice")
+    cells.unpersist()
+  }
+
+  test("the compaction valve retrains once the chain hits maxChain") {
+    val root = tmpDir("graft_ivf_cap_chain")
+    val old = IvfIndex.maxChain
+    IvfIndex.maxChain = 2
+    try {
+      SnapshotStore.commit(spark, root)(dir =>
+        mkCorpus(64, 16).write.parquet(dir))
+      IvfIndex.ensureForSnapshot(spark, root, embCol = "emb")
+      SnapshotStore.commit(spark, root)(dir =>
+        mkCorpus(80, 16).write.parquet(dir))
+      val g2 = IvfIndex.advanceForSnapshot(spark, root, embCol = "emb")
+      assert(spark.read.parquet(s"$g2/meta").head()
+        .getAs[String]("parent") !== null, "second gen should chain")
+      SnapshotStore.commit(spark, root)(dir =>
+        mkCorpus(96, 16).write.parquet(dir))
+      val g3 = IvfIndex.advanceForSnapshot(spark, root, embCol = "emb")
+      assert(spark.read.parquet(s"$g3/meta").head()
+        .getAs[String]("parent") === null,
+        "chain at the cap must collapse via retrain")
+      assert(IvfIndex.cells(spark, g3).count() === 96)
+    } finally IvfIndex.maxChain = old
+  }
+
+  test("a zero-norm embedding cannot crash the build: trained around, " +
+    "carried in the cells under a null cell") {
+    val root = tmpDir("graft_ivf_zero")
+    val s = spark
+    import s.implicits._
+    val zero = Seq((999L, Seq.fill(16)(0.0))).toDF("vec_id", "emb")
+    val e0 = mkCorpus(64, 16).unionByName(zero)
+    val gen = IvfIndex.build(spark, e0, root, snap = None)
+    val cells = IvfIndex.cells(spark, gen).cache()
+    assert(cells.count() === 65)
+    assert(cells.filter(col("vec_id") === 999L).head().isNullAt(
+      cells.columns.indexOf("cell")))
+    assert(cells.filter(col("vec_id") =!= 999L && col("cell").isNull)
+      .count() === 0)
+    cells.unpersist()
+  }
+
   test("advanceForSnapshot retrains when the corpus churned (updates)") {
     val root = tmpDir("graft_ivf_churn")
     SnapshotStore.commit(spark, root)(dir =>
