@@ -204,6 +204,54 @@ object DedupExtQueries {
       graft.operators.SubstringDedup.pairs(documents(s, d))
         .orderBy("doc_a", "doc_b")),
 
+    // DD13: INCREMENTAL fuzzy near-dup — today's crawl batch
+    // (doc_id >= 400) LSH-probed against the persisted signature index
+    // of the seen-before history (doc_id < 400): the MinHash counterpart
+    // of dd8's exact bloom path, and the shape a daily ingest runs at
+    // 100 TB (O(batch) signatures + an equi-join against the index;
+    // history×history pairs never form, history text is never re-read).
+    // RECALL-GATED like dd4: every exact word-3-shingle Jaccard ≥ 0.9
+    // pair that TOUCHES the batch must appear among the incremental
+    // candidates; DuckDB reproduces the exact-pair side and asserts
+    // recalled = TRUE (9/10/7 such pairs at sf0.001/0.01/0.1 — verified
+    // non-vacuous at all three scales). The incremental ≡
+    // full-pairs-restricted identity is pinned in DedupLshSpec.
+    "dd13_incremental_neardup" -> ((s, d) => {
+      import graft.operators.MinHashLSH
+      val docs = documents(s, d)
+      val idx = MinHashLSH.cachedBandIndex(
+        docs.filter(col("doc_id") < 400), cacheKey = d + "#hist400")
+      val batchBands = MinHashLSH.bandRows(docs.filter(col("doc_id") >= 400))
+      val cands = MinHashLSH.incrementalPairs(batchBands, idx)
+        .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+      // exact truth in the signature's similarity space (dd4's gate),
+      // restricted to pairs with the higher id in the batch — with
+      // disjoint id ranges (history < 400 ≤ batch) that is exactly
+      // "touches the batch"
+      val sh = docs.filter(col("doc_id") < 1000)
+        .select(col("doc_id"),
+          split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")
+            .as("toks"))
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(1, greatest(size(toks) - 2, 1)), " +
+            "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))).as("g"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val common = sh.select(col("doc_id").as("doc_a"), col("g"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("g")), "g")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+      common
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")), "doc_b")
+        .filter(col("common") * 10 >= (col("sa") + col("sb") - col("common")) * 9)
+        .filter(col("doc_b") >= 400)
+        .join(cands.withColumn("hit", lit(true)), Seq("doc_a", "doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"), col("common"),
+          (col("sa") + col("sb") - col("common")).as("union_sz"),
+          coalesce(col("hit"), lit(false)).as("recalled"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // DD10: fuzzy entity resolution on the part-name dictionary. Exact
     // duplicates collapse FIRST (the dictionary saturates — 64 distinct
     // names at every scale factor — so this grouped count is the stage
@@ -229,6 +277,33 @@ object DedupExtQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "dd13_incremental_neardup" ->
+      """WITH toklists AS (
+        |  SELECT doc_id, string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents WHERE doc_id < 1000),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 2, 1) + 1),
+        |    i -> concat_ws(' ', toks[CAST(i AS INTEGER)],
+        |      toks[CAST(i AS INTEGER) + 1], toks[CAST(i AS INTEGER) + 2]))))
+        |    AS g
+        |  FROM toklists),
+        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+        |          FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(COUNT(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT c.doc_a, c.doc_b, c.common,
+        |  sa.sz + sb.sz - c.common AS union_sz, TRUE AS recalled
+        |FROM common c
+        |JOIN sizes sa ON sa.doc_id = c.doc_a
+        |JOIN sizes sb ON sb.doc_id = c.doc_b
+        |WHERE c.common * 10 >= (sa.sz + sb.sz - c.common) * 9
+        |  AND c.doc_b >= 400
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "tx6_winnow_fingerprint" ->
       """WITH g AS (
         |  SELECT doc_id, md5(substring(text, CAST(i AS INTEGER), 8)) AS h

@@ -62,6 +62,39 @@ class DedupLshSpec extends SparkSuite {
     }
   }
 
+  test("incremental LSH pairs equal full candidate pairs restricted to the batch") {
+    import graft.operators.MinHashLSH
+    val docs = graft.Tables.documents(spark, sf)
+    val history = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    // band collision is a per-pair property, so probing the batch against
+    // (history ∪ batch) bands must yield EXACTLY the full corpus pairs
+    // that touch the batch — same ids, same est_jaccard
+    val inc = MinHashLSH
+      .incrementalPairs(MinHashLSH.bandRows(batch), MinHashLSH.bandRows(history))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = MinHashLSH.candidatePairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = full.filter(p => p._1 >= 400 || p._2 >= 400)
+    assert(expected.nonEmpty, "restricted full-pairs scope must be non-vacuous")
+    assert(inc == expected,
+      s"missed=${(expected -- inc).take(5)} extra=${(inc -- expected).take(5)}")
+    // and no history-only pair leaks into the incremental output
+    assert(inc.forall(p => p._1 >= 400 || p._2 >= 400))
+  }
+
+  test("incremental probe plan has no nested-loop join and reuses the persisted index") {
+    val out = DedupExtQueries.queries("dd13_incremental_neardup")(spark, sf)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(5).mkString("\n"))
+    assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
+    // the history side must come from the persisted band index (a parquet
+    // scan of graft_lsh_bands), not a recompute over history text
+    assert(plan.contains("graft_lsh_bands"),
+      "history bands should be read from the persisted index:\n" +
+        plan.linesIterator.take(20).mkString("\n"))
+  }
+
   test("dd7 clusters collapse each planted duplicate into its original") {
     val out = DedupExtQueries.queries("dd7_neardup_clusters")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
