@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -158,76 +158,25 @@ object IvfIndex {
   }
 
   // ---------------------------------------------- generation resolution
+  // The pointer/meta/chain/prune machinery is the shared
+  // [[graft.store.GenLog]]; these wrappers pin this index's meta shape
+  // (tuple (n, fp, snap, parent)) and format version at the call sites.
+  import graft.store.GenLog
 
-  private def pointerPath(root: String): Path = new Path(root, PointerFile)
+  private def currentGen(fs: FileSystem, root: String): Option[Path] =
+    GenLog.currentGen(fs, root)
 
-  /** The live generation dir named by the pointer, if published and
-    * still on disk. */
-  private def currentGen(fs: FileSystem, root: String): Option[Path] = {
-    val ptr = pointerPath(root)
-    if (!fs.exists(ptr)) return None
-    val in = fs.open(ptr)
-    val name =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-      finally in.close()
-    if (name.isEmpty) None
-    else {
-      val gen = new Path(root, name)
-      if (fs.exists(new Path(gen, "meta"))) Some(gen) else None
-    }
-  }
-
-  /** Atomically point `_CURRENT` at `genName`: temp file +
-    * rename-with-overwrite (atomic on POSIX/HDFS; a single-object PUT on
-    * object stores) — the SnapshotStore publish pattern. */
   private def publishGen(spark: SparkSession, root: String,
-                         genName: String): Unit = {
-    val ptr = pointerPath(root)
-    val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(new Path(root))
-    val tmp = new Path(root,
-      s"$PointerFile.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, true)
-    try out.write(genName.getBytes("UTF-8")) finally out.close()
-    val fc = FileContext.getFileContext(ptr.toUri,
-      spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, ptr, Options.Rename.OVERWRITE)
-  }
+                         genName: String): Unit =
+    GenLog.publishGen(spark, root, genName)
 
-  /** Meta row of a generation as (n, fp, snap, parent) plus whether the
-    * format matches. Column-presence guards, not just the version value:
-    * an index written by an OLDER build lacks the newer meta columns
-    * entirely, and that must read as "stale — rebuild", never error. */
   private def readMeta(spark: SparkSession, gen: Path)
-      : Option[(Long, Long, Option[String], Option[String])] = {
-    val meta = spark.read.parquet(new Path(gen, "meta").toString)
-    val row = meta.head()
-    val fmtOk = meta.columns.contains("fmt") && meta.columns.contains("fp") &&
-      meta.columns.contains("snap") && meta.columns.contains("parent") &&
-      row.getAs[Int]("fmt") == FormatVersion
-    if (!fmtOk) None
-    else Some((row.getAs[Long]("n"), row.getAs[Long]("fp"),
-      Option(row.getAs[String]("snap")),
-      Option(row.getAs[String]("parent"))))
-  }
+      : Option[(Long, Long, Option[String], Option[String])] =
+    GenLog.readMeta(spark, gen, FormatVersion)
+      .map(m => (m.n, m.fp, m.snap, m.parent))
 
-  /** The generation chain from `gen` (a delta head or a base) back to
-    * its base, head first. Bounded: a broken/cyclic parent link fails
-    * loudly rather than looping. */
-  private def chain(spark: SparkSession, gen: Path): Seq[Path] = {
-    val buf = scala.collection.mutable.ListBuffer[Path](gen)
-    var cur = gen
-    var guard = 0
-    while (guard < 1000) {
-      readMeta(spark, cur).flatMap(_._4) match {
-        case Some(p) =>
-          cur = new Path(cur.getParent, p); buf += cur; guard += 1
-        case None => return buf.toList
-      }
-    }
-    throw new IllegalStateException(
-      s"IvfIndex: generation chain under ${gen.getParent} too long or cyclic")
-  }
+  private def chain(spark: SparkSession, gen: Path): Seq[Path] =
+    GenLog.chain(spark, gen, FormatVersion)
 
   // ------------------------------------------------------------- ensure
 
@@ -476,10 +425,8 @@ object IvfIndex {
     spark.read.parquet(new Path(head, "pq").toString)
       .repartition(1).write.parquet(new Path(gen, "pq").toString)
     val fpB = if (snap.isDefined) 0L else fingerprint(batch)
-    import spark.implicits._
-    Seq((n0 + nb, FormatVersion, fp0 + fpB, snap.orNull, head.getName))
-      .toDF("n", "fmt", "fp", "snap", "parent")
-      .repartition(1).write.parquet(new Path(gen, "meta").toString)
+    GenLog.writeMeta(spark, gen,
+      GenLog.Meta(n0 + nb, FormatVersion, fp0 + fpB, snap, Some(head.getName)))
     publishGen(spark, root, genName)
     pruneGens(spark, fs, rootPath, genName, prevGen)
     gen.toString
@@ -501,10 +448,8 @@ object IvfIndex {
       .repartition(1).write.parquet(new Path(gen, "codebook").toString)
     spark.read.parquet(new Path(head, "pq").toString)
       .repartition(1).write.parquet(new Path(gen, "pq").toString)
-    import spark.implicits._
-    Seq((n0, FormatVersion, fp0, snap.orNull, head.getName))
-      .toDF("n", "fmt", "fp", "snap", "parent")
-      .repartition(1).write.parquet(new Path(gen, "meta").toString)
+    GenLog.writeMeta(spark, gen,
+      GenLog.Meta(n0, FormatVersion, fp0, snap, Some(head.getName)))
     publishGen(spark, root, genName)
     pruneGens(spark, fs, rootPath, genName, prevGen)
     gen.toString
@@ -650,36 +595,16 @@ object IvfIndex {
     // snapshot name IS the staleness key and a full-corpus scan here
     // would defeat the point of snapshot-keyed validation
     val fp = if (snap.isDefined) 0L else fingerprint(e0)
-    import spark.implicits._
-    Seq((n, FormatVersion, fp, snap.orNull, null: String))
-      .toDF("n", "fmt", "fp", "snap", "parent")
-      .repartition(1).write.parquet(new Path(gen, "meta").toString)
+    GenLog.writeMeta(spark, gen,
+      GenLog.Meta(n, FormatVersion, fp, snap, None))
     publishGen(spark, root, genName)
     pruneGens(spark, fs, rootPath, genName, prevGen)
     gen.toString
   }
 
-  /** Collect generations the just-published head supersedes: keep the
-    * new head's full parent CHAIN (delta generations read their
-    * ancestors' cells) plus the previous pointer target's chain
-    * (readers in flight across the flip), drop the rest — including any
-    * pre-format-4 flat layout's stray dirs, which are never named by a
-    * pointer. */
   private def pruneGens(spark: SparkSession, fs: FileSystem, rootPath: Path,
-                        genName: String, prevGen: Option[String]): Unit = {
-    val keep = scala.collection.mutable.Set.empty[String]
-    def keepChain(name: String): Unit = {
-      val p = new Path(rootPath, name)
-      if (fs.exists(new Path(p, "meta")))
-        chain(spark, p).foreach(g => keep += g.getName)
-      else keep += name
-    }
-    keepChain(genName)
-    prevGen.foreach(keepChain)
-    fs.listStatus(rootPath).filter(_.isDirectory)
-      .map(_.getPath).filterNot(p => keep(p.getName))
-      .foreach(p => fs.delete(p, true))
-  }
+                        genName: String, prevGen: Option[String]): Unit =
+    GenLog.pruneGens(spark, fs, rootPath, genName, prevGen, FormatVersion)
 
   /** Per-vector nearest-cell assignment `(vec_id, emb, cell)` — the
     * Lloyd-iteration inner step and the final cell materialization. The

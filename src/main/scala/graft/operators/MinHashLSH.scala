@@ -114,7 +114,7 @@ object MinHashLSH {
     * signature computes plus an equi-join of the batch's bands against
     * `historyBands` on (band_id, band_hash): history×history pairs are
     * NEVER formed (the batch side is on every joined row), and when
-    * `historyBands` is the persisted index (see [[cachedBandIndex]])
+    * `historyBands` is the persisted index (see [[LshBandIndex]])
     * history text is never re-read — each day's probe costs the batch,
     * not the corpus. Because band collision is a per-PAIR property (two
     * docs collide iff their own band hashes match), the result is
@@ -144,28 +144,6 @@ object MinHashLSH {
         greatest(col("src"), col("dst")).as("dst"),
         expr("graft_sig_agreement(sig_a, sig_b)").as("est_jaccard"))
       .distinct()
-  }
-
-  private val bandIndexCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), String]
-
-  /** [[bandRows]] of `docs`, written ONCE per (JVM, cacheKey) to a tmp
-    * parquet dir and re-read thereafter — the persisted signature index
-    * an incremental pipeline maintains alongside its corpus, standing in
-    * for the index a production run would store next to its snapshots.
-    * Probing reads (band_id, band_hash, sig) rows only; the indexed
-    * documents' text is never touched again. */
-  def cachedBandIndex(docs: DataFrame, cacheKey: String,
-                      numPerms: Int = 16, bands: Int = 4): DataFrame = {
-    val spark = docs.sparkSession
-    val path = bandIndexCache.getOrElseUpdate((cacheKey, numPerms, bands), {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_lsh_bands").toString
-      bandRows(docs, numPerms = numPerms, bands = bands)
-        .write.mode("overwrite").parquet(dir)
-      dir
-    })
-    spark.read.parquet(path)
   }
 
   private val pairsCache =

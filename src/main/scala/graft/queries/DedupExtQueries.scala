@@ -217,10 +217,13 @@ object DedupExtQueries {
     // non-vacuous at all three scales). The incremental ≡
     // full-pairs-restricted identity is pinned in DedupLshSpec.
     "dd13_incremental_neardup" -> ((s, d) => {
-      import graft.operators.MinHashLSH
+      import graft.operators.{LshBandIndex, MinHashLSH}
       val docs = documents(s, d)
-      val idx = MinHashLSH.cachedBandIndex(
-        docs.filter(col("doc_id") < 400), cacheKey = d + "#hist400")
+      // the history index is a MANAGED artifact (generation log, atomic
+      // pointer publish, snapshot-keyable, O(batch) advance) — built at
+      // most once per corpus, then a pure parquet read
+      val idx = LshBandIndex.bandsOf(s, LshBandIndex.ensure(
+        s, docs.filter(col("doc_id") < 400), key = d + "#hist400"))
       val batchBands = MinHashLSH.bandRows(docs.filter(col("doc_id") >= 400))
       val cands = MinHashLSH.incrementalPairs(batchBands, idx)
         .select(col("src").as("doc_a"), col("dst").as("doc_b"))

@@ -1,0 +1,137 @@
+package graft.store
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Generation-log primitives shared by the persisted index artifacts
+  * ([[graft.operators.IvfIndex]], [[graft.operators.LshBandIndex]]):
+  * a root directory holds immutable `gen-<uuid8>/` generation dirs and
+  * ONE tiny `_CURRENT` pointer file naming the live generation —
+  * [[SnapshotStore]]'s pointer-publish pattern applied to derived
+  * artifacts that live beside a corpus rather than to tables.
+  *
+  * Generations may chain: a DELTA generation records its `parent` in
+  * meta and readers union the chain (LSM-style append without rewriting
+  * the base — the FAISS add-after-train shape for indexes). Every
+  * generation carries one meta row:
+  * {{{ (n, fmt, fp, snap, parent) }}}
+  * `n` = logical row count covered by the chain up to this generation,
+  * `fmt` = the owner's on-disk format version (an older build's layout
+  * must read as "stale — rebuild", never error), `fp` = order-insensitive
+  * additive content fingerprint (0 for snapshot-keyed artifacts),
+  * `snap` = the SnapshotStore snapshot name this generation indexes
+  * (None for bare-path corpora), `parent` = delta chain link.
+  *
+  * Publish protocol (atomicity argument at [[publishGen]]): write the
+  * complete generation dir — invisible, nothing names it — then flip the
+  * pointer via temp-file + rename-with-overwrite. Readers that resolved
+  * the previous generation keep a live immutable dir; [[pruneGens]]
+  * retains the superseded chain for one build cycle.
+  */
+object GenLog {
+  val PointerFile = "_CURRENT"
+
+  final case class Meta(n: Long, fmt: Int, fp: Long,
+                        snap: Option[String], parent: Option[String])
+
+  def pointerPath(root: String): Path = new Path(root, PointerFile)
+
+  def newGenName(): String =
+    s"gen-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** The live generation dir named by the pointer, if published and
+    * still on disk (meta dir present). */
+  def currentGen(fs: FileSystem, root: String): Option[Path] = {
+    val ptr = pointerPath(root)
+    if (!fs.exists(ptr)) return None
+    val in = fs.open(ptr)
+    val name =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    if (name.isEmpty) None
+    else {
+      val gen = new Path(root, name)
+      if (fs.exists(new Path(gen, "meta"))) Some(gen) else None
+    }
+  }
+
+  /** Atomically point `_CURRENT` at `genName`: temp file +
+    * rename-with-overwrite (atomic on POSIX/HDFS; a single-object PUT on
+    * object stores) — the SnapshotStore publish pattern. */
+  def publishGen(spark: SparkSession, root: String, genName: String): Unit = {
+    val ptr = pointerPath(root)
+    val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(root))
+    val tmp = new Path(root,
+      s"$PointerFile.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(genName.getBytes("UTF-8")) finally out.close()
+    val fc = FileContext.getFileContext(ptr.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, ptr, Options.Rename.OVERWRITE)
+  }
+
+  /** Meta row of a generation, or None when the format doesn't match
+    * `expectFmt`. Column-presence guards, not just the version value:
+    * an index written by an OLDER build lacks the newer meta columns
+    * entirely, and that must read as "stale — rebuild", never error. */
+  def readMeta(spark: SparkSession, gen: Path, expectFmt: Int): Option[Meta] = {
+    val meta = spark.read.parquet(new Path(gen, "meta").toString)
+    val row = meta.head()
+    val fmtOk = meta.columns.contains("fmt") && meta.columns.contains("fp") &&
+      meta.columns.contains("snap") && meta.columns.contains("parent") &&
+      row.getAs[Int]("fmt") == expectFmt
+    if (!fmtOk) None
+    else Some(Meta(row.getAs[Long]("n"), row.getAs[Int]("fmt"),
+      row.getAs[Long]("fp"), Option(row.getAs[String]("snap")),
+      Option(row.getAs[String]("parent"))))
+  }
+
+  /** Write the single meta row of a generation. */
+  def writeMeta(spark: SparkSession, gen: Path, meta: Meta): Unit = {
+    import spark.implicits._
+    Seq((meta.n, meta.fmt, meta.fp, meta.snap.orNull, meta.parent.orNull))
+      .toDF("n", "fmt", "fp", "snap", "parent")
+      .repartition(1).write.parquet(new Path(gen, "meta").toString)
+  }
+
+  /** The generation chain from `gen` (a delta head or a base) back to
+    * its base, head first. Bounded: a broken/cyclic parent link fails
+    * loudly rather than looping. */
+  def chain(spark: SparkSession, gen: Path, expectFmt: Int): Seq[Path] = {
+    val buf = scala.collection.mutable.ListBuffer[Path](gen)
+    var cur = gen
+    var guard = 0
+    while (guard < 1000) {
+      readMeta(spark, cur, expectFmt).flatMap(_.parent) match {
+        case Some(p) =>
+          cur = new Path(cur.getParent, p); buf += cur; guard += 1
+        case None => return buf.toList
+      }
+    }
+    throw new IllegalStateException(
+      s"GenLog: generation chain under ${gen.getParent} too long or cyclic")
+  }
+
+  /** Collect generations the just-published head supersedes: keep the
+    * new head's full parent CHAIN (delta generations read their
+    * ancestors' data) plus the previous pointer target's chain (readers
+    * in flight across the flip), drop the rest — including any legacy
+    * flat layout's stray dirs, which are never named by a pointer. */
+  def pruneGens(spark: SparkSession, fs: FileSystem, rootPath: Path,
+                genName: String, prevGen: Option[String],
+                expectFmt: Int): Unit = {
+    val keep = scala.collection.mutable.Set.empty[String]
+    def keepChain(name: String): Unit = {
+      val p = new Path(rootPath, name)
+      if (fs.exists(new Path(p, "meta")))
+        chain(spark, p, expectFmt).foreach(g => keep += g.getName)
+      else keep += name
+    }
+    keepChain(genName)
+    prevGen.foreach(keepChain)
+    fs.listStatus(rootPath).filter(_.isDirectory)
+      .map(_.getPath).filterNot(p => keep(p.getName))
+      .foreach(p => fs.delete(p, true))
+  }
+}

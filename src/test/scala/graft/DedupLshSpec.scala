@@ -89,8 +89,8 @@ class DedupLshSpec extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(5).mkString("\n"))
     assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
     // the history side must come from the persisted band index (a parquet
-    // scan of graft_lsh_bands), not a recompute over history text
-    assert(plan.contains("graft_lsh_bands"),
+    // scan under the LshBandIndex root), not a recompute over history text
+    assert(plan.contains("graft_lsh_index"),
       "history bands should be read from the persisted index:\n" +
         plan.linesIterator.take(20).mkString("\n"))
   }
