@@ -191,10 +191,73 @@ object SamplingQueries {
       documents(s, d).select(col("doc_id"),
         pmod(expr("conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10)")
           .cast("long"), lit(5L)).cast("int").as("fold"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // CP3: quality-ranked token-budget selection — "keep the best 40%
+    // of the corpus's tokens": rank by the tx3 quality score, admit
+    // greedily until the budget is spent. The running sum is the
+    // distributed two-phase prefix sum (operators.BudgetSelect:
+    // score-bucketed partial windows + ≤64 broadcast bucket offsets),
+    // NEVER a single-partition global window; the oracle is the plain
+    // one-window spelling — two-phase must equal it exactly.
+    "cp3_token_budget" -> ((s, d) => {
+      val docs = documents(s, d)
+        .withColumn("n_tokens",
+          size(split(trim(col("text")), "\\s+")).cast("long"))
+        .withColumn("q_score",
+          round(least(lit(1.0), col("n_tokens") / lit(50.0)) * 0.5 +
+            when(col("n_chars").between(100, 5000), 0.5).otherwise(0.25), 6))
+      val total = docs.agg(sum("n_tokens")).head().getLong(0)
+      graft.operators.BudgetSelect
+        .greedy(docs, "doc_id", "q_score", "n_tokens",
+          budget = lit(total * 2 / 5))
+        .filter(col("admitted"))
+        .select(col("doc_id"), col("n_tokens"), col("q_score"),
+          col("cum_n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // SM8: deterministic weighted interleave — the training-epoch ORDER
+    // for a multi-source mixture (en 4 : zh 2 : es 2 : de 1 : fr 1 per
+    // 10-slot cycle): per-source content-hash shuffle, exact-integer
+    // round-robin positions, one range-exchange output sort. Per-source
+    // rank is the bucketed two-phase shape (operators.Interleave), not a
+    // one-task-per-source window.
+    "sm8_interleave" -> ((s, d) =>
+      graft.operators.Interleave.weightedOrder(documents(s, d),
+          "lang", "doc_id",
+          Map("en" -> 4, "zh" -> 2, "es" -> 2, "de" -> 1, "fr" -> 1))
+        .select(col("pos"), col("lang"), col("doc_id"), col("rn"))
+        .orderBy("pos", "lang", "doc_id"))
   )
 
   val oracle: Map[String, String] = Map(
+    "cp3_token_budget" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    ROUND(LEAST(1.0, len(string_split_regex(TRIM(text), '\s+')) / 50.0) * 0.5
+        |      + CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 0.5 ELSE 0.25 END, 6)
+        |      AS q_score
+        |  FROM documents),
+        |b AS (SELECT (CAST(SUM(n_tokens) AS BIGINT) * 2) // 5 AS budget FROM docs),
+        |c AS (SELECT doc_id, n_tokens, q_score,
+        |        SUM(n_tokens) OVER (ORDER BY q_score DESC, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n_tokens
+        |      FROM docs)
+        |SELECT doc_id, n_tokens, q_score, CAST(cum_n_tokens AS BIGINT) AS cum_n_tokens
+        |FROM c, b WHERE cum_n_tokens - n_tokens < budget
+        |ORDER BY doc_id""".stripMargin,
+    "sm8_interleave" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn
+        |  FROM documents WHERE lang IN ('en', 'zh', 'es', 'de', 'fr'))
+        |SELECT CAST(rn AS BIGINT) * CASE lang WHEN 'en' THEN 1
+        |    WHEN 'zh' THEN 2 WHEN 'es' THEN 2 ELSE 4 END AS pos,
+        |  lang, doc_id, rn
+        |FROM r ORDER BY pos, lang, doc_id""".stripMargin,
     // the v8_kmeans CTE chain (seed → assign → decimal-exact recenter
     // → reassign) feeding the sm3 per-group sampling idiom
     "sm6_cluster_balanced" ->
