@@ -205,6 +205,20 @@ object LshBandIndex {
       gen
     }
 
+  /** The live generation path under `key`, if any — resolved from disk
+    * (pointer + meta), no staleness check: callers that OWN all writes
+    * to the index (a streaming ingest advancing it per micro-batch) use
+    * this to probe the exact state they last published. */
+  def currentGenPath(spark: org.apache.spark.sql.SparkSession,
+                     key: String): Option[String] = {
+    val root = indexPath(key)
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    GenLog.currentGen(fs, root)
+      .filter(g => GenLog.readMeta(spark, g, FormatVersion).isDefined)
+      .map(_.toString)
+  }
+
   /** Band rows of the generation CHAIN rooted at `genPath` — what a
     * probe joins against ([[MinHashLSH.incrementalPairs]]'s history side). Filters push through the union into every
     * per-generation parquet scan. */

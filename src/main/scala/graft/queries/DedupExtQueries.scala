@@ -60,6 +60,39 @@ object DedupExtQueries {
       .filter(col("cs") >= 0.95)
   }
 
+  /** The dd13/s17 recall gate: exact word-3-shingle Jaccard ≥ 0.9 pairs
+    * over `docs` (ids < 1000) whose higher id sits in the ingest batch
+    * (doc_id ≥ 400 — with disjoint id ranges that is exactly "touches
+    * the batch"), each flagged `recalled` iff it appears in `cands`
+    * (`(doc_a, doc_b)` with doc_a < doc_b). The oracle recomputes the
+    * exact side in DuckDB and asserts recalled = TRUE throughout, so any
+    * candidate-generation miss fails the hash compare. */
+  private[queries] def batchRecallFrame(docs: DataFrame,
+                                        cands: DataFrame): DataFrame = {
+    val sh = docs.filter(col("doc_id") < 1000)
+      .select(col("doc_id"),
+        split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")
+          .as("toks"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, greatest(size(toks) - 2, 1)), " +
+          "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))).as("g"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = sh.select(col("doc_id").as("doc_a"), col("g"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("g")), "g")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")), "doc_b")
+      .filter(col("common") * 10 >= (col("sa") + col("sb") - col("common")) * 9)
+      .filter(col("doc_b") >= 400)
+      .join(cands.withColumn("hit", lit(true)), Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        (col("sa") + col("sb") - col("common")).as("union_sz"),
+        coalesce(col("hit"), lit(false)).as("recalled"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
     // incremental dedup of a new crawl batch (doc_id >= 400) against the
     // seen-before history (doc_id < 400): bloom prefilter routes
@@ -227,32 +260,7 @@ object DedupExtQueries {
       val batchBands = MinHashLSH.bandRows(docs.filter(col("doc_id") >= 400))
       val cands = MinHashLSH.incrementalPairs(batchBands, idx)
         .select(col("src").as("doc_a"), col("dst").as("doc_b"))
-      // exact truth in the signature's similarity space (dd4's gate),
-      // restricted to pairs with the higher id in the batch — with
-      // disjoint id ranges (history < 400 ≤ batch) that is exactly
-      // "touches the batch"
-      val sh = docs.filter(col("doc_id") < 1000)
-        .select(col("doc_id"),
-          split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")
-            .as("toks"))
-        .select(col("doc_id"), explode(array_distinct(expr(
-          "transform(sequence(1, greatest(size(toks) - 2, 1)), " +
-            "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))).as("g"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val common = sh.select(col("doc_id").as("doc_a"), col("g"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("g")), "g")
-        .filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-      common
-        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")), "doc_b")
-        .filter(col("common") * 10 >= (col("sa") + col("sb") - col("common")) * 9)
-        .filter(col("doc_b") >= 400)
-        .join(cands.withColumn("hit", lit(true)), Seq("doc_a", "doc_b"), "left")
-        .select(col("doc_a"), col("doc_b"), col("common"),
-          (col("sa") + col("sb") - col("common")).as("union_sz"),
-          coalesce(col("hit"), lit(false)).as("recalled"))
-        .orderBy("doc_a", "doc_b")
+      batchRecallFrame(docs, cands)
     }),
 
     // DD10: fuzzy entity resolution on the part-name dictionary. Exact

@@ -217,6 +217,33 @@ object SamplingQueries {
         .orderBy("doc_id")
     }),
 
+    // CP4: deterministic training-shard bin packing — assign each doc
+    // to the shard where the running token count (over the content-hash
+    // order) crosses its 2000-token capacity: shards come out
+    // near-uniform in tokens, assignment is a pure function of the
+    // corpus (reproducible across runs/engines/partitionings), and a
+    // shard's members are contiguous in hash order so the export writer
+    // can emit shard files with one range-partitioned pass. Same
+    // two-phase prefix sum as cp3 — never a single-partition window.
+    "cp4_shard_pack" -> ((s, d) => {
+      val docs = documents(s, d)
+        .withColumn("n_tokens",
+          size(split(trim(col("text")), "\\s+")).cast("long"))
+        // 48-bit md5 prefix: exact in double, so the bucketing phase
+        // can't mis-order what the window then orders exactly
+        .withColumn("hscore",
+          -expr("conv(substring(md5(cast(doc_id as string)), 1, 12), 16, 10)")
+            .cast("long").cast("double"))
+      graft.operators.BudgetSelect
+        .greedy(docs, "doc_id", "hscore", "n_tokens",
+          budget = lit(Long.MaxValue))
+        .withColumn("shard_id",
+          floor((col("cum_n_tokens") - col("n_tokens")) / lit(2000L))
+            .cast("int"))
+        .select(col("doc_id"), col("n_tokens"), col("shard_id"))
+        .orderBy("doc_id")
+    }),
+
     // SM8: deterministic weighted interleave — the training-epoch ORDER
     // for a multi-source mixture (en 4 : zh 2 : es 2 : de 1 : fr 1 per
     // 10-slot cycle): per-source content-hash shuffle, exact-integer
@@ -248,6 +275,20 @@ object SamplingQueries {
         |SELECT doc_id, n_tokens, q_score, CAST(cum_n_tokens AS BIGINT) AS cum_n_tokens
         |FROM c, b WHERE cum_n_tokens - n_tokens < budget
         |ORDER BY doc_id""".stripMargin,
+    "cp4_shard_pack" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+        |      AS hnum
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        SUM(n_tokens) OVER (ORDER BY hnum, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM docs)
+        |SELECT doc_id, n_tokens,
+        |  CAST((CAST(cum AS BIGINT) - n_tokens) // 2000 AS INTEGER) AS shard_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     "sm8_interleave" ->
       """WITH r AS (
         |  SELECT lang, doc_id,

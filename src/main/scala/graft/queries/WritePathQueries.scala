@@ -663,8 +663,54 @@ object WritePathQueries {
         col("price_imputed"), col("coordinates_imputed"),
         col("gold_version"))
         .orderBy(col("project_id").cast("long"))
+    }),
+
+    // S17: the LSH band index's FULL managed lifecycle through the
+    // driver gate — documents committed to a SnapshotStore, the index
+    // built snapshot-keyed (ensureForSnapshot), the corpus grown by a
+    // store commit and the index advanced with the caller's batch
+    // (O(batch) delta generation, snapshot re-keyed) — then today's
+    // ingest (doc_id ≥ 400) probed against the CHAINED index. Output is
+    // the dd13 recall frame over the same id split, so the oracle (the
+    // identical exact-shingle SQL) proves the advance path loses no
+    // candidate the from-scratch index would have found.
+    "s17_lsh_index_advance" -> ((s, d) => {
+      import graft.operators.{LshBandIndex, MinHashLSH}
+      val docs = graft.Tables.documents(s, d)
+      val gen = runLshIndexScenario(s, d)
+      val batchBands = MinHashLSH.bandRows(docs.filter(col("doc_id") >= 400))
+      val cands = MinHashLSH
+        .incrementalPairs(batchBands, LshBandIndex.bandsOf(s, gen))
+        .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+      DedupExtQueries.batchRecallFrame(docs, cands)
     })
   )
+
+  /** Build the snapshot-keyed LSH index scenario once per (JVM, sfDir):
+    * history (doc_id < 300) committed + indexed, then growth to
+    * doc_id < 400 committed and the index advanced with that batch —
+    * returns the advanced generation path (a delta CHAINED to the base:
+    * the probe in s17 reads base + delta). Cached like the other gate
+    * scenarios (sequential execution assumption documented at
+    * [[runFlatScenario]]). */
+  private val lshIndexScenarioCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def runLshIndexScenario(s: SparkSession, d: String): String =
+    lshIndexScenarioCache.getOrElseUpdate(d, {
+      import graft.operators.LshBandIndex
+      val root = tmp("graft_gate_lshidx")
+      val docs = graft.Tables.documents(s, d)
+      SnapshotStore.commit(s, root)(dir =>
+        docs.filter(col("doc_id") < 300).write.parquet(dir))
+      val g1 = LshBandIndex.ensureForSnapshot(s, root)
+      val snap2 = SnapshotStore.commit(s, root)(dir =>
+        docs.filter(col("doc_id") < 400).write.parquet(dir))
+      val g2 = LshBandIndex.advanceWithBatch(s, s"store:$root",
+        docs.filter(col("doc_id") >= 300 && col("doc_id") < 400),
+        snap = Some(snap2))
+      require(g2 != g1, "advance must publish a new generation")
+      g2
+    })
 
   /** Shared expected-SCD2-table CTE: what the 2-day merge must produce. */
   private val ScdOracleCte: String =
@@ -699,6 +745,36 @@ object WritePathQueries {
       |ORDER BY CAST(universal_id AS BIGINT), is_current""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // identical to dd13's oracle: same id split (history < 400 ≤ batch),
+    // same exact-shingle truth — only the candidate construction differs
+    // (store-committed, snapshot-keyed, advance-chained index)
+    "s17_lsh_index_advance" ->
+      """WITH toklists AS (
+        |  SELECT doc_id, string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents WHERE doc_id < 1000),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 2, 1) + 1),
+        |    i -> concat_ws(' ', toks[CAST(i AS INTEGER)],
+        |      toks[CAST(i AS INTEGER) + 1], toks[CAST(i AS INTEGER) + 2]))))
+        |    AS g
+        |  FROM toklists),
+        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+        |          FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(COUNT(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT c.doc_a, c.doc_b, c.common,
+        |  sa.sz + sb.sz - c.common AS union_sz, TRUE AS recalled
+        |FROM common c
+        |JOIN sizes sa ON sa.doc_id = c.doc_a
+        |JOIN sizes sb ON sb.doc_id = c.doc_b
+        |WHERE c.common * 10 >= (sa.sz + sb.sz - c.common) * 9
+        |  AND c.doc_b >= 400
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "s4_first_load" ->
       """WITH cust AS (
         |  SELECT c_custkey AS ck, c_name, c_mktsegment,

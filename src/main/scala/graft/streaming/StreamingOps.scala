@@ -225,6 +225,50 @@ object StreamingOps {
 
   // ---- streaming near-duplicate detection ---------------------------------
 
+  /** Streaming incremental near-dup over the PERSISTED band index
+    * ([[graft.operators.LshBandIndex]]) — the durable twin of
+    * [[NearDupProcessor]]'s in-state-store variant, and the shape a
+    * production crawl ingest runs: each micro-batch is (1) probed
+    * against the index-so-far ([[graft.operators.MinHashLSH
+    * .incrementalPairs]]: candidates touching the batch only, history
+    * text never re-read), its pairs written under
+    * `outDir/batch_id=<id>/`, then (2) advanced INTO the index as a
+    * batch-sized delta generation. Per-batch cost is O(batch) signature
+    * work + the banded equi-join — corpus-size-independent.
+    *
+    * Crash/redelivery is idempotent end-to-end without a transactional
+    * sink: the pairs dir for a batch id is OVERWRITTEN (a re-run
+    * replaces, never appends), and re-advancing the same documents trips
+    * the index's id-overlap guard, which REPLACES their bands rather
+    * than duplicating them. The first non-empty batch bootstraps the
+    * index (its within-batch pairs still emit — probed against an empty
+    * history). */
+  def nearDupIndexedStream(docs: DataFrame, indexKey: String, outDir: String,
+                           idCol: String = "doc_id",
+                           textCol: String = "text")
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.{LshBandIndex, MinHashLSH}
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val b = batch.select(col(idCol), col(textCol)).localCheckpoint(true)
+          val batchBands = MinHashLSH.bandRows(b, idCol, textCol)
+          val hist = LshBandIndex.currentGenPath(spark, indexKey)
+            .map(g => LshBandIndex.bandsOf(spark, g))
+            .getOrElse(batchBands.limit(0))
+          MinHashLSH.incrementalPairs(batchBands, hist)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+          if (LshBandIndex.currentGenPath(spark, indexKey).isDefined)
+            LshBandIndex.advanceWithBatch(spark, indexKey, b, idCol, textCol)
+          else
+            LshBandIndex.ensure(spark, b, indexKey, idCol, textCol)
+          ()
+        }
+      }
+  }
+
   final case class BandedSig(band_key: Long, doc_id: Long, sig: Seq[Long])
   final case class SigEntry(doc_id: Long, sig: Seq[Long], ingest_ms: Long)
   final case class NearDupHit(doc_id: Long, matched_id: Long, est_jaccard: Double)

@@ -539,6 +539,65 @@ class StreamingSpec extends SparkSuite {
       }
     }
   }
+
+  test("indexed streaming near-dup: probe-then-advance per batch equals " +
+    "the batch incremental identity; redelivery is idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{LshBandIndex, MinHashLSH}
+    val mem = MemoryStream[(Long, String)]
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft_nd_idx_out").toString
+    val key = s"stream_ndidx_${System.nanoTime()}"
+    def doc(i: Long, extra: String) =
+      (i, "the quick brown fox jumps over the lazy dog and runs into the " +
+        s"deep forest $extra")
+    val q = StreamingOps.nearDupIndexedStream(
+        mem.toDF().toDF("doc_id", "text"), key, outDir)
+      .start()
+    try {
+      // batch 0: two docs, one pair of near-dups within the batch
+      val b0 = Seq(doc(1L, "alpha"), doc(2L, "alpha"),
+        (3L, "entirely different text about catalyst optimizer rules and " +
+          "physical plans and codegen stages"))
+      mem.addData(b0: _*)
+      q.processAllAvailable()
+      val p0 = spark.read.parquet(outDir).select("src", "dst")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(p0 === Set((1L, 2L)),
+        s"bootstrap batch must emit its within-batch pairs, got $p0")
+      assert(spark.read.parquet(
+        s"${LshBandIndex.currentGenPath(spark, key).get}/meta")
+        .head().getAs[Long]("n") === 3L, "index must cover batch 0")
+      // batch 1: a near-dup of doc 1 (cross-batch, via the INDEX —
+      // doc 1's text is not in this batch) and a fresh unrelated doc
+      mem.addData(doc(10L, "alpha"),
+        (11L, "unrelated content regarding bronze silver gold medallion " +
+          "layers and snapshot pointer commits"))
+      q.processAllAvailable()
+      val p1 = spark.read.parquet(outDir).select("src", "dst")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(p1 === Set((1L, 2L), (1L, 10L), (2L, 10L)),
+        s"cross-batch pairs must surface via the persisted index, got $p1")
+      // the batch identity: the streamed union equals full
+      // candidatePairs over everything ingested (the dd13/DedupLshSpec
+      // identity, held cumulatively across the stream)
+      val all = (b0 ++ Seq(doc(10L, "alpha"),
+        (11L, "unrelated content regarding bronze silver gold medallion " +
+          "layers and snapshot pointer commits"))).toDF("doc_id", "text")
+      val full = MinHashLSH.candidatePairs(all)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(p1 === full, "streamed pairs must equal the batch candidates")
+      // redelivery: advancing the same docs again replaces, never
+      // duplicates — the index cardinality is unchanged
+      LshBandIndex.advanceWithBatch(spark, key,
+        Seq(doc(10L, "alpha")).toDF("doc_id", "text"))
+      assert(spark.read.parquet(
+        s"${LshBandIndex.currentGenPath(spark, key).get}/meta")
+        .head().getAs[Long]("n") === 5L,
+        "re-advancing an indexed batch must not grow the index")
+    } finally q.stop()
+  }
 }
 
 object StreamingSpec {
