@@ -365,7 +365,6 @@ object AnalyticQueries {
       val ep = 0.01
       val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
       val o = orders(s, d).select(col("o_totalprice").as("price"))
-      val n = o.count()
       val est = graft.operators.QuantileSketch
         .quantiles(o, "price", ep, qs).collect()
         .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
@@ -376,19 +375,22 @@ object AnalyticQueries {
       // .otherwise(0L): a conditional sum with zero matching rows is
       // NULL, and lo CAN be zero (v̂ == min when the minimum carries
       // ≥ q of the mass) — getLong on NULL would NPE the gate.
+      // Count, rank bounds, and exact percentiles all reduce the same
+      // frame, so they share ONE aggregation pass: the sketch's
+      // mapPartitions is then the only other full read (was 4 passes).
       val rankCols =
         qs.map(q => sum(when(col("price") < est(q), 1L).otherwise(0L))
           .as(s"lo$q")) ++
           qs.map(q => sum(when(col("price") <= est(q), 1L).otherwise(0L))
-            .as(s"hi$q"))
-      val rankRow = o.agg(rankCols.head, rankCols.tail: _*).head()
-      val exactCols =
-        qs.map(q => round(percentile(col("price"), lit(q)), 4).as(s"p$q"))
-      val exactRow = o.agg(exactCols.head, exactCols.tail: _*).head()
+            .as(s"hi$q")) ++
+          qs.map(q => round(percentile(col("price"), lit(q)), 4).as(s"p$q")) :+
+          count(lit(1)).as("n")
+      val row = o.agg(rankCols.head, rankCols.tail: _*).head()
+      val n = row.getAs[Long]("n")
       val tol = 2 * ep * n
       val rows = qs.zipWithIndex.map { case (q, i) =>
-        val (lo, hi) = (rankRow.getLong(i), rankRow.getLong(i + qs.size))
-        (q, exactRow.getDouble(i),
+        val (lo, hi) = (row.getLong(i), row.getLong(i + qs.size))
+        (q, row.getDouble(i + 2 * qs.size),
           lo.toDouble <= q * n + tol && hi.toDouble >= q * n - tol)
       }
       rows.toDF("q", "exact_q", "sketch_rank_ok").orderBy("q")
