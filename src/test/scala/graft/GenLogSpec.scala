@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import graft.store.GenLog
+
+/** GenLog primitives on the fake `s3a://` scheme: every FileSystem /
+  * FileContext resolution must derive from the ROOT's URI (the pointer
+  * flip goes through FileContext.rename(OVERWRITE), resolving
+  * `fs.AbstractFileSystem.s3a.impl`) — the same scheme-plumbing pin
+  * SnapshotStoreSpec holds for tables, applied to the index artifacts
+  * built on GenLog (IvfIndex, LshBandIndex). */
+class GenLogSpec extends SparkSuite {
+
+  test("publish, meta round-trip, chain, and prune on an s3a root") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.s3a.impl", classOf[FakeS3AFileSystem].getName)
+    hc.set("fs.AbstractFileSystem.s3a.impl",
+      classOf[FakeS3AAbstractFileSystem].getName)
+    val local = Files.createTempDirectory("graft_fake_s3_gen").toString
+    val root = s"s3a://test-bucket$local/index"
+    val fs = new Path(root).getFileSystem(hc)
+    val fmt = 7
+
+    // base generation
+    val g1 = GenLog.newGenName()
+    GenLog.writeMeta(spark, new Path(root, g1),
+      GenLog.Meta(10L, fmt, 42L, None, None))
+    GenLog.publishGen(spark, root, g1)
+    assert(GenLog.currentGen(fs, root).map(_.getName).contains(g1))
+    val m1 = GenLog.readMeta(spark, new Path(root, g1), fmt).get
+    assert(m1 == GenLog.Meta(10L, fmt, 42L, None, None))
+    // wrong expected format reads as stale, never errors
+    assert(GenLog.readMeta(spark, new Path(root, g1), fmt + 1).isEmpty)
+    // the pointer physically landed under the fake bucket's local dir
+    assert(Files.exists(java.nio.file.Paths.get(s"$local/index/_CURRENT")))
+
+    // delta chained to base; pointer flip is atomic overwrite
+    val g2 = GenLog.newGenName()
+    GenLog.writeMeta(spark, new Path(root, g2),
+      GenLog.Meta(15L, fmt, 99L, Some("v1"), Some(g1)))
+    GenLog.publishGen(spark, root, g2)
+    assert(GenLog.currentGen(fs, root).map(_.getName).contains(g2))
+    assert(GenLog.chain(spark, new Path(root, g2), fmt)
+      .map(_.getName) == Seq(g2, g1))
+
+    // a third (unchained) generation supersedes: prune keeps the new
+    // head and the previous head's CHAIN (g2 -> g1), drops strays
+    val stray = GenLog.newGenName()
+    fs.mkdirs(new Path(new Path(root, stray), "data"))
+    val g3 = GenLog.newGenName()
+    GenLog.writeMeta(spark, new Path(root, g3),
+      GenLog.Meta(20L, fmt, 7L, None, None))
+    GenLog.publishGen(spark, root, g3)
+    GenLog.pruneGens(spark, fs, new Path(root), g3, Some(g2), fmt)
+    assert(fs.exists(new Path(root, g3)))
+    assert(fs.exists(new Path(root, g2)), "previous head survives one cycle")
+    assert(fs.exists(new Path(root, g1)), "previous head's chain survives")
+    assert(!fs.exists(new Path(root, stray)), "unreferenced dirs pruned")
+  }
+}
