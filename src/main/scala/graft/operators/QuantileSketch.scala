@@ -115,4 +115,72 @@ object QuantileSketch {
         col("best.est_rank").as("est_rank"))
       .orderBy("q")
   }
+
+  // ----------------------------------------------------------- grouped
+
+  /** Per-partition, per-KEY rank-spaced samples — [[summarizePartition]]
+    * applied to each key's values within the partition. Buffers one
+    * partition's rows grouped by key (the same memory bound as the
+    * global sort buffer, reorganized). */
+  private[graft] def summarizePartitionByKey(
+      rows: Iterator[(String, Double)], eps: Double)
+      : Iterator[(String, Double, Long)] = {
+    val m = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Double]]
+    rows.foreach { case (k, v) =>
+      m.getOrElseUpdate(k, scala.collection.mutable.ArrayBuffer.empty) += v
+    }
+    m.iterator.flatMap { case (k, buf) =>
+      summarizePartition(buf.iterator, eps).map { case (v, r) => (k, v, r) }
+    }
+  }
+
+  /** Grouped summary frame (key, value, est_rank): [[summary]] with
+    * every window PARTITIONED BY the key — the per-key cumulative runs
+    * parallel across keys over a frame of ≤ partitions·(2/ε+1) rows PER
+    * KEY, so "GROUP BY quantile" at 100 TB needs no per-group sort of
+    * raw rows and no single-task window. The rank guarantee of
+    * [[summary]] holds independently per key (each key's samples and
+    * deltas never mix with another's). */
+  def groupedSummary(df: DataFrame, keyCol: String, valueCol: String,
+                     eps: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val samples = df
+      .select(col(keyCol).cast("string"), col(valueCol).cast("double"))
+      .as[(String, Double)]
+      .mapPartitions(it => summarizePartitionByKey(it, eps))
+    val tagged = samples.toDF("key", "value", "local_rank")
+      .withColumn("pid", spark_partition_id())
+    val wPart = Window.partitionBy("pid", "key").orderBy("value", "local_rank")
+    val wCum = Window.partitionBy("key")
+      .orderBy("value", "local_rank", "pid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("delta",
+        col("local_rank") - coalesce(lag(col("local_rank"), 1).over(wPart),
+          lit(0L)))
+      .withColumn("est_rank", sum(col("delta")).over(wCum))
+      .select(col("key").as(keyCol), col("value"), col("est_rank"))
+  }
+
+  /** Per-key ε-approximate quantiles: (key, q, value, est_rank), one row
+    * per key × q — the GROUP BY form of [[quantiles]], same rank-interval
+    * guarantee per key. */
+  def groupedQuantiles(df: DataFrame, keyCol: String, valueCol: String,
+                       eps: Double, qs: Seq[Double]): DataFrame = {
+    val s = groupedSummary(df, keyCol, valueCol, eps)
+    val n = col("total")
+    val withTotal = s.withColumn("total",
+      max(col("est_rank")).over(Window.partitionBy(keyCol)))
+    withTotal
+      .withColumn("q", explode(array(qs.map(lit(_)): _*)))
+      .groupBy(col(keyCol), col("q"))
+      .agg(min_by(struct(col("value"), col("est_rank")),
+        struct(abs(col("est_rank") - col("q") * n), col("value")))
+        .as("best"))
+      .select(col(keyCol), col("q"), col("best.value").as("value"),
+        col("best.est_rank").as("est_rank"))
+      .orderBy(keyCol, "q")
+  }
 }

@@ -394,6 +394,51 @@ object AnalyticQueries {
           lo.toDouble <= q * n + tol && hi.toDouble >= q * n - tol)
       }
       rows.toDF("q", "exact_q", "sketch_rank_ok").orderBy("q")
+    }),
+
+    // A21: GROUP BY ε-quantiles via the grouped sketch — per-key
+    // rank-spaced summaries merged with per-key windows (parallel
+    // across keys, bounded rows per key: no per-group sort of raw rows,
+    // no single-task window — the "grouped percentile at 100 TB"
+    // shape). Gate mirrors a20 per group: exact interpolated quantiles
+    // for the values, duplicate-safe rank-interval booleans for the
+    // sketch, tolerance 2ε·n_g per group. The per-group rank counts
+    // share ONE grouped aggregation pass (the estimates enter as a
+    // literal CASE over the 3 statuses).
+    "a21_group_quantile_sketch" -> ((s, d) => {
+      import s.implicits._
+      val ep = 0.01
+      val qs = Seq(0.25, 0.5, 0.75)
+      val o = orders(s, d).select(col("o_orderstatus").as("st"),
+        col("o_totalprice").as("price"))
+      val est = graft.operators.QuantileSketch
+        .groupedQuantiles(o, "st", "price", ep, qs).collect()
+        .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      val sts = est.keys.map(_._1).toSeq.distinct.sorted
+      def estCol(q: Double) = sts.tail
+        .foldLeft(when(col("st") === sts.head, lit(est((sts.head, q))))) {
+          (acc, g) => acc.when(col("st") === g, lit(est((g, q))))
+        }
+      val aggCols =
+        qs.map(q => sum(when(col("price") < estCol(q), 1L).otherwise(0L))
+          .as(s"lo$q")) ++
+          qs.map(q => sum(when(col("price") <= estCol(q), 1L).otherwise(0L))
+            .as(s"hi$q")) ++
+          qs.map(q => round(percentile(col("price"), lit(q)), 4).as(s"p$q")) :+
+          count(lit(1)).as("n")
+      val rows = o.groupBy("st").agg(aggCols.head, aggCols.tail: _*)
+        .collect().toSeq.flatMap { r =>
+          val st = r.getString(0)
+          val n = r.getAs[Long]("n")
+          val tol = 2 * ep * n
+          qs.map { q =>
+            val lo = r.getAs[Long](s"lo$q")
+            val hi = r.getAs[Long](s"hi$q")
+            (st, q, r.getAs[Double](s"p$q"),
+              lo.toDouble <= q * n + tol && hi.toDouble >= q * n - tol)
+          }
+        }
+      rows.toDF("st", "q", "exact_q", "sketch_rank_ok").orderBy("st", "q")
     })
   )
 
@@ -580,6 +625,15 @@ object AnalyticQueries {
         |UNION ALL SELECT 0.5, ROUND(quantile_cont(o_totalprice, 0.5), 4), TRUE FROM orders
         |UNION ALL SELECT 0.75, ROUND(quantile_cont(o_totalprice, 0.75), 4), TRUE FROM orders
         |UNION ALL SELECT 0.9, ROUND(quantile_cont(o_totalprice, 0.9), 4), TRUE FROM orders
-        |ORDER BY q""".stripMargin
+        |ORDER BY q""".stripMargin,
+    "a21_group_quantile_sketch" ->
+      """SELECT o_orderstatus AS st, CAST(0.25 AS DOUBLE) AS q,
+        |  ROUND(quantile_cont(o_totalprice, 0.25), 4) AS exact_q,
+        |  TRUE AS sketch_rank_ok FROM orders GROUP BY 1
+        |UNION ALL SELECT o_orderstatus, 0.5,
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 4), TRUE FROM orders GROUP BY 1
+        |UNION ALL SELECT o_orderstatus, 0.75,
+        |  ROUND(quantile_cont(o_totalprice, 0.75), 4), TRUE FROM orders GROUP BY 1
+        |ORDER BY st, q""".stripMargin
   )
 }

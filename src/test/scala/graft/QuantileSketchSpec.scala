@@ -77,4 +77,62 @@ class QuantileSketchSpec extends SparkSuite {
     assert(rows.length === 5)
     assert(rows.forall(_.getBoolean(2)))
   }
+
+  test("grouped sketch: per-key rank bound, any partitioning; keys " +
+    "never mix; single-key agrees with the global sketch") {
+    import spark.implicits._
+    val eps = 0.01
+    // three keys with very different distributions and sizes
+    val rows = (1 to 12000).map(i => ("u", i.toDouble)) ++
+      (1 to 6000).map(i => ("s", math.pow(i.toDouble, 3))) ++
+      (1 to 3000).map(i => ("d", if (i <= 2700) 42.0 else i.toDouble))
+    for (parts <- Seq(1, 7, 32)) {
+      val df = rows.toDF("k", "v").repartition(parts)
+      val est = QuantileSketch.groupedQuantiles(df, "k", "v", eps, qs)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+        .toMap
+      val byKey = rows.groupBy(_._1).map { case (k, kv) =>
+        k -> kv.map(_._2).sorted
+      }
+      byKey.foreach { case (k, sorted) =>
+        val n = sorted.length
+        qs.foreach { q =>
+          val v = est((k, q))
+          val lo = sorted.count(_ < v)
+          val hi = sorted.count(_ <= v)
+          assert(lo <= q * n + eps * n && hi >= q * n - eps * n,
+            s"key=$k q=$q parts=$parts: [$lo,$hi] vs ${q * n} ± ${eps * n}")
+        }
+      }
+    }
+    // one key only, one partition: grouped must return exactly the
+    // global answers (at >1 partition the two PLANS place the column
+    // projection differently relative to the round-robin exchange, so
+    // partition contents — and thus which samples are emitted — can
+    // legitimately differ; both still honor the rank bound above)
+    val single = (1 to 8000).map(i => ("only", (i * 131 % 8000).toDouble))
+      .toDF("k", "v").repartition(1)
+    val g = QuantileSketch.groupedQuantiles(single, "k", "v", eps, qs)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    val glob = QuantileSketch.quantiles(single, "v", eps, qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(g === glob)
+  }
+
+  test("grouped summary windows are partitioned by key — no " +
+    "single-partition exchange") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (s"k${i % 4}", i.toDouble)).toDF("k", "v")
+    val plan = QuantileSketch.groupedSummary(df, "k", "v", 0.01)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"per-key merge must not serialize into one task:\n$plan")
+  }
+
+  test("a21 gate booleans all true at test sf") {
+    val rows = SparkEntry.queries("a21_group_quantile_sketch")(spark, sf)
+      .collect()
+    assert(rows.length === 9, s"3 statuses × 3 quantiles, got ${rows.length}")
+    assert(rows.forall(_.getBoolean(3)))
+  }
 }
