@@ -147,13 +147,17 @@ object IvfIndex {
   private[graft] val fingerprintScans =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Content fingerprint of the corpus: order-insensitive sum of per-row
-    * hashes over (vec_id, embedding) — one narrow scan. `coalesce` to 0
-    * on an empty corpus: `sum` over zero rows is NULL and the bare
-    * `getLong` threw an opaque NPE out of the staleness check. */
+  /** Content fingerprint of the corpus: order-insensitive XOR of
+    * per-row hashes over (vec_id, embedding) — one narrow scan. XOR,
+    * not SUM: a hash sum wraps Long, which ANSI mode (Spark 4's
+    * default) rejects as overflow; xor is overflow-free and composes
+    * for disjoint delta chains (fp(parent) ^ fp(batch) = fp(union)).
+    * `coalesce` to 0 on an empty corpus: the aggregate over zero rows
+    * is NULL and the bare `getLong` threw an opaque NPE out of the
+    * staleness check. */
   private def fingerprint(e0: DataFrame): Long = {
     fingerprintScans.incrementAndGet()
-    e0.agg(coalesce(sum(xxhash64(col("vec_id"), col("emb"))), lit(0L)))
+    e0.agg(coalesce(expr("bit_xor(xxhash64(vec_id, emb))"), lit(0L)))
       .head().getLong(0)
   }
 
@@ -386,7 +390,7 @@ object IvfIndex {
     * write, and a copy of the tiny codebook/pq dirs so every
     * generation stays self-contained for codebook readers; `meta.n`
     * and the content fingerprint accumulate (the fingerprint is an
-    * order-insensitive SUM of row hashes, so parent + batch is exactly
+    * order-insensitive XOR of row hashes, so parent ^ batch is exactly
     * the union's fingerprint — bare-path validation keeps working on
     * chains). */
   private def appendGen(spark: SparkSession, root: String, head: Path,
@@ -426,7 +430,7 @@ object IvfIndex {
       .repartition(1).write.parquet(new Path(gen, "pq").toString)
     val fpB = if (snap.isDefined) 0L else fingerprint(batch)
     GenLog.writeMeta(spark, gen,
-      GenLog.Meta(n0 + nb, FormatVersion, fp0 + fpB, snap, Some(head.getName)))
+      GenLog.Meta(n0 + nb, FormatVersion, fp0 ^ fpB, snap, Some(head.getName)))
     publishGen(spark, root, genName)
     pruneGens(spark, fs, rootPath, genName, prevGen)
     gen.toString

@@ -19,7 +19,7 @@ import graft.store.GenLog
   * one `_CURRENT` pointer, atomic flip, delta chains:
   *
   *  - [[ensure]] (bare corpus frame): reuses the live generation only
-  *    when recorded row count AND additive content fingerprint match the
+  *    when recorded row count AND content fingerprint match the
   *    live frame; otherwise rebuilds. The fingerprint is one narrow scan
   *    of (doc_id, text) — the documented bare-path fallback.
   *  - [[ensureForSnapshot]] (corpus published via
@@ -30,8 +30,8 @@ import graft.store.GenLog
   *    NO retraining (the hash family is fixed), so an advance is one
   *    signature pass over the batch plus a batch-sized write chained as
   *    a delta generation — index maintenance cost is O(batch), never
-  *    O(corpus), and the additive fingerprint (a SUM of row hashes)
-  *    extends exactly: parent fp + batch fp = union fp.
+  *    O(corpus), and the xor fingerprint extends exactly:
+  *    fp(parent) ^ fp(batch) = fp(union).
   *
   * A probe ([[MinHashLSH.incrementalPairs]] against [[bandsOf]]) reads
   * only the band columns of the chain; document text is never touched
@@ -73,12 +73,17 @@ object LshBandIndex {
   private[graft] val fingerprintScans =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Order-insensitive additive content fingerprint over (id, text) —
-    * one narrow scan; 0 on an empty frame (sum over zero rows is NULL). */
+  /** Order-insensitive content fingerprint over (id, text) — one narrow
+    * scan; 0 on an empty frame (the aggregate over zero rows is NULL).
+    * XOR of per-row hashes, not SUM: a hash sum wraps Long, which ANSI
+    * mode (Spark 4's default) rejects as overflow — xor is
+    * overflow-free, and it composes for disjoint delta chains the same
+    * way (fp(parent ∪ batch) = fp(parent) ^ fp(batch); rows are
+    * pairwise distinct because the id participates in the hash). */
   private def fingerprint(docs: DataFrame, idCol: String,
                           textCol: String): Long = {
     fingerprintScans.incrementAndGet()
-    docs.agg(coalesce(sum(xxhash64(col(idCol), col(textCol))), lit(0L)))
+    docs.agg(coalesce(expr(s"bit_xor(xxhash64(`$idCol`, `$textCol`))"), lit(0L)))
       .head().getLong(0)
   }
 
@@ -180,12 +185,23 @@ object LshBandIndex {
         col(textCol).as(textCol)).localCheckpoint(true)
       val headBands = bandsOf(spark, headGen.toString)
       val bIds = b.select(col(idCol).as("__id"))
-      val nOverlap = headBands.select("__id").distinct()
-        .join(bIds, Seq("__id"), "left_semi").count()
+      // overlap EXISTENCE first: batch ids broadcast against one narrow
+      // column scan of the index, limit-1 early-out — no shuffle, no
+      // distinct (a corpus-sized distinct here made the "O(batch)"
+      // advance cost more than a rebuild at 500k docs, measured in
+      // LshAdvanceScale). The exact overlap count is only needed on the
+      // rebuild path, which is corpus-sized anyway.
+      val overlapExists = headBands.select("__id")
+        .join(broadcast(bIds), Seq("__id"), "left_semi")
+        .limit(1).count() > 0
+      val nOverlap =
+        if (!overlapExists) 0L
+        else headBands.select("__id").distinct()
+          .join(broadcast(bIds), Seq("__id"), "left_semi").count()
       val nb = b.count()
       val fpB = if (snap.isDefined) 0L else fingerprint(b, idCol, textCol)
       val nNew = m.n + nb - nOverlap
-      val fpNew = if (nOverlap > 0) 0L else m.fp + fpB
+      val fpNew = if (nOverlap > 0) 0L else m.fp ^ fpB
       val tok = snap.map(s => s"snap:$s").getOrElse(s"fp:$nNew:$fpNew")
       val compact =
         GenLog.chain(spark, headGen, FormatVersion).length >= maxChain
