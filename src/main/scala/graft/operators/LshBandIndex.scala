@@ -150,6 +150,61 @@ object LshBandIndex {
       }
     }
 
+  /** [[ensureForSnapshot]] that prefers an INCREMENTAL advance — the
+    * [[IvfIndex.advanceForSnapshot]] pattern for the band index: when
+    * the index is valid for an earlier snapshot and the store's change
+    * feed between the indexed and current snapshots is pure inserts,
+    * the new rows are signature-encoded and chained as a delta
+    * generation — no caller-supplied batch, advance cost is the feed
+    * diff plus batch-sized work. Updates/deletes in the feed, a
+    * vacuumed indexed version, or a missing/stale index fall back to a
+    * full rebuild. An empty feed (identical republish) re-keys via the
+    * overlap-free zero-row delta. */
+  def advanceForSnapshot(spark: SparkSession, storeRoot: String,
+                         idCol: String = "doc_id",
+                         textCol: String = "text",
+                         numPerms: Int = 16, bands: Int = 4): String =
+    buildLock.synchronized {
+      val snap = graft.store.SnapshotStore.currentName(spark, storeRoot)
+        .getOrElse(throw new java.io.FileNotFoundException(
+          s"no snapshot published under $storeRoot — commit the corpus first"))
+      val root = indexPath(s"store:$storeRoot")
+      validated.get(root) match {
+        case Some((t, gen)) if t == s"snap:$snap" => return gen
+        case _ => ()
+      }
+      val fs = new Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def rebuild(): String = {
+        val docs = graft.store.SnapshotStore.read(spark, storeRoot)
+        build(spark, docs, root, idCol, textCol, numPerms, bands,
+          snap = Some(snap), nOverride = None, fpOverride = None)
+      }
+      val gen = GenLog.currentGen(fs, root)
+        .flatMap(g => GenLog.readMeta(spark, g, FormatVersion).map(g -> _)) match {
+        case Some((g, m)) if m.snap.contains(snap) => g.toString
+        case Some((g, m)) if m.snap.isDefined =>
+          scala.util.Try {
+            val feed = graft.store.SnapshotStore.changesBetween(
+                spark, storeRoot, m.snap.get, snap, Seq(idCol))
+              .localCheckpoint(true)
+            val churn = feed.filter(col("change_type") =!= "insert")
+              .limit(1).count()
+            if (churn > 0) None
+            else {
+              val batch = feed.filter(col("change_type") === "insert")
+                .select(col(idCol), col(textCol))
+              // reentrant: buildLock is a JVM monitor
+              Some(advanceWithBatch(spark, s"store:$storeRoot", batch,
+                idCol, textCol, numPerms, bands, snap = Some(snap)))
+            }
+          }.toOption.flatten.getOrElse(rebuild())
+        case _ => rebuild()
+      }
+      validated(root) = (s"snap:$snap", gen)
+      gen
+    }
+
   /** Advance the index with an ingest batch. The fast path — disjoint
     * batch ids, chain under the compaction cap — signature-encodes the
     * batch and chains it as a delta generation: O(batch) work, the
@@ -203,6 +258,15 @@ object LshBandIndex {
       val nNew = m.n + nb - nOverlap
       val fpNew = if (nOverlap > 0) 0L else m.fp ^ fpB
       val tok = snap.map(s => s"snap:$s").getOrElse(s"fp:$nNew:$fpNew")
+      // zero-row batch (identical-content republish routed through
+      // advanceForSnapshot): a META-ONLY re-key generation — no bands
+      // dir at all (bandsOf skips it), nothing recomputed
+      if (nb == 0) {
+        val gen0 = publishMetaOnly(spark, root,
+          GenLog.Meta(m.n, FormatVersion, m.fp, snap, Some(headGen.getName)))
+        validated(root) = (tok, gen0)
+        return gen0
+      }
       val compact =
         GenLog.chain(spark, headGen, FormatVersion).length >= maxChain
       val batchBands = MinHashLSH.bandRows(b, idCol, textCol, numPerms, bands)
@@ -238,10 +302,14 @@ object LshBandIndex {
   /** Band rows of the generation CHAIN rooted at `genPath` — what a
     * probe joins against ([[MinHashLSH.incrementalPairs]]'s history side). Filters push through the union into every
     * per-generation parquet scan. */
-  def bandsOf(spark: SparkSession, genPath: String): DataFrame =
+  def bandsOf(spark: SparkSession, genPath: String): DataFrame = {
+    val hadoop = spark.sparkContext.hadoopConfiguration
     GenLog.chain(spark, new Path(genPath), FormatVersion)
-      .map(g => spark.read.parquet(new Path(g, "bands").toString))
+      .map(g => new Path(g, "bands"))
+      .filter(bp => bp.getFileSystem(hadoop).exists(bp))
+      .map(bp => spark.read.parquet(bp.toString))
       .reduce(_ unionByName _)
+  }
 
   private def build(spark: SparkSession, docs: DataFrame, root: String,
                     idCol: String, textCol: String,
@@ -257,6 +325,22 @@ object LshBandIndex {
     publishBands(spark, root,
       MinHashLSH.bandRows(docs, idCol, textCol, numPerms, bandCount),
       GenLog.Meta(n, FormatVersion, fp, snap, None))
+  }
+
+  /** A META-ONLY generation (no bands dir): the re-key for an
+    * identical-content republish, chained so readers resolve the
+    * parent's bands. */
+  private def publishMetaOnly(spark: SparkSession, root: String,
+                              meta: GenLog.Meta): String = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prevGen = GenLog.currentGen(fs, root).map(_.getName)
+    val genName = GenLog.newGenName()
+    val gen = new Path(rootPath, genName)
+    GenLog.writeMeta(spark, gen, meta)
+    GenLog.publishGen(spark, root, genName)
+    GenLog.pruneGens(spark, fs, rootPath, genName, prevGen, FormatVersion)
+    gen.toString
   }
 
   /** Write `rows` as a fresh generation's bands dir, publish it via the

@@ -89,6 +89,52 @@ class LshBandIndexSpec extends SparkSuite {
     assert(bandSet(LshBandIndex.bandsOf(spark, g2)) ==
       bandSet(MinHashLSH.bandRows(mkDocs(0 until 50))),
       "batch must replace the overlapped documents' bands")
+    assert(spark.read.parquet(s"$g2/meta").head().getAs[Long]("n") == 50L,
+      "meta.n must count replaced ids once, not twice")
+  }
+
+  test("advanceForSnapshot: pure-insert feed chains a delta; churn " +
+    "rebuilds; identical republish re-keys meta-only") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lsh_advsnap").toString
+    SnapshotStore.commit(spark, root)(dir =>
+      mkDocs(0 until 40).write.parquet(dir))
+    val g1 = LshBandIndex.ensureForSnapshot(spark, root)
+    // pure-insert growth -> delta chained to g1, no fingerprint scan
+    SnapshotStore.commit(spark, root)(dir =>
+      mkDocs(0 until 60).write.parquet(dir))
+    val scans0 = LshBandIndex.fingerprintScans.get()
+    val g2 = LshBandIndex.advanceForSnapshot(spark, root)
+    assert(spark.read.parquet(s"$g2/meta").head().getAs[String]("parent")
+      == new Path(g1).getName, "pure-insert growth must chain")
+    assert(LshBandIndex.fingerprintScans.get() == scans0,
+      "snapshot-keyed advance must never fingerprint")
+    assert(bandSet(LshBandIndex.bandsOf(spark, g2)) ==
+      bandSet(MinHashLSH.bandRows(mkDocs(0 until 60))))
+    // identical republish -> META-ONLY re-key (no bands dir of its own)
+    SnapshotStore.commit(spark, root)(dir =>
+      mkDocs(0 until 60).write.parquet(dir))
+    val g3 = LshBandIndex.advanceForSnapshot(spark, root)
+    assert(g3 != g2)
+    val fs = new Path(g3).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(g3, "bands")),
+      "identical republish must publish meta only")
+    assert(bandSet(LshBandIndex.bandsOf(spark, g3)) ==
+      bandSet(MinHashLSH.bandRows(mkDocs(0 until 60))),
+      "chain readers must skip the meta-only generation")
+    // churn (same ids, different text) -> rebuild, parent null
+    val churned = {
+      import spark.implicits._
+      (0 until 60).map { i =>
+        (i.toLong, (0 until 30).map(j => s"x${(i / 2) * 7 + j}").mkString(" "))
+      }.toDF("doc_id", "text")
+    }
+    SnapshotStore.commit(spark, root)(dir => churned.write.parquet(dir))
+    val g4 = LshBandIndex.advanceForSnapshot(spark, root)
+    assert(spark.read.parquet(s"$g4/meta").head().getAs[String]("parent")
+      == null, "churn must rebuild from scratch, not chain")
+    assert(bandSet(LshBandIndex.bandsOf(spark, g4)) ==
+      bandSet(MinHashLSH.bandRows(churned)))
   }
 
   test("the compaction valve collapses the chain at maxChain") {
