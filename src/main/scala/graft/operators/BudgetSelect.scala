@@ -42,7 +42,16 @@ object BudgetSelect {
   /** `docs` must carry `idCol` (unique), `scoreCol` (higher = better),
     * `weightCol` (cost per row, e.g. token count). Returns the input
     * plus `cum_<weightCol>` (the global running sum INCLUDING the row)
-    * and `admitted`. */
+    * and `admitted`.
+    *
+    * PRECONDITION: `docs` must be deterministic across re-evaluation
+    * (any parquet/table read or checkpointed frame is; a rand()-derived
+    * score is not) — the range probe, the bucket totals, and the window
+    * job each evaluate it, and exactness requires all three to see the
+    * same rows, the same requirement every multi-action Spark
+    * computation carries. The bucket expression is clamped into
+    * [0, buckets-1] so float-edge scores can never fall outside the
+    * offset map. */
   def greedy(docs: DataFrame, idCol: String, scoreCol: String,
              weightCol: String, budget: Column,
              buckets: Int = 64): DataFrame = {
@@ -54,8 +63,8 @@ object BudgetSelect {
       .head().toSeq.map(v => Option(v).map(_.asInstanceOf[Double]).getOrElse(0.0))
       .toArray
     val span = math.max(hi - lo, 1e-12)
-    val bucket = least(lit(buckets - 1),
-      floor((lit(hi) - col(scoreCol).cast("double")) / lit(span) * buckets))
+    val bucket = greatest(lit(0), least(lit(buckets - 1),
+      floor((lit(hi) - col(scoreCol).cast("double")) / lit(span) * buckets)))
       .cast("int")
     val b = docs.withColumn("__bucket", bucket)
     // phase 2: per-bucket running sums (parallel across buckets)

@@ -52,7 +52,9 @@ object Interleave {
     withB
       .withColumn("__rn_in", row_number().over(w))
       .join(broadcast(offsets), Seq(srcCol, "__bucket"))
-      .withColumn("rn", (col("__off") + col("__rn_in")).cast("int"))
+      // rn stays LONG: a source can exceed 2^31 rows at the design
+      // scale, where an int cast would overflow (ANSI) or wrap silently
+      .withColumn("rn", col("__off") + col("__rn_in"))
       .drop("__h", "__bucket", "__rn_in", "__off")
   }
 
@@ -70,6 +72,6 @@ object Interleave {
     }
     hashRank(df.filter(col(srcCol).isin(tickets.keys.toSeq: _*)),
         srcCol, keyCol)
-      .withColumn("pos", col("rn").cast("long") * stride)
+      .withColumn("pos", col("rn") * stride)
   }
 }

@@ -369,11 +369,12 @@ object IvfIndex {
         case Some((g, (n0, _, Some(s0), _))) if s0 != snap =>
           val nNow = graft.store.SnapshotStore.read(spark, storeRoot).count()
           val countsOk = nNow == n0 + b.count()
-          // batch ids broadcast: one narrow column scan of the index,
-          // no shuffle (the LshBandIndex advance measured the
-          // un-hinted spelling going corpus-sized)
+          // no forced broadcast: the batch is localCheckpoint'd, so
+          // AQE auto-broadcasts it under the threshold; an over-limit
+          // batch degrades to a shuffle instead of the
+          // BroadcastExchange hard cap failing the advance
           lazy val overlaps = cells(spark, g.toString).select("vec_id")
-            .join(broadcast(b.select("vec_id")), Seq("vec_id"), "left_semi")
+            .join(b.select("vec_id"), Seq("vec_id"), "left_semi")
             .limit(1).count() > 0
           if (countsOk && chain(spark, g).length < maxChain && !overlaps)
             Some(appendGen(spark, root, g, b, Some(snap)))

@@ -205,6 +205,60 @@ object LshBandIndex {
       gen
     }
 
+  /** [[advanceForSnapshot]] with a CALLER-ASSERTED delta — the
+    * [[IvfIndex.advanceWithBatch]] pattern: the writer that just
+    * appended `batch` to the store hands the same frame here, skipping
+    * the change-feed content diff. Trust-but-verify nets (each cheap,
+    * each falling back to the content-diff path rather than recording a
+    * wrong index): the row-count identity `count(current snapshot) ==
+    * indexed n + count(batch)` (a column-less scan), and the id-overlap
+    * probe inside [[advanceWithBatch]]. Without the count net, a
+    * partial batch would chain an incomplete delta and the
+    * snapshot-keyed memo would serve it forever — the fingerprint is
+    * never consulted on the snapshot path. */
+  def advanceForSnapshotWithBatch(spark: SparkSession, storeRoot: String,
+                                  batch: DataFrame,
+                                  idCol: String = "doc_id",
+                                  textCol: String = "text",
+                                  numPerms: Int = 16,
+                                  bands: Int = 4): String =
+    buildLock.synchronized {
+      val snap = graft.store.SnapshotStore.currentName(spark, storeRoot)
+        .getOrElse(throw new java.io.FileNotFoundException(
+          s"no snapshot published under $storeRoot — commit the corpus first"))
+      val root = indexPath(s"store:$storeRoot")
+      validated.get(root) match {
+        case Some((t, gen)) if t == s"snap:$snap" => return gen
+        case _ => ()
+      }
+      val fs = new Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val b = batch.select(col(idCol).cast("long").as(idCol),
+        col(textCol).as(textCol)).localCheckpoint(true)
+      // counts AND id-disjointness verified here, not delegated: an
+      // overlapping batch on the SNAPSHOT path must fall back to the
+      // content diff (advanceWithBatch's overlap REPLACEMENT would
+      // index history∖batch ∪ batch, which need not equal the snapshot
+      // the result gets keyed to)
+      val viaBatch = GenLog.currentGen(fs, root)
+        .flatMap(g => GenLog.readMeta(spark, g, FormatVersion).map(g -> _)) match {
+        case Some((g, m)) if !m.snap.contains(snap) =>
+          val countsOk =
+            graft.store.SnapshotStore.read(spark, storeRoot).count() ==
+              m.n + b.count()
+          lazy val overlaps = bandsOf(spark, g.toString).select("__id")
+            .join(b.select(col(idCol).as("__id")), Seq("__id"), "left_semi")
+            .limit(1).count() > 0
+          countsOk && !overlaps
+        case _ => false
+      }
+      if (viaBatch)
+        advanceWithBatch(spark, s"store:$storeRoot", b, idCol, textCol,
+          numPerms, bands, snap = Some(snap))
+      else
+        advanceForSnapshot(spark, storeRoot, idCol, textCol, numPerms, bands)
+    }
+
   /** Advance the index with an ingest batch. The fast path — disjoint
     * batch ids, chain under the compaction cap — signature-encodes the
     * batch and chains it as a delta generation: O(batch) work, the
@@ -240,35 +294,46 @@ object LshBandIndex {
         col(textCol).as(textCol)).localCheckpoint(true)
       val headBands = bandsOf(spark, headGen.toString)
       val bIds = b.select(col(idCol).as("__id"))
-      // overlap EXISTENCE first: batch ids broadcast against one narrow
-      // column scan of the index, limit-1 early-out — no shuffle, no
-      // distinct (a corpus-sized distinct here made the "O(batch)"
-      // advance cost more than a rebuild at 500k docs, measured in
-      // LshAdvanceScale). The exact overlap count is only needed on the
-      // rebuild path, which is corpus-sized anyway.
+      // overlap EXISTENCE first: one narrow column scan of the index
+      // semi-joined with the batch ids, limit-1 early-out — no distinct
+      // (a corpus-sized distinct here made the "O(batch)" advance cost
+      // more than a rebuild at 500k docs, measured in LshAdvanceScale).
+      // No forced broadcast: the batch is localCheckpoint'd so AQE has
+      // exact sizes and auto-broadcasts under the threshold; a batch
+      // too big to broadcast degrades to a shuffle instead of the
+      // BroadcastExchange hard limit killing the advance. The exact
+      // overlap count is only needed on the rebuild path, which is
+      // corpus-sized anyway.
       val overlapExists = headBands.select("__id")
-        .join(broadcast(bIds), Seq("__id"), "left_semi")
+        .join(bIds, Seq("__id"), "left_semi")
         .limit(1).count() > 0
       val nOverlap =
         if (!overlapExists) 0L
         else headBands.select("__id").distinct()
-          .join(broadcast(bIds), Seq("__id"), "left_semi").count()
+          .join(bIds, Seq("__id"), "left_semi").count()
       val nb = b.count()
       val fpB = if (snap.isDefined) 0L else fingerprint(b, idCol, textCol)
       val nNew = m.n + nb - nOverlap
       val fpNew = if (nOverlap > 0) 0L else m.fp ^ fpB
       val tok = snap.map(s => s"snap:$s").getOrElse(s"fp:$nNew:$fpNew")
+      val compact =
+        GenLog.chain(spark, headGen, FormatVersion).length >= maxChain
       // zero-row batch (identical-content republish routed through
       // advanceForSnapshot): a META-ONLY re-key generation — no bands
-      // dir at all (bandsOf skips it), nothing recomputed
+      // dir at all (bandsOf skips it), nothing recomputed. The
+      // compaction valve applies here too (a daily no-new-data
+      // republish must not grow the chain without bound): at the cap,
+      // the re-key rewrites the chain's bands into one base instead.
       if (nb == 0) {
-        val gen0 = publishMetaOnly(spark, root,
-          GenLog.Meta(m.n, FormatVersion, m.fp, snap, Some(headGen.getName)))
+        val gen0 =
+          if (compact)
+            publishBands(spark, root, bandsOf(spark, headGen.toString),
+              GenLog.Meta(m.n, FormatVersion, m.fp, snap, None))
+          else publishMetaOnly(spark, root,
+            GenLog.Meta(m.n, FormatVersion, m.fp, snap, Some(headGen.getName)))
         validated(root) = (tok, gen0)
         return gen0
       }
-      val compact =
-        GenLog.chain(spark, headGen, FormatVersion).length >= maxChain
       val batchBands = MinHashLSH.bandRows(b, idCol, textCol, numPerms, bands)
       val gen =
         if (nOverlap > 0 || compact) {

@@ -292,8 +292,8 @@ object SamplingQueries {
     "sm8_interleave" ->
       """WITH r AS (
         |  SELECT lang, doc_id,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
-        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents WHERE lang IN ('en', 'zh', 'es', 'de', 'fr'))
         |SELECT CAST(rn AS BIGINT) * CASE lang WHEN 'en' THEN 1
         |    WHEN 'zh' THEN 2 WHEN 'es' THEN 2 ELSE 4 END AS pos,

@@ -745,36 +745,13 @@ object WritePathQueries {
       |ORDER BY CAST(universal_id AS BIGINT), is_current""".stripMargin
 
   val oracle: Map[String, String] = Map(
-    // identical to dd13's oracle: same id split (history < 400 ≤ batch),
-    // same exact-shingle truth — only the candidate construction differs
-    // (store-committed, snapshot-keyed, advance-chained index)
+    // dd13's oracle BY REFERENCE: same id split (history < 400 ≤
+    // batch), same exact-shingle truth — only the candidate
+    // construction differs (store-committed, snapshot-keyed,
+    // advance-chained index); one copy means the two gates can never
+    // silently diverge
     "s17_lsh_index_advance" ->
-      """WITH toklists AS (
-        |  SELECT doc_id, string_split(
-        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
-        |  FROM documents WHERE doc_id < 1000),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, greatest(len(toks) - 2, 1) + 1),
-        |    i -> concat_ws(' ', toks[CAST(i AS INTEGER)],
-        |      toks[CAST(i AS INTEGER) + 1], toks[CAST(i AS INTEGER) + 2]))))
-        |    AS g
-        |  FROM toklists),
-        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
-        |          FROM sh GROUP BY doc_id),
-        |common AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    CAST(COUNT(*) AS BIGINT) AS common
-        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT c.doc_a, c.doc_b, c.common,
-        |  sa.sz + sb.sz - c.common AS union_sz, TRUE AS recalled
-        |FROM common c
-        |JOIN sizes sa ON sa.doc_id = c.doc_a
-        |JOIN sizes sb ON sb.doc_id = c.doc_b
-        |WHERE c.common * 10 >= (sa.sz + sb.sz - c.common) * 9
-        |  AND c.doc_b >= 400
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      DedupExtQueries.oracle("dd13_incremental_neardup"),
     "s4_first_load" ->
       """WITH cust AS (
         |  SELECT c_custkey AS ck, c_name, c_mktsegment,

@@ -33,8 +33,9 @@ object LshAdvanceScale {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // the additive content fingerprint (sum of xxhash64) wraps by
-      // design — ANSI overflow checking must be off, as in Verify/Bench
+      // match the Verify/Bench session configuration (fingerprints are
+      // xor-based and ANSI-safe since round 10; ansi=false kept for
+      // environment parity with the bench of record)
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")

@@ -58,11 +58,11 @@ class BudgetInterleaveSpec extends SparkSuite {
       .localCheckpoint(true)
     val got = Interleave.hashRank(docs, "src", "id")
       .select("src", "id", "rn").collect()
-      .map(r => (r.getString(0), r.getLong(1)) -> r.getInt(2)).toMap
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     val w = Window.partitionBy("src")
       .orderBy(md5(col("id").cast("string").cast("binary")), col("id"))
-    val expected = docs.withColumn("rn", row_number().over(w))
-      .collect().map(r => (r.getString(1), r.getLong(0)) -> r.getInt(2)).toMap
+    val expected = docs.withColumn("rn", row_number().over(w).cast("long"))
+      .collect().map(r => (r.getString(1), r.getLong(0)) -> r.getLong(2)).toMap
     assert(got == expected)
   }
 

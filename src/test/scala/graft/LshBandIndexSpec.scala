@@ -178,6 +178,58 @@ class LshBandIndexSpec extends SparkSuite {
       bandSet(MinHashLSH.bandRows(mkDocs(0 until 50))))
   }
 
+  test("a republish loop cannot grow the chain past the compaction cap") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lsh_republish").toString
+    val old = LshBandIndex.maxChain
+    LshBandIndex.maxChain = 2
+    try {
+      SnapshotStore.commit(spark, root)(dir =>
+        mkDocs(0 until 30).write.parquet(dir))
+      LshBandIndex.ensureForSnapshot(spark, root)
+      // identical republishes: meta-only re-keys chain until the cap,
+      // then collapse into a base — depth stays bounded forever
+      (1 to 4).foreach { _ =>
+        SnapshotStore.commit(spark, root)(dir =>
+          mkDocs(0 until 30).write.parquet(dir))
+        val g = LshBandIndex.advanceForSnapshot(spark, root)
+        val depth = Iterator.iterate(Option(g)) { cur =>
+          cur.flatMap(p => Option(spark.read.parquet(s"$p/meta")
+            .head().getAs[String]("parent"))
+            .map(par => new Path(new Path(p).getParent, par).toString))
+        }.takeWhile(_.isDefined).size
+        assert(depth <= LshBandIndex.maxChain + 1,
+          s"chain depth $depth exceeded the cap")
+        assert(bandSet(LshBandIndex.bandsOf(spark, g)) ==
+          bandSet(MinHashLSH.bandRows(mkDocs(0 until 30))))
+      }
+    } finally LshBandIndex.maxChain = old
+  }
+
+  test("advanceForSnapshotWithBatch: correct batch chains; a partial " +
+    "batch trips the count net and falls back to the content diff") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lsh_advbatch").toString
+    SnapshotStore.commit(spark, root)(dir =>
+      mkDocs(0 until 40).write.parquet(dir))
+    val g1 = LshBandIndex.ensureForSnapshot(spark, root)
+    SnapshotStore.commit(spark, root)(dir =>
+      mkDocs(0 until 60).write.parquet(dir))
+    val g2 = LshBandIndex.advanceForSnapshotWithBatch(spark, root,
+      mkDocs(40 until 60))
+    assert(spark.read.parquet(s"$g2/meta").head().getAs[String]("parent")
+      == new Path(g1).getName, "a correct caller-asserted batch must chain")
+    // grow again but hand only HALF the delta: the count identity fails
+    // and the feed path must still index every row
+    SnapshotStore.commit(spark, root)(dir =>
+      mkDocs(0 until 80).write.parquet(dir))
+    val g3 = LshBandIndex.advanceForSnapshotWithBatch(spark, root,
+      mkDocs(60 until 70))
+    assert(bandSet(LshBandIndex.bandsOf(spark, g3)) ==
+      bandSet(MinHashLSH.bandRows(mkDocs(0 until 80))),
+      "partial batch must fall back and still index the true delta")
+  }
+
   test("empty corpus fails with a clear error") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
