@@ -149,17 +149,32 @@ object Bench {
     // distinguishable from the intended probe-only measurement.
     val indexBuildSec: Double = {
       val t0 = System.nanoTime()
-      try {
-        graft.operators.IvfIndex.ensure(spark, sfDir)
-        (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          Console.err.println(
-            s"GRAFT_BENCH_WARN: IvfIndex.ensure($sfDir) failed in warmup " +
-              s"(${e.getClass.getName}: ${e.getMessage}) — index build/" +
-              "failure cost will land inside the timed v5/v7 runs")
-          -1.0
-      }
+      val ivfOk =
+        try { graft.operators.IvfIndex.ensure(spark, sfDir); true }
+        catch {
+          case e: Throwable =>
+            Console.err.println(
+              s"GRAFT_BENCH_WARN: IvfIndex.ensure($sfDir) failed in warmup " +
+                s"(${e.getClass.getName}: ${e.getMessage}) — index build/" +
+                "failure cost will land inside the timed v5/v7 runs")
+            false
+        }
+      // same treatment for the inverted text index (tx16's artifact,
+      // keyed exactly as the query keys it)
+      val textOk =
+        try {
+          graft.operators.TextIndex.ensure(spark,
+            graft.Tables.documents(spark, sfDir), key = s"bm25:$sfDir")
+          true
+        } catch {
+          case e: Throwable =>
+            Console.err.println(
+              s"GRAFT_BENCH_WARN: TextIndex.ensure($sfDir) failed in " +
+                s"warmup (${e.getClass.getName}: ${e.getMessage}) — build/" +
+                "failure cost will land inside the timed tx16 run")
+            false
+        }
+      if (ivfOk && textOk) (System.nanoTime() - t0) / 1e9 else -1.0
     }
 
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {

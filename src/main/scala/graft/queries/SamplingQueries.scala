@@ -154,6 +154,80 @@ object SamplingQueries {
         .orderBy("source", "rn")
     }),
 
+    // SM9: DSIR-style importance resampling (arXiv:2302.03169 — Data
+    // Selection via Importance Resampling): estimate hashed-unigram bag
+    // distributions for a TARGET slice (here lang='en') and the RAW
+    // corpus, weight every document by its log importance ratio
+    // Σ_tokens ln(p̂_target/p̂_raw), and keep the top 20% — "select raw
+    // data that looks like the target domain" with two 64-bucket
+    // histograms instead of a model. Determinism/oracle: bucket = md5
+    // hex-pair % 64 (engine-identical), the per-bucket log-ratio is
+    // frozen to integer MICRO-nats, and each doc's weight is then an
+    // exact integer Σ c_b·lr_b — associative, partition-order-free.
+    // Scale: one conditional-agg histogram pass (64 rows, broadcast
+    // back), one per-(doc,bucket) agg, and the top-fraction cut via
+    // BudgetSelect's two-phase prefix sum — no global sort, no Exchange
+    // SinglePartition; two corpus scans total.
+    "sm9_dsir" -> ((s, d) => {
+      val docs = documents(s, d)
+      val budget = math.ceil(0.2 * docs.count()).toLong
+      val toks = docs.select(col("doc_id"), col("lang"),
+        explode(split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " "))
+          .as("term"))
+      val tb = toks.withColumn("b",
+        conv(substring(md5(col("term")), 31, 2), 16, 10).cast("long") % 64)
+      // BOTH histograms in one tokenize pass (raw count + target count
+      // as a conditional agg), and the smoothing totals from the 64-row
+      // histogram frame itself — one bounded driver agg, no extra
+      // corpus pass. The whole query costs two corpus scans: histograms
+      // here, per-doc scoring below.
+      val hist = tb.groupBy("b").agg(count(lit(1)).as("rc"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("tc"))
+        .localCheckpoint(true)
+      val totRow = hist.agg(sum(col("rc")), sum(col("tc"))).head()
+      val (rtot, ttot) = (totRow.getLong(0), totRow.getLong(1))
+      val lr = hist
+        .withColumn("lr_micro",
+          round((log((col("tc") + 1).cast("double") / lit(ttot + 64L)) -
+            log((col("rc") + 1).cast("double") / lit(rtot + 64L))) * 1e6, 0)
+            .cast("long"))
+        .select("b", "lr_micro")
+      val perDoc = tb.groupBy(col("doc_id"), col("lang"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .join(broadcast(lr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(sum(col("c") * col("lr_micro")).as("w_micro"))
+      graft.operators.BudgetSelect.greedy(
+          perDoc.withColumn("unit", lit(1L)), "doc_id", "w_micro", "unit",
+          lit(budget))
+        .filter(col("admitted"))
+        .select("doc_id", "lang", "w_micro")
+        .orderBy("doc_id")
+    }),
+
+    // CP5: per-source sqrt-cap downsampling — keep ceil(sqrt(n_source))
+    // docs per source, drawn in content-hash order (the CommonCrawl-
+    // curation move: head-heavy sources are trimmed superlinearly while
+    // every source keeps representation; a 1M-doc source contributes
+    // 1000, a 100-doc source contributes 10). Deterministic: the draw is
+    // a pure function of (source, doc_id), so a source growing never
+    // changes another source's sample. Shape: ONE shuffle on source
+    // feeds both window functions (the per-source count and the hash
+    // rank); no second pass, no driver state — per-source parallelism at
+    // any source count.
+    "cp5_source_cap" -> ((s, d) => {
+      val part = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      val w = part.orderBy(md5(col("doc_id").cast("string").cast("binary")),
+        col("doc_id"))
+      documents(s, d)
+        .withColumn("n_source", count(lit(1)).over(part))
+        .withColumn("cap", ceil(sqrt(col("n_source").cast("double"))))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= col("cap"))
+        .select("doc_id", "source", "n_source", "cap", "rn")
+        .orderBy("doc_id")
+    }),
+
     // SQL1: the SQL-text surface — temp views + spark.sql, same Catalyst
     // plan as the DataFrame API (oracle is the identical statement).
     "sql1_text_query" -> ((s, d) => {
@@ -349,6 +423,49 @@ object SamplingQueries {
         |WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) <
         |  CASE WHEN label % 2 = 0 THEN '80000000' ELSE '1999999a' END
         |ORDER BY vec_id""".stripMargin,
+    "sm9_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id, lang,
+        |    ((strpos('0123456789abcdef', substring(md5(term), 31, 1)) - 1) * 16
+        |     + strpos('0123456789abcdef', substring(md5(term), 32, 1)) - 1) % 64 AS b
+        |  FROM toks),
+        |rawb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS rc FROM tb GROUP BY 1),
+        |tgtb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS tc
+        |         FROM tb WHERE lang = 'en' GROUP BY 1),
+        |totals AS (SELECT CAST(COUNT(*) AS BIGINT) AS rtot,
+        |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ttot
+        |  FROM tb),
+        |lr AS (
+        |  SELECT rawb.b,
+        |    CAST(ROUND((ln(CAST(COALESCE(tc, 0) + 1 AS DOUBLE) / (ttot + 64)) -
+        |                ln(CAST(rc + 1 AS DOUBLE) / (rtot + 64))) * 1000000.0, 0)
+        |      AS BIGINT) AS lr_micro
+        |  FROM rawb LEFT JOIN tgtb USING (b), totals),
+        |db AS (SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM tb GROUP BY 1, 2, 3),
+        |perdoc AS (
+        |  SELECT doc_id, lang, CAST(SUM(c * lr_micro) AS BIGINT) AS w_micro
+        |  FROM db JOIN lr USING (b) GROUP BY 1, 2)
+        |SELECT doc_id, lang, w_micro
+        |FROM perdoc
+        |QUALIFY ROW_NUMBER() OVER (ORDER BY w_micro DESC, doc_id)
+        |  <= CEIL(0.2 * (SELECT COUNT(*) FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+    "cp5_source_cap" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source,
+        |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_source,
+        |    CAST(CEIL(SQRT(CAST(COUNT(*) OVER (PARTITION BY source) AS DOUBLE))) AS BIGINT) AS cap,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source, n_source, cap, rn
+        |FROM ranked WHERE rn <= cap
+        |ORDER BY doc_id""".stripMargin,
     "sm3_per_group_sample" ->
       """SELECT source, doc_id,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY source

@@ -214,6 +214,63 @@ object TextQueries {
         .orderBy("doc_id", "rn")
     }),
 
+    // BM25 keyword retrieval (Robertson/Okapi, the Lucene idf variant):
+    // score(D,Q) = Σ_t ln(1+(N−df+.5)/(df+.5)) · tf(k1+1)/(tf + k1(1−b+b·dl/avgdl)),
+    // k1=1.2 b=0.75 — targeted subset selection over a corpus ("give me
+    // the docs about X") is a curation primitive next to tx10's tf-idf.
+    // Shape: ONE tokenize pass; the query-term filter lands BEFORE any
+    // agg (selectivity |Q|/vocab at the explode, so the tf shuffle
+    // carries only matching (doc, term) rows); df is a ≤|Q|-row broadcast;
+    // (N, avgdl) is one bounded 1-row driver agg; top-10 is TakeOrderedAndProject
+    // (k-bounded per partition, no global sort). Per-term contributions
+    // round→DECIMAL before the per-doc sum so the score is
+    // order-independent (exact associative addition), matching DuckDB.
+    "tx15_bm25" -> ((s, d) => {
+      val qTerms = Seq("spark", "vector", "merge")
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(split(cleanText, " ")).as("term"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      // (N, avgdl): one bounded 1-row agg to the driver (the tx10 /
+      // BudgetSelect range-probe pattern — scalars, not data)
+      val statsRow = dl
+        .agg(count(lit(1)).cast("double"), avg(col("dl"))).head()
+      val (n, avgdl) = (statsRow.getDouble(0), statsRow.getDouble(1))
+      val tf = toks.filter(col("term").isin(qTerms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val contrib = tf.join(broadcast(df), "term")
+        .join(dl, "doc_id")
+        .withColumn("contrib", round(
+          log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)) *
+            (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))),
+          6).cast("decimal(18,6)"))
+      val scored = contrib.groupBy("doc_id")
+        .agg(sum(col("contrib")).cast("double").as("score"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .select(col("rank"), col("doc_id"), col("score"), col("n_terms"))
+        .orderBy("rank")
+    }),
+
+    // BM25 served from the persisted INVERTED INDEX
+    // (operators.TextIndex, a GenLog managed artifact): same terms,
+    // same math, same oracle SQL as tx15 — but the probe reads only the
+    // query terms' partition-pruned posting buckets, never the corpus
+    // text. tx15 is the direct spelling (one corpus pass per query);
+    // this is what you actually run at 100 TB (tokenize once, probe
+    // many). Sharing tx15's oracle verbatim means the indexed path can
+    // never silently diverge from the direct one.
+    "tx16_bm25_indexed" -> ((s, d) => {
+      val gen = graft.operators.TextIndex.ensure(s, documents(s, d),
+        key = s"bm25:$d")
+      graft.operators.TextIndex.bm25(s, gen,
+        Seq("spark", "vector", "merge"), k = 10)
+    }),
+
     // document fingerprint: md5 over normalized text.
     "tx4_fingerprint" -> ((s, d) =>
       documents(s, d)
@@ -391,6 +448,38 @@ object TextQueries {
     })
   )
 
+  /** The BM25 oracle — shared verbatim by tx15 (direct spelling), tx16
+    * (persisted-inverted-index probe) and the s18 write gate (index
+    * built through the SnapshotStore lifecycle + delta advance): one
+    * SQL, three engine paths that must all hash-match it. */
+  private[queries] val Bm25OracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+      |  FROM documents),
+      |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+      |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM toks WHERE term IN ('spark', 'vector', 'merge') GROUP BY 1, 2),
+      |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |contrib AS (
+      |  SELECT doc_id,
+      |    CAST(ROUND(
+      |      ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+      |        (tf * 2.2) /
+      |        (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+      |      6) AS DECIMAL(18,6)) AS contrib
+      |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats),
+      |scored AS (
+      |  SELECT doc_id, CAST(SUM(contrib) AS DOUBLE) AS score,
+      |    CAST(COUNT(*) AS BIGINT) AS n_terms
+      |  FROM contrib GROUP BY doc_id)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank,
+      |  doc_id, score, n_terms
+      |FROM scored
+      |QUALIFY rank <= 10
+      |ORDER BY rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // dd5: same 60-bit md5-derived token hash, per-bit majority vote via
     // UNNEST × generate_series + GROUP BY (DuckDB's shape for Spark's
@@ -481,6 +570,10 @@ object TextQueries {
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '(\+84|0)[0-9]{9,10}', '<PHONE>', 'g') AS text
         |FROM withpii ORDER BY doc_id""".stripMargin,
+    "tx15_bm25" -> Bm25OracleSql,
+    // the indexed path answers the SAME question — one oracle, by
+    // reference, so the two spellings can never silently diverge
+    "tx16_bm25_indexed" -> Bm25OracleSql,
     "tx10_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id,

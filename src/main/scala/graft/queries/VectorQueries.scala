@@ -312,10 +312,54 @@ object VectorQueries {
         .select(col("vec_id"), col("cluster"),
           round(col("cent_cos"), 6).as("cent_cos"))
         .orderBy("vec_id")
+    }),
+
+    // Johnson–Lindenstrauss random projection, 64 → 16 dims: y_j =
+    // (1/√16)·Σ_i x_i·s(i,j) with dense ±1 signs (Achlioptas 2001 —
+    // database-friendly random projections; the cheap-ANN/clustering
+    // preconditioner: pairwise distances are preserved within (1±ε)).
+    // The sign matrix is a pure function of (i,j) — the md5("i_j") last
+    // hex digit's parity — so the projection is reproducible across
+    // engines/runs with NO shipped model state; k=16 makes the 1/√k
+    // scale an exact power of two (no rounding in the scaling itself).
+    // Spark inlines the 1024 signs as a nested array literal (computed
+    // once at plan time from the same md5 spec the oracle derives in
+    // SQL — the oracle therefore re-verifies the derivation) and folds
+    // each output dim with a sequential `aggregate` HOF, matching
+    // DuckDB's in-order list_sum: bit-identical before the shared
+    // round(…, 6). Scale: a pure per-row projection — no shuffle, no
+    // join, no state; 64·16 mult-adds per row.
+    "v9_random_projection" -> ((s, d) => {
+      val signs: Seq[Seq[Double]] = (0 to 15).map { j =>
+        (0 to 63).map { i =>
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"${i}_${j}".getBytes("UTF-8"))
+          if ((h(15) & 1) == 0) 1.0 else -1.0
+        }
+      }
+      val signsCol = array(signs.map(r => array(r.map(lit): _*)): _*)
+      embeddings(s, d)
+        .withColumn("ys", transform(sequence(lit(0), lit(15)), j =>
+          round(aggregate(sequence(lit(0), lit(63)), lit(0.0),
+            (acc, i) => acc +
+              element_at(col("embedding"), i + 1).cast("double") *
+                element_at(element_at(signsCol, j + 1), i + 1)) * 0.25, 6)))
+        .select(col("vec_id"), posexplode(col("ys")).as(Seq("j", "y")))
+        .orderBy("vec_id", "j")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "v9_random_projection" ->
+      """SELECT vec_id, CAST(t.j AS INTEGER) AS j,
+        |  ROUND(0.25 * list_sum(list_transform(generate_series(0, 63), i ->
+        |    CAST(embedding[i + 1] AS DOUBLE) *
+        |    CASE WHEN (strpos('0123456789abcdef',
+        |        substring(md5(CAST(i AS VARCHAR) || '_' || CAST(t.j AS VARCHAR)), 32, 1))
+        |        - 1) % 2 = 0
+        |      THEN 1.0 ELSE -1.0 END)), 6) AS y
+        |FROM embeddings, generate_series(0, 15) t(j)
+        |ORDER BY vec_id, j""".stripMargin,
     "v1_cosine_pairs" ->
       """SELECT a.vec_id AS qid, b.vec_id AS nid,
         |  ROUND(list_cosine_similarity(

@@ -683,8 +683,45 @@ object WritePathQueries {
         .incrementalPairs(batchBands, LshBandIndex.bandsOf(s, gen))
         .select(col("src").as("doc_a"), col("dst").as("doc_b"))
       DedupExtQueries.batchRecallFrame(docs, cands)
+    }),
+
+    // S18: the INVERTED text index's managed lifecycle through the
+    // driver gate — history (doc_id < 300) committed to a SnapshotStore
+    // and indexed snapshot-keyed, the corpus grown to the FULL
+    // documents table by a second commit and the index advanced with
+    // the caller's batch (O(batch) postings delta, snapshot re-keyed) —
+    // then BM25-probed across the CHAINED base + delta. Output and
+    // oracle are tx15_bm25's verbatim: the advance path must score the
+    // whole corpus exactly as a from-scratch tokenize would.
+    "s18_text_index_advance" -> ((s, d) => {
+      val gen = runTextIndexScenario(s, d)
+      graft.operators.TextIndex.bm25(s, gen,
+        Seq("spark", "vector", "merge"), k = 10)
     })
   )
+
+  /** Build the snapshot-keyed TEXT index scenario once per (JVM, sfDir):
+    * history (doc_id < 300) committed + indexed, growth to the full
+    * documents table committed and the index advanced with that batch —
+    * returns the advanced generation (a postings delta CHAINED to the
+    * base; s18 probes both). Cached like the other gate scenarios. */
+  private val textIndexScenarioCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def runTextIndexScenario(s: SparkSession, d: String): String =
+    textIndexScenarioCache.getOrElseUpdate(d, {
+      import graft.operators.TextIndex
+      val root = tmp("graft_gate_textidx")
+      val docs = graft.Tables.documents(s, d)
+      SnapshotStore.commit(s, root)(dir =>
+        docs.filter(col("doc_id") < 300).write.parquet(dir))
+      val g1 = TextIndex.ensureForSnapshot(s, root)
+      val snap2 = SnapshotStore.commit(s, root)(dir =>
+        docs.write.parquet(dir))
+      val g2 = TextIndex.advanceWithBatch(s, s"store:$root",
+        docs.filter(col("doc_id") >= 300), snap = Some(snap2))
+      require(g2 != g1, "advance must publish a new generation")
+      g2
+    })
 
   /** Build the snapshot-keyed LSH index scenario once per (JVM, sfDir):
     * history (doc_id < 300) committed + indexed, then growth to
@@ -752,6 +789,9 @@ object WritePathQueries {
     // silently diverge
     "s17_lsh_index_advance" ->
       DedupExtQueries.oracle("dd13_incremental_neardup"),
+    // tx15's BM25 oracle BY REFERENCE: the advance-built chained index
+    // must score the full corpus exactly like a direct tokenize
+    "s18_text_index_advance" -> TextQueries.Bm25OracleSql,
     "s4_first_load" ->
       """WITH cust AS (
         |  SELECT c_custkey AS ck, c_name, c_mktsegment,
