@@ -309,23 +309,32 @@ object TextIndex {
     (h(15) & 0xff) % TermBuckets
   }
 
+  /** Generation dirs are IMMUTABLE once published (the GenLog
+    * contract), so their resolved stats can be memoized per JVM — a
+    * repeated probe of the same generation pays zero metadata jobs. */
+  private val statsMemo =
+    scala.collection.concurrent.TrieMap.empty[String, (Long, Long)]
+  /** Test seam. */
+  private[graft] def resetStatsMemo(): Unit = statsMemo.clear()
+
   /** (N docs, total tokens) of the chain: meta `n` (cumulative) + the
     * per-generation stats rows summed — ≤chain-length rows read, no
-    * corpus or postings scan. */
-  def statsOf(spark: SparkSession, genPath: String): (Long, Long) = {
-    val head = new Path(genPath)
-    val m = GenLog.readMeta(spark, head, FormatVersion)
-      .getOrElse(throw new java.io.FileNotFoundException(
-        s"no meta under $genPath"))
-    val hadoop = spark.sparkContext.hadoopConfiguration
-    val tokens = GenLog.chain(spark, head, FormatVersion)
-      .map(g => new Path(g, "stats"))
-      .filter(p => p.getFileSystem(hadoop).exists(p))
-      .map(p => spark.read.parquet(p.toString)
-        .agg(coalesce(sum(col("tokens")), lit(0L))).head().getLong(0))
-      .sum
-    (m.n, tokens)
-  }
+    * corpus or postings scan; memoized (generations are immutable). */
+  def statsOf(spark: SparkSession, genPath: String): (Long, Long) =
+    statsMemo.getOrElseUpdate(genPath, {
+      val head = new Path(genPath)
+      val m = GenLog.readMeta(spark, head, FormatVersion)
+        .getOrElse(throw new java.io.FileNotFoundException(
+          s"no meta under $genPath"))
+      val hadoop = spark.sparkContext.hadoopConfiguration
+      val tokens = GenLog.chain(spark, head, FormatVersion)
+        .map(g => new Path(g, "stats"))
+        .filter(p => p.getFileSystem(hadoop).exists(p))
+        .map(p => spark.read.parquet(p.toString)
+          .agg(coalesce(sum(col("tokens")), lit(0L))).head().getLong(0))
+        .sum
+      (m.n, tokens)
+    })
 
   /** BM25 over the index — `tx15_bm25`'s math verbatim (k1=1.2, b=0.75,
     * Lucene idf, decimal-frozen per-term contributions), served from
@@ -357,6 +366,43 @@ object TextIndex {
       .select(col("rank"), col("__id").as("doc_id"), col("score"),
         col("n_terms"))
       .orderBy("rank")
+  }
+
+  /** BM25 scores for ARRIVING documents against standing query terms —
+    * the alerting/routing primitive ("does this new doc rank for my
+    * query"): tf/dl come from the batch text itself (tokenized live,
+    * batch-sized work), while the corpus statistics (N, avgdl, df) come
+    * from the persisted index — chain metadata plus ≤|Q| pruned
+    * term-bucket dirs, never a corpus scan. df is collected driver-side
+    * (≤|Q| rows) and inlined as a literal CASE, so terms the corpus has
+    * never seen still score (df=0 → the max idf) instead of silently
+    * dropping the doc. Same decimal-frozen BM25 math as [[bm25]]. */
+  def bm25ForBatch(spark: SparkSession, genPath: String, batch: DataFrame,
+                   terms: Seq[String], idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val (nDocs, totalTokens) = statsOf(spark, genPath)
+    require(nDocs > 0, s"empty index at $genPath")
+    val n = nDocs.toDouble
+    val avgdl = totalTokens.toDouble / n
+    val dfMap: Map[String, Long] =
+      postingsPruned(spark, genPath, terms)
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfCol = terms.foldRight(lit(0L)) { (t, els) =>
+      when(col("term") === t, lit(dfMap.getOrElse(t, 0L))).otherwise(els)
+    }
+    val batchTf = postingRows(batch, idCol, textCol)
+      .filter(col("term").isin(terms: _*))
+    batchTf.withColumn("df", dfCol)
+      .withColumn("contrib", round(
+        log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))),
+        6).cast("decimal(18,6)"))
+      .groupBy("__id")
+      .agg(sum(col("contrib")).cast("double").as("score"),
+        count(lit(1)).as("n_terms"))
+      .select(col("__id").as(idCol), col("score"), col("n_terms"))
   }
 
   /** A META-ONLY generation (no postings/stats): the re-key for a

@@ -269,6 +269,52 @@ object StreamingOps {
       }
   }
 
+  /** Streaming STANDING-QUERY alerting over the persisted inverted
+    * index ([[graft.operators.TextIndex]]) — "tell me when a document
+    * about X arrives", the text twin of [[nearDupIndexedStream]]'s
+    * probe-then-advance: each micro-batch is (1) BM25-scored against
+    * the standing `terms` using the index-so-far's corpus statistics
+    * ([[graft.operators.TextIndex.bm25ForBatch]]: tf/dl tokenized from
+    * the batch, N/avgdl/df from chain metadata + ≤|Q| pruned posting
+    * buckets — indexed text never re-read), its alerts written under
+    * `outDir/batch_id=<id>/`, then (2) advanced INTO the index as a
+    * batch-sized postings delta, so later batches score against
+    * statistics that include this one. Per-batch cost is O(batch)
+    * tokenize work — corpus-size-independent.
+    *
+    * Crash/redelivery idempotence, same argument as the near-dup
+    * stream: the alerts dir per batch id is OVERWRITTEN, and
+    * re-advancing the same documents trips the index's id-overlap
+    * guard (postings REPLACED, never duplicated). The first non-empty
+    * batch bootstraps the index and scores against itself — the
+    * cold-start corpus IS that batch. */
+  def keywordAlertStream(docs: DataFrame, indexKey: String,
+                         terms: Seq[String], outDir: String,
+                         idCol: String = "doc_id",
+                         textCol: String = "text")
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.TextIndex
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val b = batch.select(col(idCol), col(textCol)).localCheckpoint(true)
+          val pre = TextIndex.currentGenPath(spark, indexKey)
+          val gen = pre.getOrElse(
+            TextIndex.ensure(spark, b, indexKey, idCol, textCol))
+          TextIndex.bm25ForBatch(spark, gen, b, terms, idCol, textCol)
+            .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+          // a bootstrap batch is already IN the index it just built; a
+          // redelivered batch advances into the overlap guard (replaced,
+          // never duplicated) — both paths land in the same state
+          if (pre.isDefined)
+            TextIndex.advanceWithBatch(spark, indexKey, b, idCol, textCol)
+          ()
+        }
+      }
+  }
+
   final case class BandedSig(band_key: Long, doc_id: Long, sig: Seq[Long])
   final case class SigEntry(doc_id: Long, sig: Seq[Long], ingest_ms: Long)
   final case class NearDupHit(doc_id: Long, matched_id: Long, est_jaccard: Double)
