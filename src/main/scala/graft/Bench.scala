@@ -58,7 +58,8 @@ object Bench {
     * never in the read-path baseline comparison. */
   private def writeGateNames: Set[String] =
     graft.queries.WritePathQueries.queries.keySet ++
-      Set("cp1_corpus_curate", "cp2_curate_exact", "st1b_stream_tumbling")
+      Set("cp1_corpus_curate", "cp2_curate_exact", "cp6_incremental_curate",
+        "st1b_stream_tumbling")
 
   /** Representative subset printed in the compact line: one or more per
     * operator family (scan, join, agg, window, write-path, streaming
@@ -132,6 +133,29 @@ object Bench {
       }.sum
       finally src.close()
     } catch { case _: Throwable => -1L }
+    // Drain-writeback guard: the r9 AND r10 driver captures both started
+    // with ~420 MB of another process's dirty pages pending (the test
+    // suite runs minutes earlier), inflating the fsync-heavy write gates
+    // 8-13× and the whole capture 1.4-2.9×. Rather than only reporting
+    // the contamination, spend bounded untimed seconds removing it:
+    // sync, then poll until pending writeback falls under 64 MB or the
+    // 120 s budget expires. The wait is recorded (`drain_wait`), and
+    // `dirty_kb_predrain` preserves what the guard found — a capture
+    // that still starts dirty says so via dirty_kb_start as before.
+    val dirtyPre = dirtyKb()
+    val drainWaitSec: Double = {
+      val thresholdKb = 65536L
+      if (dirtyPre <= thresholdKb) 0.0
+      else {
+        val t0 = System.nanoTime()
+        try new ProcessBuilder("sync").start().waitFor()
+        catch { case _: Throwable => () }
+        val deadline = t0 + 120L * 1000L * 1000L * 1000L
+        while (dirtyKb() > thresholdKb && System.nanoTime() < deadline)
+          Thread.sleep(2000)
+        (System.nanoTime() - t0) / 1e9
+      }
+    }
     val dirtyStart = dirtyKb()
     // Warm the JVM/codegen/IO paths once so the first timed query isn't
     // charged session startup (~2-4s of JIT + parquet footer reads).
@@ -215,6 +239,7 @@ object Bench {
       s""","index_build":${fmt(indexBuildSec)}""" +
       s""","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)}""" +
       s""","dirty_kb_start":$dirtyStart,"dirty_kb_end":${dirtyKb()}""" +
+      s""","dirty_kb_predrain":$dirtyPre,"drain_wait":${fmt(drainWaitSec)}""" +
       s""","sf":"$sfDir"}"""
     val summary = compact.dropRight(1) +
       s""","medians":${jmap(medians)}""" +

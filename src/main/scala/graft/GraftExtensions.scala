@@ -46,6 +46,7 @@ object GraftExtensions {
     "graft_sign_rp_keys" -> graft.functions.SignRpKeys.builder,
     "graft_sig_agreement" -> graft.functions.SignatureAgreement.builder,
     "graft_bloom_contains" -> graft.functions.BloomContains.builder,
+    "graft_bloom_probe" -> graft.functions.BloomBytesContain.builder,
     "graft_minhash_sig" -> graft.functions.MinHashSig.builder)
 
   /** The same set onto an EXISTING session (e.g. `spark.newSession()`),

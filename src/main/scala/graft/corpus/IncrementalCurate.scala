@@ -1,0 +1,209 @@
+package graft.corpus
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ConnectedComponents, LshBandIndex, MinHashLSH}
+import graft.store.SnapshotStore
+
+/** INCREMENTAL corpus curation — the daily-ingest form of
+  * [[CorpusPipeline.curate]]: curate ONLY today's batch against the
+  * indexed history, never recomputing (or re-reading) the corpus. The
+  * composite ties the managed-index machinery together:
+  *
+  *  1. today's batch arrives as the raw store's CHANGE FEED
+  *     ([[SnapshotStore.changesBetween]] — pure inserts on the ingest
+  *     contract);
+  *  2. per-row quality gate (batch-sized);
+  *  3. exact dedup: within-batch keep-min, then an anti-join of the
+  *     batch's content hashes against the curated table's persisted
+  *     `content_hash` COLUMN — history text is never re-read;
+  *  4. near-dup: the batch's band rows probed against the persisted
+  *     [[LshBandIndex]] ([[MinHashLSH.incrementalPairs]] — O(batch)
+  *     signatures + an equi-join against the index; history×history
+  *     pairs never form);
+  *  5. the accepted delta is PUBLISHED: curated table grows by one
+  *     commit, the band index advances by one O(batch) delta generation
+  *     ([[LshBandIndex.advanceForSnapshotWithBatch]], count-verified).
+  *
+  * SEQUENTIAL ≡ FULL-RECOMPUTE identity (the dd13 identity lifted to
+  * the whole pipeline, and what the cp6 oracle checks): restricted to
+  * batch rows, these decisions equal [[CorpusPipeline.curate]] over
+  * history ∪ batch, PROVIDED the curated table + index hold history's
+  * QUALITY+EXACT survivors (not just near-dup canonicals). Why each
+  * stage agrees:
+  *   - quality is per-row;
+  *   - exact: batch ids exceed history ids, so "min doc_id per hash over
+  *     the union" = "hash unseen in gated history AND min within batch";
+  *     every gated-history hash is represented in the curated table by
+  *     its keep-min row, so the narrow content_hash anti-join sees
+  *     exactly the gated-history hash set;
+  *   - near-dup: a batch doc is canonical in the union's components iff
+  *     its component holds no smaller id. Any probe edge to a history
+  *     EXACT-survivor anchors the component below every batch id — so a
+  *     batch-batch component dies WHOLE when any member links to
+  *     history (transitive paths through history need a first edge from
+  *     some member), and otherwise its minimum survives. Indexing only
+  *     near-dup canonicals would BREAK this: a batch doc near-dup of a
+  *     non-canonical history survivor (but not of its canonical) must
+  *     still be dropped, which only an exact-survivor index can see.
+  *
+  * History rows' own flags are FINAL (append-only curation): a later
+  * batch bridging two history clusters does not re-open yesterday's
+  * canonical choices — the production semantic, and why s19's oracle is
+  * "history curated alone, union each batch curated against it", not
+  * one global recompute.
+  */
+object IncrementalCurate {
+
+  /** Curation parameters shared by cp1/cp6 (the gate configuration). */
+  val Langs: Seq[String] = Seq("en", "vi", "de", "fr")
+  val MinChars = 1
+  val MaxChars = 100000
+  val MaxPunctRatio = 0.2
+  val MinJaccard = 0.8
+
+  /** Day-1 full curation of `hist` into the curated-table shape: the
+    * QUALITY+EXACT survivors (what the index must hold — see the class
+    * doc) carrying `content_hash` (the exact-dedup probe column),
+    * `is_canonical` (the near-dup decision over the portable pair
+    * family) and `split`. */
+  def curateHistory(spark: SparkSession, hist: DataFrame): DataFrame = {
+    val gated = CorpusPipeline.qualityGate(hist, Langs, MinChars,
+      MaxChars, MaxPunctRatio)
+    val exact = CorpusPipeline.exactDedupKeepMin(gated)
+      .localCheckpoint(true)
+    val pairs = MinHashLSH.portablePairs(exact)
+      .filter(col("est_jaccard") >= MinJaccard).select("src", "dst")
+    val comps = ConnectedComponents.run(
+      exact.select(col("doc_id").as("id")), pairs)
+    val canon = comps.filter(col("id") === col("component"))
+      .select(col("id").as("doc_id")).withColumn("__canon", lit(true))
+    exact
+      .withColumn("content_hash", md5(col("text")))
+      .join(canon, Seq("doc_id"), "left")
+      .withColumn("is_canonical", coalesce(col("__canon"), lit(false)))
+      .drop("__canon")
+      .withColumn("split", graft.operators.Splits.hashSplit(col("doc_id")))
+  }
+
+  /** Curate `batch` (raw ingest rows) against the curated-history store
+    * at `curatedRoot` and its persisted PORTABLE band index generation
+    * `indexGen`. Returns the batch's quality+exact survivors with
+    * `content_hash`, `is_canonical` (near-dup decision) and `split` —
+    * the delta the caller publishes. Only batch text is read; history
+    * participates as the narrow `content_hash` column and the index's
+    * band rows. */
+  def curateBatch(spark: SparkSession, batch: DataFrame,
+                  curatedRoot: String, indexGen: String): DataFrame = {
+    val gated = CorpusPipeline.qualityGate(batch, Langs, MinChars,
+      MaxChars, MaxPunctRatio)
+    // exact dedup: keep-min within the batch, then drop any hash the
+    // gated history already carries (its keep-min row is in the curated
+    // table, so the narrow column probe sees every gated-history hash)
+    val histHashes = SnapshotStore.read(spark, curatedRoot)
+      .select(col("content_hash").as("__fp"))
+    val keep = CorpusPipeline.exactDedupKeepMin(gated)
+      .withColumn("__fp", md5(col("text")))
+      .join(histHashes, Seq("__fp"), "left_anti")
+      .drop("__fp")
+      .localCheckpoint(true) // batch-sized; feeds bands, CC and publish
+    // near-dup: O(batch) portable signatures probed against the chain
+    val pairs = MinHashLSH.incrementalPairs(
+        MinHashLSH.portableBandRows(keep),
+        LshBandIndex.bandsOf(spark, indexGen))
+      .filter(col("est_jaccard") >= MinJaccard)
+      .select("src", "dst")
+      .localCheckpoint(true) // pairs are small; CC iterates over them
+    val bIds = keep.select(col("doc_id"))
+    // an endpoint outside the batch is a history exact-survivor: the
+    // batch endpoint of that pair can never be canonical
+    val histLinked = pairs
+      .join(bIds.withColumnRenamed("doc_id", "src"), Seq("src"), "left_anti")
+      .select(col("dst").as("id"))
+      .unionByName(pairs
+        .join(bIds.withColumnRenamed("doc_id", "dst"), Seq("dst"), "left_anti")
+        .select(col("src").as("id")))
+      .distinct()
+    val batchPairs = pairs
+      .join(bIds.withColumnRenamed("doc_id", "src"), Seq("src"), "left_semi")
+      .join(bIds.withColumnRenamed("doc_id", "dst"), Seq("dst"), "left_semi")
+    // batch-batch components; a component dies WHOLE if any member
+    // links to history (the full-recompute component would contain that
+    // history id, smaller than every batch id), else its min survives
+    val comps = ConnectedComponents.run(
+      keep.select(col("doc_id").as("id")), batchPairs)
+    val deadComps = comps.join(histLinked, Seq("id"), "left_semi")
+      .select("component").distinct()
+    val canonical = comps.filter(col("id") === col("component"))
+      .join(deadComps, Seq("component"), "left_anti")
+      .select(col("id").as("doc_id"))
+    keep
+      .withColumn("content_hash", md5(col("text")))
+      .join(canonical.withColumn("__canon", lit(true)), Seq("doc_id"), "left")
+      .withColumn("is_canonical", coalesce(col("__canon"), lit(false)))
+      .drop("__canon")
+      .withColumn("split",
+        graft.operators.Splits.hashSplit(col("doc_id")))
+  }
+
+  /** The two-day incremental-curation world the cp6/s19 gates read,
+    * built once per (JVM, sfDir) — every step idempotent-by-cache like
+    * the other gate scenarios:
+    *
+    *  day 1: raw store commits history (doc_id < 400); history is
+    *    curated in full ([[CorpusPipeline]] stages + portable LSH
+    *    pairs + CC), its quality+exact survivors published to the
+    *    curated store with (content_hash, is_canonical, split), and the
+    *    PORTABLE band index built snapshot-keyed over them;
+    *  day 2: raw store commits the full corpus; the change feed yields
+    *    the batch (pure inserts); [[curateBatch]] decides it against
+    *    the index; the delta publishes via a fenced read-modify-write
+    *    commit and the index advances with the count-verified batch.
+    *
+    * Returns (curatedRoot, accepted-batch frame). */
+  def scenario(spark: SparkSession, sfDir: String): (String, DataFrame) = {
+    val (curatedRoot, acceptedPath) = cache.getOrElseUpdate(sfDir, {
+      val docs = graft.Tables.documents(spark, sfDir)
+      val hist = docs.filter(col("doc_id") < 400)
+      val rawRoot = tmp("graft_incr_raw")
+      val snap1 = SnapshotStore.commit(spark, rawRoot)(dir =>
+        hist.write.parquet(dir))
+      val snap2 = SnapshotStore.commit(spark, rawRoot)(dir =>
+        docs.write.parquet(dir))
+      // day-1 history curation (full, portable family end-to-end)
+      val curatedHist = curateHistory(spark, hist)
+      val curRoot = tmp("graft_incr_curated")
+      val snapC1 = SnapshotStore.commit(spark, curRoot)(dir =>
+        curatedHist.write.parquet(dir))
+      val g1 = LshBandIndex.ensureForSnapshot(spark, curRoot,
+        portable = true)
+      // day-2: the change feed IS the batch (pure inserts by the ingest
+      // contract; the raw store's ids are append-only)
+      val batch = SnapshotStore.changesBetween(spark, rawRoot, snap1, snap2,
+          Seq("doc_id"))
+        .filter(col("change_type") === "insert")
+        .select(docs.columns.map(col): _*)
+      val accepted = curateBatch(spark, batch, curRoot, g1)
+        .localCheckpoint(true)
+      // delta publish (fenced on the snapshot this curation read) +
+      // O(batch) index advance, count-verified against the new snapshot
+      SnapshotStore.commitFrom(spark, curRoot, Some(snapC1)) { dir =>
+        SnapshotStore.readAt(spark, curRoot, snapC1)
+          .unionByName(accepted).write.parquet(dir)
+      }
+      LshBandIndex.advanceForSnapshotWithBatch(spark, curRoot, accepted,
+        portable = true)
+      val out = tmp("graft_incr_accepted")
+      accepted.write.mode("overwrite").parquet(out)
+      (curRoot, out)
+    })
+    (curatedRoot, spark.read.parquet(acceptedPath))
+  }
+
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+}

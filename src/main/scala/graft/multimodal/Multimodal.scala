@@ -66,8 +66,13 @@ object Multimodal {
 
   /** A real, valid 24-bit uncompressed BMP: 54-byte header + bottom-up
     * BGR rows, every channel set to the grayscale [[imagePixel]]. */
-  private[multimodal] def bmpBytes(id: Long): Array[Byte] = {
-    val w = imageWidth(id); val h = ImageHeight
+  private[multimodal] def bmpBytes(id: Long): Array[Byte] =
+    bmpBytesOf(imageWidth(id), imagePixel(id, _, _))
+
+  /** [[bmpBytes]] with an arbitrary pixel function — the seam the
+    * planted-near-dup fixture uses to re-encode a bumped copy. */
+  private[multimodal] def bmpBytesOf(w: Int, px: (Int, Int) => Int): Array[Byte] = {
+    val h = ImageHeight
     val data = w * h * 3 // widths are multiples of 4: no row padding
     val bb = java.nio.ByteBuffer.allocate(54 + data)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -81,7 +86,7 @@ object Multimodal {
     while (y >= 0) {
       var x = 0
       while (x < w) {
-        val v = imagePixel(id, x, y).toByte
+        val v = px(x, y).toByte
         bb.put(v).put(v).put(v) // B, G, R
         x += 1
       }
@@ -135,6 +140,105 @@ object Multimodal {
             duration_ms = frames * 100L)
       }
     }
+  }
+
+  /** [[fixture]] plus PLANTED perceptual near-duplicates for the mm4
+    * gate: every image id divisible by 5 is RE-ENCODED under
+    * id + 100000 with its (3,2) pixel bumped +7 (mod 251) — one pixel
+    * in one 8×8 grid cell, so the copy's [[dhashBmp]] differs from its
+    * source's in at most 2 bits (only the two horizontal differences
+    * that cell participates in can flip). */
+  def neardupFixture(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    val dups = spark.range(n).as[Long]
+      .filter(i => i % 3 == 0 && i % 5 == 0)
+      .map { id =>
+        MediaRow(id + 100000L, "image",
+          bmpBytesOf(imageWidth(id), (x, y) =>
+            if (x == 3 && y == 2) (imagePixel(id, x, y) + 7) % 251
+            else imagePixel(id, x, y)),
+          format = "bmp", width = imageWidth(id), height = ImageHeight,
+          sample_rate = 0, duration_ms = 0)
+      }
+    fixture(spark, n).unionByName(dups)
+  }
+
+  // -------------------------------------------------- perceptual hash
+
+  /** 56-bit difference hash (dHash) of a grayscale w×8 grid, w a
+    * multiple of 8: equal integer block-sums onto an 8×8 grid (no float
+    * resample — the hash is integer-exact end-to-end, which is what
+    * lets the mm4 DuckDB oracle recompute it from the fixture pixel
+    * formulas), bit y·7+x (LSB first) = 1 iff g(x+1,y) > g(x,y).
+    * Differences cancel uniform brightness shifts — the classic dHash
+    * robustness property. */
+  private[graft] def dhashGray(px: (Int, Int) => Int, w: Int, h: Int): Long = {
+    require(w > 0 && w % 8 == 0 && h == ImageHeight,
+      s"dhash expects (8k)x8 grids, got ${w}x$h")
+    val bw = w / 8
+    val g = Array.ofDim[Long](8, 8)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { g(x / bw)(y) += px(x, y); x += 1 }
+      y += 1
+    }
+    var hash = 0L
+    var i = 0
+    var yy = 0
+    while (yy < 8) {
+      var xx = 0
+      while (xx < 7) {
+        if (g(xx + 1)(yy) > g(xx)(yy)) hash |= 1L << i
+        i += 1; xx += 1
+      }
+      yy += 1
+    }
+    hash
+  }
+
+  /** dHash from REAL BMP bytes — dimensions and row order read from the
+    * header (negative height = top-down storage), one channel of the
+    * BGR payload. Throws on malformed bytes; callers that must degrade
+    * use [[dhashSafe]]. */
+  private[graft] def dhashBmp(c: Array[Byte]): Long = {
+    val bb = java.nio.ByteBuffer.wrap(c)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val off = bb.getInt(10)
+    val w = bb.getInt(18)
+    val rawH = bb.getInt(22)
+    val h = math.abs(rawH)
+    require(bb.getShort(28) == 24, "only 24-bit BMP supported")
+    val rowSize = (w * 3 + 3) / 4 * 4
+    dhashGray((x, y) => {
+      val row = if (rawH > 0) h - 1 - y else y
+      c(off + row * rowSize + x * 3) & 0xff
+    }, w, h)
+  }
+
+  /** The [[decode]] degradation contract applied to hashing: a corrupt
+    * or non-image blob hashes to None and is EXCLUDED from near-dup
+    * pairing — a damaged file must neither crash the pass nor fabricate
+    * pairs from a stub hash. */
+  private[graft] def dhashSafe(c: Array[Byte]): Option[Long] =
+    try { if (isBmp(c)) Some(dhashBmp(c)) else None }
+    catch {
+      case _: RuntimeException | _: IndexOutOfBoundsException => None
+    }
+
+  /** dHash of a raw row-major 8-bpp luma frame (the [[Mp4.sampleBytes]]
+    * payload shape, w = len/8); None for frames whose geometry is not
+    * the (8k)×8 grid — e.g. the byte-slice fallback of a corrupt
+    * container. */
+  private[graft] def dhashFrameSafe(frame: Array[Byte]): Option[Long] = {
+    val w = frame.length / ImageHeight
+    if (frame.length == 0 || frame.length % ImageHeight != 0 || w % 8 != 0)
+      None
+    else
+      try Some(dhashGray((x, y) => frame(y * w + x) & 0xff, w, ImageHeight))
+      catch {
+        case _: RuntimeException | _: IndexOutOfBoundsException => None
+      }
   }
 
   // ------------------------------------------------------------ decode

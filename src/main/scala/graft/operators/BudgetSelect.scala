@@ -40,9 +40,13 @@ import org.apache.spark.sql.functions._
   */
 object BudgetSelect {
   /** `docs` must carry `idCol` (unique), `scoreCol` (higher = better),
-    * `weightCol` (cost per row, e.g. token count). Returns the input
-    * plus `cum_<weightCol>` (the global running sum INCLUDING the row)
-    * and `admitted`.
+    * `weightCol` (cost per row, e.g. token count — INTEGRAL type
+    * required, enforced loudly below: the prefix sums are exact-integer
+    * arithmetic, and a double weight would both lose exactness and
+    * surface as a ClassCastException deep in the totals read; round or
+    * scale fractional costs to integers first, the sm9 micro-nat move).
+    * Returns the input plus `cum_<weightCol>` (the global running sum
+    * INCLUDING the row) and `admitted`.
     *
     * PRECONDITION: `docs` must be deterministic across re-evaluation
     * (any parquet/table read or checkpointed frame is; a rand()-derived
@@ -56,6 +60,16 @@ object BudgetSelect {
              weightCol: String, budget: Column,
              buckets: Int = 64): DataFrame = {
     require(buckets > 0, s"buckets=$buckets must be positive")
+    docs.schema.find(_.name == weightCol).map(_.dataType).foreach {
+      case org.apache.spark.sql.types.ByteType
+           | org.apache.spark.sql.types.ShortType
+           | org.apache.spark.sql.types.IntegerType
+           | org.apache.spark.sql.types.LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"BudgetSelect.greedy: weight column '$weightCol' must be an " +
+          s"integral type (exact prefix sums), got ${t.sql} — round or " +
+          "scale fractional costs to integers first")
+    }
     // monotone DESC score -> ASC bucket id over the observed range;
     // computed from a 2-row agg (min/max), not a per-row collect
     val Array(lo, hi) = docs

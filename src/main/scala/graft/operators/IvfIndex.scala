@@ -556,12 +556,24 @@ object IvfIndex {
       .groupBy("sub", "cid")
       .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> x.m)")
         .as("cvec"))
-    // PQ seeds come from the TRAINING sample (stride 1 below the cap →
-    // identical to seeding from the corpus), so every seed id is
-    // guaranteed present in `subs`
+    // PQ seeds: exactly PqCids rows strided over the TRAINING sample's
+    // RANK order (row_number over train's vec_id order, every
+    // ⌈nTrain/PqCids⌉-th row). Seeding by a second `vec_id % stepPq`
+    // modulo here was wrong above the cap: train is already a
+    // hash-strided sample, and two independent filters compose to
+    // ~PqCids EXPECTED seeds with high variance — a sparse draw
+    // silently degrades the PQ codebook, an empty one fails buildBook's
+    // require loudly. Rank-striding always draws exactly
+    // min(PqCids, nTrain) seeds, spread across the sample; the rank
+    // window runs over ≤ ~TrainCap rows (the bounded training sample,
+    // the same order of work as one Lloyd iteration). Every seed id is
+    // in `train`, hence present in `subs`.
     val stepPq = math.max(nTrain / PqCids, 1L)
     val wCid = Window.orderBy("vec_id")
-    val seedIds = train.filter(col("vec_id") % stepPq === 0)
+    val seedIds = train
+      .select(col("vec_id"),
+        (row_number().over(Window.orderBy("vec_id")) - 1).as("__r"))
+      .filter(col("__r") % stepPq === 0)
       .orderBy("vec_id").limit(PqCids)
       .select(col("vec_id"), (row_number().over(wCid) - 1).as("cid"))
     var pqCb = subs.join(broadcast(seedIds), Seq("vec_id"))

@@ -51,6 +51,14 @@ object LshBandIndex {
     "GRAFT_LSH_INDEX_DIR",
     new java.io.File(sys.props("java.io.tmpdir"), "graft_lsh_index").toString)
 
+  /** Hash-family namespace: a PORTABLE index (md5-derived band rows,
+    * MinHashLSH.portableBandRows — DuckDB-replicable, the cp6 oracle
+    * path) lives under a different root than the fused-xxhash default,
+    * so the two families can never probe each other's bands (they would
+    * silently collide on nothing). */
+  private def familyKey(key: String, portable: Boolean): String =
+    if (portable) s"portable:$key" else key
+
   /** Root dir for a named index: readable basename + collision hash. */
   def indexPath(key: String): String = {
     val base = key.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(40)
@@ -88,12 +96,21 @@ object LshBandIndex {
   }
 
   /** Ensure a fresh band index for the bare corpus frame `docs` under
-    * the index named `key`; returns the resolved generation path. */
+    * the index named `key`; returns the resolved generation path.
+    *
+    * CONTRACT: a bare `key` names an IMMUTABLE corpus (the testdata
+    * shape). After first validation in a JVM the memo short-circuits
+    * without recomputing count/fingerprint, so a caller that rebinds
+    * the same key to DIFFERENT corpus contents within one JVM is served
+    * the stale index — use a new key per corpus version, or go through
+    * [[ensureForSnapshot]]/[[advanceWithBatch]], which re-key the memo
+    * on every mutation they make. */
   def ensure(spark: SparkSession, docs: DataFrame, key: String,
              idCol: String = "doc_id", textCol: String = "text",
-             numPerms: Int = 16, bands: Int = 4): String =
+             numPerms: Int = 16, bands: Int = 4,
+             portable: Boolean = false): String =
     buildLock.synchronized {
-      val root = indexPath(key)
+      val root = indexPath(familyKey(key, portable))
       val fs = new Path(root)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       def token(n: Long, fp: Long) = s"fp:$n:$fp"
@@ -113,7 +130,8 @@ object LshBandIndex {
           gen.toString
         case _ =>
           val gen = build(spark, docs, root, idCol, textCol, numPerms, bands,
-            snap = None, nOverride = Some(n), fpOverride = Some(fp))
+            snap = None, nOverride = Some(n), fpOverride = Some(fp),
+            portable = portable)
           validated(root) = (token(n, fp), gen)
           gen
       }
@@ -124,12 +142,13 @@ object LshBandIndex {
     * snapshot name — revalidation is metadata-only (no corpus scan). */
   def ensureForSnapshot(spark: SparkSession, storeRoot: String,
                         idCol: String = "doc_id", textCol: String = "text",
-                        numPerms: Int = 16, bands: Int = 4): String =
+                        numPerms: Int = 16, bands: Int = 4,
+                        portable: Boolean = false): String =
     buildLock.synchronized {
       val snap = graft.store.SnapshotStore.currentName(spark, storeRoot)
         .getOrElse(throw new java.io.FileNotFoundException(
           s"no snapshot published under $storeRoot — commit the corpus first"))
-      val root = indexPath(s"store:$storeRoot")
+      val root = indexPath(familyKey(s"store:$storeRoot", portable))
       validated.get(root) match {
         case Some((t, gen)) if t == s"snap:$snap" => return gen
         case _ => ()
@@ -144,7 +163,8 @@ object LshBandIndex {
         case _ =>
           val docs = graft.store.SnapshotStore.read(spark, storeRoot)
           val gen = build(spark, docs, root, idCol, textCol, numPerms, bands,
-            snap = Some(snap), nOverride = None, fpOverride = None)
+            snap = Some(snap), nOverride = None, fpOverride = None,
+            portable = portable)
           validated(root) = (s"snap:$snap", gen)
           gen
       }
@@ -163,12 +183,13 @@ object LshBandIndex {
   def advanceForSnapshot(spark: SparkSession, storeRoot: String,
                          idCol: String = "doc_id",
                          textCol: String = "text",
-                         numPerms: Int = 16, bands: Int = 4): String =
+                         numPerms: Int = 16, bands: Int = 4,
+                         portable: Boolean = false): String =
     buildLock.synchronized {
       val snap = graft.store.SnapshotStore.currentName(spark, storeRoot)
         .getOrElse(throw new java.io.FileNotFoundException(
           s"no snapshot published under $storeRoot — commit the corpus first"))
-      val root = indexPath(s"store:$storeRoot")
+      val root = indexPath(familyKey(s"store:$storeRoot", portable))
       validated.get(root) match {
         case Some((t, gen)) if t == s"snap:$snap" => return gen
         case _ => ()
@@ -178,7 +199,8 @@ object LshBandIndex {
       def rebuild(): String = {
         val docs = graft.store.SnapshotStore.read(spark, storeRoot)
         build(spark, docs, root, idCol, textCol, numPerms, bands,
-          snap = Some(snap), nOverride = None, fpOverride = None)
+          snap = Some(snap), nOverride = None, fpOverride = None,
+          portable = portable)
       }
       val gen = GenLog.currentGen(fs, root)
         .flatMap(g => GenLog.readMeta(spark, g, FormatVersion).map(g -> _)) match {
@@ -196,7 +218,8 @@ object LshBandIndex {
                 .select(col(idCol), col(textCol))
               // reentrant: buildLock is a JVM monitor
               Some(advanceWithBatch(spark, s"store:$storeRoot", batch,
-                idCol, textCol, numPerms, bands, snap = Some(snap)))
+                idCol, textCol, numPerms, bands, snap = Some(snap),
+                portable = portable))
             }
           }.toOption.flatten.getOrElse(rebuild())
         case _ => rebuild()
@@ -221,12 +244,13 @@ object LshBandIndex {
                                   idCol: String = "doc_id",
                                   textCol: String = "text",
                                   numPerms: Int = 16,
-                                  bands: Int = 4): String =
+                                  bands: Int = 4,
+                                  portable: Boolean = false): String =
     buildLock.synchronized {
       val snap = graft.store.SnapshotStore.currentName(spark, storeRoot)
         .getOrElse(throw new java.io.FileNotFoundException(
           s"no snapshot published under $storeRoot — commit the corpus first"))
-      val root = indexPath(s"store:$storeRoot")
+      val root = indexPath(familyKey(s"store:$storeRoot", portable))
       validated.get(root) match {
         case Some((t, gen)) if t == s"snap:$snap" => return gen
         case _ => ()
@@ -254,9 +278,10 @@ object LshBandIndex {
       }
       if (viaBatch)
         advanceWithBatch(spark, s"store:$storeRoot", b, idCol, textCol,
-          numPerms, bands, snap = Some(snap))
+          numPerms, bands, snap = Some(snap), portable = portable)
       else
-        advanceForSnapshot(spark, storeRoot, idCol, textCol, numPerms, bands)
+        advanceForSnapshot(spark, storeRoot, idCol, textCol, numPerms,
+          bands, portable = portable)
     }
 
   /** Advance the index with an ingest batch. The fast path — disjoint
@@ -277,9 +302,10 @@ object LshBandIndex {
   def advanceWithBatch(spark: SparkSession, key: String, batch: DataFrame,
                        idCol: String = "doc_id", textCol: String = "text",
                        numPerms: Int = 16, bands: Int = 4,
-                       snap: Option[String] = None): String =
+                       snap: Option[String] = None,
+                       portable: Boolean = false): String =
     buildLock.synchronized {
-      val root = indexPath(key)
+      val root = indexPath(familyKey(key, portable))
       val fs = new Path(root)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val head = GenLog.currentGen(fs, root)
@@ -334,7 +360,10 @@ object LshBandIndex {
         validated(root) = (tok, gen0)
         return gen0
       }
-      val batchBands = MinHashLSH.bandRows(b, idCol, textCol, numPerms, bands)
+      val batchBands =
+        if (portable) MinHashLSH.portableBandRows(b, idCol, textCol,
+          numPerms, bands)
+        else MinHashLSH.bandRows(b, idCol, textCol, numPerms, bands)
       val gen =
         if (nOverlap > 0 || compact) {
           val hist =
@@ -355,8 +384,8 @@ object LshBandIndex {
     * to the index (a streaming ingest advancing it per micro-batch) use
     * this to probe the exact state they last published. */
   def currentGenPath(spark: org.apache.spark.sql.SparkSession,
-                     key: String): Option[String] = {
-    val root = indexPath(key)
+                     key: String, portable: Boolean = false): Option[String] = {
+    val root = indexPath(familyKey(key, portable))
     val fs = new Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     GenLog.currentGen(fs, root)
@@ -380,7 +409,8 @@ object LshBandIndex {
                     idCol: String, textCol: String,
                     numPerms: Int, bandCount: Int, snap: Option[String],
                     nOverride: Option[Long],
-                    fpOverride: Option[Long]): String = {
+                    fpOverride: Option[Long],
+                    portable: Boolean = false): String = {
     val n = nOverride.getOrElse(docs.count())
     require(n > 0,
       s"LshBandIndex.build: refusing to index an empty corpus ($root)")
@@ -388,7 +418,9 @@ object LshBandIndex {
       if (snap.isDefined) 0L
       else fpOverride.getOrElse(fingerprint(docs, idCol, textCol))
     publishBands(spark, root,
-      MinHashLSH.bandRows(docs, idCol, textCol, numPerms, bandCount),
+      if (portable) MinHashLSH.portableBandRows(docs, idCol, textCol,
+        numPerms, bandCount)
+      else MinHashLSH.bandRows(docs, idCol, textCol, numPerms, bandCount),
       GenLog.Meta(n, FormatVersion, fp, snap, None))
   }
 

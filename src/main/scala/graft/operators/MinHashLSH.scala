@@ -146,6 +146,118 @@ object MinHashLSH {
       .distinct()
   }
 
+  /** [[candidatePairs]] re-keyed onto ENGINE-PORTABLE md5-derived
+    * permutation hashes (the dd5/m7b hash family): the SAME word-3-
+    * shingles as the fused kernel (s_i = concat_ws(' ', toks[i-1..i+1]),
+    * max(n-2, 1) shingles — [[graft.functions.MinHashSig]]'s pinned
+    * contract), hashed per permutation as the first 60 bits of
+    * md5("<perm>_" + shingle) (fits a signed BIGINT in every engine),
+    * sig_i = min over the doc's shingles, and bands compare their raw
+    * signature slice (a concat_ws string key) instead of an
+    * engine-internal xxhash64. Same banding geometry and agreement math
+    * as the fused path. (Shingling, not bag-of-tokens, is load-bearing:
+    * single-token minima collapse under a shared vocabulary — measured
+    * 352→57 curation survivors on the synthetic corpus — because every
+    * doc's minimum lands on the same globally-minimal tokens.)
+    *
+    * Existence reason: every step is DuckDB-replicable, which turns the
+    * cp1 curation composite from rows-only into a fully hash-gated
+    * query. The fused xxhash kernel ([[signatures]]) remains the 100 TB
+    * hot path — this family pays numPerms md5 calls per shingle, the
+    * price of engine portability. */
+  /** The PORTABLE family's signature frame `(__id, sig)` — md5-MinHash
+    * over the fused kernel's word-3-shingles; duplicate doc ids merge
+    * into the union's signature exactly as [[signatures]] does.
+    * `toks[i]` under non-ANSI semantics: out-of-bounds → null, skipped
+    * by concat_ws — exactly MinHashSig.compute's edge behavior for 1-
+    * and 2-token documents. array_distinct: min over DISTINCT shingles
+    * == min over the multiset, it just avoids re-hashing repeats
+    * numPerms times each. */
+  private def portableSignatures(docs: DataFrame, idCol: String,
+                                 textCol: String,
+                                 numPerms: Int): DataFrame =
+    docs
+      .select(col(idCol).as("__id"),
+        split(lower(trim(
+          regexp_replace(col(textCol), "\\s+", " "))), " ").as("toks"))
+      .select(col("__id"), array_distinct(expr(
+        "transform(sequence(1, greatest(size(toks) - 2, 1)), " +
+          "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))
+        .as("shingles"))
+      .select(col("__id"), array((0 until numPerms).map(i =>
+        expr(s"array_min(transform(shingles, t -> cast(conv(substring(" +
+          s"md5(concat('${i}_', t)), 1, 15), 16, 10) as bigint)))")): _*)
+        .as("sig"))
+      .groupBy(col("__id"))
+      .agg(array((0 until numPerms).map(i =>
+        min(col("sig").getItem(i))): _*).as("sig"))
+
+  /** [[bandRows]] for the PORTABLE family — the SAME `(__id, sig,
+    * band_id, band_hash)` schema, with band_hash the 60-bit md5 of the
+    * band's underscore-joined signature slice instead of an xxhash64.
+    * [[incrementalPairs]] and [[LshBandIndex]] therefore work unchanged
+    * on either family; LshBandIndex namespaces portable indexes under a
+    * separate root so the two can never probe each other (a fused band
+    * never collides with a portable one, which would silently yield
+    * zero candidates). A 60-bit md5 collision creating a false
+    * candidate is filtered by the est_jaccard threshold — est ≥ 13/16
+    * forces ≥3 of 4 bands to agree as raw slices anyway. */
+  def portableBandRows(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text",
+                       numPerms: Int = 16, bands: Int = 4): DataFrame = {
+    require(numPerms % bands == 0,
+      s"numPerms=$numPerms not divisible by bands=$bands")
+    val rowsPerBand = numPerms / bands
+    portableSignatures(docs, idCol, textCol, numPerms)
+      .select(col("__id"), col("sig"),
+        explode(array((0 until bands).map(b => struct(
+          lit(b).as("band_id"),
+          expr(s"cast(conv(substring(md5(concat_ws('_', " +
+            (b * rowsPerBand until (b + 1) * rowsPerBand)
+              .map(i => s"sig[$i]").mkString(", ") +
+            s")), 1, 15), 16, 10) as bigint)").as("band_hash"))): _*))
+          .as("band"))
+      .select(col("__id"), col("sig"),
+        col("band.band_id").as("band_id"),
+        col("band.band_hash").as("band_hash"))
+  }
+
+  def portablePairs(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    numPerms: Int = 16, bands: Int = 4): DataFrame = {
+    require(numPerms % bands == 0,
+      s"numPerms=$numPerms not divisible by bands=$bands")
+    val rowsPerBand = numPerms / bands
+    val sigs = portableSignatures(docs, idCol, textCol, numPerms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs
+      .select(col("__id"), col("sig"),
+        explode(array((0 until bands).map(b => struct(
+          lit(b).as("band_id"),
+          concat_ws("_", (b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => col("sig").getItem(i)): _*).as("band_key"))): _*))
+          .as("band"))
+      .select(col("__id"), col("sig"),
+        col("band.band_id"), col("band.band_key"))
+    graft.functions.SignatureAgreement.register(docs.sparkSession)
+    val a = banded.select(col("__id").as("src"), col("sig").as("sig_a"),
+      col("band_id"), col("band_key"))
+    val b = banded.select(col("__id").as("dst"), col("sig").as("sig_b"),
+      col("band_id"), col("band_key"))
+    // graft_sig_agreement is engine-NATIVE but its math is portable
+    // arithmetic (agreeing positions / numPerms — exact in binary for
+    // power-of-two numPerms), so an oracle recomputes it from its own
+    // signature lists
+    val pairs = a.join(b, Seq("band_id", "band_key"))
+      .filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"),
+        expr("graft_sig_agreement(sig_a, sig_b)").as("est_jaccard"))
+      .distinct()
+    val out = pairs.localCheckpoint(true) // pairs are small
+    sigs.unpersist()
+    out
+  }
+
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int), String]
 
@@ -171,6 +283,22 @@ object MinHashLSH {
         .write.mode("overwrite").parquet(dir)
       dir
     })
+    spark.read.parquet(path)
+  }
+
+  /** [[cachedPairs]] for the [[portablePairs]] family (namespaced in the
+    * same path cache) — one portable LSH pass per (JVM, corpus). */
+  def cachedPortablePairs(docs: DataFrame, cacheKey: String,
+                          numPerms: Int = 16, bands: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    val path = pairsCache.getOrElseUpdate(
+      (s"portable:$cacheKey", numPerms, bands), {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_lsh_pairs_portable").toString
+        portablePairs(docs, numPerms = numPerms, bands = bands)
+          .write.mode("overwrite").parquet(dir)
+        dir
+      })
     spark.read.parquet(path)
   }
 }

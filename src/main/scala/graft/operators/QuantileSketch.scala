@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -37,12 +37,15 @@ import org.apache.spark.sql.functions._
   * asserts, with 2ε slack for arithmetic headroom.
   *
   * At 100 TB: the summary frame is partitions × (2/ε+1) rows (200k
-  * partitions at ε=0.01 → ~40M summary rows), still a DataFrame-sized
-  * problem solved with one bounded window — and hierarchical pre-merge
-  * (summarize the summaries) composes because the structure is closed
-  * under the same operation. The per-partition sort buffers one
-  * partition's doubles in memory (8B·rows); a streaming GK summary
-  * would avoid that at the cost of determinism bookkeeping.
+  * partitions at ε=0.01 → ~40M summary rows). The global merge is the
+  * two-phase distributed prefix sum (value-range buckets + per-bucket
+  * parallel windows + ≤64 driver-cumulated offsets — the BudgetSelect
+  * pattern), NEVER a single-partition window, so those 40M rows sort in
+  * 64-way parallel tasks; the raw table scans exactly once (the summary
+  * is checkpointed before the merge's three bounded jobs). The
+  * per-partition sort buffers one partition's doubles in memory
+  * (8B·rows); a streaming GK summary would avoid that at the cost of
+  * determinism bookkeeping.
   */
 object QuantileSketch {
 
@@ -65,33 +68,84 @@ object QuantileSketch {
     }
   }
 
+  /** Bucket count for the two-phase global merge — bounds driver state
+    * (≤64 totals collected) exactly like BudgetSelect's default. */
+  private val MergeBuckets = 64
+
+  /** The raw-width segment of [[summary]]: per-partition samples tagged
+    * with their partition id — NO exchange at or below the
+    * mapPartitions (spec-pinned seam). */
+  private[graft] def taggedSamples(df: DataFrame, valueCol: String,
+      eps: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(valueCol).cast("double")).as[Double]
+      .mapPartitions(it => summarizePartition(it, eps))
+      .toDF("value", "local_rank")
+      .withColumn("pid", spark_partition_id())
+  }
+
   /** Summary frame (value, est_rank): one row per emitted sample, where
     * est_rank is the MERGED lower-bound rank estimate of that value
     * across all partitions. The only full-width pass is the
-    * mapPartitions; the window runs over the bounded summary. */
-  def summary(df: DataFrame, valueCol: String, eps: Double): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val samples: Dataset[(Double, Long)] = df
-      .select(col(valueCol).cast("double")).as[Double]
-      .mapPartitions(it => summarizePartition(it, eps))
+    * mapPartitions; every merge step runs over the bounded summary. */
+  def summary(df: DataFrame, valueCol: String, eps: Double): DataFrame =
+    summaryWithTotal(df, valueCol, eps)._1
+
+  /** [[summary]] plus the exact total row count N (= Σ of the driver-
+    * cumulated bucket totals, free as a by-product of the merge) — so
+    * [[quantiles]] never re-derives N with a global window. */
+  private[graft] def summaryWithTotal(df: DataFrame, valueCol: String,
+      eps: Double): (DataFrame, Long) = {
+    // the summary is bounded (≤ partitions·(2/ε+1) rows): checkpoint it
+    // so the RAW table scan runs exactly ONCE — the bucket-range probe,
+    // the bucket totals, and the merge window below are each jobs over
+    // this frame, and un-checkpointed every one would re-run the
+    // mapPartitions pass over the full table
+    val tagged = taggedSamples(df, valueCol, eps).localCheckpoint(true)
     // Each partition's contribution to est_rank(v) changes only at its
     // own emitted values, by the local-rank delta; summing deltas over
     // everything ≤ v (value, then rank as tie-break for duplicate
-    // values) yields Σ_p largest-emitted-rank ≤ v in one cumulative
-    // window. spark_partition_id distinguishes same-valued samples from
-    // different partitions.
-    val tagged = samples.toDF("value", "local_rank")
-      .withColumn("pid", spark_partition_id())
+    // values) yields Σ_p largest-emitted-rank ≤ v. spark_partition_id
+    // distinguishes same-valued samples from different partitions.
     val wPart = Window.partitionBy("pid").orderBy("value", "local_rank")
-    val wCum = Window.orderBy("value", "local_rank", "pid")
+    val withDelta = tagged.withColumn("delta",
+      col("local_rank") - coalesce(lag(col("local_rank"), 1).over(wPart),
+        lit(0L)))
+    // The global cumulative over (value, local_rank, pid) order is the
+    // two-phase prefix sum (the BudgetSelect pattern): value-range
+    // buckets (monotone, so bucket order is a PREFIX of the global
+    // order and equal values never split across buckets), per-bucket
+    // windows running parallel, and ≤MergeBuckets totals cumulated on
+    // the driver and broadcast back as a literal CASE. The previous
+    // spelling (`Window.orderBy` with no partition) planned Exchange
+    // SinglePartition — at 200k partitions / ε=0.01 that is ~40M
+    // summary rows sorted through ONE task.
+    val Array(vlo, vhi) = withDelta
+      .agg(min(col("value")), max(col("value")))
+      .head().toSeq.map(v => Option(v).map(_.asInstanceOf[Double]).getOrElse(0.0))
+      .toArray
+    val span = math.max(vhi - vlo, 1e-12)
+    val bucket = greatest(lit(0), least(lit(MergeBuckets - 1),
+      floor((col("value") - lit(vlo)) / lit(span) * MergeBuckets)))
+      .cast("int")
+    val b = withDelta.withColumn("__bucket", bucket)
+    val wCum = Window.partitionBy("__bucket")
+      .orderBy("value", "local_rank", "pid")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    tagged
-      .withColumn("delta",
-        col("local_rank") - coalesce(lag(col("local_rank"), 1).over(wPart),
-          lit(0L)))
-      .withColumn("est_rank", sum(col("delta")).over(wCum))
+    val totals = b.groupBy("__bucket").agg(sum(col("delta")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = totals.scanLeft((Int.MinValue, 0L)) {
+      case ((_, acc), (bk, t)) => (bk, acc + t)
+    }.sliding(2).collect { case Array((_, acc), (bk, _)) => bk -> acc }.toMap
+    val offsetCol = totals.map(_._1).foldRight(lit(0L): Column) {
+      case (bk, els) =>
+        when(col("__bucket") === bk, lit(offsets(bk))).otherwise(els)
+    }
+    val est = b
+      .withColumn("est_rank", offsetCol + sum(col("delta")).over(wCum))
       .select(col("value"), col("est_rank"))
+    (est, totals.map(_._2).sum)
   }
 
   /** For each requested quantile q: the emitted value whose est_rank is
@@ -99,17 +153,15 @@ object QuantileSketch {
     * est_rank), one row per q, ordered by q. */
   def quantiles(df: DataFrame, valueCol: String, eps: Double,
       qs: Seq[Double]): DataFrame = {
-    val s = summary(df, valueCol, eps)
-    val n = col("total")
-    val withTotal = s.withColumn("total",
-      max(col("est_rank")).over(Window.partitionBy()))
+    val (s, n) = summaryWithTotal(df, valueCol, eps)
     // explode the requested quantiles onto the bounded summary frame —
-    // no join (a literal-array explode keeps the plan NestedLoop-free)
-    withTotal
-      .withColumn("q", explode(array(qs.map(lit(_)): _*)))
+    // no join (a literal-array explode keeps the plan NestedLoop-free);
+    // N rides in as a literal from the merge's own bucket totals, not a
+    // max-over-everything window (which would plan SinglePartition)
+    s.withColumn("q", explode(array(qs.map(lit(_)): _*)))
       .groupBy("q")
       .agg(min_by(struct(col("value"), col("est_rank")),
-        struct(abs(col("est_rank") - col("q") * n), col("value")))
+        struct(abs(col("est_rank") - col("q") * lit(n)), col("value")))
         .as("best"))
       .select(col("q"), col("best.value").as("value"),
         col("best.est_rank").as("est_rank"))

@@ -121,7 +121,15 @@ object TextIndex {
   }
 
   /** Ensure a fresh index for the bare corpus frame `docs` under the
-    * index named `key`; returns the resolved generation path. */
+    * index named `key`; returns the resolved generation path.
+    *
+    * CONTRACT: a bare `key` names an IMMUTABLE corpus (the testdata
+    * shape). After first validation in a JVM the memo short-circuits
+    * without recomputing count/fingerprint, so a caller that rebinds
+    * the same key to DIFFERENT corpus contents within one JVM is served
+    * the stale index — use a new key per corpus version, or go through
+    * [[ensureForSnapshot]]/[[advanceWithBatch]], which re-key the memo
+    * on every mutation they make. */
   def ensure(spark: SparkSession, docs: DataFrame, key: String,
              idCol: String = "doc_id", textCol: String = "text"): String =
     buildLock.synchronized {
@@ -189,6 +197,116 @@ object TextIndex {
       }
     }
 
+  /** [[ensureForSnapshot]] that prefers an INCREMENTAL advance — the
+    * [[LshBandIndex.advanceForSnapshot]] pattern for the inverted
+    * index: when the index is valid for an earlier snapshot and the
+    * store's change feed between the indexed and current snapshots is
+    * pure inserts, only the new documents are tokenized and chained as
+    * a delta generation. Updates/deletes in the feed, a vacuumed
+    * indexed version, or a missing/stale index fall back to a full
+    * rebuild; an empty feed (identical republish) re-keys via the
+    * zero-row delta. */
+  def advanceForSnapshot(spark: SparkSession, storeRoot: String,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): String =
+    buildLock.synchronized {
+      val snap = graft.store.SnapshotStore.currentName(spark, storeRoot)
+        .getOrElse(throw new java.io.FileNotFoundException(
+          s"no snapshot published under $storeRoot — commit the corpus first"))
+      val root = indexPath(s"store:$storeRoot")
+      validated.get(root) match {
+        case Some((t, gen)) if t == s"snap:$snap" => return gen
+        case _ => ()
+      }
+      val fs = new Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def rebuild(): String = {
+        val docs = graft.store.SnapshotStore.read(spark, storeRoot)
+        val n = docs.count()
+        require(n > 0,
+          s"TextIndex: refusing to index an empty corpus ($root)")
+        publishPostings(spark, root, postingRows(docs, idCol, textCol),
+          GenLog.Meta(n, FormatVersion, fp = 0L, snap = Some(snap),
+            parent = None))
+      }
+      val gen = GenLog.currentGen(fs, root)
+        .flatMap(g => GenLog.readMeta(spark, g, FormatVersion).map(g -> _)) match {
+        case Some((g, m)) if m.snap.contains(snap) => g.toString
+        case Some((g, m)) if m.snap.isDefined =>
+          scala.util.Try {
+            val feed = graft.store.SnapshotStore.changesBetween(
+                spark, storeRoot, m.snap.get, snap, Seq(idCol))
+              .localCheckpoint(true)
+            val churn = feed.filter(col("change_type") =!= "insert")
+              .limit(1).count()
+            if (churn > 0) None
+            else {
+              val batch = feed.filter(col("change_type") === "insert")
+                .select(col(idCol), col(textCol))
+              // reentrant: buildLock is a JVM monitor
+              Some(advanceWithBatch(spark, s"store:$storeRoot", batch,
+                idCol, textCol, snap = Some(snap)))
+            }
+          }.toOption.flatten.getOrElse(rebuild())
+        case _ => rebuild()
+      }
+      validated(root) = (s"snap:$snap", gen)
+      gen
+    }
+
+  /** [[advanceForSnapshot]] with a CALLER-ASSERTED delta — the
+    * [[LshBandIndex.advanceForSnapshotWithBatch]] pattern: the writer
+    * that just appended `batch` to the store hands the same frame here,
+    * skipping the change-feed content diff. Trust-but-verify nets (each
+    * cheap, each falling back to the content-diff path rather than
+    * recording a wrong index): the row-count identity `count(current
+    * snapshot) == indexed n + count(batch)` (a column-less scan) and an
+    * id-overlap probe against the postings. Without them, a partial or
+    * redelivered batch would chain an incomplete/replaced postings
+    * delta keyed to the new snapshot — and since the snapshot path
+    * never consults the fingerprint, the wrong index would be served
+    * permanently. */
+  def advanceForSnapshotWithBatch(spark: SparkSession, storeRoot: String,
+                                  batch: DataFrame,
+                                  idCol: String = "doc_id",
+                                  textCol: String = "text"): String =
+    buildLock.synchronized {
+      val snap = graft.store.SnapshotStore.currentName(spark, storeRoot)
+        .getOrElse(throw new java.io.FileNotFoundException(
+          s"no snapshot published under $storeRoot — commit the corpus first"))
+      val root = indexPath(s"store:$storeRoot")
+      validated.get(root) match {
+        case Some((t, gen)) if t == s"snap:$snap" => return gen
+        case _ => ()
+      }
+      val fs = new Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val b = batch.select(col(idCol).cast("long").as(idCol),
+        col(textCol).as(textCol)).localCheckpoint(true)
+      // counts AND id-disjointness verified here, not delegated: an
+      // overlapping batch on the SNAPSHOT path must fall back to the
+      // content diff (advanceWithBatch's overlap REPLACEMENT would index
+      // history∖batch ∪ batch, which need not equal the snapshot the
+      // result gets keyed to)
+      val viaBatch = GenLog.currentGen(fs, root)
+        .flatMap(g => GenLog.readMeta(spark, g, FormatVersion).map(g -> _)) match {
+        case Some((g, m)) if !m.snap.contains(snap) =>
+          val countsOk =
+            graft.store.SnapshotStore.read(spark, storeRoot).count() ==
+              m.n + b.count()
+          lazy val overlaps = postingsOf(spark, g.toString).select("__id")
+            .join(b.select(col(idCol).as("__id")), Seq("__id"), "left_semi")
+            .limit(1).count() > 0
+          countsOk && !overlaps
+        case _ => false
+      }
+      if (viaBatch)
+        advanceWithBatch(spark, s"store:$storeRoot", b, idCol, textCol,
+          snap = Some(snap))
+      else
+        advanceForSnapshot(spark, storeRoot, idCol, textCol)
+    }
+
   /** Advance the index with an ingest batch. Fast path (disjoint ids,
     * chain under the cap): tokenize the batch, chain it as a delta —
     * O(batch), indexed text untouched. Guarded slow paths rewrite
@@ -199,8 +317,10 @@ object TextIndex {
     * that voids the additive fingerprint (meta records fp=0; the next
     * cross-JVM [[ensure]] rebuilds — safe, just uncached). A zero-row
     * batch publishes a meta-only re-key generation. `snap`, when given,
-    * re-keys validity to the new snapshot name (the caller has
-    * committed history ∪ batch to the store). */
+    * re-keys validity to the new snapshot name — callers advancing a
+    * SNAPSHOT-keyed index should prefer [[advanceForSnapshotWithBatch]],
+    * which verifies the batch against the store before trusting it;
+    * this method trusts the caller. */
   def advanceWithBatch(spark: SparkSession, key: String, batch: DataFrame,
                        idCol: String = "doc_id", textCol: String = "text",
                        snap: Option[String] = None): String =

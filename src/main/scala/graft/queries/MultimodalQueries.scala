@@ -49,6 +49,49 @@ object MultimodalQueries {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // MM4: perceptual near-dup over the media columns — the dedup
+    // family extended to images/video. dHash-56 (integer 8×8 block
+    // dHash) of every image's REAL BMP payload and every video's frame
+    // 0 (located through the MP4 sample table), then a 4×14-bit Hamming
+    // BAND join: a pair within distance ≤ 3 differs in ≤ 3 bit
+    // positions, which can dirty at most 3 of the 4 bands (pigeonhole)
+    // — the banded candidate set provably EQUALS all-pairs at this
+    // threshold, so the all-pairs DuckDB oracle carries no recall
+    // caveat. Corpus: the fixture + every 5th image re-encoded with a
+    // one-pixel bump (≤ 2-bit perturbation) under id+100000. Audio has
+    // no 2-D grid and is excluded; corrupt media hashes to None and is
+    // excluded rather than crashing or fabricating stub-hash pairs
+    // (MultimodalSpec pins the degradation).
+    "mm4_media_neardup" -> ((s, d) => {
+      import s.implicits._
+      val media = Multimodal.neardupFixture(s, 500)
+      val imgHashes = media.filter(_.kind == "image")
+        .flatMap(m => Multimodal.dhashSafe(m.content)
+          .map(h => (m.media_id, h)))
+      val vidHashes = Multimodal.sampleFrames(s, media, framesPerVideo = 1)
+        .flatMap(fr => Multimodal.dhashFrameSafe(fr.frame)
+          .map(h => (fr.media_id, h)))
+      val hashes = imgHashes.union(vidHashes).toDF("media_id", "dhash")
+      val banded = hashes.select(col("media_id"), col("dhash"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          shiftrightunsigned(col("dhash"), b * 14)
+            .bitwiseAND(lit(16383L)).as("bits"))): _*)).as("bd"))
+        .select(col("media_id"), col("dhash"),
+          col("bd.band").as("band"), col("bd.bits").as("bits"))
+      val a = banded.select(col("media_id").as("media_a"),
+        col("dhash").as("ha"), col("band"), col("bits"))
+      val b = banded.select(col("media_id").as("media_b"),
+        col("dhash").as("hb"), col("band"), col("bits"))
+      a.join(b, Seq("band", "bits"))
+        .filter(col("media_a") < col("media_b"))
+        .select(col("media_a"), col("media_b"),
+          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int")
+            .as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("media_a", "media_b")
+    }),
+
     // container-metadata extraction: every header field the MP4 parser
     // reads (track + sample-entry geometry, sample count, movie duration,
     // coded format) against the fixture formulas — gates the box-walk
@@ -168,6 +211,56 @@ object MultimodalQueries {
         |  CAST(pixsum AS BIGINT) AS frame_pixsum
         |FROM px
         |ORDER BY media_id, frame_idx""".stripMargin,
+    // mm4: the dHash recomputed from the fixture pixel FORMULAS (base
+    // images, bumped copies, video frame 0), bits as a (media, bit_idx,
+    // bit) table, Hamming by an all-pairs bit join — integer-exact end
+    // to end, and all-pairs ≡ the query's banded join at threshold ≤ 3
+    // by pigeonhole (≤3 flipped bits leave ≥1 of 4 bands clean).
+    "mm4_media_neardup" ->
+      """WITH imgs AS (
+        |  SELECT i AS media_id, i AS src,
+        |    CAST(16 + (i % 4) * 8 AS INTEGER) AS w, 0 AS bumped
+        |  FROM range(500) t(i) WHERE i % 3 = 0
+        |  UNION ALL
+        |  SELECT i + 100000, i, CAST(16 + (i % 4) * 8 AS INTEGER), 1
+        |  FROM range(500) t(i) WHERE i % 3 = 0 AND i % 5 = 0),
+        |vids AS (
+        |  SELECT i AS media_id, CAST(16 + (i % 2) * 8 AS INTEGER) AS w
+        |  FROM range(500) t(i) WHERE i % 3 = 2),
+        |px AS (
+        |  SELECT media_id, w, x, y,
+        |    CASE WHEN bumped = 1 AND x = 3 AND y = 2
+        |         THEN ((src * 31 + x * 7 + y * 13) % 251 + 7) % 251
+        |         ELSE (src * 31 + x * 7 + y * 13) % 251 END AS v
+        |  FROM imgs,
+        |    LATERAL (SELECT UNNEST(range(w)) AS x) a,
+        |    LATERAL (SELECT UNNEST(range(8)) AS y) b
+        |  UNION ALL
+        |  SELECT media_id, w, x, y,
+        |    (media_id * 31 + x * 7 + y * 13) % 251 AS v
+        |  FROM vids,
+        |    LATERAL (SELECT UNNEST(range(w)) AS x) a,
+        |    LATERAL (SELECT UNNEST(range(8)) AS y) b),
+        |grid AS (
+        |  SELECT media_id, CAST(x // (w // 8) AS INTEGER) AS gx, y,
+        |    CAST(SUM(v) AS BIGINT) AS gs
+        |  FROM px GROUP BY media_id, x // (w // 8), y),
+        |bits AS (
+        |  SELECT a.media_id, CAST(a.y * 7 + a.gx AS INTEGER) AS bit_idx,
+        |    CASE WHEN b.gs > a.gs THEN 1 ELSE 0 END AS bit
+        |  FROM grid a JOIN grid b
+        |    ON a.media_id = b.media_id AND a.y = b.y AND b.gx = a.gx + 1
+        |  WHERE a.gx < 7),
+        |pairs AS (
+        |  SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |    CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)
+        |      AS INTEGER) AS hamming
+        |  FROM bits a JOIN bits b
+        |    ON a.bit_idx = b.bit_idx AND a.media_id < b.media_id
+        |  GROUP BY 1, 2)
+        |SELECT media_a, media_b, hamming FROM pairs
+        |WHERE hamming <= 3
+        |ORDER BY media_a, media_b""".stripMargin,
     "mm3_video_metadata" ->
       """SELECT i AS media_id,
         |  CAST(16 + (i % 2) * 8 AS INTEGER) AS width,

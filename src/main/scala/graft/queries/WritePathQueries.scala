@@ -697,6 +697,23 @@ object WritePathQueries {
       val gen = runTextIndexScenario(s, d)
       graft.operators.TextIndex.bm25(s, gen,
         Seq("spark", "vector", "merge"), k = 10)
+    }),
+
+    // S19: the incremental-curation composite's PUBLISH path — after
+    // corpus.IncrementalCurate's two-day scenario (history curated +
+    // indexed on day 1; day 2's change-feed batch curated against the
+    // index, delta-published via a fenced commit, index advanced
+    // count-verified) the CURATED STORE's live snapshot must serve the
+    // sequential-curation truth: history curated alone ∪ the batch
+    // curated against it. The oracle replays both cp1 chains (suffixed
+    // CTEs) and unions them — gating commit, manifest read-back, and
+    // the delta publish end-to-end, not just the in-memory frame cp6
+    // checks.
+    "s19_incremental_curate_publish" -> ((s, d) => {
+      val (curRoot, _) = graft.corpus.IncrementalCurate.scenario(s, d)
+      graft.store.SnapshotStore.read(s, curRoot)
+        .filter(col("is_canonical"))
+        .select("doc_id", "split").orderBy("doc_id")
     })
   )
 
@@ -792,6 +809,20 @@ object WritePathQueries {
     // tx15's BM25 oracle BY REFERENCE: the advance-built chained index
     // must score the full corpus exactly like a direct tokenize
     "s18_text_index_advance" -> TextQueries.Bm25OracleSql,
+    // sequential-curation truth: the cp1 chain over HISTORY ALONE
+    // (doc_id < 400 — yesterday's decisions are final) unioned with the
+    // cp1 chain over the full corpus restricted to batch rows (cp6's
+    // identity). Two suffixed copies of the chain coexist in one
+    // WITH RECURSIVE.
+    "s19_incremental_curate_publish" ->
+      s"""WITH RECURSIVE ${SamplingQueries.curateChainSql("h", "doc_id < 400")},
+         |${SamplingQueries.curateChainSql("u", "TRUE")}
+         |SELECT doc_id, split FROM (
+         |${SamplingQueries.curateSelectSql("h", "TRUE")}
+         |UNION ALL
+         |${SamplingQueries.curateSelectSql("u", "e.doc_id >= 400")}
+         |)
+         |ORDER BY doc_id""".stripMargin,
     "s4_first_load" ->
       """WITH cust AS (
         |  SELECT c_custkey AS ck, c_name, c_mktsegment,

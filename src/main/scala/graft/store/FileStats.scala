@@ -94,15 +94,20 @@ object FileStats {
     // bloom geometry must hold the file's ACTUAL key count: an
     // overloaded bloom quietly saturates (a 50k-row file in a 20k-item
     // bloom measured fpp ≈ 0.3 — 62/200 files "maybe" for a 1-file key).
-    // bloomItems = 0 auto-sizes from rows/file with 25% headroom; the
-    // row count costs only a parquet-footer pass, and per-file skew is
-    // bounded because writers here lay files out near-uniformly.
+    // bloomItems = 0 auto-sizes from the LARGEST file's row count with
+    // 25% headroom — mean-based sizing silently under-provisions the big
+    // file of a skewed layout (its bloom saturates, its fpp balloons,
+    // and skipping quietly degrades with no error anywhere). Bloom size
+    // is linear in items, so a skewed layout pays a uniformly bigger
+    // sidecar rather than a silently broken one. The per-file count is
+    // one count-only pass (no data columns decoded).
     val sizedItems: Long =
       if (bloomCols.isEmpty || bloomItems > 0L) bloomItems
       else {
-        val snap = spark.read.parquet(dirs: _*)
-        val nFiles = math.max(1, snap.inputFiles.length)
-        math.max(1000L, snap.count() * 5 / (4 * nFiles))
+        val maxPerFile = spark.read.parquet(dirs: _*)
+          .groupBy(input_file_name()).count()
+          .agg(max("count")).head().getLong(0)
+        math.max(1000L, maxPerFile * 5 / 4)
       }
     val cols = (statCols ++ bloomCols).distinct
     val data = spark.read.parquet(dirs: _*).select(cols.map(col): _*)
@@ -262,12 +267,17 @@ object FileStats {
     * is DEFINITELY absent (safe to skip the file), a positive is
     * "maybe" (the file is read and the exact filter settles it). The
     * probe hashes through the engine's own xxhash64 so build and probe
-    * can never drift. */
+    * can never drift.
+    *
+    * The probes evaluate DISTRIBUTED over the sidecar frame
+    * ([[graft.functions.BloomBytesContain]]): the serialized blooms
+    * never leave the executors — only (file, keep) rows reach the
+    * driver, the same O(files) footprint the driver already holds to
+    * plan any scan. (The first cut collected every file's bloom bytes
+    * and probed driver-side: O(files × bloom-bytes) driver heap, GBs at
+    * 1M files, and measured O(files) growth in probe latency.) */
   def pruneFilesEq(spark: SparkSession, root: String, c: String,
                    value: Any): (Seq[String], Seq[String]) = {
-    val stats = sidecar(spark, root)
-    require(stats.columns.contains(s"bloom_$c"),
-      s"sidecar has no bloom for '$c' — publish with bloomCols = Seq(\"$c\")")
     // one 1-row job: the same engine-side hash the build used — CAST to
     // the column's actual type first, because xxhash64 hashes by type
     // (an INT column hashes through the 4-byte path, so probing it with
@@ -279,17 +289,26 @@ object FileStats {
         s"pruneFilesEq: column '$c' not present in $root"))
     val hash = spark.range(1)
       .select(xxhash64(lit(value).cast(colType))).head().getLong(0)
-    val rows = stats.select(col("file"), col(s"bloom_$c")).collect()
-    val sel = rows.filter { r =>
-      r.isNullAt(1) || readBloom(r.getAs[Array[Byte]](1))
-        .mightContainLong(hash)
-    }.map(_.getString(0)).toSeq
-    (sel, rows.map(_.getString(0)).toSeq)
+    val rows = probeFrameEq(spark, root, c, hash).collect()
+    (rows.filter(_.getBoolean(1)).map(_.getString(0)).toSeq,
+      rows.map(_.getString(0)).toSeq)
   }
 
-  private def readBloom(bytes: Array[Byte]): org.apache.spark.util.sketch.BloomFilter =
-    org.apache.spark.util.sketch.BloomFilter.readFrom(
-      new java.io.ByteArrayInputStream(bytes))
+  /** The (file, keep) frame `pruneFilesEq` collects — schema-pinned by
+    * FileStatsSpec to carry NO binary column, i.e. the bloom probe ran
+    * executor-side and only names+booleans travel. */
+  private[graft] def probeFrameEq(spark: SparkSession, root: String,
+                                  c: String, hash: Long): DataFrame = {
+    val stats = sidecar(spark, root)
+    require(stats.columns.contains(s"bloom_$c"),
+      s"sidecar has no bloom for '$c' — publish with bloomCols = Seq(\"$c\")")
+    // null bloom (all-null file column) → must-read: bloom stats track
+    // non-null keys, so absence of a bloom can't prove absence of a row
+    graft.functions.BloomBytesContain.register(spark)
+    val keep = col(s"bloom_$c").isNull ||
+      expr(s"graft_bloom_probe(bloom_$c, ${hash}L)")
+    stats.select(col("file"), keep.as("keep"))
+  }
 
   /** Read the current snapshot with bloom file-skipping for
     * `c = value`, then apply the exact predicate. */

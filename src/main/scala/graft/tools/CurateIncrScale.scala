@@ -1,0 +1,100 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.corpus.IncrementalCurate
+import graft.operators.LshBandIndex
+import graft.store.SnapshotStore
+
+/** Scaling measurement for the INCREMENTAL CURATION composite (cp6):
+  * the daily-ingest claim is that curating a FIXED batch against the
+  * indexed history costs the same whether that history holds 10k or
+  * 500k documents — the batch pays its own quality gate, signatures and
+  * CC; history participates only as the curated table's narrow
+  * `content_hash` column (exact-dedup anti-join) and the band index's
+  * equi-join side (candidate collisions, not corpus rows).
+  *
+  * Output: one line per history size H — day-1 full history curation +
+  * publish + index build seconds at H (the from-scratch baseline the
+  * incremental path replaces, expected ~linear in H), then
+  * `curate_batch` seconds for a fixed 2k-doc batch against that world
+  * (expected FLAT in H), and `publish_advance` seconds for the fenced
+  * delta commit + count-verified index advance (the store commit
+  * rewrites the curated table at this harness's flat layout — a
+  * partitioned/manifest layout would make it O(batch); the index
+  * advance itself is O(batch)).
+  *
+  *   sbt "runMain graft.tools.CurateIncrScale 10000 100000 500000"
+  */
+object CurateIncrScale {
+  def main(args: Array[String]): Unit = {
+    val sizes =
+      if (args.nonEmpty) args.toSeq.map(_.toLong)
+      else Seq(10000L, 100000L, 500000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // synthetic docs with overlapping vocabulary (the LshAdvanceScale
+    // corpus shape) plus the columns the quality gate reads
+    def docs(from: Long, until: Long): DataFrame =
+      spark.range(from, until).select(col("id").as("doc_id"),
+        expr("""concat_ws(' ', transform(sequence(0, 29),
+                 j -> concat('w', CAST((id DIV 3) * 5 + j AS STRING))))""")
+          .as("text"),
+        lit("en").as("lang"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("source", lit("synth"))
+
+    def time[T](f: => T): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+
+    val batch = 2000L
+    def world(h: Long): (String, String) = {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_cis_$h").toString + "/t"
+      val curated = IncrementalCurate.curateHistory(spark, docs(0, h))
+      SnapshotStore.commit(spark, root)(dir => curated.write.parquet(dir))
+      val gen = LshBandIndex.ensureForSnapshot(spark, root, portable = true)
+      (root, gen)
+    }
+    // untimed warmup: JIT + codegen for gate/signature/CC expressions
+    locally {
+      val (r0, g0) = world(2000)
+      IncrementalCurate.curateBatch(spark, docs(2000, 3000), r0, g0).count()
+    }
+    sizes.foreach { h =>
+      var root = ""; var gen = ""
+      val tDay1 = time { val w = world(h); root = w._1; gen = w._2 }
+      val b = docs(h, h + batch).localCheckpoint(true)
+      var accepted: DataFrame = null
+      val tCurate = time {
+        accepted = IncrementalCurate
+          .curateBatch(spark, b, root, gen).localCheckpoint(true)
+      }
+      val nAcc = accepted.count()
+      val tPublish = time {
+        val snap = SnapshotStore.currentName(spark, root).get
+        SnapshotStore.commitFrom(spark, root, Some(snap)) { dir =>
+          SnapshotStore.readAt(spark, root, snap)
+            .unionByName(accepted).write.parquet(dir)
+        }
+        LshBandIndex.advanceForSnapshotWithBatch(spark, root, accepted,
+          portable = true)
+      }
+      println(f"CURATEINCR h=$h%-7d day1_full=$tDay1%.2f " +
+        f"curate_batch=$tCurate%.2f publish_advance=$tPublish%.2f " +
+        f"(batch=$batch accepted=$nAcc)")
+    }
+    spark.stop()
+  }
+}

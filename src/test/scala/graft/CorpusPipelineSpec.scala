@@ -7,6 +7,27 @@ import graft.corpus.CorpusPipeline
   * split partition, and near-dup collapse on a planted duplicate. */
 class CorpusPipelineSpec extends SparkSuite {
 
+  test("portable md5 pair family: exact duplicates collide with " +
+    "est_jaccard 1.0; disjoint-vocabulary docs never pair") {
+    import spark.implicits._
+    // 20 docs with pairwise-disjoint shingle vocabularies + 4 exact
+    // duplicates of the first docs under new ids. Exact dups agree on
+    // every signature position (est = 1.0, every band collides —
+    // guaranteed, not probabilistic); disjoint-vocab docs share no
+    // shingle, so a band collision would need a 4-minima md5 collision.
+    val base = (0 until 20).map(i =>
+      (i.toLong, (0 until 30).map(j => s"tok_${i}_$j").mkString(" ")))
+    val dups = (0 until 4).map(i => (100L + i, base(i)._2))
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    val pairs = graft.operators.MinHashLSH.portablePairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet ==
+      (0 until 4).map(i => (i.toLong, 100L + i)).toSet,
+      s"exactly the planted duplicates must pair, got ${pairs.toSeq}")
+    assert(pairs.forall(_._3 == 1.0),
+      "an exact duplicate's signature agreement must be 1.0")
+  }
+
   test("curate: stages shrink monotonically, output is exact-dup-free, split partitions") {
     val docs = Tables.documents(spark, sf)
     val (curated, stats) = CorpusPipeline.curate(spark, docs,

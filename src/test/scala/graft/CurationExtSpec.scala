@@ -98,6 +98,24 @@ class CurationExtSpec extends SparkSuite {
     }
   }
 
+  test("cp5_source_cap plan: rank via bucketed two-phase windows, count " +
+    "via broadcast — never a per-source single-task window") {
+    val plan = SparkEntry.queries("cp5_source_cap")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the hashRank marker: per-(source, md5-prefix-bucket) windows. A
+    // bare Window.partitionBy(source) would put a CommonCrawl-shaped
+    // head source's ENTIRE slice through one task.
+    assert(plan.contains("__bucket"),
+      s"expected Interleave.hashRank's bucketed windows:\n$plan")
+    // n_source arrives by broadcast of the |sources|-row aggregate, not
+    // a count window over the same skewed per-source partitioning
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.forall(!_.contains("count(1)")),
+      s"per-source count must be a broadcast agg, not a window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the broadcast n_source join:\n$plan")
+  }
+
   // ----------------------------------------------------------------- sm9
 
   test("sm9_dsir equals a from-scratch Scala DSIR recompute") {

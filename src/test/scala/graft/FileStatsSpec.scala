@@ -218,6 +218,60 @@ class FileStatsSpec extends SparkSuite {
       .toSeq === Seq("3"))
   }
 
+  test("bloom probe runs distributed: no bloom bytes reach the driver") {
+    val root = freshRoot("dist")
+    val df = spark.range(0, 1000).select(
+      col("id").as("k"), ((col("id") * 2654435761L) % 1000).as("u"))
+    FileStats.publishSorted(spark, root, df, "k", numFiles = 8,
+      statCols = Seq("k"), bloomCols = Seq("u"))
+    val hash = spark.range(1)
+      .select(xxhash64(lit(499L))).head().getLong(0)
+    val frame = FileStats.probeFrameEq(spark, root, "u", hash)
+    // the frame pruneFilesEq collects: names + booleans only — the
+    // serialized blooms are consumed executor-side by graft_bloom_probe
+    assert(frame.schema.fields.map(_.dataType.typeName).toSeq ===
+      Seq("string", "boolean"))
+    assert(!frame.schema.fields.exists(
+      _.dataType == org.apache.spark.sql.types.BinaryType),
+      "bloom bytes must not be in the collected projection")
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_probe"),
+      s"probe must evaluate in the distributed plan, got:\n$plan")
+    // and the distributed answer matches a from-scratch scan
+    val sel = frame.collect().filter(_.getBoolean(1)).map(_.getString(0))
+    assert(sel.length < 8 && sel.nonEmpty)
+  }
+
+  test("bloom auto-sizing uses the LARGEST file: a skewed layout's big " +
+    "file does not silently saturate its bloom") {
+    val root = freshRoot("skew")
+    // one 20k-row file + four 1k-row files in one snapshot: mean-based
+    // sizing (24k/5 · 1.25 = 6k items) would overload the big file's
+    // bloom (measured fpp ≈ 0.3 when overloaded); max-based sizing
+    // (25k items) keeps the target fpp for every file
+    SnapshotStore.commit(spark, root) { dir =>
+      spark.range(0, 20000).select(col("id").as("k"), col("id").as("u"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      (1 to 4).foreach { i =>
+        spark.range(100000L * i, 100000L * i + 1000)
+          .select(col("id").as("k"), col("id").as("u"))
+          .coalesce(1).write.mode("append").parquet(dir)
+      }
+      FileStats.writeSidecar(spark, dir, Seq("k"), Seq("u"))
+    }
+    // 50 absent probes over 5 files = 250 bloom answers; at the target
+    // fpp (1%) ~2-3 false "maybe"s are expected — a saturated big-file
+    // bloom would answer "maybe" for ~30% of probes on its own
+    val falseKeeps = (0 until 50).map { i =>
+      FileStats.pruneFilesEq(spark, root, "u", 900000L + i)._1.length
+    }.sum
+    assert(falseKeeps <= 13,
+      s"absent-value probes kept $falseKeeps/250 files — bloom saturated")
+    // present keys still resolve exactly
+    assert(FileStats.readEq(spark, root, "u", 19999L).count() === 1)
+    assert(FileStats.readEq(spark, root, "u", 400500L).count() === 1)
+  }
+
   test("bloom probe casts to the column's type: INT keys found by a Long probe") {
     val root = freshRoot("inttyp")
     // xxhash64 hashes INT through the 4-byte path — a bare Long literal

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.corpus.{CorpusPipeline, IncrementalCurate}
+import graft.operators.{LshBandIndex, MinHashLSH}
+import graft.store.SnapshotStore
+
+/** The sequential ≡ full-recompute identity behind cp6/s19: curating a
+  * batch against the indexed exact-survivor history must equal
+  * [[CorpusPipeline.curate]] over history ∪ batch RESTRICTED TO BATCH
+  * ROWS — including the awkward component shapes (exact dup of
+  * history, batch chained to history through another batch doc,
+  * batch-only clusters), each planted and asserted non-vacuous. */
+class IncrementalCurateSpec extends SparkSuite {
+
+  private def longText(seed: Int, n: Int = 120): String =
+    (0 until n).map(j => s"w${seed}_$j").mkString(" ")
+
+  private def mutate(t: String, pos: Int): String = {
+    val a = t.split(" "); a(pos) = s"mut$pos"; a.mkString(" ")
+  }
+
+  private def mutateAll(t: String, ps: Seq[Int]): String =
+    ps.foldLeft(t)(mutate)
+
+  private def mkDocs(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.map { case (id, t) => (id, t, "en", t.length.toLong, "src") }
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+  }
+
+  // history: H1(10) ~ H2(20) near-dups (H2 non-canonical), H3(30) and
+  // H4(40) unique, fillers 50-53
+  private val tA = longText(1)
+  private val tC = longText(3)
+  // the transitive chain H4 ~ 620 ~ 630 (but H4 !~ 630) needs the
+  // Jaccard triangle: 620 and 630 mutate DISJOINT 8-word sets of a
+  // 300-word base, so J(H4,620) ≈ J(620,630) ≈ 0.85 (paired) while
+  // J(H4,630) ≈ 0.72 (16 words apart — under the 0.8 agreement cut)
+  private val tD = longText(4, n = 300)
+  private val p1 = Seq(20, 50, 80, 110, 140, 170, 200, 230)
+  private val p2 = Seq(35, 65, 95, 125, 155, 185, 215, 245)
+  private val histRows = Seq(
+    10L -> tA, 20L -> mutate(tA, 5), 30L -> longText(2), 40L -> tD) ++
+    (0 until 4).map(i => (50L + i) -> longText(10 + i))
+  // batch: 500 exact-dups H3 (exact stage); 510 near-dups H1/H2
+  // (hist-link drop); 600~610 batch-only cluster (min survives);
+  // 620~630 cluster where ONLY 620 near-dups H4 (component dies WHOLE —
+  // 630 reaches history strictly through 620); 700 clean
+  private val batchRows = Seq(
+    500L -> longText(2),
+    510L -> mutate(tA, 50),
+    600L -> tC, 610L -> mutate(tC, 7),
+    620L -> mutateAll(tD, p1), 630L -> mutateAll(tD, p1 ++ p2),
+    700L -> longText(99))
+
+  private lazy val world: (String, DataFrame) = {
+    val curRoot = java.nio.file.Files
+      .createTempDirectory("graft_incurate_spec").toString + "/t"
+    val curatedHist = IncrementalCurate.curateHistory(spark, mkDocs(histRows))
+    SnapshotStore.commit(spark, curRoot)(dir =>
+      curatedHist.write.parquet(dir))
+    val g1 = LshBandIndex.ensureForSnapshot(spark, curRoot, portable = true)
+    val accepted = IncrementalCurate.curateBatch(spark, mkDocs(batchRows),
+      curRoot, g1).localCheckpoint(true)
+    (curRoot, accepted)
+  }
+
+  test("planted pair geometry is non-vacuous (each drop path exercised)") {
+    val all = mkDocs(histRows ++ batchRows)
+    val pairs = MinHashLSH.portablePairs(all)
+      .filter(col("est_jaccard") >= IncrementalCurate.MinJaccard)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((10L, 20L)), "H1~H2 must near-dup")
+    assert(pairs.contains((10L, 510L)) || pairs.contains((20L, 510L)),
+      "510 must link to history")
+    assert(pairs.contains((600L, 610L)), "batch-only cluster must pair")
+    assert(pairs.contains((40L, 620L)), "620 must link to H4")
+    assert(pairs.contains((620L, 630L)), "620~630 must pair")
+    assert(!pairs.contains((40L, 630L)),
+      "630 must reach history only THROUGH 620 (the transitive case)")
+    assert(!pairs.exists(p => p._1 == 700L || p._2 == 700L))
+  }
+
+  test("batch decisions equal the full recompute restricted to batch rows") {
+    val (_, accepted) = world
+    val all = mkDocs(histRows ++ batchRows)
+    val (full, _) = CorpusPipeline.curate(spark, all,
+      langs = IncrementalCurate.Langs,
+      minChars = IncrementalCurate.MinChars,
+      minJaccard = IncrementalCurate.MinJaccard,
+      precomputedPairs = Some(MinHashLSH.portablePairs(all)))
+    val expected = full.filter(col("doc_id") >= 500)
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = accepted.filter(col("is_canonical"))
+      .select("doc_id", "split").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == expected, s"sequential=$got full=$expected")
+    // and the planted shapes landed where the construction intends:
+    val ids = got.map(_._1)
+    assert(!ids.contains(500L), "exact dup of history must drop")
+    assert(!ids.contains(510L), "history-linked doc must drop")
+    assert(ids.contains(600L) && !ids.contains(610L),
+      "batch-only cluster keeps its min")
+    assert(!ids.contains(620L) && !ids.contains(630L),
+      "a component touching history dies WHOLE (630 transitively)")
+    assert(ids.contains(700L), "clean doc survives")
+  }
+
+  test("exact-survivor rows that lost near-dup stay in the delta " +
+    "(the index must see them tomorrow)") {
+    val (_, accepted) = world
+    val rows = accepted.select("doc_id", "is_canonical").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // 610/620/630 are quality+exact survivors — present, non-canonical
+    assert(rows.get(610L).contains(false))
+    assert(rows.get(620L).contains(false))
+    assert(rows.get(630L).contains(false))
+    // 500 failed EXACT dedup — not even in the delta
+    assert(!rows.contains(500L))
+  }
+
+  test("publish + advance: the store and index carry exactly the " +
+    "exact-survivors of history ∪ batch") {
+    val (curRoot, accepted) = world
+    val snapBefore = SnapshotStore.currentName(spark, curRoot).get
+    SnapshotStore.commitFrom(spark, curRoot, Some(snapBefore)) { dir =>
+      SnapshotStore.readAt(spark, curRoot, snapBefore)
+        .unionByName(accepted).write.parquet(dir)
+    }
+    val g2 = LshBandIndex.advanceForSnapshotWithBatch(spark, curRoot,
+      accepted, portable = true)
+    val indexed = LshBandIndex.bandsOf(spark, g2)
+      .select("__id").distinct().collect().map(_.getLong(0)).toSet
+    val stored = SnapshotStore.read(spark, curRoot)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(indexed == stored, "index ids must equal the curated table's")
+    // 500 (exact dup) is in neither; 610/620/630 are in both
+    assert(!stored.contains(500L) && stored.contains(630L))
+    // the advance CHAINED (O(batch)) rather than rebuilt
+    assert(spark.read.parquet(s"$g2/meta").head()
+      .getAs[String]("parent") != null,
+      "count-verified disjoint batch must chain a delta")
+  }
+}

@@ -258,4 +258,54 @@ class MultimodalSpec extends SparkSuite {
       org.apache.spark.sql.types.BinaryType)
     assert(back.count() === 10)
   }
+
+  test("dHash: planted one-pixel bump stays within 2 bits; banded join " +
+    "≡ all-pairs at the ≤3 threshold (pigeonhole)") {
+    import spark.implicits._
+    val media = Multimodal.neardupFixture(spark, 120).collect()
+    val hashes = media.flatMap(m => m.kind match {
+      case "image" => Multimodal.dhashSafe(m.content).map(m.media_id -> _)
+      case _ => None
+    }).toMap
+    // every planted copy within 2 bits of its source
+    val planted = hashes.keys.filter(_ >= 100000L)
+    assert(planted.nonEmpty)
+    planted.foreach { dup =>
+      val d = java.lang.Long.bitCount(hashes(dup) ^ hashes(dup - 100000L))
+      assert(d <= 2, s"planted pair ($dup) drifted $d bits")
+    }
+    // banded-query ≡ all-pairs identity over the full media fixture
+    val got = SparkEntry.queries("mm4_media_neardup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val all = {
+      val m2 = Multimodal.neardupFixture(spark, 500)
+      val img = m2.filter(_.kind == "image").collect()
+        .flatMap(m => Multimodal.dhashSafe(m.content).map(m.media_id -> _))
+      val vid = Multimodal.sampleFrames(spark, m2, framesPerVideo = 1)
+        .collect()
+        .flatMap(fr => Multimodal.dhashFrameSafe(fr.frame).map(fr.media_id -> _))
+      val hs = (img ++ vid).toSeq
+      (for {
+        (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+      } yield (ia, ib, d)).toSet
+    }
+    assert(got == all,
+      s"banded must equal all-pairs at <=3: got ${got.size}, all ${all.size}")
+  }
+
+  test("corrupt media hashes to None — excluded from pairing, never a " +
+    "crash or a fabricated stub-hash pair") {
+    // truncated BMP (header promises more payload than exists)
+    val img = Multimodal.fixture(spark, 3).collect().find(_.kind == "image").get
+    val truncated = java.util.Arrays.copyOfRange(img.content, 0, 60)
+    assert(Multimodal.dhashSafe(truncated).isEmpty)
+    // non-image bytes
+    assert(Multimodal.dhashSafe("not a bmp at all".getBytes).isEmpty)
+    // corrupt-container frame fallback (byte slices, wrong geometry)
+    assert(Multimodal.dhashFrameSafe(Array.fill[Byte](37)(1)).isEmpty)
+    assert(Multimodal.dhashFrameSafe(Array.emptyByteArray).isEmpty)
+    // a healthy frame geometry still hashes
+    assert(Multimodal.dhashFrameSafe(Array.fill[Byte](16 * 8)(1)).nonEmpty)
+  }
 }

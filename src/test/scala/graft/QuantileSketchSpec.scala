@@ -60,16 +60,24 @@ class QuantileSketchSpec extends SparkSuite {
     }
   }
 
-  test("plan: raw rows reach only the mapPartitions; exchanges sit above it") {
+  test("plan: raw rows reach only the mapPartitions; the global merge " +
+    "never plans Exchange SinglePartition") {
     import spark.implicits._
     val df = (1 to 1000).map(_.toDouble).toDF("v")
-    val plan = QuantileSketch.summary(df, "v", 0.01)
+    // the raw-width segment (pre-checkpoint seam): the mapPartitions
+    // summarizer, with NO exchange of raw rows at or below it
+    val rawPlan = QuantileSketch.taggedSamples(df, "v", 0.01)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("MapPartitions"))
-    val mpIdx = plan.indexOf("MapPartitions")
-    val lastExchange = plan.lastIndexOf("Exchange")
-    assert(lastExchange >= 0 && lastExchange < mpIdx,
-      s"every exchange must be above (printed before) MapPartitions:\n$plan")
+    assert(rawPlan.contains("MapPartitions"))
+    assert(!rawPlan.contains("Exchange"),
+      s"raw rows must never shuffle before summarization:\n$rawPlan")
+    // the merge over the checkpointed bounded summary: two-phase bucket
+    // windows — a bare Window.orderBy would print Exchange
+    // SinglePartition here and push every summary row through one task
+    val mergePlan = QuantileSketch.summary(df, "v", 0.01)
+      .queryExecution.executedPlan.toString
+    assert(!mergePlan.contains("Exchange SinglePartition"),
+      s"the global merge must not serialize into one task:\n$mergePlan")
   }
 
   test("a20 gate booleans all true at test sf") {

@@ -161,6 +161,80 @@ class TextIndexSpec extends SparkSuite {
       postingSet(TextIndex.postingsOf(spark, scratch)))
   }
 
+  test("advanceForSnapshot: pure-insert feed chains a delta; churn " +
+    "rebuilds") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_text_advsnap").toString
+    SnapshotStore.commit(spark, root)(dir =>
+      mkDocs(0 until 40).write.parquet(dir))
+    val g1 = TextIndex.ensureForSnapshot(spark, root)
+    SnapshotStore.commit(spark, root)(dir =>
+      mkDocs(0 until 60).write.parquet(dir))
+    val g2 = TextIndex.advanceForSnapshot(spark, root)
+    assert(GenLog.readMeta(spark, new Path(g2), TextIndex.FormatVersion)
+      .get.parent.contains(new Path(g1).getName),
+      "a pure-insert feed must chain a delta, not rebuild")
+    val scratch = TextIndex.ensure(spark, mkDocs(0 until 60),
+      s"spec_advsnap_scratch_${System.nanoTime()}")
+    assert(postingSet(TextIndex.postingsOf(spark, g2)) ==
+      postingSet(TextIndex.postingsOf(spark, scratch)))
+    assert(probeRows(g2) == probeRows(scratch))
+    // churn (doc 3's text changes): the feed is not pure inserts → the
+    // advance must fall back to a rebuild and still serve the truth
+    import spark.implicits._
+    SnapshotStore.commit(spark, root) { dir =>
+      mkDocs(0 until 60).filter(col("doc_id") =!= 3L)
+        .unionByName(Seq((3L, "rewritten text entirely"))
+          .toDF("doc_id", "text"))
+        .write.parquet(dir)
+    }
+    val g3 = TextIndex.advanceForSnapshot(spark, root)
+    assert(GenLog.readMeta(spark, new Path(g3), TextIndex.FormatVersion)
+      .get.parent.isEmpty, "churn must rebuild into a fresh base")
+    val doc3 = TextIndex.postingsOf(spark, g3)
+      .filter(col("__id") === 3L).select("term").collect()
+      .map(_.getString(0)).toSet
+    assert(doc3 == Set("rewritten", "text", "entirely"))
+  }
+
+  test("advanceForSnapshotWithBatch: correct batch chains; a partial " +
+    "batch trips the count net and falls back to the content diff") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_text_advbatch").toString
+    SnapshotStore.commit(spark, root)(dir =>
+      mkDocs(0 until 40).write.parquet(dir))
+    val g1 = TextIndex.ensureForSnapshot(spark, root)
+    SnapshotStore.commit(spark, root)(dir =>
+      mkDocs(0 until 60).write.parquet(dir))
+    val g2 = TextIndex.advanceForSnapshotWithBatch(spark, root,
+      mkDocs(40 until 60))
+    assert(GenLog.readMeta(spark, new Path(g2), TextIndex.FormatVersion)
+      .get.parent.contains(new Path(g1).getName),
+      "a correct caller-asserted batch must chain")
+    // grow again but hand only HALF the delta: the count identity fails
+    // and the feed path must still index every row
+    SnapshotStore.commit(spark, root)(dir =>
+      mkDocs(0 until 80).write.parquet(dir))
+    val g3 = TextIndex.advanceForSnapshotWithBatch(spark, root,
+      mkDocs(60 until 70))
+    val scratch = TextIndex.ensure(spark, mkDocs(0 until 80),
+      s"spec_advbatch_scratch_${System.nanoTime()}")
+    assert(postingSet(TextIndex.postingsOf(spark, g3)) ==
+      postingSet(TextIndex.postingsOf(spark, scratch)),
+      "partial batch must fall back and still index the true delta")
+    // a REDELIVERED batch (overlaps indexed ids, counts happen to
+    // disagree too) also falls back rather than replacing postings
+    // under the wrong snapshot key
+    SnapshotStore.commit(spark, root)(dir =>
+      mkDocs(0 until 90).write.parquet(dir))
+    val g4 = TextIndex.advanceForSnapshotWithBatch(spark, root,
+      mkDocs(70 until 90).unionByName(mkDocs(60 until 70)))
+    val scratch2 = TextIndex.ensure(spark, mkDocs(0 until 90),
+      s"spec_advbatch_scratch2_${System.nanoTime()}")
+    assert(postingSet(TextIndex.postingsOf(spark, g4)) ==
+      postingSet(TextIndex.postingsOf(spark, scratch2)))
+  }
+
   test("a probe reads only the query terms' partition buckets") {
     val key = s"spec_prune_${System.nanoTime()}"
     val gen = TextIndex.ensure(spark, mkDocs(0 until 60), key)
