@@ -96,7 +96,15 @@ object IncrementalCurate {
     * band rows. */
   def curateBatch(spark: SparkSession, batch: DataFrame,
                   curatedRoot: String, indexGen: String): DataFrame = {
-    val gated = CorpusPipeline.qualityGate(batch, Langs, MinChars,
+    // at-least-once ingest hardening: a REDELIVERED row (its doc_id
+    // already curated) is dropped up front via the curated table's
+    // narrow id column — without this, a replayed feed would publish a
+    // duplicate id and the next index advance would trip its overlap
+    // guard into a full rebuild. Ids are append-only by the ingest
+    // contract, so an id match IS a redelivery, never fresh content.
+    val histIds = SnapshotStore.read(spark, curatedRoot).select("doc_id")
+    val fresh = batch.join(histIds, Seq("doc_id"), "left_anti")
+    val gated = CorpusPipeline.qualityGate(fresh, Langs, MinChars,
       MaxChars, MaxPunctRatio)
     // exact dedup: keep-min within the batch, then drop any hash the
     // gated history already carries (its keep-min row is in the curated

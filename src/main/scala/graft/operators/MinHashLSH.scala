@@ -147,32 +147,61 @@ object MinHashLSH {
   }
 
   /** [[candidatePairs]] re-keyed onto ENGINE-PORTABLE md5-derived
-    * permutation hashes (the dd5/m7b hash family): the SAME word-3-
-    * shingles as the fused kernel (s_i = concat_ws(' ', toks[i-1..i+1]),
-    * max(n-2, 1) shingles — [[graft.functions.MinHashSig]]'s pinned
-    * contract), hashed per permutation as the first 60 bits of
-    * md5("<perm>_" + shingle) (fits a signed BIGINT in every engine),
-    * sig_i = min over the doc's shingles, and bands compare their raw
-    * signature slice (a concat_ws string key) instead of an
-    * engine-internal xxhash64. Same banding geometry and agreement math
-    * as the fused path. (Shingling, not bag-of-tokens, is load-bearing:
-    * single-token minima collapse under a shared vocabulary — measured
-    * 352→57 curation survivors on the synthetic corpus — because every
-    * doc's minimum lands on the same globally-minimal tokens.)
+    * permutation hashes: the SAME word-3-shingles as the fused kernel
+    * (s_i = concat_ws(' ', toks[i-1..i+1]), max(n-2, 1) shingles —
+    * [[graft.functions.MinHashSig]]'s pinned contract), one md5 per
+    * shingle giving a 48-bit base hash with permutation i defined as
+    * h XOR c_i for fixed md5-derived constants c_i (see
+    * [[portableSignatures]]), sig_i = min over the doc's shingles,
+    * and bands compare their raw signature slice (a concat_ws string
+    * key) instead of an engine-internal xxhash64. Same banding geometry
+    * and agreement math as the fused path. (Shingling, not
+    * bag-of-tokens, is load-bearing: single-token minima collapse under
+    * a shared vocabulary — measured 352→57 curation survivors on the
+    * synthetic corpus — because every doc's minimum lands on the same
+    * globally-minimal tokens.)
     *
     * Existence reason: every step is DuckDB-replicable, which turns the
     * cp1 curation composite from rows-only into a fully hash-gated
     * query. The fused xxhash kernel ([[signatures]]) remains the 100 TB
-    * hot path — this family pays numPerms md5 calls per shingle, the
-    * price of engine portability. */
+    * hot path — this family pays one md5 per shingle, the price of
+    * engine portability. */
   /** The PORTABLE family's signature frame `(__id, sig)` — md5-MinHash
     * over the fused kernel's word-3-shingles; duplicate doc ids merge
     * into the union's signature exactly as [[signatures]] does.
     * `toks[i]` under non-ANSI semantics: out-of-bounds → null, skipped
     * by concat_ws — exactly MinHashSig.compute's edge behavior for 1-
     * and 2-token documents. array_distinct: min over DISTINCT shingles
-    * == min over the multiset, it just avoids re-hashing repeats
-    * numPerms times each. */
+    * == min over the multiset, it just avoids re-hashing repeats.
+    *
+    * Permutation family: ONE md5 per shingle giving a 48-bit base h,
+    * permutation i = h XOR c_i with c_i the first 48 bits of
+    * md5("perm<i>") — fixed constants both engines derive identically.
+    * XOR with a constant destroys the ORDER of the base hashes, so each
+    * permutation's argmin is a near-uniform draw over the doc's
+    * shingles and the 16 draws are near-independent (the agreement
+    * fraction concentrates on the true Jaccard; pinned in
+    * DedupLshSpec's estimator-quality test). 48-bit values stay exact
+    * in BIGINT everywhere AND in doubles, so no engine can round
+    * differently.
+    *
+    * Two rejected cheaper families, both measured broken: (a) per-perm
+    * md5("<i>_" + shingle) — statistically perfect but numPerms md5
+    * calls per shingle, ~+4 s on cp1's first run at sf0.1; (b) the
+    * modulus-free linear family h1 + i·h2 (one md5 split into two
+    * 48-bit bases) — the per-permutation argmin traces the lower convex
+    * hull of the (h2, h1) point set, so a handful of hull shingles
+    * dominate EVERY position and the estimator collapses to
+    * all-or-nothing: pairs at true J≈0.72 measured est 16/16, others
+    * 1/16. Without a modular wrap a linear map is order-preserving-ish
+    * and Carter-Wegman guarantees do not apply. */
+  private[graft] def portablePermConst(i: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"perm$i".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 12), 16)
+  }
+
   private def portableSignatures(docs: DataFrame, idCol: String,
                                  textCol: String,
                                  numPerms: Int): DataFrame =
@@ -184,9 +213,14 @@ object MinHashLSH {
         "transform(sequence(1, greatest(size(toks) - 2, 1)), " +
           "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))
         .as("shingles"))
+      // md5 ONCE per shingle, then the 48-bit base (no repeated md5
+      // inside per-perm lambdas — CSE does not reach across them)
+      .select(col("__id"), expr(
+        "transform(shingles, t -> " +
+          "cast(conv(substring(md5(t), 1, 12), 16, 10) as bigint))")
+        .as("hs"))
       .select(col("__id"), array((0 until numPerms).map(i =>
-        expr(s"array_min(transform(shingles, t -> cast(conv(substring(" +
-          s"md5(concat('${i}_', t)), 1, 15), 16, 10) as bigint)))")): _*)
+        expr(s"array_min(transform(hs, h -> h ^ ${portablePermConst(i)}L))")): _*)
         .as("sig"))
       .groupBy(col("__id"))
       .agg(array((0 until numPerms).map(i =>

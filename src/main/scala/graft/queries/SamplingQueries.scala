@@ -366,10 +366,14 @@ object SamplingQueries {
     * coexist in one statement), `srcWhere` restricts the source corpus.
     * The chain: cp2's gate+exact-dedup, the md5-MinHash signature table
     * (16 perms over the fused kernel's word-3-shingles — list-slice+join
-    * ≡ concat_ws's null-skipping for short docs — hashed with dd5's
-    * 60-bit md5), 4-band slice-key collisions, agreement >= 0.8 (13/16
-    * positions; /16.0 is exact in binary), dd7's recursive-CTE min-label
-    * connected components, canonical = each component's min doc_id.
+    * ≡ concat_ws's null-skipping for short docs — one md5 per shingle
+    * giving a 48-bit base, permutation i = xor(h, c_i) with c_i the
+    * first 48 bits of md5('perm'||i), exact in BIGINT and double
+    * alike; see MinHashLSH.portableSignatures for why the linear
+    * no-modulus family was rejected), 4-band slice-key collisions,
+    * agreement >= 0.8 (13/16 positions; /16.0 is exact in binary),
+    * dd7's recursive-CTE min-label connected components, canonical =
+    * each component's min doc_id.
     * Exposes `exact<sfx>` and `canon<sfx>`; compose with
     * [[curateSelectSql]]. */
   private[graft] def curateChainSql(sfx: String, srcWhere: String): String =
@@ -391,12 +395,18 @@ object SamplingQueries {
        |  FROM (SELECT doc_id, toks,
        |          unnest(generate_series(1, GREATEST(len(toks) - 2, 1))) AS i
        |        FROM toks$sfx)),
+       |shash$sfx AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substring(md5(sh), 1, 12) AS BIGINT) AS h
+       |  FROM shingles$sfx),
+       |perms$sfx AS (
+       |  SELECT i, CAST('0x' || substring(
+       |      md5('perm' || CAST(i AS VARCHAR)), 1, 12) AS BIGINT) AS c
+       |  FROM generate_series(0, 15) AS gs(i)),
        |hashes$sfx AS (
-       |  SELECT doc_id, g.i AS i,
-       |    MIN(CAST('0x' || substring(md5(CAST(g.i AS VARCHAR) || '_' || sh), 1, 15)
-       |      AS BIGINT)) AS m
-       |  FROM shingles$sfx, generate_series(0, 15) AS g(i)
-       |  GROUP BY doc_id, g.i),
+       |  SELECT doc_id, p.i AS i, MIN(xor(h, p.c)) AS m
+       |  FROM shash$sfx, perms$sfx p
+       |  GROUP BY doc_id, p.i),
        |sigs$sfx AS (SELECT doc_id, list(m ORDER BY i) AS sig
        |             FROM hashes$sfx GROUP BY doc_id),
        |bands$sfx AS (

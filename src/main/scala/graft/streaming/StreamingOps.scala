@@ -269,6 +269,67 @@ object StreamingOps {
       }
   }
 
+  /** STREAMING incremental curation — the cp6 composite
+    * ([[graft.corpus.IncrementalCurate]]) as an always-on ingest, the
+    * daily batch collapsed to micro-batches: each batch is curated
+    * against the curated store + portable band index (quality gate →
+    * exact dedup via the table's content_hash column → near-dup probe
+    * of the persisted index → component decisions), the accepted delta
+    * is published via a FENCED commit, and the index advances with the
+    * count-verified delta. Per-batch cost is O(batch) — history
+    * participates only as narrow columns and band rows.
+    *
+    * Cold start: the first non-empty batch bootstraps store + index (it
+    * IS the corpus, curated in full). Crash/redelivery idempotence: a
+    * replayed micro-batch's ids are already curated, so curateBatch's
+    * id guard reduces it to an empty delta — nothing republished,
+    * nothing re-advanced; and a crash BETWEEN publish and advance heals
+    * incrementally on the next batch via
+    * [[graft.operators.LshBandIndex.advanceForSnapshot]]'s pure-insert
+    * feed path (never a full rebuild for an append-only store). */
+  def curateStream(docs: DataFrame, curatedRoot: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.corpus.IncrementalCurate
+    import graft.operators.LshBandIndex
+    import graft.store.SnapshotStore
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val b = batch.localCheckpoint(true)
+          SnapshotStore.currentName(spark, curatedRoot) match {
+            case None =>
+              val curated = IncrementalCurate.curateHistory(spark, b)
+              SnapshotStore.commit(spark, curatedRoot)(dir =>
+                curated.write.parquet(dir))
+              LshBandIndex.ensureForSnapshot(spark, curatedRoot,
+                portable = true)
+              ()
+            case Some(snap) =>
+              // heal-or-noop: chains a pure-insert delta if a prior
+              // publish outran its advance; returns the current gen
+              // when index and snapshot already agree
+              val gen = LshBandIndex.advanceForSnapshot(spark,
+                curatedRoot, portable = true)
+              val accepted = IncrementalCurate
+                .curateBatch(spark, b, curatedRoot, gen)
+                .localCheckpoint(true)
+              if (!accepted.isEmpty) {
+                SnapshotStore.commitFrom(spark, curatedRoot, Some(snap)) {
+                  dir =>
+                    SnapshotStore.readAt(spark, curatedRoot, snap)
+                      .unionByName(accepted).write.parquet(dir)
+                }
+                LshBandIndex.advanceForSnapshotWithBatch(spark,
+                  curatedRoot, accepted, portable = true)
+                ()
+              }
+          }
+        }
+      }
+  }
+
   /** Streaming STANDING-QUERY alerting over the persisted inverted
     * index ([[graft.operators.TextIndex]]) — "tell me when a document
     * about X arrives", the text twin of [[nearDupIndexedStream]]'s

@@ -95,6 +95,46 @@ class DedupLshSpec extends SparkSuite {
         plan.linesIterator.take(20).mkString("\n"))
   }
 
+  test("portable family estimator concentrates on true Jaccard " +
+    "(guards against order-preserving permutation families)") {
+    import spark.implicits._
+    import graft.operators.MinHashLSH
+    // planted pairs at two true-Jaccard levels over word-3-shingles:
+    // every-4th-word mutation destroys 3/4 of a 200-word doc's shingles
+    // (J ≈ 0.138); 8 spaced mutations leave J ≈ 0.851. A min-wise
+    // family's 16-position agreement must track these means. The
+    // rejected no-modulus linear family (h1 + i·h2) failed exactly
+    // this: its per-perm argmin walks the lower convex hull of the
+    // (h2, h1) points, so a few shingles dominate every position and
+    // agreement collapses to all-or-nothing (J≈0.14 pairs drew 16/16).
+    def longText(seed: Int) =
+      (0 until 200).map(j => s"w${seed}_$j").mkString(" ")
+    val rows = (0 until 40).flatMap { s =>
+      val base = longText(2000 + s)
+      val lo = base.split(" ").zipWithIndex.map { case (w, p) =>
+        if (p % 4 == 0) s"z${s}_$p" else w }.mkString(" ")
+      val hi = base.split(" ").zipWithIndex.map { case (w, p) =>
+        if (p >= 10 && (p - 10) % 25 == 0) s"y${s}_$p" else w }.mkString(" ")
+      Seq((s * 10L, base), (s * 10L + 1, lo), (s * 10L + 2, hi))
+    }
+    val sigs = MinHashLSH.portableBandRows(rows.toDF("doc_id", "text"))
+      .select(col("__id"), col("sig")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def est(a: Long, b: Long): Double =
+      sigs(a).zip(sigs(b)).count(p => p._1 == p._2) / 16.0
+    val lowEsts = (0 until 40).map(s => est(s * 10L, s * 10L + 1))
+    val highEsts = (0 until 40).map(s => est(s * 10L, s * 10L + 2))
+    val lowMean = lowEsts.sum / 40; val highMean = highEsts.sum / 40
+    assert(lowMean > 0.05 && lowMean < 0.25,
+      s"low-J (0.138) mean estimate off: $lowMean")
+    assert(highMean > 0.65 && highMean < 0.95,
+      s"high-J (0.851) mean estimate off: $highMean")
+    // no low-J pair may cross the 13/16 dedup cut — under the broken
+    // family ~J of them sat at exactly 16/16 and became "duplicates"
+    assert(lowEsts.max < 0.8, s"low-J pair crossed the dedup cut: " +
+      s"max=${lowEsts.max}")
+  }
+
   test("dd7 clusters collapse each planted duplicate into its original") {
     val out = DedupExtQueries.queries("dd7_neardup_clusters")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap

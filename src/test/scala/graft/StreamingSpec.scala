@@ -540,6 +540,63 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming incremental curation: bootstrap, per-batch " +
+    "curate/publish/advance, replayed batch is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.LshBandIndex
+    import graft.store.SnapshotStore
+    def longText(seed: Int) =
+      (0 until 120).map(j => s"w${seed}_$j").mkString(" ")
+    def mut(t: String, p: Int) = {
+      val a = t.split(" "); a(p) = s"m$p"; a.mkString(" ")
+    }
+    val tA = longText(1); val tB = longText(2); val tC = longText(3)
+    def row(id: Long, t: String) = (id, t, "en", t.length.toLong, "src")
+    // batch 0 (bootstrap corpus): 10 ~ 20 near-dups, 30 unique
+    val b0 = Seq(row(10, tA), row(20, mut(tA, 5)), row(30, tB))
+    // batch 1: 500 exact-dups history, 510 near-dups history,
+    // 600 ~ 610 batch-only cluster, 700 clean
+    val b1 = Seq(row(500, tB), row(510, mut(tA, 50)), row(600, tC),
+      row(610, mut(tC, 7)), row(700, longText(9)))
+    val mem = MemoryStream[(Long, String, String, Long, String)]
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_curstream").toString + "/t"
+    val q = StreamingOps.curateStream(
+      mem.toDF().toDF("doc_id", "text", "lang", "n_chars", "source"),
+      root).start()
+    def canonical(): Set[Long] =
+      SnapshotStore.read(spark, root)
+        .filter(org.apache.spark.sql.functions.col("is_canonical"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      assert(canonical() == Set(10L, 30L),
+        "bootstrap batch must curate itself in full")
+      mem.addData(b1: _*); q.processAllAvailable()
+      assert(canonical() == Set(10L, 30L, 600L, 700L),
+        "batch decisions: exact-dup and history-linked drop, " +
+          "batch cluster keeps its min, clean survives")
+      val snap2 = SnapshotStore.currentName(spark, root).get
+      // replay the WHOLE second batch (at-least-once redelivery): every
+      // id is already curated → empty delta → nothing republished
+      mem.addData(b1: _*); q.processAllAvailable()
+      assert(SnapshotStore.currentName(spark, root).get == snap2,
+        "a fully-redelivered batch must not publish")
+      assert(canonical() == Set(10L, 30L, 600L, 700L))
+      // the index covers exactly the curated table's exact-survivors
+      val g = LshBandIndex.currentGenPath(spark, s"store:$root",
+        portable = true).get
+      val indexed = LshBandIndex.bandsOf(spark, g).select("__id")
+        .distinct().collect().map(_.getLong(0)).toSet
+      val stored = SnapshotStore.read(spark, root).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(indexed == stored)
+      assert(stored == Set(10L, 20L, 30L, 510L, 600L, 610L, 700L),
+        s"exact-survivors stored (500 exact-dropped), got $stored")
+    } finally q.stop()
+  }
+
   test("indexed streaming near-dup: probe-then-advance per batch equals " +
     "the batch incremental identity; redelivery is idempotent") {
     import spark.implicits._
