@@ -97,8 +97,14 @@ object Multimodal {
 
   /** A real, valid RIFF/WAVE file: canonical 44-byte header + 16-bit LE
     * mono PCM [[audioSample]]s. */
-  private[multimodal] def wavBytes(id: Long, rate: Int = 16000): Array[Byte] = {
-    val n = audioSamples(id)
+  private[multimodal] def wavBytes(id: Long, rate: Int = 16000): Array[Byte] =
+    wavBytesOf(audioSamples(id), audioSample(id, _), rate)
+
+  /** [[wavBytes]] with an arbitrary sample function — the seam the
+    * planted audio-near-dup fixture uses to re-encode a bumped copy
+    * (mirrors [[bmpBytesOf]]). */
+  private[graft] def wavBytesOf(n: Int, sample: Int => Int,
+                                rate: Int = 16000): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
@@ -109,7 +115,7 @@ object Multimodal {
       .putShort(2).putShort(16) // block align, bits per sample
     bb.put("data".getBytes("US-ASCII")).putInt(2 * n)
     var j = 0
-    while (j < n) { bb.putShort(audioSample(id, j).toShort); j += 1 }
+    while (j < n) { bb.putShort(sample(j).toShort); j += 1 }
     bb.array()
   }
 
@@ -159,6 +165,26 @@ object Multimodal {
             else imagePixel(id, x, y)),
           format = "bmp", width = imageWidth(id), height = ImageHeight,
           sample_rate = 0, duration_ms = 0)
+      }
+    fixture(spark, n).unionByName(dups)
+  }
+
+  /** [[fixture]] plus PLANTED audio near-duplicates for the mm5 gate:
+    * every audio id divisible by 5 is RE-ENCODED under id + 200000 with
+    * sample 10 bumped +50 — one sample in one of the 57 energy windows,
+    * so the copy's [[afpWav]] differs from its source's in at most 2
+    * bits (only the two energy deltas that window participates in can
+    * flip). */
+  def audioNeardupFixture(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    val dups = spark.range(n).as[Long]
+      .filter(i => i % 3 == 1 && i % 5 == 0)
+      .map { id =>
+        MediaRow(id + 200000L, "audio",
+          wavBytesOf(audioSamples(id), j =>
+            if (j == 10) audioSample(id, j) + 50 else audioSample(id, j)),
+          format = "wav", width = 0, height = 0, sample_rate = 16000,
+          duration_ms = audioSamples(id) * 1000L / 16000)
       }
     fixture(spark, n).unionByName(dups)
   }
@@ -240,6 +266,60 @@ object Multimodal {
         case _: RuntimeException | _: IndexOutOfBoundsException => None
       }
   }
+
+  /** 56-bit audio fingerprint (the dHash analogue for PCM): the 16-bit
+    * samples are binned into 57 equal time windows (window of sample j
+    * = ⌊j·57/n⌋ — every window non-empty for n ≥ 57), each window's
+    * energy is the INTEGER sum of absolute sample values, and bit k
+    * (LSB first) = 1 iff E(k+1) > E(k). Energy DELTAS cancel uniform
+    * gain changes exactly as dHash's pixel deltas cancel brightness
+    * shifts, and the hash is integer-exact end-to-end so the mm5
+    * DuckDB oracle recomputes it from the fixture sample formula.
+    * Chunk layout (fmt/data discovery) mirrors [[decodeWav]]'s RIFF
+    * walk — no fixed-offset assumptions beyond the preamble. */
+  private[graft] def afpWav(c: Array[Byte]): Long = {
+    val bb = java.nio.ByteBuffer.wrap(c)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var dataPos = -1
+    var dataLen = 0
+    var bits = 16
+    while (pos + 8 <= c.length && (dataPos < 0 || bits == 0)) {
+      val tag = new String(c, pos, 4, "US-ASCII")
+      val len = bb.getInt(pos + 4)
+      if (tag == "fmt ") bits = bb.getShort(pos + 22)
+      else if (tag == "data") { dataPos = pos + 8; dataLen = len }
+      pos += 8 + len + (len & 1)
+    }
+    require(dataPos >= 0, "WAV without a data chunk")
+    require(bits == 16, s"only 16-bit PCM supported, got $bits")
+    val n = dataLen / 2
+    require(n >= 57, s"audio fingerprint needs >= 57 samples, got $n")
+    val e = new Array[Long](57)
+    var j = 0
+    while (j < n) {
+      e((j.toLong * 57 / n).toInt) +=
+        math.abs(bb.getShort(dataPos + 2 * j).toInt)
+      j += 1
+    }
+    var hash = 0L
+    var k = 0
+    while (k < 56) {
+      if (e(k + 1) > e(k)) hash |= 1L << k
+      k += 1
+    }
+    hash
+  }
+
+  /** The decode degradation contract applied to audio fingerprinting: a
+    * corrupt, non-WAV, or too-short (< 57 samples) blob hashes to None
+    * and is EXCLUDED from near-dup pairing — same contract as
+    * [[dhashSafe]]. */
+  private[graft] def afpSafe(c: Array[Byte]): Option[Long] =
+    try { if (isWav(c)) Some(afpWav(c)) else None }
+    catch {
+      case _: RuntimeException | _: IndexOutOfBoundsException => None
+    }
 
   // ------------------------------------------------------------ decode
 

@@ -20,6 +20,36 @@ import graft.multimodal.Multimodal
 object MultimodalQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** The mm4/mm5 banded Hamming join over a `(media_id, hash)` frame of
+    * 56-bit perceptual hashes: 4 bands × 14 bits, candidates from the
+    * (band, bits) equi-join, exact bit_count distance, pairs kept at
+    * `hamming <= thresh`. For thresh ≤ 3 the banded candidate set
+    * provably EQUALS all-pairs (≤3 flipped bits leave ≥1 of 4 bands
+    * clean — pigeonhole), so the all-pairs DuckDB oracles carry no
+    * recall caveat. At corpus scale this is the same never-all-pairs
+    * shape as MinHashLSH: shuffle on the 14-bit band key, join within
+    * buckets only. */
+  private def hammingBandPairs(hashes: DataFrame, thresh: Int): DataFrame = {
+    val banded = hashes.select(col("media_id"), col("hash"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftrightunsigned(col("hash"), b * 14)
+          .bitwiseAND(lit(16383L)).as("bits"))): _*)).as("bd"))
+      .select(col("media_id"), col("hash"),
+        col("bd.band").as("band"), col("bd.bits").as("bits"))
+    val a = banded.select(col("media_id").as("media_a"),
+      col("hash").as("ha"), col("band"), col("bits"))
+    val b = banded.select(col("media_id").as("media_b"),
+      col("hash").as("hb"), col("band"), col("bits"))
+    a.join(b, Seq("band", "bits"))
+      .filter(col("media_a") < col("media_b"))
+      .select(col("media_a"), col("media_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= thresh)
+      .orderBy("media_a", "media_b")
+  }
+
   val queries: Map[String, Q] = Map(
     // binary → batch decode → features: brightness (mean byte / 255),
     // byte count, and the 16-bucket byte-sum embedding quantized back to
@@ -71,25 +101,29 @@ object MultimodalQueries {
       val vidHashes = Multimodal.sampleFrames(s, media, framesPerVideo = 1)
         .flatMap(fr => Multimodal.dhashFrameSafe(fr.frame)
           .map(h => (fr.media_id, h)))
-      val hashes = imgHashes.union(vidHashes).toDF("media_id", "dhash")
-      val banded = hashes.select(col("media_id"), col("dhash"),
-        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-          shiftrightunsigned(col("dhash"), b * 14)
-            .bitwiseAND(lit(16383L)).as("bits"))): _*)).as("bd"))
-        .select(col("media_id"), col("dhash"),
-          col("bd.band").as("band"), col("bd.bits").as("bits"))
-      val a = banded.select(col("media_id").as("media_a"),
-        col("dhash").as("ha"), col("band"), col("bits"))
-      val b = banded.select(col("media_id").as("media_b"),
-        col("dhash").as("hb"), col("band"), col("bits"))
-      a.join(b, Seq("band", "bits"))
-        .filter(col("media_a") < col("media_b"))
-        .select(col("media_a"), col("media_b"),
-          bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int")
-            .as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
-        .orderBy("media_a", "media_b")
+      hammingBandPairs(
+        imgHashes.union(vidHashes).toDF("media_id", "hash"), thresh = 3)
+    }),
+
+    // MM5: the dedup family extended to AUDIO — perceptual near-dup over
+    // the WAV rows via the 56-bit energy-delta fingerprint
+    // (Multimodal.afpWav: 57 integer window energies over the REAL PCM
+    // payload, bit k = E(k+1) > E(k)), then the same 4×14-bit Hamming
+    // band join as mm4 (banded ≡ all-pairs at threshold ≤ 3 by
+    // pigeonhole — no recall caveat on the oracle). Corpus: the fixture
+    // + every 5th audio row re-encoded under id+200000 with one sample
+    // bumped +50 (one window touched ⇒ ≤ 2 fingerprint bits differ).
+    // Corrupt or sub-57-sample WAVs hash to None and are excluded
+    // rather than crashing or fabricating pairs (MultimodalSpec pins
+    // the degradation).
+    "mm5_audio_neardup" -> ((s, d) => {
+      import s.implicits._
+      val media = Multimodal.audioNeardupFixture(s, 500)
+      val hashes = media.filter(_.kind == "audio")
+        .flatMap(m => Multimodal.afpSafe(m.content)
+          .map(h => (m.media_id, h)))
+        .toDF("media_id", "hash")
+      hammingBandPairs(hashes, thresh = 3)
     }),
 
     // container-metadata extraction: every header field the MP4 parser
@@ -251,6 +285,46 @@ object MultimodalQueries {
         |  FROM grid a JOIN grid b
         |    ON a.media_id = b.media_id AND a.y = b.y AND b.gx = a.gx + 1
         |  WHERE a.gx < 7),
+        |pairs AS (
+        |  SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |    CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)
+        |      AS INTEGER) AS hamming
+        |  FROM bits a JOIN bits b
+        |    ON a.bit_idx = b.bit_idx AND a.media_id < b.media_id
+        |  GROUP BY 1, 2)
+        |SELECT media_a, media_b, hamming FROM pairs
+        |WHERE hamming <= 3
+        |ORDER BY media_a, media_b""".stripMargin,
+    // mm5: the audio fingerprint recomputed from the fixture SAMPLE
+    // formula (s=((i·31+j·7)%2003)−1001, bumped copies +50 at j=10),
+    // window energies by integer binning ⌊j·57/n⌋, bits as a
+    // (media, bit_idx, bit) table, Hamming by an all-pairs bit join —
+    // integer-exact end to end, all-pairs ≡ the query's banded join at
+    // threshold ≤ 3 by pigeonhole.
+    "mm5_audio_neardup" ->
+      """WITH aud AS (
+        |  SELECT i AS media_id, i AS src,
+        |    CAST(400 + (i % 5) * 100 AS INTEGER) AS n, 0 AS bumped
+        |  FROM range(500) t(i) WHERE i % 3 = 1
+        |  UNION ALL
+        |  SELECT i + 200000, i, CAST(400 + (i % 5) * 100 AS INTEGER), 1
+        |  FROM range(500) t(i) WHERE i % 3 = 1 AND i % 5 = 0),
+        |sm AS (
+        |  SELECT media_id, n, j,
+        |    CASE WHEN bumped = 1 AND j = 10
+        |         THEN ABS((src * 31 + j * 7) % 2003 - 1001 + 50)
+        |         ELSE ABS((src * 31 + j * 7) % 2003 - 1001) END AS s
+        |  FROM aud, LATERAL (SELECT UNNEST(range(n)) AS j) u),
+        |win AS (
+        |  SELECT media_id, CAST((j * 57) // n AS INTEGER) AS k,
+        |    CAST(SUM(s) AS BIGINT) AS e
+        |  FROM sm GROUP BY media_id, (j * 57) // n),
+        |bits AS (
+        |  SELECT a.media_id, CAST(a.k AS INTEGER) AS bit_idx,
+        |    CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bit
+        |  FROM win a JOIN win b
+        |    ON a.media_id = b.media_id AND b.k = a.k + 1
+        |  WHERE a.k < 56),
         |pairs AS (
         |  SELECT a.media_id AS media_a, b.media_id AS media_b,
         |    CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END)

@@ -23,6 +23,38 @@ object TextQueries {
 
   private val cleanText = lower(trim(regexp_replace(col("text"), "\\s+", " ")))
 
+  /** The tx15/tx17 BM25 scored frame `(doc_id, score, n_terms)` —
+    * Robertson/Okapi with the Lucene idf variant, k1=1.2 b=0.75:
+    * score(D,Q) = Σ_t ln(1+(N−df+.5)/(df+.5)) · tf(k1+1)/(tf + k1(1−b+b·dl/avgdl)).
+    * One tokenize pass; the query-term filter lands BEFORE any agg
+    * (selectivity |Q|/vocab at the explode, so the tf shuffle carries
+    * only matching (doc, term) rows); df is a ≤|Q|-row broadcast;
+    * (N, avgdl) is one bounded 1-row driver agg. Per-term contributions
+    * round→DECIMAL before the per-doc sum so the score is
+    * order-independent (exact associative addition), matching DuckDB. */
+  private def bm25Scored(s: SparkSession, d: String,
+                         qTerms: Seq[String]): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(split(cleanText, " ")).as("term"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val statsRow = dl
+      .agg(count(lit(1)).cast("double"), avg(col("dl"))).head()
+    val (n, avgdl) = (statsRow.getDouble(0), statsRow.getDouble(1))
+    val tf = toks.filter(col("term").isin(qTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .withColumn("contrib", round(
+        log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))),
+        6).cast("decimal(18,6)"))
+      .groupBy("doc_id")
+      .agg(sum(col("contrib")).cast("double").as("score"),
+        count(lit(1)).as("n_terms"))
+  }
+
   val queries: Map[String, Q] = Map(
     // PII redaction for corpus curation: synthesize URL/email/phone into
     // the document text deterministically, then run the production
@@ -226,33 +258,61 @@ object TextQueries {
     // round→DECIMAL before the per-doc sum so the score is
     // order-independent (exact associative addition), matching DuckDB.
     "tx15_bm25" -> ((s, d) => {
-      val qTerms = Seq("spark", "vector", "merge")
-      val toks = documents(s, d)
-        .select(col("doc_id"), explode(split(cleanText, " ")).as("term"))
-      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      // (N, avgdl): one bounded 1-row agg to the driver (the tx10 /
-      // BudgetSelect range-probe pattern — scalars, not data)
-      val statsRow = dl
-        .agg(count(lit(1)).cast("double"), avg(col("dl"))).head()
-      val (n, avgdl) = (statsRow.getDouble(0), statsRow.getDouble(1))
-      val tf = toks.filter(col("term").isin(qTerms: _*))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val contrib = tf.join(broadcast(df), "term")
-        .join(dl, "doc_id")
-        .withColumn("contrib", round(
-          log(lit(1.0) + (lit(n) - col("df") + 0.5) / (col("df") + 0.5)) *
-            (col("tf") * 2.2) /
-            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))),
-          6).cast("decimal(18,6)"))
-      val scored = contrib.groupBy("doc_id")
-        .agg(sum(col("contrib")).cast("double").as("score"),
-          count(lit(1)).as("n_terms"))
+      val scored = bm25Scored(s, d, Seq("spark", "vector", "merge"))
         .orderBy(col("score").desc, col("doc_id")).limit(10)
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("score").desc, col("doc_id"))
       scored.withColumn("rank", row_number().over(w))
         .select(col("rank"), col("doc_id"), col("score"), col("n_terms"))
+        .orderBy("rank")
+    }),
+
+    // HYBRID retrieval with reciprocal-rank fusion (RRF, Cormack et
+    // al.'s k=60): the standard two-tower serving shape — a lexical
+    // BM25 leg over `documents` and a dense cosine leg over the
+    // 1:1-aligned `embeddings` table (doc_id = vec_id), each producing
+    // a top-50 ranked list, fused as Σ 1/(60+rank) over the UNION of
+    // the lists (a doc missing from one leg simply contributes one
+    // term). Rank fusion needs no score calibration between the legs —
+    // exactly why RRF is the production default for lexical+dense.
+    //
+    // Shape: the BM25 leg is tx15's scored frame (filter-before-agg,
+    // broadcast df, 1-row stats); the dense leg scans the corpus once
+    // against ONE broadcast query vector with the k-bounded TopKScored
+    // aggregate (partial map-side, no rank window over the corpus);
+    // both legs' windows and the fusion join run over ≤50-row frames —
+    // bounded by construction, never corpus-sized. rrf_score is a sum
+    // of two exact IEEE quotients rounded to 9 dp — identical in every
+    // engine.
+    "tx17_hybrid_rrf" -> ((s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      val w50 = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))
+      val lex = bm25Scored(s, d, Seq("spark", "vector", "merge"))
+        .orderBy(col("score").desc, col("doc_id")).limit(50)
+        .select(col("doc_id"), row_number().over(w50).as("bm25_rank"))
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("emb").as("qe"))
+      val dense = e.filter(col("vec_id") =!= 0)
+        .join(broadcast(q))
+        .withColumn("cs", expr("graft_cosine(emb, qe)"))
+        .agg(graft.functions.BottomK.topKScored(col("cs"), col("vec_id"), 50)
+          .as("top"))
+        .select(posexplode(col("top")).as(Seq("pos0", "m")))
+        .select(col("m.id").as("doc_id"),
+          (col("pos0") + 1).cast("int").as("vec_rank"))
+      val fused = lex.join(dense, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_score", round(
+          coalesce(lit(1.0) / (lit(60) + col("bm25_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)), 9))
+        .orderBy(col("rrf_score").desc, col("doc_id")).limit(10)
+      val wf = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+      fused.withColumn("rank", row_number().over(wf))
+        .select(col("rank"), col("doc_id"), col("rrf_score"),
+          col("bm25_rank"), col("vec_rank"))
         .orderBy("rank")
     }),
 
@@ -452,8 +512,11 @@ object TextQueries {
     * (persisted-inverted-index probe) and the s18 write gate (index
     * built through the SnapshotStore lifecycle + delta advance): one
     * SQL, three engine paths that must all hash-match it. */
-  private[queries] val Bm25OracleSql: String =
-    """WITH toks AS (
+  /** The BM25 CTE chain through `scored` — shared verbatim by tx15,
+    * tx16 (identical final select) and tx17's lexical leg, so the three
+    * oracles can never silently diverge. */
+  private val Bm25CtesSql: String =
+    """toks AS (
       |  SELECT doc_id,
       |    unnest(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
       |  FROM documents),
@@ -473,10 +536,46 @@ object TextQueries {
       |scored AS (
       |  SELECT doc_id, CAST(SUM(contrib) AS DOUBLE) AS score,
       |    CAST(COUNT(*) AS BIGINT) AS n_terms
-      |  FROM contrib GROUP BY doc_id)
+      |  FROM contrib GROUP BY doc_id)""".stripMargin
+
+  private[queries] val Bm25OracleSql: String =
+    s"""WITH $Bm25CtesSql
       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank,
       |  doc_id, score, n_terms
       |FROM scored
+      |QUALIFY rank <= 10
+      |ORDER BY rank""".stripMargin
+
+  /** tx17: the same BM25 `scored` leg ranked to 50, a dense cosine leg
+    * (v2's list_cosine_similarity spelling) ranked to 50, full-outer
+    * RRF fusion at k=60. CAST(1.0 AS DOUBLE) keeps the quotient IEEE —
+    * DuckDB's bare 1.0 literal is DECIMAL and would divide exactly. */
+  private val HybridRrfOracleSql: String =
+    s"""WITH $Bm25CtesSql,
+      |lex AS (
+      |  SELECT doc_id,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS bm25_rank
+      |  FROM scored QUALIFY bm25_rank <= 50),
+      |qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+      |       FROM embeddings WHERE vec_id = 0),
+      |cs AS (
+      |  SELECT b.vec_id AS doc_id,
+      |    list_cosine_similarity(
+      |      list_transform(b.embedding, x -> CAST(x AS DOUBLE)), qe) AS c
+      |  FROM embeddings b, qv WHERE b.vec_id <> 0),
+      |dense AS (
+      |  SELECT doc_id,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS INTEGER) AS vec_rank
+      |  FROM cs QUALIFY vec_rank <= 50),
+      |fused AS (
+      |  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+      |    ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.bm25_rank), 0) +
+      |          COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.vec_rank), 0), 9) AS rrf_score,
+      |    l.bm25_rank, v.vec_rank
+      |  FROM lex l FULL OUTER JOIN dense v ON l.doc_id = v.doc_id)
+      |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rank,
+      |  doc_id, rrf_score, bm25_rank, vec_rank
+      |FROM fused
       |QUALIFY rank <= 10
       |ORDER BY rank""".stripMargin
 
@@ -571,6 +670,7 @@ object TextQueries {
         |    '(\+84|0)[0-9]{9,10}', '<PHONE>', 'g') AS text
         |FROM withpii ORDER BY doc_id""".stripMargin,
     "tx15_bm25" -> Bm25OracleSql,
+    "tx17_hybrid_rrf" -> HybridRrfOracleSql,
     // the indexed path answers the SAME question — one oracle, by
     // reference, so the two spellings can never silently diverge
     "tx16_bm25_indexed" -> Bm25OracleSql,

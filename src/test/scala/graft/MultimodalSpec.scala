@@ -294,6 +294,51 @@ class MultimodalSpec extends SparkSuite {
       s"banded must equal all-pairs at <=3: got ${got.size}, all ${all.size}")
   }
 
+  test("audio fingerprint: planted one-sample bump stays within 2 bits; " +
+    "banded join ≡ all-pairs at the ≤3 threshold") {
+    val media = Multimodal.audioNeardupFixture(spark, 500).collect()
+    val hashes = media.flatMap(m => m.kind match {
+      case "audio" => Multimodal.afpSafe(m.content).map(m.media_id -> _)
+      case _ => None
+    }).toMap
+    val planted = hashes.keys.filter(_ >= 200000L)
+    assert(planted.nonEmpty)
+    planted.foreach { dup =>
+      val d = java.lang.Long.bitCount(hashes(dup) ^ hashes(dup - 200000L))
+      assert(d <= 2, s"planted pair ($dup) drifted $d bits")
+    }
+    val got = SparkEntry.queries("mm5_audio_neardup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val hs = hashes.toSeq
+    val all = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(got == all,
+      s"banded must equal all-pairs at <=3: got ${got.size}, all ${all.size}")
+  }
+
+  test("audio fingerprint degradation: corrupt, non-WAV, and sub-57-" +
+    "sample blobs hash to None; gain shifts cancel") {
+    // truncated WAV (data chunk promises more payload than exists)
+    val aud = Multimodal.fixture(spark, 4).collect().find(_.kind == "audio").get
+    assert(Multimodal.afpSafe(
+      java.util.Arrays.copyOfRange(aud.content, 0, 50)).isEmpty)
+    assert(Multimodal.afpSafe("not a wav".getBytes).isEmpty)
+    // a valid WAV with 56 samples is too short for 57 windows
+    val tiny = graft.multimodal.Multimodal.wavBytesOf(56, j => j * 10)
+    assert(Multimodal.afpSafe(tiny).isEmpty)
+    // 57 samples is the floor
+    val floor = graft.multimodal.Multimodal.wavBytesOf(57, j => j * 10)
+    assert(Multimodal.afpSafe(floor).nonEmpty)
+    // the delta property: doubling every sample's amplitude preserves
+    // the fingerprint ORDER structure on strictly-monotone windows
+    val base = graft.multimodal.Multimodal.wavBytesOf(570, j => 100 + j)
+    val gained = graft.multimodal.Multimodal.wavBytesOf(570, j => 2 * (100 + j))
+    assert(Multimodal.afpSafe(base) == Multimodal.afpSafe(gained),
+      "uniform gain must not change an energy-delta fingerprint")
+  }
+
   test("corrupt media hashes to None — excluded from pairing, never a " +
     "crash or a fabricated stub-hash pair") {
     // truncated BMP (header promises more payload than exists)
