@@ -48,6 +48,36 @@ object Mixture {
       .filter(col("rn") <= quota)
   }
 
+  /** Temperature-scaled allocation (the multilingual mixing rule of
+    * Gopher/PaLM/UNIMAX: sample stratum s proportional to n_s^α so head
+    * strata stop dominating while tail strata stay represented) at
+    * α = 1/2, computed in EXACT integer arithmetic: weight_s =
+    * floor(sqrt(n_s)) (IEEE sqrt is correctly rounded, so this is
+    * engine-portable bit-for-bit — unlike pow(n, α) for general α,
+    * which no engine guarantees), then largest-remainder apportionment
+    * with integer quotients (w·budget div T) and integer remainders
+    * (w·budget mod T) — no double sums anywhere, so Spark, the JVM
+    * re-run, and the DuckDB oracle derive the SAME quotas from the
+    * same counts. The floor(sqrt) weight differs from the real-valued
+    * n^0.5 by < 1 part in 2·sqrt(n) — immaterial for mixing, decisive
+    * for reproducibility. */
+  def temperatureAllocate(counts: Map[String, Long],
+                          budget: Int): Map[String, Int] = {
+    require(counts.nonEmpty && budget >= 0 &&
+      counts.values.forall(_ >= 0), "mixture: bad temperature input")
+    val w = counts.map { case (s, n) => (s, math.sqrt(n.toDouble).toLong) }
+    val t = w.values.sum
+    require(t > 0, "mixture: all strata empty")
+    val floors = w.map { case (s, x) => (s, (x * budget / t).toInt) }
+    var left = budget - floors.values.sum
+    val byRemainder = w.toSeq
+      .map { case (s, x) => (s, x * budget % t) }
+      .sortBy { case (s, r) => (-r, s) }
+    val bumped = scala.collection.mutable.Map(floors.toSeq: _*)
+    for ((s, _) <- byRemainder if left > 0) { bumped(s) += 1; left -= 1 }
+    bumped.toMap
+  }
+
   /** Largest-remainder apportionment of `budget` across `weights`
     * (deterministic; ties to the lexicographically smaller stratum):
     * exact floor quotas plus one extra for the largest remainders, so

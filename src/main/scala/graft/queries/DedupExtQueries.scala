@@ -284,10 +284,130 @@ object DedupExtQueries {
         .select(col("p_brand"), col("name_a"), col("name_b"), col("dist"),
           col("n_a"), col("n_b"))
         .orderBy("p_brand", "name_a", "name_b")
+    }),
+
+    // DD14: EXACT set-similarity self-join via prefix filtering (the
+    // PPJoin family, Chaudhuri/Xiao: a pair with Jaccard ≥ τ over its
+    // distinct word-3-shingle sets MUST share a token among the first
+    // |d| - ceil(τ·|d|) + 1 of each side once both order tokens by
+    // ascending document frequency — pigeonhole, so the candidate join
+    // is provably complete, unlike MinHash's probabilistic recall).
+    // This is the deterministic scale path for exact-threshold near-dup:
+    // the equi-join runs over PREFIX postings of the rarest shingles
+    // (at sf0.01: 969 candidate pairs vs 124,750 all-pairs, 0.8%), and
+    // exact Jaccard is verified only on candidates, expanding each to
+    // its O(|doc|) gram rows — never doc×doc. Every stage is a bounded
+    // per-doc window or an equi-join on an 32-hex-char gram hash; raw
+    // text never shuffles. DuckDB replays the whole chain (df ordering
+    // ties broken by the gram hash, so prefixes are engine-identical).
+    "dd14_prefix_filter_join" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val TauN = 1 // τ = 1/2, kept rational so prefix cut + verify
+      val TauD = 2 // filter are exact integer arithmetic in both engines
+      // the gram relation feeds FIVE consumers (df agg, rank join, size
+      // agg, and both sides of the verify join) — materialize the
+      // tokenize+explode ONCE (constant-width (id, md5) rows, the
+      // standard PPJoin tokenized-relation materialization; ~2× runtime
+      // without it, measured at sf0.1). Left to LRU eviction: the lazy
+      // return leaves no sound unpersist point (the tx14 rule).
+      // gram key: 60-bit md5-prefix LONG (the dd9 idiom — 8-byte keys
+      // shuffle ~5× narrower than 32-char md5 strings; the oracle keeps
+      // full-md5 string keys, sound because a 60-bit collision is
+      // ~3e-8 here AND the df tie-break order need not match across
+      // engines anyway: prefix completeness holds for ANY consistent
+      // total token order, so both engines independently emit exactly
+      // the {Jaccard ≥ τ} pair set).
+      val grams = documents(s, d)
+        .select(col("doc_id"),
+          split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")
+            .as("toks"))
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(1, greatest(size(toks) - 2, 1)), " +
+            "i -> md5(concat_ws(' ', toks[i-1], toks[i], toks[i+1])))")))
+          .as("gs"))
+        .select(col("doc_id"),
+          expr("conv(substring(gs, 1, 15), 16, 10)").cast("long").as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dfreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      // one per-doc shuffle serves both windows (same partition key);
+      // rarest-first rank decides each doc's prefix
+      val w = Window.partitionBy("doc_id")
+      val ranked = grams.join(dfreq, "g")
+        .withColumn("pos", row_number().over(w.orderBy(col("df"), col("g"))))
+        .withColumn("n", count(lit(1)).over(w))
+      // prefix length |d| - ceil(τ|d|) + 1, in integers:
+      // ceil(a/b) = (a + b - 1) div b
+      val pref = ranked.filter(col("pos") <=
+        col("n") - expr(s"(n * $TauN + ${TauD - 1}) div $TauD") + 1)
+      val cand = pref.as("pa").join(pref.as("pb"),
+          col("pa.g") === col("pb.g") && col("pa.doc_id") < col("pb.doc_id"))
+        .select(col("pa.doc_id").as("doc_a"), col("pb.doc_id").as("doc_b"))
+        .distinct()
+      // verify à la Vernica et al.: carry each side's FULL sorted gram
+      // array to the candidate row and intersect locally —
+      // O(|cand| · |doc|) work with no row blowup, vs the rejected
+      // cand×gram expansion join that shuffled |cand|·|doc| ROWS (21M
+      // at sf0.1, 3× slower measured). The array frame is doc-count
+      // rows of ~|doc| longs: broadcast-joined at test scale, an
+      // array-carrying shuffle join at 100 TB — either way bounded by
+      // candidates, never doc×doc.
+      val arrs = grams.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("g"))).as("arr"),
+          count(lit(1)).as("n"))
+      cand
+        .join(arrs.select(col("doc_id").as("doc_a"), col("arr").as("aa"),
+          col("n").as("na")), "doc_a")
+        .join(arrs.select(col("doc_id").as("doc_b"), col("arr").as("ab"),
+          col("n").as("nb")), "doc_b")
+        .withColumn("common",
+          size(array_intersect(col("aa"), col("ab"))).cast("long"))
+        // τ ≤ o/(na+nb-o)  ⇔  o·(TauN+TauD) ≥ τN·(na+nb) — exact integers
+        .filter(col("common") * (TauN + TauD) >= (col("na") + col("nb")) * TauN)
+        .select(col("doc_a"), col("doc_b"), col("common"),
+          round(col("common").cast("double") /
+            (col("na") + col("nb") - col("common")), 6).as("jac"))
+        .orderBy("doc_a", "doc_b")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "dd14_prefix_filter_join" ->
+      """WITH toklists AS (
+        |  SELECT doc_id, string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 2, 1) + 1),
+        |    i -> md5(concat_ws(' ', toks[CAST(i AS INTEGER)],
+        |      toks[CAST(i AS INTEGER) + 1], toks[CAST(i AS INTEGER) + 2])))))
+        |    AS g
+        |  FROM toklists),
+        |dfreq AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS df
+        |          FROM grams GROUP BY 1),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM grams GROUP BY 1),
+        |ranked AS (
+        |  SELECT grams.doc_id, grams.g,
+        |    row_number() OVER (PARTITION BY grams.doc_id
+        |                       ORDER BY f.df, grams.g) AS pos,
+        |    sz.n
+        |  FROM grams JOIN dfreq f USING (g) JOIN sz USING (doc_id)),
+        |pref AS (SELECT * FROM ranked WHERE pos <= n - (n * 1 + 1) // 2 + 1),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS common
+        |  FROM cand c JOIN grams ga ON ga.doc_id = c.doc_a
+        |    JOIN grams gb ON gb.doc_id = c.doc_b AND gb.g = ga.g
+        |  GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, i.common,
+        |  ROUND(CAST(i.common AS DOUBLE) / (sa.n + sb.n - i.common), 6) AS jac
+        |FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
+        |  JOIN sz sb ON sb.doc_id = i.doc_b
+        |WHERE i.common * 3 >= (sa.n + sb.n) * 1
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dd13_incremental_neardup" ->
       """WITH toklists AS (
         |  SELECT doc_id, string_split(

@@ -56,6 +56,27 @@ object SamplingQueries {
         .select(col("lang"), col("doc_id"), col("rn"))
         .orderBy("lang", "rn")),
 
+    // SM10: TEMPERATURE-scaled mixture (α = 1/2) — sm7 with the quotas
+    // DERIVED from the observed stratum sizes instead of hand weights:
+    // stratum s draws ∝ floor(sqrt(n_s)) of a 200-doc budget, the
+    // Gopher/PaLM multilingual flattening that stops the head language
+    // from dominating while keeping every tail language represented.
+    // The size pull is one bounded groupBy (≤ |strata| rows, the tx14
+    // scalar-pull shape); apportionment is exact integer arithmetic
+    // (Mixture.temperatureAllocate), so the DuckDB oracle re-derives
+    // identical quotas from the same counts, and the draw itself is
+    // sm7's pure-function-of-(stratum, key) membership. One corpus
+    // pass + one per-stratum window — allocation work is O(|strata|).
+    "sm10_temperature_mix" -> ((s, d) => {
+      val docs = documents(s, d)
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      graft.operators.Mixture.sample(docs, "lang", "doc_id",
+          graft.operators.Mixture.temperatureAllocate(counts, budget = 200))
+        .select(col("lang"), col("doc_id"), col("rn"))
+        .orderBy("lang", "rn")
+    }),
+
     // SM4: deterministic weighted sampling without replacement
     // (Efraimidis–Spirakis): priority = u^(1/w) with u a pure function
     // of the key (md5 prefix → uniform in (0,1), engine-agnostic like
@@ -542,6 +563,32 @@ object SamplingQueries {
         |WHERE lang IN ('de', 'en', 'es', 'fr', 'zh')
         |QUALIFY rn <= CASE lang WHEN 'en' THEN 80 WHEN 'zh' THEN 40
         |  WHEN 'es' THEN 40 WHEN 'de' THEN 20 WHEN 'fr' THEN 20 ELSE 0 END
+        |ORDER BY lang, rn""".stripMargin,
+    // quotas re-derived from the observed stratum sizes in exact
+    // integer arithmetic: w = floor(sqrt(n)), floor quota
+    // (w·200) // T, remainders (w·200) % T bumped largest-first
+    "sm10_temperature_mix" ->
+      """WITH counts AS (
+        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |wts AS (SELECT lang, CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT)
+        |          AS w FROM counts),
+        |tot AS (SELECT SUM(w) AS t FROM wts),
+        |fl AS (SELECT lang, (w * 200) // t AS f, (w * 200) % t AS r
+        |       FROM wts CROSS JOIN tot),
+        |lft AS (SELECT 200 - SUM(f) AS lf FROM fl),
+        |quota AS (
+        |  SELECT lang, f + CASE WHEN ROW_NUMBER() OVER
+        |      (ORDER BY r DESC, lang) <= lf THEN 1 ELSE 0 END AS q
+        |  FROM fl CROSS JOIN lft),
+        |drawn AS (
+        |  SELECT lang, doc_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rn
+        |  FROM documents)
+        |SELECT d.lang, d.doc_id, d.rn
+        |FROM drawn d JOIN quota USING (lang)
+        |WHERE d.rn <= q
         |ORDER BY lang, rn""".stripMargin,
     "sm2_stratified_sample" ->
       """SELECT vec_id, label FROM embeddings

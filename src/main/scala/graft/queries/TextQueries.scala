@@ -505,6 +505,69 @@ object TextQueries {
         .agg(count(lit(1)).as("n_toks"),
           round(sum(col("logp")).cast("double"), 6).as("sum_logp"))
         .orderBy("doc_id")
+    }),
+
+    // TX18: multinomial Naive Bayes — TRAIN and SCORE wholly in-engine,
+    // the model-based filtering step of a modern curation pipeline
+    // (fastText/DCLM-style classifier gates, here predicting `lang` from
+    // word unigrams; swap the label column for quality tiers and the
+    // same plan scores educational-value filters). Training is one hash
+    // aggregation per (class, token) + a C-row class-total/prior pull —
+    // a single corpus pass, map-side-combined, no iteration. Scoring
+    // expands each token occurrence by the C candidate classes via a
+    // literal-array explode (C bounded; collected like tx14's scalar
+    // pull — no crossJoin) and LEFT-joins the (class, token) count table
+    // on its compact key, so Laplace smoothing ln((cnt+1)/(tot+V)) falls
+    // out of the null side; raw text never shuffles past the scan. Each
+    // log-likelihood is decimal-cast BEFORE the per-(doc, class) sum
+    // (exact associative addition — order-independent, engine-portable,
+    // the tx14 rule), priors add in decimal, and the argmax runs over
+    // the ROUNDED score with class-name tie-break so both engines pick
+    // identical winners. At 100 TB the (class, token) model is a
+    // vocab×C-row table — shuffle-equi-joined here (broadcast when the
+    // vocab is capped by a hashing trick); everything else is bounded.
+    "tx18_nb_classifier" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val docs = documents(s, d)
+      val toks = docs.select(col("doc_id"), col("lang").as("lang_true"),
+        explode(split(cleanText, " ")).as("tok"))
+      // model: per-(class, token) counts; persist the SMALL side only
+      // (vocab×C rows) — it feeds totals, vocab size, and the score join
+      val classTok = toks.groupBy(col("lang_true").as("lang"), col("tok"))
+        .agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val classTot = classTok.groupBy("lang").agg(sum("cnt").as("tot"))
+      val vocabV = classTok.select("tok").distinct().count()
+      val priors = docs.groupBy("lang").agg(count(lit(1)).as("ndocs"))
+      val totalDocs = docs.count()
+      val langs = priors.select("lang").collect().map(_.getString(0)).sorted
+      val expanded = toks.select(col("doc_id"), col("lang_true"), col("tok"),
+        explode(array(langs.map(lit(_)): _*)).as("lang"))
+      val scored = expanded
+        .join(classTok, Seq("lang", "tok"), "left")
+        .join(broadcast(classTot), Seq("lang"))
+        .withColumn("logp",
+          log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+            (col("tot") + vocabV).cast("double"))
+            .cast(DecimalType(28, 10)))
+        .groupBy("doc_id", "lang_true", "lang")
+        // cap the exact sum back to (28,10) before the prior add so the
+        // decimal arithmetic stays in-width in BOTH engines (magnitude
+        // ≤ ~1e4, far inside 18 integer digits)
+        .agg(sum(col("logp")).cast(DecimalType(28, 10)).as("sum_logp"))
+      scored
+        .join(broadcast(priors), Seq("lang"))
+        .withColumn("score", round(
+          (col("sum_logp") +
+            log(col("ndocs").cast("double") / lit(totalDocs.toDouble))
+              .cast(DecimalType(28, 10))).cast("double"), 6))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("score").desc, col("lang"))))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("lang_true"), col("lang").as("pred_lang"),
+          col("score"), (col("lang") === col("lang_true")).as("correct"))
+        .orderBy("doc_id")
     })
   )
 
@@ -797,6 +860,45 @@ object TextQueries {
         |  ROUND(CAST(SUM(CAST(ln(CAST(cnt AS DOUBLE) / t)
         |    AS DECIMAL(28,10))) AS DOUBLE), 6) AS sum_logp
         |FROM toks JOIN freq USING (tok) CROSS JOIN total
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "tx18_nb_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang AS lang_true, unnest(string_split(
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS tok
+        |  FROM documents),
+        |classtok AS (SELECT lang_true AS lang, tok,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1, 2),
+        |classtot AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS tot
+        |             FROM classtok GROUP BY 1),
+        |vocab AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+        |          FROM classtok),
+        |priors AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS ndocs
+        |           FROM documents GROUP BY 1),
+        |totd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+        |expanded AS (
+        |  SELECT t.doc_id, t.lang_true, t.tok, l.lang
+        |  FROM toks t CROSS JOIN (SELECT lang FROM priors) l),
+        |scored AS (
+        |  SELECT e.doc_id, e.lang_true, e.lang,
+        |    CAST(SUM(CAST(ln(CAST(COALESCE(ct.cnt, 0) + 1 AS DOUBLE) /
+        |      CAST(cl.tot + v.v AS DOUBLE)) AS DECIMAL(28,10)))
+        |      AS DECIMAL(28,10)) AS sum_logp
+        |  FROM expanded e
+        |  LEFT JOIN classtok ct ON ct.lang = e.lang AND ct.tok = e.tok
+        |  JOIN classtot cl ON cl.lang = e.lang
+        |  CROSS JOIN vocab v
+        |  GROUP BY 1, 2, 3),
+        |final AS (
+        |  SELECT s.doc_id, s.lang_true, s.lang,
+        |    ROUND(CAST(s.sum_logp + CAST(ln(CAST(p.ndocs AS DOUBLE) /
+        |      CAST(td.nd AS DOUBLE)) AS DECIMAL(28,10)) AS DOUBLE), 6)
+        |      AS score
+        |  FROM scored s JOIN priors p ON p.lang = s.lang CROSS JOIN totd td)
+        |SELECT doc_id, lang_true, lang AS pred_lang, score,
+        |  (lang = lang_true) AS correct
+        |FROM final
+        |QUALIFY row_number() OVER (PARTITION BY doc_id
+        |                           ORDER BY score DESC, lang) = 1
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -25,7 +25,11 @@ class PlanGuardSpec extends SparkSuite {
     // query no longer produces a BroadcastNestedLoopJoin at all.
     "p8_outlier_4sigma" -> ("global (mu, sd) stats broadcast back as a " +
       "1-row crossJoin — the no-driver-collect alternative to the " +
-      "reference's collect loop; broadcast side is O(1)")
+      "reference's collect loop; broadcast side is O(1)"),
+    "tx17_hybrid_rrf" -> ("dense leg joins the corpus against the ONE " +
+      "query embedding as a 1-row broadcast (the p8 shape: O(1) " +
+      "broadcast side, one corpus scan into a k-bounded top-k " +
+      "aggregate) — the v2 brute-force yardstick pattern with |Q| = 1")
     // dd3_ngram_jaccard left this list in round 5: its zero-overlap pair
     // skeleton is now a rank-explode + equi-join, not a theta join.
   )
