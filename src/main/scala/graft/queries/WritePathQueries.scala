@@ -493,6 +493,27 @@ object WritePathQueries {
         .toDF("n_rows", "scan_bounded", "meta_used")
     }),
 
+    // S20: metadata-partial SUM — countRange's aggregation pushdown
+    // extended to sums (FileStats.sumRange, the answer-from-manifests
+    // pattern): the sidecar carries exact per-file DECIMAL sums of
+    // o_totalprice, interior files of the range answer from metadata
+    // alone, and only the ≤2 boundary files are scanned. Exact decimal
+    // arithmetic end-to-end means metadata + edge sums recombine to
+    // EXACTLY the direct whole-range sum DuckDB computes; the gate pins
+    // both modes engaging (meta_used, scan_bounded) like s16.
+    "s20_meta_sum" -> ((s, d) => {
+      val root = tmp("graft_gate_metasum")
+      graft.store.FileStats.publishSorted(s, root, orders(s, d),
+        "o_orderkey", numFiles = 8, statCols = Seq("o_orderkey"),
+        sumCols = Seq("o_totalprice"))
+      val hi = 3L * orders(s, d).count() / 5L
+      val (sumPrice, n, scanned, meta) = graft.store.FileStats.sumRange(
+        s, root, "o_orderkey", 100L, hi, "o_totalprice")
+      import s.implicits._
+      Seq((n, sumPrice.doubleValue, scanned < 8, meta > 0))
+        .toDF("n_rows", "sum_price", "scan_bounded", "meta_used")
+    }),
+
     // S12: change data feed between two pinned versions — v2 deletes
     // every 13th key, renames every (7th ∧ not-13th) key, and inserts a
     // shifted copy of each deleted key; the feed must classify exactly
@@ -927,6 +948,14 @@ object WritePathQueries {
         |ORDER BY o_orderstatus""".stripMargin,
     "s16_meta_count" ->
       """SELECT COUNT(*) AS n_rows, TRUE AS scan_bounded, TRUE AS meta_used
+        |FROM orders
+        |WHERE o_orderkey BETWEEN 100 AND
+        |  (3 * (SELECT COUNT(*) FROM orders)) // 5""".stripMargin,
+    "s20_meta_sum" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+        |    AS sum_price,
+        |  TRUE AS scan_bounded, TRUE AS meta_used
         |FROM orders
         |WHERE o_orderkey BETWEEN 100 AND
         |  (3 * (SELECT COUNT(*) FROM orders)) // 5""".stripMargin,

@@ -78,9 +78,19 @@ object FileStats {
   def collectStats(spark: SparkSession, dataDir: String,
                    statCols: Seq[String], bloomCols: Seq[String] = Nil,
                    bloomItems: Long = 0L,
-                   bloomFpp: Double = DefaultBloomFpp): DataFrame =
+                   bloomFpp: Double = DefaultBloomFpp,
+                   sumCols: Seq[String] = Nil): DataFrame =
     collectStatsDirs(spark, Seq(dataDir), statCols, bloomCols,
-      bloomItems, bloomFpp)
+      bloomItems, bloomFpp, sumCols)
+
+  /** Per-row decimal shape of the `sum_<c>` sidecar stats: scale 6
+    * covers money-ish and measurement columns exactly, and the cast
+    * happens per ROW before the sum, so per-file sums are exact
+    * associative decimal arithmetic — file sums + edge-scan sums can be
+    * recombined in any order and still equal a direct whole-table sum
+    * (the property `sumRange` relies on; a double sum would drift with
+    * partitioning). */
+  private val SumDecimal = org.apache.spark.sql.types.DecimalType(27, 6)
 
   /** collectStats over several directories in one scan — the shape the
     * incremental sidecar uses to stat only a publish's FRESH partition
@@ -88,7 +98,8 @@ object FileStats {
   def collectStatsDirs(spark: SparkSession, dirs: Seq[String],
                        statCols: Seq[String], bloomCols: Seq[String] = Nil,
                        bloomItems: Long = 0L,
-                       bloomFpp: Double = DefaultBloomFpp): DataFrame = {
+                       bloomFpp: Double = DefaultBloomFpp,
+                       sumCols: Seq[String] = Nil): DataFrame = {
     require(statCols.nonEmpty, "file stats need at least one column")
     require(dirs.nonEmpty, "file stats need at least one directory")
     // bloom geometry must hold the file's ACTUAL key count: an
@@ -109,14 +120,16 @@ object FileStats {
           .agg(max("count")).head().getLong(0)
         math.max(1000L, maxPerFile * 5 / 4)
       }
-    val cols = (statCols ++ bloomCols).distinct
+    val cols = (statCols ++ bloomCols ++ sumCols).distinct
     val data = spark.read.parquet(dirs: _*).select(cols.map(col): _*)
     val aggs = count(lit(1)).as("rows") +:
       (statCols.flatMap(c =>
         Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
         bloomCols.map(c => graft.functions.BloomAgg
           .bloomAgg(xxhash64(col(c)), sizedItems, bloomFpp)
-          .as(s"bloom_$c")))
+          .as(s"bloom_$c")) ++
+        sumCols.map(c =>
+          sum(col(c).cast(SumDecimal)).as(s"sum_$c")))
     data.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
   }
@@ -130,12 +143,13 @@ object FileStats {
     * Returns the published snapshot name. */
   def publishSorted(spark: SparkSession, root: String, df: DataFrame,
                     sortCol: String, numFiles: Int, statCols: Seq[String],
-                    bloomCols: Seq[String] = Nil): String =
+                    bloomCols: Seq[String] = Nil,
+                    sumCols: Seq[String] = Nil): String =
     SnapshotStore.commit(spark, root) { dir =>
       df.repartitionByRange(numFiles, col(sortCol))
         .sortWithinPartitions(sortCol)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
-      writeSidecar(spark, dir, statCols, bloomCols)
+      writeSidecar(spark, dir, statCols, bloomCols, sumCols)
     }
 
   /** Publish Z-order-clustered (operators.ZOrder) with the stats
@@ -158,8 +172,9 @@ object FileStats {
     * sibling sidecar for it. Exposed for writers that lay out files
     * themselves (e.g. ZOrder output). */
   def writeSidecar(spark: SparkSession, dataDir: String,
-                   statCols: Seq[String], bloomCols: Seq[String] = Nil): Unit =
-    collectStats(spark, dataDir, statCols, bloomCols)
+                   statCols: Seq[String], bloomCols: Seq[String] = Nil,
+                   sumCols: Seq[String] = Nil): Unit =
+    collectStats(spark, dataDir, statCols, bloomCols, sumCols = sumCols)
       // the sidecar is one tiny file: |files| rows of scalars + blooms.
       // Overwrite: a crashed earlier claimant of this version slot may
       // have left its sidecar behind (the commit protocol clears dir
@@ -388,5 +403,60 @@ object FileStats {
       else spark.read.parquet(toScan: _*)
         .filter(col(c).between(lit(lo), lit(hi))).count()
     (metaCount + scanned, toScan.length, fromMeta.length)
+  }
+
+  /** Exact SUM(aggCol) + COUNT over `lo <= c <= hi`, answered as far as
+    * possible from METADATA — `countRange`'s aggregation-pushdown story
+    * extended from counts to sums (the Snowflake/Iceberg
+    * answer-from-manifests pattern): a file whose [min,max] on the
+    * range key lies entirely inside the predicate contributes its
+    * sidecar `sum_<aggCol>` and row count with NO read; only the
+    * boundary files — at most one per predicate edge on a
+    * range-clustered layout, however large the table — are scanned,
+    * filtered exactly, and summed. All arithmetic is exact decimal
+    * ([[SumDecimal]] per-row casts on both the sidecar and the edge
+    * scan), so metadata + edge recombine to EXACTLY the direct
+    * whole-range sum regardless of file layout.
+    *
+    * Same null contract as `countRange`: the range key `c` must be
+    * null-free (contained files contribute their FULL row count);
+    * `aggCol` nulls are fine — sum skips them in both paths. Requires
+    * the sidecar published with `sumCols = Seq(aggCol)`.
+    *
+    * Returns (sum, count, files scanned, files answered from metadata);
+    * sum is null only when no row matched. */
+  def sumRange(spark: SparkSession, root: String, c: String,
+               lo: Any, hi: Any, aggCol: String)
+      : (java.math.BigDecimal, Long, Int, Int) = {
+    val stats = sidecar(spark, root)
+    require(stats.columns.contains(s"sum_$aggCol"),
+      s"sidecar has no sum for '$aggCol' — publish with sumCols = " +
+        s"""Seq("$aggCol")""")
+    val overlap = coalesce(
+      col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi), lit(false))
+    val contained = coalesce(
+      col(s"min_$c") >= lit(lo) && col(s"max_$c") <= lit(hi), lit(false))
+    val rows = stats
+      .select(col("file"), col("rows"), col(s"sum_$aggCol").cast(SumDecimal),
+        overlap.as("ov"), contained.as("cn"))
+      .collect()
+    val fromMeta = rows.filter(_.getBoolean(4))
+    val toScan = rows.filter(r => r.getBoolean(3) && !r.getBoolean(4))
+      .map(_.getString(0)).toSeq
+    val metaCount = fromMeta.map(_.getLong(1)).sum
+    val metaSum = fromMeta.flatMap(r => Option(r.getDecimal(2)))
+      .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+    val (scanSum, scanCount) =
+      if (toScan.isEmpty) (java.math.BigDecimal.ZERO, 0L)
+      else {
+        val r = spark.read.parquet(toScan: _*)
+          .filter(col(c).between(lit(lo), lit(hi)))
+          .agg(sum(col(aggCol).cast(SumDecimal)), count(lit(1))).head()
+        (Option(r.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO),
+          r.getLong(1))
+      }
+    val n = metaCount + scanCount
+    (if (n == 0L) null else metaSum.add(scanSum),
+      n, toScan.length, fromMeta.length)
   }
 }

@@ -158,6 +158,44 @@ class FileStatsSpec extends SparkSuite {
     assert(FileStats.countRange(spark, root, "k", 5000L, 6000L) === ((0L, 0, 0)))
   }
 
+  test("sumRange: metadata + edge sums recombine to EXACTLY the direct " +
+    "sum; interior files never read") {
+    val root = freshRoot("sum")
+    val df = spark.range(0, 1000).select(
+      col("id").as("k"),
+      // fractional values with nulls sprinkled in — sum must skip nulls
+      // in both the sidecar and the edge scan
+      when(col("id") % 11 === 0, lit(null))
+        .otherwise((col("id") * 3 % 7).cast("double") / 4.0).as("v"))
+    FileStats.publishSorted(spark, root, df, "k", numFiles = 8,
+      statCols = Seq("k"), sumCols = Seq("v"))
+    val (s1, n1, scanned, fromMeta) =
+      FileStats.sumRange(spark, root, "k", 100L, 899L, "v")
+    assert(n1 === 800)
+    assert(scanned <= 2, s"only edge files may scan, scanned $scanned")
+    assert(fromMeta >= 4, s"interior files must answer from metadata: $fromMeta")
+    val direct = SnapshotStore.read(spark, root)
+      .filter(col("k").between(100L, 899L))
+      .agg(sum(col("v").cast(org.apache.spark.sql.types.DecimalType(27, 6))))
+      .head().getDecimal(0)
+    assert(s1.compareTo(direct) === 0, s"sum $s1 != direct $direct")
+    // whole table: pure metadata, zero files read
+    val (sAll, nAll, s2, m2) = FileStats.sumRange(spark, root, "k", 0L, 999L, "v")
+    assert(nAll === 1000 && s2 === 0 && m2 === 8)
+    val directAll = SnapshotStore.read(spark, root)
+      .agg(sum(col("v").cast(org.apache.spark.sql.types.DecimalType(27, 6))))
+      .head().getDecimal(0)
+    assert(sAll.compareTo(directAll) === 0)
+    // empty range: null sum, zero count
+    val (sNone, nNone, _, _) =
+      FileStats.sumRange(spark, root, "k", 5000L, 6000L, "v")
+    assert(sNone === null && nNone === 0L)
+    // missing sum column fails loudly
+    intercept[IllegalArgumentException] {
+      FileStats.sumRange(spark, root, "k", 0L, 10L, "k")
+    }
+  }
+
   test("incremental sidecar: fresh partitions stat'd, carried rows " +
     "copied verbatim, pruning spans both") {
     val root = freshRoot("incr")
