@@ -133,6 +133,28 @@ object SamplingQueries {
         .orderBy("doc_id")
     }),
 
+    // CM2: FUZZY train/eval decontamination — the near-duplicate
+    // counterpart of cm1's exact n-gram audit (the check GPT-3/PaLM-era
+    // pipelines actually run: an eval doc is contaminated when a TRAIN
+    // doc is a near-duplicate, not only an exact substring match). Keyed
+    // on the engine-portable md5-MinHash family (MinHashLSH
+    // .portableBandRows — cp1's fully-oracled chain), candidates come
+    // from an ASYMMETRIC band join: eval bands equi-join train bands on
+    // (band_id, band_hash), so train×train pairs — the quadratic bulk at
+    // 100 TB, where train is the corpus and eval is a benchmark — are
+    // NEVER formed, and the shape degenerates to dd13's probe when the
+    // train side is the persisted portable LshBandIndex (same band-row
+    // schema; the eval side is then benchmark-sized and broadcastable).
+    // Agreement ≥ 0.8 (13/16 positions) is the dedup cut; ≥13/16
+    // agreement forces ≥1 of 4 bands to agree as a raw slice, so the
+    // md5 band join and the oracle's raw-slice join surface identical
+    // post-threshold pairs (cp1's argument).
+    "cm2_fuzzy_decontam" -> ((s, d) =>
+      graft.operators.Decontam.fuzzyFlags(
+        documents(s, d).select(col("doc_id"), col("text"),
+          graft.operators.Splits.hashSplit(col("doc_id")).as("split")))
+        .orderBy("doc_id")),
+
     // CP1: full corpus-curation composite (quality gate → lang filter →
     // exact dedup → MinHash-LSH near-dup clustering → canonical select →
     // content-hash split). FULLY ORACLED since round 11: the near-dup
@@ -693,6 +715,66 @@ object SamplingQueries {
         |FROM docs d LEFT JOIN shared s USING (doc_id)
         |WHERE d.split = 'eval'
         |ORDER BY d.doc_id""".stripMargin,
+    // cm2: the portable-family chain (cp1's sig/band CTE spelling, over
+    // the RAW documents table — no quality gate) + an eval→train band
+    // join and per-eval aggregation. The oracle joins raw signature
+    // slices where Spark joins their 60-bit md5; identical
+    // post-threshold (≥13/16 agreement ⇒ ≥1 band agrees raw ⇒ both
+    // joins surface the pair; raw-equal ⇒ md5-equal ⇒ no pair lost).
+    "cm2_fuzzy_decontam" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(trim(
+        |    regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS toks
+        |  FROM documents),
+        |shingles AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i : i + 2], ' ') AS sh
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(1, GREATEST(len(toks) - 2, 1))) AS i
+        |        FROM toks)),
+        |shash AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(md5(sh), 1, 12) AS BIGINT) AS h
+        |  FROM shingles),
+        |perms AS (
+        |  SELECT i, CAST('0x' || substring(
+        |      md5('perm' || CAST(i AS VARCHAR)), 1, 12) AS BIGINT) AS c
+        |  FROM generate_series(0, 15) AS gs(i)),
+        |hashes AS (
+        |  SELECT doc_id, p.i AS i, MIN(xor(h, p.c)) AS m
+        |  FROM shash, perms p GROUP BY doc_id, p.i),
+        |sigs AS (SELECT doc_id, list(m ORDER BY i) AS sig
+        |         FROM hashes GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, b.b AS band,
+        |    array_to_string(sig[b.b * 4 + 1 : b.b * 4 + 4], '_') AS bkey
+        |  FROM sigs, generate_series(0, 3) AS b(b)),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+        |         THEN 'train' ELSE 'eval' END AS split
+        |  FROM documents),
+        |cand AS (
+        |  SELECT DISTINCT e.doc_id AS doc_id, t.doc_id AS train_id
+        |  FROM bands e JOIN sp se ON se.doc_id = e.doc_id AND se.split = 'eval'
+        |    JOIN bands t ON t.band = e.band AND t.bkey = e.bkey
+        |    JOIN sp st ON st.doc_id = t.doc_id AND st.split = 'train'),
+        |scored AS (
+        |  SELECT c.doc_id, c.train_id,
+        |    list_sum(list_transform(list_zip(sa.sig, sb.sig),
+        |      p -> CASE WHEN p[1] = p[2] THEN 1 ELSE 0 END)) / 16.0 AS est
+        |  FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_id
+        |    JOIN sigs sb ON sb.doc_id = c.train_id),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+        |    CAST(MAX(est) AS DOUBLE) AS max_est,
+        |    MIN(train_id) AS nearest_train
+        |  FROM scored WHERE est >= 0.8 GROUP BY doc_id)
+        |SELECT s.doc_id, COALESCE(a.n_matches, 0) AS n_matches,
+        |  a.max_est, a.nearest_train,
+        |  COALESCE(a.n_matches, 0) > 0 AS contaminated
+        |FROM sp s LEFT JOIN agg a USING (doc_id)
+        |WHERE s.split = 'eval'
+        |ORDER BY s.doc_id""".stripMargin,
     "sm5_kfold" ->
       """SELECT doc_id,
         |  CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)

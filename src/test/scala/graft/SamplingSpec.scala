@@ -63,4 +63,67 @@ class SamplingSpec extends SparkSuite {
     out.collect().foreach(r =>
       assert(again(r.getLong(0)) === r.getInt(1)))
   }
+
+  // --- cm2: fuzzy train/eval decontamination (operators.Decontam) ---
+
+  /** Planted fixture: eval 100 is a near-dup of train 1 (one word of ~40
+    * changed → J ≈ 0.93 on word-3-shingles), eval 101 shares nothing,
+    * eval 102 is an EXACT copy of train 2. Train 1/2/3 mutual overlap is
+    * nil. */
+  private def plantedDecontam = {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i"))
+      .mkString(" ")
+    val other = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    val train3 = (1 to 40).map(i => s"yyy$i").mkString(" ")
+    Seq(
+      (1L, base, "train"), (2L, other, "train"), (3L, train3, "train"),
+      (100L, nearDup, "eval"), (101L, (1 to 40).map(i => s"qqq$i").mkString(" "), "eval"),
+      (102L, other, "eval")
+    ).toDF("doc_id", "text", "split")
+  }
+
+  test("cm2 decontam: planted near-dup and exact-dup flagged, unrelated not") {
+    val out = operators.Decontam.fuzzyFlags(plantedDecontam)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(4), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+    assert(out.keySet === Set(100L, 101L, 102L))
+    val (n100, c100, t100) = out(100L)
+    assert(c100 && t100 === 1L, s"near-dup eval 100: $out")
+    assert(n100 === 1L)
+    val (_, c101, _) = out(101L)
+    assert(!c101, s"unrelated eval 101 flagged: $out")
+    val (_, c102, t102) = out(102L)
+    assert(c102 && t102 === 2L, s"exact-copy eval 102: $out")
+  }
+
+  test("cm2 decontam: asymmetric probe — no cartesian, invariant under repartitioning") {
+    val df = operators.Decontam.fuzzyFlags(plantedDecontam)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      plan.linesIterator.take(8).mkString("\n"))
+    val a = df.collect().map(_.toSeq).sortBy(_.head.toString)
+    val b = operators.Decontam.fuzzyFlags(plantedDecontam.repartition(7))
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("cm2 decontam: train-train near-dups never pair (only eval rows emitted)") {
+    import spark.implicits._
+    // two train docs that are near-dups of each other, one clean eval doc:
+    // nothing may be flagged, and no train id may appear in the output
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((1 to 40).map(i => if (i == 20) "CHANGED" else s"tok$i"))
+      .mkString(" ")
+    val docs = Seq(
+      (1L, base, "train"), (2L, nearDup, "train"),
+      (100L, (1 to 40).map(i => s"qqq$i").mkString(" "), "eval")
+    ).toDF("doc_id", "text", "split")
+    val rows = operators.Decontam.fuzzyFlags(docs).collect()
+    assert(rows.map(_.getLong(0)).toSet === Set(100L))
+    assert(!rows.head.getBoolean(4))
+  }
 }
