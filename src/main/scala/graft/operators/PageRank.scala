@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fixed-iteration PageRank in exact integer arithmetic — graph-centrality
+  * quality weighting for corpus curation (the harmonic/PageRank signals
+  * web-corpus pipelines attach per page), and the engine's canonical
+  * ITERATED sparse-matvec shape: each round is one equi-join of the edge
+  * list with the current scores on `src` plus one aggregation onto `dst`.
+  * Nothing is ever quadratic in nodes; per-round cost is O(|edges|)
+  * shuffled on the join key — the same plan GraphX/Pregel lowers to, with
+  * Catalyst free to broadcast the score side if it is small.
+  *
+  * Determinism across engines: scores live in a fixed-point BIGINT domain
+  * (`scale` = 10^12). The update is
+  *
+  *   score'(v) = ((100−d)·base + d·Σ_{u→v} score(u) div deg(u)) div 100
+  *
+  * with `base = scale div N` and every division an integer floor —
+  * positive operands make Spark's truncating `div` and DuckDB's `//`
+  * agree bit-for-bit, and integer addition is associative, so the result
+  * is independent of partitioning, merge order, and engine. (Float
+  * PageRank would drift between partial-agg orders; this one is gated by
+  * a full DuckDB replay in gr1's oracle.)
+  *
+  * Caller contract: `edges` deduplicated and every node has outdeg ≥ 1 —
+  * a symmetric (undirected) edge set satisfies this for free; directed
+  * callers with dangling nodes should add self-loops first. Mass lost to
+  * the double floor is deliberate (bounded by N·(100+d)/100 scale units
+  * per round — ~10^-7 of total at N=10^6), not redistributed.
+  *
+  * The edge list and degree frames are `localCheckpoint`ed once: three
+  * unrolled iterations reference them 7 times in the final plan, and at
+  * 100 TB you persist the edge list anyway (it is the index; scores are
+  * the cheap part).
+  */
+object PageRank {
+
+  /** `edges(src, dst)` → `(node BIGINT, score BIGINT)` after `iters`
+    * damped rounds from the uniform start. */
+  def scores(edges: DataFrame, src: String, dst: String, iters: Int,
+             scale: Long = 1000000000000L, dampPct: Int = 85): DataFrame = {
+    require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
+    val e = edges
+      .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+      .localCheckpoint()
+    val withDeg = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint() // (src, dst, deg): the per-round join input
+    val n = withDeg.select(countDistinct(col("src"))).head().getLong(0)
+    require(n > 0, "PageRank over an empty edge set")
+    val base = scale / n
+    var score = withDeg.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(base).as("score"))
+    for (_ <- 1 to iters) {
+      score = withDeg
+        .join(score.withColumnRenamed("node", "src"), "src")
+        .groupBy("dst")
+        .agg(sum(expr("score div deg")).as("insum"))
+        .selectExpr("dst AS node",
+          s"(${(100L - dampPct) * base} + $dampPct * insum) div 100 AS score")
+    }
+    score
+  }
+}

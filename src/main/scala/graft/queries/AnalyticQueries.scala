@@ -439,6 +439,63 @@ object AnalyticQueries {
           }
         }
       rows.toDF("st", "q", "exact_q", "sketch_rank_ok").orderBy("st", "q")
+    }),
+
+    // A22: count-min sketch point-frequency estimates (see
+    // operators/CountMin.scala) — the fourth mergeable sketch next to
+    // a14 HLL / a19 MG / a20 quantiles. The md5 hashing makes the whole
+    // d×w sketch deterministic and engine-portable, so the oracle
+    // recomputes the sketch AND the exact estimate values cell-for-cell
+    // in DuckDB — `est` is hash-gated, not just bound-gated — plus the
+    // always-true CM guarantee boolean est ≥ exact (collisions only
+    // ever ADD, on any run, order, or partitioning). Probes are the
+    // exact top-10 tokens (a19's deterministic identity).
+    "a22_countmin" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+      val (depth, width) = (4, 512)
+      val sk = graft.operators.CountMin.sketch(toks, "token", depth, width)
+      val exactTop = toks.groupBy("token")
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("token"))
+        .limit(10)
+      val est = graft.operators.CountMin
+        .estimate(exactTop.select("token"), "token", sk, depth, width)
+      exactTop.join(broadcast(est), Seq("token"))
+        .select(col("token"), col("n_exact"), col("est"),
+          (col("est") >= col("n_exact")).as("never_under"))
+        .orderBy(col("n_exact").desc, col("token"))
+    }),
+
+    // GR1: fixed-iteration integer PageRank over the rare-8-gram document
+    // similarity graph (see operators/PageRank.scala) — graph-centrality
+    // quality weighting for curation, and the engine's iterated
+    // sparse-matvec gate. Edges: docs sharing a character-8-gram with
+    // document frequency 2..5 (cm1's gram idiom; the df cap keeps hub
+    // grams from minting quadratic cliques — a df-5 gram mints at most
+    // 20 directed edges). The edge set is symmetric, so every node has
+    // outdeg ≥ 1 and PageRank's no-dangling contract holds for free.
+    // Per-doc gram dedup is array_distinct INSIDE the row (no shuffle);
+    // the oracle's global DISTINCT over (doc_id, h) is the same set.
+    // Every arithmetic step is integer, so the DuckDB replay is exact.
+    "gr1_pagerank" -> ((s, d) => {
+      val grams = documents(s, d)
+        .filter(length(col("text")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(sequence(1, length(text) - 7),
+            |  i -> md5(substring(text, i, 8))))""".stripMargin)).as("h"))
+      val rare = grams.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 5))
+      val g = grams.join(rare.select("h"), "h")
+      val edges = g.select(col("doc_id").as("src"), col("h"))
+        .join(g.select(col("doc_id").as("dst"), col("h")), "h")
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst").distinct()
+      graft.operators.PageRank.scores(edges, "src", "dst", iters = 3)
+        .select(col("node").as("doc_id"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
     })
   )
 
@@ -634,6 +691,66 @@ object AnalyticQueries {
         |  ROUND(quantile_cont(o_totalprice, 0.5), 4), TRUE FROM orders GROUP BY 1
         |UNION ALL SELECT o_orderstatus, 0.75,
         |  ROUND(quantile_cont(o_totalprice, 0.75), 4), TRUE FROM orders GROUP BY 1
-        |ORDER BY st, q""".stripMargin
+        |ORDER BY st, q""".stripMargin,
+    // Recomputes the ENTIRE deterministic d=4 × w=512 sketch from the md5
+    // bucket hashes, then the min-over-rows estimates — est is checked
+    // value-for-value against Spark's distributed build, not just bounded.
+    "a22_countmin" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(TRIM(text), '\s+')) AS token
+        |  FROM documents),
+        |t AS (SELECT token FROM toks WHERE LENGTH(token) > 0),
+        |rows_ AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |cells AS (
+        |  SELECT j,
+        |    CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || token), 1, 12))
+        |      AS BIGINT) % 512 AS bucket,
+        |    COUNT(*) AS cnt
+        |  FROM t CROSS JOIN rows_ GROUP BY 1, 2),
+        |top AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS n_exact
+        |  FROM t GROUP BY 1 ORDER BY n_exact DESC, token LIMIT 10),
+        |probe AS (
+        |  SELECT p.token, p.n_exact, MIN(c.cnt) AS est
+        |  FROM (SELECT token, n_exact, j,
+        |          CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || token), 1, 12))
+        |            AS BIGINT) % 512 AS bucket
+        |        FROM top CROSS JOIN rows_) p
+        |  JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
+        |  GROUP BY 1, 2)
+        |SELECT token, n_exact, CAST(est AS BIGINT) AS est,
+        |  est >= n_exact AS never_under
+        |FROM probe ORDER BY n_exact DESC, token""".stripMargin,
+    // full integer-arithmetic replay: gram graph, degrees, uniform start,
+    // three damped rounds with `//` floors matching Spark's `div`
+    "gr1_pagerank" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE LENGTH(text) >= 8),
+        |grams AS (SELECT DISTINCT doc_id,
+        |    md5(substring(text, CAST(i AS INTEGER), 8)) AS h
+        |  FROM docs, UNNEST(generate_series(1, LENGTH(text) - 7)) t(i)),
+        |rare AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 5),
+        |g AS (SELECT doc_id, h FROM grams JOIN rare USING (h)),
+        |edges AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |  FROM g a JOIN g b USING (h) WHERE a.doc_id <> b.doc_id),
+        |outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        |base AS (SELECT CAST(1000000000000 // COUNT(*) AS BIGINT) AS b FROM outdeg),
+        |p0 AS (SELECT src AS doc_id, b AS score FROM outdeg, base),
+        |it1 AS (SELECT e.dst AS doc_id,
+        |    CAST((15 * ANY_VALUE(base.b) + 85 * SUM(p.score // o.deg)) // 100
+        |      AS BIGINT) AS score
+        |  FROM edges e JOIN p0 p ON p.doc_id = e.src
+        |  JOIN outdeg o ON o.src = e.src CROSS JOIN base GROUP BY e.dst),
+        |it2 AS (SELECT e.dst AS doc_id,
+        |    CAST((15 * ANY_VALUE(base.b) + 85 * SUM(p.score // o.deg)) // 100
+        |      AS BIGINT) AS score
+        |  FROM edges e JOIN it1 p ON p.doc_id = e.src
+        |  JOIN outdeg o ON o.src = e.src CROSS JOIN base GROUP BY e.dst),
+        |it3 AS (SELECT e.dst AS doc_id,
+        |    CAST((15 * ANY_VALUE(base.b) + 85 * SUM(p.score // o.deg)) // 100
+        |      AS BIGINT) AS score
+        |  FROM edges e JOIN it2 p ON p.doc_id = e.src
+        |  JOIN outdeg o ON o.src = e.src CROSS JOIN base GROUP BY e.dst)
+        |SELECT doc_id, score FROM it3
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   )
 }

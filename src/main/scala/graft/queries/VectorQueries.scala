@@ -346,6 +346,61 @@ object VectorQueries {
                 element_at(element_at(signsCol, j + 1), i + 1)) * 0.25, 6)))
         .select(col("vec_id"), posexplode(col("ys")).as(Seq("j", "y")))
         .orderBy("vec_id", "j")
+    }),
+
+    // Binary sign quantization + Hamming shortlist + exact rerank — the
+    // third compression rung after int8 (v6) and PQ (v7): 64 dims × 4
+    // bytes collapse to 8 BYTES per vector (sign bit per dim), and the
+    // shortlist scan compares two 32-bit words with XOR + popcount
+    // (codegen'd bit_count — no arrays, no floats in the hot loop).
+    // That 32× memory cut is what keeps a 100 TB corpus's candidate
+    // scan in page cache; cosine runs only on the tiny shortlist.
+    // Engine-portable end-to-end: bits pack into TWO bigints of 32 bits
+    // each (never bit 63 — DuckDB BIGINT addition checks overflow where
+    // two's-complement would wrap), so the oracle replays pack,
+    // Hamming top-50 (ties: lower nid), and cosine top-3 verbatim.
+    // Rerank depth 50 ≈ 17×k — the usual BQ regime; measured recall@3
+    // vs exact cosine: 0.73 at sf0.001, 0.83 at sf0.01 (the synthetic
+    // embeddings are near-isotropic, the hard case for sign sketches).
+    // Plan: corpus scans once into (nid, 2×long); 10 queries broadcast;
+    // the k-bounded TopKScored aggregate ships ≤ 50·|queries| rows per
+    // partition (never a corpus-sized window sort); rerank joins the
+    // ≤ 500 candidates back to full vectors by id.
+    "v10_binary_hamming" -> ((s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      def pack(lo: Int): String =
+        s"""aggregate(sequence($lo, ${lo + 31}), 0L,
+           |  (acc, i) -> acc + CASE WHEN element_at(emb, i + 1) > 0D
+           |    THEN shiftleft(1L, i - $lo) ELSE 0L END)""".stripMargin
+      val bits = e.select(col("vec_id"),
+        expr(pack(0)).as("blo"), expr(pack(32)).as("bhi"))
+      val q = bits.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("blo").as("qlo"), col("bhi").as("qhi"))
+      val shortlist = bits
+        .select(col("vec_id").as("nid"), col("blo"), col("bhi"))
+        .join(broadcast(q), col("nid") =!= col("qid"))
+        .withColumn("ham",
+          expr("bit_count(blo ^ qlo) + bit_count(bhi ^ qhi)").cast("int"))
+        .groupBy("qid")
+        .agg(graft.functions.BottomK
+          .topKScored(-col("ham").cast("double"), col("nid"), 50).as("top"))
+        .select(col("qid"), explode(col("top")).as("m"))
+        .select(col("qid"), col("m.id").as("nid"),
+          (-col("m.score")).cast("int").as("ham"))
+      shortlist
+        .join(e.select(col("vec_id").as("nid"), col("emb").as("eb")), "nid")
+        .join(broadcast(e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("emb").as("ea"))), "qid")
+        .withColumn("cs", cosine("ea", "eb"))
+        .groupBy("qid")
+        .agg(graft.functions.BottomK
+          .topKScored(col("cs"), col("nid"), 3).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("pos0", "m")))
+        .select(col("qid"), (col("pos0") + 1).cast("int").as("rnk"),
+          col("m.id").as("nid"), round(col("m.score"), 6).as("cos_sim"))
+        .orderBy("qid", "rnk")
     })
   )
 
@@ -434,6 +489,40 @@ object VectorQueries {
         |      ORDER BY list_cosine_similarity(b.emb, c.cvec) DESC, c.cl) AS rn
         |  FROM base b CROSS JOIN c1 c)
         |SELECT vec_id, cl AS cluster, ROUND(c, 6) AS cent_cos
-        |FROM s2 WHERE rn = 1 ORDER BY vec_id""".stripMargin
+        |FROM s2 WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // replays the sign pack (two 32-bit words — bit 63 never set, so
+    // DuckDB's checked BIGINT arithmetic can't overflow), the Hamming
+    // top-50 shortlist (ties: lower nid), and the cosine top-3 rerank
+    "v10_binary_hamming" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |bits AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(generate_series(0, 31), i ->
+        |      CASE WHEN emb[i + 1] > 0 THEN (CAST(1 AS BIGINT) << i)
+        |        ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS blo,
+        |    CAST(list_sum(list_transform(generate_series(32, 63), i ->
+        |      CASE WHEN emb[i + 1] > 0 THEN (CAST(1 AS BIGINT) << (i - 32))
+        |        ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bhi
+        |  FROM base),
+        |ham AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |    bit_count(xor(c.blo, q.blo)) + bit_count(xor(c.bhi, q.bhi)) AS ham
+        |  FROM bits q JOIN bits c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10),
+        |short AS (
+        |  SELECT qid, nid FROM ham
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ham, nid) <= 50),
+        |rer AS (
+        |  SELECT s.qid, s.nid, list_cosine_similarity(a.emb, b.emb) AS cs
+        |  FROM short s
+        |  JOIN base a ON a.vec_id = s.qid
+        |  JOIN base b ON b.vec_id = s.nid)
+        |SELECT qid,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, nid)
+        |    AS INTEGER) AS rnk,
+        |  nid, ROUND(cs, 6) AS cos_sim
+        |FROM rer QUALIFY rnk <= 3 ORDER BY qid, rnk""".stripMargin
   )
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.PageRank
+
+/** Integer-arithmetic PageRank: bit-identity with a local reference on a
+  * planted graph, partitioning invariance (integer ops are associative,
+  * so the distributed fold cannot drift), hub dominance on a star, and
+  * a no-cartesian plan pin across the unrolled iterations. */
+class PageRankSpec extends SparkSuite {
+
+  /** Local reference with the operator's exact update rule. */
+  private def local(edges: Seq[(Long, Long)], iters: Int,
+                    scale: Long = 1000000000000L, damp: Long = 85): Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val n = deg.size.toLong
+    val base = scale / n
+    var score: Map[Long, Long] = deg.map { case (s, _) => s -> base }
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => score(s) / deg(s) }.sum
+      }
+      score = in.map { case (v, s) => v -> ((100L - damp) * base + damp * s) / 100L }
+    }
+    score
+  }
+
+  /** Symmetric: 0-1-2 triangle, pendant 3-0, isolated pair 4-5. */
+  private val planted: Seq[(Long, Long)] = {
+    val und = Seq((0L, 1L), (1L, 2L), (0L, 2L), (0L, 3L), (4L, 5L))
+    und ++ und.map(_.swap)
+  }
+
+  test("matches the local integer reference bit-for-bit, any partitioning") {
+    import spark.implicits._
+    val expect = local(planted, iters = 3)
+    for (parts <- Seq(1, 5)) {
+      val e = planted.toDF("src", "dst").repartition(parts)
+      val got = PageRank.scores(e, "src", "dst", iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"parts=$parts: $got vs $expect")
+    }
+  }
+
+  test("hub of a star out-scores every leaf; scores stay positive and bounded") {
+    import spark.implicits._
+    val und = (1L to 8L).map(l => (0L, l))
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = PageRank.scores(e, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hub = got(0L)
+    (1L to 8L).foreach(l => assert(got(l) < hub, s"leaf $l >= hub"))
+    assert(got.values.forall(s => s > 0L && s <= 1000000000000L))
+  }
+
+  test("plan pin: iterations are equi-joins and aggregations, never a cartesian") {
+    import spark.implicits._
+    val e = planted.toDF("src", "dst")
+    val plan = PageRank.scores(e, "src", "dst", iters = 3)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
