@@ -568,6 +568,37 @@ object TextQueries {
         .select(col("doc_id"), col("lang_true"), col("lang").as("pred_lang"),
           col("score"), (col("lang") === col("lang_true")).as("correct"))
         .orderBy("doc_id")
+    }),
+
+    // TX19: BPE vocabulary TRAINING in-engine (Sennrich et al. 2016) —
+    // the tokenizer-fitting step of an LLM data pipeline, not just its
+    // application (tx3 counts tokens with a fixed regex; this LEARNS the
+    // merge table). Three merge rounds; each round is (1) one corpus-
+    // linear explode of adjacent symbol pairs + a map-side-combined
+    // groupBy for weighted pair counts — pair stats live on the compact
+    // (vocab-word, count) frame, the corpus itself is read once up
+    // front — (2) a 1-row driver argmax (cnt DESC, pair ASC — the a14
+    // bounded-pull pattern; at 100 TB the pair-stat frame is
+    // |pairs| ≈ |vocab|·avg_len rows, tiny), and (3) a pure-projection
+    // greedy left-to-right fold that applies the merge with NO shuffle.
+    // The word frame is localCheckpoint'ed per round (the CC/iteration
+    // rule — 3 rounds would otherwise nest Catalyst re-optimization).
+    // The DuckDB oracle re-trains the whole thing: same stats, same
+    // argmax, and a recursive-CTE leftmost-first re-tokenization that
+    // provably equals the fold (single-pair replace-all is confluent:
+    // both produce the left-greedy non-overlapping matching; verified
+    // MATCH against an independent fold reference at build time).
+    "tx19_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      val words = documents(s, d)
+        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+        .select(lower(col("w")).as("word"))
+        .filter(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      val (merges, _) = graft.operators.BpeTrain.train(words, rounds = 3)
+      merges.map(m => (m.round, m.a, m.b, m.merged, m.pairCount))
+        .toDF("round", "a", "b", "merged", "pair_cnt")
+        .orderBy("round")
     })
   )
 
@@ -899,6 +930,56 @@ object TextQueries {
         |FROM final
         |QUALIFY row_number() OVER (PARTITION BY doc_id
         |                           ORDER BY score DESC, lang) = 1
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // re-TRAINS the 3 BPE merges: weighted pair stats + argmax per
+    // round, re-tokenizing via a recursive CTE that applies the round's
+    // merge leftmost-first until fixpoint — equivalent to Spark's
+    // greedy left-to-right fold (single-pair replace-all is confluent)
+    "tx19_bpe_train" -> {
+      def round(i: Int): String = {
+        val prev = s"w${i - 1}"
+        s"""p$i AS (
+           |  SELECT syms[i] AS a, syms[i+1] AS b, SUM(cnt) AS pc
+           |  FROM $prev, UNNEST(generate_series(1, len(syms) - 1)) t(i)
+           |  GROUP BY 1, 2),
+           |best$i AS (SELECT a, b, CAST(pc AS BIGINT) AS pc FROM p$i
+           |  ORDER BY pc DESC, a, b LIMIT 1),
+           |r$i AS (
+           |  SELECT word, cnt, syms FROM $prev
+           |  UNION ALL
+           |  SELECT word, cnt, syms[1:pos-1] || [a || b] || syms[pos+2:] AS syms
+           |  FROM (
+           |    SELECT r.word, r.cnt, r.syms, b.a, b.b,
+           |      (SELECT MIN(i) FROM UNNEST(generate_series(1, len(r.syms) - 1)) t(i)
+           |       WHERE r.syms[i] = b.a AND r.syms[i+1] = b.b) AS pos
+           |    FROM r$i r, best$i b) s
+           |  WHERE pos IS NOT NULL),
+           |w$i AS (
+           |  SELECT word, cnt, syms FROM r$i r
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM best$i b, UNNEST(generate_series(1, len(r.syms) - 1)) t(i)
+           |    WHERE r.syms[i] = b.a AND r.syms[i+1] = b.b))""".stripMargin
+      }
+      s"""WITH RECURSIVE
+         |words AS (
+         |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM (SELECT lower(unnest(string_split_regex(TRIM(text), '\\s+'))) AS w
+         |        FROM documents)
+         |  WHERE w ~ '^[a-z]+$$' AND LENGTH(w) >= 2
+         |  GROUP BY 1),
+         |w0 AS (
+         |  SELECT word, cnt,
+         |    list_transform(generate_series(1, LENGTH(word)),
+         |      i -> substring(word, i, 1)) AS syms
+         |  FROM words),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT CAST(1 AS INTEGER) AS round, a, b, a || b AS merged,
+         |  pc AS pair_cnt FROM best1
+         |UNION ALL SELECT 2, a, b, a || b, pc FROM best2
+         |UNION ALL SELECT 3, a, b, a || b, pc FROM best3
+         |ORDER BY round""".stripMargin
+    }
   )
 }
