@@ -64,6 +64,56 @@ object WindowedAggQueries {
       s.table(sink).orderBy("win_start", "event_type")
     }),
 
+    // ST4: STREAMING count-min sketch — the frequency-sketch member of
+    // the streaming family (st1b windows, st3 drift). Count-min cells
+    // are LINEAR in the input multiset, so the running sketch over an
+    // unbounded token stream is nothing more than a complete-mode
+    // streaming aggregation whose state is the d×w cell grid — bounded
+    // at 4×512 rows FOREVER, regardless of stream length or vocabulary
+    // (contrast a streaming groupBy(token): state = live vocabulary).
+    // After two micro-batch epochs the sink IS the whole-corpus sketch,
+    // bit-identical to a22's batch build (same deterministic md5 cells),
+    // so this query probes it with a22's estimate path and is gated by
+    // a22's ORACLE SQL VERBATIM — the streaming execution can never
+    // silently diverge from the batch spelling. (Fixture collect is
+    // bounded by the gate's documents table, as in st1b; production
+    // streams never pass through the driver.)
+    "st4_stream_countmin" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val (depth, width) = (4, 512)
+      val toks = graft.Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+      val rows = St4FixtureCache.getOrElseUpdate(d,
+        toks.as[String].collect().toSeq)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[String]
+      val sink = s"st4_sink_${StreamSinkSeq.incrementAndGet()}"
+      val q = graft.operators.CountMin
+        .sketch(mem.toDF().toDF("token"), "token", depth, width)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try {
+        val (h1, h2) = rows.splitAt(rows.length / 2)
+        mem.addData(h1: _*)
+        q.processAllAvailable() // epoch 0: partial cells
+        mem.addData(h2: _*)
+        q.processAllAvailable() // epoch 1: cells now cover the corpus
+      } finally q.stop()
+      val sk = s.table(sink).localCheckpoint(true)
+      val exactTop = toks.groupBy("token")
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("token"))
+        .limit(10)
+      val est = graft.operators.CountMin
+        .estimate(exactTop.select("token"), "token", sk, depth, width)
+      exactTop.join(broadcast(est), Seq("token"))
+        .select(col("token"), col("n_exact"), col("est"),
+          (col("est") >= col("n_exact")).as("never_under"))
+        .orderBy(col("n_exact").desc, col("token"))
+    }),
+
     // ST3: STREAMING dataset-drift monitor — per-tumbling-window PSI of
     // the value distribution against the corpus-wide reference
     // histogram. The streamed stage is the stateful part (windowed
@@ -156,7 +206,15 @@ object WindowedAggQueries {
   private val St3FixtureCache = scala.collection.concurrent.TrieMap
     .empty[String, (Seq[(java.sql.Timestamp, Double)], Seq[(Int, Double)])]
 
+  /** st4's arriving-token fixture per (JVM, sfDir) — the st3 rule. */
+  private val St4FixtureCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+
   val oracle: Map[String, String] = Map(
+    // a22's oracle VERBATIM: the streamed sketch must estimate exactly
+    // like the batch build (cells are deterministic md5 — linearity
+    // makes the micro-batch split invisible)
+    "st4_stream_countmin" -> AnalyticQueries.oracle("a22_countmin"),
     "st1b_stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
         |  COUNT(*) AS n,

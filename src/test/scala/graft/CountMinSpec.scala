@@ -70,6 +70,28 @@ class CountMinSpec extends SparkSuite {
     assert(est.length == 1 && est.head.getLong(1) >= 0L)
   }
 
+  test("streamed sketch cells are bit-identical to the batch build across an epoch split") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val toks = corpus.as[String].collect().toSeq
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val q = CountMin.sketch(mem.toDF().toDF("token"), "token", depth, width)
+      .writeStream.format("memory").queryName("cm_stream_spec")
+      .outputMode("complete").start()
+    try {
+      val (h1, h2) = toks.splitAt(toks.length / 3)
+      mem.addData(h1: _*)
+      q.processAllAvailable()
+      mem.addData(h2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = cells(spark.table("cm_stream_spec"))
+    val batch = cells(CountMin.sketch(corpus, "token", depth, width))
+    assert(streamed == batch)
+    // the streaming state is the cell grid: bounded by d*w forever
+    assert(streamed.size <= depth * width)
+  }
+
   test("plan pin: the corpus aggregation shuffles (row, bucket) partials, never token strings") {
     val sk = CountMin.sketch(corpus, "token", depth, width)
     val plan = sk.queryExecution.executedPlan.toString()
