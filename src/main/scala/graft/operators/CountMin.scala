@@ -36,34 +36,40 @@ import org.apache.spark.sql.functions._
   * The first inequality is the oracle gate's always-true boolean; the
   * second is probabilistic and therefore spec-measured, not oracled.
   *
-  * Hashing is the engine-portable md5 idiom (dd5/sm9): row j's bucket is
-  * the first 12 md5 hex chars of `"j:token"` as a 48-bit integer mod
-  * `width`. Deterministic and DuckDB-replicable, so the a22 oracle
-  * recomputes the ENTIRE sketch and the exact estimates cell-for-cell —
-  * a far stronger gate than bound booleans alone. Spark's built-in
-  * `count_min_sketch` SQL aggregate emits an opaque binary with no
-  * in-query probe function, and `stat.countMinSketch` collects to the
-  * driver; this keeps both halves distributed and cross-engine-checkable.
+  * Hashing is the engine-portable md5 idiom (dd5/sm9), ONE digest per
+  * token: md5's 32 hex chars split into four disjoint 8-char (32-bit)
+  * fields, row j's bucket = field j mod `width` (the standard
+  * one-hash-many-fields split — fields of one md5 are independent for
+  * CM purposes, and hashing once instead of `depth` times is the hot-
+  * loop cost at corpus scale). Deterministic and DuckDB-replicable, so
+  * the a22 oracle recomputes the ENTIRE sketch and the exact estimates
+  * cell-for-cell — a far stronger gate than bound booleans alone.
+  * Spark's built-in `count_min_sketch` SQL aggregate emits an opaque
+  * binary with no in-query probe function, and `stat.countMinSketch`
+  * collects to the driver; this keeps both halves distributed and
+  * cross-engine-checkable. Depth ≤ 4 (md5 has 4 disjoint 32-bit fields).
   */
 object CountMin {
 
-  /** 48-bit md5-prefix bucket of hash row `j` for string column `c`. */
-  private def bucketExpr(j: String, c: String, width: Int): String =
-    s"cast(conv(substring(md5(concat($j, ':', $c)), 1, 12), 16, 10) as bigint) % $width"
+  /** 32-bit bucket of hash row `j` (0-based column expr) sliced from the
+    * single per-token digest column `h` (32 hex chars). */
+  private def bucketExpr(j: String, h: String, width: Int): String =
+    s"cast(conv(substring($h, 1 + 8 * ($j), 8), 16, 10) as bigint) % $width"
 
   /** Build the d×w sketch over `df(column)` (cast to string; nulls
     * dropped). Returns `(row INT, bucket BIGINT, cnt BIGINT)` — only
     * cells with at least one hit are materialized (absent cell = 0). */
   def sketch(df: DataFrame, column: String, depth: Int, width: Int): DataFrame = {
-    require(depth >= 1 && width >= 2, s"bad geometry d=$depth w=$width")
+    require(depth >= 1 && depth <= 4 && width >= 2, s"bad geometry d=$depth w=$width")
     df.select(col(column).cast("string").as("__t"))
       .filter(col("__t").isNotNull)
+      .select(md5(col("__t").cast("binary")).as("__h")) // ONE digest per token
       // one array of d (row, bucket) structs per token, exploded before
-      // the aggregate: token strings die at this projection boundary
+      // the aggregate: token strings die at the digest projection
       .select(explode(expr(
         s"""transform(sequence(0, ${depth - 1}), j -> named_struct(
            |  'row', cast(j as int),
-           |  'bucket', ${bucketExpr("cast(j as string)", "__t", width)}))""".stripMargin))
+           |  'bucket', ${bucketExpr("j", "__h", width)}))""".stripMargin))
         .as("cell"))
       .groupBy(col("cell.row").as("row"), col("cell.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
@@ -79,11 +85,12 @@ object CountMin {
   def estimate(probes: DataFrame, column: String, sk: DataFrame,
                depth: Int, width: Int): DataFrame = {
     val cells = probes
-      .select(col(column).as("__p"), col(column).cast("string").as("__t"))
+      .select(col(column).as("__p"),
+        md5(col(column).cast("string").cast("binary")).as("__h"))
       .select(col("__p"), explode(expr(
         s"""transform(sequence(0, ${depth - 1}), j -> named_struct(
            |  'row', cast(j as int),
-           |  'bucket', ${bucketExpr("cast(j as string)", "__t", width)}))""".stripMargin))
+           |  'bucket', ${bucketExpr("j", "__h", width)}))""".stripMargin))
         .as("cell"))
       .select(col("__p"), col("cell.row").as("row"), col("cell.bucket").as("bucket"))
     cells.join(broadcast(sk), Seq("row", "bucket"), "left")

@@ -44,7 +44,10 @@ object PageRank {
     require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
     val e = edges
       .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
-      .localCheckpoint()
+    // one materialization: the deg-annotated edge list. Both join sides
+    // shuffle e on src, so the exchange is planned once and reused —
+    // checkpointing e separately would buy nothing and cost an extra
+    // write of the whole edge list.
     val withDeg = e
       .join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
       .localCheckpoint() // (src, dst, deg): the per-round join input

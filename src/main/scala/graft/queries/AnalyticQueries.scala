@@ -468,26 +468,35 @@ object AnalyticQueries {
         .orderBy(col("n_exact").desc, col("token"))
     }),
 
-    // GR1: fixed-iteration integer PageRank over the rare-8-gram document
-    // similarity graph (see operators/PageRank.scala) — graph-centrality
-    // quality weighting for curation, and the engine's iterated
-    // sparse-matvec gate. Edges: docs sharing a character-8-gram with
-    // document frequency 2..5 (cm1's gram idiom; the df cap keeps hub
-    // grams from minting quadratic cliques — a df-5 gram mints at most
-    // 20 directed edges). The edge set is symmetric, so every node has
-    // outdeg ≥ 1 and PageRank's no-dangling contract holds for free.
-    // Per-doc gram dedup is array_distinct INSIDE the row (no shuffle);
-    // the oracle's global DISTINCT over (doc_id, h) is the same set.
+    // GR1: fixed-iteration integer PageRank over the rare-shingle
+    // document similarity graph (see operators/PageRank.scala) —
+    // graph-centrality quality weighting for curation, and the engine's
+    // iterated sparse-matvec gate. Edges: docs sharing a WORD 3-shingle
+    // (the portable-MinHash shingle idiom — ~n_words md5s per doc, not
+    // one per character position) with document frequency 2..5; the df
+    // cap keeps hub shingles from minting quadratic cliques — a df-5
+    // shingle mints at most 20 directed edges. The edge set is
+    // symmetric, so every node has outdeg ≥ 1 and PageRank's
+    // no-dangling contract holds for free. Per-doc shingle dedup is
+    // array_distinct INSIDE the row (no shuffle); the oracle's global
+    // DISTINCT over (doc_id, h) is the same set. Shingle key: 48-bit
+    // md5-prefix LONG (8-byte join/agg keys — the dd9 shuffle-width
+    // rule) with the SAME integer derived in the oracle — exact parity.
     // Every arithmetic step is integer, so the DuckDB replay is exact.
     "gr1_pagerank" -> ((s, d) => {
+      // the rare-shingle frame is localCheckpoint'ed: both sides of the
+      // edge self-join would otherwise re-run the corpus explode per use
       val grams = documents(s, d)
-        .filter(length(col("text")) >= 8)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+        .filter(size(col("w")) >= 3)
         .select(col("doc_id"), explode(expr(
-          """array_distinct(transform(sequence(1, length(text) - 7),
-            |  i -> md5(substring(text, i, 8))))""".stripMargin)).as("h"))
+          """array_distinct(transform(sequence(1, size(w) - 2),
+            |  i -> cast(conv(substring(md5(concat_ws(' ', element_at(w, i),
+            |         element_at(w, i + 1), element_at(w, i + 2))), 1, 12),
+            |       16, 10) as bigint)))""".stripMargin)).as("h"))
       val rare = grams.groupBy("h").agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, 5))
-      val g = grams.join(rare.select("h"), "h")
+      val g = grams.join(rare.select("h"), "h").localCheckpoint()
       val edges = g.select(col("doc_id").as("src"), col("h"))
         .join(g.select(col("doc_id").as("dst"), col("h")), "h")
         .filter(col("src") =!= col("dst"))
@@ -703,7 +712,7 @@ object AnalyticQueries {
         |rows_ AS (SELECT unnest([0, 1, 2, 3]) AS j),
         |cells AS (
         |  SELECT j,
-        |    CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || token), 1, 12))
+        |    CAST(('0x' || substring(md5(token), 1 + 8 * j, 8))
         |      AS BIGINT) % 512 AS bucket,
         |    COUNT(*) AS cnt
         |  FROM t CROSS JOIN rows_ GROUP BY 1, 2),
@@ -713,7 +722,7 @@ object AnalyticQueries {
         |probe AS (
         |  SELECT p.token, p.n_exact, MIN(c.cnt) AS est
         |  FROM (SELECT token, n_exact, j,
-        |          CAST(('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || token), 1, 12))
+        |          CAST(('0x' || substring(md5(token), 1 + 8 * j, 8))
         |            AS BIGINT) % 512 AS bucket
         |        FROM top CROSS JOIN rows_) p
         |  JOIN cells c ON c.j = p.j AND c.bucket = p.bucket
@@ -724,10 +733,14 @@ object AnalyticQueries {
     // full integer-arithmetic replay: gram graph, degrees, uniform start,
     // three damped rounds with `//` floors matching Spark's `div`
     "gr1_pagerank" ->
-      """WITH docs AS (SELECT doc_id, text FROM documents WHERE LENGTH(text) >= 8),
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS w
+        |  FROM documents),
         |grams AS (SELECT DISTINCT doc_id,
-        |    md5(substring(text, CAST(i AS INTEGER), 8)) AS h
-        |  FROM docs, UNNEST(generate_series(1, LENGTH(text) - 7)) t(i)),
+        |    CAST(('0x' || substring(
+        |      md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 12)) AS BIGINT) AS h
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) t(i)
+        |  WHERE len(w) >= 3),
         |rare AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 5),
         |g AS (SELECT doc_id, h FROM grams JOIN rare USING (h)),
         |edges AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
