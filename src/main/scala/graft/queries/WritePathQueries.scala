@@ -735,8 +735,58 @@ object WritePathQueries {
       graft.store.SnapshotStore.read(s, curRoot)
         .filter(col("is_canonical"))
         .select("doc_id", "split").orderBy("doc_id")
+    }),
+
+    // S21: the COUNT-MIN sketch sidecar's managed lifecycle through the
+    // driver gate — history (doc_id < 300) committed to a SnapshotStore
+    // and sketched snapshot-keyed, the corpus grown to the FULL
+    // documents table by a second commit and the sketch advanced with
+    // the caller's batch: a DELTA cell grid chained by LINEARITY
+    // (cells(corpus ⊎ batch) = cells(corpus) + cells(batch) exactly —
+    // the cheapest advance in the artifact family: no retraining, no id
+    // bookkeeping, no posting merge). The probe estimates the corpus's
+    // exact top-10 tokens across the chain; output and oracle are
+    // a22_countmin's VERBATIM — the chained sketch must estimate
+    // exactly like a from-scratch batch build.
+    "s21_sketch_advance" -> ((s, d) => {
+      val gen = runSketchScenario(s, d)
+      val toks = graft.Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+      val exactTop = toks.groupBy("token")
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("token"))
+        .limit(10)
+      val est = graft.operators.SketchSidecar
+        .estimates(s, gen, exactTop.select("token"), "token")
+      exactTop.join(broadcast(est), Seq("token"))
+        .select(col("token"), col("n_exact"), col("est"),
+          (col("est") >= col("n_exact")).as("never_under"))
+        .orderBy(col("n_exact").desc, col("token"))
     })
   )
+
+  /** Build the snapshot-keyed SKETCH scenario once per (JVM, sfDir):
+    * history (doc_id < 300) committed + sketched, growth to the full
+    * documents table committed and the sketch advanced with that batch —
+    * returns the advanced generation (a cell-grid delta CHAINED to the
+    * base; s21 probes the summed chain). */
+  private val sketchScenarioCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def runSketchScenario(s: SparkSession, d: String): String =
+    sketchScenarioCache.getOrElseUpdate(d, {
+      import graft.operators.SketchSidecar
+      val root = tmp("graft_gate_cmsketch")
+      val docs = graft.Tables.documents(s, d)
+      SnapshotStore.commit(s, root)(dir =>
+        docs.filter(col("doc_id") < 300).write.parquet(dir))
+      val g1 = SketchSidecar.ensureForSnapshot(s, root)
+      SnapshotStore.commit(s, root)(dir => docs.write.parquet(dir))
+      val g2 = SketchSidecar.advanceForSnapshotWithBatch(s, root,
+        docs.filter(col("doc_id") >= 300))
+      require(g2 != g1, "advance must publish a new generation")
+      g2
+    })
 
   /** Build the snapshot-keyed TEXT index scenario once per (JVM, sfDir):
     * history (doc_id < 300) committed + indexed, growth to the full
@@ -830,6 +880,9 @@ object WritePathQueries {
     // tx15's BM25 oracle BY REFERENCE: the advance-built chained index
     // must score the full corpus exactly like a direct tokenize
     "s18_text_index_advance" -> TextQueries.Bm25OracleSql,
+    // a22's oracle BY REFERENCE: the advance-chained sketch must
+    // estimate exactly like the from-scratch batch build (linearity)
+    "s21_sketch_advance" -> AnalyticQueries.oracle("a22_countmin"),
     // sequential-curation truth: the cp1 chain over HISTORY ALONE
     // (doc_id < 400 — yesterday's decisions are final) unioned with the
     // cp1 chain over the full corpus restricted to batch rows (cp6's
