@@ -521,6 +521,73 @@ object Multimodal {
     * explode/generator shape of video preprocessing over real payloads.
     * Non-ISO-BMFF byte streams keep the byte-slice fallback so unknown
     * formats still flow through the pipeline shape. */
+  /** Scene-structured video fixture for the mm6 cut-detection gate:
+    * ids ≡ 2 (mod 3) are MP4s of `6 + id%4` frames whose pixels depend
+    * on the SCENE index `f / 3` — frames within a scene are
+    * byte-identical, every frame index divisible by 3 is a hard cut:
+    * pixel(f, x, y) = (id·31 + (f/3)·17 + x·7 + y·13) mod 251. The last
+    * video id carries 5 garbage bytes instead of a container (the
+    * degradation row: cut detection must skip it, not crash or emit
+    * zeros). Other kinds are omitted — sceneCuts only reads videos. */
+  private[multimodal] def sceneFrames(id: Long): Int = 6 + (id % 4).toInt
+  private[multimodal] def scenePixel(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id * 31 + (f / 3) * 17 + x * 7 + y * 13) % 251).toInt
+
+  def sceneFixture(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    val lastVideoId = (0L until n).filter(_ % 3 == 2).max
+    spark.range(n).filter(_ % 3 == 2).map { id =>
+      val w = videoWidth(id)
+      val content =
+        if (id == lastVideoId) Array[Byte](9, 9, 9, 9, 9)
+        else Mp4.build(w, ImageHeight, sceneFrames(id),
+          (f, x, y) => scenePixel(id, f, x, y))
+      MediaRow(id, "video", content, format = "mp4",
+        width = w, height = ImageHeight, sample_rate = 0,
+        duration_ms = sceneFrames(id) * 100L)
+    }
+  }
+
+  /** Scene-change (shot-boundary) detection over real MP4 payloads: for
+    * every consecutive frame pair, the SUM of absolute luma deltas —
+    * `diff_sum(f) = Σ_{pixels} |luma_f − luma_{f−1}|` — plus the cut
+    * flag `diff_sum > pixels` (mean delta above 1 grey level; identical
+    * frames score exactly 0). A pure per-row (per-video) flatMap: each
+    * task decodes its own videos through the [[Mp4]] sample table and
+    * emits (frames−1) narrow rows — no shuffle, no state,
+    * embarrassingly parallel at any corpus size, the mapPartitions
+    * shape a 100 TB video sweep needs. Corrupt/unparsable containers
+    * and sub-2-frame videos emit NOTHING (the mm4/mm5 degradation rule:
+    * skip, never fabricate). */
+  def sceneCuts(spark: SparkSession,
+                media: Dataset[MediaRow]): Dataset[(Long, Int, Long, Boolean)] = {
+    import spark.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      val parsed =
+        if (Mp4.isMp4(m.content))
+          try Some(Mp4.parse(m.content)) catch {
+            case _: RuntimeException | _: IndexOutOfBoundsException => None
+          }
+        else None
+      parsed match {
+        case Some(movie) if movie.samples.sizes.length >= 2 =>
+          val n = movie.samples.sizes.length
+          (1 until n).map { f =>
+            val a = Mp4.sampleBytes(m.content, movie, f - 1)
+            val b = Mp4.sampleBytes(m.content, movie, f)
+            val len = math.min(a.length, b.length)
+            var s = 0L
+            var i = 0
+            while (i < len) {
+              s += math.abs((a(i) & 0xff) - (b(i) & 0xff)); i += 1
+            }
+            (m.media_id, f, s, s > len.toLong)
+          }
+        case _ => Nil
+      }
+    }
+  }
+
   def sampleFrames(spark: SparkSession, media: Dataset[MediaRow],
                    framesPerVideo: Int = 4): Dataset[Frame] = {
     import spark.implicits._

@@ -468,6 +468,39 @@ object AnalyticQueries {
         .orderBy(col("n_exact").desc, col("token"))
     }),
 
+    // A23: MAD robust outlier gate — the resistant sibling of p8's
+    // 4σ filter: median + median-absolute-deviation are immune to the
+    // very outliers they hunt (a single 1e9 row drags a mean/σ gate's
+    // own threshold, but not the median's). Scaled by the normal
+    // consistency constant 1.4826; cut at 3.5 scaled MADs (Iglewicz &
+    // Hoaglin's recommended modified-z cut). Two grouped percentile
+    // aggs + two broadcast back-joins (the j2 shape) — no window over
+    // raw rows. Engines compute med/MAD independently (the a13/a16
+    // exact-interpolation parity precedent). Target: the long-tailed
+    // events.value per event_type (median ≈ 35, max ≈ 400 — the cut
+    // flags ~4% of each group; on the symmetric bounded TPC-H price
+    // columns the same gate is vacuously zero).
+    "a23_mad_outliers" -> ((s, d) => {
+      val e = events(s, d).select(col("event_type").as("g"), col("value"))
+      val med = e.groupBy("g").agg(percentile(col("value"), lit(0.5)).as("med"))
+      val dev = e.join(broadcast(med), Seq("g"))
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("g")
+        .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+      dev.join(broadcast(mad), Seq("g"))
+        .groupBy("g")
+        .agg(
+          round(first(col("med")), 4).as("med"),
+          round(first(col("mad")), 4).as("mad"),
+          // 3.5 · 1.4826 pre-folded to ONE literal: a 2-literal product
+          // is DECIMAL-exact in DuckDB but IEEE in Spark — the folded
+          // constant reads as the identical double in both engines
+          sum(when(col("adev") > lit(5.1891) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"),
+          count(lit(1)).as("n"))
+        .orderBy("g")
+    }),
+
     // GR1: fixed-iteration integer PageRank over the rare-shingle
     // document similarity graph (see operators/PageRank.scala) —
     // graph-centrality quality weighting for curation, and the engine's
@@ -730,6 +763,21 @@ object AnalyticQueries {
         |SELECT token, n_exact, CAST(est AS BIGINT) AS est,
         |  est >= n_exact AS never_under
         |FROM probe ORDER BY n_exact DESC, token""".stripMargin,
+    "a23_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT event_type AS g, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (
+        |  SELECT e.event_type AS g, m.med, ABS(e.value - m.med) AS adev
+        |  FROM events e JOIN med m ON e.event_type = m.g),
+        |mad AS (SELECT g, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+        |SELECT d.g, ROUND(ANY_VALUE(d.med), 4) AS med,
+        |  ROUND(ANY_VALUE(ma.mad), 4) AS mad,
+        |  CAST(SUM(CASE WHEN d.adev > CAST(5.1891 AS DOUBLE) * ma.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM dev d JOIN mad ma ON d.g = ma.g
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // full integer-arithmetic replay: gram graph, degrees, uniform start,
     // three damped rounds with `//` floors matching Spark's `div`
     "gr1_pagerank" ->

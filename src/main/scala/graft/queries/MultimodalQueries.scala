@@ -116,6 +116,24 @@ object MultimodalQueries {
     // Corrupt or sub-57-sample WAVs hash to None and are excluded
     // rather than crashing or fabricating pairs (MultimodalSpec pins
     // the degradation).
+    // MM6: scene-change (shot-boundary) detection — the temporal-
+    // structure member of the multimodal family (mm2 samples frames,
+    // mm4 fingerprints them; this finds the CUTS between them). Sum of
+    // absolute luma deltas between consecutive REAL MP4 frames, cut
+    // flag = mean delta above one grey level; frames inside a scene of
+    // the fixture are byte-identical (diff exactly 0), scene
+    // boundaries light up every pixel. Pure per-video flatMap through
+    // the Mp4 sample table — no shuffle, no state; the corrupt video
+    // row emits nothing (degradation, MultimodalSpec-pinned). The
+    // oracle replays the scene pixel formulas integer-exactly.
+    "mm6_scene_cuts" -> ((s, d) => {
+      import s.implicits._
+      val media = Multimodal.sceneFixture(s, 120)
+      Multimodal.sceneCuts(s, media)
+        .toDF("media_id", "frame_idx", "diff_sum", "is_cut")
+        .orderBy("media_id", "frame_idx")
+    }),
+
     "mm5_audio_neardup" -> ((s, d) => {
       import s.implicits._
       val media = Multimodal.audioNeardupFixture(s, 500)
@@ -295,6 +313,28 @@ object MultimodalQueries {
         |SELECT media_a, media_b, hamming FROM pairs
         |WHERE hamming <= 3
         |ORDER BY media_a, media_b""".stripMargin,
+    // mm6: scene pixels replayed integer-exactly — per consecutive
+    // frame pair, SUM |pix(f/3) − pix((f−1)/3)| over the frame grid;
+    // the corrupt last video id never generates rows (degradation)
+    "mm6_scene_cuts" ->
+      """WITH v AS (
+        |  SELECT i AS id, CAST(16 + (i % 2) * 8 AS INTEGER) AS w,
+        |         CAST(6 + (i % 4) AS INTEGER) AS frames
+        |  FROM range(120) t(i) WHERE i % 3 = 2 AND i <> 119),
+        |fr AS (
+        |  SELECT id, w, CAST(UNNEST(range(1, frames)) AS INTEGER) AS f
+        |  FROM v),
+        |px AS (
+        |  SELECT id, f, w,
+        |    SUM(ABS((id*31 + (f // 3)*17 + x*7 + y*13) % 251
+        |          - (id*31 + ((f - 1) // 3)*17 + x*7 + y*13) % 251)) AS diff
+        |  FROM fr,
+        |    LATERAL (SELECT UNNEST(range(w)) AS x) a,
+        |    LATERAL (SELECT UNNEST(range(8)) AS y) b
+        |  GROUP BY id, f, w)
+        |SELECT id AS media_id, f AS frame_idx, CAST(diff AS BIGINT) AS diff_sum,
+        |  diff > w * 8 AS is_cut
+        |FROM px ORDER BY media_id, frame_idx""".stripMargin,
     // mm5: the audio fingerprint recomputed from the fixture SAMPLE
     // formula (s=((i·31+j·7)%2003)−1001, bumped copies +50 at j=10),
     // window energies by integer binning ⌊j·57/n⌋, bits as a

@@ -353,4 +353,24 @@ class MultimodalSpec extends SparkSuite {
     // a healthy frame geometry still hashes
     assert(Multimodal.dhashFrameSafe(Array.fill[Byte](16 * 8)(1)).nonEmpty)
   }
+
+  test("scene cuts: in-scene frames diff exactly 0, boundaries flag, corrupt row silent") {
+    val media = Multimodal.sceneFixture(spark, 120)
+    val rows = Multimodal.sceneCuts(spark, media).collect()
+    // the corrupt last video (id 119) must emit nothing
+    assert(!rows.exists(_._1 == 119L), "corrupt container produced rows")
+    // every video id 2,5,...,116 emits frames-1 rows
+    val byId = rows.groupBy(_._1)
+    assert(byId.keySet == (2L until 119L by 3L).toSet)
+    byId.foreach { case (id, rs) =>
+      assert(rs.length == 6 + (id % 4).toInt - 1, s"row count for $id")
+    }
+    rows.foreach { case (id, f, diff, cut) =>
+      if (f % 3 == 0) { // scene boundary: every pixel shifts
+        assert(diff > 0 && cut, s"missed cut at ($id, $f)")
+      } else { // inside a scene: byte-identical frames
+        assert(diff == 0L && !cut, s"false cut at ($id, $f)")
+      }
+    }
+  }
 }

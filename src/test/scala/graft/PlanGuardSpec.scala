@@ -29,7 +29,11 @@ class PlanGuardSpec extends SparkSuite {
     "tx17_hybrid_rrf" -> ("dense leg joins the corpus against the ONE " +
       "query embedding as a 1-row broadcast (the p8 shape: O(1) " +
       "broadcast side, one corpus scan into a k-bounded top-k " +
-      "aggregate) — the v2 brute-force yardstick pattern with |Q| = 1")
+      "aggregate) — the v2 brute-force yardstick pattern with |Q| = 1"),
+    "v10_binary_hamming" -> ("the v2 shape with the scan payload cut " +
+      "32x: broadcast 10-query set against ONE pass over (nid, 2 " +
+      "BIGINT sign words) — XOR+popcount shortlist into the k-bounded " +
+      "TopKScored aggregate; the rerank re-joins <= 500 ids by equi-key")
     // dd3_ngram_jaccard left this list in round 5: its zero-overlap pair
     // skeleton is now a rank-explode + equi-join, not a theta join.
   )
