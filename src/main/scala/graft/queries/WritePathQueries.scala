@@ -748,6 +748,26 @@ object WritePathQueries {
     // exact top-10 tokens across the chain; output and oracle are
     // a22_countmin's VERBATIM — the chained sketch must estimate
     // exactly like a from-scratch batch build.
+    // S22: TARGETED DELETE — right-to-be-forgotten through the driver
+    // gate: documents published hive-partitioned (doc_id % 8 buckets)
+    // with a bloom sidecar on doc_id; three ids deleted via
+    // FileStats.deleteKeys, which probes the SIDECAR (never the data)
+    // to locate the partitions that can contain a target, rewrites only
+    // those, and carries every other partition forward BY REFERENCE in
+    // the manifest with its sidecar rows copied verbatim — write
+    // amplification O(affected partitions). Output: the surviving table
+    // + `delete_bounded` pinning that strictly fewer partitions were
+    // rewritten than exist (the no-false-negative bloom makes the
+    // rewrite set sound; its boundedness is what this gate is FOR).
+    "s22_targeted_delete" -> ((s, d) => {
+      val (root, rewritten, total) = runDeleteScenario(s, d)
+      val bounded = rewritten > 0 && rewritten < total
+      graft.store.SnapshotStore.read(s, root)
+        .select(col("doc_id"), col("lang"),
+          lit(bounded).as("delete_bounded"))
+        .orderBy("doc_id")
+    }),
+
     "s21_sketch_advance" -> ((s, d) => {
       val gen = runSketchScenario(s, d)
       val toks = graft.Tables.documents(s, d)
@@ -765,6 +785,26 @@ object WritePathQueries {
         .orderBy(col("n_exact").desc, col("token"))
     })
   )
+
+  /** Build the targeted-delete scenario once per (JVM, sfDir):
+    * documents published partitioned on pb = doc_id % 8 with a doc_id
+    * bloom sidecar, then doc_ids {7, 19, 123} deleted. Returns
+    * (store root, partitions rewritten, partitions total). */
+  private val deleteScenarioCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Int, Int)]
+  private def runDeleteScenario(s: SparkSession, d: String): (String, Int, Int) =
+    deleteScenarioCache.getOrElseUpdate(d, {
+      import graft.store.FileStats
+      val root = tmp("graft_gate_delete")
+      val docs = graft.Tables.documents(s, d)
+        .withColumn("pb", (col("doc_id") % 8).cast("int"))
+      FileStats.publishPartitioned(s, root, docs, pcol = "pb",
+        statCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+      val (_, rewritten, total) = FileStats.deleteKeys(s, root, "doc_id",
+        keys = Seq(7L, 19L, 123L), pcol = "pb",
+        statCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+      (root, rewritten, total)
+    })
 
   /** Build the snapshot-keyed SKETCH scenario once per (JVM, sfDir):
     * history (doc_id < 300) committed + sketched, growth to the full
@@ -883,6 +923,10 @@ object WritePathQueries {
     // a22's oracle BY REFERENCE: the advance-chained sketch must
     // estimate exactly like the from-scratch batch build (linearity)
     "s21_sketch_advance" -> AnalyticQueries.oracle("a22_countmin"),
+    "s22_targeted_delete" ->
+      """SELECT doc_id, lang, TRUE AS delete_bounded
+        |FROM documents WHERE doc_id NOT IN (7, 19, 123)
+        |ORDER BY doc_id""".stripMargin,
     // sequential-curation truth: the cp1 chain over HISTORY ALONE
     // (doc_id < 400 — yesterday's decisions are final) unioned with the
     // cp1 chain over the full corpus restricted to batch rows (cp6's

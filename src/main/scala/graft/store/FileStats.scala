@@ -459,4 +459,91 @@ object FileStats {
     (if (n == 0L) null else metaSum.add(scanSum),
       n, toScan.length, fromMeta.length)
   }
+
+  /** Publish `df` hive-partitioned on `pcol` with the stats sidecar —
+    * the layout [[deleteKeys]] requires: partitions are the rewrite
+    * granule, the sidecar's per-file blooms the targeting index. */
+  def publishPartitioned(spark: SparkSession, root: String, df: DataFrame,
+                         pcol: String, statCols: Seq[String],
+                         bloomCols: Seq[String] = Nil): String =
+    SnapshotStore.commit(spark, root) { dir =>
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy(pcol).parquet(dir)
+      writeSidecar(spark, dir, statCols, bloomCols)
+    }
+
+  /** TARGETED delete — the right-to-be-forgotten shape: remove every row
+    * with `c` in `keys` from a [[publishPartitioned]] table, rewriting
+    * ONLY the partitions that can contain a target.
+    *
+    *  1. One pass over the SIDECAR (never the data) probes each file's
+    *     bloom with every key hash — no false negatives, so a partition
+    *     with no "maybe" file provably holds no target.
+    *  2. Affected partitions are re-read minus the keys and written
+    *     fresh; every other partition carries forward BY REFERENCE in
+    *     the manifest, its sidecar rows copied verbatim
+    *     ([[writeSidecarIncremental]]) — write amplification is
+    *     O(affected partitions), not O(table).
+    *  3. Keys absent everywhere → NO commit at all (returns the current
+    *     snapshot name with 0 rewrites — a no-op delete must not churn
+    *     version history).
+    *
+    * `keys` is driver-bounded (a deletion request list, not a frame);
+    * the probe ORs ≤ |keys| bloom tests per sidecar row executor-side.
+    * For request lists beyond a few thousand, batch them.
+    *
+    * Returns (snapshot name, partitions rewritten, partitions total). */
+  def deleteKeys(spark: SparkSession, root: String, c: String,
+                 keys: Seq[Any], pcol: String, statCols: Seq[String],
+                 bloomCols: Seq[String]): (String, Int, Int) = {
+    require(keys.nonEmpty, "deleteKeys: empty key list")
+    val cur = SnapshotStore.currentName(spark, root).getOrElse(
+      throw new java.io.FileNotFoundException(s"no snapshot at $root"))
+    val entries = SnapshotStore.currentEntries(spark, root, depth = 1)
+      .getOrElse(Map.empty)
+    require(entries.nonEmpty, s"deleteKeys: no $pcol=* partitions at $root")
+    // typed key hashes, one job (the pruneFilesEq cast rule)
+    val colType = SnapshotStore.read(spark, root).schema
+      .find(_.name == c).map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"deleteKeys: column '$c' not present in $root"))
+    val hashes = spark.range(1)
+      .select(keys.map(k => xxhash64(lit(k).cast(colType))): _*)
+      .head().toSeq.map(_.asInstanceOf[Long])
+    val stats = sidecar(spark, root)
+    require(stats.columns.contains(s"bloom_$c"),
+      s"sidecar has no bloom for '$c' — publish with bloomCols = Seq(\"$c\")")
+    graft.functions.BloomBytesContain.register(spark)
+    val anyKey = hashes.map(h => expr(s"graft_bloom_probe(bloom_$c, ${h}L)"))
+      .reduce(_ || _)
+    val maybeFiles = stats
+      .select(col("file"), (col(s"bloom_$c").isNull || anyKey).as("keep"))
+      .collect().filter(_.getBoolean(1)).map(_.getString(0))
+    // file path → its pcol=... rel dir (the manifest granule)
+    val partRe = (java.util.regex.Pattern.quote(pcol) + "=[^/]+").r
+    val affected = maybeFiles.flatMap(f =>
+      partRe.findFirstIn(new java.net.URI(f).getPath)).toSet
+    if (affected.isEmpty) return (cur, 0, entries.size)
+    val affectedVals = affected.map(_.split("=", 2)(1))
+    val name = SnapshotStore.commit(spark, root) { dir =>
+      SnapshotStore.read(spark, root)
+        .filter(col(pcol).cast("string").isin(affectedVals.toSeq: _*))
+        .filter(!col(c).isin(keys: _*))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy(pcol).parquet(dir)
+      val dirPath = new Path(dir)
+      val vName = dirPath.getName
+      val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fresh = Option(fs.globStatus(new Path(s"$dir/$pcol=*")))
+        .getOrElse(Array.empty)
+        .map(_.getPath.toUri.getPath
+          .stripPrefix(dirPath.toUri.getPath).stripPrefix("/") -> vName)
+        .toMap
+      val carried = entries.filterNot { case (rel, _) => affected(rel) }
+      SnapshotStore.writeManifest(spark, root, vName, carried ++ fresh)
+      writeSidecarIncremental(spark, root, vName, Some(cur),
+        statCols, bloomCols)
+    }
+    (name, affected.size, entries.size)
+  }
 }

@@ -370,4 +370,62 @@ class FileStatsSpec extends SparkSuite {
     val (sel, all) = FileStats.pruneFiles(spark, root, "k", 0L, 0L)
     assert(all.length === 2 && sel.length === 1)
   }
+
+  test("deleteKeys rewrites only bloom-located partitions; rest carried by reference") {
+    val root = freshRoot("del")
+    val df = spark.range(0, 400).select(col("id").as("k"),
+      (col("id") % 8).cast("int").as("pb"), lit(1.0).as("v"))
+    FileStats.publishPartitioned(spark, root, df, "pb",
+      statCols = Seq("k"), bloomCols = Seq("k"))
+    val v1 = SnapshotStore.currentName(spark, root).get
+    // keys 9 and 17 both live in pb=1 — one affected partition of 8
+    val (v2, rewritten, total) =
+      FileStats.deleteKeys(spark, root, "k", Seq(9L, 17L), "pb",
+        statCols = Seq("k"), bloomCols = Seq("k"))
+    assert(total == 8 && rewritten >= 1 && rewritten < 8)
+    // content identity
+    val got = SnapshotStore.read(spark, root).select("k")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (0L until 400L).filterNot(Set(9L, 17L)).toSeq)
+    // untouched partitions carried BY REFERENCE: manifest points at v1
+    val entries = SnapshotStore.currentEntries(spark, root, 1).get
+    val carried = entries.filter(_._2 == v1)
+    assert(carried.size == total - rewritten, s"entries: $entries")
+    // the sidecar still serves the new snapshot: the deleted key's
+    // exact read is empty, a surviving neighbor's is not
+    assert(FileStats.readEq(spark, root, "k", 9L).count() == 0L)
+    assert(FileStats.readEq(spark, root, "k", 10L).count() == 1L)
+  }
+
+  test("deleteKeys of absent keys is a complete no-op: same version, zero rewrites") {
+    val root = freshRoot("delnoop")
+    val df = spark.range(0, 100).select(col("id").as("k"),
+      (col("id") % 4).cast("int").as("pb"), lit(1.0).as("v"))
+    FileStats.publishPartitioned(spark, root, df, "pb",
+      statCols = Seq("k"), bloomCols = Seq("k"))
+    val v1 = SnapshotStore.currentName(spark, root).get
+    val (v2, rewritten, _) =
+      FileStats.deleteKeys(spark, root, "k", Seq(777777L), "pb",
+        statCols = Seq("k"), bloomCols = Seq("k"))
+    assert(v2 == v1 && rewritten == 0, "no-op delete must not publish")
+    assert(SnapshotStore.read(spark, root).count() == 100L)
+  }
+
+  test("deleteKeys that empties a partition drops it from the manifest") {
+    val root = freshRoot("delempty")
+    val df = spark.range(0, 40).select(col("id").as("k"),
+      (col("id") % 4).cast("int").as("pb"), lit(1.0).as("v"))
+    FileStats.publishPartitioned(spark, root, df, "pb",
+      statCols = Seq("k"), bloomCols = Seq("k"))
+    // pb=2 holds exactly k ≡ 2 (mod 4): delete all ten of them
+    val targets = (0L until 40L).filter(_ % 4 == 2)
+    val (_, rewritten, total) =
+      FileStats.deleteKeys(spark, root, "k", targets, "pb",
+        statCols = Seq("k"), bloomCols = Seq("k"))
+    assert(total == 4 && rewritten >= 1)
+    val entries = SnapshotStore.currentEntries(spark, root, 1).get
+    assert(!entries.keySet.exists(_.startsWith("pb=2")),
+      s"emptied partition must vanish from the manifest: $entries")
+    assert(SnapshotStore.read(spark, root).count() == 30L)
+  }
 }
