@@ -40,10 +40,22 @@ object BpeTrain {
   /** `words`: (word STRING, cnt BIGINT). Returns the learned merges and
     * the final (word, cnt, syms) tokenization frame. */
   def train(words: DataFrame, rounds: Int): (Seq[Merge], DataFrame) = {
+    val (merges, history) = trainHistory(words, rounds)
+    (merges, history.last)
+  }
+
+  /** [[train]] keeping every round's tokenization frame —
+    * `history(0)` is the character split, `history(r)` the state after
+    * r merges (what tx20's compression accounting reads). Frames are
+    * all localCheckpoint'ed vocabulary-sized tables. */
+  def trainHistory(words: DataFrame,
+                   rounds: Int): (Seq[Merge], Seq[DataFrame]) = {
     var w = words
       .withColumn("syms", expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
       .localCheckpoint()
+    val history = Seq.newBuilder[DataFrame]
+    history += w
     val merges = Seq.newBuilder[Merge]
     for (r <- 1 to rounds) {
       val best = w.select(col("cnt"), explode(expr(
@@ -63,7 +75,8 @@ object BpeTrain {
            |    THEN concat(slice(acc, 1, size(acc) - 1), array('${m.merged}'))
            |    ELSE concat(acc, array(x)) END)""".stripMargin).as("syms"))
         .localCheckpoint()
+      history += w
     }
-    (merges.result(), w)
+    (merges.result(), history.result())
   }
 }

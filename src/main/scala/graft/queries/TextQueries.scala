@@ -599,6 +599,34 @@ object TextQueries {
       merges.map(m => (m.round, m.a, m.b, m.merged, m.pairCount))
         .toDF("round", "a", "b", "merged", "pair_cnt")
         .orderBy("round")
+    }),
+
+    // TX20: BPE APPLICATION accounting — what each learned merge buys:
+    // after round r, the corpus-weighted token total Σ cnt(w)·|syms_r(w)|
+    // (every application of merge r+1 removes exactly one token, so the
+    // totals drop by the next merge's pair count — the compression
+    // curve a tokenizer team reads before freezing a vocab) and the
+    // symbol-type count (grows by exactly one per productive merge).
+    // Same trainer as tx19 (shared trainHistory); the accounting is two
+    // tiny aggregates per round over the vocabulary frame. The oracle
+    // re-trains and re-counts both series from the same CTE chain.
+    "tx20_bpe_compression" -> ((s, d) => {
+      import s.implicits._
+      val words = documents(s, d)
+        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+        .select(lower(col("w")).as("word"))
+        .filter(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      val (_, history) = graft.operators.BpeTrain.trainHistory(words, rounds = 3)
+      val rows = history.zipWithIndex.map { case (frame, r) =>
+        // two bounded aggregates over the checkpointed vocab frame
+        val tot = frame.agg(sum(col("cnt") * size(col("syms"))))
+          .head().getLong(0)
+        val ns = frame.select(explode(col("syms")).as("s"))
+          .agg(countDistinct(col("s"))).head().getLong(0)
+        (r, tot, ns)
+      }
+      rows.toDF("round", "total_tokens", "n_symbols").orderBy("round")
     })
   )
 
@@ -934,8 +962,39 @@ object TextQueries {
     // re-TRAINS the 3 BPE merges: weighted pair stats + argmax per
     // round, re-tokenizing via a recursive CTE that applies the round's
     // merge leftmost-first until fixpoint — equivalent to Spark's
-    // greedy left-to-right fold (single-pair replace-all is confluent)
-    "tx19_bpe_train" -> {
+    // greedy left-to-right fold (single-pair replace-all is confluent).
+    // The CTE chain is shared verbatim with tx20's compression oracle.
+    "tx19_bpe_train" ->
+      s"""$BpeCtesSql
+         |SELECT CAST(1 AS INTEGER) AS round, a, b, a || b AS merged,
+         |  pc AS pair_cnt FROM best1
+         |UNION ALL SELECT 2, a, b, a || b, pc FROM best2
+         |UNION ALL SELECT 3, a, b, a || b, pc FROM best3
+         |ORDER BY round""".stripMargin,
+    // tx20: the same re-trained chain, read for its per-round
+    // corpus-weighted token totals and symbol-type counts
+    "tx20_bpe_compression" -> {
+      def stats(r: Int): String =
+        s"""SELECT CAST($r AS INTEGER) AS round,
+           |  (SELECT CAST(SUM(cnt * len(syms)) AS BIGINT) FROM w$r)
+           |    AS total_tokens,
+           |  (SELECT CAST(COUNT(DISTINCT sy) AS BIGINT)
+           |   FROM (SELECT UNNEST(syms) AS sy FROM w$r) u) AS n_symbols"""
+          .stripMargin
+      s"""$BpeCtesSql
+         |${stats(0)}
+         |UNION ALL ${stats(1)}
+         |UNION ALL ${stats(2)}
+         |UNION ALL ${stats(3)}
+         |ORDER BY round""".stripMargin
+    }
+  )
+
+  /** The BPE training chain through w0..w3/best1..best3 — shared by the
+    * tx19 and tx20 oracles so the two gates can never silently diverge. */
+  // lazy: declared below `oracle`, which interpolates it at object init —
+  // a strict val here would still be null at that point (forward reference)
+  private lazy val BpeCtesSql: String = {
       def round(i: Int): String = {
         val prev = s"w${i - 1}"
         s"""p$i AS (
@@ -974,12 +1033,6 @@ object TextQueries {
          |  FROM words),
          |${round(1)},
          |${round(2)},
-         |${round(3)}
-         |SELECT CAST(1 AS INTEGER) AS round, a, b, a || b AS merged,
-         |  pc AS pair_cnt FROM best1
-         |UNION ALL SELECT 2, a, b, a || b, pc FROM best2
-         |UNION ALL SELECT 3, a, b, a || b, pc FROM best3
-         |ORDER BY round""".stripMargin
-    }
-  )
+         |${round(3)}""".stripMargin
+  }
 }

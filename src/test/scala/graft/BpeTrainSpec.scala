@@ -55,6 +55,25 @@ class BpeTrainSpec extends SparkSuite {
     assert(syms == Seq("aa", "aa"))
   }
 
+  test("each a!=b merge removes exactly its pair count from the token total") {
+    import spark.implicits._
+    // no self-pair (a,a) candidates can win here: with a == b the pair
+    // COUNT includes overlapping occurrences the fold can't all merge,
+    // so the exact-drop identity is an a != b property
+    val words = Map("spark" -> 7L, "parse" -> 11L, "park" -> 2L,
+      "banana" -> 6L)
+    val df = words.toSeq.toDF("word", "cnt")
+    val (merges, history) = BpeTrain.trainHistory(df, 3)
+    def tot(f: org.apache.spark.sql.DataFrame): Long =
+      f.agg(sum(col("cnt") * size(col("syms")))).head().getLong(0)
+    val totals = history.map(tot)
+    merges.zipWithIndex.foreach { case (m, i) =>
+      assert(m.a != m.b, s"fixture let a self-pair win: $m")
+      assert(totals(i) - totals(i + 1) == m.pairCount,
+        s"round ${m.round}: ${totals(i)} -> ${totals(i + 1)} vs ${m.pairCount}")
+    }
+  }
+
   test("matches the local reference on a mixed vocabulary, any partitioning") {
     val words = Map("spark" -> 7L, "shark" -> 5L, "sparse" -> 3L,
       "parse" -> 11L, "park" -> 2L, "aaaa" -> 4L, "banana" -> 6L)
