@@ -64,6 +64,42 @@ object WindowedAggQueries {
       s.table(sink).orderBy("win_start", "event_type")
     }),
 
+    // ST5: STREAMING session windows — sw1's 12-hour-gap sessionization
+    // as an always-on stream (the st1b twin for SESSION windows: state
+    // is the engine's session-window store, sessions MERGE across
+    // micro-batch boundaries when a later epoch bridges two earlier
+    // fragments). Two epochs split mid-corpus, complete mode; gated by
+    // sw1's gaps-and-islands ORACLE VERBATIM — the streamed session
+    // store must reproduce the batch semantics exactly. (Fixture
+    // collect bounded by the gate's events table, as in st1b.)
+    "st5_stream_session" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = events(s, d).select(col("ts"), col("user_id"), col("value"))
+        .as[(java.sql.Timestamp, Long, Double)].collect().toSeq
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(java.sql.Timestamp, Long, Double)]
+      val sink = s"st5_sink_${StreamSinkSeq.incrementAndGet()}"
+      val q = mem.toDF().toDF("ts", "user_id", "value")
+        .groupBy(col("user_id"), session_window(col("ts"), "12 hours"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double")
+            .as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("n_events"), col("sum_value"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try {
+        val (h1, h2) = rows.splitAt(rows.length / 2)
+        mem.addData(h1: _*)
+        q.processAllAvailable() // epoch 0: session fragments
+        mem.addData(h2: _*)
+        q.processAllAvailable() // epoch 1: fragments merge/extend
+      } finally q.stop()
+      s.table(sink).orderBy("user_id", "session_start")
+    }),
+
     // ST4: STREAMING count-min sketch — the frequency-sketch member of
     // the streaming family (st1b windows, st3 drift). Count-min cells
     // are LINEAR in the input multiset, so the running sketch over an
@@ -215,6 +251,9 @@ object WindowedAggQueries {
     // like the batch build (cells are deterministic md5 — linearity
     // makes the micro-batch split invisible)
     "st4_stream_countmin" -> AnalyticQueries.oracle("a22_countmin"),
+    // sw1's gaps-and-islands oracle VERBATIM: streamed session state
+    // must reproduce batch sessionization exactly
+    "st5_stream_session" -> AnalyticQueries.oracle("sw1_session_window"),
     "st1b_stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
         |  COUNT(*) AS n,
