@@ -121,13 +121,21 @@ object WindowedAggQueries {
       val toks = graft.Tables.documents(s, d)
         .select(explode(split(trim(col("text")), "\\s+")).as("token"))
         .filter(length(col("token")) > 0)
+      // stream DOCUMENTS, tokenize in-stream: the driver ships |docs|
+      // rows per epoch, not |tokens| (60× less MemoryStream traffic,
+      // and the realistic shape — raw documents arrive, the engine
+      // tokenizes executor-side)
       val rows = St4FixtureCache.getOrElseUpdate(d,
-        toks.as[String].collect().toSeq)
+        graft.Tables.documents(s, d).select(col("text"))
+          .as[String].collect().toSeq)
       val mem = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[String]
       val sink = s"st4_sink_${StreamSinkSeq.incrementAndGet()}"
+      val streamToks = mem.toDF().toDF("text")
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
       val q = graft.operators.CountMin
-        .sketch(mem.toDF().toDF("token"), "token", depth, width)
+        .sketch(streamToks, "token", depth, width)
         .writeStream.format("memory").queryName(sink)
         .outputMode("complete").start()
       try {
