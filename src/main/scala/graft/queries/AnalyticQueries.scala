@@ -501,6 +501,52 @@ object AnalyticQueries {
         .orderBy("g")
     }),
 
+    // A24: equal-frequency quantile discretization (feature binning) —
+    // the scale-sound spelling: ONE exact-percentile aggregate yields
+    // the 9 decile cut points (bounded driver pull, the a14 scalar
+    // pattern), which re-enter as literals in a pure-projection bin
+    // assignment `bin = #cuts strictly below price`. No NTILE — a
+    // global NTILE window is Exchange SinglePartition, the a20 sin;
+    // this shape is two linear passes and bins any corpus size. Cut
+    // values are interpolated percentiles — exact cross-engine parity
+    // (the a13/a16 precedent), so the > comparisons agree row-for-row.
+    "a24_quantile_binning" -> ((s, d) => {
+      val o = orders(s, d).select(col("o_totalprice").as("price"))
+      val cuts = o.agg(percentile(col("price"),
+          typedlit((1 to 9).map(_ / 10.0))).as("cs"))
+        .head().getSeq[Double](0)
+      val binCol = cuts.foldLeft(lit(0)) { (acc, c) =>
+        acc + when(col("price") > lit(c), 1).otherwise(0)
+      }
+      o.withColumn("bin", binCol)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("price")), 4).as("min_p"),
+          round(max(col("price")), 4).as("max_p"))
+        .orderBy("bin")
+    }),
+
+    // A25: correlation MATRIX in one pass — all pairwise Pearson
+    // correlations of 4 lineitem measures from a SINGLE aggregate
+    // (6 corr() columns over one scan; a17's rounding parity), then
+    // stacked to long form. The one-scan shape is the point: a naive
+    // per-pair loop reads the table C(k,2) times.
+    "a25_corr_matrix" -> ((s, d) => {
+      val l = lineitem(s, d).select(
+        col("l_quantity").as("qty"), col("l_extendedprice").as("price"),
+        col("l_discount").as("disc"), col("l_tax").as("tax"))
+      val pairs = Seq("qty" -> "price", "qty" -> "disc", "qty" -> "tax",
+        "price" -> "disc", "price" -> "tax", "disc" -> "tax")
+      val aggs = pairs.map { case (a, b) =>
+        round(corr(col(a), col(b)), 6).as(s"${a}_$b")
+      }
+      val row = l.agg(aggs.head, aggs.tail: _*)
+      row.selectExpr("stack(6, " + pairs.map { case (a, b) =>
+        s"'$a', '$b', ${a}_$b"
+      }.mkString(", ") + ") as (col_a, col_b, corr)")
+        .orderBy("col_a", "col_b")
+    }),
+
     // GR1: fixed-iteration integer PageRank over the rare-shingle
     // document similarity graph (see operators/PageRank.scala) —
     // graph-centrality quality weighting for curation, and the engine's
@@ -763,6 +809,39 @@ object AnalyticQueries {
         |SELECT token, n_exact, CAST(est AS BIGINT) AS est,
         |  est >= n_exact AS never_under
         |FROM probe ORDER BY n_exact DESC, token""".stripMargin,
+    "a24_quantile_binning" ->
+      """WITH cuts AS (
+        |  SELECT quantile_cont(o_totalprice,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
+        |  FROM orders),
+        |binned AS (
+        |  SELECT CAST(list_sum(list_transform(c.cs,
+        |      x -> CASE WHEN o.o_totalprice > x THEN 1 ELSE 0 END))
+        |    AS INTEGER) AS bin, o.o_totalprice AS price
+        |  FROM orders o CROSS JOIN cuts c)
+        |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(MIN(price), 4) AS min_p, ROUND(MAX(price), 4) AS max_p
+        |FROM binned GROUP BY bin ORDER BY bin""".stripMargin,
+    "a25_corr_matrix" ->
+      """WITH m AS (
+        |  SELECT l_quantity AS qty, l_extendedprice AS price,
+        |         l_discount AS disc, l_tax AS tax
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT ROUND(corr(qty, price), 6) AS qty_price,
+        |    ROUND(corr(qty, disc), 6) AS qty_disc,
+        |    ROUND(corr(qty, tax), 6) AS qty_tax,
+        |    ROUND(corr(price, disc), 6) AS price_disc,
+        |    ROUND(corr(price, tax), 6) AS price_tax,
+        |    ROUND(corr(disc, tax), 6) AS disc_tax
+        |  FROM m)
+        |SELECT 'qty' AS col_a, 'price' AS col_b, qty_price AS corr FROM a
+        |UNION ALL SELECT 'qty', 'disc', qty_disc FROM a
+        |UNION ALL SELECT 'qty', 'tax', qty_tax FROM a
+        |UNION ALL SELECT 'price', 'disc', price_disc FROM a
+        |UNION ALL SELECT 'price', 'tax', price_tax FROM a
+        |UNION ALL SELECT 'disc', 'tax', disc_tax FROM a
+        |ORDER BY col_a, col_b""".stripMargin,
     "a23_mad_outliers" ->
       """WITH med AS (
         |  SELECT event_type AS g, quantile_cont(value, 0.5) AS med
