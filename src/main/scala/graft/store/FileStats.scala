@@ -210,8 +210,12 @@ object FileStats {
       else Some(collectStatsDirs(spark, freshDirs, statCols, bloomCols))
     // carried rows: prev-sidecar entries whose file sits under a
     // partition dir this manifest still references from an OLDER
-    // version. Matched on the scheme-independent path suffix — the
-    // sidecar is one row per file, already driver-sized.
+    // version. Matched on the scheme-independent path suffix — as a
+    // DISTRIBUTED filter (≤ |partitions| contains-terms), never a
+    // driver collect: sidecar rows carry serialized BLOOMS, and pulling
+    // every file's bloom through the driver is exactly the
+    // O(files × bloom-bytes) pathology the round-10 verdict had
+    // pruneFilesEq evicted from the probe path.
     val carriedSuffixes = entries.collect { case (rel, ver) if ver != name =>
       s"/${SnapshotStore.SnapshotsDir}/$ver/$rel/" }.toSeq
     require(carriedSuffixes.isEmpty || prevName.nonEmpty,
@@ -220,13 +224,16 @@ object FileStats {
     val carried = prevName.filter(_ => carriedSuffixes.nonEmpty).map { p =>
       val prev = spark.read.parquet(
         new Path(snaps, p + StatsSuffix).toString)
-      val rows = prev.collect().filter { r =>
-        val path = new java.net.URI(r.getString(0)).getPath
-        carriedSuffixes.exists(path.contains)
-      }
-      spark.createDataFrame(
-        new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
-        prev.schema)
+      // flat set-membership on the extracted "/snapshots/vX/rel/" tail —
+      // a reduce of per-suffix contains() terms builds an OR tree deep
+      // enough to overflow Catalyst analysis at a few hundred partitions
+      val marker = s"/${SnapshotStore.SnapshotsDir}/"
+      prev
+        .withColumn("__dir", regexp_replace(col("file"), "/[^/]+$", "/"))
+        .withColumn("__key",
+          expr(s"substring(__dir, instr(__dir, '$marker'))"))
+        .filter(col("__key").isin(carriedSuffixes: _*))
+        .drop("__dir", "__key")
     }
     val side = (fresh, carried) match {
       case (Some(f), Some(c)) =>
