@@ -141,7 +141,46 @@ object ExtraWindowQueries {
         orders(s, d).select(col("o_totalprice").as("price"),
           (to_date(col("o_orderdate")) < lit("1998-04-01").cast("date"))
             .as("is_ref")),
-        "price", "is_ref", width = 500.0, bins = 1000))
+        "price", "is_ref", width = 500.0, bins = 1000)),
+
+    // QC4: EMBEDDING drift — the vector-feature sibling of qc2/qc3's
+    // scalar monitors: per label, the cosine between the reference
+    // slice's centroid and the current slice's (an upstream
+    // encoder/feature change moves centroids long before scalar stats
+    // notice). Centroids are the v3/v8 DECIMAL-exact per-dimension
+    // means; the cross-centroid dot/norm sums decimal-cast per TERM so
+    // 64-term addition is associative and both engines reach identical
+    // doubles. Two aggregations over (label, slice, dim) — never a
+    // vector × vector join.
+    "qc4_embedding_drift" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("label"), (col("vec_id") % 2 === 0).as("is_ref"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("pos", "v")))
+      val cent = e.groupBy("label", "is_ref", "pos")
+        .agg((sum(col("v").cast(DecimalType(30, 12))).cast("double") /
+          count(lit(1))).as("m"))
+      val a = cent.filter(col("is_ref"))
+        .select(col("label"), col("pos"), col("m").as("ma"))
+      val b = cent.filter(!col("is_ref"))
+        .select(col("label"), col("pos"), col("m").as("mb"))
+      val cos = a.join(b, Seq("label", "pos"))
+        .groupBy("label")
+        .agg(
+          sum((col("ma") * col("mb")).cast(DecimalType(38, 18)))
+            .cast("double").as("dot"),
+          sum((col("ma") * col("ma")).cast(DecimalType(38, 18)))
+            .cast("double").as("na"),
+          sum((col("mb") * col("mb")).cast(DecimalType(38, 18)))
+            .cast("double").as("nb"))
+        .select(col("label"),
+          round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6)
+            .as("centroid_cos"))
+      val n = embeddings(s, d).groupBy("label").agg(
+        sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("vec_id") % 2 =!= 0, 1L).otherwise(0L)).as("n_cur"))
+      cos.join(n, Seq("label")).orderBy("label")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -240,6 +279,37 @@ object ExtraWindowQueries {
         |SELECT CAST(MAX(tr) AS BIGINT) AS n_ref, CAST(MAX(tc) AS BIGINT) AS n_cur,
         |  ROUND(MAX(ABS(CAST(cr AS DOUBLE) / CAST(tr AS DOUBLE) -
         |    CAST(cc AS DOUBLE) / CAST(tc AS DOUBLE))), 6) AS ks_d
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+    // qc4: per-dimension decimal-exact centroids on each slice, then the
+    // decimal-term dot/norm sums — per-engine pos bases differ (0- vs
+    // 1-based) but pos is only ever a within-engine join key
+    "qc4_embedding_drift" ->
+      """WITH e AS (
+        |  SELECT label, vec_id % 2 = 0 AS is_ref, i AS pos,
+        |    CAST(embedding[i] AS DOUBLE) AS v
+        |  FROM embeddings, UNNEST(generate_series(1, 64)) t(i)),
+        |cent AS (
+        |  SELECT label, is_ref, pos,
+        |    CAST(SUM(CAST(v AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM e GROUP BY 1, 2, 3),
+        |j AS (
+        |  SELECT a.label,
+        |    CAST(SUM(CAST(a.m * b.m AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+        |    CAST(SUM(CAST(a.m * a.m AS DECIMAL(38,18))) AS DOUBLE) AS na,
+        |    CAST(SUM(CAST(b.m * b.m AS DECIMAL(38,18))) AS DOUBLE) AS nb
+        |  FROM cent a JOIN cent b
+        |    ON a.label = b.label AND a.pos = b.pos AND a.is_ref AND NOT b.is_ref
+        |  GROUP BY 1),
+        |n AS (
+        |  SELECT label,
+        |    CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_ref,
+        |    CAST(SUM(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_cur
+        |  FROM embeddings GROUP BY 1)
+        |SELECT j.label, ROUND(dot / (sqrt(na) * sqrt(nb)), 6) AS centroid_cos,
+        |  n.n_ref, n.n_cur
+        |FROM j JOIN n ON j.label = n.label
+        |ORDER BY j.label""".stripMargin
   )
 }

@@ -401,6 +401,34 @@ object VectorQueries {
         .select(col("qid"), (col("pos0") + 1).cast("int").as("rnk"),
           col("m.id").as("nid"), round(col("m.score"), 6).as("cos_sim"))
         .orderBy("qid", "rnk")
+    }),
+
+    // Hard-negative mining for contrastive training — for each anchor,
+    // the most similar vectors with a DIFFERENT label (the negatives
+    // that actually teach a bi-encoder something; random negatives are
+    // trivially separable). The v2 brute-force shape with the label
+    // inequality fused into the join condition, so disqualified
+    // same-label rows never reach the scorer: one corpus scan,
+    // k-bounded TopKScored, no window. At index scale the same mining
+    // runs against the IVF/LSH candidate stream.
+    "v11_hard_negatives" -> ((s, d) => {
+      graft.functions.CosineSimilarity.register(s)
+      val e = embeddings(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"), col("label"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("emb").as("ea"),
+          col("label").as("qlabel"))
+      e.select(col("vec_id").as("nid"), col("emb").as("eb"),
+          col("label").as("nlabel"))
+        .join(broadcast(q), col("nlabel") =!= col("qlabel"))
+        .withColumn("cs", cosine("ea", "eb"))
+        .groupBy("qid")
+        .agg(graft.functions.BottomK
+          .topKScored(col("cs"), col("nid"), 3).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("pos0", "m")))
+        .select(col("qid"), (col("pos0") + 1).cast("int").as("rnk"),
+          col("m.id").as("neg_id"), round(col("m.score"), 6).as("cos_sim"))
+        .orderBy("qid", "rnk")
     })
   )
 
@@ -523,6 +551,21 @@ object VectorQueries {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, nid)
         |    AS INTEGER) AS rnk,
         |  nid, ROUND(cs, 6) AS cos_sim
-        |FROM rer QUALIFY rnk <= 3 ORDER BY qid, rnk""".stripMargin
+        |FROM rer QUALIFY rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    "v11_hard_negatives" ->
+      """WITH base AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |cs AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS neg_id,
+        |    list_cosine_similarity(a.emb, b.emb) AS c
+        |  FROM base a JOIN base b ON b.label <> a.label
+        |  WHERE a.vec_id < 10)
+        |SELECT qid,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c DESC, neg_id)
+        |    AS INTEGER) AS rnk,
+        |  neg_id, ROUND(c, 6) AS cos_sim
+        |FROM cs QUALIFY rnk <= 3 ORDER BY qid, rnk""".stripMargin
   )
 }

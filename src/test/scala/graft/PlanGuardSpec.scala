@@ -33,7 +33,11 @@ class PlanGuardSpec extends SparkSuite {
     "v10_binary_hamming" -> ("the v2 shape with the scan payload cut " +
       "32x: broadcast 10-query set against ONE pass over (nid, 2 " +
       "BIGINT sign words) — XOR+popcount shortlist into the k-bounded " +
-      "TopKScored aggregate; the rerank re-joins <= 500 ids by equi-key")
+      "TopKScored aggregate; the rerank re-joins <= 500 ids by equi-key"),
+    "v11_hard_negatives" -> ("the v2 shape with the label inequality " +
+      "fused into the broadcast join condition (10 anchors, one corpus " +
+      "scan, k-bounded TopKScored) — at index scale the same mining " +
+      "runs on the IVF/LSH candidate stream instead")
     // dd3_ngram_jaccard left this list in round 5: its zero-overlap pair
     // skeleton is now a rank-explode + equi-join, not a theta join.
   )
