@@ -102,7 +102,18 @@ object QuantileSketch {
     // the bucket totals, and the merge window below are each jobs over
     // this frame, and un-checkpointed every one would re-run the
     // mapPartitions pass over the full table
-    val tagged = taggedSamples(df, valueCol, eps).localCheckpoint(true)
+    mergeTagged(taggedSamples(df, valueCol, eps).localCheckpoint(true))
+  }
+
+  /** The merge phase alone, over an already-materialized tagged-sample
+    * frame `(value, local_rank, pid)` — exposed so a STREAMING caller
+    * can accumulate per-micro-batch tagged frames (each batch's pids
+    * offset into their own namespace) and merge once at read time: the
+    * rank-error bound is Σ per-summary ε·N_summary = ε·N regardless of
+    * how many batches contributed, so batching costs nothing but more
+    * summary rows (st6's gate runs a20's oracle unchanged). Caller
+    * owns checkpointing. */
+  private[graft] def mergeTagged(tagged: DataFrame): (DataFrame, Long) = {
     // Each partition's contribution to est_rank(v) changes only at its
     // own emitted values, by the local-rank delta; summing deltas over
     // everything ≤ v (value, then rank as tie-break for duplicate
@@ -152,8 +163,14 @@ object QuantileSketch {
     * closest to q·N (ties to the smaller value). Output (q, value,
     * est_rank), one row per q, ordered by q. */
   def quantiles(df: DataFrame, valueCol: String, eps: Double,
+      qs: Seq[Double]): DataFrame =
+    quantilesFromMerged(summaryWithTotal(df, valueCol, eps), qs)
+
+  /** Quantile picks over an already-merged (summary, N) pair — the
+    * [[mergeTagged]] twin for streaming accumulation. */
+  private[graft] def quantilesFromMerged(sn: (DataFrame, Long),
       qs: Seq[Double]): DataFrame = {
-    val (s, n) = summaryWithTotal(df, valueCol, eps)
+    val (s, n) = sn
     // explode the requested quantiles onto the bounded summary frame —
     // no join (a literal-array explode keeps the plan NestedLoop-free);
     // N rides in as a literal from the merge's own bucket totals, not a

@@ -64,6 +64,71 @@ object WindowedAggQueries {
       s.table(sink).orderBy("win_start", "event_type")
     }),
 
+    // ST6: STREAMING ε-quantile sketch — the quantile member goes
+    // streaming like the count-min (st4): each micro-batch contributes
+    // its rank-spaced tagged samples (pids offset into a per-batch
+    // namespace), accumulated as bounded checkpointed frames via
+    // foreachBatch; ONE merge at read time serves the quantiles. The
+    // rank-error bound is Σ per-summary ε·N_summary = ε·N no matter how
+    // many batches contributed, so the gate is a20's oracle VERBATIM —
+    // streaming costs nothing but more summary rows through the same
+    // two-phase merge. (Fixture collect bounded by the gate's orders
+    // table, as in st1b.)
+    "st6_stream_quantile" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ep = 0.01
+      val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+      val o = graft.Tables.orders(s, d).select(col("o_totalprice").as("price"))
+      val rows = St6FixtureCache.getOrElseUpdate(d, o.as[Double].collect().toSeq)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Double]
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.DataFrame]
+      val q = mem.toDF().toDF("price").writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          buf.synchronized {
+            buf += graft.operators.QuantileSketch
+              .taggedSamples(batch, "price", ep)
+              .withColumn("pid",
+                col("pid") + lit(((batchId + 1) * 100000).toInt))
+              .localCheckpoint(true)
+          }
+          ()
+        }.start()
+      try {
+        val (h1, h2) = rows.splitAt(rows.length / 2)
+        mem.addData(h1: _*)
+        q.processAllAvailable() // epoch 0's tagged samples
+        mem.addData(h2: _*)
+        q.processAllAvailable() // epoch 1's
+      } finally q.stop()
+      val tagged = buf.synchronized(buf.reduce(_.unionByName(_)))
+        .localCheckpoint(true)
+      val est = graft.operators.QuantileSketch
+        .quantilesFromMerged(
+          graft.operators.QuantileSketch.mergeTagged(tagged), qs)
+        .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+      // a20's duplicate-safe rank-interval gate, one aggregation pass
+      val rankCols =
+        qs.map(qq => sum(when(col("price") < est(qq), 1L).otherwise(0L))
+          .as(s"lo$qq")) ++
+          qs.map(qq => sum(when(col("price") <= est(qq), 1L).otherwise(0L))
+            .as(s"hi$qq")) ++
+          qs.map(qq => round(percentile(col("price"), lit(qq)), 4)
+            .as(s"p$qq")) :+
+          count(lit(1)).as("n")
+      val row = o.agg(rankCols.head, rankCols.tail: _*).head()
+      val n = row.getAs[Long]("n")
+      val tol = 2 * ep * n
+      val out = qs.zipWithIndex.map { case (qq, i) =>
+        val (lo, hi) = (row.getLong(i), row.getLong(i + qs.size))
+        (qq, row.getDouble(i + 2 * qs.size),
+          lo.toDouble <= qq * n + tol && hi.toDouble >= qq * n - tol)
+      }
+      out.toDF("q", "exact_q", "sketch_rank_ok").orderBy("q")
+    }),
+
     // ST5: STREAMING session windows — sw1's 12-hour-gap sessionization
     // as an always-on stream (the st1b twin for SESSION windows: state
     // is the engine's session-window store, sessions MERGE across
@@ -254,6 +319,10 @@ object WindowedAggQueries {
   private val St4FixtureCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
 
+  /** st6's arriving-price fixture per (JVM, sfDir) — the st3 rule. */
+  private val St6FixtureCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[Double]]
+
   val oracle: Map[String, String] = Map(
     // a22's oracle VERBATIM: the streamed sketch must estimate exactly
     // like the batch build (cells are deterministic md5 — linearity
@@ -262,6 +331,9 @@ object WindowedAggQueries {
     // sw1's gaps-and-islands oracle VERBATIM: streamed session state
     // must reproduce batch sessionization exactly
     "st5_stream_session" -> AnalyticQueries.oracle("sw1_session_window"),
+    // a20's oracle VERBATIM: batch-accumulated summaries keep the same
+    // ε rank guarantee, so the identical gate booleans must hold
+    "st6_stream_quantile" -> AnalyticQueries.oracle("a20_quantile_sketch"),
     "st1b_stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
         |  COUNT(*) AS n,

@@ -45,6 +45,36 @@ class QuantileSketchSpec extends SparkSuite {
       checkBound(df, eps = 0.01, parts = parts)
   }
 
+  test("batch-accumulated tagged frames merge to the same rank guarantee (st6's shape)") {
+    import spark.implicits._
+    val eps = 0.01
+    val all = ((1 to 12000).map(_.toDouble) ++
+      (1 to 3000).map(_ => 77.0)).toDF("v")
+    val n = all.count()
+    // split into 3 "micro-batches", tag each with its own pid namespace
+    val parts = Seq(
+      all.filter(col("v") <= 4000),
+      all.filter(col("v") > 4000 && col("v") <= 9000),
+      all.filter(col("v") > 9000))
+    val tagged = parts.zipWithIndex.map { case (b, i) =>
+      QuantileSketch.taggedSamples(b.repartition(3), "v", eps)
+        .withColumn("pid", col("pid") + lit((i + 1) * 100000))
+        .localCheckpoint(true)
+    }.reduce(_.unionByName(_)).localCheckpoint(true)
+    val est = QuantileSketch
+      .quantilesFromMerged(QuantileSketch.mergeTagged(tagged), qs)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val sorted = all.select(col("v").cast("double"))
+      .collect().map(_.getDouble(0)).sorted
+    qs.foreach { q =>
+      val v = est(q)
+      val lo = sorted.count(_ < v)
+      val hi = sorted.count(_ <= v)
+      assert(lo <= q * n + eps * n && hi >= q * n - eps * n,
+        s"q=$q: rank span [$lo,$hi] vs ${q * n} (tol ${eps * n}, v=$v)")
+    }
+  }
+
   test("summary top rank is exactly N; est_rank never overestimates") {
     import spark.implicits._
     val df = (1 to 5000).map(i => (i * 37 % 5000).toDouble).toDF("v")
