@@ -64,6 +64,63 @@ object WindowedAggQueries {
       s.table(sink).orderBy("win_start", "event_type")
     }),
 
+    // ST7: STREAMING heavy hitters — the Misra–Gries member joins st4
+    // (count-min) and st6 (quantiles): per micro-batch, one bounded MG
+    // summary frame (≤ partitions·k rows) accumulates via foreachBatch;
+    // summaries merge by plain SUMMATION (Agarwal et al. mergeability),
+    // and the error bound sums to Σ N_batch/(k+1) = N/(k+1) — a19's
+    // bound for the whole stream, so a19's oracle gates VERBATIM. State
+    // never holds the live vocabulary: ≤ batches·partitions·k rows.
+    "st7_stream_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val k = 64
+      val rows = St4FixtureCache.getOrElseUpdate(d,
+        graft.Tables.documents(s, d).select(col("text"))
+          .as[String].collect().toSeq)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[String]
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.DataFrame]
+      val q = mem.toDF().toDF("text").writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val toks = batch
+            .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+            .filter(length(col("token")) > 0)
+          buf.synchronized {
+            buf += graft.operators.HeavyHitters
+              .approxCounts(toks, "token", k).localCheckpoint(true)
+          }
+          ()
+        }.start()
+      try {
+        val (h1, h2) = rows.splitAt(rows.length / 2)
+        mem.addData(h1: _*)
+        q.processAllAvailable()
+        mem.addData(h2: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val merged = buf.synchronized(buf.reduce(_.unionByName(_)))
+        .groupBy("token").agg(sum("est").as("est"))
+        .localCheckpoint(true)
+      // a19's gate body over the streamed summary
+      val toks = graft.Tables.documents(s, d)
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+      val n = toks.count()
+      val bound = n.toDouble / (k + 1)
+      val exactTop = toks.groupBy("token")
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("token"))
+        .limit(10)
+      exactTop.join(broadcast(merged), Seq("token"), "left")
+        .select(col("token"), col("n_exact"),
+          (coalesce(col("est"), lit(0L)) <= col("n_exact")).as("est_le_exact"),
+          (coalesce(col("est"), lit(0L)).cast("double") >=
+            col("n_exact").cast("double") - lit(bound)).as("est_within_bound"))
+        .orderBy(col("n_exact").desc, col("token"))
+    }),
+
     // ST6: STREAMING ε-quantile sketch — the quantile member goes
     // streaming like the count-min (st4): each micro-batch contributes
     // its rank-spaced tagged samples (pids offset into a per-batch
@@ -334,6 +391,9 @@ object WindowedAggQueries {
     // a20's oracle VERBATIM: batch-accumulated summaries keep the same
     // ε rank guarantee, so the identical gate booleans must hold
     "st6_stream_quantile" -> AnalyticQueries.oracle("a20_quantile_sketch"),
+    // a19's oracle VERBATIM: MG summaries merge by summation with the
+    // same summed error bound, so the identical gate booleans must hold
+    "st7_stream_heavy_hitters" -> AnalyticQueries.oracle("a19_heavy_hitters"),
     "st1b_stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
         |  COUNT(*) AS n,
