@@ -367,10 +367,60 @@ object DedupExtQueries {
           round(col("common").cast("double") /
             (col("na") + col("nb") - col("common")), 6).as("jac"))
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // DD15: cross-corpus PARAGRAPH dedup (CCNet/C4's sub-document pass —
+    // boilerplate sentences repeat across pages that are NOT document
+    // duplicates, so doc-level dedup never sees them). Sentences keyed
+    // by 48-bit md5-prefix LONG (the dd9 shuffle-width rule; identical
+    // hash both engines so even a collision behaves identically); the
+    // canonical occurrence is the lexicographically-least (doc_id, pos)
+    // per key, found with groupBy min(struct) + an equi-join back —
+    // never a window partitioned on the hash (a boilerplate sentence's
+    // millions of occurrences would pile into one task). Output: per-doc
+    // survival accounting, the shape the C4 cleaner reports.
+    "dd15_paragraph_dedup" -> ((s, d) => {
+      val paras = documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), "\\. "))
+          .as(Seq("pos", "para")))
+        .filter(length(trim(col("para"))) > 0)
+        .withColumn("h", expr(
+          "cast(conv(substring(md5(trim(para)), 1, 12), 16, 10) as bigint)"))
+      val canon = paras.groupBy("h")
+        .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
+        .select(col("h"), col("k.doc_id").as("kdoc"), col("k.pos").as("kpos"))
+      paras.join(canon, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_paras"),
+          sum(when(col("doc_id") === col("kdoc") &&
+            col("pos") === col("kpos"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("doc_id")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    // dd15: same split, same 48-bit md5-prefix keys, keeper via window
+    // rank (≡ Spark's min-struct: both are the lexicographically-least
+    // (doc_id, pos) per key)
+    "dd15_paragraph_dedup" ->
+      """WITH paras AS (
+        |  SELECT doc_id, CAST(t.i - 1 AS INTEGER) AS pos, p.parts[t.i] AS para
+        |  FROM (SELECT doc_id, string_split_regex(text, '\. ') AS parts
+        |        FROM documents) p,
+        |    UNNEST(generate_series(1, len(p.parts))) t(i)
+        |  WHERE LENGTH(TRIM(p.parts[t.i])) > 0),
+        |keyed AS (
+        |  SELECT doc_id, pos,
+        |    CAST(('0x' || substring(md5(TRIM(para)), 1, 12)) AS BIGINT) AS h
+        |  FROM paras),
+        |flagged AS (
+        |  SELECT doc_id, pos,
+        |    (ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) = 1)
+        |      AS kept
+        |  FROM keyed)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "dd14_prefix_filter_join" ->
       """WITH toklists AS (
         |  SELECT doc_id, string_split(
