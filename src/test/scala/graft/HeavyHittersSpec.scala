@@ -51,6 +51,31 @@ class HeavyHittersSpec extends SparkSuite {
     }
   }
 
+  test("batch-accumulated summaries merged by summation keep the MG bound (st7's shape)") {
+    import spark.implicits._
+    val k = 32
+    val exact = exactCounts(zipf)
+    val n = exact.values.sum
+    val bound = n.toDouble / (k + 1)
+    // three "micro-batches": summarize each, merge by plain summation
+    val all = zipf.collect().map(_.getString(0))
+    val batches = all.grouped((all.length + 2) / 3).toSeq
+    val merged = batches
+      .map(b => HeavyHitters.approxCounts(
+        b.toSeq.toDF("token").repartition(3), "token", k))
+      .reduce(_.unionByName(_))
+      .groupBy("token").agg(org.apache.spark.sql.functions.sum("est").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (tok, ex) =>
+      val e = merged.getOrElse(tok, 0L)
+      assert(e <= ex, s"$tok overestimated across batches: $e > $ex")
+      assert(e.toDouble >= ex - bound, s"$tok under summed bound: $e < $ex - $bound")
+    }
+    exact.filter(_._2 > bound).keys.foreach { tok =>
+      assert(merged.contains(tok), s"$tok missing from the batch-merged summary")
+    }
+  }
+
   test("per-partition summaries are k-bounded and compaction preserves weight order") {
     val toks = (1 to 4000).map(t => s"t${t % 700}") // vocab 700 >> k=16
     val out = HeavyHitters.mgSummarize(toks.iterator, 16).toSeq
