@@ -737,6 +737,25 @@ object WritePathQueries {
         .select("doc_id", "split").orderBy("doc_id")
     }),
 
+    // S23: TIME TRAVEL × DATA SKIPPING — every publish writes its
+    // sidecar beside its version dir before the pointer flip, so stats
+    // time-travel for free: a range read AT yesterday's snapshot prunes
+    // against yesterday's intervals and reads yesterday's files. The
+    // gate range [250, 349] straddles v1's edge (docs < 300): the
+    // output MUST be 250..299 — a current-version read would return
+    // 250..349 and hash-mismatch, so the oracle proves the historical
+    // sidecar (not just the historical data) actually served.
+    "s23_travel_skipping" -> ((s, d) => {
+      val (root, v1) = runTravelSkipScenario(s, d)
+      val (sel, all) = graft.store.FileStats
+        .pruneFilesAt(s, root, v1, "doc_id", 250L, 349L)
+      graft.store.FileStats
+        .readSelected(s, root, sel, col("doc_id").between(250L, 349L))
+        .select(col("doc_id"), col("lang"),
+          lit(sel.nonEmpty && sel.length < all.length).as("skip_effective"))
+        .orderBy("doc_id")
+    }),
+
     // S21: the COUNT-MIN sketch sidecar's managed lifecycle through the
     // driver gate — history (doc_id < 300) committed to a SnapshotStore
     // and sketched snapshot-keyed, the corpus grown to the FULL
@@ -785,6 +804,24 @@ object WritePathQueries {
         .orderBy(col("n_exact").desc, col("token"))
     })
   )
+
+  /** Build the travel-skipping scenario once per (JVM, sfDir): v1 =
+    * docs < 300 range-sorted into 4 stat'ed files, v2 = the full table
+    * into 8 — s23 then reads AT v1. Returns (root, v1 name). */
+  private val travelSkipScenarioCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def runTravelSkipScenario(s: SparkSession, d: String): (String, String) =
+    travelSkipScenarioCache.getOrElseUpdate(d, {
+      import graft.store.FileStats
+      val root = tmp("graft_gate_travelskip")
+      val docs = graft.Tables.documents(s, d).select("doc_id", "lang")
+      val v1 = FileStats.publishSorted(s, root,
+        docs.filter(col("doc_id") < 300), "doc_id", numFiles = 4,
+        statCols = Seq("doc_id"))
+      FileStats.publishSorted(s, root, docs, "doc_id", numFiles = 8,
+        statCols = Seq("doc_id"))
+      (root, v1)
+    })
 
   /** Build the targeted-delete scenario once per (JVM, sfDir):
     * documents published partitioned on pb = doc_id % 8 with a doc_id
@@ -926,6 +963,13 @@ object WritePathQueries {
     "s22_targeted_delete" ->
       """SELECT doc_id, lang, TRUE AS delete_bounded
         |FROM documents WHERE doc_id NOT IN (7, 19, 123)
+        |ORDER BY doc_id""".stripMargin,
+    // 250..299 ONLY — the current version holds 250..349 in range, so a
+    // read that failed to time-travel hash-mismatches
+    "s23_travel_skipping" ->
+      """SELECT doc_id, lang, TRUE AS skip_effective
+        |FROM documents
+        |WHERE doc_id BETWEEN 250 AND 349 AND doc_id < 300
         |ORDER BY doc_id""".stripMargin,
     // sequential-curation truth: the cp1 chain over HISTORY ALONE
     // (doc_id < 400 — yesterday's decisions are final) unioned with the

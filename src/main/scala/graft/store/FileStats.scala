@@ -261,9 +261,28 @@ object FileStats {
       name + StatsSuffix).toString)
   }
 
+  /** A PAST version's sidecar — every publish wrote its sidecar beside
+    * its version dir before the pointer flip, so stats time-travel for
+    * free with the data: a [[pruneFilesAt]] read of yesterday's
+    * snapshot prunes against yesterday's intervals, never the current
+    * layout's. Vacuumed versions raise like `readAt` does. */
+  private def sidecarAt(spark: SparkSession, root: String,
+                        name: String): DataFrame =
+    spark.read.parquet(new Path(new Path(root, SnapshotStore.SnapshotsDir),
+      name + StatsSuffix).toString)
+
   def pruneFiles(spark: SparkSession, root: String, c: String,
-                 lo: Any, hi: Any): (Seq[String], Seq[String]) = {
-    val stats = sidecar(spark, root)
+                 lo: Any, hi: Any): (Seq[String], Seq[String]) =
+    pruneFilesOn(sidecar(spark, root), c, lo, hi)
+
+  /** [[pruneFiles]] against version `name`'s sidecar (time travel ×
+    * skipping: the composition s23 gates). */
+  def pruneFilesAt(spark: SparkSession, root: String, name: String,
+                   c: String, lo: Any, hi: Any): (Seq[String], Seq[String]) =
+    pruneFilesOn(sidecarAt(spark, root, name), c, lo, hi)
+
+  private def pruneFilesOn(stats: DataFrame, c: String,
+                           lo: Any, hi: Any): (Seq[String], Seq[String]) = {
     // interval overlap, null-safe in BOTH directions: an all-null file
     // has null min/max (matches nothing for a range predicate — correct,
     // nulls fail `between`); a file absent from the stats schema would
@@ -281,6 +300,15 @@ object FileStats {
   def readRange(spark: SparkSession, root: String, c: String,
                 lo: Any, hi: Any): DataFrame =
     readPruned(spark, root, pruneFiles(spark, root, c, lo, hi)._1,
+      col(c).between(lit(lo), lit(hi)))
+
+  /** [[readRange]] AT a past version: time travel composed with file
+    * skipping — the pruned file list comes from THAT version's sidecar,
+    * so a historical range read touches only the historical files the
+    * predicate can match. */
+  def readRangeAt(spark: SparkSession, root: String, name: String,
+                  c: String, lo: Any, hi: Any): DataFrame =
+    readPruned(spark, root, pruneFilesAt(spark, root, name, c, lo, hi)._1,
       col(c).between(lit(lo), lit(hi)))
 
   /** The file lists an equality probe `c = value` decides between,
