@@ -64,6 +64,54 @@ object WindowedAggQueries {
       s.table(sink).orderBy("win_start", "event_type")
     }),
 
+    // ST8: STREAMING HLL distinct — the last sketch joins the streaming
+    // family (st4 CM, st6 quantiles, st7 MG): a complete-mode
+    // aggregation whose per-group state is the Datasketches HLL binary
+    // itself (hll_sketch_agg — registers, never the live key set), with
+    // the cross-group union (a14's mergeability proof) running over the
+    // bounded sink frame after the stream. Gate: a14's oracle VERBATIM
+    // — per-priority exact distincts + the merged-estimate boolean.
+    "st8_stream_hll" -> ((s, d) => {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val o = graft.Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_custkey"))
+      val rows = St8FixtureCache.getOrElseUpdate(d,
+        o.as[(String, Long)].collect().toSeq)
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long)]
+      val sink = s"st8_sink_${StreamSinkSeq.incrementAndGet()}"
+      val q = mem.toDF().toDF("o_orderpriority", "o_custkey")
+        .groupBy("o_orderpriority")
+        .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try {
+        val (h1, h2) = rows.splitAt(rows.length / 2)
+        mem.addData(h1: _*)
+        q.processAllAvailable() // epoch 0: partial registers
+        mem.addData(h2: _*)
+        q.processAllAvailable() // epoch 1: registers cover the corpus
+      } finally q.stop()
+      val sk = s.table(sink).localCheckpoint(true)
+      val exact = o.groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_custkey")).as("n_exact"))
+      val per = sk.join(broadcast(exact), Seq("o_orderpriority"))
+        .select(col("o_orderpriority").as("scope"), col("n_exact"),
+          expr("hll_sketch_estimate(sk)").as("est"))
+      val globalExact = o.agg(countDistinct(col("o_custkey")))
+        .head().getLong(0)
+      val merged = sk
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+        .select(lit("ALL_MERGED").as("scope"),
+          lit(globalExact).as("n_exact"), col("est"))
+      per.unionByName(merged)
+        .select(col("scope"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.05)
+            .as("est_within_5pct"))
+        .orderBy("scope")
+    }),
+
     // ST7: STREAMING heavy hitters — the Misra–Gries member joins st4
     // (count-min) and st6 (quantiles): per micro-batch, one bounded MG
     // summary frame (≤ partitions·k rows) accumulates via foreachBatch;
@@ -380,6 +428,10 @@ object WindowedAggQueries {
   private val St6FixtureCache =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Double]]
 
+  /** st8's arriving-order fixture per (JVM, sfDir) — the st3 rule. */
+  private val St8FixtureCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, Long)]]
+
   val oracle: Map[String, String] = Map(
     // a22's oracle VERBATIM: the streamed sketch must estimate exactly
     // like the batch build (cells are deterministic md5 — linearity
@@ -394,6 +446,9 @@ object WindowedAggQueries {
     // a19's oracle VERBATIM: MG summaries merge by summation with the
     // same summed error bound, so the identical gate booleans must hold
     "st7_stream_heavy_hitters" -> AnalyticQueries.oracle("a19_heavy_hitters"),
+    // a14's oracle VERBATIM: streamed HLL registers must estimate like
+    // the batch sketches, per group and union-merged
+    "st8_stream_hll" -> CoverageQueries.oracle("a14_hll_sketch_merge"),
     "st1b_stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
         |  COUNT(*) AS n,
