@@ -26,7 +26,12 @@ import org.apache.spark.sql.functions._
   *
   * Caller contract: `edges` deduplicated and every node has outdeg ≥ 1 —
   * a symmetric (undirected) edge set satisfies this for free; directed
-  * callers with dangling nodes should add self-loops first. Mass lost to
+  * callers with dangling nodes should add self-loops first. The node set
+  * is exactly the SOURCE set, and every round left-joins the in-mass
+  * aggregate back onto it, so an indeg-0 node (legal under the contract:
+  * it points at others, nothing points at it) keeps receiving its
+  * teleport term every round instead of vanishing after round 1 — a
+  * groupBy(dst) alone only emits destination nodes. Mass lost to
   * the double floor is deliberate (bounded by N·(100+d)/100 scale units
   * per round — ~10^-7 of total at N=10^6), not redistributed.
   *
@@ -51,18 +56,26 @@ object PageRank {
     val withDeg = e
       .join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
       .localCheckpoint() // (src, dst, deg): the per-round join input
-    val n = withDeg.select(countDistinct(col("src"))).head().getLong(0)
+    // the node set is referenced every round (the left side of the
+    // teleport join); it is |nodes| rows — cheap to pin once
+    val nodes = withDeg.select(col("src").as("node")).distinct()
+      .localCheckpoint()
+    val n = nodes.count()
     require(n > 0, "PageRank over an empty edge set")
     val base = scale / n
-    var score = withDeg.select(col("src").as("node")).distinct()
-      .select(col("node"), lit(base).as("score"))
+    var score = nodes.select(col("node"), lit(base).as("score"))
     for (_ <- 1 to iters) {
-      score = withDeg
+      val insum = withDeg
         .join(score.withColumnRenamed("node", "src"), "src")
         .groupBy("dst")
         .agg(sum(expr("score div deg")).as("insum"))
-        .selectExpr("dst AS node",
-          s"(${(100L - dampPct) * base} + $dampPct * insum) div 100 AS score")
+      // left-join onto the FULL node set: indeg-0 nodes get no insum row
+      // but must keep their teleport mass (and keep contributing out)
+      score = nodes
+        .join(insum.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .selectExpr("node",
+          s"(${(100L - dampPct) * base} + $dampPct * coalesce(insum, 0L))" +
+            " div 100 AS score")
     }
     score
   }

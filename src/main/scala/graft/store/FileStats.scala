@@ -210,30 +210,52 @@ object FileStats {
       else Some(collectStatsDirs(spark, freshDirs, statCols, bloomCols))
     // carried rows: prev-sidecar entries whose file sits under a
     // partition dir this manifest still references from an OLDER
-    // version. Matched on the scheme-independent path suffix — as a
-    // DISTRIBUTED filter (≤ |partitions| contains-terms), never a
-    // driver collect: sidecar rows carry serialized BLOOMS, and pulling
-    // every file's bloom through the driver is exactly the
-    // O(files × bloom-bytes) pathology the round-10 verdict had
-    // pruneFilesEq evicted from the probe path.
-    val carriedSuffixes = entries.collect { case (rel, ver) if ver != name =>
-      s"/${SnapshotStore.SnapshotsDir}/$ver/$rel/" }.toSeq
-    require(carriedSuffixes.isEmpty || prevName.nonEmpty,
+    // version. Matched as a DISTRIBUTED filter (flat isin over
+    // ≤ |partitions| keys), never a driver collect: sidecar rows carry
+    // serialized BLOOMS, and pulling every file's bloom through the
+    // driver is exactly the O(files × bloom-bytes) pathology the
+    // round-10 verdict had pruneFilesEq evicted from the probe path.
+    //
+    // The "vX/rel/" key is anchored on the ROOT's own snapshots path —
+    // URI-encoded via Hadoop Path, the SAME encoding input_file_name
+    // recorded into the sidecar's `file` column — not on the first
+    // '/_snapshots/' marker occurrence: a table root that itself
+    // contains a '/_snapshots/' path segment would mis-anchor a
+    // first-occurrence instr and silently drop every carried row, and a
+    // raw-vs-decoded spelling mismatch would do the same. Both sides of
+    // the comparison below go through Path.toUri.getRawPath, so they
+    // cannot drift.
+    val snapsRaw = snaps.toUri.getRawPath.stripSuffix("/") + "/"
+    val carriedKeys = entries.collect { case (rel, ver) if ver != name =>
+      new Path(new Path(snaps, ver), rel).toUri.getRawPath
+        .stripPrefix(snapsRaw.stripSuffix("/")).stripPrefix("/") + "/"
+    }.toSeq
+    require(carriedKeys.isEmpty || prevName.nonEmpty,
       s"$name carries partitions forward but no prevName sidecar was given" +
         " — their stats would silently vanish")
-    val carried = prevName.filter(_ => carriedSuffixes.nonEmpty).map { p =>
+    val carried = prevName.filter(_ => carriedKeys.nonEmpty).map { p =>
       val prev = spark.read.parquet(
         new Path(snaps, p + StatsSuffix).toString)
-      // flat set-membership on the extracted "/snapshots/vX/rel/" tail —
-      // a reduce of per-suffix contains() terms builds an OR tree deep
-      // enough to overflow Catalyst analysis at a few hundred partitions
-      val marker = s"/${SnapshotStore.SnapshotsDir}/"
-      prev
+      // flat set-membership on the extracted "vX/rel/" tail — a reduce
+      // of per-suffix contains() terms builds an OR tree deep enough to
+      // overflow Catalyst analysis at a few hundred partitions
+      val hit = prev
         .withColumn("__dir", regexp_replace(col("file"), "/[^/]+$", "/"))
-        .withColumn("__key",
-          expr(s"substring(__dir, instr(__dir, '$marker'))"))
-        .filter(col("__key").isin(carriedSuffixes: _*))
-        .drop("__dir", "__key")
+        .withColumn("__key", col("__dir").substr(
+          locate(snapsRaw, col("__dir")) + lit(snapsRaw.length),
+          lit(Int.MaxValue)))
+        .filter(col("__key").isin(carriedKeys: _*))
+      // integrity gate: every carried partition MUST contribute rows —
+      // a sidecar row silently lost here means pruned reads silently
+      // omit that file's DATA forever after. One tiny agg over the
+      // sidecar (|files| rows) buys fail-loud.
+      val gotDirs = hit.select(countDistinct(col("__key"))).head().getLong(0)
+      require(gotDirs == carriedKeys.distinct.size.toLong,
+        s"writeSidecarIncremental: only $gotDirs of " +
+          s"${carriedKeys.distinct.size} carried partitions matched rows " +
+          s"in $p's sidecar — refusing to publish a sidecar that would " +
+          "silently hide files from pruned reads")
+      hit.drop("__dir", "__key")
     }
     val side = (fresh, carried) match {
       case (Some(f), Some(c)) =>
@@ -381,9 +403,19 @@ object FileStats {
   private val VersionDirRe =
     (".*/" + SnapshotStore.SnapshotsDir + "/v\\d{9}").r
 
+  /** Sidecar `file` values are input_file_name URIs — %-encoded on top
+    * of the (already hive-escaped) on-disk names. spark.read treats a
+    * path STRING literally, so the URI layer must be undone exactly once
+    * before a file string goes back into a reader, or any partition
+    * value hive-escapes (':' → %3A on disk → %253A in the URI) resolves
+    * to a nonexistent double-encoded path. */
+  private def toReadablePath(f: String): String =
+    new Path(new java.net.URI(f)).toString
+
   private def readPruned(spark: SparkSession, root: String,
-                         selected: Seq[String],
-                         pred: org.apache.spark.sql.Column): DataFrame =
+                         selectedRaw: Seq[String],
+                         pred: org.apache.spark.sql.Column): DataFrame = {
+    val selected = selectedRaw.map(toReadablePath)
     if (selected.isEmpty) SnapshotStore.read(spark, root).filter(lit(false))
     else {
       // re-attach hive partition values: group files by their version
@@ -404,6 +436,7 @@ object FileStats {
       parts.reduceLeft(_.unionByName(_, allowMissingColumns = true))
         .filter(pred)
     }
+  }
 
   /** Exact row count of `lo <= c <= hi`, answered as far as possible
     * from METADATA: a file whose [min,max] lies entirely inside the
@@ -431,7 +464,7 @@ object FileStats {
       .collect()
     val fromMeta = rows.filter(_.getBoolean(3))
     val toScan = rows.filter(r => r.getBoolean(2) && !r.getBoolean(3))
-      .map(_.getString(0)).toSeq
+      .map(r => toReadablePath(r.getString(0))).toSeq
     val metaCount = fromMeta.map(_.getLong(1)).sum
     val scanned =
       if (toScan.isEmpty) 0L
@@ -471,13 +504,17 @@ object FileStats {
       col(s"max_$c") >= lit(lo) && col(s"min_$c") <= lit(hi), lit(false))
     val contained = coalesce(
       col(s"min_$c") >= lit(lo) && col(s"max_$c") <= lit(hi), lit(false))
+    // the stored sum is read at its NATIVE (already-widened) decimal
+    // type — a down-cast to SumDecimal here could overflow to null
+    // (ANSI off), indistinguishable from the legitimate all-null-file
+    // null and silently under-reporting the total
     val rows = stats
-      .select(col("file"), col("rows"), col(s"sum_$aggCol").cast(SumDecimal),
+      .select(col("file"), col("rows"), col(s"sum_$aggCol"),
         overlap.as("ov"), contained.as("cn"))
       .collect()
     val fromMeta = rows.filter(_.getBoolean(4))
     val toScan = rows.filter(r => r.getBoolean(3) && !r.getBoolean(4))
-      .map(_.getString(0)).toSeq
+      .map(r => toReadablePath(r.getString(0))).toSeq
     val metaCount = fromMeta.map(_.getLong(1)).sum
     val metaSum = fromMeta.flatMap(r => Option(r.getDecimal(2)))
       .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
@@ -554,16 +591,30 @@ object FileStats {
     val maybeFiles = stats
       .select(col("file"), (col(s"bloom_$c").isNull || anyKey).as("keep"))
       .collect().filter(_.getBoolean(1)).map(_.getString(0))
-    // file path → its pcol=... rel dir (the manifest granule)
+    // file path → its pcol=... rel dir (the manifest granule). URI
+    // decoding matters: input_file_name %-encodes the on-disk name
+    // (itself hive-escaped), and the manifest entries carry the ON-DISK
+    // spelling — java.net.URI.getPath undoes exactly the URI layer
     val partRe = (java.util.regex.Pattern.quote(pcol) + "=[^/]+").r
     val affected = maybeFiles.flatMap(f =>
       partRe.findFirstIn(new java.net.URI(f).getPath)).toSet
     if (affected.isEmpty) return (cur, 0, entries.size)
-    val affectedVals = affected.map(_.split("=", 2)(1))
+    // the affected partitions are re-read BY PATH through their manifest
+    // entries — never by value equality against the hive dir spelling: a
+    // hive-escaped or type-reformatted value (timestamps, '%'/'#' in
+    // strings) fails a cast-to-string isin, which would drop the
+    // partition from the rewrite while the manifest simultaneously drops
+    // it from the carry-forward — silent loss of every surviving row.
+    val affectedEntries = entries.filter { case (rel, _) => affected(rel) }
+    require(affectedEntries.size == affected.size,
+      s"deleteKeys: sidecar names partitions absent from the manifest: " +
+        (affected -- affectedEntries.keySet).mkString(", "))
     val name = SnapshotStore.commit(spark, root) { dir =>
-      SnapshotStore.read(spark, root)
-        .filter(col(pcol).cast("string").isin(affectedVals.toSeq: _*))
-        .filter(!col(c).isin(keys: _*))
+      SnapshotStore.readEntries(spark, root, affectedEntries)
+        // keep under SQL three-valued logic: NOT isin(keys) is NULL —
+        // i.e. dropped — for null-key rows; a targeted delete must
+        // never destroy rows it was not asked about
+        .filter(col(c).isNull || !col(c).isin(keys: _*))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy(pcol).parquet(dir)
       val dirPath = new Path(dir)

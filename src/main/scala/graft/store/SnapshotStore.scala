@@ -595,8 +595,8 @@ object SnapshotStore {
     * long before that), and the union width here is bounded by the
     * retention window instead. `mergeSchema` keeps per-partition schema
     * drift readable, as the per-partition union form did. */
-  private def readEntries(spark: SparkSession, root: String,
-                          entries: Map[String, String]): DataFrame = {
+  private[graft] def readEntries(spark: SparkSession, root: String,
+                                 entries: Map[String, String]): DataFrame = {
     val byVersion = entries.toSeq.groupBy(_._2)
     val parts = byVersion.toSeq.sortBy(_._1).map { case (ver, es) =>
       val base = new Path(new Path(root, SnapshotsDir), ver)

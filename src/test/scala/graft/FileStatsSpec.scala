@@ -411,6 +411,78 @@ class FileStatsSpec extends SparkSuite {
     assert(SnapshotStore.read(spark, root).count() == 100L)
   }
 
+  test("deleteKeys preserves null-key rows in rewritten partitions") {
+    val root = freshRoot("delnull")
+    // k is null on two rows of pb=1 — a targeted delete of OTHER keys in
+    // that partition must not destroy them (NOT isin(keys) is NULL, i.e.
+    // dropped, under three-valued logic)
+    val df = spark.range(0, 80).select(
+      when(col("id").isin(21L, 29L), lit(null)).otherwise(col("id"))
+        .cast("long").as("k"),
+      (col("id") % 4).cast("int").as("pb"), lit(1.0).as("v"))
+    FileStats.publishPartitioned(spark, root, df, "pb",
+      statCols = Seq("k"), bloomCols = Seq("k"))
+    // 9 lives in pb=1 alongside the null-key rows (21, 29 ≡ 1 mod 4)
+    val (_, rewritten, total) =
+      FileStats.deleteKeys(spark, root, "k", Seq(9L), "pb",
+        statCols = Seq("k"), bloomCols = Seq("k"))
+    assert(total == 4 && rewritten >= 1)
+    val after = SnapshotStore.read(spark, root)
+    assert(after.count() == 79L, "exactly the one targeted row is gone")
+    assert(after.filter(col("k").isNull).count() == 2L,
+      "null-key rows survive the partition rewrite")
+  }
+
+  test("deleteKeys on hive-escaped partition values rewrites by PATH, " +
+      "never by value-spelling equality") {
+    val root = freshRoot("delesc")
+    // ':' and '#' hive-escape in directory names (pb=a%3Ab on disk) —
+    // a cast-to-string isin against the path spelling would select no
+    // rows, silently emptying the partition while dropping it from the
+    // carried manifest
+    val df = spark.range(0, 60).select(col("id").as("k"),
+      element_at(lit(Array("a:b", "c#d", "plain")),
+        (col("id") % 3 + 1).cast("int")).as("pb"), lit(1.0).as("v"))
+    FileStats.publishPartitioned(spark, root, df, "pb",
+      statCols = Seq("k"), bloomCols = Seq("k"))
+    // k=3 lives in pb=a:b (3 % 3 == 0 → element 1)
+    val (_, rewritten, total) =
+      FileStats.deleteKeys(spark, root, "k", Seq(3L), "pb",
+        statCols = Seq("k"), bloomCols = Seq("k"))
+    assert(total == 3 && rewritten >= 1 && rewritten < 3)
+    val after = SnapshotStore.read(spark, root)
+    assert(after.count() == 59L, "only the targeted row is gone")
+    assert(after.filter(col("pb") === "a:b").count() == 19L,
+      "the escaped partition's surviving rows are all rewritten")
+    assert(FileStats.readEq(spark, root, "k", 6L).count() == 1L,
+      "sidecar still serves the escaped partition after the rewrite")
+  }
+
+  test("incremental sidecar carry anchors on the ROOT's snapshots path: " +
+      "a '_snapshots' segment in an ancestor dir cannot mis-anchor") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_fs_anchor").toString
+    // table root deliberately nests under a directory literally named
+    // _snapshots — a first-occurrence marker match would key carried
+    // rows on the WRONG path tail and silently drop them all
+    val root = base + "/_snapshots/t"
+    val df = spark.range(0, 80).select(col("id").as("k"),
+      (col("id") % 4).cast("int").as("pb"), lit(1.0).as("v"))
+    FileStats.publishPartitioned(spark, root, df, "pb",
+      statCols = Seq("k"), bloomCols = Seq("k"))
+    // the delete path runs writeSidecarIncremental for the 3 carried
+    // partitions; the integrity guard raises if any carried row is lost
+    val (_, rewritten, total) =
+      FileStats.deleteKeys(spark, root, "k", Seq(9L), "pb",
+        statCols = Seq("k"), bloomCols = Seq("k"))
+    assert(total == 4 && rewritten >= 1 && rewritten < 4)
+    assert(SnapshotStore.read(spark, root).count() == 79L)
+    // carried partitions still answer bloom-pruned reads from the
+    // carried sidecar rows
+    assert(FileStats.readEq(spark, root, "k", 10L).count() == 1L)
+    assert(FileStats.readEq(spark, root, "k", 9L).count() == 0L)
+  }
+
   test("deleteKeys that empties a partition drops it from the manifest") {
     val root = freshRoot("delempty")
     val df = spark.range(0, 40).select(col("id").as("k"),

@@ -53,6 +53,32 @@ class PageRankSpec extends SparkSuite {
     assert(got.values.forall(s => s > 0L && s <= 1000000000000L))
   }
 
+  test("indeg-0 source keeps its teleport mass every round (directed graphs)") {
+    import spark.implicits._
+    // node 9 points INTO a symmetric triangle but nothing points back at
+    // it — legal under the outdeg ≥ 1 contract. A groupBy(dst)-only
+    // update would drop it after round 1 (it never appears as a dst).
+    val tri = Seq((0L, 1L), (1L, 2L), (0L, 2L))
+    val edges = tri ++ tri.map(_.swap) :+ (9L -> 0L)
+    val got = PageRank.scores(edges.toDF("src", "dst"), "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // corrected local reference over the full SOURCE-node set
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val base = 1000000000000L / deg.size
+    var score: Map[Long, Long] = deg.map { case (s, _) => s -> base }
+    for (_ <- 1 to 3) {
+      val in = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => score(s) / deg(s) }.sum }
+      score = deg.keys.map(v =>
+        v -> ((15L * base + 85L * in.getOrElse(v, 0L)) / 100L)).toMap
+    }
+    assert(got == score, s"$got vs $score")
+    assert(got(9L) == 15L * base / 100L,
+      "indeg-0 node must hold exactly its teleport term")
+    assert(got.keySet == Set(0L, 1L, 2L, 9L),
+      "score frame covers the full source-node set every round")
+  }
+
   test("plan pin: iterations are equi-joins and aggregations, never a cartesian") {
     import spark.implicits._
     val e = planted.toDF("src", "dst")
