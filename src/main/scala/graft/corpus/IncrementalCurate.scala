@@ -155,6 +155,50 @@ object IncrementalCurate {
         graft.operators.Splits.hashSplit(col("doc_id")))
   }
 
+  /** O(churn) DELTA PUBLISH of the curated store — the one step of the
+    * daily-ingest path that used to be O(history): each publish writes
+    * ONLY its batch's rows, as one fresh `batch_id=<version>` partition
+    * dir inside the new version dir, and carries every previous batch's
+    * partition forward BY REFERENCE in the version's manifest
+    * ([[SnapshotStore.writeManifest]] — the gold-table incremental
+    * layout). Carried files keep their byte-identical paths and are
+    * never rewritten, so daily write volume is O(accepted batch)
+    * however large the corpus; the flat `readAt(prev) ∪ accepted`
+    * spelling this replaces rewrote the WHOLE curated table per day —
+    * a full-corpus rewrite at 100 TB. (Reference intent: the silver
+    * MERGE writes touched files, not the table —
+    * silver_etl_script.py:946-961.)
+    *
+    * Fenced on `base`, the snapshot the curation decisions read (None
+    * bootstraps day 1, making the history itself batch 1). Readers are
+    * unchanged: [[SnapshotStore.read]] resolves the manifest and
+    * re-attaches `batch_id` from the partition dir names. */
+  def publishDelta(spark: SparkSession, curatedRoot: String,
+                   accepted: DataFrame, base: Option[String]): String =
+    SnapshotStore.commitFrom(spark, curatedRoot, base) { dir =>
+      val dirPath = new org.apache.hadoop.fs.Path(dir)
+      val name = dirPath.getName
+      val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      accepted.withColumn("batch_id", lit(name))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("batch_id").parquet(dir)
+      val fresh = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/batch_id=*")))
+        .getOrElse(Array.empty)
+        .map(_.getPath.getName -> name).toMap
+      // the pointer still names `base` until commitFrom flips it, so
+      // currentEntries here reads exactly the carried-forward set
+      val carried =
+        if (base.isEmpty) Map.empty[String, String]
+        else SnapshotStore.currentEntries(spark, curatedRoot, 1)
+          .getOrElse(Map.empty)
+      require(base.isEmpty || carried.nonEmpty,
+        s"publishDelta: prior snapshot of $curatedRoot has no batch_id=* " +
+          "partitions and no manifest — the curated store must be " +
+          "delta-published from its first commit")
+      SnapshotStore.writeManifest(spark, curatedRoot, name, carried ++ fresh)
+    }
+
   /** The two-day incremental-curation world the cp6/s19 gates read,
     * built once per (JVM, sfDir) — every step idempotent-by-cache like
     * the other gate scenarios:
@@ -179,11 +223,11 @@ object IncrementalCurate {
         hist.write.parquet(dir))
       val snap2 = SnapshotStore.commit(spark, rawRoot)(dir =>
         docs.write.parquet(dir))
-      // day-1 history curation (full, portable family end-to-end)
+      // day-1 history curation (full, portable family end-to-end);
+      // published as batch 1 of the delta layout
       val curatedHist = curateHistory(spark, hist)
       val curRoot = tmp("graft_incr_curated")
-      val snapC1 = SnapshotStore.commit(spark, curRoot)(dir =>
-        curatedHist.write.parquet(dir))
+      val snapC1 = publishDelta(spark, curRoot, curatedHist, None)
       val g1 = LshBandIndex.ensureForSnapshot(spark, curRoot,
         portable = true)
       // day-2: the change feed IS the batch (pure inserts by the ingest
@@ -194,12 +238,10 @@ object IncrementalCurate {
         .select(docs.columns.map(col): _*)
       val accepted = curateBatch(spark, batch, curRoot, g1)
         .localCheckpoint(true)
-      // delta publish (fenced on the snapshot this curation read) +
-      // O(batch) index advance, count-verified against the new snapshot
-      SnapshotStore.commitFrom(spark, curRoot, Some(snapC1)) { dir =>
-        SnapshotStore.readAt(spark, curRoot, snapC1)
-          .unionByName(accepted).write.parquet(dir)
-      }
+      // delta publish (fenced on the snapshot this curation read;
+      // O(batch) write volume — day 1 carried by reference) + O(batch)
+      // index advance, count-verified against the new snapshot
+      publishDelta(spark, curRoot, accepted, Some(snapC1))
       LshBandIndex.advanceForSnapshotWithBatch(spark, curRoot, accepted,
         portable = true)
       val out = tmp("graft_incr_accepted")

@@ -301,8 +301,8 @@ object StreamingOps {
           SnapshotStore.currentName(spark, curatedRoot) match {
             case None =>
               val curated = IncrementalCurate.curateHistory(spark, b)
-              SnapshotStore.commit(spark, curatedRoot)(dir =>
-                curated.write.parquet(dir))
+              IncrementalCurate.publishDelta(spark, curatedRoot,
+                curated, None)
               LshBandIndex.ensureForSnapshot(spark, curatedRoot,
                 portable = true)
               ()
@@ -316,11 +316,10 @@ object StreamingOps {
                 .curateBatch(spark, b, curatedRoot, gen)
                 .localCheckpoint(true)
               if (!accepted.isEmpty) {
-                SnapshotStore.commitFrom(spark, curatedRoot, Some(snap)) {
-                  dir =>
-                    SnapshotStore.readAt(spark, curatedRoot, snap)
-                      .unionByName(accepted).write.parquet(dir)
-                }
+                // O(batch) delta publish: prior batches carried by
+                // reference, never rewritten per micro-batch
+                IncrementalCurate.publishDelta(spark, curatedRoot,
+                  accepted, Some(snap))
                 LshBandIndex.advanceForSnapshotWithBatch(spark,
                   curatedRoot, accepted, portable = true)
                 ()

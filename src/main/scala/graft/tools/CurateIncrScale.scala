@@ -20,10 +20,10 @@ import graft.store.SnapshotStore
   * incremental path replaces, expected ~linear in H), then
   * `curate_batch` seconds for a fixed 2k-doc batch against that world
   * (expected FLAT in H), and `publish_advance` seconds for the fenced
-  * delta commit + count-verified index advance (the store commit
-  * rewrites the curated table at this harness's flat layout — a
-  * partitioned/manifest layout would make it O(batch); the index
-  * advance itself is O(batch)).
+  * delta commit + count-verified index advance (both O(batch): the
+  * publish writes ONE `batch_id=<version>` partition and carries
+  * history forward by manifest reference — IncrementalCurate
+  * .publishDelta — so this column must stay FLAT in H too).
   *
   *   sbt "runMain graft.tools.CurateIncrScale 10000 100000 500000"
   */
@@ -63,7 +63,7 @@ object CurateIncrScale {
       val root = java.nio.file.Files
         .createTempDirectory(s"graft_cis_$h").toString + "/t"
       val curated = IncrementalCurate.curateHistory(spark, docs(0, h))
-      SnapshotStore.commit(spark, root)(dir => curated.write.parquet(dir))
+      IncrementalCurate.publishDelta(spark, root, curated, None)
       val gen = LshBandIndex.ensureForSnapshot(spark, root, portable = true)
       (root, gen)
     }
@@ -84,10 +84,7 @@ object CurateIncrScale {
       val nAcc = accepted.count()
       val tPublish = time {
         val snap = SnapshotStore.currentName(spark, root).get
-        SnapshotStore.commitFrom(spark, root, Some(snap)) { dir =>
-          SnapshotStore.readAt(spark, root, snap)
-            .unionByName(accepted).write.parquet(dir)
-        }
+        IncrementalCurate.publishDelta(spark, root, accepted, Some(snap))
         LshBandIndex.advanceForSnapshotWithBatch(spark, root, accepted,
           portable = true)
       }

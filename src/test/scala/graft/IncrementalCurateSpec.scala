@@ -67,8 +67,7 @@ class IncrementalCurateSpec extends SparkSuite {
     val curRoot = java.nio.file.Files
       .createTempDirectory("graft_incurate_spec").toString + "/t"
     val curatedHist = IncrementalCurate.curateHistory(spark, mkDocs(histRows))
-    SnapshotStore.commit(spark, curRoot)(dir =>
-      curatedHist.write.parquet(dir))
+    IncrementalCurate.publishDelta(spark, curRoot, curatedHist, None)
     val g1 = LshBandIndex.ensureForSnapshot(spark, curRoot, portable = true)
     val accepted = IncrementalCurate.curateBatch(spark, mkDocs(batchRows),
       curRoot, g1).localCheckpoint(true)
@@ -147,15 +146,36 @@ class IncrementalCurateSpec extends SparkSuite {
   }
 
   test("publish + advance: the store and index carry exactly the " +
-    "exact-survivors of history ∪ batch") {
+    "exact-survivors of history ∪ batch; prior batches carried BY " +
+    "REFERENCE — byte-identical paths, O(batch) write volume") {
     val (curRoot, accepted) = world
     val snapBefore = SnapshotStore.currentName(spark, curRoot).get
-    SnapshotStore.commitFrom(spark, curRoot, Some(snapBefore)) { dir =>
-      SnapshotStore.readAt(spark, curRoot, snapBefore)
-        .unionByName(accepted).write.parquet(dir)
+    def listFiles(glob: String): Set[(String, Long, Long)] = {
+      val p = new org.apache.hadoop.fs.Path(glob)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Option(fs.globStatus(p)).getOrElse(Array.empty)
+        .map(st => (st.getPath.toString, st.getModificationTime, st.getLen))
+        .toSet
     }
+    val snaps = s"$curRoot/${SnapshotStore.SnapshotsDir}"
+    val v1Files = listFiles(s"$snaps/$snapBefore/batch_id=*/*")
+    assert(v1Files.nonEmpty, "day-1 publish must be batch_id-partitioned")
+    val v2 = IncrementalCurate.publishDelta(spark, curRoot, accepted,
+      Some(snapBefore))
     val g2 = LshBandIndex.advanceForSnapshotWithBatch(spark, curRoot,
       accepted, portable = true)
+    // O(churn): v1's files are untouched on disk — identical path,
+    // mtime and size — and v2's version dir holds ONLY the batch
+    assert(listFiles(s"$snaps/$snapBefore/batch_id=*/*") == v1Files,
+      "carried partition must keep byte-identical files")
+    val v2Parts = listFiles(s"$snaps/$v2/batch_id=*")
+      .map(t => new org.apache.hadoop.fs.Path(t._1).getName)
+    assert(v2Parts == Set(s"batch_id=$v2"),
+      s"the new version writes only its own batch partition: $v2Parts")
+    // the manifest carries day 1 by reference and names the fresh batch
+    val entries = SnapshotStore.currentEntries(spark, curRoot, 1).get
+    assert(entries(s"batch_id=$snapBefore") == snapBefore)
+    assert(entries(s"batch_id=$v2") == v2)
     val indexed = LshBandIndex.bandsOf(spark, g2)
       .select("__id").distinct().collect().map(_.getLong(0)).toSet
     val stored = SnapshotStore.read(spark, curRoot)
