@@ -128,14 +128,31 @@ object ScalarQueries {
           (col("o_totalprice") / (col("o_orderkey") % 100 + 1)).as("ratio"))
         .orderBy("o_orderkey")),
 
-    // M7: Murmur3 hash-mod categorical encoding — Spark-native hash();
-    // DuckDB's hash differs, so this is a rows-only check (no oracle).
+    // M7: Murmur3 hash-mod categorical encoding — Spark-native hash().
+    // DuckDB has no murmur3, so the per-row codes are inexpressible in
+    // the oracle; the gate instead emits the encoding's ENGINE-
+    // INDEPENDENT invariants, which DuckDB pins for real: the row count
+    // (from the table), codes in [0, N) for both columns, and that each
+    // encoding is a FUNCTION of its input value (distinct (value, code)
+    // pairs == distinct values — a non-deterministic or misapplied hash
+    // breaks this). The exact per-row oracle lives in the md5 twin m7b
+    // below, which replays the identical abs(hash)%N shape with a hash
+    // both engines compute.
     "m7_hash_mod" -> ((s, d) =>
       part(s, d)
-        .select(col("p_partkey"),
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
           (abs(hash(col("p_brand"))) % 500).as("brand_code"),
           (abs(hash(col("p_type"))) % 1000).as("type_code"))
-        .orderBy("p_partkey")),
+        .agg(
+          count(lit(1)).as("n_rows"),
+          (min(col("brand_code")) >= 0 && max(col("brand_code")) < 500)
+            .as("brand_in_range"),
+          (min(col("type_code")) >= 0 && max(col("type_code")) < 1000)
+            .as("type_in_range"),
+          (countDistinct(struct(col("p_brand"), col("brand_code"))) ===
+            countDistinct(col("p_brand"))).as("brand_functional"),
+          (countDistinct(struct(col("p_type"), col("type_code"))) ===
+            countDistinct(col("p_type"))).as("type_functional"))),
 
     // M7 with an ENGINE-REPRODUCIBLE hash: the same abs(hash)%N encoding
     // over an md5-derived value both engines compute identically (the
@@ -183,6 +200,13 @@ object ScalarQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the murmur3 invariants DuckDB CAN check (see the m7 registry
+    // comment): real row count, pinned range/functional verdicts
+    "m7_hash_mod" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  TRUE AS brand_in_range, TRUE AS type_in_range,
+        |  TRUE AS brand_functional, TRUE AS type_functional
+        |FROM part""".stripMargin,
     // hex-pair parse via strpos: DuckDB lacks conv(base16), but
     // value%64 only needs md5's last two hex chars
     "m7b_hash_mod_md5" ->

@@ -33,6 +33,183 @@ object VectorQueries {
   private val radiusCache =
     scala.collection.concurrent.TrieMap.empty[String, Int]
 
+  /** Exact brute-force cosine top-5 for the fixed query set — v2's
+    * registered body, and the ground truth the v4/v5/v7 recall gates
+    * judge their approximate shortlists against. */
+  private[graft] def exactTopK(s: SparkSession, d: String): DataFrame = {
+    graft.functions.CosineSimilarity.register(s)
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("emb").as("ea"))
+    val c = e.select(col("vec_id").as("nid"), col("emb").as("eb"))
+    c.join(broadcast(q), col("nid") =!= col("qid"))
+      .withColumn("cs", cosine("ea", "eb"))
+      .groupBy("qid")
+      .agg(graft.functions.BottomK.topKScored(col("cs"), col("nid"), 5).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos0", "m")))
+      .select(col("qid"), (col("pos0") + 1).cast("int").as("rnk"),
+        col("m.id").as("nid"), round(col("m.score"), 6).as("cos_sim"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** The DRIVER-ORACLED form of an ANN gate: per query, does the
+    * approximate shortlist recover at least `floor` of the exact
+    * brute-force top-5? The exact side is itself oracle-proven (v2's
+    * SQL replays it in DuckDB), so the booleans here are judged by an
+    * exact oracle — `SELECT qid, TRUE` — rather than left `no_oracle`:
+    * the shortlist contents stay engine-specific (candidate generation
+    * is hash/codebook-internal), but "the shortlist finds the true
+    * neighbors" is an engine-independent claim and is what this pins.
+    * Floors are the measured sf0.01 per-query minima with no slack
+    * (v4 multi-probe: 4/5; IVF-family: 1/5 at the nprobe=3 recall
+    * ceiling — QueriesSpec holds the tighter aggregate floors). */
+  private def recallGate(s: SparkSession, d: String, ann: DataFrame,
+                         floor: Int): DataFrame = {
+    val exact = exactTopK(s, d).select("qid", "nid").localCheckpoint()
+    val overlap = ann.select("qid", "nid")
+      .join(exact, Seq("qid", "nid"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+    exact.select("qid").distinct()
+      .join(overlap, Seq("qid"), "left")
+      .select(col("qid"),
+        (coalesce(col("n_hit"), lit(0L)) >= floor).as("hit"))
+      .orderBy("qid")
+  }
+
+  /** v4's raw shortlist: multi-probe sign-RP LSH top-5 (see the v4
+    * registry comment for the plan story). */
+  private[graft] def annLshTopK(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    // the count is metadata-only (parquet row-group counts) and the
+    // radius is constant per corpus dir, so memoize it: plan-only
+    // consumers (PlanAudit, PlanGuardSpec) and repeat invocations skip
+    // the job entirely
+    val radius = radiusCache.getOrElseUpdate(d,
+      graft.operators.AnnLsh.radiusFor(e.count()))
+    graft.operators.AnnLsh.topK(s, e, e.filter(col("vec_id") < 10), radius)
+  }
+
+  /** v5's raw shortlist: IVF probe-only top-5 over the persisted index
+    * (see the v5 registry comment for the plan story). */
+  private[graft] def annIvfTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.CosineSimilarity.register(s)
+    val idx = graft.operators.IvfIndex.ensure(s, d)
+    val cb = graft.operators.IvfIndex.codebook(s, idx)
+    val q = embeddings(s, d)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("ea"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("ccs").desc, col("cell"))
+    // ONE driver action materializes the probe set: |queries| × nprobe
+    // rows (30 here — bounded by the query set and the k=8 codebook,
+    // never by the corpus). The rows feed both the static
+    // partition-pruning predicate and the broadcast join side, so the
+    // plan is scan + broadcast equi-join + top-k aggregate.
+    val probeRows = q.crossJoin(broadcast(cb))
+      .withColumn("ccs", expr("graft_cosine(ea, cvec)"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= 3)
+      .select("qid", "ea", "cell")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2)))
+    val probedCells = probeRows.map(_._3).distinct.toSeq
+    val probes = probeRows.toSeq.toDF("qid", "ea", "cell")
+    val corpus = graft.operators.IvfIndex.cellsPruned(s, idx, probedCells)
+      .select(col("vec_id").as("nid"), col("emb").as("eb"), col("cell"))
+    corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("cs", cosine("ea", "eb"))
+      .groupBy("qid")
+      .agg(graft.functions.BottomK.topKScored(col("cs"), col("nid"), 5).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos0", "m")))
+      .select(col("qid"), (col("pos0") + 1).cast("int").as("rnk"),
+        col("m.id").as("nid"), round(col("m.score"), 6).as("cos_sim"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** v7's raw shortlist: IVF-PQ ADC candidates + exact rerank (see
+    * the v7 registry comment for the plan story). */
+  private[graft] def annIvfPqTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = graft.operators.IvfIndex.ensure(s, d)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length && i < b.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val coarse = graft.operators.IvfIndex.codebook(s, idx).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val pq = graft.operators.IvfIndex.pqCodebook(s, idx).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val nSub = graft.operators.IvfIndex.PqSub
+    val maxCid = pq.map(_._2).max
+    val qs = embeddings(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val dim = qs.headOption.map(_._2.length).getOrElse(nSub)
+    // same slicing rule as the index build: the LAST subspace absorbs
+    // dim % PqSub, so no trailing dimensions drop out of ADC scoring
+    val subLen = math.max(dim / nSub, 1)
+    val probeRows = qs.flatMap { case (qid, q) =>
+      val qnorm = math.max(math.sqrt(dot(q, q)), 1e-12)
+      // nprobe=3 nearest coarse cells by cosine (score desc, cell asc —
+      // the same tie-break as the v5 probe window)
+      val cells = coarse
+        .map { case (cell, cv) =>
+          (cell, dot(q, cv) / (qnorm * math.max(math.sqrt(dot(cv, cv)), 1e-12)))
+        }
+        .sortBy { case (cell, cs) => (-cs, cell) }.take(3).map(_._1)
+      // dense ADC tables indexed by cid (gaps from dropped centroids
+      // score 0 — no code references them)
+      val tables: Seq[Seq[Double]] = (0 until nSub).map { sub =>
+        val qsub = q.slice(sub * subLen,
+          if (sub == nSub - 1) q.length else (sub + 1) * subLen)
+        val row = Array.fill(maxCid + 1)(0.0)
+        pq.iterator.filter(_._1 == sub)
+          .foreach { case (_, cid, cv) => row(cid) = dot(qsub, cv) }
+        row.toSeq
+      }
+      cells.map(cell => (qid, qnorm, cell, tables))
+    }
+    val probes = probeRows.toSeq.toDF("qid", "qnorm", "cell", "tables")
+    val probedCells = probeRows.map(_._3).distinct.toSeq
+    val corpus = graft.operators.IvfIndex.cellsPruned(s, idx, probedCells)
+      .select(col("vec_id").as("nid"), col("cell"),
+        col("code"), greatest(col("rnorm"), lit(1e-12)).as("rnorm"))
+    // phase 1 — compressed-domain candidate generation: ADC-score every
+    // vector in the probed cells from codes alone, keep top-96 per
+    // query (the FAISS "refine factor": PQ error means the true top-5
+    // sits inside the ADC top-~10k, not the ADC top-5)
+    val cand = corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("ip", expr(
+        "aggregate(zip_with(code, tables, (c, t) -> t[c]), 0D, (acc, v) -> acc + v)"))
+      .withColumn("adc", col("ip") / (col("qnorm") * col("rnorm")))
+      .groupBy("qid")
+      .agg(graft.functions.BottomK.topKScored(col("adc"), col("nid"), 96).as("top"))
+      .select(col("qid"), explode(expr("transform(top, x -> x.id)")).as("nid"))
+    // phase 2 — exact rerank of the |queries| × 96 survivors: broadcast
+    // the candidate ids against the same pruned cell scan (this is the
+    // only read of the raw vectors, and only over nprobe/k of the
+    // index; on a cluster with a point-lookup side index even that
+    // scan collapses to id fetches)
+    graft.functions.CosineSimilarity.register(s)
+    val qdf = qs.toSeq.toDF("qid", "ea")
+    val emb64 = graft.operators.IvfIndex.cellsPruned(s, idx, probedCells)
+      .select(col("vec_id").as("nid"), col("emb").as("eb"))
+    emb64.join(broadcast(cand.join(broadcast(qdf), Seq("qid"))), Seq("nid"))
+      .withColumn("cs", expr("graft_cosine(ea, eb)"))
+      .groupBy("qid")
+      .agg(graft.functions.BottomK.topKScored(col("cs"), col("nid"), 5).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos0", "m")))
+      .select(col("qid"), (col("pos0") + 1).cast("int").as("rnk"),
+        col("m.id").as("nid"), round(col("m.score"), 6).as("cos_sim"))
+      .orderBy("qid", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
     // pairwise cosine between consecutive vec_ids (exact, oracle-checked).
     "v1_cosine_pairs" -> ((s, d) => {
@@ -53,22 +230,7 @@ object VectorQueries {
     // row into its qid partition and sorted it there; the aggregate
     // ships only k candidates per (qid × input partition), so shuffle
     // volume is |queries|·k·|partitions|, independent of corpus size.
-    "v2_ann_topk" -> ((s, d) => {
-      graft.functions.CosineSimilarity.register(s)
-      val e = embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("emb").as("ea"))
-      val c = e.select(col("vec_id").as("nid"), col("emb").as("eb"))
-      c.join(broadcast(q), col("nid") =!= col("qid"))
-        .withColumn("cs", cosine("ea", "eb"))
-        .groupBy("qid")
-        .agg(graft.functions.BottomK.topKScored(col("cs"), col("nid"), 5).as("top"))
-        .select(col("qid"), posexplode(col("top")).as(Seq("pos0", "m")))
-        .select(col("qid"), (col("pos0") + 1).cast("int").as("rnk"),
-          col("m.id").as("nid"), round(col("m.score"), 6).as("cos_sim"))
-        .orderBy("qid", "rnk")
-    }),
+    "v2_ann_topk" -> ((s, d) => exactTopK(s, d)),
 
     // per-label centroid (flattened): mean of each embedding position.
     "v3_centroid_by_label" -> ((s, d) =>
@@ -100,23 +262,16 @@ object VectorQueries {
     // driving the choice is a parquet metadata-only action. The shared
     // core lives in operators.AnnLsh (banded hashing, Hamming-ball probe
     // explosion, k-bounded TopKScored aggregate — no rank window).
-    // Rows-only check (bucket assignment uses engine-internal
-    // pseudo-random planes — not expressible in ANSI SQL); QueriesSpec
-    // gates recall@5 >= 0.95 against the exact brute-force ranking at
-    // radius 2, AnnLshStepdownSpec gates recall on planted non-copy
-    // neighbors at the radius 1 and 0 density thresholds, and
-    // tools.AnnScale re-measures recall at 10×/100× density.
-    "v4_ann_lsh" -> ((s, d) => {
-      val e = embeddings(s, d)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-      // the count is metadata-only (parquet row-group counts) and the
-      // radius is constant per corpus dir, so memoize it: plan-only
-      // consumers (PlanAudit, PlanGuardSpec) and repeat invocations skip
-      // the job entirely
-      val radius = radiusCache.getOrElseUpdate(d,
-        graft.operators.AnnLsh.radiusFor(e.count()))
-      graft.operators.AnnLsh.topK(s, e, e.filter(col("vec_id") < 10), radius)
-    }),
+    // The REGISTERED query is the recall GATE (see recallGate): the
+    // shortlist's bucket assignment uses engine-internal pseudo-random
+    // planes (not expressible in ANSI SQL), but whether it recovers the
+    // exact top-5 is — so the driver judges per-query booleans against
+    // an exact DuckDB oracle. The raw shortlist surface
+    // ([[annLshTopK]]) stays pinned by QueriesSpec (recall@5 >= 0.95 at
+    // radius 2), AnnLshStepdownSpec (planted non-copy neighbors at the
+    // radius 1 and 0 density thresholds) and tools.AnnScale (recall at
+    // 10×/100× density).
+    "v4_ann_lsh" -> ((s, d) => recallGate(s, d, annLshTopK(s, d), 4)),
 
     // IVF ANN, probe-only: the k-means codebook and the cell-partitioned
     // corpus are a PERSISTED index (graft.operators.IvfIndex — k=8,
@@ -136,44 +291,11 @@ object VectorQueries {
     // sf0.1 — bounded by this near-uniform synthetic corpus's
     // clusterability ((16,4) measured WORSE, 0.60); v4's multi-probe LSH
     // (0.98–1.0) is the high-recall path, nprobe the standard knob when
-    // corpora do cluster. Rows-only (cell assignment is
-    // engine-internal); recall vs brute force gated in QueriesSpec.
-    "v5_ann_ivf" -> ((s, d) => {
-      import s.implicits._
-      graft.functions.CosineSimilarity.register(s)
-      val idx = graft.operators.IvfIndex.ensure(s, d)
-      val cb = graft.operators.IvfIndex.codebook(s, idx)
-      val q = embeddings(s, d)
-        .filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"),
-          col("embedding").cast("array<double>").as("ea"))
-      val wProbe = Window.partitionBy("qid").orderBy(col("ccs").desc, col("cell"))
-      // ONE driver action materializes the probe set: |queries| × nprobe
-      // rows (30 here — bounded by the query set and the k=8 codebook,
-      // never by the corpus). The rows feed both the static
-      // partition-pruning predicate and the broadcast join side, so the
-      // registered plan is scan + broadcast equi-join + top-k aggregate.
-      val probeRows = q.crossJoin(broadcast(cb))
-        .withColumn("ccs", expr("graft_cosine(ea, cvec)"))
-        .withColumn("prn", row_number().over(wProbe))
-        .filter(col("prn") <= 3)
-        .select("qid", "ea", "cell")
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2)))
-      val probedCells = probeRows.map(_._3).distinct.toSeq
-      val probes = probeRows.toSeq.toDF("qid", "ea", "cell")
-      val corpus = graft.operators.IvfIndex.cellsPruned(s, idx, probedCells)
-        .select(col("vec_id").as("nid"), col("emb").as("eb"), col("cell"))
-      corpus.join(broadcast(probes), Seq("cell"))
-        .filter(col("nid") =!= col("qid"))
-        .withColumn("cs", cosine("ea", "eb"))
-        .groupBy("qid")
-        .agg(graft.functions.BottomK.topKScored(col("cs"), col("nid"), 5).as("top"))
-        .select(col("qid"), posexplode(col("top")).as(Seq("pos0", "m")))
-        .select(col("qid"), (col("pos0") + 1).cast("int").as("rnk"),
-          col("m.id").as("nid"), round(col("m.score"), 6).as("cos_sim"))
-        .orderBy("qid", "rnk")
-    }),
+    // corpora do cluster. Registered as the recall GATE (cell
+    // assignment is engine-internal; the exact-overlap booleans are
+    // not); the raw shortlist ([[annIvfTopK]]) stays recall-gated in
+    // QueriesSpec.
+    "v5_ann_ivf" -> ((s, d) => recallGate(s, d, annIvfTopK(s, d), 1)),
 
     // IVF-PQ compressed-domain ANN: the scan that makes 100 TB ANN
     // tractable. The persisted index (graft.operators.IvfIndex, format 2)
@@ -195,83 +317,7 @@ object VectorQueries {
     // 8-row coarse codebook and the fixed query set. Rows-only
     // (codes are engine-internal); QueriesSpec gates candidate overlap
     // vs exact brute force, IvfPqSpec the reconstruction-error bound.
-    "v7_ann_ivfpq" -> ((s, d) => {
-      import s.implicits._
-      val idx = graft.operators.IvfIndex.ensure(s, d)
-      def dot(a: Array[Double], b: Array[Double]): Double = {
-        var acc = 0.0; var i = 0
-        while (i < a.length && i < b.length) { acc += a(i) * b(i); i += 1 }
-        acc
-      }
-      val coarse = graft.operators.IvfIndex.codebook(s, idx).collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
-      val pq = graft.operators.IvfIndex.pqCodebook(s, idx).collect()
-        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-      val nSub = graft.operators.IvfIndex.PqSub
-      val maxCid = pq.map(_._2).max
-      val qs = embeddings(s, d).filter(col("vec_id") < 10)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      val dim = qs.headOption.map(_._2.length).getOrElse(nSub)
-      // same slicing rule as the index build: the LAST subspace absorbs
-      // dim % PqSub, so no trailing dimensions drop out of ADC scoring
-      val subLen = math.max(dim / nSub, 1)
-      val probeRows = qs.flatMap { case (qid, q) =>
-        val qnorm = math.max(math.sqrt(dot(q, q)), 1e-12)
-        // nprobe=3 nearest coarse cells by cosine (score desc, cell asc —
-        // the same tie-break as the v5 probe window)
-        val cells = coarse
-          .map { case (cell, cv) =>
-            (cell, dot(q, cv) / (qnorm * math.max(math.sqrt(dot(cv, cv)), 1e-12)))
-          }
-          .sortBy { case (cell, cs) => (-cs, cell) }.take(3).map(_._1)
-        // dense ADC tables indexed by cid (gaps from dropped centroids
-        // score 0 — no code references them)
-        val tables: Seq[Seq[Double]] = (0 until nSub).map { sub =>
-          val qsub = q.slice(sub * subLen,
-            if (sub == nSub - 1) q.length else (sub + 1) * subLen)
-          val row = Array.fill(maxCid + 1)(0.0)
-          pq.iterator.filter(_._1 == sub)
-            .foreach { case (_, cid, cv) => row(cid) = dot(qsub, cv) }
-          row.toSeq
-        }
-        cells.map(cell => (qid, qnorm, cell, tables))
-      }
-      val probes = probeRows.toSeq.toDF("qid", "qnorm", "cell", "tables")
-      val probedCells = probeRows.map(_._3).distinct.toSeq
-      val corpus = graft.operators.IvfIndex.cellsPruned(s, idx, probedCells)
-        .select(col("vec_id").as("nid"), col("cell"),
-          col("code"), greatest(col("rnorm"), lit(1e-12)).as("rnorm"))
-      // phase 1 — compressed-domain candidate generation: ADC-score every
-      // vector in the probed cells from codes alone, keep top-96 per
-      // query (the FAISS "refine factor": PQ error means the true top-5
-      // sits inside the ADC top-~10k, not the ADC top-5)
-      val cand = corpus.join(broadcast(probes), Seq("cell"))
-        .filter(col("nid") =!= col("qid"))
-        .withColumn("ip", expr(
-          "aggregate(zip_with(code, tables, (c, t) -> t[c]), 0D, (acc, v) -> acc + v)"))
-        .withColumn("adc", col("ip") / (col("qnorm") * col("rnorm")))
-        .groupBy("qid")
-        .agg(graft.functions.BottomK.topKScored(col("adc"), col("nid"), 96).as("top"))
-        .select(col("qid"), explode(expr("transform(top, x -> x.id)")).as("nid"))
-      // phase 2 — exact rerank of the |queries| × 96 survivors: broadcast
-      // the candidate ids against the same pruned cell scan (this is the
-      // only read of the raw vectors, and only over nprobe/k of the
-      // index; on a cluster with a point-lookup side index even that
-      // scan collapses to id fetches)
-      graft.functions.CosineSimilarity.register(s)
-      val qdf = qs.toSeq.toDF("qid", "ea")
-      val emb64 = graft.operators.IvfIndex.cellsPruned(s, idx, probedCells)
-        .select(col("vec_id").as("nid"), col("emb").as("eb"))
-      emb64.join(broadcast(cand.join(broadcast(qdf), Seq("qid"))), Seq("nid"))
-        .withColumn("cs", expr("graft_cosine(ea, eb)"))
-        .groupBy("qid")
-        .agg(graft.functions.BottomK.topKScored(col("cs"), col("nid"), 5).as("top"))
-        .select(col("qid"), posexplode(col("top")).as(Seq("pos0", "m")))
-        .select(col("qid"), (col("pos0") + 1).cast("int").as("rnk"),
-          col("m.id").as("nid"), round(col("m.score"), 6).as("cos_sim"))
-        .orderBy("qid", "rnk")
-    }),
+    "v7_ann_ivfpq" -> ((s, d) => recallGate(s, d, annIvfPqTopK(s, d), 1)),
 
     // int8 symmetric quantization roundtrip: per-vector scale =
     // 127/max|x|, q = round(x*scale) as int8, dequantize, report the
@@ -433,6 +479,21 @@ object VectorQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // the ANN recall gates: per query, TRUE iff the approximate
+    // shortlist recovered >= floor of the exact top-5. The exact side
+    // is v2's oracle-proven ranking computed IN SPARK; DuckDB pins the
+    // expected verdicts over the real query-id set (the s23
+    // skip_effective pattern) — a recall regression flips a boolean
+    // and hash-mismatches.
+    "v4_ann_lsh" ->
+      """SELECT DISTINCT CAST(vec_id AS BIGINT) AS qid, TRUE AS hit
+        |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin,
+    "v5_ann_ivf" ->
+      """SELECT DISTINCT CAST(vec_id AS BIGINT) AS qid, TRUE AS hit
+        |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin,
+    "v7_ann_ivfpq" ->
+      """SELECT DISTINCT CAST(vec_id AS BIGINT) AS qid, TRUE AS hit
+        |FROM embeddings WHERE vec_id < 10 ORDER BY qid""".stripMargin,
     "v9_random_projection" ->
       """SELECT vec_id, CAST(t.j AS INTEGER) AS j,
         |  ROUND(0.25 * list_sum(list_transform(generate_series(0, 63), i ->

@@ -65,29 +65,37 @@ class QueriesSpec extends SparkSuite {
     // here means the probe set or band layout changed, not bad luck.
     val bf = SparkEntry.queries("v2_ann_topk")(spark, sf)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = SparkEntry.queries("v4_ann_lsh")(spark, sf).collect()
+    val lsh = graft.queries.VectorQueries.annLshTopK(spark, sf).collect()
     assert(lsh.nonEmpty)
     val hits = lsh.count(r => bf.contains((r.getAs[Long]("qid"), r.getAs[Long]("nid"))))
     assert(hits >= math.ceil(bf.size * 0.95).toInt,
       s"LSH recall@5 too low: $hits/${bf.size} brute-force pairs recovered")
+    // and the REGISTERED form (the driver-oracled recall gate) verdicts
+    // all-true at its per-query floor
+    val gate = SparkEntry.queries("v4_ann_lsh")(spark, sf).collect()
+    assert(gate.length == 10 && gate.forall(_.getAs[Boolean]("hit")),
+      "v4 recall gate must verdict TRUE for every query")
   }
 
   test("v5 IVF ANN returns 5 candidates per query with brute-force overlap") {
     val bf = SparkEntry.queries("v2_ann_topk")(spark, sf)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = SparkEntry.queries("v5_ann_ivf")(spark, sf).collect()
+    val ivf = graft.queries.VectorQueries.annIvfTopK(spark, sf).collect()
     val byQ = ivf.groupBy(_.getAs[Long]("qid"))
     assert(byQ.size === 10)
     byQ.foreach { case (_, rs) => assert(rs.length === 5) }
     val hits = ivf.count(r => bf.contains((r.getAs[Long]("qid"), r.getAs[Long]("nid"))))
     assert(hits >= 5, s"IVF recall too low: $hits/50 brute-force hits")
+    val gate = SparkEntry.queries("v5_ann_ivf")(spark, sf).collect()
+    assert(gate.length == 10 && gate.forall(_.getAs[Boolean]("hit")),
+      "v5 recall gate must verdict TRUE for every query")
   }
 
   test("v7 IVF-PQ ANN: 5 exact-reranked rows per query, overlap with brute force") {
     val bfRows = SparkEntry.queries("v2_ann_topk")(spark, sf).collect()
     val bfScore = bfRows.map(r =>
       ((r.getAs[Long]("qid"), r.getAs[Long]("nid")), r.getAs[Double]("cos_sim"))).toMap
-    val pqr = SparkEntry.queries("v7_ann_ivfpq")(spark, sf).collect()
+    val pqr = graft.queries.VectorQueries.annIvfPqTopK(spark, sf).collect()
     val byQ = pqr.groupBy(_.getAs[Long]("qid"))
     assert(byQ.size === 10)
     byQ.foreach { case (_, rs) => assert(rs.length === 5) }
@@ -105,6 +113,9 @@ class QueriesSpec extends SparkSuite {
     // floor, not a tight bound: recall is capped by the nprobe=3 IVF
     // ceiling (~0.72 on this corpus) and PQ candidate ordering
     assert(hits.length >= 15, s"IVF-PQ recall too low: ${hits.length}/50")
+    val gate = SparkEntry.queries("v7_ann_ivfpq")(spark, sf).collect()
+    assert(gate.length == 10 && gate.forall(_.getAs[Boolean]("hit")),
+      "v7 recall gate must verdict TRUE for every query")
   }
 
   test("dd4 MinHash estimates stay in [0,1] and pairs are ordered") {
