@@ -32,35 +32,23 @@ object WindowedAggQueries {
         .orderBy("win_start", "event_type")),
 
     // st1 ACTUALLY STREAMED: the same tumbling aggregation through a
-    // two-epoch MemoryStream into a complete-mode memory sink — window
-    // state must carry across micro-batches to reproduce the batch
-    // result, and the SAME oracle gates both forms. (The fixture
-    // collect is bounded by the gate's events table; production streams
-    // never pass through the driver.)
+    // two-micro-batch FILE SOURCE into a complete-mode memory sink —
+    // window state must carry across micro-batches to reproduce the
+    // batch result, and the SAME oracle gates both forms. The fixture
+    // is driver-clean: events written once as two parquet files,
+    // streamed back one file per trigger (see fileSource).
     "st1b_stream_tumbling" -> ((s, d) => {
-      import s.implicits._
-      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val rows = events(s, d)
-        .select(col("ts"), col("event_type"), col("value"))
-        .as[(java.sql.Timestamp, String, Double)].collect().toSeq
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(java.sql.Timestamp, String, Double)]
+      val src = fileSource(s, d, "st1b",
+        events(s, d).select(col("ts"), col("event_type"), col("value")))
       val sink = s"st1b_sink_${StreamSinkSeq.incrementAndGet()}"
-      val q = mem.toDF().toDF("ts", "event_type", "value")
+      runAvailableNow(src
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total"))
         .select(col("window.start").as("win_start"), col("event_type"),
           col("n"), col("total"))
         .writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
-      try {
-        val (h1, h2) = rows.splitAt(rows.length / 2)
-        mem.addData(h1: _*)
-        q.processAllAvailable() // epoch 0: partial windows
-        mem.addData(h2: _*)
-        q.processAllAvailable() // epoch 1: state completes the windows
-      } finally q.stop()
+        .outputMode("complete"))
       s.table(sink).orderBy("win_start", "event_type")
     }),
 
@@ -72,27 +60,15 @@ object WindowedAggQueries {
     // bounded sink frame after the stream. Gate: a14's oracle VERBATIM
     // — per-priority exact distincts + the merged-estimate boolean.
     "st8_stream_hll" -> ((s, d) => {
-      import s.implicits._
-      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
       val o = graft.Tables.orders(s, d)
         .select(col("o_orderpriority"), col("o_custkey"))
-      val rows = St8FixtureCache.getOrElseUpdate(d,
-        o.as[(String, Long)].collect().toSeq)
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(String, Long)]
+      val src = fileSource(s, d, "st8", o)
       val sink = s"st8_sink_${StreamSinkSeq.incrementAndGet()}"
-      val q = mem.toDF().toDF("o_orderpriority", "o_custkey")
+      runAvailableNow(src
         .groupBy("o_orderpriority")
         .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
         .writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
-      try {
-        val (h1, h2) = rows.splitAt(rows.length / 2)
-        mem.addData(h1: _*)
-        q.processAllAvailable() // epoch 0: partial registers
-        mem.addData(h2: _*)
-        q.processAllAvailable() // epoch 1: registers cover the corpus
-      } finally q.stop()
+        .outputMode("complete"))
       val sk = s.table(sink).localCheckpoint(true)
       val exact = o.groupBy("o_orderpriority")
         .agg(countDistinct(col("o_custkey")).as("n_exact"))
@@ -120,17 +96,14 @@ object WindowedAggQueries {
     // bound for the whole stream, so a19's oracle gates VERBATIM. State
     // never holds the live vocabulary: ≤ batches·partitions·k rows.
     "st7_stream_heavy_hitters" -> ((s, d) => {
-      import s.implicits._
-      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
       val k = 64
-      val rows = St4FixtureCache.getOrElseUpdate(d,
-        graft.Tables.documents(s, d).select(col("text"))
-          .as[String].collect().toSeq)
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[String]
+      // stream DOCUMENTS, tokenize in-stream (the realistic shape — raw
+      // documents arrive, the engine tokenizes executor-side)
+      val src = fileSource(s, d, "stdocs",
+        graft.Tables.documents(s, d).select(col("text")))
       val buf = scala.collection.mutable.ArrayBuffer
         .empty[org.apache.spark.sql.DataFrame]
-      val q = mem.toDF().toDF("text").writeStream
+      runAvailableNow(src.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val toks = batch
             .select(explode(split(trim(col("text")), "\\s+")).as("token"))
@@ -140,14 +113,7 @@ object WindowedAggQueries {
               .approxCounts(toks, "token", k).localCheckpoint(true)
           }
           ()
-        }.start()
-      try {
-        val (h1, h2) = rows.splitAt(rows.length / 2)
-        mem.addData(h1: _*)
-        q.processAllAvailable()
-        mem.addData(h2: _*)
-        q.processAllAvailable()
-      } finally q.stop()
+        })
       val merged = buf.synchronized(buf.reduce(_.unionByName(_)))
         .groupBy("token").agg(sum("est").as("est"))
         .localCheckpoint(true)
@@ -181,16 +147,13 @@ object WindowedAggQueries {
     // table, as in st1b.)
     "st6_stream_quantile" -> ((s, d) => {
       import s.implicits._
-      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
       val ep = 0.01
       val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
       val o = graft.Tables.orders(s, d).select(col("o_totalprice").as("price"))
-      val rows = St6FixtureCache.getOrElseUpdate(d, o.as[Double].collect().toSeq)
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[Double]
+      val src = fileSource(s, d, "st6", o)
       val buf = scala.collection.mutable.ArrayBuffer
         .empty[org.apache.spark.sql.DataFrame]
-      val q = mem.toDF().toDF("price").writeStream
+      runAvailableNow(src.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           buf.synchronized {
             buf += graft.operators.QuantileSketch
@@ -200,14 +163,7 @@ object WindowedAggQueries {
               .localCheckpoint(true)
           }
           ()
-        }.start()
-      try {
-        val (h1, h2) = rows.splitAt(rows.length / 2)
-        mem.addData(h1: _*)
-        q.processAllAvailable() // epoch 0's tagged samples
-        mem.addData(h2: _*)
-        q.processAllAvailable() // epoch 1's
-      } finally q.stop()
+        })
       val tagged = buf.synchronized(buf.reduce(_.unionByName(_)))
         .localCheckpoint(true)
       val est = graft.operators.QuantileSketch
@@ -243,14 +199,10 @@ object WindowedAggQueries {
     // store must reproduce the batch semantics exactly. (Fixture
     // collect bounded by the gate's events table, as in st1b.)
     "st5_stream_session" -> ((s, d) => {
-      import s.implicits._
-      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val rows = events(s, d).select(col("ts"), col("user_id"), col("value"))
-        .as[(java.sql.Timestamp, Long, Double)].collect().toSeq
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(java.sql.Timestamp, Long, Double)]
+      val src = fileSource(s, d, "st5",
+        events(s, d).select(col("ts"), col("user_id"), col("value")))
       val sink = s"st5_sink_${StreamSinkSeq.incrementAndGet()}"
-      val q = mem.toDF().toDF("ts", "user_id", "value")
+      runAvailableNow(src
         .groupBy(col("user_id"), session_window(col("ts"), "12 hours"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast(DecimalType(18, 6))).cast("double")
@@ -259,14 +211,7 @@ object WindowedAggQueries {
           col("session_window.start").as("session_start"),
           col("n_events"), col("sum_value"))
         .writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
-      try {
-        val (h1, h2) = rows.splitAt(rows.length / 2)
-        mem.addData(h1: _*)
-        q.processAllAvailable() // epoch 0: session fragments
-        mem.addData(h2: _*)
-        q.processAllAvailable() // epoch 1: fragments merge/extend
-      } finally q.stop()
+        .outputMode("complete"))
       s.table(sink).orderBy("user_id", "session_start")
     }),
 
@@ -281,40 +226,24 @@ object WindowedAggQueries {
     // bit-identical to a22's batch build (same deterministic md5 cells),
     // so this query probes it with a22's estimate path and is gated by
     // a22's ORACLE SQL VERBATIM — the streaming execution can never
-    // silently diverge from the batch spelling. (Fixture collect is
-    // bounded by the gate's documents table, as in st1b; production
-    // streams never pass through the driver.)
+    // silently diverge from the batch spelling. Documents stream from
+    // the file fixture and tokenize IN-STREAM, executor-side — the
+    // realistic shape.
     "st4_stream_countmin" -> ((s, d) => {
-      import s.implicits._
-      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
       val (depth, width) = (4, 512)
       val toks = graft.Tables.documents(s, d)
         .select(explode(split(trim(col("text")), "\\s+")).as("token"))
         .filter(length(col("token")) > 0)
-      // stream DOCUMENTS, tokenize in-stream: the driver ships |docs|
-      // rows per epoch, not |tokens| (60× less MemoryStream traffic,
-      // and the realistic shape — raw documents arrive, the engine
-      // tokenizes executor-side)
-      val rows = St4FixtureCache.getOrElseUpdate(d,
-        graft.Tables.documents(s, d).select(col("text"))
-          .as[String].collect().toSeq)
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[String]
+      val src = fileSource(s, d, "stdocs",
+        graft.Tables.documents(s, d).select(col("text")))
       val sink = s"st4_sink_${StreamSinkSeq.incrementAndGet()}"
-      val streamToks = mem.toDF().toDF("text")
+      val streamToks = src
         .select(explode(split(trim(col("text")), "\\s+")).as("token"))
         .filter(length(col("token")) > 0)
-      val q = graft.operators.CountMin
+      runAvailableNow(graft.operators.CountMin
         .sketch(streamToks, "token", depth, width)
         .writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
-      try {
-        val (h1, h2) = rows.splitAt(rows.length / 2)
-        mem.addData(h1: _*)
-        q.processAllAvailable() // epoch 0: partial cells
-        mem.addData(h2: _*)
-        q.processAllAvailable() // epoch 1: cells now cover the corpus
-      } finally q.stop()
+        .outputMode("complete"))
       val sk = s.table(sink).localCheckpoint(true)
       val exactTop = toks.groupBy("token")
         .agg(count(lit(1)).as("n_exact"))
@@ -342,62 +271,40 @@ object WindowedAggQueries {
     // gate's events table, as in st1b; production streams never pass
     // through the driver.)
     "st3_stream_drift" -> ((s, d) => {
-      import s.implicits._
-      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
       val binCol = least(floor(col("value") / 100.0), lit(7.0)).cast("int")
-      // the driver-side FIXTURE (the arriving rows and the static
-      // reference histogram) is a deterministic function of the events
-      // table — computed once per (JVM, sfDir) so a re-run times the
-      // two-epoch streaming execution, not the fixture collect
-      val (rows, refRows) = St3FixtureCache.getOrElseUpdate(d, {
-        val r = events(s, d).select(col("ts"), col("value"))
-          .as[(java.sql.Timestamp, Double)].collect().toSeq
-        val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
-        val ref = events(s, d)
-          .groupBy(binCol.as("bin")).agg(count(lit(1)).as("rn"))
-          .withColumn("p", greatest(col("rn").cast("double") /
-            greatest(sum(col("rn")).over(wAll), lit(1L)), lit(1e-6)))
-          .select("bin", "p").collect()
-          .map(r0 => (r0.getInt(0), r0.getDouble(1))).toSeq.sortBy(_._1)
-        (r, ref)
-      })
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(java.sql.Timestamp, Double)]
+      // the static REFERENCE histogram (≤ 8 rows) stays a DataFrame —
+      // broadcast into the term grid below, never collected
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      val ref = events(s, d)
+        .groupBy(binCol.as("bin")).agg(count(lit(1)).as("rn"))
+        .withColumn("p", greatest(col("rn").cast("double") /
+          greatest(sum(col("rn")).over(wAll), lit(1L)), lit(1e-6)))
+        .select("bin", "p")
+      val src = fileSource(s, d, "st3",
+        events(s, d).select(col("ts"), col("value")))
       val sink = s"st3_sink_${StreamSinkSeq.incrementAndGet()}"
-      val q = mem.toDF().toDF("ts", "value")
+      runAvailableNow(src
         .groupBy(window(col("ts"), "1 hour"), binCol.as("bin"))
         .agg(count(lit(1)).as("n"))
         .select(col("window.start").as("win_start"), col("bin"), col("n"))
         .writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
-      try {
-        val (h1, h2) = rows.splitAt(rows.length / 2)
-        mem.addData(h1: _*)
-        q.processAllAvailable() // epoch 0: partial window histograms
-        mem.addData(h2: _*)
-        q.processAllAvailable() // epoch 1: state completes them
-      } finally q.stop()
+        .outputMode("complete"))
       // The term grid is every (window × REFERENCE bin), not just the
       // bins a window happens to contain: a reference bin whose mass
       // VANISHES from a window is the strongest drift signal, and an
       // inner join on the window's own bins would silently drop exactly
       // that term. Reference bins are a superset of any window's bins
       // (the reference is the whole corpus), so the grid covers
-      // everything. The collected reference (`refRows`, fixture-cached
-      // above) is static infrastructure — ≤ 8 (bin, p) pairs —
-      // re-broadcast as a literal array.
-      // per-window totals via groupBy, back-joined (the j2 shape). The
-      // sink frame is localCheckpoint'd first: both join sides derive
-      // from the same memory-sink view, and DeduplicateRelations does
-      // not re-alias MemoryPlan leaves (INTERNAL_ERROR "conflicting
+      // everything — built as a broadcast cross join of the per-window
+      // totals with the ≤8-row reference frame (the j2 back-join shape).
+      // The sink frame is localCheckpoint'd first: both join sides
+      // derive from the same memory-sink view, and DeduplicateRelations
+      // does not re-alias MemoryPlan leaves (INTERNAL_ERROR "conflicting
       // references"), while a LogicalRDD self-join dedups fine. The
       // frame is windows × ≤8 bins — checkpointing it is free.
       val hist = s.table(sink).localCheckpoint(true)
       val grid = hist.groupBy("win_start").agg(sum(col("n")).as("wn"))
-        .select(col("win_start"), col("wn"),
-          explode(typedLit(refRows)).as("ref"))
-        .select(col("win_start"), col("wn"),
-          col("ref._1").as("bin"), col("ref._2").as("p"))
+        .crossJoin(broadcast(ref))
       grid.join(hist.select("win_start", "bin", "n"),
           Seq("win_start", "bin"), "left")
         .withColumn("q", greatest(
@@ -415,22 +322,46 @@ object WindowedAggQueries {
     * the second start. */
   private val StreamSinkSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** st3's driver-side fixture — (arriving rows, reference histogram) —
-    * per (JVM, sfDir); see the note at the query. */
-  private val St3FixtureCache = scala.collection.concurrent.TrieMap
-    .empty[String, (Seq[(java.sql.Timestamp, Double)], Seq[(Int, Double)])]
+  /** One written fixture dir per (sfDir, gate) — the arriving data is a
+    * deterministic function of the gate tables, so re-runs (bench
+    * medians, verify) stream the same files without re-writing them. */
+  private val FixtureDirCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
-  /** st4's arriving-token fixture per (JVM, sfDir) — the st3 rule. */
-  private val St4FixtureCache =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+  /** FILE-SOURCE streaming fixture — the production shape: the gate
+    * frame is written once to a temp dir as `nFiles` parquet files and
+    * streamed back with `maxFilesPerTrigger=1` under
+    * `Trigger.AvailableNow`, so the stream executes >= nFiles
+    * micro-batches (state provably carries across them) and NO data row
+    * ever passes through the driver. This replaces the MemoryStream
+    * fixtures that collected the gate table driver-side and fed it back
+    * row by row — harness-only, but it capped the sf a gate could run
+    * at and padded every median with per-epoch driver hops. */
+  private def fileSource(s: SparkSession, d: String, tag: String,
+                         frame: => DataFrame, nFiles: Int = 2): DataFrame = {
+    val dir = FixtureDirCache.getOrElseUpdate((d, tag), {
+      val out = java.nio.file.Files
+        .createTempDirectory(s"graft_stgate_$tag").toString + "/src"
+      frame.repartition(nFiles).write.parquet(out)
+      out
+    })
+    s.readStream
+      .schema(s.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+  }
 
-  /** st6's arriving-price fixture per (JVM, sfDir) — the st3 rule. */
-  private val St6FixtureCache =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[Double]]
-
-  /** st8's arriving-order fixture per (JVM, sfDir) — the st3 rule. */
-  private val St8FixtureCache =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, Long)]]
+  /** Start `w` with Trigger.AvailableNow and run it to completion: all
+    * fixture files are processed (respecting maxFilesPerTrigger) and
+    * the query self-terminates — the batch-gate-friendly way to drain
+    * a bounded stream. */
+  private def runAvailableNow(
+      w: org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row]): Unit = {
+    val q = w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+  }
 
   val oracle: Map[String, String] = Map(
     // a22's oracle VERBATIM: the streamed sketch must estimate exactly
