@@ -257,6 +257,73 @@ object WindowedAggQueries {
         .orderBy(col("n_exact").desc, col("token"))
     }),
 
+    // ST9: WATERMARKED APPEND-MODE late-data handling — the semantics
+    // complete mode cannot show: a window is emitted exactly once, when
+    // the 1-hour watermark passes its end, and a row arriving LATER
+    // than the watermark is dropped rather than mutating an emitted
+    // window. The fixture plants a poison row (a unique event_type at
+    // the corpus's OLDEST timestamp) in the THIRD file — not the
+    // second: Spark filters late events against the PREVIOUS batch's
+    // watermark (the SPARK-40925 leniency; eviction uses the current
+    // one), so a row arriving in the batch right after the advance is
+    // still admitted by design. Two batches after the first half has
+    // raised the watermark weeks past the poison window, the row must
+    // vanish. The oracle is the batch tumbling count over the ORIGINAL
+    // events restricted to finalized windows (end <= max(ts) - 1h) —
+    // if the poison row were admitted, an extra LATE_PLANT row appears
+    // and the gate hash-mismatches; if on-time windows leaked early or
+    // dropped, counts mismatch. Non-vacuous in both directions.
+    "st9_stream_watermark_append" -> ((s, d) => {
+      import s.implicits._
+      val dir = FixtureDirCache.getOrElseUpdate((d, "st9"), {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_stgate_st9").toString + "/src"
+        val ev = events(s, d).select(col("ts"), col("event_type"))
+        val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+        val (lo, hi) = (mm.getTimestamp(0), mm.getTimestamp(1))
+        val t50 = new java.sql.Timestamp((lo.getTime + hi.getTime) / 2)
+        val t75 = new java.sql.Timestamp(
+          (lo.getTime + 3 * hi.getTime) / 4)
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        def parts() = {
+          val p = new org.apache.hadoop.fs.Path(out)
+          if (!fs.exists(p)) Set.empty[org.apache.hadoop.fs.Path]
+          else fs.listStatus(p)
+            .filter(_.getPath.getName.startsWith("part-"))
+            .map(_.getPath).toSet
+        }
+        // three arrival files: the file source admits them in
+        // modification-time order, pinned strictly apart regardless of
+        // FS timestamp granularity
+        val t0 = System.currentTimeMillis()
+        Seq(
+          ev.filter(col("ts") < lit(t50)),
+          ev.filter(col("ts") >= lit(t50) && col("ts") < lit(t75)),
+          ev.filter(col("ts") >= lit(t75))
+            .unionByName(Seq((lo, "LATE_PLANT")).toDF("ts", "event_type"))
+        ).zipWithIndex.foreach { case (f, i) =>
+          val before = parts()
+          f.coalesce(1).write.mode("append").parquet(out)
+          (parts() -- before).foreach(p =>
+            fs.setTimes(p, t0 - 300000 + i * 60000, -1))
+        }
+        out
+      })
+      val src = s.readStream.schema(s.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val sink = s"st9_sink_${StreamSinkSeq.incrementAndGet()}"
+      runAvailableNow(src
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append"))
+      s.table(sink).orderBy("win_start", "event_type")
+    }),
+
     // ST3: STREAMING dataset-drift monitor — per-tumbling-window PSI of
     // the value distribution against the corpus-wide reference
     // histogram. The streamed stage is the stateful part (windowed
@@ -385,6 +452,17 @@ object WindowedAggQueries {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    // finalized windows only (end <= max(ts) - 1h, Spark's append
+    // emission rule), over the ORIGINAL events — the planted late row
+    // must have been dropped for the row sets to agree
+    "st9_stream_watermark_append" ->
+      """WITH mx AS (SELECT MAX(ts) AS hi FROM events)
+        |SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+        |  COUNT(*) AS n
+        |FROM events, mx
+        |WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+        |      <= hi - INTERVAL '1 hour'
+        |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
     "st1_tumbling_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
         |  COUNT(*) AS n,
