@@ -223,16 +223,15 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
   }
 }
 
-/** Plans [[RangeJoinPlan]] to [[RangeJoinExec]] — unless the band side
-  * has outgrown broadcastability (possible only through the explicit
-  * [[RangeJoin.bandJoin]] API; the rewrite rule checks stats before it
-  * ever builds the node). An oversized band side degrades to the
-  * equivalent ordinary join and Catalyst's native planning, instead of
-  * letting `executeBroadcast` pull an arbitrarily large relation onto
-  * the driver. 8× the autoBroadcastJoinThreshold is the cutoff: band
-  * rows are narrow (bounds + payload) and the index is O(m), so the
-  * operator tolerates more than a hash relation would, but not
-  * unbounded. */
+/** Plans [[RangeJoinPlan]]: broadcast form ([[RangeJoinExec]]) while the
+  * band side fits, else the SHUFFLED form ([[RangeJoinPartitionedExec]])
+  * — never a BroadcastNestedLoopJoin. 8× the autoBroadcastJoinThreshold
+  * is the broadcast cutoff: band rows are narrow (bounds + payload) and
+  * the index is O(m), so the operator tolerates more than a hash
+  * relation would, but past that `executeBroadcast` would pull an
+  * arbitrarily large relation onto the driver; the partitioned form
+  * keeps both sides distributed (one shuffle each) and scales with the
+  * band table. */
 object RangeJoinStrategy extends SparkStrategy {
   private def bandSideFits(bands: LogicalPlan): Boolean = {
     val threshold = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
@@ -243,14 +242,112 @@ object RangeJoinStrategy extends SparkStrategy {
     case RangeJoinPlan(l, r, v, lo, hi, li, hiI, jt) =>
       if (bandSideFits(r))
         RangeJoinExec(v, lo, hi, li, hiI, jt, planLater(l), planLater(r)) :: Nil
-      else {
-        val lower = if (li) GreaterThanOrEqual(v, lo) else GreaterThan(v, lo)
-        val upper = if (hiI) LessThanOrEqual(v, hi) else LessThan(v, hi)
-        val cond = org.apache.spark.sql.catalyst.expressions.And(lower, upper)
-        planLater(Join(l, r, jt, Some(cond),
-          org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)) :: Nil
-      }
+      else
+        RangeJoinPartitionedExec(v, lo, hi, li, hiI, jt,
+          planLater(l), planLater(r)) :: Nil
     case _ => Nil
+  }
+}
+
+/** Interpreted-ordering wrapper that survives task serialization: the
+  * ordering is rebuilt from the (serializable) DataType on each
+  * deserialization instead of shipping Catalyst's interpreted ordering
+  * object itself. */
+private[plans] class SerializableInterpretedOrdering(
+    dt: org.apache.spark.sql.types.DataType)
+    extends Ordering[Any] with Serializable {
+  @transient private lazy val ord = TypeUtils.getInterpretedOrdering(dt)
+  override def compare(x: Any, y: Any): Int = ord.compare(x, y)
+}
+
+/** SHUFFLED band join — the over-broadcast-threshold form: the classic
+  * interval-partitioned join. One `RangePartitioner` is built by
+  * sampling the band side's `lo` keys (the same bounded driver
+  * footprint any range exchange pays); PROBE rows shuffle to the single
+  * range bucket their value falls in, while each BAND row replicates to
+  * every bucket its [lo, hi] interval overlaps — a contiguous bucket
+  * run by the partitioner's monotonicity, so a covering band is always
+  * co-located with the probe rows it can match and no pair is ever
+  * produced twice (each probe row lives in exactly one bucket). Each
+  * bucket then builds the same sorted prefix-max index the broadcast
+  * form uses and probes in O(log m_b + hits).
+  *
+  * Scale posture: shuffle volume is |probe| + Σ band replication
+  * (bounded by |bands| × buckets only for domain-spanning bands); no
+  * side is ever collected to the driver and nothing is O(n·m). Skew
+  * from a hot value range is the range partitioner's sampling problem,
+  * same as any global sort. No codegen — this is the big-band fallback
+  * path; the broadcast form carries the hot probe-side pipelines. */
+case class RangeJoinPartitionedExec(value: Expression, lo: Expression,
+                                    hi: Expression, loInclusive: Boolean,
+                                    hiInclusive: Boolean, joinType: JoinType,
+                                    left: SparkPlan, right: SparkPlan)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = joinType match {
+    case LeftSemi => left.output
+    case LeftOuter => left.output ++ right.output.map(_.withNullability(true))
+    case _ => left.output ++ right.output
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): RangeJoinPartitionedExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val loB = BindReferences.bindReference(lo, right.output)
+    val hiB = BindReferences.bindReference(hi, right.output)
+    val vBound = BindReferences.bindReference(value, left.output)
+    val factory = RangeJoinIndexFactory(loB, hiB, value.dataType,
+      loInclusive, hiInclusive)
+    val ord = new SerializableInterpretedOrdering(value.dataType)
+    val (outAttrs, leftAttrs, rightAttrs) = (output, left.output, right.output)
+    val jt = joinType
+    val n = math.max(conf.numShufflePartitions, 1)
+
+    // band rows keyed by lo. COPIES are mandatory on both shuffle
+    // inputs: sort-based shuffle buffers deserialized records before
+    // serializing, so the upstream iterators' row reuse would corrupt
+    // the buffer.
+    val bandKeyed = right.execute().mapPartitions(_.flatMap { r =>
+      val c = r.copy()
+      val l = loB.eval(c)
+      if (l == null || hiB.eval(c) == null) Iterator.empty
+      else Iterator.single((l, c))
+    })
+    val part = new org.apache.spark.RangePartitioner[Any, InternalRow](
+      n, bandKeyed)(ord, scala.reflect.ClassTag.Any)
+    // probe rows: exactly one bucket each; null values can match
+    // nothing and ride to bucket 0 (LeftOuter still pads them there)
+    val keyPart = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = part.numPartitions
+      override def getPartition(key: Any): Int =
+        if (key == null) 0 else part.getPartition(key)
+    }
+    val probeParted = org.apache.spark.rdd.RDD.rddToPairRDDFunctions(
+      left.execute().mapPartitions(_.map { r =>
+        val c = r.copy(); (vBound.eval(c), c)
+      }))(scala.reflect.ClassTag.Any,
+        scala.reflect.classTag[InternalRow], null)
+      .partitionBy(keyPart)
+    // each band to the contiguous bucket run [p(lo), p(hi)]
+    val idPart = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = part.numPartitions
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    }
+    val bandParted = org.apache.spark.rdd.RDD.rddToPairRDDFunctions(
+      bandKeyed.mapPartitions(_.flatMap { case (l, row) =>
+        val h = hiB.eval(row)
+        (part.getPartition(l) to part.getPartition(h)).iterator
+          .map(p => (p, row))
+      }))(scala.reflect.classTag[Int],
+        scala.reflect.classTag[InternalRow], null)
+      .partitionBy(idPart)
+    probeParted.zipPartitions(bandParted) { (pIter, bIter) =>
+      val index = factory.build(bIter.map(_._2.copy()).toArray)
+      RangeJoinProbe.probePartition(jt, index, pIter.map(_._2), vBound,
+        outAttrs, leftAttrs, rightAttrs)
+    }
   }
 }
 
@@ -320,6 +417,76 @@ case class RangeJoinIndexFactory(loBound: Expression, hiBound: Expression,
   }
 }
 
+/** The per-partition probe loop both physical forms share: given the
+  * partition's [[RangeJoinIndex]] (built from the broadcast relation or
+  * from the partition's shuffled band subset), answer each probe row in
+  * O(log m + hits) under the requested join semantics. Executor-side
+  * code — everything it closes over is serializable (bound expressions
+  * + attribute lists). */
+private[plans] object RangeJoinProbe {
+  def probePartition(jt: JoinType, index: RangeJoinIndex,
+                     iter: Iterator[InternalRow], vBound: Expression,
+                     outAttrs: Seq[Attribute], leftAttrs: Seq[Attribute],
+                     rightAttrs: Seq[Attribute]): Iterator[InternalRow] = {
+    val joined = new JoinedRow
+    // under LeftOuter the band fields CAN be null (the all-null pad
+    // row); binding against the original non-nullable attrs would let
+    // the projection skip isNullAt and read type defaults instead
+    val bindAttrs = leftAttrs ++ (
+      if (jt == LeftOuter) rightAttrs.map(_.withNullability(true))
+      else rightAttrs)
+    val proj = UnsafeProjection.create(outAttrs, bindAttrs)
+    val semiProj =
+      if (jt == LeftSemi) UnsafeProjection.create(outAttrs, leftAttrs) else null
+    val nullBand = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(rightAttrs.length)
+
+    iter.flatMap { probeRow =>
+      val v = vBound.eval(probeRow)
+      val start = if (v == null) -1 else index.searchStart(v)
+      jt match {
+        case LeftSemi =>
+          // emit the probe row once iff ANY band covers it
+          var idx = start
+          var hit = false
+          while (idx >= 0 && !hit) {
+            if (!index.canCover(idx, v)) idx = -1
+            else { hit = index.matches(idx, v); idx -= 1 }
+          }
+          if (hit) Iterator.single(semiProj(probeRow)) else Iterator.empty
+        case _ =>
+          // The projection is materialized inside next() (never ahead of
+          // it): proj reuses one row buffer, so building the next match
+          // early would corrupt the row already handed downstream.
+          val inner = new Iterator[InternalRow] {
+            private var idx = start
+            private var found = -1
+            private def seek(): Unit = {
+              found = -1
+              while (idx >= 0 && found == -1) {
+                if (!index.canCover(idx, v)) idx = -1 // nothing left can cover v
+                else {
+                  if (index.matches(idx, v)) found = idx
+                  idx -= 1
+                }
+              }
+            }
+            seek()
+            override def hasNext: Boolean = found >= 0
+            override def next(): InternalRow = {
+              val r = proj(joined(probeRow, index.row(found)))
+              seek()
+              r
+            }
+          }
+          if (jt == LeftOuter && !inner.hasNext)
+            Iterator.single(proj(joined(probeRow, nullBand)))
+          else inner
+      }
+    }
+  }
+}
+
 /** Physical band join. The band side arrives through a standard
   * `BroadcastExchange` (Identity mode — whole rows, reused across
   * probe-side partitions and across plan reuse like any broadcast);
@@ -372,62 +539,8 @@ case class RangeJoinExec(value: Expression, lo: Expression, hi: Expression,
 
     left.execute().mapPartitions({ iter =>
       val index = factory.build(bcast.value)
-      val joined = new JoinedRow
-      // under LeftOuter the band fields CAN be null (the all-null pad
-      // row); binding against the original non-nullable attrs would let
-      // the projection skip isNullAt and read type defaults instead
-      val bindAttrs = leftAttrs ++ (
-        if (jt == LeftOuter) rightAttrs.map(_.withNullability(true))
-        else rightAttrs)
-      val proj = UnsafeProjection.create(outAttrs, bindAttrs)
-      val semiProj =
-        if (jt == LeftSemi) UnsafeProjection.create(outAttrs, leftAttrs) else null
-      val nullBand = new org.apache.spark.sql.catalyst.expressions
-        .GenericInternalRow(rightAttrs.length)
-
-      iter.flatMap { probeRow =>
-        val v = vBound.eval(probeRow)
-        val start = if (v == null) -1 else index.searchStart(v)
-        jt match {
-          case LeftSemi =>
-            // emit the probe row once iff ANY band covers it
-            var idx = start
-            var hit = false
-            while (idx >= 0 && !hit) {
-              if (!index.canCover(idx, v)) idx = -1
-              else { hit = index.matches(idx, v); idx -= 1 }
-            }
-            if (hit) Iterator.single(semiProj(probeRow)) else Iterator.empty
-          case _ =>
-            // The projection is materialized inside next() (never ahead of
-            // it): proj reuses one row buffer, so building the next match
-            // early would corrupt the row already handed downstream.
-            val inner = new Iterator[InternalRow] {
-              private var idx = start
-              private var found = -1
-              private def seek(): Unit = {
-                found = -1
-                while (idx >= 0 && found == -1) {
-                  if (!index.canCover(idx, v)) idx = -1 // nothing left can cover v
-                  else {
-                    if (index.matches(idx, v)) found = idx
-                    idx -= 1
-                  }
-                }
-              }
-              seek()
-              override def hasNext: Boolean = found >= 0
-              override def next(): InternalRow = {
-                val r = proj(joined(probeRow, index.row(found)))
-                seek()
-                r
-              }
-            }
-            if (jt == LeftOuter && !inner.hasNext)
-              Iterator.single(proj(joined(probeRow, nullBand)))
-            else inner
-        }
-      }
+      RangeJoinProbe.probePartition(jt, index, iter, vBound,
+        outAttrs, leftAttrs, rightAttrs)
     }, preservesPartitioning = true)
   }
 

@@ -232,18 +232,78 @@ class RangeJoinSpec extends SparkSuite {
     assert(got.count() === 0)
   }
 
-  test("oversized band side degrades to native planning instead of a forced broadcast") {
+  /** Run `body` with the broadcast threshold floored so the band side
+    * can never fit (8×1 bytes) — forces the SHUFFLED form. */
+  private def overThreshold[T](body: => T): T = {
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1") // 8x1 bytes: nothing fits
-      val got = RangeJoin.bandJoin(probe, bands, "v", "lo", "hi")
-      got.collect()
-      val plan = got.queryExecution.executedPlan.toString
-      assert(!plan.contains("RangeJoin"),
-        s"band side over the cutoff must not be force-broadcast:\n$plan")
-      assert(collected(got) === oracle(loInc = true, hiInc = false).sorted,
-        "the degraded plan must still produce the oracle result")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      body
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("oversized band side plans the SHUFFLED range join — " +
+      "no BroadcastNestedLoopJoin, no forced broadcast") {
+    overThreshold {
+      val got = RangeJoin.bandJoin(probe, bands, "v", "lo", "hi")
+      val plan = got.queryExecution.executedPlan.toString
+      assert(plan.contains("RangeJoinPartitioned"),
+        s"expected the partitioned range join:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(!plan.contains("BroadcastExchange"), plan)
+      assert(collected(got) === oracle(loInc = true, hiInc = false).sorted,
+        "the partitioned plan must still produce the oracle result")
+    }
+  }
+
+  for ((loInc, hiInc) <- Seq((true, false), (false, true)))
+    test("partitioned form matches the oracle " +
+        s"(loInclusive=$loInc, hiInclusive=$hiInc)") {
+      overThreshold {
+        val got = RangeJoin.bandJoin(probe, bands, "v", "lo", "hi",
+          loInc, hiInc)
+        assert(collected(got) === oracle(loInc, hiInc).sorted)
+      }
+    }
+
+  test("partitioned LEFT band join keeps unmatched and null-valued " +
+      "probe rows padded, exactly once") {
+    overThreshold {
+      val got = RangeJoin.bandJoin(probe, bands, "v", "lo", "hi",
+        joinType = "left_outer")
+      val plan = got.queryExecution.executedPlan.toString
+      assert(plan.contains("RangeJoinPartitioned"), plan)
+      val byId = got.collect().groupBy(_.getLong(0))
+      assert(byId.size === probeRows.size, "every probe row survives")
+      val want = oracle(loInc = true, hiInc = false)
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      probeRows.foreach { case (id, _) =>
+        assert(byId(id).length === want.getOrElse(id, 1),
+          s"id=$id row count")
+      }
+      // a null-valued probe row pads its band columns
+      val nullRow = byId(0L).head // id 0: v is None (0 % 97 == 0)
+      assert(nullRow.isNullAt(nullRow.fieldIndex("band")))
+    }
+  }
+
+  test("partitioned LEFT SEMI band join emits each covered probe row once") {
+    overThreshold {
+      val got = RangeJoin.bandJoin(probe, bands, "v", "lo", "hi",
+        joinType = "left_semi")
+      assert(got.columns.toSeq === Seq("id", "v"))
+      val want = oracle(loInc = true, hiInc = false).map(_._1).distinct.sorted
+      assert(got.collect().map(_.getLong(0)).sorted.toSeq === want)
+    }
+  }
+
+  test("partitioned form with an empty band side: inner empty, outer padded") {
+    overThreshold {
+      val none = bands.filter(col("band") < -100)
+      assert(RangeJoin.bandJoin(probe, none, "v", "lo", "hi").count() === 0)
+      assert(RangeJoin.bandJoin(probe, none, "v", "lo", "hi",
+        joinType = "left_outer").count() === probeRows.size)
+    }
   }
 
   test("self-derived band side (shared expr ids) is re-aliased, not crossed") {
