@@ -375,10 +375,19 @@ object DedupExtQueries {
     // by 48-bit md5-prefix LONG (the dd9 shuffle-width rule; identical
     // hash both engines so even a collision behaves identically); the
     // canonical occurrence is the lexicographically-least (doc_id, pos)
-    // per key, found with groupBy min(struct) + an equi-join back —
-    // never a window partitioned on the hash (a boilerplate sentence's
-    // millions of occurrences would pile into one task). Output: per-doc
-    // survival accounting, the shape the C4 cleaner reports.
+    // per key, found with groupBy min(struct) — never a window
+    // partitioned on the hash, and never a join back ON the hash
+    // either: a boilerplate sentence's millions of occurrences collapse
+    // map-side in the partial agg, but re-joining occurrences to canon
+    // by `h` re-creates the hot key as a sort-merge partition the
+    // moment canon outgrows broadcast (at test scale AQE broadcasts it
+    // and hides the hazard — DedupSkewSpec measured the balanced BHJ;
+    // at corpus scale canon is corpus-sized and the hot h would need an
+    // AQE skew split to survive). Instead each hash contributes ONE row
+    // to its keeper doc's count, and the two per-doc aggregates join on
+    // the unskewed doc_id — skew-immune by construction, one join and
+    // one wide shuffle fewer. Output: per-doc survival accounting, the
+    // shape the C4 cleaner reports.
     "dd15_paragraph_dedup" -> ((s, d) => {
       val paras = documents(s, d)
         .select(col("doc_id"), posexplode(split(col("text"), "\\. "))
@@ -386,14 +395,14 @@ object DedupExtQueries {
         .filter(length(trim(col("para"))) > 0)
         .withColumn("h", expr(
           "cast(conv(substring(md5(trim(para)), 1, 12), 16, 10) as bigint)"))
-      val canon = paras.groupBy("h")
+      val keptPerDoc = paras.groupBy("h")
         .agg(min(struct(col("doc_id"), col("pos"))).as("k"))
-        .select(col("h"), col("k.doc_id").as("kdoc"), col("k.pos").as("kpos"))
-      paras.join(canon, "h")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_paras"),
-          sum(when(col("doc_id") === col("kdoc") &&
-            col("pos") === col("kpos"), 1L).otherwise(0L)).as("n_kept"))
+        .groupBy(col("k.doc_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_kept"))
+      paras.groupBy("doc_id").agg(count(lit(1)).as("n_paras"))
+        .join(keptPerDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_paras"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
         .orderBy("doc_id")
     })
   )
