@@ -331,6 +331,35 @@ object WritePathQueries {
       orderedScd(Scd2.readRegioned(s, root))
     }),
 
+    // S24: FILE-STATS SKIPPING ON THE PRODUCTION SILVER TABLE — the s14
+    // composition lifted onto the SCD2 store: the 2-day regioned
+    // scenario runs under PointerCommit, the current region is
+    // OPTIMIZEd into a range-clustered layout with its stats sidecar
+    // (Scd2.optimizeCurrentWithStats), and a production range scan goes
+    // through the sidecar: the file list is cut before Spark lists a
+    // footer. `skip_effective` pins that a strict subset of files
+    // served; the oracle recomputes the aggregate from the raw logical
+    // table, so a wrongly-skipped file is a hash mismatch, not silence.
+    "s24_silver_stats_skipping" -> ((s, d) => {
+      val root = tmp("graft_gate_silverstats")
+      Scd2.mergeRegioned(s, scdDay1(s, d), root,
+        asOfDate = lit("2025-01-15"), commit = graft.store.PointerCommit)
+      Scd2.mergeRegioned(s, scdDay2(s, d), root,
+        asOfDate = lit("2025-01-16"), commit = graft.store.PointerCommit)
+      Scd2.optimizeCurrentWithStats(s, root, sortCol = "universal_id",
+        numFiles = 8, statCols = Seq("universal_id"))
+      val cur = Scd2.currentRoot(root)
+      val (sel, all) = graft.store.FileStats.pruneFiles(
+        s, cur, "universal_id", "2", "5")
+      graft.store.FileStats.readSelected(s, cur, sel,
+          col("universal_id").between("2", "5"))
+        .groupBy("spider_name")
+        .agg(count(lit(1)).as("n_current"))
+        .withColumn("skip_effective",
+          lit(sel.nonEmpty && sel.length < all.length))
+        .orderBy("spider_name")
+    }),
+
     // S2: current-snapshot scan over the merged table (gold's read path).
     "s2_current_scan" -> ((s, d) =>
       orderedScd(FlatLayout.readCurrent(s, runFlatScenario(s, d),
@@ -1036,6 +1065,14 @@ object WritePathQueries {
         |  (c_custkey % 2 = 0) AS active,
         |  CAST(c_custkey % 12 AS BIGINT) AS district_code
         |FROM customer ORDER BY id""".stripMargin,
+    // current rows of the day-2 logical table in the (string) id range,
+    // lexicographic BETWEEN in both engines; skip_effective pinned TRUE
+    "s24_silver_stats_skipping" -> (ScdOracleCte +
+      """SELECT spider_name, CAST(COUNT(*) AS BIGINT) AS n_current,
+        |  TRUE AS skip_effective
+        |FROM full_scd
+        |WHERE is_current AND universal_id BETWEEN '2' AND '5'
+        |GROUP BY spider_name ORDER BY spider_name""".stripMargin),
     "s6_scd2_merge" -> (ScdOracleCte + ScdOracleSelect),
     "s6b_scd2_regioned" -> (ScdOracleCte + ScdOracleSelect),
     "s6c_scd2_stream_sink" -> (ScdOracleCte + ScdOracleSelect),

@@ -175,6 +175,42 @@ object Scd2 {
   def closedRoot(root: String): String =
     new Path(root, "closed").toString
 
+  /** OPTIMIZE the regioned table's CURRENT region into a range-clustered
+    * layout WITH its file-stats sidecar — the s7 clustering maintenance
+    * composed with [[graft.store.FileStats]], for [[PointerCommit]]
+    * tables (the region root IS a SnapshotStore root): current rows are
+    * republished range-sorted on `sortCol` and the per-file min/max
+    * (+ optional bloom) sidecar lands inside the same commit, atomic
+    * with the layout it describes. After this, [[readCurrentRange]]
+    * answers production range scans (price bands, freshness windows,
+    * valid_from cuts) touching only the files whose interval intersects
+    * — instead of the full-region scan the quality battery and gold
+    * read otherwise pay. Like ZORDER, the republish trades the hive
+    * partition dirs for clustering; the next merge full-width-rewrites
+    * without partition pruning (correct, just unpruned) until its own
+    * partitioned publish restores them — and that merge's new snapshot
+    * has no sidecar, so stale stats can never serve: the sidecar name
+    * is keyed to its snapshot and [[readCurrentRange]] fails loudly
+    * until the next optimize. Maintenance cadence is the caller's
+    * (nightly, like the reference's OPTIMIZE). */
+  def optimizeCurrentWithStats(spark: SparkSession, root: String,
+                               sortCol: String, numFiles: Int,
+                               statCols: Seq[String],
+                               bloomCols: Seq[String] = Nil): String = {
+    val cur = graft.store.SnapshotStore.read(spark, currentRoot(root))
+    graft.store.FileStats.publishSorted(spark, currentRoot(root), cur,
+      sortCol, numFiles, statCols, bloomCols)
+  }
+
+  /** Production range read of the current region THROUGH the stats
+    * sidecar published by [[optimizeCurrentWithStats]]: the sidecar
+    * cuts the file list before Spark lists a directory or opens a
+    * footer, then the exact predicate applies — a pure optimization,
+    * never a semantic change. */
+  def readCurrentRange(spark: SparkSession, root: String, c: String,
+                       lo: Any, hi: Any): DataFrame =
+    graft.store.FileStats.readRange(spark, currentRoot(root), c, lo, hi)
+
   /** SCD2 merge with O(churn) READ and WRITE volume.
     *
     * Read side: classification runs over a NARROW scan of the current

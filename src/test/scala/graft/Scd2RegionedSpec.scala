@@ -323,6 +323,46 @@ class Scd2RegionedSpec extends SparkSuite {
     assert(canon(Scd2.readRegioned(spark, root, PointerCommit)) === before)
   }
 
+  test("optimizeCurrentWithStats: content identical, range reads skip a " +
+    "strict file subset, and the next merge still converges") {
+    val root = Files.createTempDirectory("graft_scd2_stats").toString + "/t"
+    Scd2.mergeRegioned(spark, mkBatch(day1, "v1", "2025-01-15"), root,
+      asOfDate = lit("2025-01-15"), commit = PointerCommit)
+    val before = canon(Scd2.readRegionedCurrent(spark, root, PointerCommit))
+    Scd2.optimizeCurrentWithStats(spark, root, sortCol = "universal_id",
+      numFiles = 8, statCols = Seq("universal_id"))
+    // content identity through the clustering republish
+    assert(canon(Scd2.readRegionedCurrent(spark, root, PointerCommit))
+      === before)
+    // the sidecar-pruned range read: strict subset of files, exact rows
+    val (sel, all) = graft.store.FileStats.pruneFiles(
+      spark, Scd2.currentRoot(root), "universal_id", "u10", "u12")
+    assert(sel.nonEmpty && sel.length < all.length,
+      s"expected a strict subset, got ${sel.length}/${all.length}")
+    val got = Scd2.readCurrentRange(spark, root, "universal_id",
+      "u10", "u12").select("universal_id").collect()
+      .map(_.getString(0)).sorted.toSeq
+    val want = day1.map(i => s"u$i")
+      .filter(u => u >= "u10" && u <= "u12").sorted
+    assert(got === want)
+    // a merge AFTER the optimize converges (the flattened region has no
+    // hive dirs to prune — correct, just unpruned) and its fresh
+    // snapshot carries no stale sidecar: the pruned read fails loudly
+    // instead of serving yesterday's file list
+    Scd2.mergeRegioned(spark, mkBatch(day2upd, "v2", "2025-01-16"), root,
+      asOfDate = lit("2025-01-16"), commit = PointerCommit)
+    val cur = Scd2.readRegionedCurrent(spark, root, PointerCommit)
+    assert(cur.count() === day1.size)
+    assert(cur.filter(col("project_name").startsWith("v2")).count()
+      === day2upd.size)
+    val e = intercept[Exception] {
+      Scd2.readCurrentRange(spark, root, "universal_id", "u10", "u12")
+        .collect()
+    }
+    assert(e.getMessage.contains(".stats.parquet"),
+      s"expected the missing-sidecar failure, got: ${e.getMessage}")
+  }
+
   test("FlatLayout keeps the reference-parity single-table behavior") {
     val root = Files.createTempDirectory("graft_scd2_flat_seam").toString + "/t"
     FlatLayout.merge(spark, mkBatch(0 until 50, "v1", "2025-01-15"), root,
