@@ -37,7 +37,12 @@ class PlanGuardSpec extends SparkSuite {
     "v11_hard_negatives" -> ("the v2 shape with the label inequality " +
       "fused into the broadcast join condition (10 anchors, one corpus " +
       "scan, k-bounded TopKScored) — at index scale the same mining " +
-      "runs on the IVF/LSH candidate stream instead")
+      "runs on the IVF/LSH candidate stream instead"),
+    "st3_stream_drift" -> ("the PSI term grid is per-window totals " +
+      "crossJoin the broadcast REFERENCE histogram — a static <= 8-row " +
+      "frame (the p8 shape); round 12 moved it from a driver-collected " +
+      "typedLit literal to the broadcast frame, trading a whitelisted " +
+      "tiny cross join for a driver-clean fixture path")
     // dd3_ngram_jaccard left this list in round 5: its zero-overlap pair
     // skeleton is now a rank-explode + equi-join, not a theta join.
   )
