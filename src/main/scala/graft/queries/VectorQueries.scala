@@ -64,9 +64,17 @@ object VectorQueries {
     * Floors are the measured sf0.01 per-query minima with no slack
     * (v4 multi-probe: 4/5; IVF-family: 1/5 at the nprobe=3 recall
     * ceiling — QueriesSpec holds the tighter aggregate floors). */
+  /** The exact side of the recall gates, one localCheckpoint per
+    * (JVM, sfDir) — testdata is read-only, and the three gates (plus
+    * their bench re-runs) should price their own shortlists, not pay
+    * the brute-force yardstick three times over. */
+  private val exactCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   private def recallGate(s: SparkSession, d: String, ann: DataFrame,
                          floor: Int): DataFrame = {
-    val exact = exactTopK(s, d).select("qid", "nid").localCheckpoint()
+    val exact = exactCache.getOrElseUpdate(d,
+      exactTopK(s, d).select("qid", "nid").localCheckpoint())
     val overlap = ann.select("qid", "nid")
       .join(exact, Seq("qid", "nid"), "left_semi")
       .groupBy("qid").agg(count(lit(1)).as("n_hit"))
