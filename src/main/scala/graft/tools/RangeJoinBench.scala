@@ -55,13 +55,39 @@ object RangeJoinBench {
       runs.sorted.apply(1) // median of 3
     }
 
-    println(f"${"m"}%8s ${"bnl_median_s"}%14s ${"rangejoin_median_s"}%20s ${"speedup"}%8s")
+    // the SHUFFLED form (RangeJoinPartitionedExec): floor the broadcast
+    // threshold so the strategy's 8x cutoff can never fit — the path a
+    // band table too big to broadcast takes at scale. Includes the
+    // RangePartitioner's sampling pass in every run (honest: the real
+    // query pays it too).
+    def timedPartitioned(m: Int): Double = {
+      val runs = (1 to 3).map { _ =>
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+        try {
+          val df = bandJoinDf(m)
+          val t0 = System.nanoTime()
+          df.collect()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val plan = df.queryExecution.executedPlan.toString
+          require(plan.contains("RangeJoinPartitioned") &&
+            !plan.contains("BroadcastNestedLoopJoin"),
+            s"wrong plan for partitioned m=$m:\n$plan")
+          sec
+        } finally
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      }
+      runs.sorted.apply(1)
+    }
+
+    println(f"${"m"}%8s ${"bnl_median_s"}%14s ${"rangejoin_median_s"}%20s " +
+      f"${"speedup"}%8s ${"partitioned_s"}%14s")
     ms.foreach { m =>
       spark.conf.set(ExcludeConf, "graft.plans.RangeJoinRewrite")
       val bnl = timed("BroadcastNestedLoopJoin", "RangeJoin", m)
       spark.conf.unset(ExcludeConf)
       val rj = timed("RangeJoin", "BroadcastNestedLoopJoin", m)
-      println(f"$m%8d $bnl%14.3f $rj%20.3f ${bnl / rj}%7.1fx")
+      val part = timedPartitioned(m)
+      println(f"$m%8d $bnl%14.3f $rj%20.3f ${bnl / rj}%7.1fx $part%14.3f")
     }
     spark.stop()
   }
