@@ -133,4 +133,48 @@ object CorpusPipeline {
     (curated, CorpusStats(input, afterQuality, afterExact, afterNear,
       train, afterNear - train))
   }
+
+  /** LEAKAGE-SAFE train/eval split — the eval-contamination guard the
+    * plain per-doc hash split cannot give: two near-duplicate documents
+    * split independently land one in train and one in eval ~25% of the
+    * time, and the eval copy is then memorized, not generalized to. The
+    * split key here is the near-dup COMPONENT id (each cluster's
+    * minimum doc_id), so every cluster lands WHOLE on one side — the
+    * standard grouped-split discipline (GroupKFold / dedup-aware eval
+    * construction), composed from the engine's own pieces: quality gate
+    * → exact dedup → portable MinHash pairs → connected components →
+    * `Splits.hashSplit(component)`. Deterministic and engine-portable
+    * end to end (the same recursive-CC DuckDB chain that gates cp1
+    * replays it exactly).
+    *
+    * Returns ALL quality+exact survivors — canonical or not — each
+    * tagged (component, split): downstream curation may still drop
+    * non-canonicals, but the split assignment must be made (and is
+    * reproducible) for every retained document. */
+  def leakageSafeSplit(spark: SparkSession, docs: DataFrame,
+                       langs: Seq[String] = Seq("en"),
+                       minChars: Int = 100, maxChars: Int = 100000,
+                       maxPunctRatio: Double = 0.2,
+                       minJaccard: Double = 0.8,
+                       trainHexThreshold: String = "cc",
+                       precomputedPairs: Option[DataFrame] = None): DataFrame = {
+    val gated = qualityGate(docs, langs, minChars, maxChars, maxPunctRatio)
+    val exact = exactDedupKeepMin(gated)
+      .localCheckpoint(true) // feeds pairs, CC, and the final join
+    val pairs = precomputedPairs match {
+      case Some(all) =>
+        val ids = exact.select("doc_id")
+        all.filter(col("est_jaccard") >= minJaccard)
+          .join(ids.withColumnRenamed("doc_id", "src"), Seq("src"), "left_semi")
+          .join(ids.withColumnRenamed("doc_id", "dst"), Seq("dst"), "left_semi")
+          .select("src", "dst")
+      case None => nearDupPairs(exact, minJaccard)
+    }
+    val components = ConnectedComponents.run(
+      exact.select(col("doc_id").as("id")), pairs)
+    exact.join(components.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), col("component"),
+        graft.operators.Splits.hashSplit(col("component"), trainHexThreshold)
+          .as("split"))
+  }
 }

@@ -178,6 +178,26 @@ object SamplingQueries {
       curated.select("doc_id", "split").orderBy("doc_id")
     }),
 
+    // SM11: LEAKAGE-SAFE train/eval split — the split key is the
+    // near-dup COMPONENT id, so every cluster of near-duplicate
+    // documents lands WHOLE on one side (a per-doc hash split puts a
+    // near-dup pair across the boundary ~25% of the time, turning eval
+    // into memorization). Composition: cp1's quality gate → exact dedup
+    // → portable MinHash pairs → connected components, then
+    // Splits.hashSplit keyed on the component minimum. The oracle
+    // replays the ENTIRE chain — including the recursive CC — in
+    // DuckDB, so cluster membership AND the grouped assignment are both
+    // engine-portable facts, not Spark-side choices.
+    "sm11_leakage_safe_split" -> ((s, d) => {
+      val docs = graft.Tables.documents(s, d)
+      graft.corpus.CorpusPipeline.leakageSafeSplit(
+        s, docs,
+        langs = Seq("en", "vi", "de", "fr"), minChars = 1, minJaccard = 0.8,
+        precomputedPairs = Some(
+          graft.operators.MinHashLSH.cachedPortablePairs(docs, cacheKey = d)))
+        .orderBy("doc_id")
+    }),
+
     // CP6: INCREMENTAL curation — today's change-feed batch curated
     // against the indexed history (corpus.IncrementalCurate): raw-store
     // change feed → quality gate → exact dedup vs the curated table's
@@ -489,6 +509,16 @@ object SamplingQueries {
     "cp1_corpus_curate" ->
       s"""WITH RECURSIVE ${curateChainSql("", "TRUE")}
          |${curateSelectSql("", "TRUE")}
+         |ORDER BY e.doc_id""".stripMargin,
+    // the full chain INCLUDING the recursive connected components, with
+    // the split keyed on the component id instead of the doc id — every
+    // exact survivor appears, canonical or not
+    "sm11_leakage_safe_split" ->
+      s"""WITH RECURSIVE ${curateChainSql("", "TRUE")}
+         |SELECT e.doc_id, c.component,
+         |  CASE WHEN substring(md5(CAST(c.component AS VARCHAR)), 1, 2) < 'cc'
+         |       THEN 'train' ELSE 'eval' END AS split
+         |FROM exact e JOIN comp c ON c.id = e.doc_id
          |ORDER BY e.doc_id""".stripMargin,
     // cp6: THE FULL RECOMPUTE RESTRICTED TO THE BATCH — cp1's exact
     // chain over history ∪ batch, keeping only batch rows. The

@@ -82,6 +82,49 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("leakage-safe split: every near-dup cluster lands WHOLE in one " +
+    "split, and a planted pair the per-doc split separates stays together") {
+    import spark.implicits._
+    // search for a near-dup pair whose two doc ids hash to DIFFERENT
+    // sides under the per-doc split — the exact leakage case the
+    // grouped split exists to prevent. The base text is shared; the dup
+    // flips one word; candidate id pairs are scanned until one splits.
+    def docSide(id: Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.take(1).map("%02x".format(_)).mkString
+      if (hex < "cc") "train" else "eval"
+    }
+    val (a, b) = (0L until 500L).map(i => (i, 1000L + i))
+      .find { case (x, y) => docSide(x) != docSide(y) }.get
+    // 120 words, one flipped in the middle: J ≈ 115/121 ≈ 0.95 — far
+    // above the 13/16 agreement cut for the fixed portable family
+    val baseText = (0 until 120).map(j => s"w$j").mkString(" ")
+    val dupText = (0 until 120).map(j => if (j == 60) "zq" else s"w$j")
+      .mkString(" ")
+    val fillers = (2000L until 2020L).map(i =>
+      (i, (0 until 40).map(j => s"f${i}_$j").mkString(" ")))
+    val docs = (Seq((a, baseText), (b, dupText)) ++ fillers)
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusPipeline.leakageSafeSplit(spark, docs,
+      langs = Seq("en"), minChars = 1, minJaccard = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byComp = out.groupBy(_._2)
+    // invariant: one split per component, everywhere
+    byComp.foreach { case (c, rows) =>
+      assert(rows.map(_._3).distinct.length == 1,
+        s"component $c spans splits: ${rows.toSeq}")
+    }
+    // the planted pair shares a component (near-dups) and therefore a
+    // split — though their PER-DOC hashes disagree (non-vacuity)
+    val m = out.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(docSide(a) != docSide(b),
+      "fixture must plant a pair the per-doc split would separate")
+    assert(m(a)._1 == m(b)._1, "planted near-dups must share a component")
+    assert(m(a)._2 == m(b)._2, "…and therefore a split")
+  }
+
   test("fully-filtered corpus curates to empty without errors") {
     import spark.implicits._
     val docs = Seq((1L, "short", "de", "s", 5L))
