@@ -410,6 +410,27 @@ object SamplingQueries {
         .orderBy("doc_id")
     }),
 
+    // CP7: GPT-style concat-then-chunk CONTEXT PACKING — the corpus as
+    // one doc_id-ordered token stream cut into 512-token training
+    // contexts; output is each document's placement map (first/last
+    // window, windows straddled), the attribution/contamination/loss-
+    // masking bookkeeping a training-data writer needs. cp4's shard
+    // packing bounds FILES; this places tokens into the EXAMPLES a
+    // loader emits. Same two-phase prefix sum (operators.ContextPack) —
+    // never a single-partition window; exact integer placement math, so
+    // DuckDB replays it bit-for-bit.
+    "cp7_context_pack" -> ((s, d) => {
+      val docs = documents(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .withColumn("n_tokens",
+          size(split(trim(col("text")), "\\s+")).cast("long"))
+      graft.operators.ContextPack
+        .placements(docs, "doc_id", "n_tokens", window = 512L)
+        .select(col("doc_id"), col("n_tokens"), col("first_window"),
+          col("last_window"), col("n_windows"))
+        .orderBy("doc_id")
+    }),
+
     // SM8: deterministic weighted interleave — the training-epoch ORDER
     // for a multi-source mixture (en 4 : zh 2 : es 2 : de 1 : fr 1 per
     // 10-slot cycle): per-source content-hash shuffle, exact-integer
@@ -560,6 +581,22 @@ object SamplingQueries {
         |      FROM docs)
         |SELECT doc_id, n_tokens,
         |  CAST((CAST(cum AS BIGINT) - n_tokens) // 2000 AS INTEGER) AS shard_id
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "cp7_context_pack" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents WHERE LENGTH(TRIM(text)) > 0),
+        |c AS (SELECT doc_id, n_tokens,
+        |        SUM(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM toks)
+        |SELECT doc_id, n_tokens,
+        |  (CAST(cum AS BIGINT) - n_tokens) // 512 AS first_window,
+        |  (CAST(cum AS BIGINT) - 1) // 512 AS last_window,
+        |  ((CAST(cum AS BIGINT) - 1) // 512)
+        |    - ((CAST(cum AS BIGINT) - n_tokens) // 512) + 1 AS n_windows
         |FROM c ORDER BY doc_id""".stripMargin,
     "sm8_interleave" ->
       """WITH r AS (
