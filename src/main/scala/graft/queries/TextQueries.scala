@@ -627,6 +627,44 @@ object TextQueries {
         (r, tot, ns)
       }
       rows.toDF("round", "total_tokens", "n_symbols").orderBy("round")
+    }),
+
+    // TX21: REFERENCE-CORPUS familiarity filter — the CCNet/fastText
+    // filtering SHAPE (score every document against a trusted reference
+    // model) in exact integer arithmetic: the "model" is the word-BIGRAM
+    // vocabulary of the English reference slice (bigrams seen >= 2
+    // times), and a document's familiarity is how many of its bigram
+    // OCCURRENCES the reference recognizes. A true LM log-prob would
+    // sum libm transcendentals whose last ulp differs across engines;
+    // here numerator and denominator ship as integers and the admit
+    // flag is an integer cross-multiplication — bit-portable, same
+    // filtering decision boundary class. Bigram keys are 60-bit
+    // md5-prefix longs (the dd9 shuffle-width rule); the plan is two
+    // aggregations plus one equi-join of occurrences against the
+    // one-row-per-bigram vocabulary (AQE's skew split covers a hot
+    // boilerplate bigram at scale, the SkewSpec-pinned SMJ shape).
+    "tx21_ref_familiarity" -> ((s, d) => {
+      val big = documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")
+            .as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+            |  i -> cast(conv(substring(md5(concat_ws(' ',
+            |         toks[i-1], toks[i])), 1, 15), 16, 10) as bigint))"""
+            .stripMargin)).as("g"))
+      val refVocab = big.filter(col("lang") === "en")
+        .groupBy("g").agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2)
+        .select(col("g"), lit(1L).as("__hit"))
+      big.join(refVocab, Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_familiar"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_familiar"),
+          (col("n_familiar") * 2 >= col("n_bigrams")).as("familiar_enough"))
+        .orderBy("doc_id")
     })
   )
 
@@ -987,7 +1025,30 @@ object TextQueries {
          |UNION ALL ${stats(2)}
          |UNION ALL ${stats(3)}
          |ORDER BY round""".stripMargin
-    }
+    },
+    // same 60-bit md5-prefix bigram keys, same >= 2 reference cut, all
+    // integer — the familiarity decision is engine-portable by
+    // construction
+    "tx21_ref_familiarity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+        |      ' ') AS toks
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substring(md5(toks[t.i] || ' ' || toks[t.i + 1]),
+        |      1, 15) AS BIGINT) AS g
+        |  FROM toks, UNNEST(generate_series(1, len(toks) - 1)) t(i)
+        |  WHERE len(toks) >= 2),
+        |ref AS (
+        |  SELECT g, 1 AS hit FROM big WHERE lang = 'en'
+        |  GROUP BY g HAVING COUNT(*) >= 2)
+        |SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(COALESCE(r.hit, 0)) AS BIGINT) AS n_familiar,
+        |  (SUM(COALESCE(r.hit, 0)) * 2 >= COUNT(*)) AS familiar_enough
+        |FROM big b LEFT JOIN ref r USING (g)
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
   )
 
   /** The BPE training chain through w0..w3/best1..best3 — shared by the
