@@ -562,6 +562,50 @@ object AnalyticQueries {
     // md5-prefix LONG (8-byte join/agg keys — the dd9 shuffle-width
     // rule) with the SAME integer derived in the oracle — exact parity.
     // Every arithmetic step is integer, so the DuckDB replay is exact.
+    // GJ1: BUCKETED SPATIAL NEIGHBOR JOIN — "every pair of points
+    // within radius R", the geo-dedup / nearby-listing primitive, as a
+    // grid-cell equi-join instead of the O(n²) theta join: each point
+    // lands in one R-sized cell, the probe side explodes to its 3×3
+    // neighbor cells (a fixed 9× row cost), candidates are an equi-join
+    // on the cell key, and the exact radius filter settles them. Any
+    // pair within Euclidean R is within Chebyshev R, hence in adjacent
+    // cells — candidates are provably complete; each qualifying pair
+    // matches exactly once (the probe row meets the OTHER point's
+    // unique home cell; id_a < id_b keeps one orientation). All math is
+    // exact integer micro-degrees (md5-derived synthetic coordinates —
+    // the testdata has no geo columns — and squared distances), so
+    // DuckDB's all-pairs replay hash-matches bit-for-bit.
+    "gj1_geo_neighbor_join" -> ((s, d) => {
+      val R = 5000L // micro-degrees; cell size = R
+      val pts = customer(s, d).select(col("c_custkey").as("id"),
+        expr("cast(conv(substring(md5(concat('lat', cast(c_custkey as " +
+          "string))), 1, 12), 16, 10) as bigint) % 1000000").as("lat_u"),
+        expr("cast(conv(substring(md5(concat('lon', cast(c_custkey as " +
+          "string))), 1, 12), 16, 10) as bigint) % 1000000").as("lon_u"))
+        .withColumn("cx", expr(s"lat_u div ${R}L"))
+        .withColumn("cy", expr(s"lon_u div ${R}L"))
+      val probes = pts.select(col("id").as("id_a"),
+          col("lat_u").as("lat_a"), col("lon_u").as("lon_a"),
+          explode(expr(
+            """flatten(transform(sequence(-1, 1),
+              |  dx -> transform(sequence(-1, 1),
+              |    dy -> struct(cx + dx AS px, cy + dy AS py))))"""
+              .stripMargin)).as("p"))
+        .select(col("id_a"), col("lat_a"), col("lon_a"),
+          col("p.px").as("cx"), col("p.py").as("cy"))
+      val homes = pts.select(col("id").as("id_b"),
+        col("lat_u").as("lat_b"), col("lon_u").as("lon_b"),
+        col("cx"), col("cy"))
+      probes.join(homes, Seq("cx", "cy"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("dist2",
+          (col("lat_a") - col("lat_b")) * (col("lat_a") - col("lat_b")) +
+            (col("lon_a") - col("lon_b")) * (col("lon_a") - col("lon_b")))
+        .filter(col("dist2") <= lit(R * R))
+        .select(col("id_a"), col("id_b"), col("dist2"))
+        .orderBy("id_a", "id_b")
+    }),
+
     "gr1_pagerank" -> ((s, d) => {
       // the rare-shingle frame is localCheckpoint'ed: both sides of the
       // edge self-join would otherwise re-run the corpus explode per use
@@ -857,6 +901,23 @@ object AnalyticQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM dev d JOIN mad ma ON d.g = ma.g
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the all-pairs ground truth the bucketed join must equal exactly —
+    // same md5-derived integer coordinates, same squared-radius test
+    "gj1_geo_neighbor_join" ->
+      """WITH pts AS (
+        |  SELECT c_custkey AS id,
+        |    CAST('0x' || substring(md5('lat' || CAST(c_custkey AS VARCHAR)),
+        |      1, 12) AS BIGINT) % 1000000 AS lat_u,
+        |    CAST('0x' || substring(md5('lon' || CAST(c_custkey AS VARCHAR)),
+        |      1, 12) AS BIGINT) % 1000000 AS lon_u
+        |  FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+        |    + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) AS dist2
+        |FROM pts a JOIN pts b ON a.id < b.id
+        |WHERE (a.lat_u - b.lat_u) * (a.lat_u - b.lat_u)
+        |    + (a.lon_u - b.lon_u) * (a.lon_u - b.lon_u) <= 25000000
+        |ORDER BY id_a, id_b""".stripMargin,
     // full integer-arithmetic replay: gram graph, degrees, uniform start,
     // three damped rounds with `//` floors matching Spark's `div`
     "gr1_pagerank" ->
