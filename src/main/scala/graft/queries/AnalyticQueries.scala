@@ -247,6 +247,43 @@ object AnalyticQueries {
     // SW1: batch session windows — events within a 12h gap of each other
     // merge into one session per user (the batch twin of the streaming
     // sessionization in graft.streaming; oracle is gaps-and-islands SQL).
+    // SW2: ORDERED FUNNEL — per user, the strictly-time-ordered
+    // view → click → purchase chain (each stage's anchor is the EARLIEST
+    // qualifying event after the previous stage's anchor — the greedy
+    // matching every funnel engine uses; strict > so a same-microsecond
+    // pair never double-counts). Each stage is one filtered aggregate +
+    // one equi-join on user_id — no window over the event stream, no
+    // per-user collect; stage frames shrink monotonically. Output: the
+    // funnel report (stage, users, total microseconds from first
+    // view to conversion for completers — exact integer epoch
+    // arithmetic in MICROS on both engines; whole seconds would floor
+    // differently than DuckDB's fractional epoch()).
+    "sw2_funnel" -> ((s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("t1"))
+        .groupBy("user_id", "t1").agg(min(col("ts")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("t2"))
+        .groupBy("user_id", "t1").agg(min(col("ts")).as("t3"))
+      val s1 = v.agg(count(lit(1)).as("n_users"), lit(0L).as("convert_usecs"))
+        .select(lit(1).as("stage"), lit("view").as("step"),
+          col("n_users"), col("convert_usecs"))
+      val s2 = c.agg(count(lit(1)).as("n_users"), lit(0L).as("convert_usecs"))
+        .select(lit(2).as("stage"), lit("click").as("step"),
+          col("n_users"), col("convert_usecs"))
+      val s3 = p.agg(count(lit(1)).as("n_users"),
+          coalesce(sum(unix_micros(col("t3")) - unix_micros(col("t1"))),
+            lit(0L)).as("convert_usecs"))
+        .select(lit(3).as("stage"), lit("purchase").as("step"),
+          col("n_users"), col("convert_usecs"))
+      s1.unionByName(s2).unionByName(s3).orderBy("stage")
+    }),
+
     "sw1_session_window" -> ((s, d) =>
       events(s, d)
         .groupBy(col("user_id"), session_window(col("ts"), "12 hours"))
@@ -901,6 +938,26 @@ object AnalyticQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM dev d JOIN mad ma ON d.g = ma.g
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the same greedy stage chain; epoch diffs as exact BIGINT micros
+    "sw2_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, MIN(v.t1) AS t1, MIN(e.ts) AS t2
+        |      FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, MIN(c.t1) AS t1, MIN(e.ts) AS t3
+        |      FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1)
+        |SELECT 1 AS stage, 'view' AS step,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(0 AS BIGINT) AS convert_usecs
+        |FROM v
+        |UNION ALL SELECT 2, 'click', CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT)
+        |FROM c
+        |UNION ALL SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT),
+        |  CAST(COALESCE(SUM(epoch_us(t3) - epoch_us(t1)), 0) AS BIGINT)
+        |FROM p
+        |ORDER BY stage""".stripMargin,
     // the all-pairs ground truth the bucketed join must equal exactly —
     // same md5-derived integer coordinates, same squared-radius test
     "gj1_geo_neighbor_join" ->
