@@ -199,6 +199,59 @@ object IncrementalCurate {
       SnapshotStore.writeManifest(spark, curatedRoot, name, carried ++ fresh)
     }
 
+  /** LSM compaction valve for the curated store — the [[publishDelta]]
+    * counterpart of [[graft.operators.LshBandIndex.MaxChain]]: past this
+    * many manifest entries, [[consolidate]] collapses the store into one
+    * fresh version. Why it must exist: each delta publish adds a
+    * version, and a manifest read builds ONE scan relation per
+    * referenced version ([[SnapshotStore.readEntries]]) — at a year of
+    * daily batches that is a 365-way union plan per read, and the
+    * many-micro-batch soak (tools.CurateStreamSoak) measured exactly
+    * that growth: per-batch wall kept rising ACROSS index-chain
+    * compactions because the store's union width never fell. */
+  val MaxStoreFanout = 16
+
+  /** Rewrite the curated store into ONE fresh version dir (still
+    * batch_id-partitioned — the column is history, the layout is new),
+    * dropping readers' per-version union width back to 1. O(history)
+    * write, amortized LSM-style over the `MaxStoreFanout` batches that
+    * grew the manifest; superseded versions become vacuum-collectable
+    * (nothing references them). Fenced on the current snapshot. */
+  def consolidate(spark: SparkSession, curatedRoot: String): String = {
+    val base = SnapshotStore.currentName(spark, curatedRoot)
+    SnapshotStore.commitFrom(spark, curatedRoot, base) { dir =>
+      val dirPath = new org.apache.hadoop.fs.Path(dir)
+      val name = dirPath.getName
+      val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // one file per batch_id partition (the small-files rule: cluster
+      // by the partition column before partitionBy)
+      SnapshotStore.read(spark, curatedRoot)
+        .repartition(col("batch_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("batch_id").parquet(dir)
+      val fresh = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/batch_id=*")))
+        .getOrElse(Array.empty)
+        .map(_.getPath.getName -> name).toMap
+      SnapshotStore.writeManifest(spark, curatedRoot, name, fresh)
+    }
+  }
+
+  /** [[consolidate]] when the manifest references more than
+    * `maxFanout` DISTINCT VERSIONS — the union width a read pays, and
+    * the quantity a consolidation actually resets (partition ENTRIES
+    * accumulate forever by design; triggering on their count would
+    * re-consolidate every batch after the first valve, reintroducing
+    * the O(history) daily rewrite). The streaming sink calls this after
+    * every publish, bounding read fan-out the way MaxChain bounds the
+    * index. */
+  def consolidateIfWide(spark: SparkSession, curatedRoot: String,
+                        maxFanout: Int = MaxStoreFanout): Option[String] = {
+    val fanout = SnapshotStore.currentEntries(spark, curatedRoot, 1)
+      .map(_.values.toSet.size).getOrElse(0)
+    if (fanout > maxFanout) Some(consolidate(spark, curatedRoot)) else None
+  }
+
   /** The two-day incremental-curation world the cp6/s19 gates read,
     * built once per (JVM, sfDir) — every step idempotent-by-cache like
     * the other gate scenarios:

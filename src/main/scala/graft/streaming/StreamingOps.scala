@@ -322,6 +322,15 @@ object StreamingOps {
                   accepted, Some(snap))
                 LshBandIndex.advanceForSnapshotWithBatch(spark,
                   curatedRoot, accepted, portable = true)
+                // LSM valve: a manifest past MaxStoreFanout entries
+                // consolidates (one fresh version; superseded dirs
+                // become vacuum-collectable), bounding the per-version
+                // union width of every store read — without this the
+                // per-batch wall grows with TOTAL batch count even
+                // while the index chain compacts (measured,
+                // tools.CurateStreamSoak)
+                IncrementalCurate.consolidateIfWide(spark, curatedRoot)
+                  .foreach(_ => SnapshotStore.vacuum(spark, curatedRoot))
                 ()
               }
           }

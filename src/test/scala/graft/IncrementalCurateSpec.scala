@@ -188,4 +188,35 @@ class IncrementalCurateSpec extends SparkSuite {
       .getAs[String]("parent") != null,
       "count-verified disjoint batch must chain a delta")
   }
+
+  test("consolidate: content identical, version fan-out resets to 1, " +
+    "delta publishes continue on top") {
+    val (curRoot, _) = world // day-1 + delta already published above
+    val before = SnapshotStore.read(spark, curRoot)
+      .select("doc_id", "is_canonical", "split").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSet
+    def fanout = SnapshotStore.currentEntries(spark, curRoot, 1)
+      .get.values.toSet.size
+    assert(fanout >= 2, "the two-batch store must span two versions")
+    // below the valve: no-op
+    assert(IncrementalCurate.consolidateIfWide(spark, curRoot,
+      maxFanout = 10).isEmpty)
+    val v = IncrementalCurate.consolidate(spark, curRoot)
+    assert(fanout == 1, "every entry points at the consolidated version")
+    assert(SnapshotStore.read(spark, curRoot)
+      .select("doc_id", "is_canonical", "split").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSet
+      == before, "consolidation must not change the logical table")
+    // a further delta lands on top of the consolidated base
+    import spark.implicits._
+    val extra = Seq((900L, longText(77), "en", 1200L, "src"))
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("is_canonical", lit(true))
+      .withColumn("split", graft.operators.Splits.hashSplit(col("doc_id")))
+    IncrementalCurate.publishDelta(spark, curRoot, extra, Some(v))
+    assert(fanout == 2)
+    assert(SnapshotStore.read(spark, curRoot)
+      .filter(col("doc_id") === 900L).count() == 1L)
+  }
 }
