@@ -197,6 +197,13 @@ object IncrementalCurate {
           "partitions and no manifest — the curated store must be " +
           "delta-published from its first commit")
       SnapshotStore.writeManifest(spark, curatedRoot, name, carried ++ fresh)
+      // O(churn) doc_id stats+bloom sidecar: only the fresh batch is
+      // scanned, carried batches copy their immutable sidecar rows —
+      // what lets [[forget]] locate a doc_id's batch partition from the
+      // SIDECAR (never a corpus scan) for right-to-be-forgotten
+      // rewrites bounded by the affected batches
+      graft.store.FileStats.writeSidecarIncremental(spark, curatedRoot,
+        name, base, statCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
     }
 
   /** LSM compaction valve for the curated store — the [[publishDelta]]
@@ -234,8 +241,26 @@ object IncrementalCurate {
         .getOrElse(Array.empty)
         .map(_.getPath.getName -> name).toMap
       SnapshotStore.writeManifest(spark, curatedRoot, name, fresh)
+      // every partition is fresh in a consolidation: full sidecar
+      graft.store.FileStats.writeSidecarIncremental(spark, curatedRoot,
+        name, None, statCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
     }
   }
+
+  /** RIGHT-TO-BE-FORGOTTEN on the curated corpus: remove `docIds`
+    * rewriting ONLY the batch partitions whose bloom sidecar says a
+    * target may live there ([[graft.store.FileStats.deleteKeys]] over
+    * the batch_id layout the delta publishes maintain) — write
+    * amplification O(affected batches), never the corpus. Note the
+    * curation consequence: a forgotten id is no longer "already
+    * curated", so a later re-ingest of the same document is re-curated
+    * fresh — the correct RTBF semantic (the engine retains nothing).
+    * Returns (snapshot, batches rewritten, batches total). */
+  def forget(spark: SparkSession, curatedRoot: String,
+             docIds: Seq[Long]): (String, Int, Int) =
+    graft.store.FileStats.deleteKeys(spark, curatedRoot, "doc_id",
+      docIds, pcol = "batch_id",
+      statCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
 
   /** [[consolidate]] when the manifest references more than
     * `maxFanout` DISTINCT VERSIONS — the union width a read pays, and

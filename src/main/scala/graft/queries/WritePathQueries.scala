@@ -360,6 +360,36 @@ object WritePathQueries {
         .orderBy("spider_name")
     }),
 
+    // S25: RIGHT-TO-BE-FORGOTTEN ON THE CURATED CORPUS — s22's targeted
+    // delete composed with the incremental-curation store: three daily
+    // batches land via IncrementalCurate.publishDelta (each publish
+    // maintains the O(churn) doc_id bloom sidecar), then two ids from
+    // the FIRST batch are forgotten. The bloom locates their batch from
+    // the sidecar alone, exactly one of three batch partitions
+    // rewrites, the others carry forward by reference with their
+    // sidecar rows verbatim — `forget_bounded` pins rewritten < total,
+    // and the oracle's NOT IN recomputes the surviving corpus.
+    "s25_corpus_forget" -> ((s, d) => {
+      val root = tmp("graft_gate_forget")
+      val docs = documents(s, d)
+        .withColumn("content_hash", md5(col("text")))
+        .withColumn("is_canonical", lit(true))
+        .withColumn("split", graft.operators.Splits.hashSplit(col("doc_id")))
+      val v1 = graft.corpus.IncrementalCurate.publishDelta(
+        s, root, docs.filter(col("doc_id") < 200), None)
+      val v2 = graft.corpus.IncrementalCurate.publishDelta(
+        s, root, docs.filter(col("doc_id") >= 200 && col("doc_id") < 400),
+        Some(v1))
+      graft.corpus.IncrementalCurate.publishDelta(
+        s, root, docs.filter(col("doc_id") >= 400), Some(v2))
+      val (_, rewritten, total) = graft.corpus.IncrementalCurate
+        .forget(s, root, Seq(7L, 123L))
+      graft.store.SnapshotStore.read(s, root)
+        .select(col("doc_id"), col("lang"),
+          lit(rewritten >= 1 && rewritten < total).as("forget_bounded"))
+        .orderBy("doc_id")
+    }),
+
     // S2: current-snapshot scan over the merged table (gold's read path).
     "s2_current_scan" -> ((s, d) =>
       orderedScd(FlatLayout.readCurrent(s, runFlatScenario(s, d),
@@ -992,6 +1022,10 @@ object WritePathQueries {
     "s22_targeted_delete" ->
       """SELECT doc_id, lang, TRUE AS delete_bounded
         |FROM documents WHERE doc_id NOT IN (7, 19, 123)
+        |ORDER BY doc_id""".stripMargin,
+    "s25_corpus_forget" ->
+      """SELECT doc_id, lang, TRUE AS forget_bounded
+        |FROM documents WHERE doc_id NOT IN (7, 123)
         |ORDER BY doc_id""".stripMargin,
     // 250..299 ONLY — the current version holds 250..349 in range, so a
     // read that failed to time-travel hash-mismatches
