@@ -324,6 +324,60 @@ object WindowedAggQueries {
       s.table(sink).orderBy("win_start", "event_type")
     }),
 
+    // ST10: STREAMING EXACT DEDUP with bounded state
+    // (StreamingOps.dedupWithinWatermark → dropDuplicatesWithinWatermark:
+    // keys live in state only until the watermark passes their event
+    // time — O(window keys), never O(all keys ever)). The fixture
+    // redelivers 40 first-file events in the second file: RECENT
+    // duplicates are still in state and drop there; OLD duplicates are
+    // past the watermark and drop as late data — either path, every
+    // duplicate vanishes, which is exactly the at-least-once-ingest
+    // guarantee the operator sells. A broken state handoff between
+    // micro-batches would double those rows and hash-mismatch against
+    // the oracle's original (duplicate-free) event set.
+    "st10_stream_dedup" -> ((s, d) => {
+      val dir = FixtureDirCache.getOrElseUpdate((d, "st10"), {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_stgate_st10").toString + "/src"
+        val ev = events(s, d).select(col("event_id"), col("ts"),
+          col("event_type"))
+        val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+        val (lo, hi) = (mm.getTimestamp(0), mm.getTimestamp(1))
+        val split = new java.sql.Timestamp((lo.getTime + hi.getTime) / 2)
+        val f1 = ev.filter(col("ts") < lit(split))
+        val oldDups = f1.orderBy("ts", "event_id").limit(20)
+        val recentDups = f1.orderBy(col("ts").desc, col("event_id")).limit(20)
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        def parts() = {
+          val p = new org.apache.hadoop.fs.Path(out)
+          if (!fs.exists(p)) Set.empty[org.apache.hadoop.fs.Path]
+          else fs.listStatus(p)
+            .filter(_.getPath.getName.startsWith("part-"))
+            .map(_.getPath).toSet
+        }
+        val t0 = System.currentTimeMillis()
+        Seq(f1,
+          ev.filter(col("ts") >= lit(split))
+            .unionByName(oldDups).unionByName(recentDups)
+        ).zipWithIndex.foreach { case (f, i) =>
+          val before = parts()
+          f.coalesce(1).write.mode("append").parquet(out)
+          (parts() -- before).foreach(p =>
+            fs.setTimes(p, t0 - 240000 + i * 60000, -1))
+        }
+        out
+      })
+      val src = s.readStream.schema(s.read.parquet(dir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val sink = s"st10_sink_${StreamSinkSeq.incrementAndGet()}"
+      runAvailableNow(graft.streaming.StreamingOps
+        .dedupWithinWatermark(src, Seq("event_id"), "1 hour")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append"))
+      s.table(sink).orderBy("event_id")
+    }),
+
     // ST3: STREAMING dataset-drift monitor — per-tumbling-window PSI of
     // the value distribution against the corpus-wide reference
     // histogram. The streamed stage is the stateful part (windowed
@@ -463,6 +517,11 @@ object WindowedAggQueries {
         |WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
         |      <= hi - INTERVAL '1 hour'
         |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+    // the ORIGINAL duplicate-free event set: every redelivered row must
+    // have been dropped (in-state or late — either path)
+    "st10_stream_dedup" ->
+      """SELECT event_id, ts, event_type FROM events
+        |ORDER BY event_id""".stripMargin,
     "st1_tumbling_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
         |  COUNT(*) AS n,
