@@ -15,9 +15,11 @@ import graft.store.SnapshotStore
   *     ([[SnapshotStore.changesBetween]] — pure inserts on the ingest
   *     contract);
   *  2. per-row quality gate (batch-sized);
-  *  3. exact dedup: within-batch keep-min, then an anti-join of the
-  *     batch's content hashes against the curated table's persisted
-  *     `content_hash` COLUMN — history text is never re-read;
+  *  3. exact dedup: within-batch keep-min, then a sidecar-probe
+  *     anti-join ([[graft.store.FileStats.antiJoinFresh]]) of the
+  *     batch's content hashes against the curated store's per-file
+  *     `content_hash` BLOOMS — history is never re-read beyond the
+  *     maybe-file sliver the blooms select (dups + the fpp residue);
   *  4. near-dup: the batch's band rows probed against the persisted
   *     [[LshBandIndex]] ([[MinHashLSH.incrementalPairs]] — O(batch)
   *     signatures + an equi-join against the index; history×history
@@ -97,24 +99,33 @@ object IncrementalCurate {
   def curateBatch(spark: SparkSession, batch: DataFrame,
                   curatedRoot: String, indexGen: String): DataFrame = {
     // at-least-once ingest hardening: a REDELIVERED row (its doc_id
-    // already curated) is dropped up front via the curated table's
-    // narrow id column — without this, a replayed feed would publish a
-    // duplicate id and the next index advance would trip its overlap
-    // guard into a full rebuild. Ids are append-only by the ingest
-    // contract, so an id match IS a redelivery, never fresh content.
-    val histIds = SnapshotStore.read(spark, curatedRoot).select("doc_id")
-    val fresh = batch.join(histIds, Seq("doc_id"), "left_anti")
+    // already curated) is dropped up front — without this, a replayed
+    // feed would publish a duplicate id and the next index advance would
+    // trip its overlap guard into a full rebuild. Ids are append-only by
+    // the ingest contract, so an id match IS a redelivery, never fresh
+    // content. The probe is [[graft.store.FileStats.antiJoinFresh]]
+    // against the doc_id sidecar blooms [[publishDelta]] maintains:
+    // history data is NEVER scanned — a redelivery-free day's range gate
+    // selects ZERO files (batch ids sit above every file's max), a
+    // replay reads only the touched batch partitions. The flat spelling
+    // this replaces anti-joined the curated table's full doc_id column —
+    // an O(corpus) narrow scan every single day.
+    val fresh = graft.store.FileStats.antiJoinFresh(spark, curatedRoot,
+      "doc_id", batch, "doc_id")
     val gated = CorpusPipeline.qualityGate(fresh, Langs, MinChars,
       MaxChars, MaxPunctRatio)
     // exact dedup: keep-min within the batch, then drop any hash the
     // gated history already carries (its keep-min row is in the curated
-    // table, so the narrow column probe sees every gated-history hash)
-    val histHashes = SnapshotStore.read(spark, curatedRoot)
-      .select(col("content_hash").as("__fp"))
-    val keep = CorpusPipeline.exactDedupKeepMin(gated)
-      .withColumn("__fp", md5(col("text")))
-      .join(histHashes, Seq("__fp"), "left_anti")
-      .drop("__fp")
+    // table, so the content_hash probe sees every gated-history hash).
+    // Hash domains defeat min/max — here the per-file BLOOMS decide, and
+    // only the maybe-file sliver's hash column is read (O(dups + fpp),
+    // not O(history)); the sliver anti-join settles false positives on
+    // the raw digest, so the decision is exact.
+    val keep = graft.store.FileStats.antiJoinFresh(spark, curatedRoot,
+        "content_hash",
+        CorpusPipeline.exactDedupKeepMin(gated)
+          .withColumn("content_hash", md5(col("text"))),
+        "content_hash")
       .localCheckpoint(true) // batch-sized; feeds bands, CC and publish
     // near-dup: O(batch) portable signatures probed against the chain
     val pairs = MinHashLSH.incrementalPairs(
@@ -146,8 +157,7 @@ object IncrementalCurate {
     val canonical = comps.filter(col("id") === col("component"))
       .join(deadComps, Seq("component"), "left_anti")
       .select(col("id").as("doc_id"))
-    keep
-      .withColumn("content_hash", md5(col("text")))
+    keep // already carries content_hash (the exact-dedup probe column)
       .join(canonical.withColumn("__canon", lit(true)), Seq("doc_id"), "left")
       .withColumn("is_canonical", coalesce(col("__canon"), lit(false)))
       .drop("__canon")
@@ -197,14 +207,38 @@ object IncrementalCurate {
           "partitions and no manifest — the curated store must be " +
           "delta-published from its first commit")
       SnapshotStore.writeManifest(spark, curatedRoot, name, carried ++ fresh)
-      // O(churn) doc_id stats+bloom sidecar: only the fresh batch is
-      // scanned, carried batches copy their immutable sidecar rows —
-      // what lets [[forget]] locate a doc_id's batch partition from the
-      // SIDECAR (never a corpus scan) for right-to-be-forgotten
-      // rewrites bounded by the affected batches
+      // O(churn) stats+bloom sidecar: only the fresh batch is scanned,
+      // carried batches copy their immutable sidecar rows. doc_id blooms
+      // let [[forget]] locate a target's batch partition (RTBF rewrites
+      // bounded by affected batches) and back [[curateBatch]]'s
+      // redelivery guard; content_hash blooms back its exact-dedup
+      // probe — together they make the daily batch's history questions
+      // sidecar-answerable, never corpus scans
       graft.store.FileStats.writeSidecarIncremental(spark, curatedRoot,
-        name, base, statCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+        name, base, statCols = SidecarCols, bloomCols = SidecarCols,
+        bloomFpp = SidecarFpp)
     }
+
+  /** The sidecar columns every curated-store publish maintains (stats +
+    * blooms): `doc_id` (RTBF targeting + redelivery guard) and
+    * `content_hash` (incremental exact dedup). All publish paths —
+    * [[publishDelta]], [[consolidate]], [[forget]]'s rewrite — MUST use
+    * the same list, or a rewrite would silently strip the bloom a later
+    * [[curateBatch]] needs and fail loudly mid-ingest. */
+  val SidecarCols: Seq[String] = Seq("doc_id", "content_hash")
+
+  /** Per-file bloom fpp for the curated store — much tighter than
+    * [[graft.store.FileStats.DefaultBloomFpp]] because the daily
+    * SET-probe multiplies it: [[curateBatch]] tests K distinct batch
+    * digests against F files, so EXPECTED false-positive (file, key)
+    * pairs — each a file read the sliver doesn't need — is K·F·p. At
+    * p=0.01 a 1k-digest batch over a 17-file store already "maybes"
+    * nearly every file (1-(1-p)^K → 1); at 1e-4 the same probe expects
+    * ~1 stray pair. Cost is linear-log: ~2.4 bytes/key vs 1.2 — still
+    * ~10× narrower than the md5 column it replaces. Size p ≪ 1/(K·F)
+    * for the target ingest shape; saturation auto-resizing stays with
+    * collectStats' per-file max sizing. */
+  val SidecarFpp: Double = 1e-4
 
   /** LSM compaction valve for the curated store — the [[publishDelta]]
     * counterpart of [[graft.operators.LshBandIndex.MaxChain]]: past this
@@ -243,7 +277,8 @@ object IncrementalCurate {
       SnapshotStore.writeManifest(spark, curatedRoot, name, fresh)
       // every partition is fresh in a consolidation: full sidecar
       graft.store.FileStats.writeSidecarIncremental(spark, curatedRoot,
-        name, None, statCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+        name, None, statCols = SidecarCols, bloomCols = SidecarCols,
+        bloomFpp = SidecarFpp)
     }
   }
 
@@ -254,13 +289,25 @@ object IncrementalCurate {
     * amplification O(affected batches), never the corpus. Note the
     * curation consequence: a forgotten id is no longer "already
     * curated", so a later re-ingest of the same document is re-curated
-    * fresh — the correct RTBF semantic (the engine retains nothing).
+    * fresh — the correct RTBF semantic. DERIVED content goes too: any
+    * persisted LSH band index for this store is rebuilt against the
+    * post-delete snapshot with its superseded generations pruned in the
+    * SAME operation ([[graft.operators.LshBandIndex.purgeForStore]]) —
+    * otherwise the forgotten documents' MinHash signatures would linger
+    * on disk until some later advance noticed the delete churn, and a
+    * probe against the stale chain could still match them. The index
+    * rebuild is O(history) — the price of a hard purge, paid only on
+    * deletes (a no-op forget purges nothing).
     * Returns (snapshot, batches rewritten, batches total). */
   def forget(spark: SparkSession, curatedRoot: String,
-             docIds: Seq[Long]): (String, Int, Int) =
-    graft.store.FileStats.deleteKeys(spark, curatedRoot, "doc_id",
+             docIds: Seq[Long]): (String, Int, Int) = {
+    val res = graft.store.FileStats.deleteKeys(spark, curatedRoot, "doc_id",
       docIds, pcol = "batch_id",
-      statCols = Seq("doc_id"), bloomCols = Seq("doc_id"))
+      statCols = SidecarCols, bloomCols = SidecarCols,
+      bloomFpp = SidecarFpp)
+    if (res._2 > 0) LshBandIndex.purgeForStore(spark, curatedRoot)
+    res
+  }
 
   /** [[consolidate]] when the manifest references more than
     * `maxFanout` DISTINCT VERSIONS — the union width a read pays, and

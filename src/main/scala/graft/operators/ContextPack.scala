@@ -50,6 +50,22 @@ object ContextPack {
         s"ContextPack.placements: token column '$tokenCol' must be an " +
           s"integral type (exact prefix sums), got ${t.sql}")
     }
+    // the bucket bounds below cast idCol to double — valid ONLY for
+    // types whose natural order survives that cast. A string id that
+    // casts numerically ('10' < '9' as numbers, not as strings) would
+    // make bucket order disagree with the window's global order and
+    // silently break the prefix-sum property; ids casting to null would
+    // all collapse into bucket 0. Refuse loudly instead.
+    docs.schema.find(_.name == idCol).map(_.dataType).foreach {
+      case _: org.apache.spark.sql.types.NumericType
+           | org.apache.spark.sql.types.TimestampType
+           | org.apache.spark.sql.types.TimestampNTZType => ()
+      case t => throw new IllegalArgumentException(
+        s"ContextPack.placements: id column '$idCol' must be numeric or " +
+          s"timestamp (bucket bounds are computed on the double cast, " +
+          s"whose order must match the column's own; dates don't cast " +
+          s"to double at all), got ${t.sql}")
+    }
     // monotone ASC id -> ASC bucket id over the observed range (the
     // BudgetSelect shape with the order flipped): bucket order is a
     // prefix of the global order, computed from a 2-row agg

@@ -405,6 +405,52 @@ object LshBandIndex {
       .reduce(_ unionByName _)
   }
 
+  /** RTBF companion — called by DELETING store writers (e.g.
+    * `IncrementalCurate.forget`) in the same operation as the row
+    * deletes: if an index exists for `storeRoot` (either hash family),
+    * rebuild it against the store's CURRENT snapshot and prune EVERY
+    * superseded generation, so derived content (MinHash signatures) of
+    * the deleted documents leaves disk with the documents. Without
+    * this, the old generations linger until a later advance happens to
+    * detect the delete churn, and a probe against the stale chain can
+    * still match a forgotten document. No-op when the store has no
+    * index; deletes the index outright if the store emptied (an empty
+    * corpus cannot be indexed). O(history) signature rebuild — the
+    * price of a hard purge, paid only on deletes. Single-writer fenced
+    * like `SnapshotStore.vacuum`: in-flight readers of the pruned
+    * generations must be quiesced by the caller. */
+  def purgeForStore(spark: SparkSession, storeRoot: String,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    numPerms: Int = 16, bands: Int = 4): Unit =
+    buildLock.synchronized {
+      Seq(false, true).foreach { portable =>
+        val root = indexPath(familyKey(s"store:$storeRoot", portable))
+        val rootPath = new Path(root)
+        val fs = rootPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        if (GenLog.currentGen(fs, root).isDefined) {
+          validated.remove(root)
+          if (graft.store.SnapshotStore.read(spark, storeRoot)
+              .limit(1).count() == 0L) {
+            fs.delete(rootPath, true)
+          } else {
+            val snap = graft.store.SnapshotStore
+              .currentName(spark, storeRoot).get
+            val gen = build(spark,
+              graft.store.SnapshotStore.read(spark, storeRoot), root,
+              idCol, textCol, numPerms, bands, snap = Some(snap),
+              nOverride = None, fpOverride = None, portable = portable)
+            // publishBands keeps the previous chain for in-flight
+            // readers — a purge must NOT: re-prune keeping only the
+            // fresh generation
+            GenLog.pruneGens(spark, fs, rootPath,
+              new Path(gen).getName, None, FormatVersion)
+            validated(root) = (s"snap:$snap", gen)
+          }
+        }
+      }
+    }
+
   private def build(spark: SparkSession, docs: DataFrame, root: String,
                     idCol: String, textCol: String,
                     numPerms: Int, bandCount: Int, snap: Option[String],

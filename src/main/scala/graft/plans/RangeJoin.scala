@@ -308,13 +308,20 @@ case class RangeJoinPartitionedExec(value: Expression, lo: Expression,
     // band rows keyed by lo. COPIES are mandatory on both shuffle
     // inputs: sort-based shuffle buffers deserialized records before
     // serializing, so the upstream iterators' row reuse would corrupt
-    // the buffer.
+    // the buffer. PERSISTED, because the RangePartitioner below runs a
+    // sampling job over these keys before the real shuffle consumes
+    // them — without the cache an expensive band subplan (join/agg
+    // upstream) would execute twice per query. Spark's own range
+    // exchange accepts that double-execution; a custom exec can do
+    // better. The cache is released by the ContextCleaner when the plan
+    // drops its reference (the standard cleanup path for exec-internal
+    // RDDs — there is no post-materialization hook inside doExecute).
     val bandKeyed = right.execute().mapPartitions(_.flatMap { r =>
       val c = r.copy()
       val l = loB.eval(c)
       if (l == null || hiB.eval(c) == null) Iterator.empty
       else Iterator.single((l, c))
-    })
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val part = new org.apache.spark.RangePartitioner[Any, InternalRow](
       n, bandKeyed)(ord, scala.reflect.ClassTag.Any)
     // probe rows: exactly one bucket each; null values can match

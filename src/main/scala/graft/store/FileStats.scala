@@ -198,7 +198,8 @@ object FileStats {
   def writeSidecarIncremental(spark: SparkSession, root: String,
                               name: String, prevName: Option[String],
                               statCols: Seq[String],
-                              bloomCols: Seq[String] = Nil): Unit = {
+                              bloomCols: Seq[String] = Nil,
+                              bloomFpp: Double = DefaultBloomFpp): Unit = {
     val entries = SnapshotStore.readManifest(spark, root, name).getOrElse(
       throw new IllegalArgumentException(
         s"writeSidecarIncremental: snapshot $name has no manifest"))
@@ -207,7 +208,8 @@ object FileStats {
       new Path(new Path(snaps, ver), rel).toString }.toSeq
     val fresh =
       if (freshDirs.isEmpty) None
-      else Some(collectStatsDirs(spark, freshDirs, statCols, bloomCols))
+      else Some(collectStatsDirs(spark, freshDirs, statCols, bloomCols,
+        bloomFpp = bloomFpp))
     // carried rows: prev-sidecar entries whose file sits under a
     // partition dir this manifest still references from an OLDER
     // version. Matched as a DISTRIBUTED filter (flat isin over
@@ -398,6 +400,102 @@ object FileStats {
                    pred: org.apache.spark.sql.Column): DataFrame =
     readPruned(spark, root, selected, pred)
 
+  /** SET-probe anti-join against a store column — "which rows of `batch`
+    * carry a `keyCol` value the table at `root` has NEVER seen in column
+    * `c`?" — row-identical to
+    * `batch.join(read(root).select(c), keyCol === c, "left_anti")` but
+    * the table's data is (almost) never read. The naive spelling scans
+    * the WHOLE history column every day: O(corpus) bytes for a
+    * batch-sized question. Here the decision runs against the SIDECAR:
+    *
+    *  1. the batch's distinct non-null keys broadcast against the
+    *     per-file stats rows; a file survives for a key only if the
+    *     key lies inside the file's `[min_c, max_c]` interval AND the
+    *     file's bloom claims the key's xxhash64 (probed executor-side
+    *     via [[graft.functions.BloomBytesContain]] — bloom bytes never
+    *     reach the driver). For append-only key domains (doc ids) the
+    *     range gate alone answers a fresh batch with ZERO files; for
+    *     hash-like domains (content digests) the blooms decide.
+    *  2. only the surviving MAYBE-file sliver's `c` column is read
+    *     (column-pruned leaf-file scan), and the batch anti-joins that
+    *     sliver on the RAW key — so bloom false positives and xxhash64
+    *     collisions are settled exactly, never trusted.
+    *
+    * Identity proof: a batch key present in history lives in some file
+    * f; f's interval contains it (min/max span every non-null value)
+    * and f's bloom has no false negatives (a null bloom — all-null file
+    * column — is impossible for a file holding the key), so f is
+    * selected and the key reaches the sliver anti-join, which drops the
+    * row. A key absent from history either selects no file (row passes
+    * untouched) or rides a false positive into the sliver, where the
+    * raw-key anti-join keeps it. Null batch keys never equi-match, so
+    * both spellings keep them. ∎
+    *
+    * Scale posture: reads O(sidecar) + O(dup-sliver files), writes
+    * nothing; the broadcast is the batch's DISTINCT keys (one day's key
+    * set — chunk the batch upstream if that outgrows the driver). The
+    * probe join is |files| × |distinct keys| cheap executor-side
+    * evaluations with the range gate short-circuiting the bloom.
+    * SET-probe fpp compounds: K keys × F files expect K·F·p stray
+    * "maybe" pairs, so publish hash-domain columns with p ≪ 1/(K·F)
+    * for the target batch shape (see IncrementalCurate.SidecarFpp) —
+    * range-gated domains (append-only ids) are immune, their interval
+    * check short-circuits the bloom before p can matter.
+    *
+    * `keyCol`'s type must equal `c`'s — xxhash64 hashes BY TYPE, so a
+    * silently coerced probe would hash differently from the build and
+    * return wrong "fresh" verdicts; mismatches throw loudly instead. */
+  def antiJoinFresh(spark: SparkSession, root: String, c: String,
+                    batch: DataFrame, keyCol: String): DataFrame =
+    antiJoinFreshMetrics(spark, root, c, batch, keyCol)._1
+
+  /** [[antiJoinFresh]] plus skipping evidence:
+    * (result, maybe-files read, files total). */
+  def antiJoinFreshMetrics(spark: SparkSession, root: String, c: String,
+                           batch: DataFrame,
+                           keyCol: String): (DataFrame, Int, Int) = {
+    val stats = sidecar(spark, root)
+    require(stats.columns.contains(s"bloom_$c") &&
+      stats.columns.contains(s"min_$c"),
+      s"sidecar carries no bloom+min/max for '$c' — publish with " +
+        s"statCols/bloomCols including \"$c\"")
+    val histType = SnapshotStore.read(spark, root).schema
+      .find(_.name == c).map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"antiJoinFresh: column '$c' not present in $root"))
+    val keyType = batch.schema.find(_.name == keyCol).map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"antiJoinFresh: column '$keyCol' not present in the batch"))
+    require(keyType == histType,
+      s"antiJoinFresh: batch '$keyCol' is $keyType but $root's '$c' is " +
+        s"$histType — xxhash64 hashes by type, probe would silently miss")
+    graft.functions.BloomBytesContain.register(spark)
+    val keys = batch.select(col(keyCol).as("__k"))
+      .filter(col("__k").isNotNull).distinct()
+      .withColumn("__h", xxhash64(col("__k")))
+    // range gate FIRST (left operand of And — short-circuits the bloom
+    // for out-of-interval keys, the whole probe for append-only ids);
+    // null interval = all-null file column = cannot hold a non-null key
+    val rangeOk = coalesce(
+      col("__k") >= col(s"min_$c") && col("__k") <= col(s"max_$c"),
+      lit(false))
+    val bloomOk = col(s"bloom_$c").isNull ||
+      expr(s"graft_bloom_probe(bloom_$c, __h)")
+    val maybeFiles = stats.join(broadcast(keys), rangeOk && bloomOk)
+      .select("file").distinct().collect().map(_.getString(0)).toSeq
+    val total = stats.select("file").distinct().count().toInt
+    if (maybeFiles.isEmpty) (batch, 0, total)
+    else {
+      val sliver = readPruned(spark, root, maybeFiles, lit(true))
+        .select(col(c).as(keyCol)).distinct()
+      // a USING join resurfaces the key column first — restore the
+      // batch's own column order so both branches (and the plain
+      // anti-join this replaces) agree on shape
+      (batch.join(sliver, Seq(keyCol), "left_anti")
+        .select(batch.columns.map(col): _*), maybeFiles.size, total)
+    }
+  }
+
   /** Extracts the snapshot version dir a selected file lives under, so
     * reads can re-attach hive partition values via basePath. */
   private val VersionDirRe =
@@ -567,7 +665,8 @@ object FileStats {
     * Returns (snapshot name, partitions rewritten, partitions total). */
   def deleteKeys(spark: SparkSession, root: String, c: String,
                  keys: Seq[Any], pcol: String, statCols: Seq[String],
-                 bloomCols: Seq[String]): (String, Int, Int) = {
+                 bloomCols: Seq[String],
+                 bloomFpp: Double = DefaultBloomFpp): (String, Int, Int) = {
     require(keys.nonEmpty, "deleteKeys: empty key list")
     val cur = SnapshotStore.currentName(spark, root).getOrElse(
       throw new java.io.FileNotFoundException(s"no snapshot at $root"))
@@ -628,7 +727,7 @@ object FileStats {
       val carried = entries.filterNot { case (rel, _) => affected(rel) }
       SnapshotStore.writeManifest(spark, root, vName, carried ++ fresh)
       writeSidecarIncremental(spark, root, vName, Some(cur),
-        statCols, bloomCols)
+        statCols, bloomCols, bloomFpp)
     }
     (name, affected.size, entries.size)
   }

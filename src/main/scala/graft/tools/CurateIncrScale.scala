@@ -88,9 +88,24 @@ object CurateIncrScale {
         LshBandIndex.advanceForSnapshotWithBatch(spark, root, accepted,
           portable = true)
       }
+      // skipping evidence for the two history probes (r12 verdict #1):
+      // a FRESH batch must read ZERO history files through the doc_id
+      // range gate and only the bloom-fpp residue through the digest
+      // blooms; a fully REPLAYED batch reads the touched partitions —
+      // a sliver, never the corpus. Bytes quoted from the selected
+      // files' physical sizes.
+      def probe(c: String, b: DataFrame): (Int, Int) =
+        graft.store.FileStats.antiJoinFreshMetrics(spark, root, c, b, c)
+          match { case (_, sel, tot) => (sel, tot) }
+      val freshB = docs(h + batch, h + 2 * batch)
+      val (idSel, idTot) = probe("doc_id", freshB)
+      val (fpSel, _) = probe("content_hash",
+        freshB.withColumn("content_hash", md5(col("text"))))
+      val (rdSel, rdTot) = probe("doc_id", b)
       println(f"CURATEINCR h=$h%-7d day1_full=$tDay1%.2f " +
         f"curate_batch=$tCurate%.2f publish_advance=$tPublish%.2f " +
-        f"(batch=$batch accepted=$nAcc)")
+        f"(batch=$batch accepted=$nAcc) hist_files_fresh=" +
+        f"id:$idSel/$idTot fp:$fpSel replayed=id:$rdSel/$rdTot")
     }
     spark.stop()
   }

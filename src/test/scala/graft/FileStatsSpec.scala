@@ -500,4 +500,78 @@ class FileStatsSpec extends SparkSuite {
       s"emptied partition must vanish from the manifest: $entries")
     assert(SnapshotStore.read(spark, root).count() == 30L)
   }
+
+  /** The curateBatch prefilter: a history world published with doc_id +
+    * digest blooms, probed by batches with planted redeliveries. */
+  private def antiWorld(tag: String): String = {
+    val root = freshRoot(tag)
+    val hist = spark.range(0, 3000).select(
+      col("id").as("doc_id"),
+      md5(concat(lit("doc"), col("id"))).as("content_hash"))
+    FileStats.publishSorted(spark, root, hist, "doc_id", numFiles = 6,
+      statCols = Seq("doc_id", "content_hash"),
+      bloomCols = Seq("doc_id", "content_hash"))
+    root
+  }
+
+  test("antiJoinFresh is row-identical to the plain anti-join under " +
+    "planted redeliveries, on both id and digest domains") {
+    val root = antiWorld("aj")
+    val full = SnapshotStore.read(spark, root)
+    // batch = 400 fresh ids + 50 redelivered history ids (and for the
+    // digest leg, 50 texts whose md5 the history already carries)
+    val batch = spark.range(3000, 3400).unionAll(
+        spark.range(100, 150)).select(
+      col("id").as("doc_id"),
+      md5(concat(lit("doc"), col("id"))).as("content_hash"),
+      concat(lit("payload"), col("id")).as("text"))
+    Seq("doc_id", "content_hash").foreach { c =>
+      val fast = FileStats.antiJoinFresh(spark, root, c, batch, c)
+        .orderBy("doc_id").collect().toSeq
+      val plain = batch.join(full.select(c), Seq(c), "left_anti")
+        .select(batch.columns.map(col): _*)
+        .orderBy("doc_id").collect().toSeq
+      assert(fast === plain, s"column $c")
+      assert(fast.size === 400)
+    }
+  }
+
+  test("antiJoinFresh skipping evidence: a fresh batch reads ZERO files " +
+    "via the range gate; a redelivery reads a strict sliver") {
+    val root = antiWorld("ajm")
+    import spark.implicits._
+    def batchOf(ids: Seq[Long]) =
+      ids.toDF("doc_id").select(col("doc_id"),
+        md5(concat(lit("doc"), col("doc_id"))).as("content_hash"))
+    // all ids above every file's max → interval gate alone answers it
+    val (freshOut, freshSel, total) = FileStats.antiJoinFreshMetrics(
+      spark, root, "doc_id", batchOf(5000L to 5099L), "doc_id")
+    assert(freshSel === 0 && total === 6)
+    assert(freshOut.count() === 100)
+    // one redelivered id → only its containing file(s) read
+    val (_, dupSel, _) = FileStats.antiJoinFreshMetrics(
+      spark, root, "doc_id", batchOf(Seq(42L, 5000L)), "doc_id")
+    assert(dupSel >= 1 && dupSel < total,
+      s"expected a strict sliver, read $dupSel/$total")
+  }
+
+  test("antiJoinFresh keeps null-key rows, exactly like a plain anti-join") {
+    val root = antiWorld("ajn")
+    import spark.implicits._
+    val batch = Seq[(java.lang.Long, String)](
+      (null, "nullkey"), (42L, "dup"), (9999L, "fresh"))
+      .toDF("doc_id", "keep_tag")
+    val out = FileStats.antiJoinFresh(spark, root, "doc_id", batch, "doc_id")
+      .orderBy("keep_tag").collect()
+    assert(out.map(_.getString(1)).toSeq === Seq("fresh", "nullkey"))
+  }
+
+  test("antiJoinFresh refuses a type-mismatched probe loudly") {
+    val root = antiWorld("ajt")
+    val batch = spark.range(5).select(col("id").cast("int").as("doc_id"))
+    val e = intercept[IllegalArgumentException] {
+      FileStats.antiJoinFresh(spark, root, "doc_id", batch, "doc_id")
+    }
+    assert(e.getMessage.contains("xxhash64"))
+  }
 }

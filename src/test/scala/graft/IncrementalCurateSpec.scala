@@ -219,4 +219,38 @@ class IncrementalCurateSpec extends SparkSuite {
     assert(SnapshotStore.read(spark, curRoot)
       .filter(col("doc_id") === 900L).count() == 1L)
   }
+
+  test("forget purges derived LSH signatures: superseded generations " +
+    "leave disk and the fresh chain indexes no forgotten doc") {
+    // isolated world — forget mutates the store and the index
+    val curRoot = java.nio.file.Files
+      .createTempDirectory("graft_incurate_forget").toString + "/t"
+    val curatedHist = IncrementalCurate.curateHistory(spark, mkDocs(histRows))
+    IncrementalCurate.publishDelta(spark, curRoot, curatedHist, None)
+    LshBandIndex.ensureForSnapshot(spark, curRoot, portable = true)
+    val idxRoot = LshBandIndex.indexPath(s"portable:store:$curRoot")
+    val idxPath = new org.apache.hadoop.fs.Path(idxRoot)
+    val fs = idxPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def gens: Set[String] = fs.listStatus(idxPath)
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    val before = gens
+    assert(before.nonEmpty)
+    val (_, rewritten, _) = IncrementalCurate.forget(spark, curRoot, Seq(10L))
+    assert(rewritten >= 1)
+    val after = gens
+    assert(after.intersect(before).isEmpty,
+      s"superseded generations must leave disk, still present: " +
+        after.intersect(before).mkString(", "))
+    assert(after.size == 1, s"expected one fresh generation, got $after")
+    val gen = graft.store.GenLog.currentGen(fs, idxRoot).get
+    val indexed = spark.read.parquet(
+        new org.apache.hadoop.fs.Path(gen, "bands").toString)
+      .select("__id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!indexed.contains(10L),
+      "the fresh chain must not index the forgotten doc")
+    assert(indexed.contains(30L), "surviving docs stay indexed")
+    // the snapshot-keyed memo serves the fresh generation without rebuild
+    assert(LshBandIndex.ensureForSnapshot(spark, curRoot, portable = true)
+      === gen.toString)
+  }
 }
