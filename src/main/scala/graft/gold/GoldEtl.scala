@@ -301,11 +301,21 @@ object GoldEtl {
     * flip, so readers see the whole new snapshot atomically; a crash at
     * any step leaves them on the old one. Read back via
     * `SnapshotStore.readPartitioned`. */
+  /** Data columns every incremental gold publish stats in its sidecar.
+    * `quarter` is a kept feature column that is CONSTANT within each
+    * `month=` partition dir, so per-file [min,max] intervals are exact
+    * singletons and a quarter/seasonal range read
+    * ([[graft.store.FileStats.readRange]]) cuts the file list to the
+    * matching months with no directory listing at all — the
+    * time-range training-data pull a gold consumer actually runs. */
+  val GoldStatCols: Seq[String] = Seq("quarter")
+
   private[graft] def publishIncrementalManifest(spark: SparkSession, goldPath: String,
                                          selected: DataFrame,
                                          affectedKeys: Array[(Int, Int)]): Unit = {
     import graft.store.SnapshotStore
     val affected = affectedKeys.toSet
+    val prevName = SnapshotStore.currentName(spark, goldPath)
     val prev = SnapshotStore.currentEntries(spark, goldPath, 3)
       .getOrElse(Map.empty)
     SnapshotStore.commit(spark, goldPath) { dir =>
@@ -327,6 +337,25 @@ object GoldEtl {
       }
       val carried = prev.filterNot { case (rel, _) => affected(groupOf(rel)) }
       SnapshotStore.writeManifest(spark, goldPath, name, carried ++ fresh)
+      // stats sidecar, O(churn) like the manifest itself: fresh
+      // partitions are scanned (narrow — GoldStatCols only), carried
+      // partitions copy their immutable sidecar rows verbatim. A
+      // previous snapshot WITHOUT a sidecar (a full-run publish, or any
+      // pre-stats table) bootstraps with one full narrow scan; every
+      // publish after that is incremental. This closes the last
+      // production table without O(churn) stats maintenance (r12
+      // verdict #3) — gold range reads go through FileStats.pruneFiles
+      // like silver's (s24) do.
+      val snaps = new org.apache.hadoop.fs.Path(
+        goldPath, SnapshotStore.SnapshotsDir)
+      val prevSidecar = prevName.exists(p => fs.exists(
+        new org.apache.hadoop.fs.Path(snaps, p + graft.store.FileStats.StatsSuffix)))
+      if (prevSidecar)
+        graft.store.FileStats.writeSidecarIncremental(spark, goldPath,
+          name, prevName, GoldStatCols)
+      else
+        graft.store.FileStats.writeSidecarFull(spark, goldPath, name,
+          GoldStatCols)
     }
   }
 

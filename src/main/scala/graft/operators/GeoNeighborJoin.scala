@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bucketed SPATIAL NEIGHBOR JOIN — "every pair of points within radius
+  * R" as a grid-cell EQUI-join instead of the O(n²) theta join (the
+  * gj1 registry entry's operator, extracted + hardened for density
+  * skew). Each point lands in one R-sized cell; the probe side explodes
+  * to its 3×3 neighbor cells (a fixed 9× row cost); candidates are an
+  * equi-join on the cell key and the exact squared-radius filter
+  * settles them. Any pair within Euclidean R is within Chebyshev R,
+  * hence in same-or-adjacent cells — candidates are provably complete —
+  * and each qualifying pair matches exactly once (the probe row meets
+  * the OTHER point's unique home cell; `id_a < id_b` keeps one
+  * orientation). All arithmetic is exact integer micro-degrees and
+  * squared distances, so a DuckDB all-pairs replay hash-matches.
+  *
+  * DENSITY SKEW (the r12 verdict's gj1 gap): real geo data piles into a
+  * few urban cells. A cell holding k points makes its join task emit
+  * ~9k² candidate rows — at 80% of a corpus in one cell that is one
+  * task doing ~all the work (and the quadratic blowup is real work:
+  * most of those pairs ARE within R, so output is quadratic too — the
+  * fix must BALANCE it, nothing can shrink it). Hot cells are SALTED by
+  * the self-join triangle decomposition: a cell with count > `hotCap`
+  * splits its HOME rows into s = ceil(count / hotCap) sub-buckets by
+  * id-hash, and every probe row targeting that cell replicates to all s
+  * buckets — each (cell, bucket) task now holds ~count/s homes against
+  * the same probe stream, so the hot cell's work spreads over s tasks
+  * while every candidate pair still meets exactly once (a home row
+  * lives in exactly one bucket). Cold cells pay s=1 — the plan is
+  * byte-identical to the unsalted one except the per-cell count lookup
+  * (one narrow aggregate + broadcast-ready join).
+  */
+object GeoNeighborJoin {
+
+  /** Default per-(cell,bucket) home-row cap: tasks stay ~quadratic in
+    * this, i.e. ≤ ~9·4k² ≈ 150M candidate evaluations worst case —
+    * sized for executor task granularity, not memory (the join
+    * streams). */
+  val DefaultHotCap = 4000L
+
+  /** `pts(id, lat_u, lon_u)` (integer micro-degrees) → all pairs with
+    * squared Euclidean distance ≤ radius², one row per unordered pair:
+    * `(id_a, id_b, dist2)` with `id_a < id_b`. */
+  def pairs(pts: DataFrame, radius: Long,
+            hotCap: Long = DefaultHotCap): DataFrame = {
+    require(radius > 0 && hotCap > 0)
+    val cells = pts
+      .withColumn("cx", expr(s"lat_u div ${radius}L"))
+      .withColumn("cy", expr(s"lon_u div ${radius}L"))
+    // per-cell salt width: 1 for cold cells, ceil(count/hotCap) for hot
+    // ones. O(|cells|) rows — joined, never collected.
+    val salt = cells.groupBy("cx", "cy")
+      .agg(count(lit(1)).as("__n"))
+      .select(col("cx"), col("cy"),
+        expr(s"cast((__n + ${hotCap - 1}L) div ${hotCap}L as int)")
+          .as("__s"))
+    val homes = cells.join(salt, Seq("cx", "cy"))
+      .select(col("id").as("id_b"),
+        col("lat_u").as("lat_b"), col("lon_u").as("lon_b"),
+        col("cx"), col("cy"),
+        pmod(xxhash64(col("id")), col("__s").cast("long")).cast("int")
+          .as("__b"))
+    val probes = cells.select(col("id").as("id_a"),
+        col("lat_u").as("lat_a"), col("lon_u").as("lon_a"),
+        explode(expr(
+          """flatten(transform(sequence(-1, 1),
+            |  dx -> transform(sequence(-1, 1),
+            |    dy -> struct(cx + dx AS px, cy + dy AS py))))"""
+            .stripMargin)).as("p"))
+      .select(col("id_a"), col("lat_a"), col("lon_a"),
+        col("p.px").as("cx"), col("p.py").as("cy"))
+      // replicate each probe to every sub-bucket of its TARGET cell
+      // (inner join doubles as the empty-cell cut: a neighbor cell with
+      // no points generates no candidate rows at all)
+      .join(salt, Seq("cx", "cy"))
+      .select(col("id_a"), col("lat_a"), col("lon_a"), col("cx"),
+        col("cy"),
+        explode(sequence(lit(0), col("__s") - 1)).as("__b"))
+    probes.join(homes, Seq("cx", "cy", "__b"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist2",
+        (col("lat_a") - col("lat_b")) * (col("lat_a") - col("lat_b")) +
+          (col("lon_a") - col("lon_b")) * (col("lon_a") - col("lon_b")))
+      .filter(col("dist2") <= lit(radius * radius))
+      .select(col("id_a"), col("id_b"), col("dist2"))
+  }
+}

@@ -73,6 +73,16 @@ import org.apache.spark.sql.expressions.Window
 object IvfIndex {
   val K = 8
   val LloydIters = 4
+  /** Default probe width for queries over this index (the v5/v7 gates
+    * and AnnOverlap). The recall/scan-fraction knob: a probe reads
+    * nprobe/K of the index. This synthetic corpus is near-uniform —
+    * clusters barely separate, so recall scales roughly with the scan
+    * fraction itself (the r12 verdict's finding: nprobe=3 of 8 gave a
+    * per-query floor of only 1/5). nprobe=6 is the measured smallest
+    * width whose sf0.001/0.01/0.1 per-query minima support a 3/5 floor
+    * (AnnOverlap sweep, BASELINE.md r13) — on a corpus that actually
+    * clusters, drop it back down. */
+  val NProbe = 6
   /** Codebooks (coarse k-means AND the PQ subquantizers) train on a
     * bounded deterministic sample of at most ~this many vectors — the
     * FAISS practice (its guidelines train IVF/PQ on 10k-100k points

@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions._
   * PageRank would drift between partial-agg orders; this one is gated by
   * a full DuckDB replay in gr1's oracle.)
   *
-  * Caller contract: `edges` deduplicated and every node has outdeg ≥ 1 —
-  * a symmetric (undirected) edge set satisfies this for free; directed
-  * callers with dangling nodes should add self-loops first. The node set
+  * Caller contract for [[scores]]: `edges` deduplicated and every node
+  * has outdeg ≥ 1 — a symmetric (undirected) edge set satisfies this for
+  * free; directed graphs with sinks use [[scoresDangling]], which
+  * redistributes dangling mass properly instead. The node set
   * is exactly the SOURCE set, and every round left-joins the in-mass
   * aggregate back onto it, so an indeg-0 node (legal under the contract:
   * it points at others, nothing points at it) keeps receiving its
@@ -76,6 +77,59 @@ object PageRank {
         .selectExpr("node",
           s"(${(100L - dampPct) * base} + $dampPct * coalesce(insum, 0L))" +
             " div 100 AS score")
+    }
+    score
+  }
+
+  /** [[scores]] for graphs WITH dangling nodes — proper DANGLING-MASS
+    * redistribution instead of the add-self-loops caller contract: the
+    * node set is sources ∪ destinations, and each round the sinks'
+    * total mass is shared equally (integer floor) across every node as
+    * an extra teleport-like addend — the standard PageRank treatment
+    * (Page et al. 1999's stochasticity fix), in the same exact BIGINT
+    * domain as [[scores]] so DuckDB replays it bit-for-bit:
+    *
+    *   D       = Σ_{deg(u)=0} score(u)
+    *   score'(v) = ((100−d)·base
+    *               + d·(Σ_{u→v} score(u) div deg(u) + D div N)) div 100
+    *
+    * Per-round cost stays one edge equi-join + one dst aggregation,
+    * plus an O(|nodes|) semi-join aggregate for D (a 1-row frame
+    * cross-joined back — never a driver action). Rounds end in an eager
+    * localCheckpoint: D makes each round reference the previous score
+    * TWICE, so without the cut the unrolled plan doubles per round. */
+  def scoresDangling(edges: DataFrame, src: String, dst: String,
+                     iters: Int, scale: Long = 1000000000000L,
+                     dampPct: Int = 85): DataFrame = {
+    require(iters >= 1 && dampPct >= 0 && dampPct <= 100)
+    val e = edges
+      .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = e.join(deg, "src").localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    val dangling = nodes
+      .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+      .localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "PageRank over an empty edge set")
+    val base = scale / n
+    var score = nodes.select(col("node"), lit(base).as("score"))
+    for (_ <- 1 to iters) {
+      val dm = score.join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(sum("score"), lit(0L)).as("dm"))
+      val insum = withDeg
+        .join(score.withColumnRenamed("node", "src"), "src")
+        .groupBy("dst")
+        .agg(sum(expr("score div deg")).as("insum"))
+      score = nodes
+        .join(insum.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .crossJoin(dm)
+        .selectExpr("node",
+          s"(${(100L - dampPct) * base} + $dampPct * " +
+            s"(coalesce(insum, 0L) + dm div ${n}L)) div 100 AS score")
+        .localCheckpoint(true)
     }
     score
   }

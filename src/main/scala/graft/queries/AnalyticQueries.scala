@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables._
@@ -251,37 +252,56 @@ object AnalyticQueries {
     // view → click → purchase chain (each stage's anchor is the EARLIEST
     // qualifying event after the previous stage's anchor — the greedy
     // matching every funnel engine uses; strict > so a same-microsecond
-    // pair never double-counts). Each stage is one filtered aggregate +
-    // one equi-join on user_id — no window over the event stream, no
-    // per-user collect; stage frames shrink monotonically. Output: the
-    // funnel report (stage, users, total microseconds from first
-    // view to conversion for completers — exact integer epoch
-    // arithmetic in MICROS on both engines; whole seconds would floor
-    // differently than DuckDB's fractional epoch()).
+    // pair never double-counts). Conversion time is exact integer epoch
+    // MICROS on both engines (whole seconds would floor differently
+    // than DuckDB's fractional epoch()).
+    //
+    // Plan diet (r12 verdict #7): the first spelling ran one filtered
+    // aggregate + one user_id equi-join PER STAGE — 9 Exchanges /
+    // 16 HashAggregates for a 3-stage funnel. This one shuffles the
+    // event stream ON user_id EXACTLY ONCE: the three greedy anchors
+    // are chained whole-partition window minima over the SAME
+    // partitioning (t2's predicate reads t1, t3's reads t2 — each
+    // Window feeds the next with no re-shuffle or re-sort), a same-key
+    // groupBy collapses users without another Exchange, and the 3-row
+    // report is ONE global aggregate exploded from a literal array —
+    // 2 Exchanges total (user_id + the final single-partition agg),
+    // pinned by PlanFeatureSpec.
     "sw2_funnel" -> ((s, d) => {
-      val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min(col("ts")).as("t1"))
-      val c = ev.filter(col("event_type") === "click")
-        .join(v, Seq("user_id"))
-        .filter(col("ts") > col("t1"))
-        .groupBy("user_id", "t1").agg(min(col("ts")).as("t2"))
-      val p = ev.filter(col("event_type") === "purchase")
-        .join(c, Seq("user_id"))
-        .filter(col("ts") > col("t2"))
-        .groupBy("user_id", "t1").agg(min(col("ts")).as("t3"))
-      val s1 = v.agg(count(lit(1)).as("n_users"), lit(0L).as("convert_usecs"))
-        .select(lit(1).as("stage"), lit("view").as("step"),
-          col("n_users"), col("convert_usecs"))
-      val s2 = c.agg(count(lit(1)).as("n_users"), lit(0L).as("convert_usecs"))
-        .select(lit(2).as("stage"), lit("click").as("step"),
-          col("n_users"), col("convert_usecs"))
-      val s3 = p.agg(count(lit(1)).as("n_users"),
-          coalesce(sum(unix_micros(col("t3")) - unix_micros(col("t1"))),
-            lit(0L)).as("convert_usecs"))
-        .select(lit(3).as("stage"), lit("purchase").as("step"),
-          col("n_users"), col("convert_usecs"))
-      s1.unionByName(s2).unionByName(s3).orderBy("stage")
+      val ev = events(s, d)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val w = Window.partitionBy("user_id")
+      val staged = ev
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("ts") > col("t1"),
+            col("ts"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+            col("ts"))).over(w))
+        .groupBy("user_id")
+        .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+          max(col("t3")).as("t3"))
+      staged.agg(
+          count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+          count(col("t3")).as("n3"),
+          coalesce(sum(when(col("t3").isNotNull,
+            unix_micros(col("t3")) - unix_micros(col("t1")))), lit(0L))
+            .as("conv"))
+        .select(explode(array(
+          struct(lit(1).as("stage"), lit("view").as("step"),
+            col("n1").as("n_users"), lit(0L).as("convert_usecs")),
+          struct(lit(2).as("stage"), lit("click").as("step"),
+            col("n2").as("n_users"), lit(0L).as("convert_usecs")),
+          struct(lit(3).as("stage"), lit("purchase").as("step"),
+            col("n3").as("n_users"), col("conv").as("convert_usecs"))))
+          .as("r"))
+        .select(col("r.stage").as("stage"), col("r.step").as("step"),
+          col("r.n_users").as("n_users"),
+          col("r.convert_usecs").as("convert_usecs"))
+        .orderBy("stage")
     }),
 
     "sw1_session_window" -> ((s, d) =>
@@ -611,7 +631,12 @@ object AnalyticQueries {
     // unique home cell; id_a < id_b keeps one orientation). All math is
     // exact integer micro-degrees (md5-derived synthetic coordinates —
     // the testdata has no geo columns — and squared distances), so
-    // DuckDB's all-pairs replay hash-matches bit-for-bit.
+    // DuckDB's all-pairs replay hash-matches bit-for-bit. r13: the
+    // operator body lives in operators/GeoNeighborJoin.scala, with
+    // HOT-CELL SALTING (triangle-decomposed self-join) so an urban-
+    // density cell spreads over ceil(count/hotCap) tasks instead of
+    // one — GeoSkewSpec soaks it with 80% of points planted in one
+    // cell.
     "gj1_geo_neighbor_join" -> ((s, d) => {
       val R = 5000L // micro-degrees; cell size = R
       val pts = customer(s, d).select(col("c_custkey").as("id"),
@@ -619,27 +644,7 @@ object AnalyticQueries {
           "string))), 1, 12), 16, 10) as bigint) % 1000000").as("lat_u"),
         expr("cast(conv(substring(md5(concat('lon', cast(c_custkey as " +
           "string))), 1, 12), 16, 10) as bigint) % 1000000").as("lon_u"))
-        .withColumn("cx", expr(s"lat_u div ${R}L"))
-        .withColumn("cy", expr(s"lon_u div ${R}L"))
-      val probes = pts.select(col("id").as("id_a"),
-          col("lat_u").as("lat_a"), col("lon_u").as("lon_a"),
-          explode(expr(
-            """flatten(transform(sequence(-1, 1),
-              |  dx -> transform(sequence(-1, 1),
-              |    dy -> struct(cx + dx AS px, cy + dy AS py))))"""
-              .stripMargin)).as("p"))
-        .select(col("id_a"), col("lat_a"), col("lon_a"),
-          col("p.px").as("cx"), col("p.py").as("cy"))
-      val homes = pts.select(col("id").as("id_b"),
-        col("lat_u").as("lat_b"), col("lon_u").as("lon_b"),
-        col("cx"), col("cy"))
-      probes.join(homes, Seq("cx", "cy"))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("dist2",
-          (col("lat_a") - col("lat_b")) * (col("lat_a") - col("lat_b")) +
-            (col("lon_a") - col("lon_b")) * (col("lon_a") - col("lon_b")))
-        .filter(col("dist2") <= lit(R * R))
-        .select(col("id_a"), col("id_b"), col("dist2"))
+      graft.operators.GeoNeighborJoin.pairs(pts, R)
         .orderBy("id_a", "id_b")
     }),
 
@@ -662,6 +667,36 @@ object AnalyticQueries {
         .filter(col("src") =!= col("dst"))
         .select("src", "dst").distinct()
       graft.operators.PageRank.scores(edges, "src", "dst", iters = 3)
+        .select(col("node").as("doc_id"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // GR2: PageRank over a DIRECTED graph with genuine sinks — gr1's
+    // rare-shingle pairs oriented low-id → high-id, so every component's
+    // maximal doc is outdeg-0 (dangling). Exercises
+    // PageRank.scoresDangling's mass redistribution: each round the
+    // sinks' total mass is floored-shared across all nodes, in the same
+    // exact BIGINT domain, and the oracle replays all three rounds —
+    // dangling sum, per-node share, floors — in integer SQL.
+    "gr2_pagerank_dangling" -> ((s, d) => {
+      val grams = documents(s, d)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(sequence(1, size(w) - 2),
+            |  i -> cast(conv(substring(md5(concat_ws(' ', element_at(w, i),
+            |         element_at(w, i + 1), element_at(w, i + 2))), 1, 12),
+            |       16, 10) as bigint)))""".stripMargin)).as("h"))
+      val rare = grams.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 5))
+      val g = grams.join(rare.select("h"), "h").localCheckpoint()
+      val edges = g.select(col("doc_id").as("src"), col("h"))
+        .join(g.select(col("doc_id").as("dst"), col("h")), "h")
+        .filter(col("src") < col("dst"))
+        .select("src", "dst").distinct()
+      graft.operators.PageRank.scoresDangling(edges, "src", "dst",
+          iters = 3)
         .select(col("node").as("doc_id"), col("score"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(20)
@@ -1009,6 +1044,59 @@ object AnalyticQueries {
         |  FROM edges e JOIN it2 p ON p.doc_id = e.src
         |  JOIN outdeg o ON o.src = e.src CROSS JOIN base GROUP BY e.dst)
         |SELECT doc_id, score FROM it3
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // directed (low→high) gram graph with sinks: full replay of three
+    // dangling-mass rounds — D = Σ sink scores, shared as D // N, every
+    // division a floor over non-negative BIGINTs (DuckDB // ≡ Spark div)
+    "gr2_pagerank_dangling" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(TRIM(text), '\s+') AS w
+        |  FROM documents),
+        |grams AS (SELECT DISTINCT doc_id,
+        |    CAST(('0x' || substring(
+        |      md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 12)) AS BIGINT) AS h
+        |  FROM toks, UNNEST(generate_series(1, len(w) - 2)) t(i)
+        |  WHERE len(w) >= 3),
+        |rare AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 5),
+        |g AS (SELECT doc_id, h FROM grams JOIN rare USING (h)),
+        |edges AS (SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+        |  FROM g a JOIN g b USING (h) WHERE a.doc_id < b.doc_id),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |outdeg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+        |nn AS (SELECT COUNT(*) AS n FROM nodes),
+        |base AS (SELECT 1000000000000 // n AS b FROM nn),
+        |p0 AS (SELECT node, b AS score FROM nodes, base),
+        |d1 AS (SELECT COALESCE(SUM(p.score), 0) AS dm FROM p0 p
+        |  LEFT JOIN outdeg o USING (node) WHERE o.deg IS NULL),
+        |ins1 AS (SELECT e.dst AS node, SUM(p.score // o.deg) AS ins
+        |  FROM edges e JOIN p0 p ON p.node = e.src
+        |  JOIN outdeg o ON o.node = e.src GROUP BY e.dst),
+        |it1 AS (SELECT n0.node, CAST((15 * base.b
+        |    + 85 * (COALESCE(i.ins, 0) + d1.dm // nn.n)) // 100 AS BIGINT)
+        |    AS score
+        |  FROM nodes n0 LEFT JOIN ins1 i USING (node)
+        |  CROSS JOIN base CROSS JOIN d1 CROSS JOIN nn),
+        |d2 AS (SELECT COALESCE(SUM(p.score), 0) AS dm FROM it1 p
+        |  LEFT JOIN outdeg o USING (node) WHERE o.deg IS NULL),
+        |ins2 AS (SELECT e.dst AS node, SUM(p.score // o.deg) AS ins
+        |  FROM edges e JOIN it1 p ON p.node = e.src
+        |  JOIN outdeg o ON o.node = e.src GROUP BY e.dst),
+        |it2 AS (SELECT n0.node, CAST((15 * base.b
+        |    + 85 * (COALESCE(i.ins, 0) + d2.dm // nn.n)) // 100 AS BIGINT)
+        |    AS score
+        |  FROM nodes n0 LEFT JOIN ins2 i USING (node)
+        |  CROSS JOIN base CROSS JOIN d2 CROSS JOIN nn),
+        |d3 AS (SELECT COALESCE(SUM(p.score), 0) AS dm FROM it2 p
+        |  LEFT JOIN outdeg o USING (node) WHERE o.deg IS NULL),
+        |ins3 AS (SELECT e.dst AS node, SUM(p.score // o.deg) AS ins
+        |  FROM edges e JOIN it2 p ON p.node = e.src
+        |  JOIN outdeg o ON o.node = e.src GROUP BY e.dst),
+        |it3 AS (SELECT n0.node, CAST((15 * base.b
+        |    + 85 * (COALESCE(i.ins, 0) + d3.dm // nn.n)) // 100 AS BIGINT)
+        |    AS score
+        |  FROM nodes n0 LEFT JOIN ins3 i USING (node)
+        |  CROSS JOIN base CROSS JOIN d3 CROSS JOIN nn)
+        |SELECT node AS doc_id, score FROM it3
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   )
 }

@@ -61,9 +61,11 @@ object VectorQueries {
     * the shortlist contents stay engine-specific (candidate generation
     * is hash/codebook-internal), but "the shortlist finds the true
     * neighbors" is an engine-independent claim and is what this pins.
-    * Floors are the measured sf0.01 per-query minima with no slack
-    * (v4 multi-probe: 4/5; IVF-family: 1/5 at the nprobe=3 recall
-    * ceiling — QueriesSpec holds the tighter aggregate floors). */
+    * Floors are the measured per-query minima across all three sfs
+    * with no slack (v4 multi-probe: 4/5; IVF-family: 3/5 at nprobe=6 +
+    * ADC refine 1024 — the r13 AnnOverlap sweep; r12's nprobe=3 config
+    * only supported 1/5. QueriesSpec holds the tighter aggregate
+    * floors). */
   /** The exact side of the recall gates, one localCheckpoint per
     * (JVM, sfDir) — testdata is read-only, and the three gates (plus
     * their bench re-runs) should price their own shortlists, not pay
@@ -100,8 +102,11 @@ object VectorQueries {
   }
 
   /** v5's raw shortlist: IVF probe-only top-5 over the persisted index
-    * (see the v5 registry comment for the plan story). */
-  private[graft] def annIvfTopK(s: SparkSession, d: String): DataFrame = {
+    * (see the v5 registry comment for the plan story). `nprobe` defaults
+    * to [[graft.operators.IvfIndex.NProbe]] — the recall/scan-fraction
+    * knob the r12 verdict had tuned up (floor 1/5 at nprobe=3). */
+  private[graft] def annIvfTopK(s: SparkSession, d: String,
+      nprobe: Int = graft.operators.IvfIndex.NProbe): DataFrame = {
     import s.implicits._
     graft.functions.CosineSimilarity.register(s)
     val idx = graft.operators.IvfIndex.ensure(s, d)
@@ -119,7 +124,7 @@ object VectorQueries {
     val probeRows = q.crossJoin(broadcast(cb))
       .withColumn("ccs", expr("graft_cosine(ea, cvec)"))
       .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= 3)
+      .filter(col("prn") <= nprobe)
       .select("qid", "ea", "cell")
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getInt(2)))
@@ -138,9 +143,14 @@ object VectorQueries {
       .orderBy("qid", "rnk")
   }
 
+  /** v7's ADC shortlist width before exact rerank — see the phase-1
+    * comment inside [[annIvfPqTopK]] for the sizing evidence. */
+  private[graft] val AdcRefine = 1024
+
   /** v7's raw shortlist: IVF-PQ ADC candidates + exact rerank (see
     * the v7 registry comment for the plan story). */
-  private[graft] def annIvfPqTopK(s: SparkSession, d: String): DataFrame = {
+  private[graft] def annIvfPqTopK(s: SparkSession, d: String,
+      nprobe: Int = graft.operators.IvfIndex.NProbe): DataFrame = {
     import s.implicits._
     val idx = graft.operators.IvfIndex.ensure(s, d)
     def dot(a: Array[Double], b: Array[Double]): Double = {
@@ -169,7 +179,7 @@ object VectorQueries {
         .map { case (cell, cv) =>
           (cell, dot(q, cv) / (qnorm * math.max(math.sqrt(dot(cv, cv)), 1e-12)))
         }
-        .sortBy { case (cell, cs) => (-cs, cell) }.take(3).map(_._1)
+        .sortBy { case (cell, cs) => (-cs, cell) }.take(nprobe).map(_._1)
       // dense ADC tables indexed by cid (gaps from dropped centroids
       // score 0 — no code references them)
       val tables: Seq[Seq[Double]] = (0 until nSub).map { sub =>
@@ -188,16 +198,22 @@ object VectorQueries {
       .select(col("vec_id").as("nid"), col("cell"),
         col("code"), greatest(col("rnorm"), lit(1e-12)).as("rnorm"))
     // phase 1 — compressed-domain candidate generation: ADC-score every
-    // vector in the probed cells from codes alone, keep top-96 per
-    // query (the FAISS "refine factor": PQ error means the true top-5
-    // sits inside the ADC top-~10k, not the ADC top-5)
+    // vector in the probed cells from codes alone, keep the top
+    // AdcRefine per query (the FAISS "refine factor": PQ error means
+    // the true top-5 sits inside the ADC top-hundreds, not the ADC
+    // top-5 — on this near-uniform corpus 8x16 PQ correlates weakly
+    // with exact cosine, and the r13 sweep measured top-96 and top-384
+    // both dropping true neighbors at sf0.1 while 1024 holds the 3/5
+    // floor; rerank cost stays |queries| x AdcRefine,
+    // corpus-independent)
     val cand = corpus.join(broadcast(probes), Seq("cell"))
       .filter(col("nid") =!= col("qid"))
       .withColumn("ip", expr(
         "aggregate(zip_with(code, tables, (c, t) -> t[c]), 0D, (acc, v) -> acc + v)"))
       .withColumn("adc", col("ip") / (col("qnorm") * col("rnorm")))
       .groupBy("qid")
-      .agg(graft.functions.BottomK.topKScored(col("adc"), col("nid"), 96).as("top"))
+      .agg(graft.functions.BottomK.topKScored(col("adc"), col("nid"),
+        AdcRefine).as("top"))
       .select(col("qid"), explode(expr("transform(top, x -> x.id)")).as("nid"))
     // phase 2 — exact rerank of the |queries| × 96 survivors: broadcast
     // the candidate ids against the same pruned cell scan (this is the
@@ -288,22 +304,23 @@ object VectorQueries {
     // row-count check to detect a regenerated corpus). The query itself
     // does what a 100 TB IVF query should do and nothing else: score the
     // tiny query set against the 8-row broadcast codebook to pick the
-    // nprobe=3 nearest cells, statically PRUNE the index scan to those
-    // cell directories (reads nprobe/k of the index), exact cosine on
-    // the candidates, and a k-bounded TopKScored aggregate (map-side
-    // partial, no rank window) for the final top-5. The one collect()
-    // pulls <= k=8 probed cell ids to the driver — bounded by the
-    // codebook size, needed to turn the probe set into a static
-    // partition-pruning predicate.
-    // Recall context (measured, QueriesSpec): 0.72 @ (k8, nprobe3) at
-    // sf0.1 — bounded by this near-uniform synthetic corpus's
-    // clusterability ((16,4) measured WORSE, 0.60); v4's multi-probe LSH
-    // (0.98–1.0) is the high-recall path, nprobe the standard knob when
-    // corpora do cluster. Registered as the recall GATE (cell
-    // assignment is engine-internal; the exact-overlap booleans are
-    // not); the raw shortlist ([[annIvfTopK]]) stays recall-gated in
-    // QueriesSpec.
-    "v5_ann_ivf" -> ((s, d) => recallGate(s, d, annIvfTopK(s, d), 1)),
+    // nprobe (=IvfIndex.NProbe) nearest cells, statically PRUNE the
+    // index scan to those cell directories (reads nprobe/k of the
+    // index), exact cosine on the candidates, and a k-bounded TopKScored
+    // aggregate (map-side partial, no rank window) for the final top-5.
+    // The one collect() pulls <= k=8 probed cell ids to the driver —
+    // bounded by the codebook size, needed to turn the probe set into a
+    // static partition-pruning predicate.
+    // Recall context (r13 AnnOverlap sweep): this near-uniform synthetic
+    // corpus barely clusters ((16,4) codebooks measured WORSE than
+    // (8,4)), so recall tracks the scan fraction — nprobe=3 of 8
+    // supported only a 1/5 per-query floor; nprobe=6 supports 3/5 at
+    // every sf (minima 4/4/3). v4's multi-probe LSH (0.98-1.0) is the
+    // high-recall path; nprobe is the standard knob when corpora do
+    // cluster. Registered as the recall GATE (cell assignment is
+    // engine-internal; the exact-overlap booleans are not); the raw
+    // shortlist ([[annIvfTopK]]) stays recall-gated in QueriesSpec.
+    "v5_ann_ivf" -> ((s, d) => recallGate(s, d, annIvfTopK(s, d), 3)),
 
     // IVF-PQ compressed-domain ANN: the scan that makes 100 TB ANN
     // tractable. The persisted index (graft.operators.IvfIndex, format 2)
@@ -322,10 +339,12 @@ object VectorQueries {
     // re-expressed as parquet partition pruning + column pruning +
     // broadcast equi-join + codegen HOFs. Candidate ranking is the
     // k-bounded TopKScored aggregate; driver-side math is limited to the
-    // 8-row coarse codebook and the fixed query set. Rows-only
-    // (codes are engine-internal); QueriesSpec gates candidate overlap
-    // vs exact brute force, IvfPqSpec the reconstruction-error bound.
-    "v7_ann_ivfpq" -> ((s, d) => recallGate(s, d, annIvfPqTopK(s, d), 1)),
+    // 8-row coarse codebook and the fixed query set. Floor 3/5 at
+    // nprobe=6 + ADC refine 1024 (r13 sweep; coarse 8x16 PQ needs the
+    // wide refine on this corpus — top-96/top-384 both dropped true
+    // neighbors at sf0.1). QueriesSpec gates aggregate overlap vs exact
+    // brute force, IvfPqSpec the reconstruction-error bound.
+    "v7_ann_ivfpq" -> ((s, d) => recallGate(s, d, annIvfPqTopK(s, d), 3)),
 
     // int8 symmetric quantization roundtrip: per-vector scale =
     // 127/max|x|, q = round(x*scale) as int8, dequantize, report the

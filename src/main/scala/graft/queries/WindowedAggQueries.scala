@@ -335,6 +335,54 @@ object WindowedAggQueries {
     // guarantee the operator sells. A broken state handoff between
     // micro-batches would double those rows and hash-mismatch against
     // the oracle's original (duplicate-free) event set.
+    // ST11: STREAMING CURATION — the flagship always-on ingest
+    // composite (StreamingOps.curateStream) as a driver gate: the
+    // documents corpus streams in as TWO ordered micro-batches
+    // (doc_id < 400 first — it bootstraps the curated store + portable
+    // band index via the day-1 full curation; the rest second — curated
+    // O(batch) against the store's sidecar blooms and the persisted
+    // index, delta-published with a fenced commit, index advanced
+    // count-verified). The gate reads the FINAL store — commit,
+    // manifest, and per-batch decisions end-to-end — and the oracle is
+    // s19's sequential-curation SQL verbatim: history curated alone ∪
+    // the batch curated against it. The world builds once per
+    // (JVM, sfDir); the stream is idempotent under re-runs by the
+    // redelivery guard, so caching the root is sound.
+    "st11_stream_curate" -> ((s, d) => {
+      val world = graft.fixtures.WorldCache.dir("st11_curate", d,
+          WindowedAggQueries.getClass) { base =>
+        val srcDir = s"$base/src"
+        val docs = graft.Tables.documents(s, d)
+        val fs = new org.apache.hadoop.fs.Path(srcDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        def parts() = {
+          val p = new org.apache.hadoop.fs.Path(srcDir)
+          if (!fs.exists(p)) Set.empty[org.apache.hadoop.fs.Path]
+          else fs.listStatus(p)
+            .filter(_.getPath.getName.startsWith("part-"))
+            .map(_.getPath).toSet
+        }
+        // mtime-staggered files: the file source must see history FIRST
+        val t0 = System.currentTimeMillis()
+        Seq(docs.filter(col("doc_id") < 400),
+            docs.filter(col("doc_id") >= 400))
+          .zipWithIndex.foreach { case (f, i) =>
+            val before = parts()
+            f.coalesce(1).write.mode("append").parquet(srcDir)
+            (parts() -- before).foreach(p =>
+              fs.setTimes(p, t0 - 240000 + i * 60000, -1))
+          }
+        val curatedRoot = s"$base/store"
+        val src = s.readStream.schema(s.read.parquet(srcDir).schema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        runAvailableNow(
+          graft.streaming.StreamingOps.curateStream(src, curatedRoot))
+      }
+      graft.store.SnapshotStore.read(s, s"$world/store")
+        .filter(col("is_canonical"))
+        .select("doc_id", "split").orderBy("doc_id")
+    }),
+
     "st10_stream_dedup" -> ((s, d) => {
       val dir = FixtureDirCache.getOrElseUpdate((d, "st10"), {
         val out = java.nio.file.Files
@@ -485,6 +533,10 @@ object WindowedAggQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // s19's sequential-curation oracle VERBATIM: the streamed composite
+    // must publish exactly the store the two-day batch scenario does
+    "st11_stream_curate" ->
+      WritePathQueries.oracle("s19_incremental_curate_publish"),
     // a22's oracle VERBATIM: the streamed sketch must estimate exactly
     // like the batch build (cells are deterministic md5 — linearity
     // makes the micro-batch split invisible)

@@ -273,6 +273,28 @@ object FileStats {
       .write.parquet(new Path(snaps, name + StatsSuffix).toString)
   }
 
+  /** FULL sidecar for a MANIFEST snapshot — the BOOTSTRAP for tables
+    * whose previous versions predate stats (e.g. a gold table's first
+    * incremental publish on top of a full-run snapshot): stats every
+    * partition dir version `name` references, wherever it physically
+    * lives, in one narrow scan, and places the sidecar exactly where
+    * [[writeSidecarIncremental]] would — so every LATER publish carries
+    * from it O(churn). */
+  def writeSidecarFull(spark: SparkSession, root: String, name: String,
+                       statCols: Seq[String], bloomCols: Seq[String] = Nil,
+                       bloomFpp: Double = DefaultBloomFpp): Unit = {
+    val entries = SnapshotStore.readManifest(spark, root, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"writeSidecarFull: snapshot $name has no manifest"))
+    val snaps = new Path(root, SnapshotStore.SnapshotsDir)
+    val dirs = entries.map { case (rel, ver) =>
+      new Path(new Path(snaps, ver), rel).toString }.toSeq
+    collectStatsDirs(spark, dirs, statCols, bloomCols, bloomFpp = bloomFpp)
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(new Path(snaps, name + StatsSuffix).toString)
+  }
+
   /** The file lists a range predicate `lo <= c <= hi` decides between:
     * (selected files, all files). Bounded driver-side data — one row per
     * file of the CURRENT snapshot, the same order of magnitude the

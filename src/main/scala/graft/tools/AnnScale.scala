@@ -57,8 +57,20 @@ object AnnScale {
       dir
     }
 
+    // the REGISTERED v4/v5/v7 queries are recall gates since r12 —
+    // scale-measure the raw shortlists they wrap instead
+    val shortlists = Map[String,
+        (org.apache.spark.sql.SparkSession, String) =>
+          org.apache.spark.sql.DataFrame](
+      "v2_ann_topk" -> graft.SparkEntry.queries("v2_ann_topk"),
+      "v4_ann_lsh" -> ((s, d) =>
+        graft.queries.VectorQueries.annLshTopK(s, d)),
+      "v5_ann_ivf" -> ((s, d) =>
+        graft.queries.VectorQueries.annIvfTopK(s, d)),
+      "v7_ann_ivfpq" -> ((s, d) =>
+        graft.queries.VectorQueries.annIvfPqTopK(s, d)))
     def topk(name: String, dir: String): (Double, Map[Long, Set[Long]]) = {
-      val fn = graft.SparkEntry.queries(name)
+      val fn = shortlists(name)
       val times = (0 until 3).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, dir).count()

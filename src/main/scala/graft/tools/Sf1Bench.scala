@@ -1,0 +1,106 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ONE-SCALE-UP bench leg (r12 verdict #9): every scaling argument in
+  * BASELINE.md rests on sf0.1 plus targeted scale tools — this runs the
+  * flagship READ queries end-to-end at sf1 (a deterministic 10× copy of
+  * sf0.1: ~6M lineitem, ~600k documents) and records the sf0.1 → sf1
+  * first-run ratio per query, catching superlinear residues the
+  * microbenches miss. Ratios ≲ 10× mean the plan scaled no worse than
+  * the data; a ~100× outlier is a quadratic stage.
+  *
+  * The 10× copy keeps join keys consistent (customer/orders/lineitem
+  * offset together; events users offset; documents get the ScaleProof
+  * per-copy suffix so exact-dup groups don't collapse across copies)
+  * and keeps the DIMENSION tables 1× (part/supplier/nation/region) —
+  * dims grow slower than facts in every warehouse, and the broadcast
+  * strategy under test should keep holding.
+  *
+  *   sbt "runMain graft.tools.Sf1Bench /root/testdata/sf0.1 /tmp/graft_sf1"
+  */
+object Sf1Bench {
+  private val Off = 10000000L
+
+  private val DefaultQueries = Seq(
+    "q1_agg", "p8_outlier_4sigma", "j1_broadcast_dim", "j2_stats_backjoin",
+    "w1_dedup_latest", "o1_topk", "a6_distinct_count", "g4_pivot",
+    "aj1_asof_join", "rj1_range_join", "sw1_session_window", "sw2_funnel",
+    "dd1_dedup_exact", "dd4_minhash_lsh", "dd6_embedding_neardup",
+    "dd7_neardup_clusters", "tx10_tfidf", "gr1_pagerank", "v2_ann_topk",
+    "cp1_corpus_curate")
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val queries =
+      if (args.length > 2) args.drop(2).toSeq else DefaultQueries
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def table(name: String): DataFrame =
+      spark.read.parquet(s"$base/$name.parquet")
+    def write(name: String, df: DataFrame): Unit = {
+      val t = new org.apache.hadoop.fs.Path(s"$out/$name.parquet")
+      if (!fs.exists(t)) df.write.parquet(t.toString)
+    }
+    def tenX(name: String)(copy: (DataFrame, Int) => DataFrame): Unit =
+      write(name, (0 until 10).map(k => copy(table(name), k))
+        .reduce(_.unionByName(_)))
+
+    // facts 10x with consistent keys; dims copied 1x
+    Seq("region", "nation", "supplier", "part").foreach(n =>
+      write(n, table(n)))
+    tenX("customer")((d, k) =>
+      d.withColumn("c_custkey", col("c_custkey") + lit(k * Off)))
+    tenX("orders")((d, k) => d
+      .withColumn("o_orderkey", col("o_orderkey") + lit(k * Off))
+      .withColumn("o_custkey", col("o_custkey") + lit(k * Off)))
+    tenX("lineitem")((d, k) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + lit(k * Off)))
+    tenX("events")((d, k) => d
+      .withColumn("event_id", col("event_id") + lit(k * Off))
+      .withColumn("user_id", col("user_id") + lit(k * Off)))
+    tenX("embeddings")((d, k) =>
+      d.withColumn("vec_id", col("vec_id") + lit(k * Off)))
+    tenX("documents")((d, k) => d.select(
+      (col("doc_id") + lit(k * Off)).as("doc_id"),
+      (if (k == 0) col("text")
+       else concat(col("text"), lit(s" copytoken$k"))).as("text"),
+      col("lang"), col("source"),
+      (col("n_chars") +
+        lit(if (k == 0) 0L else s" copytoken$k".length.toLong))
+        .as("n_chars")))
+
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      try graft.SparkEntry.queries(name)(spark, dir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[sf1bench] $name failed at $dir: $e")
+        return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    queries.foreach { q =>
+      val t1 = time(q, base)
+      val t10 = time(q, out)
+      val ratio = if (t1 > 0 && t10 > 0) t10 / t1 else -1.0
+      println(f"SF1BENCH $q%-24s sf0.1=$t1%7.2f s  sf1=$t10%7.2f s  " +
+        f"ratio=$ratio%5.1f")
+    }
+    spark.stop()
+  }
+}

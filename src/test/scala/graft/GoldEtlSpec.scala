@@ -288,4 +288,73 @@ class GoldEtlSpec extends SparkSuite {
     val ptrIds = ptrRead.select("project_id").collect().map(_.getString(0)).sorted
     assert(ptrIds.toSeq === fullIds.toSeq)
   }
+
+  test("incremental gold maintains the stats sidecar O(churn): carried " +
+    "rows byte-identical, fresh partitions re-statted, range read prunes") {
+    import graft.store.{FileStats, PointerCommit, SnapshotStore}
+    val base = Files.createTempDirectory("graft_gold_sidecar").toString
+    val parts = Seq("ingestion_year", "ingestion_month")
+    val ck = col("id")
+    def silverRows(tag: String, months: Int, vf: String) = {
+      val d = spark.range(if (tag == "base") 600 else 30).select(
+        concat(lit(if (tag == "base") "" else s"$tag-"),
+          ck.cast("string")).as("universal_id"),
+        lit("Hanoi").as("city"),
+        concat(lit("Zone "), (ck % 9).cast("string")).as("district"),
+        (lit(100.0) + (ck % 900).cast("double")).as("avg_unit_price"),
+        ((lit(100.0) + (ck % 900).cast("double")) * 80).as("avg_selling_price"),
+        lit(80.0).as("total_area"),
+        lit(true).as("is_current"),
+        lit(vf).as("valid_from"),
+        lit(null).cast("string").as("valid_to"),
+        concat(lit("2025-"), lpad(((ck % months) + 1).cast("string"), 2, "0"),
+          lit("-15")).as("ingestion_date"),
+        lit("2025").as("ingestion_year"),
+        lpad(((ck % months) + 1).cast("string"), 2, "0").as("ingestion_month"))
+      graft.schema.Mappings.AmenityPatterns.foldLeft(d) {
+        case (df, (c, _)) => df.withColumn(c, lit(false))
+      }
+    }
+    val b = silverRows("base", 12, "2025-01-10")
+    PointerCommit.publish(b, s"$base/silver", parts)
+    GoldEtl.run(spark, s"$base/silver", s"$base/gold",
+      to_timestamp(lit("2025-01-20 12:00:00")), PointerCommit)
+    // day 2: bootstrap sidecar (prev snapshot predates stats)
+    PointerCommit.publish(b.unionByName(silverRows("n1", 1, "2025-01-21")),
+      s"$base/silver", parts)
+    GoldEtl.runIncremental(spark, s"$base/silver", s"$base/gold",
+      "2025-01-21", to_timestamp(lit("2025-01-21 12:00:00")), PointerCommit)
+    val snaps = new org.apache.hadoop.fs.Path(
+      s"$base/gold", SnapshotStore.SnapshotsDir)
+    def sidecarOf(name: String) = spark.read.parquet(
+      new org.apache.hadoop.fs.Path(snaps,
+        name + FileStats.StatsSuffix).toString)
+    val v2 = SnapshotStore.currentName(spark, s"$base/gold").get
+    // day 3: incremental sidecar on top of the bootstrap
+    PointerCommit.publish(b
+        .unionByName(silverRows("n1", 1, "2025-01-21"))
+        .unionByName(silverRows("n2", 1, "2025-01-22")),
+      s"$base/silver", parts)
+    GoldEtl.runIncremental(spark, s"$base/silver", s"$base/gold",
+      "2025-01-22", to_timestamp(lit("2025-01-22 12:00:00")), PointerCommit)
+    val v3 = SnapshotStore.currentName(spark, s"$base/gold").get
+    assert(v3 !== v2)
+    val s2 = sidecarOf(v2).collect().map(r => r.getString(0) -> r).toMap
+    val s3 = sidecarOf(v3).collect().map(r => r.getString(0) -> r).toMap
+    val carried = s3.keySet.intersect(s2.keySet)
+    assert(carried.nonEmpty, "day-3 must carry unchanged partitions' rows")
+    carried.foreach(f => assert(s3(f) === s2(f),
+      s"carried sidecar row changed for $f"))
+    // fresh month-01 files are re-statted under the new version dir
+    assert(s3.keySet.exists(f => f.contains(s"/$v3/") && f.contains("month=1")),
+      s"no fresh month-01 stats under $v3: ${s3.keySet.mkString("\n")}")
+    // and the production range read prunes through the sidecar
+    val (sel, all) = FileStats.pruneFiles(spark, s"$base/gold", "quarter", 3, 3)
+    assert(sel.nonEmpty && sel.length < all.length,
+      s"quarter read should skip files: ${sel.length}/${all.length}")
+    val got = FileStats.readSelected(spark, s"$base/gold", sel,
+      col("quarter") === 3).count()
+    // months 7-9 of the 600 base rows (ids 0-599, id%12+1 ∈ {7,8,9})
+    assert(got === 150L)
+  }
 }

@@ -87,4 +87,44 @@ class PageRankSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("dangling-mass redistribution matches the hand-computed reference " +
+    "and conserves mass up to floor loss") {
+    import spark.implicits._
+    // 1→2 and 3→2: node 2 is a genuine sink. scale=300, N=3, base=100.
+    // Round 1: D = score(2) = 100, share = 100 div 3 = 33;
+    //   insum(2) = 100 + 100 = 200
+    //   score'(1) = score'(3) = (15·100 + 85·33) div 100 = 43
+    //   score'(2) = (1500 + 85·(200 + 33)) div 100 = 213
+    val e = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst")
+    val got = PageRank.scoresDangling(e, "src", "dst", iters = 1,
+        scale = 300L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 43L, 2L -> 213L, 3L -> 43L))
+    // more rounds: the sink never hoards everything (mass keeps cycling
+    // back out), totals stay within floor loss of the scale
+    val got3 = PageRank.scoresDangling(e, "src", "dst", iters = 3,
+        scale = 1000000000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got3.keySet === Set(1L, 2L, 3L))
+    assert(got3.values.forall(_ > 0L))
+    val total = got3.values.sum
+    // floor losses: < 100 per node per div-100, < deg per div-deg, < N
+    // per share div, geometrically damped at 0.85 — thousands of scale
+    // units against 10^12, never more
+    assert(total <= 1000000000000L &&
+      total > 1000000000000L - 10000L, s"mass drifted: $total")
+  }
+
+  test("scoresDangling on a sink-free symmetric graph stays close to " +
+    "scores (no dangling mass to move)") {
+    import spark.implicits._
+    val e = planted.toDF("src", "dst")
+    val a = PageRank.scores(e, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = PageRank.scoresDangling(e, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b,
+      "with zero dangling mass the two updates are identical")
+  }
 }

@@ -91,4 +91,20 @@ class PlanFeatureSpec extends SparkSuite {
       l.contains("ReadSchema") && l.contains("emb:")),
       s"exact-rerank vector scan missing:\n$plan")
   }
+
+  test("sw2's funnel shuffles the event stream once: at most 4 Exchanges, " +
+       "event-type filter pushed to the scan") {
+    // the r12 plan ran one filtered agg + one equi-join per stage —
+    // 9 Exchanges for 3 stages. The chained-window spelling pays one
+    // user_id Exchange for all three greedy anchors plus the final
+    // single-partition report agg; a regression back to per-stage
+    // shuffles surfaces here.
+    val df = SparkEntry.queries("sw2_funnel")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("ReusedExchange"))
+    assert(exchanges <= 4, s"sw2 shuffled $exchanges times:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("In(event_type"),
+      s"event-type filter not pushed to the scan:\n$plan")
+  }
 }

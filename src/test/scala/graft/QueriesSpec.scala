@@ -85,7 +85,9 @@ class QueriesSpec extends SparkSuite {
     assert(byQ.size === 10)
     byQ.foreach { case (_, rs) => assert(rs.length === 5) }
     val hits = ivf.count(r => bf.contains((r.getAs[Long]("qid"), r.getAs[Long]("nid"))))
-    assert(hits >= 5, s"IVF recall too low: $hits/50 brute-force hits")
+    // nprobe=6 of 8 cells: measured 45/50 at sf0.001 (r13 sweep);
+    // deterministic up to argmax tie-breaks, so 40 is the floor
+    assert(hits >= 40, s"IVF recall too low: $hits/50 brute-force hits")
     val gate = SparkEntry.queries("v5_ann_ivf")(spark, sf).collect()
     assert(gate.length == 10 && gate.forall(_.getAs[Boolean]("hit")),
       "v5 recall gate must verdict TRUE for every query")
@@ -110,9 +112,9 @@ class QueriesSpec extends SparkSuite {
         s"rerank score differs from exact cosine for $k")
     }
     info(s"v7 overlap: ${hits.length}/${bfScore.size}")
-    // floor, not a tight bound: recall is capped by the nprobe=3 IVF
-    // ceiling (~0.72 on this corpus) and PQ candidate ordering
-    assert(hits.length >= 15, s"IVF-PQ recall too low: ${hits.length}/50")
+    // nprobe=6 + ADC refine 1024: measured 45/50 at sf0.001 (r13
+    // sweep); 40 is the floor under argmax tie-break wiggle
+    assert(hits.length >= 40, s"IVF-PQ recall too low: ${hits.length}/50")
     val gate = SparkEntry.queries("v7_ann_ivfpq")(spark, sf).collect()
     assert(gate.length == 10 && gate.forall(_.getAs[Boolean]("hit")),
       "v7 recall gate must verdict TRUE for every query")
