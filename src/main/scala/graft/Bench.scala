@@ -59,7 +59,7 @@ object Bench {
   private def writeGateNames: Set[String] =
     graft.queries.WritePathQueries.queries.keySet ++
       Set("cp1_corpus_curate", "cp2_curate_exact", "cp6_incremental_curate",
-        "st1b_stream_tumbling")
+        "st1b_stream_tumbling", "st11_stream_curate")
 
   /** Representative subset printed in the compact line: one or more per
     * operator family (scan, join, agg, window, write-path, streaming
@@ -200,6 +200,33 @@ object Bench {
         }
       if (ivfOk && textOk) (System.nanoTime() - t0) / 1e9 else -1.0
     }
+    // Pre-build the cached FIXTURE WORLDS outside the timed loop (same
+    // rationale and transparency as index_build): a world-cached gate's
+    // first run at a fresh sf would otherwise spend seconds
+    // re-synthesizing its multi-publish input scenario inside the timed
+    // loop — fixture construction, not the operator under test
+    // (fixtures.WorldCache; r12 verdict #4). The warmup runs each such
+    // gate once untimed; its timed run then measures operator + verify.
+    // Emitted as `world_build`; failures logged, never swallowed — the
+    // cost then lands visibly inside the timed run as before.
+    val worldBuildSec: Double = {
+      val t0 = System.nanoTime()
+      val worldGates = Seq("s24_silver_stats_skipping", "s25_corpus_forget",
+        "s26_gold_stats_skipping", "st11_stream_curate",
+        "cp6_incremental_curate", "s5_gold_roundtrip")
+      val ok = worldGates.forall { q =>
+        try { SparkEntry.queries(q)(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            Console.err.println(
+              s"GRAFT_BENCH_WARN: world warmup $q failed " +
+                s"(${e.getClass.getName}: ${e.getMessage}) — its world " +
+                "build will land inside the timed run")
+            false
+        }
+      }
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
 
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -237,6 +264,7 @@ object Bench {
       s""","total_read":${fmt(reads.map(_._2).sum)},"n_read":${reads.size}""" +
       s""","total_write_gates":${fmt(writes.map(_._2).sum)},"n_write_gates":${writes.size}""" +
       s""","index_build":${fmt(indexBuildSec)}""" +
+      s""","world_build":${fmt(worldBuildSec)}""" +
       s""","load_avg_start":${fmt(loadStart)},"load_avg_end":${fmt(loadEnd)}""" +
       s""","dirty_kb_start":$dirtyStart,"dirty_kb_end":${dirtyKb()}""" +
       s""","dirty_kb_predrain":$dirtyPre,"drain_wait":${fmt(drainWaitSec)}""" +

@@ -346,16 +346,24 @@ object GoldEtl {
       // production table without O(churn) stats maintenance (r12
       // verdict #3) — gold range reads go through FileStats.pruneFiles
       // like silver's (s24) do.
-      val snaps = new org.apache.hadoop.fs.Path(
-        goldPath, SnapshotStore.SnapshotsDir)
-      val prevSidecar = prevName.exists(p => fs.exists(
-        new org.apache.hadoop.fs.Path(snaps, p + graft.store.FileStats.StatsSuffix)))
-      if (prevSidecar)
-        graft.store.FileStats.writeSidecarIncremental(spark, goldPath,
-          name, prevName, GoldStatCols)
-      else
-        graft.store.FileStats.writeSidecarFull(spark, goldPath, name,
-          GoldStatCols)
+      // only the stat columns this frame actually carries — callers
+      // outside the full gold pipeline (protocol tests, partial
+      // publishes) may hand narrower frames, and a missing feature
+      // column must degrade to "no stats", never an analysis error
+      val statCols = GoldStatCols.filter(selected.columns.contains)
+      if (statCols.nonEmpty) {
+        val snaps = new org.apache.hadoop.fs.Path(
+          goldPath, SnapshotStore.SnapshotsDir)
+        val prevSidecar = prevName.exists(p => fs.exists(
+          new org.apache.hadoop.fs.Path(snaps,
+            p + graft.store.FileStats.StatsSuffix)))
+        if (prevSidecar)
+          graft.store.FileStats.writeSidecarIncremental(spark, goldPath,
+            name, prevName, statCols)
+        else
+          graft.store.FileStats.writeSidecarFull(spark, goldPath, name,
+            statCols)
+      }
     }
   }
 

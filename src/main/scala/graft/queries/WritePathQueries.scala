@@ -119,17 +119,19 @@ object WritePathQueries {
     * same sharing rationale and sequential-execution assumption as
     * [[runFlatScenario]]; nothing here rewrites the table after
     * publish, so the read-back is identical for both consumers. */
-  private val goldScenarioCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-  private def runGoldScenario(s: SparkSession, d: String): String =
-    goldScenarioCache.getOrElseUpdate(d, {
-      val silverDir = tmp("graft_gate_silver")
-      val goldDir = tmp("graft_gate_gold")
+  private def runGoldScenario(s: SparkSession, d: String): String = {
+    // cross-JVM world cache: s5 and p6 only READ the published gold
+    // table, so the full-ETL world qualifies for WorldCache (the flat
+    // SCD2 scenario below does NOT — s7/s7b republish it in place)
+    val world = graft.fixtures.WorldCache.dir("s5_gold", d,
+        WritePathQueries.getClass) { base =>
+      val silverDir = s"$base/silver"
       silverFixture(s, d).write.parquet(silverDir)
-      GoldEtl.run(s, silverDir, goldDir,
+      GoldEtl.run(s, silverDir, s"$base/gold",
         clock = to_timestamp(lit("2025-01-15 12:00:00")))
-      goldDir
-    })
+    }
+    s"$world/gold"
+  }
 
   private def orderedScd(df: DataFrame): DataFrame =
     df.select(ScdCols.map(col): _*)

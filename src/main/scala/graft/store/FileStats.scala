@@ -471,11 +471,23 @@ object FileStats {
                     batch: DataFrame, keyCol: String): DataFrame =
     antiJoinFreshMetrics(spark, root, c, batch, keyCol)._1
 
+  /** Safety valve for [[antiJoinFresh]]'s probe broadcast: the batch's
+    * DISTINCT keys travel to every executor, which is fine for any real
+    * day's ingest but would strain the driver on a pathological
+    * mega-batch. Past this many distinct keys the probe falls back to
+    * the plain shuffled anti-join against the table's column — always
+    * correct, O(history) read, and LOUDLY the caller's cue to chunk the
+    * batch. ~8 M longs ≈ 128 MB broadcast. */
+  val MaxProbeKeys: Long = 8000000L
+
   /** [[antiJoinFresh]] plus skipping evidence:
-    * (result, maybe-files read, files total). */
+    * (result, maybe-files read, files total); (-1, total) marks the
+    * fallback path (probe key set over [[MaxProbeKeys]] — whole-column
+    * anti-join, no skipping evidence to report). */
   def antiJoinFreshMetrics(spark: SparkSession, root: String, c: String,
-                           batch: DataFrame,
-                           keyCol: String): (DataFrame, Int, Int) = {
+                           batch: DataFrame, keyCol: String,
+                           maxKeys: Long = MaxProbeKeys)
+      : (DataFrame, Int, Int) = {
     val stats = sidecar(spark, root)
     require(stats.columns.contains(s"bloom_$c") &&
       stats.columns.contains(s"min_$c"),
@@ -495,6 +507,18 @@ object FileStats {
     val keys = batch.select(col(keyCol).as("__k"))
       .filter(col("__k").isNotNull).distinct()
       .withColumn("__h", xxhash64(col("__k")))
+      .localCheckpoint() // counted below, then probed — one computation
+    if (keys.count() > maxKeys) {
+      Console.err.println(s"FileStats.antiJoinFresh: probe key set " +
+        s"exceeds maxKeys=$maxKeys for $root/$c — falling " +
+        "back to the whole-column anti-join; chunk the batch upstream")
+      val total = sidecar(spark, root).select("file").distinct()
+        .count().toInt
+      return (batch.join(
+          SnapshotStore.read(spark, root).select(col(c).as(keyCol)),
+          Seq(keyCol), "left_anti")
+        .select(batch.columns.map(col): _*), -1, total)
+    }
     // range gate FIRST (left operand of And — short-circuits the bloom
     // for out-of-interval keys, the whole probe for append-only ids);
     // null interval = all-null file column = cannot hold a non-null key

@@ -566,6 +566,19 @@ class FileStatsSpec extends SparkSuite {
     assert(out.map(_.getString(1)).toSeq === Seq("fresh", "nullkey"))
   }
 
+  test("antiJoinFresh mega-batch valve: past maxKeys the probe falls " +
+    "back to the whole-column anti-join with identical rows") {
+    val root = antiWorld("ajv")
+    val batch = spark.range(3000, 3400).unionAll(spark.range(100, 150))
+      .select(col("id").as("doc_id"))
+    val (out, sel, total) = FileStats.antiJoinFreshMetrics(
+      spark, root, "doc_id", batch, "doc_id", maxKeys = 10L)
+    assert(sel === -1 && total === 6, "valve must report the fallback")
+    assert(out.orderBy("doc_id").collect().toSeq ===
+      batch.join(SnapshotStore.read(spark, root).select("doc_id"),
+        Seq("doc_id"), "left_anti").orderBy("doc_id").collect().toSeq)
+  }
+
   test("antiJoinFresh refuses a type-mismatched probe loudly") {
     val root = antiWorld("ajt")
     val batch = spark.range(5).select(col("id").cast("int").as("doc_id"))
