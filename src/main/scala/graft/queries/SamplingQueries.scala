@@ -431,6 +431,30 @@ object SamplingQueries {
         .orderBy("doc_id")
     }),
 
+    // CP8: WHOLE-DOCUMENT sequence packing by size class (shelf
+    // packing) — cp7 cuts a concatenated stream so docs straddle
+    // boundaries; SFT/eval formatting must keep each doc whole in one
+    // fixed-capacity example. True FFD bin packing is sequential and
+    // non-replayable; the shelf approximation (class k = capacity div
+    // tokens, bins fill k docs at a time in id order) is a pure
+    // function of (class, rank) in exact integer arithmetic, bins
+    // provably never overflow, and full bins are >50% utilized. The
+    // per-class rank is the two-phase (class, bucket) prefix pattern —
+    // a dominant doc-length band never funnels through one window task.
+    // Oversize docs emit overflow=true, one per bin, never dropped.
+    "cp8_shelf_pack" -> ((s, d) => {
+      val docs = documents(s, d)
+        .filter(length(trim(col("text"))) > 0)
+        .withColumn("n_tokens",
+          size(split(trim(col("text")), "\\s+")).cast("long"))
+        .select("doc_id", "n_tokens")
+      graft.operators.ShelfPack
+        .placements(docs, "doc_id", "n_tokens", capacity = 256L)
+        .select(col("doc_id"), col("n_tokens"), col("size_class"),
+          col("bin_id"), col("slot"), col("overflow"))
+        .orderBy("doc_id")
+    }),
+
     // SM8: deterministic weighted interleave — the training-epoch ORDER
     // for a multi-source mixture (en 4 : zh 2 : es 2 : de 1 : fr 1 per
     // 10-slot cycle): per-source content-hash shuffle, exact-integer
@@ -598,6 +622,30 @@ object SamplingQueries {
         |  ((CAST(cum AS BIGINT) - 1) // 512)
         |    - ((CAST(cum AS BIGINT) - n_tokens) // 512) + 1 AS n_windows
         |FROM c ORDER BY doc_id""".stripMargin,
+    // exact replay: size class, per-class 0-based rank over doc_id,
+    // bin = class·2^40 + rank // class, slot = rank % class; overflow
+    // (tokens > capacity) one per bin
+    "cp8_shelf_pack" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(TRIM(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents WHERE LENGTH(TRIM(text)) > 0),
+        |cls AS (SELECT doc_id, n_tokens,
+        |    CAST(CASE WHEN n_tokens > 256 THEN 0
+        |         ELSE 256 // n_tokens END AS BIGINT) AS size_class
+        |  FROM toks),
+        |r AS (SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY size_class ORDER BY doc_id) - 1 AS rnk
+        |  FROM cls)
+        |SELECT doc_id, n_tokens, size_class,
+        |  CAST(CASE WHEN size_class = 0 THEN rnk
+        |       ELSE size_class * 1099511627776 + rnk // size_class
+        |       END AS BIGINT) AS bin_id,
+        |  CAST(CASE WHEN size_class = 0 THEN 0
+        |       ELSE rnk % size_class END AS BIGINT) AS slot,
+        |  size_class = 0 AS overflow
+        |FROM r ORDER BY doc_id""".stripMargin,
     "sm8_interleave" ->
       """WITH r AS (
         |  SELECT lang, doc_id,

@@ -469,7 +469,8 @@ object FileStats {
     * return wrong "fresh" verdicts; mismatches throw loudly instead. */
   def antiJoinFresh(spark: SparkSession, root: String, c: String,
                     batch: DataFrame, keyCol: String): DataFrame =
-    antiJoinFreshMetrics(spark, root, c, batch, keyCol)._1
+    antiJoinFreshImpl(spark, root, c, batch, keyCol, MaxProbeKeys,
+      wantTotal = false)._1
 
   /** Safety valve for [[antiJoinFresh]]'s probe broadcast: the batch's
     * DISTINCT keys travel to every executor, which is fine for any real
@@ -487,6 +488,17 @@ object FileStats {
   def antiJoinFreshMetrics(spark: SparkSession, root: String, c: String,
                            batch: DataFrame, keyCol: String,
                            maxKeys: Long = MaxProbeKeys)
+      : (DataFrame, Int, Int) =
+    antiJoinFreshImpl(spark, root, c, batch, keyCol, maxKeys,
+      wantTotal = true)
+
+  /** `wantTotal=false` skips the files-total count — one fewer job per
+    * call on the hot daily/streaming path, where the evidence column is
+    * not being read anyway. */
+  private def antiJoinFreshImpl(spark: SparkSession, root: String,
+                                c: String, batch: DataFrame,
+                                keyCol: String, maxKeys: Long,
+                                wantTotal: Boolean)
       : (DataFrame, Int, Int) = {
     val stats = sidecar(spark, root)
     require(stats.columns.contains(s"bloom_$c") &&
@@ -512,8 +524,10 @@ object FileStats {
       Console.err.println(s"FileStats.antiJoinFresh: probe key set " +
         s"exceeds maxKeys=$maxKeys for $root/$c — falling " +
         "back to the whole-column anti-join; chunk the batch upstream")
-      val total = sidecar(spark, root).select("file").distinct()
-        .count().toInt
+      val total =
+        if (wantTotal) sidecar(spark, root).select("file").distinct()
+          .count().toInt
+        else -1
       return (batch.join(
           SnapshotStore.read(spark, root).select(col(c).as(keyCol)),
           Seq(keyCol), "left_anti")
@@ -529,7 +543,9 @@ object FileStats {
       expr(s"graft_bloom_probe(bloom_$c, __h)")
     val maybeFiles = stats.join(broadcast(keys), rangeOk && bloomOk)
       .select("file").distinct().collect().map(_.getString(0)).toSeq
-    val total = stats.select("file").distinct().count().toInt
+    val total =
+      if (wantTotal) stats.select("file").distinct().count().toInt
+      else -1
     if (maybeFiles.isEmpty) (batch, 0, total)
     else {
       val sliver = readPruned(spark, root, maybeFiles, lit(true))
