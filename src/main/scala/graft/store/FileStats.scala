@@ -472,19 +472,17 @@ object FileStats {
     antiJoinFreshImpl(spark, root, c, batch, keyCol, MaxProbeKeys,
       wantTotal = false)._1
 
-  /** Safety valve for [[antiJoinFresh]]'s probe broadcast: the batch's
-    * DISTINCT keys travel to every executor, which is fine for any real
-    * day's ingest but would strain the driver on a pathological
-    * mega-batch. Past this many distinct keys the probe falls back to
-    * the plain shuffled anti-join against the table's column — always
-    * correct, O(history) read, and LOUDLY the caller's cue to chunk the
-    * batch. ~8 M longs ≈ 128 MB broadcast. */
+  /** Broadcast-size valve for [[antiJoinFresh]]'s probe: the batch's
+    * DISTINCT keys travel to every executor — fine for any real day's
+    * ingest (~8 M longs ≈ 128 MB). Past this many distinct keys the
+    * probe runs in hash CHUNKS of at most this size, one broadcast per
+    * chunk, unioning the maybe-file sets — same sidecar-driven answer
+    * and the same O(batch + sliver) read at any batch size, just more
+    * probe jobs; the driver never holds more than one chunk. */
   val MaxProbeKeys: Long = 8000000L
 
   /** [[antiJoinFresh]] plus skipping evidence:
-    * (result, maybe-files read, files total); (-1, total) marks the
-    * fallback path (probe key set over [[MaxProbeKeys]] — whole-column
-    * anti-join, no skipping evidence to report). */
+    * (result, maybe-files read, files total). */
   def antiJoinFreshMetrics(spark: SparkSession, root: String, c: String,
                            batch: DataFrame, keyCol: String,
                            maxKeys: Long = MaxProbeKeys)
@@ -520,19 +518,6 @@ object FileStats {
       .filter(col("__k").isNotNull).distinct()
       .withColumn("__h", xxhash64(col("__k")))
       .localCheckpoint() // counted below, then probed — one computation
-    if (keys.count() > maxKeys) {
-      Console.err.println(s"FileStats.antiJoinFresh: probe key set " +
-        s"exceeds maxKeys=$maxKeys for $root/$c — falling " +
-        "back to the whole-column anti-join; chunk the batch upstream")
-      val total =
-        if (wantTotal) sidecar(spark, root).select("file").distinct()
-          .count().toInt
-        else -1
-      return (batch.join(
-          SnapshotStore.read(spark, root).select(col(c).as(keyCol)),
-          Seq(keyCol), "left_anti")
-        .select(batch.columns.map(col): _*), -1, total)
-    }
     // range gate FIRST (left operand of And — short-circuits the bloom
     // for out-of-interval keys, the whole probe for append-only ids);
     // null interval = all-null file column = cannot hold a non-null key
@@ -541,8 +526,22 @@ object FileStats {
       lit(false))
     val bloomOk = col(s"bloom_$c").isNull ||
       expr(s"graft_bloom_probe(bloom_$c, __h)")
-    val maybeFiles = stats.join(broadcast(keys), rangeOk && bloomOk)
-      .select("file").distinct().collect().map(_.getString(0)).toSeq
+    // a pathological mega-batch probes in hash chunks so no single
+    // broadcast exceeds ~maxKeys keys; each chunk selects its own
+    // maybe-files and the union is exactly the one-shot selection
+    // (file selection is per-key — chunking cannot change membership)
+    val nChunks = math.max(1L,
+      (keys.count() + maxKeys - 1) / maxKeys).toInt
+    if (nChunks > 1)
+      Console.err.println(s"FileStats.antiJoinFresh: probing $root/$c " +
+        s"in $nChunks key chunks (maxKeys=$maxKeys)")
+    val maybeFiles = (0 until nChunks).flatMap { i =>
+      val chunk =
+        if (nChunks == 1) keys
+        else keys.filter(pmod(col("__h"), lit(nChunks.toLong)) === i)
+      stats.join(broadcast(chunk), rangeOk && bloomOk)
+        .select("file").distinct().collect().map(_.getString(0))
+    }.distinct
     val total =
       if (wantTotal) stats.select("file").distinct().count().toInt
       else -1

@@ -566,14 +566,21 @@ class FileStatsSpec extends SparkSuite {
     assert(out.map(_.getString(1)).toSeq === Seq("fresh", "nullkey"))
   }
 
-  test("antiJoinFresh mega-batch valve: past maxKeys the probe falls " +
-    "back to the whole-column anti-join with identical rows") {
+  test("antiJoinFresh mega-batch valve: past maxKeys the probe runs in " +
+    "hash chunks — identical rows, identical sliver, bounded broadcasts") {
     val root = antiWorld("ajv")
     val batch = spark.range(3000, 3400).unionAll(spark.range(100, 150))
       .select(col("id").as("doc_id"))
+    // 450 keys at maxKeys=60 → 8 chunks; redelivered ids still select
+    // only their containing files, fresh ids still select none
     val (out, sel, total) = FileStats.antiJoinFreshMetrics(
-      spark, root, "doc_id", batch, "doc_id", maxKeys = 10L)
-    assert(sel === -1 && total === 6, "valve must report the fallback")
+      spark, root, "doc_id", batch, "doc_id", maxKeys = 60L)
+    val (out1, sel1, _) = FileStats.antiJoinFreshMetrics(
+      spark, root, "doc_id", batch, "doc_id")
+    assert(total === 6)
+    assert(sel === sel1, "chunked selection must equal one-shot")
+    assert(out.orderBy("doc_id").collect().toSeq ===
+      out1.orderBy("doc_id").collect().toSeq)
     assert(out.orderBy("doc_id").collect().toSeq ===
       batch.join(SnapshotStore.read(spark, root).select("doc_id"),
         Seq("doc_id"), "left_anti").orderBy("doc_id").collect().toSeq)
