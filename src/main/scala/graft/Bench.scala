@@ -143,9 +143,9 @@ object Bench {
     // `dirty_kb_predrain` preserves what the guard found — a capture
     // that still starts dirty says so via dirty_kb_start as before.
     val dirtyPre = dirtyKb()
-    val drainWaitSec: Double = {
+    def drain(): Double = {
       val thresholdKb = 65536L
-      if (dirtyPre <= thresholdKb) 0.0
+      if (dirtyKb() <= thresholdKb) 0.0
       else {
         val t0 = System.nanoTime()
         try new ProcessBuilder("sync").start().waitFor()
@@ -156,7 +156,7 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
     }
-    val dirtyStart = dirtyKb()
+    var drainWaitSec: Double = drain()
     // Warm the JVM/codegen/IO paths once so the first timed query isn't
     // charged session startup (~2-4s of JIT + parquet footer reads).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
@@ -227,6 +227,12 @@ object Bench {
       }
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
+    // the warmups above are themselves fsync-heavy (index + world
+    // publishes) — drain their writeback too, or the timed loop starts
+    // against the warmups' own flush (measured: +26 s total purely from
+    // world_build dirtying pages right before the loop)
+    drainWaitSec += drain()
+    val dirtyStart = dirtyKb()
 
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
