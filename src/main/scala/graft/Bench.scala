@@ -198,7 +198,30 @@ object Bench {
                 "failure cost will land inside the timed tx16 run")
             false
         }
-      if (ivfOk && textOk) (System.nanoTime() - t0) / 1e9 else -1.0
+      // and the shared per-corpus LSH candidate-pair caches (dd4's
+      // fused family; cp1/sm11/cm1's portable family): their first
+      // compute is a full-corpus LSH pass + a parquet write — r13's
+      // driver capture showed it as a 9.4 s dd4 "first run" against a
+      // 0.67 s median (r13 verdict #3). Like the IVF/text indexes,
+      // the pass is a per-corpus artifact, not the probe under test.
+      val pairsOk =
+        try {
+          val docs = graft.Tables.documents(spark, sfDir)
+          graft.operators.MinHashLSH.cachedPairs(docs, cacheKey = sfDir)
+            .count()
+          graft.operators.MinHashLSH
+            .cachedPortablePairs(docs, cacheKey = sfDir).count()
+          true
+        } catch {
+          case e: Throwable =>
+            Console.err.println(
+              s"GRAFT_BENCH_WARN: cachedPairs($sfDir) warmup failed " +
+                s"(${e.getClass.getName}: ${e.getMessage}) — the LSH " +
+                "pass will land inside the timed dd4/cp1 first runs")
+            false
+        }
+      if (ivfOk && textOk && pairsOk) (System.nanoTime() - t0) / 1e9
+      else -1.0
     }
     // Pre-build the cached FIXTURE WORLDS outside the timed loop (same
     // rationale and transparency as index_build): a world-cached gate's
@@ -213,8 +236,15 @@ object Bench {
       val t0 = System.nanoTime()
       val worldGates = Seq("s24_silver_stats_skipping", "s25_corpus_forget",
         "s26_gold_stats_skipping", "st11_stream_curate",
-        "cp6_incremental_curate", "s5_gold_roundtrip")
-      val ok = worldGates.forall { q =>
+        "cp6_incremental_curate", "s5_gold_roundtrip",
+        // v10/v11 here rather than index_build: their first run both
+        // plants the clustered world AND trains its IVF index
+        "v10_ann_ivf_clustered", "v11_ann_ivfpq_clustered")
+      // map THEN forall: every gate must attempt its warmup even after
+      // one fails — a short-circuit would leave the rest un-warmed with
+      // no GRAFT_BENCH_WARN, their world builds landing unannounced in
+      // the timed loop (r13 ADVICE)
+      val ok = worldGates.map { q =>
         try { SparkEntry.queries(q)(spark, sfDir).count(); true }
         catch {
           case e: Throwable =>
@@ -224,7 +254,7 @@ object Bench {
                 "build will land inside the timed run")
             false
         }
-      }
+      }.forall(identity)
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
     // the warmups above are themselves fsync-heavy (index + world

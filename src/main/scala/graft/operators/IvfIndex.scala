@@ -75,13 +75,21 @@ object IvfIndex {
   val LloydIters = 4
   /** Default probe width for queries over this index (the v5/v7 gates
     * and AnnOverlap). The recall/scan-fraction knob: a probe reads
-    * nprobe/K of the index. This synthetic corpus is near-uniform —
-    * clusters barely separate, so recall scales roughly with the scan
-    * fraction itself (the r12 verdict's finding: nprobe=3 of 8 gave a
-    * per-query floor of only 1/5). nprobe=6 is the measured smallest
-    * width whose sf0.001/0.01/0.1 per-query minima support a 3/5 floor
-    * (AnnOverlap sweep, BASELINE.md r13) — on a corpus that actually
-    * clusters, drop it back down. */
+    * nprobe/K of the index, and the right width is a property of the
+    * CORPUS, not the engine — both regimes are gated:
+    *
+    *  - NEAR-UNIFORM corpus (the testdata embeddings): clusters barely
+    *    separate, so recall scales roughly with the scan fraction
+    *    itself (the r12 verdict's finding: nprobe=3 of 8 gave a
+    *    per-query floor of only 1/5). nprobe=6 is the measured
+    *    smallest width whose sf0.001/0.01/0.1 per-query minima support
+    *    a 3/5 floor (AnnOverlap sweep, BASELINE.md r13) — v5/v7 run
+    *    here, paying a 6/8 scan as the honest price of recall on
+    *    structure-free data.
+    *  - CLUSTERED corpus (v10/v11's planted mixture-of-8 world,
+    *    r13 verdict #4): the same index at nprobe=3 holds a ≥4/5
+    *    per-query floor while reading 3/8 of the data — the IVF value
+    *    claim, demonstrated where cluster structure exists. */
   val NProbe = 6
   /** Codebooks (coarse k-means AND the PQ subquantizers) train on a
     * bounded deterministic sample of at most ~this many vectors — the

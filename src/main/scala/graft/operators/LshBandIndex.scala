@@ -9,14 +9,32 @@ import graft.store.GenLog
 /** Persisted MinHash BAND index — the signature half of
   * [[MinHashLSH.candidatePairs]] stored as a managed artifact, so an
   * incremental ingest probes yesterday's corpus without recomputing (or
-  * even re-reading) its text. Rows are exactly [[MinHashLSH.bandRows]]:
-  * `(__id, sig, band_id, band_hash)`, one per (document, band), hashed
-  * identically to the live query path so index and query collide
-  * byte-for-byte.
+  * even re-reading) its text.
+  *
+  * SPLIT LAYOUT (format 2 — the round-13 verdict's probe-bytes diet):
+  * each generation persists TWO frames instead of one wide band table:
+  *
+  *  - `sigs/`  — `(__id, sig)` ONE row per document, the source of
+  *    truth (signatures are final once computed; everything else is
+  *    arithmetic over them);
+  *  - `bands/` — `(__id, band_id, band_hash)` NARROW rows (~24 B),
+  *    derived from the just-written `sigs` parquet at publish time
+  *    ([[MinHashLSH.narrowBandsFromSigs]] — same band-hash expressions
+  *    as the live query path, so index and query collide
+  *    byte-for-byte).
+  *
+  * Why: the daily probe ([[MinHashLSH.incrementalPairs]]) is the one
+  * operation that scans the WHOLE index, every day, forever — with the
+  * 16-long signature duplicated onto every band row (format 1) that
+  * scan shipped ~600 B/corpus-doc through the band join; split, phase 1
+  * streams 24 B narrow rows and phase 2 fetches `sigs` rows for
+  * CANDIDATE ids only. Compactions and overlap rewrites also get
+  * cheaper: they rewrite `sigs` (one row/doc) and re-derive bands, no
+  * wide table round-trips.
   *
   * Layout under the index root: the [[graft.store.GenLog]] generation
-  * log ([[IvfIndex]]'s pattern) — immutable `gen-<uuid8>/bands` parquet dirs,
-  * one `_CURRENT` pointer, atomic flip, delta chains:
+  * log ([[IvfIndex]]'s pattern) — immutable `gen-<uuid8>/{sigs,bands}`
+  * parquet dirs, one `_CURRENT` pointer, atomic flip, delta chains:
   *
   *  - [[ensure]] (bare corpus frame): reuses the live generation only
   *    when recorded row count AND content fingerprint match the
@@ -33,14 +51,19 @@ import graft.store.GenLog
   *    O(corpus), and the xor fingerprint extends exactly:
   *    fp(parent) ^ fp(batch) = fp(union).
   *
-  * A probe ([[MinHashLSH.incrementalPairs]] against [[bandsOf]]) reads
-  * only the band columns of the chain; document text is never touched
+  * A probe ([[MinHashLSH.incrementalPairs]] against [[narrowBandsOf]] +
+  * [[sigsOf]]) streams only the 24 B narrow band rows of the chain and
+  * fetches signatures for candidate ids; document text is never touched
   * after indexing. Chain depth is bounded by [[MaxChain]]: past it, the
   * next advance collapses the chain into a fresh base (LSM compaction —
-  * cheap here, a read+rewrite of band rows, no signatures recomputed).
+  * cheap here, a read+rewrite of sig rows with bands re-derived, no
+  * signatures recomputed).
   */
 object LshBandIndex {
-  val FormatVersion = 1
+  /** 2 = the split sigs/bands layout; a format-1 (wide band table)
+    * generation on disk reads as stale via [[graft.store.GenLog.readMeta]]'s
+    * version guard and is rebuilt — never mis-read. */
+  val FormatVersion = 2
   /** Compaction valve: at this chain depth the next advance rewrites the
     * chain into one base generation instead of chaining deeper. */
   val MaxChain = 16
@@ -270,7 +293,7 @@ object LshBandIndex {
           val countsOk =
             graft.store.SnapshotStore.read(spark, storeRoot).count() ==
               m.n + b.count()
-          lazy val overlaps = bandsOf(spark, g.toString).select("__id")
+          lazy val overlaps = sigsOf(spark, g.toString).select("__id")
             .join(b.select(col(idCol).as("__id")), Seq("__id"), "left_semi")
             .limit(1).count() > 0
           countsOk && !overlaps
@@ -318,25 +341,23 @@ object LshBandIndex {
       // can't desynchronize meta from the written rows
       val b = batch.select(col(idCol).cast("long").as(idCol),
         col(textCol).as(textCol)).localCheckpoint(true)
-      val headBands = bandsOf(spark, headGen.toString)
+      val headIds = sigsOf(spark, headGen.toString).select("__id")
       val bIds = b.select(col(idCol).as("__id"))
-      // overlap EXISTENCE first: one narrow column scan of the index
-      // semi-joined with the batch ids, limit-1 early-out — no distinct
-      // (a corpus-sized distinct here made the "O(batch)" advance cost
-      // more than a rebuild at 500k docs, measured in LshAdvanceScale).
+      // overlap EXISTENCE first: one scan of the index's one-row-per-doc
+      // sigs id column semi-joined with the batch ids, limit-1 early-out.
       // No forced broadcast: the batch is localCheckpoint'd so AQE has
       // exact sizes and auto-broadcasts under the threshold; a batch
       // too big to broadcast degrades to a shuffle instead of the
       // BroadcastExchange hard limit killing the advance. The exact
       // overlap count is only needed on the rebuild path, which is
-      // corpus-sized anyway.
-      val overlapExists = headBands.select("__id")
+      // corpus-sized anyway — and needs no distinct: sigs hold one row
+      // per id by construction.
+      val overlapExists = headIds
         .join(bIds, Seq("__id"), "left_semi")
         .limit(1).count() > 0
       val nOverlap =
         if (!overlapExists) 0L
-        else headBands.select("__id").distinct()
-          .join(bIds, Seq("__id"), "left_semi").count()
+        else headIds.join(bIds, Seq("__id"), "left_semi").count()
       val nb = b.count()
       val fpB = if (snap.isDefined) 0L else fingerprint(b, idCol, textCol)
       val nNew = m.n + nb - nOverlap
@@ -353,26 +374,30 @@ object LshBandIndex {
       if (nb == 0) {
         val gen0 =
           if (compact)
-            publishBands(spark, root, bandsOf(spark, headGen.toString),
+            publishFromSigs(spark, root, sigsOf(spark, headGen.toString),
+              numPerms, bands, portable,
               GenLog.Meta(m.n, FormatVersion, m.fp, snap, None))
           else publishMetaOnly(spark, root,
             GenLog.Meta(m.n, FormatVersion, m.fp, snap, Some(headGen.getName)))
         validated(root) = (tok, gen0)
         return gen0
       }
-      val batchBands =
-        if (portable) MinHashLSH.portableBandRows(b, idCol, textCol,
-          numPerms, bands)
-        else MinHashLSH.bandRows(b, idCol, textCol, numPerms, bands)
+      val batchSigs = MinHashLSH.sigRows(b, idCol, textCol, numPerms,
+        portable)
       val gen =
         if (nOverlap > 0 || compact) {
-          val hist =
-            if (nOverlap == 0) headBands
-            else headBands.join(bIds, Seq("__id"), "left_anti")
-          publishBands(spark, root, hist.unionByName(batchBands),
+          // rewrite path: history participates as its one-row-per-doc
+          // SIGS (never the wide band table, never text); bands are
+          // re-derived from the merged sigs at publish
+          val histSigs0 = sigsOf(spark, headGen.toString)
+          val histSigs =
+            if (nOverlap == 0) histSigs0
+            else histSigs0.join(bIds, Seq("__id"), "left_anti")
+          publishFromSigs(spark, root, histSigs.unionByName(batchSigs),
+            numPerms, bands, portable,
             GenLog.Meta(nNew, FormatVersion, fpNew, snap, None))
         } else
-          publishBands(spark, root, batchBands,
+          publishFromSigs(spark, root, batchSigs, numPerms, bands, portable,
             GenLog.Meta(nNew, FormatVersion, fpNew, snap,
               Some(headGen.getName)))
       validated(root) = (tok, gen)
@@ -393,17 +418,42 @@ object LshBandIndex {
       .map(_.toString)
   }
 
-  /** Band rows of the generation CHAIN rooted at `genPath` — what a
-    * probe joins against ([[MinHashLSH.incrementalPairs]]'s history side). Filters push through the union into every
-    * per-generation parquet scan. */
-  def bandsOf(spark: SparkSession, genPath: String): DataFrame = {
+  private def chainDirOf(spark: SparkSession, genPath: String,
+                         sub: String): DataFrame = {
     val hadoop = spark.sparkContext.hadoopConfiguration
     GenLog.chain(spark, new Path(genPath), FormatVersion)
-      .map(g => new Path(g, "bands"))
-      .filter(bp => bp.getFileSystem(hadoop).exists(bp))
-      .map(bp => spark.read.parquet(bp.toString))
+      .map(g => new Path(g, sub))
+      .filter(p => p.getFileSystem(hadoop).exists(p))
+      .map(p => spark.read.parquet(p.toString))
       .reduce(_ unionByName _)
   }
+
+  /** NARROW band rows `(__id, band_id, band_hash)` of the generation
+    * CHAIN rooted at `genPath` — phase 1 of a split probe
+    * ([[MinHashLSH.incrementalPairs]]'s history band side). Filters push
+    * through the union into every per-generation parquet scan; the
+    * signature column never enters this stream. */
+  def narrowBandsOf(spark: SparkSession, genPath: String): DataFrame =
+    chainDirOf(spark, genPath, "bands")
+
+  /** Signature rows `(__id, sig)` of the chain, one per document —
+    * phase 2 of a split probe (candidate-id signature fetch), and the
+    * cheapest id-membership surface the index offers (overlap guards
+    * count this, not band rows). */
+  def sigsOf(spark: SparkSession, genPath: String): DataFrame =
+    chainDirOf(spark, genPath, "sigs")
+
+  /** WIDE band rows `(__id, sig, band_id, band_hash)` of the chain —
+    * the format-1 shape, reconstructed as narrow-bands ⋈ sigs for
+    * callers that want the signature aboard every band row (spec
+    * identity checks, ad-hoc audits). Probes should NOT use this: pass
+    * [[narrowBandsOf]] + [[sigsOf]] to the split
+    * [[MinHashLSH.incrementalPairs]] instead, which defers the sig
+    * fetch to candidates only. */
+  def bandsOf(spark: SparkSession, genPath: String): DataFrame =
+    narrowBandsOf(spark, genPath)
+      .join(sigsOf(spark, genPath), Seq("__id"))
+      .select(col("__id"), col("sig"), col("band_id"), col("band_hash"))
 
   /** RTBF companion — called by DELETING store writers (e.g.
     * `IncrementalCurate.forget`) in the same operation as the row
@@ -463,10 +513,9 @@ object LshBandIndex {
     val fp =
       if (snap.isDefined) 0L
       else fpOverride.getOrElse(fingerprint(docs, idCol, textCol))
-    publishBands(spark, root,
-      if (portable) MinHashLSH.portableBandRows(docs, idCol, textCol,
-        numPerms, bandCount)
-      else MinHashLSH.bandRows(docs, idCol, textCol, numPerms, bandCount),
+    publishFromSigs(spark, root,
+      MinHashLSH.sigRows(docs, idCol, textCol, numPerms, portable),
+      numPerms, bandCount, portable,
       GenLog.Meta(n, FormatVersion, fp, snap, None))
   }
 
@@ -486,16 +535,29 @@ object LshBandIndex {
     gen.toString
   }
 
-  /** Write `rows` as a fresh generation's bands dir, publish it via the
-    * atomic pointer flip, prune superseded generations. */
-  private def publishBands(spark: SparkSession, root: String,
-                           rows: DataFrame, meta: GenLog.Meta): String = {
+  /** Write `sigs` as a fresh generation's one-row-per-doc `sigs` dir,
+    * RE-READ the written parquet and derive the narrow `bands` dir from
+    * it ([[MinHashLSH.narrowBandsFromSigs]]), then publish via the
+    * atomic pointer flip and prune superseded generations. The
+    * write-then-derive order means the signature expression tree (the
+    * expensive text pass on build/advance paths) executes exactly once
+    * — the band derivation is arithmetic over the persisted columns,
+    * and the two dirs can never disagree (bands are a pure function of
+    * the bytes on disk). */
+  private def publishFromSigs(spark: SparkSession, root: String,
+                              sigs: DataFrame, numPerms: Int,
+                              bands: Int, portable: Boolean,
+                              meta: GenLog.Meta): String = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prevGen = GenLog.currentGen(fs, root).map(_.getName)
     val genName = GenLog.newGenName()
     val gen = new Path(rootPath, genName)
-    rows.write.parquet(new Path(gen, "bands").toString)
+    val sigsDir = new Path(gen, "sigs")
+    sigs.write.parquet(sigsDir.toString)
+    MinHashLSH.narrowBandsFromSigs(spark.read.parquet(sigsDir.toString),
+        numPerms, bands, portable)
+      .write.parquet(new Path(gen, "bands").toString)
     GenLog.writeMeta(spark, gen, meta)
     GenLog.publishGen(spark, root, genName)
     GenLog.pruneGens(spark, fs, rootPath, genName, prevGen, FormatVersion)

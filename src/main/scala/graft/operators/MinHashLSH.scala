@@ -85,6 +85,56 @@ object MinHashLSH {
     } else pairs
   }
 
+  /** The `(band_id, band_hash)` struct of band `b`, derived purely from
+    * a signature column named `sig` — the ONE place each hash family's
+    * band hash is spelled, so live banding ([[bandRows]] /
+    * [[portableBandRows]]) and index-side re-derivation from persisted
+    * signatures ([[narrowBandsFromSigs]]) can never diverge. Fused:
+    * xxhash64 over the slice; portable: 60-bit md5 of the
+    * underscore-joined slice (DuckDB-replicable). */
+  private def bandStruct(b: Int, rowsPerBand: Int,
+                         portable: Boolean): org.apache.spark.sql.Column =
+    if (portable)
+      struct(lit(b).as("band_id"),
+        expr(s"cast(conv(substring(md5(concat_ws('_', " +
+          (b * rowsPerBand until (b + 1) * rowsPerBand)
+            .map(i => s"sig[$i]").mkString(", ") +
+          s")), 1, 15), 16, 10) as bigint)").as("band_hash"))
+    else
+      struct(lit(b).as("band_id"),
+        xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+          .map(i => col("sig").getItem(i)): _*).as("band_hash"))
+
+  /** One `(__id, sig)` row per distinct doc id in either hash family —
+    * the persisted-index SOURCE OF TRUTH ([[LshBandIndex]] stores this
+    * frame verbatim as a generation's `sigs` dir and derives band rows
+    * from it; signatures are final, band hashes are arithmetic). */
+  def sigRows(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text", numPerms: Int = 16,
+              portable: Boolean = false): DataFrame =
+    if (portable) portableSignatures(docs, idCol, textCol, numPerms)
+    else signatures(docs, idCol, textCol, numPerms)
+
+  /** NARROW band rows `(__id, band_id, band_hash)` derived from a
+    * `(__id, sig)` signature frame — no text, no signature column in the
+    * output: this is what a probe's history side streams through the
+    * band equi-join (24 B/row vs ~150 B with the signature aboard), and
+    * what [[LshBandIndex]] writes as a generation's `bands` dir by
+    * re-deriving from the just-written `sigs` parquet (signature
+    * computed once per document, ever). */
+  def narrowBandsFromSigs(sigs: DataFrame, numPerms: Int = 16,
+                          bands: Int = 4,
+                          portable: Boolean = false): DataFrame = {
+    require(numPerms % bands == 0,
+      s"numPerms=$numPerms not divisible by bands=$bands")
+    val rowsPerBand = numPerms / bands
+    sigs
+      .select(col("__id"), explode(array((0 until bands)
+        .map(b => bandStruct(b, rowsPerBand, portable)): _*)).as("band"))
+      .select(col("__id"), col("band.band_id").as("band_id"),
+        col("band.band_hash").as("band_hash"))
+  }
+
   /** Exploded banded-signature rows `(__id, sig, band_id, band_hash)` —
     * the persistable "signature index" form of [[candidatePairs]]'s
     * in-flight band table. One row per (doc, band); `band_hash` is the
@@ -98,10 +148,8 @@ object MinHashLSH {
     val rowsPerBand = numPerms / bands
     signatures(docs, idCol, textCol, numPerms)
       .select(col("__id"), col("sig"),
-        explode(array((0 until bands).map(b => struct(
-          lit(b).as("band_id"),
-          xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
-            .map(i => col("sig").getItem(i)): _*).as("band_hash"))): _*))
+        explode(array((0 until bands)
+          .map(b => bandStruct(b, rowsPerBand, portable = false)): _*))
           .as("band"))
       .select(col("__id"), col("sig"),
         col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
@@ -127,23 +175,59 @@ object MinHashLSH {
     * from history ids (the ingest contract; same assumption BloomDedup
     * documents). */
   def incrementalPairs(batchBands: DataFrame,
-                       historyBands: DataFrame): DataFrame = {
+                       historyBands: DataFrame): DataFrame =
+    incrementalPairs(batchBands,
+      historyBands.select("__id", "band_id", "band_hash"),
+      historyBands.select("__id", "sig").dropDuplicates("__id"))
+
+  /** The SPLIT-LAYOUT probe — identical result to the wide form above
+    * (pinned in DedupLshSpec), but the history side arrives as the two
+    * frames [[LshBandIndex]] persists: `historyNarrow` `(__id, band_id,
+    * band_hash)` and `historySigs` `(__id, sig)` one row per doc. Why
+    * this is the 100 TB shape: phase 1 joins the batch's bands against
+    * the NARROW rows (24 B/row — the only stream that scans the whole
+    * index), reducing to a candidate-id set ≪ corpus; phase 2 fetches
+    * signatures for CANDIDATE endpoints only, so the 16-long `sig`
+    * never rides the band join and the per-corpus-doc probe cost drops
+    * from ~4 wide band rows (~600 B) to 4 narrow rows + one sig row
+    * (~230 B). Batch×batch pairs are formed wholly within the (small)
+    * wide batch frame. */
+  def incrementalPairs(batchBands: DataFrame, historyNarrow: DataFrame,
+                       historySigs: DataFrame): DataFrame = {
     graft.functions.SignatureAgreement.register(batchBands.sparkSession)
-    val all = historyBands.unionByName(batchBands)
-      .select(col("__id").as("src"), col("sig").as("sig_a"),
-        col("band_id"), col("band_hash"))
-    val probe = batchBands
-      .select(col("__id").as("dst"), col("sig").as("sig_b"),
-        col("band_id"), col("band_hash"))
-    all.join(probe, Seq("band_id", "band_hash"))
+    // phase 1: narrow candidate discovery — distinct (src, dst) id
+    // pairs before any signature is touched
+    val histCand = historyNarrow
+      .select(col("__id").as("src"), col("band_id"), col("band_hash"))
+      .join(batchBands.select(col("__id").as("dst"),
+        col("band_id"), col("band_hash")), Seq("band_id", "band_hash"))
       .filter(col("src") =!= col("dst"))
-      // agreement is symmetric, so compute it before normalizing the
-      // orientation; least/greatest + distinct collapse the new×new
-      // double-count without a second shuffle key
+      .select("src", "dst").distinct()
+    // phase 2: signatures for candidate endpoints only; the history-sig
+    // scan is pruned to candidate ids by the join (AQE broadcasts the
+    // candidate set when small), and it reads one row per doc
+    val batchSigs = batchBands.select(col("__id"), col("sig"))
+      .dropDuplicates("__id")
+    val histPairs = histCand
+      .join(historySigs.select(col("__id").as("src"),
+        col("sig").as("sig_a")), Seq("src"))
+      .join(batchSigs.select(col("__id").as("dst"),
+        col("sig").as("sig_b")), Seq("dst"))
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"),
         expr("graft_sig_agreement(sig_a, sig_b)").as("est_jaccard"))
-      .distinct()
+    // batch×batch: both orientations collide, normalized exactly as the
+    // wide form did (least/greatest before the distinct)
+    val a = batchBands.select(col("__id").as("src"),
+      col("sig").as("sig_a"), col("band_id"), col("band_hash"))
+    val b = batchBands.select(col("__id").as("dst"),
+      col("sig").as("sig_b"), col("band_id"), col("band_hash"))
+    val batchPairs = a.join(b, Seq("band_id", "band_hash"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"),
+        expr("graft_sig_agreement(sig_a, sig_b)").as("est_jaccard"))
+    histPairs.unionByName(batchPairs).distinct()
   }
 
   /** [[candidatePairs]] re-keyed onto ENGINE-PORTABLE md5-derived
@@ -244,12 +328,8 @@ object MinHashLSH {
     val rowsPerBand = numPerms / bands
     portableSignatures(docs, idCol, textCol, numPerms)
       .select(col("__id"), col("sig"),
-        explode(array((0 until bands).map(b => struct(
-          lit(b).as("band_id"),
-          expr(s"cast(conv(substring(md5(concat_ws('_', " +
-            (b * rowsPerBand until (b + 1) * rowsPerBand)
-              .map(i => s"sig[$i]").mkString(", ") +
-            s")), 1, 15), 16, 10) as bigint)").as("band_hash"))): _*))
+        explode(array((0 until bands)
+          .map(b => bandStruct(b, rowsPerBand, portable = true)): _*))
           .as("band"))
       .select(col("__id"), col("sig"),
         col("band.band_id").as("band_id"),

@@ -45,6 +45,15 @@ object ShelfPack {
   def placements(docs: DataFrame, idCol: String, tokenCol: String,
                  capacity: Long, buckets: Int = 64): DataFrame = {
     require(capacity > 0, s"capacity=$capacity must be positive")
+    // bin_id encodes size_class * 2^40 + rank-within-class; the largest
+    // possible class is `capacity` itself (1-token docs), so a capacity
+    // at or past 2^23 would overflow the Long encoding and silently
+    // collide bin ids across classes — refuse loudly instead (r13
+    // ADVICE). 8.4M-token bins are far past any real context budget.
+    require(capacity < (1L << 23),
+      s"ShelfPack.placements: capacity=$capacity would overflow the " +
+        s"bin_id encoding (size_class * 2^40 + rank needs size_class < " +
+        s"2^23); largest supported capacity is ${(1L << 23) - 1}")
     docs.schema.find(_.name == tokenCol).map(_.dataType).foreach {
       case org.apache.spark.sql.types.ByteType
            | org.apache.spark.sql.types.ShortType

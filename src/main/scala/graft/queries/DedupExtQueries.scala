@@ -255,10 +255,13 @@ object DedupExtQueries {
       // the history index is a MANAGED artifact (generation log, atomic
       // pointer publish, snapshot-keyable, O(batch) advance) — built at
       // most once per corpus, then a pure parquet read
-      val idx = LshBandIndex.bandsOf(s, LshBandIndex.ensure(
-        s, docs.filter(col("doc_id") < 400), key = d + "#hist400"))
+      val gen = LshBandIndex.ensure(
+        s, docs.filter(col("doc_id") < 400), key = d + "#hist400")
       val batchBands = MinHashLSH.bandRows(docs.filter(col("doc_id") >= 400))
-      val cands = MinHashLSH.incrementalPairs(batchBands, idx)
+      // split-layout probe: the index streams 24 B narrow band rows
+      // through the equi-join; signatures are fetched per candidate id
+      val cands = MinHashLSH.incrementalPairs(batchBands,
+          LshBandIndex.narrowBandsOf(s, gen), LshBandIndex.sigsOf(s, gen))
         .select(col("src").as("doc_a"), col("dst").as("doc_b"))
       batchRecallFrame(docs, cands)
     }),

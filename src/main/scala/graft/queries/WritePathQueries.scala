@@ -872,8 +872,8 @@ object WritePathQueries {
       val docs = graft.Tables.documents(s, d)
       val gen = runLshIndexScenario(s, d)
       val batchBands = MinHashLSH.bandRows(docs.filter(col("doc_id") >= 400))
-      val cands = MinHashLSH
-        .incrementalPairs(batchBands, LshBandIndex.bandsOf(s, gen))
+      val cands = MinHashLSH.incrementalPairs(batchBands,
+          LshBandIndex.narrowBandsOf(s, gen), LshBandIndex.sigsOf(s, gen))
         .select(col("src").as("doc_a"), col("dst").as("doc_b"))
       DedupExtQueries.batchRecallFrame(docs, cands)
     }),

@@ -499,10 +499,31 @@ object FileStats {
                                 wantTotal: Boolean)
       : (DataFrame, Int, Int) = {
     val stats = sidecar(spark, root)
-    require(stats.columns.contains(s"bloom_$c") &&
-      stats.columns.contains(s"min_$c"),
-      s"sidecar carries no bloom+min/max for '$c' — publish with " +
-        s"statCols/bloomCols including \"$c\"")
+    // MIGRATION fallback (r13 ADVICE): a store published by an older
+    // build may carry a sidecar without this column's bloom/stats (e.g.
+    // a doc_id-only sidecar predating the content_hash bloom). Failing
+    // here would dead-end the next daily batch with no way forward —
+    // instead fall back to the EXACT flat anti-join against the full
+    // history column (one O(history) narrow scan, the pre-sidecar
+    // spelling) and say so loudly: a consolidate()/full republish with
+    // the current sidecar columns is the permanent fix, after which the
+    // sidecar path resumes.
+    if (!(stats.columns.contains(s"bloom_$c") &&
+        stats.columns.contains(s"min_$c"))) {
+      Console.err.println(
+        s"GRAFT_WARN: sidecar under $root carries no bloom+min/max for " +
+          s"'$c' (published by an older build?) — falling back to the " +
+          "exact O(history) flat anti-join for this probe. Republish " +
+          "the store (e.g. IncrementalCurate.consolidate) to restore " +
+          "the O(batch + sliver) sidecar path.")
+      // USING-column anti-joins resurface the key column first —
+      // restore the batch's column order (callers union with it)
+      val flat = batch.join(
+        SnapshotStore.read(spark, root).select(col(c).as(keyCol)),
+        Seq(keyCol), "left_anti")
+        .select(batch.columns.map(col): _*)
+      return (flat, -1, -1)
+    }
     val histType = SnapshotStore.read(spark, root).schema
       .find(_.name == c).map(_.dataType)
       .getOrElse(throw new IllegalArgumentException(
@@ -513,34 +534,49 @@ object FileStats {
     require(keyType == histType,
       s"antiJoinFresh: batch '$keyCol' is $keyType but $root's '$c' is " +
         s"$histType — xxhash64 hashes by type, probe would silently miss")
-    graft.functions.BloomBytesContain.register(spark)
     val keys = batch.select(col(keyCol).as("__k"))
       .filter(col("__k").isNotNull).distinct()
       .withColumn("__h", xxhash64(col("__k")))
       .localCheckpoint() // counted below, then probed — one computation
-    // range gate FIRST (left operand of And — short-circuits the bloom
-    // for out-of-interval keys, the whole probe for append-only ids);
-    // null interval = all-null file column = cannot hold a non-null key
-    val rangeOk = coalesce(
-      col("__k") >= col(s"min_$c") && col("__k") <= col(s"max_$c"),
-      lit(false))
-    val bloomOk = col(s"bloom_$c").isNull ||
-      expr(s"graft_bloom_probe(bloom_$c, __h)")
     // a pathological mega-batch probes in hash chunks so no single
-    // broadcast exceeds ~maxKeys keys; each chunk selects its own
-    // maybe-files and the union is exactly the one-shot selection
+    // collected hash list exceeds ~maxKeys keys; each chunk selects its
+    // own maybe-files and the union is exactly the one-shot selection
     // (file selection is per-key — chunking cannot change membership)
     val nChunks = math.max(1L,
       (keys.count() + maxKeys - 1) / maxKeys).toInt
     if (nChunks > 1)
       Console.err.println(s"FileStats.antiJoinFresh: probing $root/$c " +
         s"in $nChunks key chunks (maxKeys=$maxKeys)")
+    // Selection is per FILE, not per (file, key): each sidecar row is
+    // range-gated against the chunk's key ENVELOPE [min key, max key]
+    // (coarser than the per-key interval test but conservative — any
+    // per-key hit implies an envelope overlap — and it keeps the
+    // append-only-id fast path: a fresh batch's envelope sits above
+    // every file's max, so zero files pass before any bloom is touched),
+    // then its bloom is deserialized ONCE and probed with the whole
+    // hash list (BloomBytesContainAny — the join spelling this replaces
+    // re-deserialized the multi-KB bloom for every (file, key) pair:
+    // O(files × keys × bloom bytes), ~7 s warm at a 2M-row store).
+    // Envelope coarseness is backstopped twice: the bloom rejects
+    // out-of-range keys at its fpp, and the sliver anti-join settles
+    // exactly.
     val maybeFiles = (0 until nChunks).flatMap { i =>
       val chunk =
         if (nChunks == 1) keys
         else keys.filter(pmod(col("__h"), lit(nChunks.toLong)) === i)
-      stats.join(broadcast(chunk), rangeOk && bloomOk)
-        .select("file").distinct().collect().map(_.getString(0))
+      val hs = chunk.select("__h").collect().map(_.getLong(0))
+      if (hs.isEmpty) Array.empty[String]
+      else {
+        val env = chunk.agg(min(col("__k")), max(col("__k"))).head()
+        val envelopeOk = coalesce(
+          lit(env.get(0)) <= col(s"max_$c") &&
+            lit(env.get(1)) >= col(s"min_$c"),
+          lit(false))
+        val bloomAnyOk = col(s"bloom_$c").isNull ||
+          graft.functions.BloomBytesContainAny.column(col(s"bloom_$c"), hs)
+        stats.filter(envelopeOk && bloomAnyOk)
+          .select("file").distinct().collect().map(_.getString(0))
+      }
     }.distinct
     val total =
       if (wantTotal) stats.select("file").distinct().count().toInt
@@ -745,9 +781,10 @@ object FileStats {
     val stats = sidecar(spark, root)
     require(stats.columns.contains(s"bloom_$c"),
       s"sidecar has no bloom for '$c' — publish with bloomCols = Seq(\"$c\")")
-    graft.functions.BloomBytesContain.register(spark)
-    val anyKey = hashes.map(h => expr(s"graft_bloom_probe(bloom_$c, ${h}L)"))
-      .reduce(_ || _)
+    // one bloom deserialize per file, all hashes probed against it
+    // (the per-hash OR-chain this replaces re-ran readFrom per term)
+    val anyKey = graft.functions.BloomBytesContainAny
+      .column(col(s"bloom_$c"), hashes.toArray)
     val maybeFiles = stats
       .select(col("file"), (col(s"bloom_$c").isNull || anyKey).as("keep"))
       .collect().filter(_.getBoolean(1)).map(_.getString(0))

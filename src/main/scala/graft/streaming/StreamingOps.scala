@@ -255,10 +255,17 @@ object StreamingOps {
           val spark = batch.sparkSession
           val b = batch.select(col(idCol), col(textCol)).localCheckpoint(true)
           val batchBands = MinHashLSH.bandRows(b, idCol, textCol)
-          val hist = LshBandIndex.currentGenPath(spark, indexKey)
-            .map(g => LshBandIndex.bandsOf(spark, g))
-            .getOrElse(batchBands.limit(0))
-          MinHashLSH.incrementalPairs(batchBands, hist)
+          // split-layout probe: narrow bands stream the join, sigs are
+          // fetched per candidate id (empty frames bootstrap batch 1)
+          val (histNarrow, histSigs) =
+            LshBandIndex.currentGenPath(spark, indexKey) match {
+              case Some(g) => (LshBandIndex.narrowBandsOf(spark, g),
+                LshBandIndex.sigsOf(spark, g))
+              case None =>
+                (batchBands.select("__id", "band_id", "band_hash").limit(0),
+                  batchBands.select("__id", "sig").limit(0))
+            }
+          MinHashLSH.incrementalPairs(batchBands, histNarrow, histSigs)
             .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
           if (LshBandIndex.currentGenPath(spark, indexKey).isDefined)
             LshBandIndex.advanceWithBatch(spark, indexKey, b, idCol, textCol)

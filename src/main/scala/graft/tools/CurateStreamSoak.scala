@@ -81,7 +81,7 @@ object CurateStreamSoak {
       .currentEntries(spark, curatedRoot, 1).map(_.size).getOrElse(0)
     val gen = graft.operators.LshBandIndex.currentGenPath(
       spark, s"store:$curatedRoot", portable = true).get
-    val indexed = graft.operators.LshBandIndex.bandsOf(spark, gen)
+    val indexed = graft.operators.LshBandIndex.sigsOf(spark, gen)
       .select("__id").distinct().count()
     val storedIds = stored.select(countDistinct(col("doc_id")))
       .head().getLong(0)

@@ -71,8 +71,9 @@ object LshAdvanceScale {
       val tAdv = time(LshBandIndex.advanceWithBatch(spark, key, b1))
       val gen = LshBandIndex.currentGenPath(spark, key).get
       val tProbe = time {
-        MinHashLSH.incrementalPairs(
-          MinHashLSH.bandRows(b2), LshBandIndex.bandsOf(spark, gen)).count()
+        MinHashLSH.incrementalPairs(MinHashLSH.bandRows(b2),
+          LshBandIndex.narrowBandsOf(spark, gen),
+          LshBandIndex.sigsOf(spark, gen)).count()
       }
       println(f"LSHADV h=$h%-7d build=$tBuild%.2f advance=$tAdv%.2f " +
         f"probe=$tProbe%.2f (batch=$batch)")

@@ -19,6 +19,22 @@ import org.apache.spark.sql.functions._
   * strategy under test should keep holding.
   *
   *   sbt "runMain graft.tools.Sf1Bench /root/testdata/sf0.1 /tmp/graft_sf1"
+  *
+  * WRITE LEG (r13 verdict #2 — every 100 TB write-path claim rested on
+  * ≤1.3M-row soaks): `--writes` as the 3rd arg runs the write-gate
+  * shapes instead — SCD2 regioned merge (O(current+churn)), optimize
+  * Z-order rewrite, the incremental-curation publish composite, the
+  * silver stats-skipping world, and the streaming curate sink. Their
+  * worlds build COLD on both sides of the ratio: the fixture-world
+  * cache is pointed at a throwaway root for the run, and the process
+  * should be launched with fresh GRAFT_LSH_INDEX_DIR /
+  * GRAFT_TEXT_INDEX_DIR so no prior JVM's persisted index serves the
+  * sf0.1 side a discount the sf1 side doesn't get. A JIT warmup pass
+  * runs each gate at sf0.001 first (worlds for that sf land in the
+  * same throwaway root), so the sf0.1 leg isn't charged codegen.
+  *
+  *   GRAFT_LSH_INDEX_DIR=$(mktemp -d) sbt "runMain graft.tools.Sf1Bench \
+  *     /root/testdata/sf0.1 /tmp/graft_sf1 --writes"
   */
 object Sf1Bench {
   private val Off = 10000000L
@@ -31,11 +47,25 @@ object Sf1Bench {
     "dd7_neardup_clusters", "tx10_tfidf", "gr1_pagerank", "v2_ann_topk",
     "cp1_corpus_curate")
 
+  private val WriteQueries = Seq(
+    "s4_first_load", "s6_scd2_merge", "s6b_scd2_regioned",
+    "s7b_optimize_zorder", "s11_dynamic_overwrite",
+    "s19_incremental_curate_publish", "s24_silver_stats_skipping",
+    "st11_stream_curate")
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val writesMode = args.lift(2).contains("--writes")
     val queries =
-      if (args.length > 2) args.drop(2).toSeq else DefaultQueries
+      if (writesMode) WriteQueries
+      else if (args.length > 2) args.drop(2).toSeq
+      else DefaultQueries
+    if (writesMode)
+      // cold worlds on BOTH sides of the ratio: no world published by a
+      // prior JVM (or the read leg) may serve either sf a discount
+      graft.fixtures.WorldCache.cacheRootOverride = Some(
+        java.nio.file.Files.createTempDirectory("graft_sf1_worlds").toFile)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -94,7 +124,24 @@ object Sf1Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    queries.foreach { q =>
+    if (writesMode) {
+      // JIT/codegen warmup at the smallest sf: the write paths compile
+      // the same generated classes whatever the sf, so the sf0.1 leg
+      // isn't charged session startup. World caches for sf0.001 land
+      // in the same throwaway root — harmless, keyed by sfDir.
+      queries.foreach(q => time(q, "/root/testdata/sf0.001"))
+      queries.foreach { q =>
+        // write gates can't use the warm-rerun control the read leg
+        // has (a world-cached second run measures the cached world,
+        // not the write) — both sides are single COLD first runs in a
+        // JIT-warm JVM
+        val t1 = time(q, base)
+        val t10 = time(q, out)
+        val ratio = if (t1 > 0 && t10 > 0) t10 / t1 else -1.0
+        println(f"SF1WRITE $q%-30s sf0.1=$t1%7.2f s " +
+          f"sf1=$t10%7.2f s  ratio=$ratio%5.1f")
+      }
+    } else queries.foreach { q =>
       // cold-start control: the first sf0.1 run pays session JIT and
       // codegen that the sf1 run then reuses — time sf0.1 again WARM
       // and ratio against the better of the two, or a 10x leg can

@@ -83,6 +83,46 @@ class DedupLshSpec extends SparkSuite {
     assert(inc.forall(p => p._1 >= 400 || p._2 >= 400))
   }
 
+  test("split-layout probe (narrow bands + candidate-only sig fetch) " +
+    "equals the wide-history probe row for row") {
+    import graft.operators.{LshBandIndex, MinHashLSH}
+    val docs = graft.Tables.documents(spark, sf)
+    val history = docs.filter(col("doc_id") < 400)
+    val batchBands = MinHashLSH.bandRows(docs.filter(col("doc_id") >= 400))
+    val wide = MinHashLSH
+      .incrementalPairs(batchBands, MinHashLSH.bandRows(history))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val gen = LshBandIndex.ensure(spark, history, key = sf + "#hist400")
+    val split = MinHashLSH.incrementalPairs(batchBands,
+        LshBandIndex.narrowBandsOf(spark, gen),
+        LshBandIndex.sigsOf(spark, gen))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(wide.nonEmpty, "identity scope must be non-vacuous")
+    assert(split == wide,
+      s"missed=${(wide -- split).take(5)} extra=${(split -- wide).take(5)}")
+  }
+
+  test("index generations persist the split layout: sigs one row per " +
+    "doc, bands narrow (no sig column in the probe stream)") {
+    import graft.operators.{LshBandIndex, MinHashLSH}
+    val docs = graft.Tables.documents(spark, sf).filter(col("doc_id") < 400)
+    val gen = LshBandIndex.ensure(spark, docs, key = sf + "#hist400")
+    val sigs = spark.read.parquet(s"$gen/sigs")
+    val bands = spark.read.parquet(s"$gen/bands")
+    assert(sigs.columns.toSet == Set("__id", "sig"))
+    assert(bands.columns.toSet == Set("__id", "band_id", "band_hash"),
+      "band rows must not carry the signature — that is the probe-bytes diet")
+    assert(sigs.count() == sigs.select("__id").distinct().count(),
+      "sigs must hold exactly one row per document")
+    // bands re-derived from the written sigs must equal the live banding
+    val derived = MinHashLSH.narrowBandsFromSigs(sigs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val live = MinHashLSH.bandRows(docs)
+      .select("__id", "band_id", "band_hash")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(derived == live)
+  }
+
   test("incremental probe plan has no nested-loop join and reuses the persisted index") {
     val out = DedupExtQueries.queries("dd13_incremental_neardup")(spark, sf)
     val plan = out.queryExecution.executedPlan.toString
