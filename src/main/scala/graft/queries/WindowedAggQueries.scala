@@ -523,13 +523,33 @@ object WindowedAggQueries {
   /** Start `w` with Trigger.AvailableNow and run it to completion: all
     * fixture files are processed (respecting maxFilesPerTrigger) and
     * the query self-terminates — the batch-gate-friendly way to drain
-    * a bounded stream. */
+    * a bounded stream.
+    *
+    * The stream runs NARROW (shuffle.partitions=4 for its lifetime,
+    * restored after — r13 verdict #7): the session's 32-way width is
+    * sized for the batch corpus, but a stateful micro-batch materializes
+    * one state-store instance per shuffle partition per batch (each a
+    * delta + commit file), so a 2-file gate fixture paid 32×2 store
+    * lifecycles plus 32-way micro-shuffles for kilobytes of state —
+    * pure lifecycle, not the operator under test. Results are
+    * partition-count-invariant: the aggregations are exact, and the
+    * bounded sketches' per-partition summaries just get fewer and
+    * larger under the same merge guarantees (their error bounds sum
+    * over batches, not partitions). Streaming queries clone the session
+    * conf at start, so the narrowing is frozen into the stream and the
+    * restore cannot race it. */
   private def runAvailableNow(
       w: org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row]): Unit = {
-    val q = w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally q.stop()
+    val s = org.apache.spark.sql.SparkSession.active
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "4")
+    try {
+      val q = w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    } finally s.conf.set(key, prev)
   }
 
   val oracle: Map[String, String] = Map(
