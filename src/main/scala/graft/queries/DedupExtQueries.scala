@@ -119,6 +119,32 @@ object DedupExtQueries {
         .select(col("keep_id"), col("dup_id"), round(col("cs"), 6).as("cos_sim"))
         .orderBy("keep_id", "dup_id")),
 
+    // DD16: INCREMENTAL embedding-cosine near-dup — the dd13 shape for
+    // VECTORS: history's sign-RP keys live in a persisted managed index
+    // (operators.CosineLshIndex — split layout: narrow (id, band, key)
+    // rows + one (id, emb) row per vector), and today's batch (the
+    // planted duplicates, vec_id ≥ 2^40) is probed O(batch): its live
+    // keys equi-join the index's narrow rows, history VECTORS are
+    // fetched for candidate ids only, and exact cosine settles every
+    // pair. Output = dd6's pair rows restricted to pairs touching the
+    // batch; the oracle recomputes them from the exhaustive all-pairs
+    // scan, so an LSH recall miss is a row diff, not silence.
+    "dd16_incremental_embed_neardup" -> ((s, d) => {
+      import graft.operators.CosineLshIndex
+      CosineSimilarity.register(s)
+      val corpus = plantedCorpus(s, d)
+      val hist = corpus.filter(col("vec_id") < CopyIdOffset)
+      val batch = corpus.filter(col("vec_id") >= CopyIdOffset)
+      val gen = CosineLshIndex.ensure(s, hist, key = d + "#embhist")
+      CosineLshIndex.incrementalPairs(batch, "vec_id", "emb",
+          CosineLshIndex.narrowKeysOf(s, gen),
+          CosineLshIndex.vecsOf(s, gen))
+        .filter(col("cs") >= 0.95)
+        .select(col("src").as("keep_id"), col("dst").as("dup_id"),
+          round(col("cs"), 6).as("cos_sim"))
+        .orderBy("keep_id", "dup_id")
+    }),
+
     // near-dup CLUSTERING: LSH-candidate cosine pairs → connected
     // components → one canonical member per cluster. Pairs alone
     // under-dedupe (A≈B, B≈C must collapse together even when A≈C missed
@@ -553,6 +579,27 @@ object DedupExtQueries {
         |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
         |SELECT keep_id, dup_id, ROUND(c, 6) AS cos_sim
         |FROM cs WHERE c >= 0.95 ORDER BY keep_id, dup_id""".stripMargin,
+    // dd6's exhaustive all-pairs oracle restricted to pairs TOUCHING
+    // the batch (batch ids sit at +2^40, so "higher endpoint in the
+    // batch" is exactly "touches the batch")
+    "dd16_incremental_embed_neardup" ->
+      """WITH base AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+        |  FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, emb FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 1099511627776 AS vec_id,
+        |    list_transform(list_zip(emb, range(64)), p ->
+        |      p[1] * (1.0 + ((((vec_id + 1) * (p[2] + 7)) % 13 - 6) * 0.0005))) AS emb
+        |  FROM base WHERE vec_id % 5 = 0),
+        |cs AS (
+        |  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+        |    list_cosine_similarity(a.emb, b.emb) AS c
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+        |SELECT keep_id, dup_id, ROUND(c, 6) AS cos_sim
+        |FROM cs WHERE c >= 0.95 AND dup_id >= 1099511627776
+        |ORDER BY keep_id, dup_id""".stripMargin,
     "dd11_semdedup" ->
       """WITH base AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CosineLsh, CosineLshIndex}
+
+/** CosineLshIndex lifecycle — the sign-RP key index as a managed
+  * generation-log artifact: split layout (narrow keys + one vec row per
+  * id, keys re-derived from the written vecs), the incremental ≡
+  * full-restricted probe identity, O(batch) delta advance whose chain
+  * equals a from-scratch index of the union, overlap REPLACEMENT, and
+  * the compaction valve. */
+class CosineLshIndexSpec extends SparkSuite {
+
+  /** Deterministic embeddings: 4 loose clusters plus planted near-dups
+    * (ids ≥ 1000 are a tiny perturbation of id − 1000) so the probe has
+    * real high-cosine pairs to find. */
+  private def mkVecs(ids: Range, planted: Boolean = false): DataFrame = {
+    import spark.implicits._
+    ids.map { i =>
+      val base = i % 4
+      val emb = (0 until 16).map(j =>
+        2.0 * math.cos(1.3 * base + 0.41 * j) +
+          0.25 * math.sin(0.029 * i + 0.53 * j)).toArray
+      (i.toLong, emb.toSeq)
+    }.toDF("vec_id", "emb")
+      .unionByName(
+        if (!planted) spark.emptyDataset[(Long, Seq[Double])].toDF("vec_id", "emb")
+        else ids.filter(_ % 5 == 0).map { i =>
+          val base = i % 4
+          val emb = (0 until 16).map(j =>
+            (2.0 * math.cos(1.3 * base + 0.41 * j) +
+              0.25 * math.sin(0.029 * i + 0.53 * j)) *
+              (1.0 + 0.0004 * ((i + j) % 5 - 2))).toArray
+          (i.toLong + 1000L, emb.toSeq)
+        }.toDF("vec_id", "emb"))
+  }
+
+  private def keySet(df: DataFrame): Set[(Long, Int, Long)] =
+    df.select("__id", "band", "key").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+  private def pairSet(df: DataFrame): Set[(Long, Long)] =
+    df.select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("split layout: keys narrow and re-derivable, vecs one row per id, " +
+    "indexed keys equal live bucketize") {
+    val vecs = mkVecs(0 until 60)
+    val gen = CosineLshIndex.ensure(spark, vecs,
+      key = s"spec_cos_${System.nanoTime()}")
+    val keys = spark.read.parquet(s"$gen/keys")
+    val stored = spark.read.parquet(s"$gen/vecs")
+    assert(keys.columns.toSet == Set("__id", "band", "key"),
+      "key rows must not carry the embedding")
+    assert(stored.columns.toSet == Set("__id", "emb"))
+    assert(stored.count() == stored.select("__id").distinct().count())
+    val live = CosineLsh.bucketize(
+        vecs.select(col("vec_id").as("__id"),
+          col("emb").cast("array<double>").as("emb")),
+        "__id", "emb", dim = 0)
+      .select(col("id").as("__id"), col("band"), col("key"))
+    assert(keySet(keys) == keySet(live),
+      "indexed keys must equal the live sign-RP bucketize")
+  }
+
+  test("incremental pairs equal full candidate pairs restricted to the " +
+    "batch, with exact cosine on every pair") {
+    val all = mkVecs(0 until 80, planted = true)
+    val hist = all.filter(col("vec_id") < 1000)
+    val batch = all.filter(col("vec_id") >= 1000)
+    val gen = CosineLshIndex.ensure(spark, hist,
+      key = s"spec_cos_inc_${System.nanoTime()}")
+    val inc = CosineLshIndex.incrementalPairs(batch, "vec_id", "emb",
+      CosineLshIndex.narrowKeysOf(spark, gen),
+      CosineLshIndex.vecsOf(spark, gen))
+    graft.functions.CosineSimilarity.register(spark)
+    val c = all.select(col("vec_id").cast("long").as("__id"),
+      col("emb").cast("array<double>").as("emb"))
+    val full = CosineLsh.candidatePairs(c, "__id", "emb", dim = 0)
+      .join(c.select(col("__id").as("src"), col("emb").as("ea")), Seq("src"))
+      .join(c.select(col("__id").as("dst"), col("emb").as("eb")), Seq("dst"))
+      .select(col("src"), col("dst"), expr("graft_cosine(ea, eb)").as("cs"))
+    val expected = full.filter(col("src") >= 1000 || col("dst") >= 1000)
+    assert(pairSet(expected).nonEmpty, "identity scope must be non-vacuous")
+    assert(pairSet(inc) == pairSet(expected),
+      s"missed=${(pairSet(expected) -- pairSet(inc)).take(5)} " +
+        s"extra=${(pairSet(inc) -- pairSet(expected)).take(5)}")
+    // exact-cosine parity on the shared pairs (the settle is arithmetic,
+    // not LSH-approximate)
+    val incCs = inc.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    expected.collect().foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(math.abs(incCs(k) - r.getDouble(2)) < 1e-12)
+    }
+    // and every planted pair is found above the dedup threshold
+    val planted = (0 until 80).filter(_ % 5 == 0)
+      .map(i => (i.toLong, i + 1000L)).toSet
+    val found = inc.filter(col("cs") >= 0.95)
+    assert(planted.subsetOf(pairSet(found)),
+      s"planted pairs missed: ${(planted -- pairSet(found)).take(5)}")
+  }
+
+  test("delta advance chains O(batch); the chain equals a from-scratch " +
+    "index; overlap REPLACES; the compaction valve collapses") {
+    val key = s"spec_cos_adv_${System.nanoTime()}"
+    val g1 = CosineLshIndex.ensure(spark, mkVecs(0 until 40), key)
+    val g2 = CosineLshIndex.advanceWithBatch(spark, key, mkVecs(40 until 60))
+    assert(g2 != g1)
+    assert(keySet(CosineLshIndex.narrowKeysOf(spark, g2)) ==
+      keySet(spark.read.parquet(
+        s"${CosineLshIndex.ensure(spark, mkVecs(0 until 60),
+          key + "_ref")}/keys")),
+      "advanced chain must equal the from-scratch index of the union")
+    // overlap: re-crawl of ids 50-59 with DIFFERENT vectors must replace
+    val churn = mkVecs(50 until 70).withColumn("emb",
+      expr("transform(emb, x -> x * 1.5)"))
+    val g3 = CosineLshIndex.advanceWithBatch(spark, key, churn)
+    val vecs3 = CosineLshIndex.vecsOf(spark, g3)
+    assert(vecs3.count() == 70)
+    assert(vecs3.filter(col("__id") === 55L).count() == 1,
+      "an overlapped id must appear exactly once after replacement")
+    // compaction valve
+    val prev = CosineLshIndex.maxChain
+    CosineLshIndex.maxChain = 2
+    try {
+      val k2 = s"spec_cos_compact_${System.nanoTime()}"
+      CosineLshIndex.ensure(spark, mkVecs(0 until 20), k2)
+      CosineLshIndex.advanceWithBatch(spark, k2, mkVecs(20 until 30))
+      val g = CosineLshIndex.advanceWithBatch(spark, k2, mkVecs(30 until 40))
+      assert(graft.store.GenLog.chain(spark,
+        new org.apache.hadoop.fs.Path(g),
+        CosineLshIndex.FormatVersion).length == 1,
+        "at the cap the advance must collapse the chain into one base")
+      assert(keySet(CosineLshIndex.narrowKeysOf(spark, g)) ==
+        keySet(spark.read.parquet(
+          s"${CosineLshIndex.ensure(spark, mkVecs(0 until 40),
+            k2 + "_ref")}/keys")))
+    } finally CosineLshIndex.maxChain = prev
+  }
+}
