@@ -248,7 +248,8 @@ object Bench {
         // still runs, in this same JVM, and stays oracle-gated)
         "s17_lsh_index_advance", "s18_text_index_advance",
         "s21_sketch_advance", "s2_current_scan",
-        "dd13_incremental_neardup", "dd16_incremental_embed_neardup")
+        "dd13_incremental_neardup", "dd16_incremental_embed_neardup",
+        "s27_emb_index_advance")
       // map THEN forall: every gate must attempt its warmup even after
       // one fails — a short-circuit would leave the rest un-warmed with
       // no GRAFT_BENCH_WARN, their world builds landing unannounced in

@@ -57,13 +57,21 @@ object CosineLshIndex {
   private[graft] def resetValidationMemo(): Unit =
     buildLock.synchronized(validated.clear())
 
+  /** Count of full-corpus fingerprint scans this JVM has run — the test
+    * seam proving snapshot-keyed revalidation never scans the corpus
+    * (the [[LshBandIndex.fingerprintScans]] pattern). */
+  private[graft] val fingerprintScans =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Order-insensitive content fingerprint over (id, emb) — xxhash64
     * hashes array columns elementwise, and xor composes for disjoint
     * deltas exactly as [[LshBandIndex]]'s text fingerprint does. */
   private def fingerprint(e: DataFrame, idCol: String,
-                          embCol: String): Long =
+                          embCol: String): Long = {
+    fingerprintScans.incrementAndGet()
     e.agg(coalesce(expr(s"bit_xor(xxhash64(`$idCol`, `$embCol`))"), lit(0L)))
       .head().getLong(0)
+  }
 
   /** Ensure a fresh key index for the bare embedding frame `e` under
     * `key`; returns the live generation path. Same immutable-corpus
@@ -98,15 +106,110 @@ object CosineLshIndex {
       }
     }
 
+  /** [[ensure]] for a corpus published through
+    * [[graft.store.SnapshotStore]]: validity keyed on the current
+    * snapshot NAME — revalidation is a pointer read plus the meta row,
+    * no corpus scan (the [[LshBandIndex.ensureForSnapshot]] contract;
+    * pinned via [[fingerprintScans]]). */
+  def ensureForSnapshot(spark: SparkSession, storeRoot: String,
+                        idCol: String = "vec_id", embCol: String = "emb",
+                        bands: Int = 8, rowsPerBand: Int = 16): String =
+    buildLock.synchronized {
+      val snap = graft.store.SnapshotStore.currentName(spark, storeRoot)
+        .getOrElse(throw new java.io.FileNotFoundException(
+          s"no snapshot published under $storeRoot — commit the corpus first"))
+      val root = indexPath(s"store:$storeRoot")
+      validated.get(root) match {
+        case Some((t, gen)) if t == s"snap:$snap" => return gen
+        case _ => ()
+      }
+      val fs = new Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      GenLog.currentGen(fs, root)
+        .flatMap(g => GenLog.readMeta(spark, g, FormatVersion).map(g -> _)) match {
+        case Some((gen, m)) if m.snap.contains(snap) =>
+          validated(root) = (s"snap:$snap", gen.toString)
+          gen.toString
+        case _ =>
+          val vecs = graft.store.SnapshotStore.read(spark, storeRoot)
+            .select(col(idCol).cast("long").as("__id"),
+              col(embCol).cast("array<double>").as("emb"))
+          val n = vecs.count()
+          require(n > 0, s"CosineLshIndex.ensureForSnapshot: empty corpus " +
+            s"under $storeRoot")
+          val gen = publishFromVecs(spark, root, vecs, bands, rowsPerBand,
+            GenLog.Meta(n, FormatVersion, 0L, Some(snap), None))
+          validated(root) = (s"snap:$snap", gen)
+          gen
+      }
+    }
+
+  /** [[advanceWithBatch]] for a snapshot-keyed index, with the
+    * [[LshBandIndex.advanceForSnapshotWithBatch]] trust-but-verify nets:
+    * the caller asserts `batch` is exactly what grew the store, checked
+    * by the row-count identity (count(current snapshot) = indexed n +
+    * count(batch)) and the id-disjointness probe; a failed net falls
+    * back to a full rebuild against the current snapshot rather than
+    * recording a wrong chain under the new snapshot's key. */
+  def advanceForSnapshotWithBatch(spark: SparkSession, storeRoot: String,
+                                  batch: DataFrame,
+                                  idCol: String = "vec_id",
+                                  embCol: String = "emb",
+                                  bands: Int = 8,
+                                  rowsPerBand: Int = 16): String =
+    buildLock.synchronized {
+      val snap = graft.store.SnapshotStore.currentName(spark, storeRoot)
+        .getOrElse(throw new java.io.FileNotFoundException(
+          s"no snapshot published under $storeRoot — commit the corpus first"))
+      val root = indexPath(s"store:$storeRoot")
+      validated.get(root) match {
+        case Some((t, gen)) if t == s"snap:$snap" => return gen
+        case _ => ()
+      }
+      val fs = new Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val b = batch.select(col(idCol).cast("long").as("__id"),
+        col(embCol).cast("array<double>").as("emb")).localCheckpoint(true)
+      val viaBatch = GenLog.currentGen(fs, root)
+        .flatMap(g => GenLog.readMeta(spark, g, FormatVersion).map(g -> _)) match {
+        case Some((g, m)) if !m.snap.contains(snap) =>
+          val countsOk =
+            graft.store.SnapshotStore.read(spark, storeRoot).count() ==
+              m.n + b.count()
+          lazy val overlaps = vecsOf(spark, g.toString).select("__id")
+            .join(b.select("__id"), Seq("__id"), "left_semi")
+            .limit(1).count() > 0
+          countsOk && !overlaps
+        case _ => false
+      }
+      if (viaBatch)
+        advanceWithBatch(spark, s"store:$storeRoot", b, "__id", "emb",
+          bands, rowsPerBand, snap = Some(snap))
+      else {
+        val vecs = graft.store.SnapshotStore.read(spark, storeRoot)
+          .select(col(idCol).cast("long").as("__id"),
+            col(embCol).cast("array<double>").as("emb"))
+        val n = vecs.count()
+        require(n > 0, s"CosineLshIndex.advanceForSnapshotWithBatch: " +
+          s"empty corpus under $storeRoot")
+        val gen = publishFromVecs(spark, root, vecs, bands, rowsPerBand,
+          GenLog.Meta(n, FormatVersion, 0L, Some(snap), None))
+        validated(root) = (s"snap:$snap", gen)
+        gen
+      }
+    }
+
   /** O(batch) delta advance; overlapped ids are REPLACED (batch wins) by
     * a rewrite over the chain's one-row-per-vector `vecs`, and a chain
     * at [[maxChain]] compacts — both without touching any upstream
     * corpus table ([[LshBandIndex.advanceWithBatch]]'s contract). An
     * overlap voids the xor fingerprint (fp=0 in meta → next cross-JVM
-    * ensure rebuilds; safe, just uncached). */
+    * ensure rebuilds; safe, just uncached). `snap`, when given, re-keys
+    * validity to the new snapshot name. */
   def advanceWithBatch(spark: SparkSession, key: String, batch: DataFrame,
                        idCol: String = "vec_id", embCol: String = "emb",
-                       bands: Int = 8, rowsPerBand: Int = 16): String =
+                       bands: Int = 8, rowsPerBand: Int = 16,
+                       snap: Option[String] = None): String =
     buildLock.synchronized {
       val root = indexPath(key)
       val fs = new Path(root)
@@ -127,7 +230,9 @@ object CosineLshIndex {
       val nb = b.count()
       val nNew = m.n + nb - nOverlap
       val fpNew =
-        if (nOverlap > 0) 0L else m.fp ^ fingerprint(b, "__id", "emb")
+        if (snap.isDefined || nOverlap > 0) 0L
+        else m.fp ^ fingerprint(b, "__id", "emb")
+      val tok = snap.map(s => s"snap:$s").getOrElse(s"fp:$nNew:$fpNew")
       val compact =
         GenLog.chain(spark, headGen, FormatVersion).length >= maxChain
       val gen =
@@ -138,12 +243,12 @@ object CosineLshIndex {
             else hist0.join(bIds, Seq("__id"), "left_anti")
           publishFromVecs(spark, root, hist.unionByName(b),
             bands, rowsPerBand,
-            GenLog.Meta(nNew, FormatVersion, fpNew, None, None))
+            GenLog.Meta(nNew, FormatVersion, fpNew, snap, None))
         } else
           publishFromVecs(spark, root, b, bands, rowsPerBand,
-            GenLog.Meta(nNew, FormatVersion, fpNew, None,
+            GenLog.Meta(nNew, FormatVersion, fpNew, snap,
               Some(headGen.getName)))
-      validated(root) = (s"fp:$nNew:$fpNew", gen)
+      validated(root) = (tok, gen)
       gen
     }
 

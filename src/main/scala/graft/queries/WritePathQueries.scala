@@ -878,6 +878,30 @@ object WritePathQueries {
       DedupExtQueries.batchRecallFrame(docs, cands)
     }),
 
+    // S27: the EMBEDDING sign-RP key index's managed lifecycle through
+    // the driver gate — the s17 shape for vectors: the original
+    // embedding corpus committed to a SnapshotStore in two tranches
+    // (evens, then the odds as a caller-asserted count-verified batch),
+    // the index built snapshot-keyed and advanced as an O(batch) delta
+    // generation — then the planted near-duplicate batch (vec_id ≥
+    // 2^40) probed against the CHAINED index. Output and oracle are
+    // dd16's verbatim: the advance path must find exactly the pairs a
+    // from-scratch index would.
+    "s27_emb_index_advance" -> ((s, d) => {
+      import graft.operators.CosineLshIndex
+      graft.functions.CosineSimilarity.register(s)
+      val corpus = DedupExtQueries.plantedCorpus(s, d)
+      val gen = runEmbIndexScenario(s, d)
+      val batch = corpus.filter(col("vec_id") >= DedupExtQueries.CopyIdOffset)
+      CosineLshIndex.incrementalPairs(batch, "vec_id", "emb",
+          CosineLshIndex.narrowKeysOf(s, gen),
+          CosineLshIndex.vecsOf(s, gen))
+        .filter(col("cs") >= 0.95)
+        .select(col("src").as("keep_id"), col("dst").as("dup_id"),
+          round(col("cs"), 6).as("cos_sim"))
+        .orderBy("keep_id", "dup_id")
+    }),
+
     // S18: the INVERTED text index's managed lifecycle through the
     // driver gate — history (doc_id < 300) committed to a SnapshotStore
     // and indexed snapshot-keyed, the corpus grown to the FULL
@@ -1060,6 +1084,29 @@ object WritePathQueries {
       g2
     })
 
+  /** Build the snapshot-keyed EMBEDDING index scenario once per
+    * (JVM, sfDir): the original vectors committed as evens, grown by
+    * the odds (count-verified caller-asserted batch → O(batch) delta
+    * generation), returning the advanced generation (s27 probes the
+    * chain). */
+  private val embIndexScenarioCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def runEmbIndexScenario(s: SparkSession, d: String): String =
+    embIndexScenarioCache.getOrElseUpdate(d, {
+      import graft.operators.CosineLshIndex
+      val root = tmp("graft_gate_embidx")
+      val originals = DedupExtQueries.plantedCorpus(s, d)
+        .filter(col("vec_id") < DedupExtQueries.CopyIdOffset)
+      SnapshotStore.commit(s, root)(dir =>
+        originals.filter(col("vec_id") % 2 === 0).write.parquet(dir))
+      val g1 = CosineLshIndex.ensureForSnapshot(s, root)
+      SnapshotStore.commit(s, root)(dir => originals.write.parquet(dir))
+      val g2 = CosineLshIndex.advanceForSnapshotWithBatch(s, root,
+        originals.filter(col("vec_id") % 2 =!= 0))
+      require(g2 != g1, "advance must publish a new generation")
+      g2
+    })
+
   /** Build the snapshot-keyed LSH index scenario once per (JVM, sfDir):
     * history (doc_id < 300) committed + indexed, then growth to
     * doc_id < 400 committed and the index advanced with that batch —
@@ -1132,6 +1179,10 @@ object WritePathQueries {
     // a22's oracle BY REFERENCE: the advance-chained sketch must
     // estimate exactly like the from-scratch batch build (linearity)
     "s21_sketch_advance" -> AnalyticQueries.oracle("a22_countmin"),
+    // dd16's exhaustive-cosine oracle VERBATIM: the snapshot-keyed
+    // advance-built chain must find exactly the from-scratch pairs
+    "s27_emb_index_advance" ->
+      DedupExtQueries.oracle("dd16_incremental_embed_neardup"),
     "s22_targeted_delete" ->
       """SELECT doc_id, lang, TRUE AS delete_bounded
         |FROM documents WHERE doc_id NOT IN (7, 19, 123)

@@ -103,6 +103,40 @@ class CosineLshIndexSpec extends SparkSuite {
       s"planted pairs missed: ${(planted -- pairSet(found)).take(5)}")
   }
 
+  test("snapshot-keyed revalidation is metadata-only (no corpus scan); " +
+    "a count-verified batch advances as a delta") {
+    import graft.store.SnapshotStore
+    val root = java.nio.file.Files
+      .createTempDirectory("cos_snap").toString + "/t"
+    val all = mkVecs(0 until 60)
+    SnapshotStore.commit(spark, root)(dir =>
+      all.filter(col("vec_id") % 2 === 0).write.parquet(dir))
+    val g1 = CosineLshIndex.ensureForSnapshot(spark, root)
+    CosineLshIndex.resetValidationMemo()
+    val scans0 = CosineLshIndex.fingerprintScans.get()
+    val g1b = CosineLshIndex.ensureForSnapshot(spark, root)
+    assert(g1b == g1, "same snapshot must resolve the same generation")
+    assert(CosineLshIndex.fingerprintScans.get() == scans0,
+      "snapshot-keyed revalidation must not fingerprint the corpus")
+    SnapshotStore.commit(spark, root)(dir => all.write.parquet(dir))
+    val g2 = CosineLshIndex.advanceForSnapshotWithBatch(spark, root,
+      all.filter(col("vec_id") % 2 =!= 0))
+    assert(g2 != g1)
+    assert(keySet(CosineLshIndex.narrowKeysOf(spark, g2)) ==
+      keySet(spark.read.parquet(
+        s"${CosineLshIndex.ensure(spark, all,
+          s"cos_snap_ref_${System.nanoTime()}")}/keys")),
+      "snapshot-advanced chain must equal the from-scratch index")
+    // a WRONG caller-asserted batch (count identity fails) must fall
+    // back to a rebuild against the snapshot, not record a bad chain
+    SnapshotStore.commit(spark, root)(dir =>
+      mkVecs(0 until 70).write.parquet(dir))
+    val g3 = CosineLshIndex.advanceForSnapshotWithBatch(spark, root,
+      mkVecs(60 until 65)) // claims 5 new rows; the store grew by 10
+    assert(CosineLshIndex.vecsOf(spark, g3).count() == 70,
+      "failed count net must rebuild against the true snapshot")
+  }
+
   test("delta advance chains O(batch); the chain equals a from-scratch " +
     "index; overlap REPLACES; the compaction valve collapses") {
     val key = s"spec_cos_adv_${System.nanoTime()}"
