@@ -255,8 +255,16 @@ object Bench {
       // no GRAFT_BENCH_WARN, their world builds landing unannounced in
       // the timed loop (r13 ADVICE)
       val ok = worldGates.map { q =>
-        try { SparkEntry.queries(q)(spark, sfDir).count(); true }
-        catch {
+        try {
+          val tq = System.nanoTime()
+          SparkEntry.queries(q)(spark, sfDir).count()
+          // per-gate breakdown on stderr: the world_build bucket is
+          // untimed by design, so make its contents auditable — a
+          // surprise growth names its gate instead of hiding in a sum
+          Console.err.println(f"GRAFT_BENCH_WORLD: $q%-32s " +
+            f"${(System.nanoTime() - tq) / 1e9}%.2f s")
+          true
+        } catch {
           case e: Throwable =>
             Console.err.println(
               s"GRAFT_BENCH_WARN: world warmup $q failed " +
