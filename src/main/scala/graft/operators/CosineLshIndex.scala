@@ -39,6 +39,17 @@ import graft.store.GenLog
 object CosineLshIndex {
   val FormatVersion = 1
   val MaxChain = 16
+
+  /** GEOMETRY NOTE (EmbIndexScale sweep, BASELINE.md r14): the default
+    * 8×16-bit bands match [[CosineLsh]]'s dd6 defaults — tuned for
+    * recall down to threshold ~0.95. Their chance-collision rate
+    * (~8·2⁻¹⁶ per pair) makes the CANDIDATE set linear in corpus size:
+    * at 2M history a 2k batch drew 965k chance candidates vs 9.7k at
+    * 24-bit and 533 at 32-bit bands, with every planted ~0.9999-cosine
+    * pair recalled at ALL widths. At large corpora where the dedup
+    * threshold is high (near-exact duplicates), pass wider bands —
+    * precision comes from band WIDTH, recall from band COUNT, and
+    * correctness from neither (exact cosine settles candidates). */
   /** Test seam (the [[IvfIndex.maxChain]] pattern). */
   private[graft] var maxChain: Int = MaxChain
 
@@ -291,12 +302,16 @@ object CosineLshIndex {
     * index's narrow rows; phase 2 fetches history VECTORS for candidate
     * ids only. The caller thresholds `cs`. */
   def incrementalPairs(batch: DataFrame, idCol: String, embCol: String,
-                       historyKeys: DataFrame,
-                       historyVecs: DataFrame): DataFrame = {
+                       historyKeys: DataFrame, historyVecs: DataFrame,
+                       bands: Int = 8, rowsPerBand: Int = 16): DataFrame = {
     graft.functions.CosineSimilarity.register(batch.sparkSession)
     val b = batch.select(col(idCol).cast("long").as("__id"),
       col(embCol).cast("array<double>").as("emb"))
-    val bKeys = CosineLsh.bucketize(b, "__id", "emb", dim = 0)
+    // geometry MUST match the index's build geometry — a mismatched
+    // batch key never collides with an index key and the probe silently
+    // returns only batch×batch pairs
+    val bKeys = CosineLsh.bucketize(b, "__id", "emb", dim = 0,
+        bands = bands, rowsPerBand = rowsPerBand)
       .select(col("id").as("dst"), col("band"), col("key"))
     // phase 1: narrow candidate ids, deduped before any vector moves
     val histCand = historyKeys
@@ -313,7 +328,8 @@ object CosineLshIndex {
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"),
         expr("graft_cosine(ea, eb)").as("cs"))
-    val bb = CosineLsh.candidatePairs(b, "__id", "emb", dim = 0)
+    val bb = CosineLsh.candidatePairs(b, "__id", "emb", dim = 0,
+      bands = bands, rowsPerBand = rowsPerBand)
     val batchPairs = bb
       .join(b.select(col("__id").as("src"), col("emb").as("ea")), Seq("src"))
       .join(b.select(col("__id").as("dst"), col("emb").as("eb")), Seq("dst"))

@@ -43,13 +43,16 @@ object EmbIndexScale {
     def vecs(from: Long, until: Long): DataFrame =
       spark.range(from, until).select(col("id").as("vec_id"),
         expr(embExpr("id")).as("emb"))
-    // batch with PLANTED near-dups: every 5th id is a ~1.0002-scaled
-    // copy of a pseudo-random history vector — the cross-boundary pairs
-    // the probe must find; the rest are fresh unique vectors
+    // batch with PLANTED near-dups: every 5th id is a per-dim-jittered
+    // copy of a pseudo-random history vector (cosine ≈ 0.9999 — NOT a
+    // uniform scale, which leaves cosine at exactly 1.0 and every sign
+    // bit unchanged, trivializing recall at any geometry); the rest
+    // are fresh unique vectors
     def batchWithPlants(from: Long, until: Long, h: Long): DataFrame =
       spark.range(from, until).select(col("id").as("vec_id"),
         expr(s"CASE WHEN id % 5 = 0 THEN transform(" +
-          embExpr(s"pmod(id * 7919, ${h}L)") + ", x -> x * 1.0002D) " +
+          embExpr(s"pmod(id * 7919, ${h}L)") +
+          ", (x, j) -> x * (1.0D + 0.0008D * CAST((id + j) % 5 - 2 AS DOUBLE))) " +
           s"ELSE ${embExpr("id")} END").as("emb"))
 
     def time[T](f: => T): Double = {
@@ -82,6 +85,35 @@ object EmbIndexScale {
       println(f"EMBIDX h=$h%-7d build=$tBuild%.2f advance=$tAdv%.2f " +
         f"probe=$tProbe%.2f candidates=$nPairs neardups=$nDup " +
         f"(batch=$batch planted=${batch / 5})")
+    }
+    // GEOMETRY sweep at the largest size: the candidate set's
+    // linear-in-corpus term is chance band collisions (~bands·2^-bits
+    // per pair) — widening bands cuts it 2× per bit while the planted
+    // ~0.9999-cosine pairs keep colliding (their per-plane disagreement
+    // is ~1e-2, so even 32-bit bands agree with p≈0.72 and 8 bands
+    // all-miss with p≈3e-5). This is the dd16 dial: precision from
+    // band WIDTH, recall from band COUNT, correctness from neither
+    // (exact cosine settles candidates).
+    val hG = sizes.max
+    val histG = vecs(0, hG).localCheckpoint(true)
+    val bG = batchWithPlants(hG, hG + batch, hG).localCheckpoint(true)
+    Seq((8, 16), (8, 24), (8, 32)).foreach { case (bands, rpb) =>
+      val key = s"emb_geo_${bands}_${rpb}_${System.nanoTime()}"
+      CosineLshIndex.ensure(spark, histG, key,
+        bands = bands, rowsPerBand = rpb)
+      val gen = CosineLshIndex.currentGenPath(spark, key).get
+      var nPairs = 0L; var nDup = 0L
+      val tProbe = time {
+        val p = CosineLshIndex.incrementalPairs(bG, "vec_id", "emb",
+          CosineLshIndex.narrowKeysOf(spark, gen),
+          CosineLshIndex.vecsOf(spark, gen),
+          bands = bands, rowsPerBand = rpb).localCheckpoint(true)
+        nPairs = p.count()
+        nDup = p.filter(col("cs") >= 0.95).count()
+      }
+      println(f"EMBGEO bands=$bands rowsPerBand=$rpb h=$hG " +
+        f"probe=$tProbe%.2f candidates=$nPairs neardups=$nDup " +
+        f"(planted=${batch / 5})")
     }
     spark.stop()
   }
