@@ -45,7 +45,10 @@ package graft.fixtures
   *    output that nothing will ever read again (the key that reached it
   *    no longer exists). Lock-safe: a dir whose lock file is younger
   *    than [[LockStaleMs]] is skipped (an older-build JVM may be mid-
-  *    build; it keeps its private fallback semantics if we raced it).
+  *    build; it keeps its private fallback semantics if we raced it),
+  *    and a dir whose OK marker was touched within [[VacuumGraceMs]]
+  *    is spared — readers touch the marker on every lookup, so an
+  *    older-build JVM still mid-RUN keeps its world.
   *
   * Override the root with GRAFT_WORLD_CACHE (e.g. a per-run scratch
   * dir); defaults under java.io.tmpdir like the index artifacts.
@@ -66,6 +69,16 @@ object WorldCache {
     * reclaimable. Must comfortably exceed the longest single world
     * build (observed ~75 s driver-side). */
   private[graft] val LockStaleMs: Long = 10L * 60 * 1000
+
+  /** The vacuum spares a superseded-build world whose OK marker was
+    * touched within this window: an older-build JVM still mid-run
+    * (its last [[dir]] lookup touches the marker) holds no lock while
+    * READING its world, and yanking the dir under it fails that run
+    * with FileNotFound mid-gate. Must exceed the longest whole-JVM
+    * run that reads worlds (sbt test ≈ 15 min). Stale worlds linger
+    * at most this long past their last use — a later JVM's vacuum
+    * collects them. */
+  private[graft] val VacuumGraceMs: Long = 30L * 60 * 1000
 
   /** BUILD-WIDE stamp: the max lastModified over every .class file
     * under the compiled-classes root this class loaded from (or the
@@ -120,7 +133,12 @@ object WorldCache {
         val lock = new java.io.File(cacheRoot, s"$base.lock")
         val lockYoung = lock.exists() &&
           now - lock.lastModified() < LockStaleMs
-        if (!lockYoung) deleteRecursively(f)
+        // an older-build JVM mid-RUN holds no lock but touches its
+        // marker on every dir() lookup — spare recently-used worlds
+        val ok = new java.io.File(f, OkMarker)
+        val recentlyUsed = ok.exists() &&
+          now - ok.lastModified() < VacuumGraceMs
+        if (!lockYoung && !recentlyUsed) deleteRecursively(f)
       }
     }
   }
@@ -150,38 +168,54 @@ object WorldCache {
     memo.getOrElseUpdate(key, {
       val target = new java.io.File(cacheRoot, key)
       val ok = new java.io.File(target, OkMarker)
-      if (ok.exists()) target.toString
+      def touch(): Unit = { ok.setLastModified(System.currentTimeMillis()); () }
+      if (ok.exists()) { touch(); target.toString }
       else {
         vacuumStale
         cacheRoot.mkdirs()
         val lock = new java.io.File(cacheRoot, s"$key.lock")
         def acquire(): Boolean = lock.createNewFile() || {
-          // a crashed winner's stale lock (old, and still no marker)
-          // is reclaimed so the key can ever be published again
+          // a crashed winner's stale lock (old, and still no marker) is
+          // reclaimed so the key can ever be published again. Reclaim
+          // must be ATOMIC — two JVMs seeing the same stale lock and
+          // both doing delete+create would both "win" and build into
+          // the same dir concurrently. renameTo arbitrates: exactly one
+          // renamer succeeds (the loser's source is gone), and the
+          // createNewFile after it races fairly with fresh acquirers.
           val stale = lock.exists() && !ok.exists() &&
             System.currentTimeMillis() - lock.lastModified() > LockStaleMs
-          stale && { lock.delete(); lock.createNewFile() }
+          stale && {
+            val tomb = new java.io.File(cacheRoot,
+              s"$key.lock.reclaim-${java.util.UUID.randomUUID().toString.take(8)}")
+            lock.renameTo(tomb) && { tomb.delete(); lock.createNewFile() }
+          }
         }
         if (acquire()) {
           // we own the build; the dir never moves, so absolute paths
           // inside sidecars/manifests stay valid forever
           try {
-            // a marker-less target is a dead winner's partial build:
-            // never build on top of dirty state
-            if (target.exists()) deleteRecursively(target)
-            target.mkdirs()
-            try {
-              build(target.toString)
-              if (!ok.createNewFile()) throw new java.io.IOException(
-                s"WorldCache: marker create failed for $target")
-            } catch {
-              case e: Throwable =>
-                // failed build: remove the partial dir so the next
-                // winner starts clean instead of publishing corruption
-                deleteRecursively(target)
-                throw e
+            // between our marker check and the acquire, a prior winner
+            // may have PUBLISHED — re-check before deleting a healthy
+            // world out from under its readers
+            if (ok.exists()) { touch(); target.toString }
+            else {
+              // a marker-less target is a dead winner's partial build:
+              // never build on top of dirty state
+              if (target.exists()) deleteRecursively(target)
+              target.mkdirs()
+              try {
+                build(target.toString)
+                if (!ok.createNewFile()) throw new java.io.IOException(
+                  s"WorldCache: marker create failed for $target")
+              } catch {
+                case e: Throwable =>
+                  // failed build: remove the partial dir so the next
+                  // winner starts clean instead of publishing corruption
+                  deleteRecursively(target)
+                  throw e
+              }
+              target.toString
             }
-            target.toString
           } finally { lock.delete(); () }
         } else {
           // another JVM is building: wait for its marker; a crashed
@@ -190,7 +224,7 @@ object WorldCache {
           val deadline = System.nanoTime() + 10L * 60 * 1000 * 1000 * 1000
           while (!ok.exists() && System.nanoTime() < deadline)
             Thread.sleep(500)
-          if (ok.exists()) target.toString
+          if (ok.exists()) { touch(); target.toString }
           else {
             val priv = java.nio.file.Files
               .createTempDirectory(s"graft_world_$key").toString

@@ -53,6 +53,24 @@ object CosineLshIndex {
   /** Test seam (the [[IvfIndex.maxChain]] pattern). */
   private[graft] var maxChain: Int = MaxChain
 
+  /** GEOMETRY-CARRYING format token: a batch bucketized at one
+    * (bands, rowsPerBand) can never equi-join keys built at another —
+    * the probe would silently return only batch×batch pairs, zero
+    * history recall. Folding the geometry into the meta `fmt` makes a
+    * mismatched generation read as STALE through the existing format
+    * guard (rebuild, never a wrong answer), the same way an old layout
+    * version does. */
+  private[graft] def fmtFor(bands: Int, rowsPerBand: Int): Int = {
+    require(bands > 0 && bands < 1000,
+      s"CosineLshIndex: bands=$bands out of the encodable range [1,999]")
+    require(rowsPerBand > 0 && rowsPerBand <= 64,
+      s"CosineLshIndex: rowsPerBand=$rowsPerBand out of range [1,64]")
+    FormatVersion * 1000000 + bands * 1000 + rowsPerBand
+  }
+
+  private def geomTag(bands: Int, rowsPerBand: Int): String =
+    s"@${bands}x$rowsPerBand"
+
   def indexRoot: String = sys.env.getOrElse(
     "GRAFT_COSLSH_INDEX_DIR",
     new java.io.File(sys.props("java.io.tmpdir"), "graft_coslsh_index").toString)
@@ -86,16 +104,21 @@ object CosineLshIndex {
 
   /** Ensure a fresh key index for the bare embedding frame `e` under
     * `key`; returns the live generation path. Same immutable-corpus
-    * memo contract as [[LshBandIndex.ensure]]. */
+    * memo contract as [[LshBandIndex.ensure]]. A published generation
+    * whose geometry differs from the requested one reads as stale and
+    * is rebuilt at the requested geometry. */
   def ensure(spark: SparkSession, e: DataFrame, key: String,
              idCol: String = "vec_id", embCol: String = "emb",
              bands: Int = 8, rowsPerBand: Int = 16): String =
     buildLock.synchronized {
+      val fmt = fmtFor(bands, rowsPerBand)
+      val geom = geomTag(bands, rowsPerBand)
       val root = indexPath(key)
       val fs = new Path(root)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       validated.get(root) match {
-        case Some((t, gen)) if t.startsWith("fp:") => return gen
+        case Some((t, gen)) if t.startsWith("fp:") && t.endsWith(geom) =>
+          return gen
         case _ => ()
       }
       val vecs = e.select(col(idCol).cast("long").as("__id"),
@@ -103,16 +126,16 @@ object CosineLshIndex {
       lazy val n = vecs.count()
       lazy val fp = fingerprint(vecs, "__id", "emb")
       GenLog.currentGen(fs, root)
-        .flatMap(g => GenLog.readMeta(spark, g, FormatVersion).map(g -> _)) match {
+        .flatMap(g => GenLog.readMeta(spark, g, fmt).map(g -> _)) match {
         case Some((gen, m)) if m.snap.isEmpty && m.n == n && m.fp == fp =>
-          validated(root) = (s"fp:$n:$fp", gen.toString)
+          validated(root) = (s"fp:$n:$fp$geom", gen.toString)
           gen.toString
         case _ =>
           require(n > 0,
             s"CosineLshIndex.ensure: refusing to index an empty corpus ($root)")
           val gen = publishFromVecs(spark, root, vecs, bands, rowsPerBand,
-            GenLog.Meta(n, FormatVersion, fp, None, None))
-          validated(root) = (s"fp:$n:$fp", gen)
+            GenLog.Meta(n, fmt, fp, None, None))
+          validated(root) = (s"fp:$n:$fp$geom", gen)
           gen
       }
     }
@@ -126,20 +149,22 @@ object CosineLshIndex {
                         idCol: String = "vec_id", embCol: String = "emb",
                         bands: Int = 8, rowsPerBand: Int = 16): String =
     buildLock.synchronized {
+      val fmt = fmtFor(bands, rowsPerBand)
+      val geom = geomTag(bands, rowsPerBand)
       val snap = graft.store.SnapshotStore.currentName(spark, storeRoot)
         .getOrElse(throw new java.io.FileNotFoundException(
           s"no snapshot published under $storeRoot — commit the corpus first"))
       val root = indexPath(s"store:$storeRoot")
       validated.get(root) match {
-        case Some((t, gen)) if t == s"snap:$snap" => return gen
+        case Some((t, gen)) if t == s"snap:$snap$geom" => return gen
         case _ => ()
       }
       val fs = new Path(root)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       GenLog.currentGen(fs, root)
-        .flatMap(g => GenLog.readMeta(spark, g, FormatVersion).map(g -> _)) match {
+        .flatMap(g => GenLog.readMeta(spark, g, fmt).map(g -> _)) match {
         case Some((gen, m)) if m.snap.contains(snap) =>
-          validated(root) = (s"snap:$snap", gen.toString)
+          validated(root) = (s"snap:$snap$geom", gen.toString)
           gen.toString
         case _ =>
           val vecs = graft.store.SnapshotStore.read(spark, storeRoot)
@@ -149,8 +174,8 @@ object CosineLshIndex {
           require(n > 0, s"CosineLshIndex.ensureForSnapshot: empty corpus " +
             s"under $storeRoot")
           val gen = publishFromVecs(spark, root, vecs, bands, rowsPerBand,
-            GenLog.Meta(n, FormatVersion, 0L, Some(snap), None))
-          validated(root) = (s"snap:$snap", gen)
+            GenLog.Meta(n, fmt, 0L, Some(snap), None))
+          validated(root) = (s"snap:$snap$geom", gen)
           gen
       }
     }
@@ -161,7 +186,9 @@ object CosineLshIndex {
     * by the row-count identity (count(current snapshot) = indexed n +
     * count(batch)) and the id-disjointness probe; a failed net falls
     * back to a full rebuild against the current snapshot rather than
-    * recording a wrong chain under the new snapshot's key. */
+    * recording a wrong chain under the new snapshot's key. An index
+    * already keyed to the CURRENT snapshot (a retried pipeline step in
+    * a fresh JVM) is returned as-is — a pointer read, no rebuild. */
   def advanceForSnapshotWithBatch(spark: SparkSession, storeRoot: String,
                                   batch: DataFrame,
                                   idCol: String = "vec_id",
@@ -169,25 +196,38 @@ object CosineLshIndex {
                                   bands: Int = 8,
                                   rowsPerBand: Int = 16): String =
     buildLock.synchronized {
+      val fmt = fmtFor(bands, rowsPerBand)
+      val geom = geomTag(bands, rowsPerBand)
       val snap = graft.store.SnapshotStore.currentName(spark, storeRoot)
         .getOrElse(throw new java.io.FileNotFoundException(
           s"no snapshot published under $storeRoot — commit the corpus first"))
       val root = indexPath(s"store:$storeRoot")
       validated.get(root) match {
-        case Some((t, gen)) if t == s"snap:$snap" => return gen
+        case Some((t, gen)) if t == s"snap:$snap$geom" => return gen
         case _ => ()
       }
       val fs = new Path(root)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val onDisk = GenLog.currentGen(fs, root)
+        .flatMap(g => GenLog.readMeta(spark, g, fmt).map(g -> _))
+      onDisk match {
+        // the advance already happened (crash after publish, retry in a
+        // fresh JVM): the live generation IS the current snapshot's —
+        // return it instead of churning a redundant full rebuild
+        case Some((g, m)) if m.snap.contains(snap) =>
+          validated(root) = (s"snap:$snap$geom", g.toString)
+          return g.toString
+        case _ => ()
+      }
       val b = batch.select(col(idCol).cast("long").as("__id"),
         col(embCol).cast("array<double>").as("emb")).localCheckpoint(true)
-      val viaBatch = GenLog.currentGen(fs, root)
-        .flatMap(g => GenLog.readMeta(spark, g, FormatVersion).map(g -> _)) match {
-        case Some((g, m)) if !m.snap.contains(snap) =>
+      val viaBatch = onDisk match {
+        case Some((g, m)) =>
           val countsOk =
             graft.store.SnapshotStore.read(spark, storeRoot).count() ==
               m.n + b.count()
-          lazy val overlaps = vecsOf(spark, g.toString).select("__id")
+          lazy val overlaps = vecsOf(spark, g.toString, bands, rowsPerBand)
+            .select("__id")
             .join(b.select("__id"), Seq("__id"), "left_semi")
             .limit(1).count() > 0
           countsOk && !overlaps
@@ -204,8 +244,8 @@ object CosineLshIndex {
         require(n > 0, s"CosineLshIndex.advanceForSnapshotWithBatch: " +
           s"empty corpus under $storeRoot")
         val gen = publishFromVecs(spark, root, vecs, bands, rowsPerBand,
-          GenLog.Meta(n, FormatVersion, 0L, Some(snap), None))
-        validated(root) = (s"snap:$snap", gen)
+          GenLog.Meta(n, fmt, 0L, Some(snap), None))
+        validated(root) = (s"snap:$snap$geom", gen)
         gen
       }
     }
@@ -216,67 +256,137 @@ object CosineLshIndex {
     * corpus table ([[LshBandIndex.advanceWithBatch]]'s contract). An
     * overlap voids the xor fingerprint (fp=0 in meta → next cross-JVM
     * ensure rebuilds; safe, just uncached). `snap`, when given, re-keys
-    * validity to the new snapshot name. */
+    * validity to the new snapshot name. A ZERO-row batch (an
+    * identical-content republish) publishes a META-ONLY re-key
+    * generation — nothing recomputed, no empty data dirs grown into the
+    * chain ([[LshBandIndex.advanceWithBatch]]'s nb==0 arm); the
+    * compaction valve still applies so daily no-op republishes cannot
+    * grow the chain without bound. */
   def advanceWithBatch(spark: SparkSession, key: String, batch: DataFrame,
                        idCol: String = "vec_id", embCol: String = "emb",
                        bands: Int = 8, rowsPerBand: Int = 16,
                        snap: Option[String] = None): String =
     buildLock.synchronized {
+      val fmt = fmtFor(bands, rowsPerBand)
+      val geom = geomTag(bands, rowsPerBand)
       val root = indexPath(key)
       val fs = new Path(root)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val (headGen, m) = GenLog.currentGen(fs, root)
-        .flatMap(g => GenLog.readMeta(spark, g, FormatVersion).map(g -> _))
+        .flatMap(g => GenLog.readMeta(spark, g, fmt).map(g -> _))
         .getOrElse(throw new java.io.FileNotFoundException(
-          s"no live cosine-LSH index under $root — ensure() a base first"))
+          s"no live cosine-LSH index at geometry ${bands}x$rowsPerBand " +
+            s"under $root — ensure() a base first (a geometry change " +
+            "requires a rebuild, not an advance)"))
       val b = batch.select(col(idCol).cast("long").as("__id"),
         col(embCol).cast("array<double>").as("emb")).localCheckpoint(true)
-      val headIds = vecsOf(spark, headGen.toString).select("__id")
+      val nb = b.count()
+      val compact =
+        GenLog.chain(spark, headGen, fmt).length >= maxChain
+      if (nb == 0) {
+        val tok0 = snap.map(s => s"snap:$s$geom")
+          .getOrElse(s"fp:${m.n}:${m.fp}$geom")
+        val gen0 =
+          if (compact)
+            publishFromVecs(spark, root,
+              vecsOf(spark, headGen.toString, bands, rowsPerBand),
+              bands, rowsPerBand,
+              GenLog.Meta(m.n, fmt, m.fp, snap, None))
+          else publishMetaOnly(spark, root,
+            GenLog.Meta(m.n, fmt, m.fp, snap, Some(headGen.getName)))
+        validated(root) = (tok0, gen0)
+        return gen0
+      }
+      val headIds = vecsOf(spark, headGen.toString, bands, rowsPerBand)
+        .select("__id")
       val bIds = b.select("__id")
       val overlapExists = headIds.join(bIds, Seq("__id"), "left_semi")
         .limit(1).count() > 0
       val nOverlap =
         if (!overlapExists) 0L
         else headIds.join(bIds, Seq("__id"), "left_semi").count()
-      val nb = b.count()
       val nNew = m.n + nb - nOverlap
       val fpNew =
         if (snap.isDefined || nOverlap > 0) 0L
         else m.fp ^ fingerprint(b, "__id", "emb")
-      val tok = snap.map(s => s"snap:$s").getOrElse(s"fp:$nNew:$fpNew")
-      val compact =
-        GenLog.chain(spark, headGen, FormatVersion).length >= maxChain
+      val tok = snap.map(s => s"snap:$s$geom").getOrElse(s"fp:$nNew:$fpNew$geom")
       val gen =
         if (nOverlap > 0 || compact) {
-          val hist0 = vecsOf(spark, headGen.toString)
+          val hist0 = vecsOf(spark, headGen.toString, bands, rowsPerBand)
           val hist =
             if (nOverlap == 0) hist0
             else hist0.join(bIds, Seq("__id"), "left_anti")
           publishFromVecs(spark, root, hist.unionByName(b),
             bands, rowsPerBand,
-            GenLog.Meta(nNew, FormatVersion, fpNew, snap, None))
+            GenLog.Meta(nNew, fmt, fpNew, snap, None))
         } else
           publishFromVecs(spark, root, b, bands, rowsPerBand,
-            GenLog.Meta(nNew, FormatVersion, fpNew, snap,
+            GenLog.Meta(nNew, fmt, fpNew, snap,
               Some(headGen.getName)))
       validated(root) = (tok, gen)
       gen
     }
 
-  /** The live generation path under `key`, if any. */
-  def currentGenPath(spark: SparkSession, key: String): Option[String] = {
+  /** RTBF companion — the [[LshBandIndex.purgeForStore]] contract for
+    * the embedding index: DELETING store writers must call this in the
+    * same operation as the row deletes, because every chain generation
+    * persists the RAW embeddings (`vecs/`) of the rows it indexed — a
+    * forgotten vector would otherwise linger on disk and still match
+    * probes until some later advance happened to notice the churn. If
+    * an index exists for `storeRoot`, rebuild it against the store's
+    * CURRENT snapshot and prune every superseded generation; delete the
+    * index outright if the store emptied. No-op when the store has no
+    * index. O(history) rebuild — the price of a hard purge, paid only
+    * on deletes. */
+  def purgeForStore(spark: SparkSession, storeRoot: String,
+                    idCol: String = "vec_id", embCol: String = "emb",
+                    bands: Int = 8, rowsPerBand: Int = 16): Unit =
+    buildLock.synchronized {
+      val fmt = fmtFor(bands, rowsPerBand)
+      val geom = geomTag(bands, rowsPerBand)
+      val root = indexPath(s"store:$storeRoot")
+      val rootPath = new Path(root)
+      val fs = rootPath
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (GenLog.currentGen(fs, root).isDefined) {
+        validated.remove(root)
+        if (graft.store.SnapshotStore.read(spark, storeRoot)
+            .limit(1).count() == 0L) {
+          fs.delete(rootPath, true)
+        } else {
+          val snap = graft.store.SnapshotStore
+            .currentName(spark, storeRoot).get
+          val vecs = graft.store.SnapshotStore.read(spark, storeRoot)
+            .select(col(idCol).cast("long").as("__id"),
+              col(embCol).cast("array<double>").as("emb"))
+          val gen = publishFromVecs(spark, root, vecs, bands, rowsPerBand,
+            GenLog.Meta(vecs.count(), fmt, 0L, Some(snap), None))
+          // publish keeps the previous chain for in-flight readers — a
+          // purge must NOT: re-prune keeping only the fresh generation
+          GenLog.pruneGens(spark, fs, rootPath,
+            new Path(gen).getName, None, fmt)
+          validated(root) = (s"snap:$snap$geom", gen)
+        }
+      }
+    }
+
+  /** The live generation path under `key` at the given geometry, if
+    * any (a generation built at another geometry reads as absent). */
+  def currentGenPath(spark: SparkSession, key: String,
+                     bands: Int = 8, rowsPerBand: Int = 16): Option[String] = {
     val root = indexPath(key)
     val fs = new Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     GenLog.currentGen(fs, root)
-      .filter(g => GenLog.readMeta(spark, g, FormatVersion).isDefined)
+      .filter(g => GenLog.readMeta(spark, g,
+        fmtFor(bands, rowsPerBand)).isDefined)
       .map(_.toString)
   }
 
   private def chainDirOf(spark: SparkSession, genPath: String,
-                         sub: String): DataFrame = {
+                         sub: String, fmt: Int): DataFrame = {
     val hadoop = spark.sparkContext.hadoopConfiguration
-    GenLog.chain(spark, new Path(genPath), FormatVersion)
+    GenLog.chain(spark, new Path(genPath), fmt)
       .map(g => new Path(g, sub))
       .filter(p => p.getFileSystem(hadoop).exists(p))
       .map(p => spark.read.parquet(p.toString))
@@ -285,13 +395,15 @@ object CosineLshIndex {
 
   /** NARROW key rows `(__id, band, key)` of the chain — the only stream
     * a probe scans whole. */
-  def narrowKeysOf(spark: SparkSession, genPath: String): DataFrame =
-    chainDirOf(spark, genPath, "keys")
+  def narrowKeysOf(spark: SparkSession, genPath: String,
+                   bands: Int = 8, rowsPerBand: Int = 16): DataFrame =
+    chainDirOf(spark, genPath, "keys", fmtFor(bands, rowsPerBand))
 
   /** Vector rows `(__id, emb)` of the chain, one per vector — the
     * candidate-only fetch surface. */
-  def vecsOf(spark: SparkSession, genPath: String): DataFrame =
-    chainDirOf(spark, genPath, "vecs")
+  def vecsOf(spark: SparkSession, genPath: String,
+             bands: Int = 8, rowsPerBand: Int = 16): DataFrame =
+    chainDirOf(spark, genPath, "vecs", fmtFor(bands, rowsPerBand))
 
   /** Cosine near-dup pairs TOUCHING the batch, probed against the
     * persisted index: `(src, dst, cs)` with src < dst and exact cosine
@@ -307,9 +419,10 @@ object CosineLshIndex {
     graft.functions.CosineSimilarity.register(batch.sparkSession)
     val b = batch.select(col(idCol).cast("long").as("__id"),
       col(embCol).cast("array<double>").as("emb"))
-    // geometry MUST match the index's build geometry — a mismatched
-    // batch key never collides with an index key and the probe silently
-    // returns only batch×batch pairs
+    // geometry MUST match the index's build geometry — enforced at the
+    // index layer: ensure/advance fold (bands, rowsPerBand) into the
+    // meta fmt, so a generation at another geometry reads as stale and
+    // rebuilds before its keys could reach this join
     val bKeys = CosineLsh.bucketize(b, "__id", "emb", dim = 0,
         bands = bands, rowsPerBand = rowsPerBand)
       .select(col("id").as("dst"), col("band"), col("key"))
@@ -337,6 +450,21 @@ object CosineLshIndex {
     histPairs.unionByName(batchPairs).dropDuplicates("src", "dst")
   }
 
+  /** Meta-only re-key generation: no data dirs at all ([[chainDirOf]]
+    * skips them) — the nb==0 advance arm's publish. */
+  private def publishMetaOnly(spark: SparkSession, root: String,
+                              meta: GenLog.Meta): String = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prevGen = GenLog.currentGen(fs, root).map(_.getName)
+    val genName = GenLog.newGenName()
+    val gen = new Path(rootPath, genName)
+    GenLog.writeMeta(spark, gen, meta)
+    GenLog.publishGen(spark, root, genName)
+    GenLog.pruneGens(spark, fs, rootPath, genName, prevGen, meta.fmt)
+    gen.toString
+  }
+
   /** Write `vecs` as a fresh generation's one-row-per-vector dir,
     * re-read the written parquet and derive the narrow `keys` from it —
     * the projection runs once over bytes on disk, so the two dirs can
@@ -358,7 +486,7 @@ object CosineLshIndex {
       .write.parquet(new Path(gen, "keys").toString)
     GenLog.writeMeta(spark, gen, meta)
     GenLog.publishGen(spark, root, genName)
-    GenLog.pruneGens(spark, fs, rootPath, genName, prevGen, FormatVersion)
+    GenLog.pruneGens(spark, fs, rootPath, genName, prevGen, meta.fmt)
     gen.toString
   }
 }

@@ -472,14 +472,16 @@ object FileStats {
     antiJoinFreshImpl(spark, root, c, batch, keyCol, MaxProbeKeys,
       wantTotal = false)._1
 
-  /** Broadcast-size valve for [[antiJoinFresh]]'s probe: the batch's
-    * DISTINCT keys travel to every executor — fine for any real day's
-    * ingest (~8 M longs ≈ 128 MB). Past this many distinct keys the
-    * probe runs in hash CHUNKS of at most this size, one broadcast per
-    * chunk, unioning the maybe-file sets — same sidecar-driven answer
-    * and the same O(batch + sliver) read at any batch size, just more
-    * probe jobs; the driver never holds more than one chunk. */
-  val MaxProbeKeys: Long = 8000000L
+  /** DRIVER-size valve for [[antiJoinFresh]]'s probe: each chunk's
+    * DISTINCT key hashes are collect()ed to the driver (transiently
+    * boxed Rows, then one primitive array ≈ 16 MB at this cap) and ride
+    * the sidecar scan's task binary — broadcast once per stage — as a
+    * [[graft.functions.BloomBytesContainAny]] constructor field. Past
+    * this many distinct keys the probe runs in hash CHUNKS of at most
+    * this size, unioning the maybe-file sets — same sidecar-driven
+    * answer and the same O(batch + sliver) read at any batch size, just
+    * more probe jobs; the driver never holds more than one chunk. */
+  val MaxProbeKeys: Long = 2000000L
 
   /** [[antiJoinFresh]] plus skipping evidence:
     * (result, maybe-files read, files total). */
@@ -499,6 +501,20 @@ object FileStats {
                                 wantTotal: Boolean)
       : (DataFrame, Int, Int) = {
     val stats = sidecar(spark, root)
+    // type check FIRST — it guards BOTH branches: the sidecar path
+    // hashes by type, and the migration fallback's flat anti-join would
+    // otherwise coerce silently (longs past 2^53 through double, or
+    // uncastable strings to null, read as "fresh" duplicates)
+    val histType = SnapshotStore.read(spark, root).schema
+      .find(_.name == c).map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"antiJoinFresh: column '$c' not present in $root"))
+    val keyType = batch.schema.find(_.name == keyCol).map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"antiJoinFresh: column '$keyCol' not present in the batch"))
+    require(keyType == histType,
+      s"antiJoinFresh: batch '$keyCol' is $keyType but $root's '$c' is " +
+        s"$histType — xxhash64 hashes by type, probe would silently miss")
     // MIGRATION fallback (r13 ADVICE): a store published by an older
     // build may carry a sidecar without this column's bloom/stats (e.g.
     // a doc_id-only sidecar predating the content_hash bloom). Failing
@@ -524,16 +540,6 @@ object FileStats {
         .select(batch.columns.map(col): _*)
       return (flat, -1, -1)
     }
-    val histType = SnapshotStore.read(spark, root).schema
-      .find(_.name == c).map(_.dataType)
-      .getOrElse(throw new IllegalArgumentException(
-        s"antiJoinFresh: column '$c' not present in $root"))
-    val keyType = batch.schema.find(_.name == keyCol).map(_.dataType)
-      .getOrElse(throw new IllegalArgumentException(
-        s"antiJoinFresh: column '$keyCol' not present in the batch"))
-    require(keyType == histType,
-      s"antiJoinFresh: batch '$keyCol' is $keyType but $root's '$c' is " +
-        s"$histType — xxhash64 hashes by type, probe would silently miss")
     val keys = batch.select(col(keyCol).as("__k"))
       .filter(col("__k").isNotNull).distinct()
       .withColumn("__h", xxhash64(col("__k")))

@@ -101,12 +101,13 @@ object EmbIndexScale {
       val key = s"emb_geo_${bands}_${rpb}_${System.nanoTime()}"
       CosineLshIndex.ensure(spark, histG, key,
         bands = bands, rowsPerBand = rpb)
-      val gen = CosineLshIndex.currentGenPath(spark, key).get
+      val gen = CosineLshIndex.currentGenPath(spark, key,
+        bands = bands, rowsPerBand = rpb).get
       var nPairs = 0L; var nDup = 0L
       val tProbe = time {
         val p = CosineLshIndex.incrementalPairs(bG, "vec_id", "emb",
-          CosineLshIndex.narrowKeysOf(spark, gen),
-          CosineLshIndex.vecsOf(spark, gen),
+          CosineLshIndex.narrowKeysOf(spark, gen, bands, rpb),
+          CosineLshIndex.vecsOf(spark, gen, bands, rpb),
           bands = bands, rowsPerBand = rpb).localCheckpoint(true)
         nPairs = p.count()
         nDup = p.filter(col("cs") >= 0.95).count()

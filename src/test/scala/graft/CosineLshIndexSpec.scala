@@ -166,12 +166,129 @@ class CosineLshIndexSpec extends SparkSuite {
       val g = CosineLshIndex.advanceWithBatch(spark, k2, mkVecs(30 until 40))
       assert(graft.store.GenLog.chain(spark,
         new org.apache.hadoop.fs.Path(g),
-        CosineLshIndex.FormatVersion).length == 1,
+        CosineLshIndex.fmtFor(8, 16)).length == 1,
         "at the cap the advance must collapse the chain into one base")
       assert(keySet(CosineLshIndex.narrowKeysOf(spark, g)) ==
         keySet(spark.read.parquet(
           s"${CosineLshIndex.ensure(spark, mkVecs(0 until 40),
             k2 + "_ref")}/keys")))
     } finally CosineLshIndex.maxChain = prev
+  }
+
+  test("a geometry change reads as STALE and rebuilds — never a silent " +
+    "zero-recall probe; advancing at a mismatched geometry fails loudly") {
+    val key = s"spec_cos_geom_${System.nanoTime()}"
+    val all = mkVecs(0 until 80, planted = true)
+    val hist = all.filter(col("vec_id") < 1000)
+    val batch = all.filter(col("vec_id") >= 1000)
+    CosineLshIndex.ensure(spark, hist, key) // 8x16
+    // the 8x16 generation must be invisible at 8x32...
+    assert(CosineLshIndex.currentGenPath(spark, key,
+      bands = 8, rowsPerBand = 32).isEmpty,
+      "a generation built at another geometry must read as absent")
+    // ...so an ensure at 8x32 rebuilds, and the probe still recalls
+    // every planted cross-boundary pair (not batch-only pairs)
+    val gen32 = CosineLshIndex.ensure(spark, hist, key,
+      bands = 8, rowsPerBand = 32)
+    val inc = CosineLshIndex.incrementalPairs(batch, "vec_id", "emb",
+      CosineLshIndex.narrowKeysOf(spark, gen32, 8, 32),
+      CosineLshIndex.vecsOf(spark, gen32, 8, 32),
+      bands = 8, rowsPerBand = 32)
+    val planted = (0 until 80).filter(_ % 5 == 0)
+      .map(i => (i.toLong, i + 1000L)).toSet
+    assert(planted.subsetOf(pairSet(inc.filter(col("cs") >= 0.95))),
+      "history recall must survive the geometry rebuild")
+    // an ADVANCE at a third geometry has no matching base: loud failure
+    val e = intercept[java.io.FileNotFoundException] {
+      CosineLshIndex.advanceWithBatch(spark, key, mkVecs(80 until 90),
+        bands = 8, rowsPerBand = 24)
+    }
+    assert(e.getMessage.contains("geometry"))
+  }
+
+  test("a zero-row batch advances META-ONLY: nothing recomputed, no " +
+    "empty data dirs, and the valve still bounds no-op republishes") {
+    val key = s"spec_cos_empty_${System.nanoTime()}"
+    CosineLshIndex.ensure(spark, mkVecs(0 until 30), key)
+    val empty = mkVecs(0 until 0)
+    val g2 = CosineLshIndex.advanceWithBatch(spark, key, empty)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(g2, "vecs")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(g2, "keys")),
+      "an empty advance must not write empty data dirs")
+    assert(CosineLshIndex.vecsOf(spark, g2).count() == 30,
+      "the chain must still read the full corpus through the meta-only link")
+    // the compaction valve applies to meta-only links too
+    val prev = CosineLshIndex.maxChain
+    CosineLshIndex.maxChain = 2
+    try {
+      // the chain [g2, g1] sits at the cap: the next no-op advance
+      // must COMPACT into one base instead of chaining a third link
+      val g3 = CosineLshIndex.advanceWithBatch(spark, key, empty)
+      assert(graft.store.GenLog.chain(spark,
+        new org.apache.hadoop.fs.Path(g3),
+        CosineLshIndex.fmtFor(8, 16)).length == 1,
+        "no-op republishes must compact at the cap, not chain forever")
+      assert(CosineLshIndex.vecsOf(spark, g3).count() == 30)
+    } finally CosineLshIndex.maxChain = prev
+  }
+
+  test("a retried snapshot advance (index already keyed to the current " +
+    "snapshot, fresh JVM memo) reuses the live generation — no rebuild") {
+    import graft.store.SnapshotStore
+    val root = java.nio.file.Files
+      .createTempDirectory("cos_retry").toString + "/t"
+    SnapshotStore.commit(spark, root)(dir =>
+      mkVecs(0 until 40).write.parquet(dir))
+    val g1 = CosineLshIndex.ensureForSnapshot(spark, root)
+    // crash-after-advance replay: memo gone, snapshot unchanged
+    CosineLshIndex.resetValidationMemo()
+    val g2 = CosineLshIndex.advanceForSnapshotWithBatch(spark, root,
+      mkVecs(40 until 50)) // a stale batch claim — must not matter
+    assert(g2 == g1,
+      "an index already keyed to the current snapshot must be returned " +
+        "as-is, not rebuilt or advanced again")
+  }
+
+  test("purgeForStore: deleted rows' vectors leave every generation on " +
+    "disk with the rows, and a probe no longer matches them") {
+    import graft.store.SnapshotStore
+    val root = java.nio.file.Files
+      .createTempDirectory("cos_purge").toString + "/t"
+    val all = mkVecs(0 until 60, planted = true)
+    SnapshotStore.commit(spark, root)(dir =>
+      all.filter(col("vec_id") < 1000).write.parquet(dir))
+    CosineLshIndex.ensureForSnapshot(spark, root)
+    SnapshotStore.commit(spark, root)(dir =>
+      all.filter(col("vec_id") < 1000)
+        .filter(col("vec_id") =!= 40L).write.parquet(dir))
+    CosineLshIndex.advanceForSnapshotWithBatch(spark, root,
+      mkVecs(0 until 0)) // count net fails (store SHRANK) → rebuild...
+    // ...but old generations may linger for in-flight readers: a purge
+    // must prune them in the same operation as the delete
+    CosineLshIndex.purgeForStore(spark, root)
+    val root40 = CosineLshIndex.indexPath(s"store:$root")
+    val gens = new java.io.File(root40).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(gens.length == 1,
+      s"purge must prune every superseded generation, found ${gens.toSeq}")
+    val gen = CosineLshIndex.currentGenPath(spark, s"store:$root").get
+    assert(CosineLshIndex.vecsOf(spark, gen)
+      .filter(col("__id") === 40L).count() == 0,
+      "the forgotten row's raw embedding must be gone from disk")
+    // a probe with the forgotten vector itself finds no history match
+    val probe = CosineLshIndex.incrementalPairs(
+      all.filter(col("vec_id") === 1040L), "vec_id", "emb",
+      CosineLshIndex.narrowKeysOf(spark, gen),
+      CosineLshIndex.vecsOf(spark, gen))
+    assert(probe.filter(col("cs") >= 0.999)
+      .filter(col("src") === 40L || col("dst") === 40L).count() == 0)
+    // emptied store → the index is deleted outright
+    SnapshotStore.commit(spark, root)(dir =>
+      all.filter(lit(false)).write.parquet(dir))
+    CosineLshIndex.purgeForStore(spark, root)
+    assert(!new java.io.File(root40).exists(),
+      "an emptied store cannot keep an index")
   }
 }

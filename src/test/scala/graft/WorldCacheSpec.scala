@@ -142,4 +142,47 @@ class WorldCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(current.exists(), "current-stamp dirs must be kept")
     youngLock.delete(); ()
   }
+
+  test("vacuum spares a superseded world whose marker was touched " +
+    "recently — an older-build JVM mid-RUN keeps its fixtures") {
+    def mkPublished(name: String, markerAge: Long): java.io.File = {
+      val d = new java.io.File(root, name); d.mkdirs()
+      val ok = new java.io.File(d, "_WORLD_OK")
+      assert(ok.createNewFile())
+      assert(ok.setLastModified(System.currentTimeMillis() - markerAge))
+      d
+    }
+    val inUse = mkPublished("st11_world_vffff_aaaa1111", markerAge = 60000)
+    val idle = mkPublished("st11_world_vffff_bbbb2222",
+      markerAge = WorldCache.VacuumGraceMs + 60000)
+    WorldCache.vacuumNow()
+    assert(inUse.exists(),
+      "a recently-read superseded world must survive the sweep")
+    assert(!idle.exists(),
+      "a superseded world idle past the grace window must be vacuumed")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(inUse)
+  }
+
+  test("every dir() lookup touches the marker, keeping the world " +
+    "vacuum-safe for the lifetime of the run") {
+    val tag = uniqueTag("touch")
+    val d = WorldCache.dir(tag, "sfX", getClass) { dir =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "data.txt"), "w".getBytes)
+    }
+    val ok = new java.io.File(d, "_WORLD_OK")
+    val old = System.currentTimeMillis() - WorldCache.VacuumGraceMs - 60000
+    assert(ok.setLastModified(old))
+    WorldCache.evictMemo(new java.io.File(d).getName)
+    val d2 = WorldCache.dir(tag, "sfX", getClass)(_ =>
+      fail("a published world must be reused, not rebuilt"))
+    assert(d2 == d)
+    assert(ok.lastModified() > old,
+      "the cache-hit path must refresh the marker mtime")
+  }
 }
