@@ -145,6 +145,52 @@ object DedupExtQueries {
         .orderBy("keep_id", "dup_id")
     }),
 
+    // CANONICAL SELECTION — the step after dedup finds clusters: which
+    // duplicate do you KEEP? Pair finding (here dd3's exact 3-gram
+    // Jaccard ≥ 0.6, oracle-replicable; at corpus scale you'd feed
+    // dd4's banded MinHash pairs — the selection stage is agnostic to
+    // the pair source) → transitive closure (ConnectedComponents, the
+    // dd7 machinery) → per-cluster argmax of the tx3 quality score,
+    // ties to the lowest doc_id. min-id canonicals (dd7) throw away a
+    // better-written copy whenever the crawl found it second; training
+    // pipelines keep the highest-quality representative. The Jaccard
+    // pair stage needs no all-pairs skeleton: a ≥0.6 pair shares grams
+    // by definition, so the gram equi-join finds every one. The
+    // per-cluster window shuffles one narrow row per doc on cluster —
+    // cluster cardinality is bounded by dedup geometry, never corpus
+    // size.
+    "dd17_canonical_select" -> ((s, d) => {
+      val docs = documents(s, d)
+        .filter(col("doc_id") < 50 && length(col("text")) >= 3)
+      val sh = docs.select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")))
+        .as("g"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val pairs = sh.select(col("doc_id").as("src"), col("g"))
+        .join(sh.select(col("doc_id").as("dst"), col("g")), "g")
+        .filter(col("src") < col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("common"))
+        .join(sizes.select(col("doc_id").as("src"), col("sz").as("sa")), "src")
+        .join(sizes.select(col("doc_id").as("dst"), col("sz").as("sb")), "dst")
+        .filter(col("common") / (col("sa") + col("sb") - col("common")) >= 0.6)
+        .select("src", "dst")
+      val comp = graft.operators.ConnectedComponents
+        .run(docs.select(col("doc_id").as("id")), pairs)
+        .select(col("id").as("doc_id"), col("component").as("cluster"))
+      val q = docs
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+        .select(col("doc_id"),
+          round(least(lit(1.0), col("n_tokens") / lit(50.0)) * 0.5 +
+            when(col("n_chars").between(100, 5000), 0.5).otherwise(0.25), 6)
+            .as("q_score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster")
+        .orderBy(col("q_score").desc, col("doc_id"))
+      comp.join(q, Seq("doc_id"))
+        .withColumn("kept", row_number().over(w) === 1)
+        .orderBy("doc_id")
+    }),
+
     // near-dup CLUSTERING: LSH-candidate cosine pairs → connected
     // components → one canonical member per cluster. Pairs alone
     // under-dedupe (A≈B, B≈C must collapse together even when A≈C missed
@@ -600,6 +646,40 @@ object DedupExtQueries {
         |SELECT keep_id, dup_id, ROUND(c, 6) AS cos_sim
         |FROM cs WHERE c >= 0.95 AND dup_id >= 1099511627776
         |ORDER BY keep_id, dup_id""".stripMargin,
+    // dd17: same closure as dd7's oracle, over exact 3-gram Jaccard
+    // pairs, selecting per cluster by the tx3 quality score
+    "dd17_canonical_select" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, text, n_chars FROM documents
+        |  WHERE doc_id < 50 AND LENGTH(text) >= 3),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, GREATEST(len(text) - 2, 1)),
+        |      i -> substr(text, CAST(i AS INT), 3))) AS grams
+        |  FROM d),
+        |pairs AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        |    / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+        |    >= 0.6),
+        |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS lbl FROM d
+        |  UNION
+        |  SELECT e.v AS id, r.lbl
+        |  FROM reach r JOIN edges e ON e.u = r.id
+        |  WHERE r.lbl < e.v),
+        |comp AS (SELECT id AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY id),
+        |q AS (
+        |  SELECT doc_id,
+        |    ROUND(LEAST(1.0, len(string_split_regex(TRIM(text), '\s+')) / 50.0) * 0.5
+        |      + CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 0.5 ELSE 0.25 END, 6) AS q_score
+        |  FROM d)
+        |SELECT c.doc_id, c.cluster, q.q_score,
+        |  (ROW_NUMBER() OVER (PARTITION BY c.cluster
+        |     ORDER BY q.q_score DESC, c.doc_id) = 1) AS kept
+        |FROM comp c JOIN q USING (doc_id) ORDER BY doc_id""".stripMargin,
     "dd11_semdedup" ->
       """WITH base AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
