@@ -77,7 +77,7 @@ object CosineLshIndex {
 
   def indexPath(key: String): String = {
     val base = key.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(40)
-    s"$indexRoot/${base}_${Integer.toHexString(key.hashCode)}"
+    s"$indexRoot/${base}_${GenLog.pathKey(key)}"
   }
 
   private val buildLock = new Object

@@ -5,6 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.store.GenLog
+
 /** Persisted IVF (inverted-file) coarse-quantizer index over the
   * `embeddings` table — the train-ONCE half of IVF ANN, split out of the
   * query path (round-8 verdict: `v5_ann_ivf` retrained its k-means
@@ -51,7 +53,8 @@ import org.apache.spark.sql.expressions.Window
   *
   * Training (same semantics as round 8 at gate scale, so the recall
   * gate in QueriesSpec still holds): k=8 codebook, deterministic
-  * spread seeding (every (n/k)-th vector by vec_id), 4 Lloyd
+  * spread seeding (every (nTrain/k)-th training vector by RANK, so a
+  * non-dense id domain still draws exactly k seeds), 4 Lloyd
   * iterations over a [[TrainCap]]-bounded deterministic sample —
   * assignment is the fused [[graft.functions.NearestCentroid]] argmax,
   * a PURE PROJECTION per iteration (the codebook collects to the
@@ -134,7 +137,6 @@ object IvfIndex {
     * and added the snapshot name to meta; format 5 added the `parent`
     * chain link for incremental delta generations). */
   val FormatVersion = 5
-  val PointerFile = "_CURRENT"
 
   /** Root for all persisted indexes; overridable for tests. */
   def indexRoot: String = sys.env.getOrElse(
@@ -142,16 +144,15 @@ object IvfIndex {
     new java.io.File(sys.props("java.io.tmpdir"), "graft_ivf_index").toString)
 
   def indexPath(sfDir: String): String = {
-    // readable + collision-free key: basename plus a hash of the full path
+    // readable + collision-resistant key: basename plus a 64-bit
+    // digest of the full path (GenLog.pathKey — see its scaladoc)
     val base = new Path(sfDir).getName
-    val h = Integer.toHexString(sfDir.hashCode)
-    s"$indexRoot/${base}_$h"
+    s"$indexRoot/${base}_${GenLog.pathKey(sfDir)}"
   }
 
   private def storeIndexPath(storeRoot: String): String = {
     val base = new Path(storeRoot).getName
-    val h = Integer.toHexString(storeRoot.hashCode)
-    s"$indexRoot/store_${base}_$h"
+    s"$indexRoot/store_${base}_${GenLog.pathKey(storeRoot)}"
   }
 
   private def corpus(spark: SparkSession, sfDir: String): DataFrame =
@@ -183,7 +184,6 @@ object IvfIndex {
   // The pointer/meta/chain/prune machinery is the shared
   // [[graft.store.GenLog]]; these wrappers pin this index's meta shape
   // (tuple (n, fp, snap, parent)) and format version at the call sites.
-  import graft.store.GenLog
 
   private def currentGen(fs: FileSystem, root: String): Option[Path] =
     GenLog.currentGen(fs, root)
@@ -317,9 +317,16 @@ object IvfIndex {
         .flatMap(g => readMeta(spark, g).map(g -> _)) match {
         case Some((g, (_, _, Some(s0), _))) if s0 == snap => g.toString
         case Some((g, (_, _, Some(s0), _))) =>
-          // pure-insert delta from the indexed snapshot? (Try: the
-          // indexed version may have been vacuumed — retrain then)
-          scala.util.Try {
+          // pure-insert delta from the indexed snapshot? The Try wraps
+          // ONLY the change-feed computation: the indexed version may
+          // have been vacuumed, and THAT legitimately degrades to a
+          // retrain. The append itself must stay OUTSIDE it — a
+          // swallowed appendGen failure would silently convert every
+          // advance into a corpus-sized retrain (masking real bugs),
+          // and a failure AFTER its pointer flip (e.g. in prune) would
+          // retrain-publish a second full generation on top of the
+          // already-live delta.
+          val feedOk = scala.util.Try {
             val feed = graft.store.SnapshotStore.changesBetween(
                 spark, storeRoot, s0, snap, Seq(idCol))
               .localCheckpoint(true)
@@ -328,13 +335,18 @@ object IvfIndex {
             val batch = feed.filter(col("change_type") === "insert")
               .select(col(idCol).as("vec_id"),
                 col(embCol).cast("array<double>").as("emb"))
+            (churn, batch)
+          }.toOption
+          feedOk match {
             // empty feed (identical content republished) is a valid
             // zero-row append: a meta-only re-key generation, never a
             // retrain. Churn — or a chain at the compaction cap —
-            // falls through to retrain (which collapses the chain).
-            if (churn > 0 || chain(spark, g).length >= maxChain) None
-            else Some(appendGen(spark, root, g, batch, Some(snap)))
-          }.toOption.flatten.getOrElse(retrain())
+            // falls to retrain (which collapses the chain).
+            case Some((churn, batch))
+                if churn == 0 && chain(spark, g).length < maxChain =>
+              appendGen(spark, root, g, batch, Some(snap))
+            case _ => retrain()
+          }
         case _ => retrain()
       }
       validatedSnap(root) = (snap, gen)
@@ -436,7 +448,7 @@ object IvfIndex {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prevGen = currentGen(fs, root).map(_.getName)
-    val genName = s"gen-${java.util.UUID.randomUUID().toString.take(8)}"
+    val genName = GenLog.newGenName()
     val gen = new Path(rootPath, genName)
     batch
       .withColumn("graft_best", best)
@@ -468,7 +480,7 @@ object IvfIndex {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prevGen = currentGen(fs, root).map(_.getName)
-    val genName = s"gen-${java.util.UUID.randomUUID().toString.take(8)}"
+    val genName = GenLog.newGenName()
     val gen = new Path(rootPath, genName)
     spark.read.parquet(new Path(head, "codebook").toString)
       .repartition(1).write.parquet(new Path(gen, "codebook").toString)
@@ -501,7 +513,6 @@ object IvfIndex {
       else e0.filter(pmod(xxhash64(col("vec_id")), lit(stride)) === 0)
         .localCheckpoint(true)
     val nTrain = if (stride <= 1) n else train.count()
-    val step = math.max(n / K, 1L)
     // unassignable rows (zero-norm / wrong-dim embeddings score null
     // against every centroid → null cell) are excluded from training;
     // the final cells write still carries them, under the null cell
@@ -512,11 +523,21 @@ object IvfIndex {
       .groupBy("cell")
       .agg(expr("transform(sort_array(collect_list(struct(pos, m))), x -> x.m)")
         .as("cvec"))
-    // spread seeding without a corpus-wide window: the modulo filter
-    // keeps ~k spread-out vectors, limit caps them at k, and the
-    // cell-id window then runs over k rows only
-    val seeds = e0.filter(col("vec_id") % step === 0)
+    // spread seeding by RANK-stride over the TRAINING sample (the same
+    // form the PQ seeds use below, for the same reasons): `vec_id %
+    // step` assumed dense 0..n-1 ids — an all-odd or hash-like id
+    // domain draws fewer than K seeds (degraded cells) or zero (loud
+    // crash), and the filter scanned the full corpus where train is
+    // already the bounded sample. Rank-striding draws exactly
+    // min(K, nTrain) seeds spread across the sample; the rank window
+    // runs over ≤ ~TrainCap rows.
+    val stepSeed = math.max(nTrain / K, 1L)
+    val seeds = train
+      .select(col("vec_id"), col("emb"),
+        (row_number().over(Window.orderBy("vec_id")) - 1).as("__r"))
+      .filter(col("__r") % stepSeed === 0)
       .orderBy("vec_id").limit(K)
+      .drop("__r")
     val wCell = Window.orderBy("vec_id")
     var codebook = seeds
       .withColumn("cell", row_number().over(wCell) - 1)
@@ -607,7 +628,7 @@ object IvfIndex {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prevGen = currentGen(fs, root).map(_.getName)
-    val genName = s"gen-${java.util.UUID.randomUUID().toString.take(8)}"
+    val genName = GenLog.newGenName()
     val gen = new Path(rootPath, genName)
     codebook.repartition(1).write.parquet(new Path(gen, "codebook").toString)
     pqCb.repartition(1).write.parquet(new Path(gen, "pq").toString)

@@ -62,10 +62,11 @@ object TextIndex {
     "GRAFT_TEXT_INDEX_DIR",
     new java.io.File(sys.props("java.io.tmpdir"), "graft_text_index").toString)
 
-  /** Root dir for a named index: readable basename + collision hash. */
+  /** Root dir for a named index: readable basename + 64-bit path digest
+    * (GenLog.pathKey — 32-bit hashCode was a birthday risk). */
   def indexPath(key: String): String = {
     val base = key.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(40)
-    s"$indexRoot/${base}_${Integer.toHexString(key.hashCode)}"
+    s"$indexRoot/${base}_${GenLog.pathKey(key)}"
   }
 
   private val buildLock = new Object

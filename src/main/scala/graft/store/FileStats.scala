@@ -199,7 +199,8 @@ object FileStats {
                               name: String, prevName: Option[String],
                               statCols: Seq[String],
                               bloomCols: Seq[String] = Nil,
-                              bloomFpp: Double = DefaultBloomFpp): Unit = {
+                              bloomFpp: Double = DefaultBloomFpp,
+                              sumCols: Seq[String] = Nil): Unit = {
     val entries = SnapshotStore.readManifest(spark, root, name).getOrElse(
       throw new IllegalArgumentException(
         s"writeSidecarIncremental: snapshot $name has no manifest"))
@@ -209,7 +210,7 @@ object FileStats {
     val fresh =
       if (freshDirs.isEmpty) None
       else Some(collectStatsDirs(spark, freshDirs, statCols, bloomCols,
-        bloomFpp = bloomFpp))
+        bloomFpp = bloomFpp, sumCols = sumCols))
     // carried rows: prev-sidecar entries whose file sits under a
     // partition dir this manifest still references from an OLDER
     // version. Matched as a DISTRIBUTED filter (flat isin over
@@ -262,7 +263,18 @@ object FileStats {
     val side = (fresh, carried) match {
       case (Some(f), Some(c)) =>
         // align by name: both carry (file, rows, stats...) but fresh may
-        // order columns differently from an older-config sidecar
+        // order columns differently from an older-config sidecar.
+        // Refuse to silently DROP a stat class the carried sidecar has
+        // (e.g. sum_<c> columns published for sumRange) — projecting
+        // them away here would break metadata aggregation at the next
+        // sumRange call with no signal at publish time.
+        val dropped = c.columns.toSet -- f.columns.toSet
+        require(dropped.isEmpty,
+          s"writeSidecarIncremental: the carried sidecar has stat " +
+            s"columns [${dropped.mkString(", ")}] the fresh stats were " +
+            "not collected with — pass the statCols/bloomCols/sumCols " +
+            "the table was published with (or rebootstrap via " +
+            "writeSidecarFull)")
         f.unionByName(c.select(f.columns.map(col): _*))
       case (Some(f), None) => f
       case (None, Some(c)) => c

@@ -39,36 +39,60 @@ object GenLog {
   def newGenName(): String =
     s"gen-${java.util.UUID.randomUUID().toString.take(8)}"
 
-  /** The live generation dir named by the pointer, if published and
-    * still on disk (meta dir present). */
-  def currentGen(fs: FileSystem, root: String): Option[Path] = {
-    val ptr = pointerPath(root)
+  /** Collision-resistant on-disk key for a corpus path/name: 16 hex
+    * chars of MD5 (64 bits). The 32-bit `String.hashCode` the index
+    * modules used before becomes a material birthday risk at ~10⁴-10⁵
+    * distinct corpora, and a collision makes two corpora SHARE one
+    * index root — the per-JVM validation memos then serve one corpus's
+    * index for the other with no staleness check catching it. */
+  def pathKey(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(8)
+      .map(b => f"${b & 0xff}%02x").mkString
+
+  /** THE pointer-read primitive — shared by every generation-log
+    * artifact and by [[SnapshotStore.currentName]], so the parse (and
+    * any future durability hardening) lives in exactly one place. */
+  private[store] def readPointer(fs: FileSystem, ptr: Path): Option[String] = {
     if (!fs.exists(ptr)) return None
     val in = fs.open(ptr)
     val name =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
-    if (name.isEmpty) None
-    else {
+    if (name.isEmpty) None else Some(name)
+  }
+
+  /** THE pointer-write primitive: temp file + rename-with-overwrite
+    * (atomic on POSIX/HDFS; on S3 deployments substitute a direct
+    * single-object PUT, which is atomic per key). Shared by
+    * [[publishGen]] and [[SnapshotStore.publishPointer]] — one copy of
+    * the atomicity argument. */
+  private[store] def writePointer(spark: SparkSession, ptr: Path,
+                                  name: String): Unit = {
+    val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(ptr.getParent,
+      s"${ptr.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(name.getBytes("UTF-8")) finally out.close()
+    val fc = FileContext.getFileContext(ptr.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, ptr, Options.Rename.OVERWRITE)
+  }
+
+  /** The live generation dir named by the pointer, if published and
+    * still on disk (meta dir present). */
+  def currentGen(fs: FileSystem, root: String): Option[Path] =
+    readPointer(fs, pointerPath(root)).flatMap { name =>
       val gen = new Path(root, name)
       if (fs.exists(new Path(gen, "meta"))) Some(gen) else None
     }
-  }
 
-  /** Atomically point `_CURRENT` at `genName`: temp file +
-    * rename-with-overwrite (atomic on POSIX/HDFS; a single-object PUT on
-    * object stores) — the SnapshotStore publish pattern. */
+  /** Atomically point `_CURRENT` at `genName`. */
   def publishGen(spark: SparkSession, root: String, genName: String): Unit = {
     val ptr = pointerPath(root)
     val fs = ptr.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(root))
-    val tmp = new Path(root,
-      s"$PointerFile.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, true)
-    try out.write(genName.getBytes("UTF-8")) finally out.close()
-    val fc = FileContext.getFileContext(ptr.toUri,
-      spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, ptr, Options.Rename.OVERWRITE)
+    writePointer(spark, ptr, genName)
   }
 
   /** Meta row of a generation, or None when the format doesn't match
@@ -118,6 +142,18 @@ object GenLog {
     * ancestors' data) plus the previous pointer target's chain (readers
     * in flight across the flip), drop the rest — including any legacy
     * flat layout's stray dirs, which are never named by a pointer. */
+  /** A META-LESS dir younger than this is spared by [[pruneGens]]: it
+    * may be a CONCURRENT cross-JVM builder's half-written generation —
+    * invisible to the keep-set because nothing names it until its
+    * pointer flip ("racing builders each publish a complete
+    * generation" only holds if neither guts the other mid-write).
+    * Meta is written LAST in every publish path, so "no meta + young"
+    * identifies in-flight work; crashed builders' meta-less debris
+    * ages past the window and is collected by a later publish. A
+    * PUBLISHED (meta-carrying) superseded generation is deleted
+    * regardless of age — RTBF purges require that. Test seam. */
+  private[graft] var pruneGraceMs: Long = 60L * 60 * 1000
+
   def pruneGens(spark: SparkSession, fs: FileSystem, rootPath: Path,
                 genName: String, prevGen: Option[String],
                 expectFmt: Int): Unit = {
@@ -130,8 +166,14 @@ object GenLog {
     }
     keepChain(genName)
     prevGen.foreach(keepChain)
+    val now = System.currentTimeMillis()
     fs.listStatus(rootPath).filter(_.isDirectory)
       .map(_.getPath).filterNot(p => keep(p.getName))
+      .filterNot { p =>
+        // in-flight concurrent build? (see pruneGraceMs)
+        !fs.exists(new Path(p, "meta")) &&
+          now - fs.getFileStatus(p).getModificationTime < pruneGraceMs
+      }
       .foreach(p => fs.delete(p, true))
   }
 }

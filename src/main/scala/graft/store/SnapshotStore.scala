@@ -1,6 +1,6 @@
 package graft.store
 
-import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -102,18 +102,11 @@ object SnapshotStore {
   private def fsOf(root: Path, spark: SparkSession): FileSystem =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Name of the live snapshot dir, if a pointer has ever been published. */
+  /** Name of the live snapshot dir, if a pointer has ever been published.
+    * Reads through [[GenLog.readPointer]] — the one pointer-parse. */
   def currentName(spark: SparkSession, root: String): Option[String] = {
     val ptr = new Path(root, PointerFile)
-    val fs = fsOf(ptr, spark)
-    if (!fs.exists(ptr)) None
-    else {
-      val in = fs.open(ptr)
-      try {
-        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        if (s.isEmpty) None else Some(s)
-      } finally in.close()
-    }
+    GenLog.readPointer(fsOf(ptr, spark), ptr)
   }
 
   /** Resolved path of the live snapshot dir. */
@@ -438,22 +431,12 @@ object SnapshotStore {
     }
   }
 
-  /** Atomically point `_CURRENT` at `name`: write a temp pointer file,
-    * then rename-with-overwrite onto the pointer path (atomic on
-    * POSIX/HDFS; on S3 deployments substitute a direct single-object PUT,
-    * which is atomic per key). */
+  /** Atomically point `_CURRENT` at `name` — delegates to
+    * [[GenLog.writePointer]], the one copy of the temp-file +
+    * rename-with-overwrite atomicity argument. */
   private[graft] def publishPointer(spark: SparkSession, root: String,
-                                    name: String): Unit = {
-    val ptr = new Path(root, PointerFile)
-    val fs = fsOf(ptr, spark)
-    val tmp = new Path(root,
-      s"$PointerFile.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, true)
-    try out.write(name.getBytes("UTF-8")) finally out.close()
-    val fc = FileContext.getFileContext(ptr.toUri,
-      spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, ptr, Options.Rename.OVERWRITE)
-  }
+                                    name: String): Unit =
+    GenLog.writePointer(spark, new Path(root, PointerFile), name)
 
   /** Delete snapshot dirs that are not retained — superseded snapshots
     * plus orphans from writer crashes. Retained = the `keepLast` highest

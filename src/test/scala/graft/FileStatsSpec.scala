@@ -196,6 +196,54 @@ class FileStatsSpec extends SparkSuite {
     }
   }
 
+  test("incremental sidecar preserves sum columns when passed, and " +
+    "refuses LOUDLY to drop them when not") {
+    val root = freshRoot("incrsum")
+    SnapshotStore.commit(spark, root) { dir =>
+      spark.range(0, 400).select((col("id") % 4).cast("int").as("p"),
+          col("id").as("k"))
+        .write.partitionBy("p").parquet(dir)
+      val name = new org.apache.hadoop.fs.Path(dir).getName
+      SnapshotStore.writeManifest(spark, root, name,
+        (0 to 3).map(i => s"p=$i" -> name).toMap)
+      FileStats.writeSidecar(spark, dir, Seq("k"), sumCols = Seq("k"))
+    }
+    // an incremental publish that FORGETS sumCols must fail loudly —
+    // silently projecting sum_k away would break sumRange at its next
+    // call with no signal at publish time
+    intercept[IllegalArgumentException] {
+      SnapshotStore.commit(spark, root) { dir =>
+        spark.range(300, 400).select(lit(3).cast("int").as("p"),
+            (col("id") + 10000).as("k"))
+          .write.partitionBy("p").parquet(dir)
+        val name = new org.apache.hadoop.fs.Path(dir).getName
+        SnapshotStore.writeManifest(spark, root, name,
+          (0 to 2).map(i => s"p=$i" -> "v000000001").toMap + ("p=3" -> name))
+        FileStats.writeSidecarIncremental(spark, root, name,
+          Some("v000000001"), Seq("k"))
+      }
+    }
+    // with sumCols threaded through, the publish succeeds and sumRange
+    // still answers from metadata + edges over BOTH fresh and carried
+    SnapshotStore.commit(spark, root) { dir =>
+      spark.range(300, 400).select(lit(3).cast("int").as("p"),
+          (col("id") + 10000).as("k"))
+        .write.partitionBy("p").parquet(dir)
+      val name = new org.apache.hadoop.fs.Path(dir).getName
+      SnapshotStore.writeManifest(spark, root, name,
+        (0 to 2).map(i => s"p=$i" -> "v000000001").toMap + ("p=3" -> name))
+      FileStats.writeSidecarIncremental(spark, root, name,
+        Some("v000000001"), Seq("k"), sumCols = Seq("k"))
+    }
+    val direct = SnapshotStore.read(spark, root)
+      .filter(col("k").between(0L, 10500L))
+      .agg(sum(col("k")), count(lit(1))).head()
+    val (metaSum, n, _, _) =
+      FileStats.sumRange(spark, root, "k", 0L, 10500L, "k")
+    assert(n == direct.getLong(1))
+    assert(BigDecimal(metaSum) == BigDecimal(direct.getLong(0)))
+  }
+
   test("incremental sidecar: fresh partitions stat'd, carried rows " +
     "copied verbatim, pruning spans both") {
     val root = freshRoot("incr")

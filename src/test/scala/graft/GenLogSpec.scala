@@ -45,9 +45,15 @@ class GenLogSpec extends SparkSuite {
       .map(_.getName) == Seq(g2, g1))
 
     // a third (unchained) generation supersedes: prune keeps the new
-    // head and the previous head's CHAIN (g2 -> g1), drops strays
+    // head and the previous head's CHAIN (g2 -> g1). A meta-less YOUNG
+    // stray is SPARED — it is indistinguishable from a concurrent
+    // cross-JVM builder's half-written generation (meta is written
+    // last), and gutting one makes that builder publish a pointer to
+    // an empty dir. Once the stray ages past the grace window (a
+    // crashed builder's debris), the next prune collects it.
     val stray = GenLog.newGenName()
-    fs.mkdirs(new Path(new Path(root, stray), "data"))
+    val strayPath = new Path(new Path(root, stray), "data")
+    fs.mkdirs(strayPath)
     val g3 = GenLog.newGenName()
     GenLog.writeMeta(spark, new Path(root, g3),
       GenLog.Meta(20L, fmt, 7L, None, None))
@@ -56,6 +62,15 @@ class GenLogSpec extends SparkSuite {
     assert(fs.exists(new Path(root, g3)))
     assert(fs.exists(new Path(root, g2)), "previous head survives one cycle")
     assert(fs.exists(new Path(root, g1)), "previous head's chain survives")
-    assert(!fs.exists(new Path(root, stray)), "unreferenced dirs pruned")
+    assert(fs.exists(new Path(root, stray)),
+      "a young meta-less dir may be an in-flight concurrent build — spared")
+    // age the stray past the grace window (via the backing local dir —
+    // the fake s3a scheme maps 1:1 onto it) and prune again
+    val backing = new java.io.File(s"$local/index/$stray")
+    assert(backing.setLastModified(
+      System.currentTimeMillis() - GenLog.pruneGraceMs - 60000))
+    GenLog.pruneGens(spark, fs, new Path(root), g3, Some(g2), fmt)
+    assert(!fs.exists(new Path(root, stray)),
+      "aged meta-less debris (a crashed builder's) is collected")
   }
 }
