@@ -207,10 +207,7 @@ object IncrementalCurate {
       accepted.withColumn("batch_id", lit(name))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("batch_id").parquet(dir)
-      val fresh = Option(fs.globStatus(
-        new org.apache.hadoop.fs.Path(s"$dir/batch_id=*")))
-        .getOrElse(Array.empty)
-        .map(_.getPath.getName -> name).toMap
+      val fresh = SnapshotStore.freshEntries(spark, dir, depth = 1)
       // the pointer still names `base` until commitFrom flips it, so
       // currentEntries here reads exactly the carried-forward set
       val carried =
@@ -285,10 +282,7 @@ object IncrementalCurate {
         .repartition(col("batch_id"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("batch_id").parquet(dir)
-      val fresh = Option(fs.globStatus(
-        new org.apache.hadoop.fs.Path(s"$dir/batch_id=*")))
-        .getOrElse(Array.empty)
-        .map(_.getPath.getName -> name).toMap
+      val fresh = SnapshotStore.freshEntries(spark, dir, depth = 1)
       SnapshotStore.writeManifest(spark, curatedRoot, name, fresh)
       // every partition is fresh in a consolidation: full sidecar
       graft.store.FileStats.writeSidecarIncremental(spark, curatedRoot,

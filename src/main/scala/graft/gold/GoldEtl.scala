@@ -324,11 +324,8 @@ object GoldEtl {
       val dirPath = new org.apache.hadoop.fs.Path(dir)
       val name = dirPath.getName
       val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val fresh = Option(fs.globStatus(new org.apache.hadoop.fs.Path(
-        s"$dir/quality_tier=*/year=*/month=*"))).getOrElse(Array.empty)
-        .map(_.getPath.toUri.getPath
-          .stripPrefix(dirPath.toUri.getPath).stripPrefix("/") -> name)
-        .toMap
+      val fresh = graft.store.SnapshotStore.freshEntries(spark, dir,
+        depth = 3)
       def groupOf(rel: String): (Int, Int) = {
         val kv = rel.split('/').map { s =>
           val Array(k, v) = s.split("=", 2); k -> v

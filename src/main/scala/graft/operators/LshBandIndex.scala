@@ -64,6 +64,25 @@ object LshBandIndex {
     * generation on disk reads as stale via [[graft.store.GenLog.readMeta]]'s
     * version guard and is rebuilt — never mis-read. */
   val FormatVersion = 2
+
+  /** GEOMETRY-CARRYING format token (the [[CosineLshIndex.fmtFor]]
+    * discipline): a probe bucketized at one (numPerms, bands) can never
+    * band-collide with an index built at another — the daily near-dup
+    * pass would silently return batch-only pairs, and a candidate that
+    * did form would feed sig arrays of different lengths into the
+    * agreement kernel. Folding the geometry into the meta `fmt` makes a
+    * mismatched generation read as STALE through the existing format
+    * guard (rebuild, never a wrong answer). */
+  private[graft] def fmtFor(numPerms: Int, bands: Int): Int = {
+    require(numPerms > 0 && numPerms < 1000,
+      s"LshBandIndex: numPerms=$numPerms out of the encodable range [1,999]")
+    require(bands > 0 && bands <= numPerms,
+      s"LshBandIndex: bands=$bands out of range [1,numPerms]")
+    FormatVersion * 1000000 + numPerms * 1000 + bands
+  }
+
+  private def geomTag(numPerms: Int, bands: Int): String =
+    s"@${numPerms}p$bands"
   /** Compaction valve: at this chain depth the next advance rewrites the
     * chain into one base generation instead of chaining deeper. */
   val MaxChain = 16
@@ -137,9 +156,10 @@ object LshBandIndex {
       val root = indexPath(familyKey(key, portable))
       val fs = new Path(root)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      def token(n: Long, fp: Long) = s"fp:$n:$fp"
+      val geom = geomTag(numPerms, bands)
+      def token(n: Long, fp: Long) = s"fp:$n:$fp$geom"
       validated.get(root) match {
-        case Some((t, gen)) if t.startsWith("fp:") =>
+        case Some((t, gen)) if t.startsWith("fp:") && t.endsWith(geom) =>
           // bare corpora are read-only by the testdata contract: once
           // validated in this JVM the answer cannot change
           return gen
@@ -148,7 +168,8 @@ object LshBandIndex {
       lazy val n = docs.count()
       lazy val fp = fingerprint(docs, idCol, textCol)
       GenLog.currentGen(fs, root)
-        .flatMap(g => GenLog.readMeta(spark, g, FormatVersion).map(g -> _)) match {
+        .flatMap(g => GenLog.readMeta(spark, g,
+          fmtFor(numPerms, bands)).map(g -> _)) match {
         case Some((gen, m)) if m.snap.isEmpty && m.n == n && m.fp == fp =>
           validated(root) = (token(n, fp), gen.toString)
           gen.toString
@@ -173,23 +194,25 @@ object LshBandIndex {
         .getOrElse(throw new java.io.FileNotFoundException(
           s"no snapshot published under $storeRoot — commit the corpus first"))
       val root = indexPath(familyKey(s"store:$storeRoot", portable))
+      val geom = geomTag(numPerms, bands)
       validated.get(root) match {
-        case Some((t, gen)) if t == s"snap:$snap" => return gen
+        case Some((t, gen)) if t == s"snap:$snap$geom" => return gen
         case _ => ()
       }
       val fs = new Path(root)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       GenLog.currentGen(fs, root)
-        .flatMap(g => GenLog.readMeta(spark, g, FormatVersion).map(g -> _)) match {
+        .flatMap(g => GenLog.readMeta(spark, g,
+          fmtFor(numPerms, bands)).map(g -> _)) match {
         case Some((gen, m)) if m.snap.contains(snap) =>
-          validated(root) = (s"snap:$snap", gen.toString)
+          validated(root) = (s"snap:$snap$geom", gen.toString)
           gen.toString
         case _ =>
           val docs = graft.store.SnapshotStore.read(spark, storeRoot)
           val gen = build(spark, docs, root, idCol, textCol, numPerms, bands,
             snap = Some(snap), nOverride = None, fpOverride = None,
             portable = portable)
-          validated(root) = (s"snap:$snap", gen)
+          validated(root) = (s"snap:$snap$geom", gen)
           gen
       }
     }
@@ -214,8 +237,9 @@ object LshBandIndex {
         .getOrElse(throw new java.io.FileNotFoundException(
           s"no snapshot published under $storeRoot — commit the corpus first"))
       val root = indexPath(familyKey(s"store:$storeRoot", portable))
+      val geom = geomTag(numPerms, bands)
       validated.get(root) match {
-        case Some((t, gen)) if t == s"snap:$snap" => return gen
+        case Some((t, gen)) if t == s"snap:$snap$geom" => return gen
         case _ => ()
       }
       val fs = new Path(root)
@@ -227,28 +251,38 @@ object LshBandIndex {
           portable = portable)
       }
       val gen = GenLog.currentGen(fs, root)
-        .flatMap(g => GenLog.readMeta(spark, g, FormatVersion).map(g -> _)) match {
+        .flatMap(g => GenLog.readMeta(spark, g,
+          fmtFor(numPerms, bands)).map(g -> _)) match {
         case Some((g, m)) if m.snap.contains(snap) => g.toString
         case Some((g, m)) if m.snap.isDefined =>
-          scala.util.Try {
+          // the Try wraps ONLY the change-feed computation — a vacuumed
+          // indexed version legitimately degrades to a rebuild. The
+          // advance itself stays OUTSIDE it: swallowing an advance
+          // failure would silently convert every daily advance into an
+          // O(corpus) re-signature (masking the real error), and a
+          // failure after the advance's pointer flip would publish a
+          // redundant full generation on top of the live delta.
+          val feedOk = scala.util.Try {
             val feed = graft.store.SnapshotStore.changesBetween(
                 spark, storeRoot, m.snap.get, snap, Seq(idCol))
               .localCheckpoint(true)
             val churn = feed.filter(col("change_type") =!= "insert")
               .limit(1).count()
-            if (churn > 0) None
-            else {
-              val batch = feed.filter(col("change_type") === "insert")
-                .select(col(idCol), col(textCol))
+            val batch = feed.filter(col("change_type") === "insert")
+              .select(col(idCol), col(textCol))
+            (churn, batch)
+          }.toOption
+          feedOk match {
+            case Some((churn, batch)) if churn == 0 =>
               // reentrant: buildLock is a JVM monitor
-              Some(advanceWithBatch(spark, s"store:$storeRoot", batch,
+              advanceWithBatch(spark, s"store:$storeRoot", batch,
                 idCol, textCol, numPerms, bands, snap = Some(snap),
-                portable = portable))
-            }
-          }.toOption.flatten.getOrElse(rebuild())
+                portable = portable)
+            case _ => rebuild()
+          }
         case _ => rebuild()
       }
-      validated(root) = (s"snap:$snap", gen)
+      validated(root) = (s"snap:$snap$geom", gen)
       gen
     }
 
@@ -275,8 +309,9 @@ object LshBandIndex {
         .getOrElse(throw new java.io.FileNotFoundException(
           s"no snapshot published under $storeRoot — commit the corpus first"))
       val root = indexPath(familyKey(s"store:$storeRoot", portable))
+      val geom = geomTag(numPerms, bands)
       validated.get(root) match {
-        case Some((t, gen)) if t == s"snap:$snap" => return gen
+        case Some((t, gen)) if t == s"snap:$snap$geom" => return gen
         case _ => ()
       }
       val fs = new Path(root)
@@ -289,12 +324,14 @@ object LshBandIndex {
       // index history∖batch ∪ batch, which need not equal the snapshot
       // the result gets keyed to)
       val viaBatch = GenLog.currentGen(fs, root)
-        .flatMap(g => GenLog.readMeta(spark, g, FormatVersion).map(g -> _)) match {
+        .flatMap(g => GenLog.readMeta(spark, g,
+          fmtFor(numPerms, bands)).map(g -> _)) match {
         case Some((g, m)) if !m.snap.contains(snap) =>
           val countsOk =
             graft.store.SnapshotStore.read(spark, storeRoot).count() ==
               m.n + b.count()
-          lazy val overlaps = sigsOf(spark, g.toString).select("__id")
+          lazy val overlaps =
+            sigsOf(spark, g.toString, numPerms, bands).select("__id")
             .join(b.select(col(idCol).as("__id")), Seq("__id"), "left_semi")
             .limit(1).count() > 0
           countsOk && !overlaps
@@ -330,19 +367,24 @@ object LshBandIndex {
                        portable: Boolean = false): String =
     buildLock.synchronized {
       val root = indexPath(familyKey(key, portable))
+      val fmt = fmtFor(numPerms, bands)
+      val geom = geomTag(numPerms, bands)
       val fs = new Path(root)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val head = GenLog.currentGen(fs, root)
-        .flatMap(g => GenLog.readMeta(spark, g, FormatVersion).map(g -> _))
+        .flatMap(g => GenLog.readMeta(spark, g, fmt).map(g -> _))
         .getOrElse(throw new java.io.FileNotFoundException(
-          s"no live band index under $root — ensure() a base first"))
+          s"no live band index at geometry ${numPerms}x$bands under " +
+            s"$root — ensure() a base first (a geometry change requires " +
+            "a rebuild, not an advance)"))
       val (headGen, m) = head
       // one batch-sized materialization feeds the overlap probe, the
       // fingerprint, and the band write — a non-deterministic input
       // can't desynchronize meta from the written rows
       val b = batch.select(col(idCol).cast("long").as(idCol),
         col(textCol).as(textCol)).localCheckpoint(true)
-      val headIds = sigsOf(spark, headGen.toString).select("__id")
+      val headIds = sigsOf(spark, headGen.toString, numPerms, bands)
+        .select("__id")
       val bIds = b.select(col(idCol).as("__id"))
       // overlap EXISTENCE first: one scan of the index's one-row-per-doc
       // sigs id column semi-joined with the batch ids, limit-1 early-out.
@@ -363,9 +405,10 @@ object LshBandIndex {
       val fpB = if (snap.isDefined) 0L else fingerprint(b, idCol, textCol)
       val nNew = m.n + nb - nOverlap
       val fpNew = if (nOverlap > 0) 0L else m.fp ^ fpB
-      val tok = snap.map(s => s"snap:$s").getOrElse(s"fp:$nNew:$fpNew")
+      val tok = snap.map(s => s"snap:$s$geom")
+        .getOrElse(s"fp:$nNew:$fpNew$geom")
       val compact =
-        GenLog.chain(spark, headGen, FormatVersion).length >= maxChain
+        GenLog.chain(spark, headGen, fmt).length >= maxChain
       // zero-row batch (identical-content republish routed through
       // advanceForSnapshot): a META-ONLY re-key generation — no bands
       // dir at all (bandsOf skips it), nothing recomputed. The
@@ -375,11 +418,12 @@ object LshBandIndex {
       if (nb == 0) {
         val gen0 =
           if (compact)
-            publishFromSigs(spark, root, sigsOf(spark, headGen.toString),
+            publishFromSigs(spark, root,
+              sigsOf(spark, headGen.toString, numPerms, bands),
               numPerms, bands, portable,
-              GenLog.Meta(m.n, FormatVersion, m.fp, snap, None))
+              GenLog.Meta(m.n, fmt, m.fp, snap, None))
           else publishMetaOnly(spark, root,
-            GenLog.Meta(m.n, FormatVersion, m.fp, snap, Some(headGen.getName)))
+            GenLog.Meta(m.n, fmt, m.fp, snap, Some(headGen.getName)))
         validated(root) = (tok, gen0)
         return gen0
       }
@@ -390,16 +434,16 @@ object LshBandIndex {
           // rewrite path: history participates as its one-row-per-doc
           // SIGS (never the wide band table, never text); bands are
           // re-derived from the merged sigs at publish
-          val histSigs0 = sigsOf(spark, headGen.toString)
+          val histSigs0 = sigsOf(spark, headGen.toString, numPerms, bands)
           val histSigs =
             if (nOverlap == 0) histSigs0
             else histSigs0.join(bIds, Seq("__id"), "left_anti")
           publishFromSigs(spark, root, histSigs.unionByName(batchSigs),
             numPerms, bands, portable,
-            GenLog.Meta(nNew, FormatVersion, fpNew, snap, None))
+            GenLog.Meta(nNew, fmt, fpNew, snap, None))
         } else
           publishFromSigs(spark, root, batchSigs, numPerms, bands, portable,
-            GenLog.Meta(nNew, FormatVersion, fpNew, snap,
+            GenLog.Meta(nNew, fmt, fpNew, snap,
               Some(headGen.getName)))
       validated(root) = (tok, gen)
       gen
@@ -410,19 +454,21 @@ object LshBandIndex {
     * to the index (a streaming ingest advancing it per micro-batch) use
     * this to probe the exact state they last published. */
   def currentGenPath(spark: org.apache.spark.sql.SparkSession,
-                     key: String, portable: Boolean = false): Option[String] = {
+                     key: String, portable: Boolean = false,
+                     numPerms: Int = 16, bands: Int = 4): Option[String] = {
     val root = indexPath(familyKey(key, portable))
     val fs = new Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     GenLog.currentGen(fs, root)
-      .filter(g => GenLog.readMeta(spark, g, FormatVersion).isDefined)
+      .filter(g => GenLog.readMeta(spark, g,
+        fmtFor(numPerms, bands)).isDefined)
       .map(_.toString)
   }
 
   private def chainDirOf(spark: SparkSession, genPath: String,
-                         sub: String): DataFrame = {
+                         sub: String, fmt: Int): DataFrame = {
     val hadoop = spark.sparkContext.hadoopConfiguration
-    GenLog.chain(spark, new Path(genPath), FormatVersion)
+    GenLog.chain(spark, new Path(genPath), fmt)
       .map(g => new Path(g, sub))
       .filter(p => p.getFileSystem(hadoop).exists(p))
       .map(p => spark.read.parquet(p.toString))
@@ -434,15 +480,17 @@ object LshBandIndex {
     * ([[MinHashLSH.incrementalPairs]]'s history band side). Filters push
     * through the union into every per-generation parquet scan; the
     * signature column never enters this stream. */
-  def narrowBandsOf(spark: SparkSession, genPath: String): DataFrame =
-    chainDirOf(spark, genPath, "bands")
+  def narrowBandsOf(spark: SparkSession, genPath: String,
+                    numPerms: Int = 16, bands: Int = 4): DataFrame =
+    chainDirOf(spark, genPath, "bands", fmtFor(numPerms, bands))
 
   /** Signature rows `(__id, sig)` of the chain, one per document —
     * phase 2 of a split probe (candidate-id signature fetch), and the
     * cheapest id-membership surface the index offers (overlap guards
     * count this, not band rows). */
-  def sigsOf(spark: SparkSession, genPath: String): DataFrame =
-    chainDirOf(spark, genPath, "sigs")
+  def sigsOf(spark: SparkSession, genPath: String,
+             numPerms: Int = 16, bands: Int = 4): DataFrame =
+    chainDirOf(spark, genPath, "sigs", fmtFor(numPerms, bands))
 
   /** WIDE band rows `(__id, sig, band_id, band_hash)` of the chain —
     * the format-1 shape, reconstructed as narrow-bands ⋈ sigs for
@@ -451,9 +499,10 @@ object LshBandIndex {
     * [[narrowBandsOf]] + [[sigsOf]] to the split
     * [[MinHashLSH.incrementalPairs]] instead, which defers the sig
     * fetch to candidates only. */
-  def bandsOf(spark: SparkSession, genPath: String): DataFrame =
-    narrowBandsOf(spark, genPath)
-      .join(sigsOf(spark, genPath), Seq("__id"))
+  def bandsOf(spark: SparkSession, genPath: String,
+              numPerms: Int = 16, bands: Int = 4): DataFrame =
+    narrowBandsOf(spark, genPath, numPerms, bands)
+      .join(sigsOf(spark, genPath, numPerms, bands), Seq("__id"))
       .select(col("__id"), col("sig"), col("band_id"), col("band_hash"))
 
   /** RTBF companion — called by DELETING store writers (e.g.
@@ -495,8 +544,8 @@ object LshBandIndex {
             // readers — a purge must NOT: re-prune keeping only the
             // fresh generation
             GenLog.pruneGens(spark, fs, rootPath,
-              new Path(gen).getName, None, FormatVersion)
-            validated(root) = (s"snap:$snap", gen)
+              new Path(gen).getName, None, fmtFor(numPerms, bands))
+            validated(root) = (s"snap:$snap${geomTag(numPerms, bands)}", gen)
           }
         }
       }
@@ -517,7 +566,7 @@ object LshBandIndex {
     publishFromSigs(spark, root,
       MinHashLSH.sigRows(docs, idCol, textCol, numPerms, portable),
       numPerms, bandCount, portable,
-      GenLog.Meta(n, FormatVersion, fp, snap, None))
+      GenLog.Meta(n, fmtFor(numPerms, bandCount), fp, snap, None))
   }
 
   /** A META-ONLY generation (no bands dir): the re-key for an
@@ -532,7 +581,7 @@ object LshBandIndex {
     val gen = new Path(rootPath, genName)
     GenLog.writeMeta(spark, gen, meta)
     GenLog.publishGen(spark, root, genName)
-    GenLog.pruneGens(spark, fs, rootPath, genName, prevGen, FormatVersion)
+    GenLog.pruneGens(spark, fs, rootPath, genName, prevGen, meta.fmt)
     gen.toString
   }
 
@@ -561,7 +610,7 @@ object LshBandIndex {
       .write.parquet(new Path(gen, "bands").toString)
     GenLog.writeMeta(spark, gen, meta)
     GenLog.publishGen(spark, root, genName)
-    GenLog.pruneGens(spark, fs, rootPath, genName, prevGen, FormatVersion)
+    GenLog.pruneGens(spark, fs, rootPath, genName, prevGen, meta.fmt)
     gen.toString
   }
 }

@@ -234,21 +234,29 @@ object TextIndex {
         .flatMap(g => GenLog.readMeta(spark, g, FormatVersion).map(g -> _)) match {
         case Some((g, m)) if m.snap.contains(snap) => g.toString
         case Some((g, m)) if m.snap.isDefined =>
-          scala.util.Try {
+          // Try wraps ONLY the change-feed computation (a vacuumed
+          // indexed version legitimately degrades to a rebuild); the
+          // advance stays OUTSIDE it — swallowing its failures would
+          // silently turn every advance into an O(corpus) rebuild and
+          // could double-publish after a post-flip error
+          // (the LshBandIndex.advanceForSnapshot discipline).
+          val feedOk = scala.util.Try {
             val feed = graft.store.SnapshotStore.changesBetween(
                 spark, storeRoot, m.snap.get, snap, Seq(idCol))
               .localCheckpoint(true)
             val churn = feed.filter(col("change_type") =!= "insert")
               .limit(1).count()
-            if (churn > 0) None
-            else {
-              val batch = feed.filter(col("change_type") === "insert")
-                .select(col(idCol), col(textCol))
+            val batch = feed.filter(col("change_type") === "insert")
+              .select(col(idCol), col(textCol))
+            (churn, batch)
+          }.toOption
+          feedOk match {
+            case Some((churn, batch)) if churn == 0 =>
               // reentrant: buildLock is a JVM monitor
-              Some(advanceWithBatch(spark, s"store:$storeRoot", batch,
-                idCol, textCol, snap = Some(snap)))
-            }
-          }.toOption.flatten.getOrElse(rebuild())
+              advanceWithBatch(spark, s"store:$storeRoot", batch,
+                idCol, textCol, snap = Some(snap))
+            case _ => rebuild()
+          }
         case _ => rebuild()
       }
       validated(root) = (s"snap:$snap", gen)

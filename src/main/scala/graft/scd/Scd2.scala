@@ -197,9 +197,14 @@ object Scd2 {
                                sortCol: String, numFiles: Int,
                                statCols: Seq[String],
                                bloomCols: Seq[String] = Nil): String = {
+    // fence the rewrite on the version being read (the merge()/
+    // mergeRegioned discipline): a concurrent merge landing between
+    // this read and the commit must raise ConcurrentCommitException,
+    // not be silently reverted by a republish of pre-merge rows
+    val base = graft.store.SnapshotStore.currentName(spark, currentRoot(root))
     val cur = graft.store.SnapshotStore.read(spark, currentRoot(root))
-    graft.store.FileStats.publishSorted(spark, currentRoot(root), cur,
-      sortCol, numFiles, statCols, bloomCols)
+    graft.store.FileStats.publishSortedFrom(spark, currentRoot(root), base,
+      cur, sortCol, numFiles, statCols, bloomCols)
   }
 
   /** Production range read of the current region THROUGH the stats
@@ -377,8 +382,31 @@ object Scd2 {
       val replacement = prunedCur
         .join(closedKeys, Seq("universal_id"), "left_anti")
         .unionByName(fromBatch, allowMissingColumns = true)
-      writeChurnedPartitions(spark, replacement, churned, curPath,
-        partitionColumns, commit, curBase)
+      // carried-by-reference only works when the live snapshot HAS
+      // partition granules to reference. After optimizeCurrentWithStats
+      // the live snapshot is a FLAT (unpartitioned, manifest-less)
+      // sorted republish: currentEntries' hive-dir glob finds nothing,
+      // and an incremental manifest built on an empty carried map would
+      // silently DROP every untouched partition's rows. That first
+      // merge must full-width republish — exactly the cost the optimize
+      // scaladoc promises — which also restores the partition dirs so
+      // later merges are O(churn) again.
+      val canCarry = commit match {
+        case PointerCommit => SnapshotStore
+          .currentEntries(spark, curPath, partitionColumns.length)
+          .exists(_.nonEmpty)
+        case _ => true
+      }
+      if (canCarry)
+        writeChurnedPartitions(spark, replacement, churned, curPath,
+          partitionColumns, commit, curBase)
+      else {
+        val untouched = cur.join(broadcast(dim), cond, "left_anti")
+        commit.publishFrom(
+          untouched.unionByName(replacement, allowMissingColumns = true),
+          curPath, partitionColumns, curBase)
+        ()
+      }
     } finally prunedCur.unpersist()
   }
 
@@ -419,15 +447,9 @@ object Scd2 {
         SnapshotStore.commitFrom(spark, curPath, curBase) { dir =>
           replacement.write.mode(SaveMode.Overwrite)
             .partitionBy(partitionColumns: _*).parquet(dir)
-          val dirPath = new Path(dir)
-          val name = dirPath.getName
-          val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val glob = new Path(dir,
-            Seq.fill(partitionColumns.length)("*=*").mkString("/"))
-          val fresh = Option(fs.globStatus(glob)).getOrElse(Array.empty)
-            .map(_.getPath.toUri.getPath
-              .stripPrefix(dirPath.toUri.getPath).stripPrefix("/") -> name)
-            .toMap
+          val name = new Path(dir).getName
+          val fresh = SnapshotStore.freshEntries(spark, dir,
+            depth = partitionColumns.length)
           val carried = prev.filterNot { case (rel, _) => churnedRel(rel) }
           SnapshotStore.writeManifest(spark, curPath, name, carried ++ fresh)
         }
@@ -479,17 +501,32 @@ object Scd2 {
     // the append is a read-modify-write too (the dedup check below reads
     // the day's partition) — fence on the closed region's version here
     val closedBase = commit.version(spark, closedPath)
+    // retry dedup: a version can close only once, so an existing closed
+    // row for (universal_id, valid_from) marks this close-out as a
+    // replay — REGARDLESS of its valid_to stamp. Matching valid_to too
+    // (the earlier spelling) broke exactly the crash-retry case it
+    // existed for whenever the retry ran past midnight: the re-run
+    // stamps the new wall-clock date (the default asOfDate), reads only
+    // the new date's partition, finds nothing, and appends a second
+    // closed row per key. The pruned read spans the batch's dates AND
+    // the preceding day to catch that midnight straddle at O(day) cost;
+    // retries delayed further should inject a fixed asOfDate (the
+    // batch's logical date — the d7 injected-clock discipline), which
+    // makes the replay byte-identical and the dedup exact at any delay.
     val existingDay = readClosedRegion(spark, closedPath, commit).map { closed =>
       val dates = newlyClosed.select("valid_to").distinct()
+        .unionByName(newlyClosed.select(
+          date_sub(col("valid_to").cast("date"), 1).cast("string")
+            .as("valid_to")))
+        .distinct()
       closed.join(broadcast(dates), Seq("valid_to"), "left_semi")
-        .select(col("universal_id").as("_dup_uid"), col("valid_from").as("_dup_vf"),
-          col("valid_to").as("_dup_vt"))
+        .select(col("universal_id").as("_dup_uid"),
+          col("valid_from").as("_dup_vf"))
     }
     val deduped = existingDay match {
       case Some(dup) => newlyClosed.join(dup,
         col("universal_id") === col("_dup_uid") &&
-          col("valid_from") <=> col("_dup_vf") &&
-          col("valid_to") <=> col("_dup_vt"),
+          col("valid_from") <=> col("_dup_vf"),
         "left_anti")
       case None => newlyClosed
     }
@@ -503,13 +540,7 @@ object Scd2 {
           deduped.withColumn("close_batch", lit(name))
             .write.mode(SaveMode.Overwrite)
             .partitionBy("valid_to", "close_batch").parquet(dir)
-          val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val fresh = Option(fs.globStatus(
-            new Path(s"$dir/valid_to=*/close_batch=*")))
-            .getOrElse(Array.empty)
-            .map(_.getPath.toUri.getPath
-              .stripPrefix(dirPath.toUri.getPath).stripPrefix("/") -> name)
-            .toMap
+          val fresh = SnapshotStore.freshEntries(spark, dir, depth = 2)
           SnapshotStore.writeManifest(spark, closedPath, name, prev ++ fresh)
         }
       case _ =>
@@ -576,12 +607,7 @@ object Scd2 {
             .withColumn("close_batch", lit(name))
             .write.mode(SaveMode.Overwrite)
             .partitionBy("valid_to", "close_batch").parquet(dir)
-          val fresh = Option(fs.globStatus(
-            new Path(s"$dir/valid_to=*/close_batch=*")))
-            .getOrElse(Array.empty)
-            .map(_.getPath.toUri.getPath
-              .stripPrefix(dirPath.toUri.getPath).stripPrefix("/") -> name)
-            .toMap
+          val fresh = SnapshotStore.freshEntries(spark, dir, depth = 2)
           val carried = entries.filterNot { case (rel, _) =>
             oversized.contains(rel.split('/').head)
           }
@@ -598,7 +624,14 @@ object Scd2 {
           .foreach { st =>
             if (parquetFiles(fs, st.getPath) > maxFilesPerPartition) {
               val dir = st.getPath
-              val tmp = new Path(rootPath, dir.getName + "__compact_tmp")
+              // tmp lives OUTSIDE the read root: inside it, partition
+              // discovery would parse "valid_to=<date>__compact_tmp" as
+              // a real valid_to value — concurrent readers would double-
+              // count the date mid-compaction, and a crash before the
+              // delete would entrench the duplicate rows permanently
+              // (writeChurnedPartitions' swap path has always done this)
+              val tmp = new Path(rootPath.getParent,
+                s"${rootPath.getName}__compact_tmp_${dir.getName}")
               fs.delete(tmp, true)
               // rows carry no valid_to column inside partition dirs —
               // the rewrite preserves exactly that layout

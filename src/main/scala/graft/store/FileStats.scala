@@ -145,7 +145,23 @@ object FileStats {
                     sortCol: String, numFiles: Int, statCols: Seq[String],
                     bloomCols: Seq[String] = Nil,
                     sumCols: Seq[String] = Nil): String =
-    SnapshotStore.commit(spark, root) { dir =>
+    publishSortedFrom(spark, root,
+      SnapshotStore.currentName(spark, root), df, sortCol, numFiles,
+      statCols, bloomCols, sumCols)
+
+  /** [[publishSorted]] FENCED on the version the caller read (the
+    * [[SnapshotStore.commitFrom]] optimistic-concurrency contract): a
+    * read-modify-write rewrite like Scd2.optimizeCurrentWithStats must
+    * capture `base` BEFORE reading the rows it re-sorts — otherwise a
+    * merge landing between its read and its commit is silently
+    * overwritten with pre-merge data. */
+  def publishSortedFrom(spark: SparkSession, root: String,
+                        base: Option[String], df: DataFrame,
+                        sortCol: String, numFiles: Int,
+                        statCols: Seq[String],
+                        bloomCols: Seq[String] = Nil,
+                        sumCols: Seq[String] = Nil): String =
+    SnapshotStore.commitFrom(spark, root, base) { dir =>
       df.repartitionByRange(numFiles, col(sortCol))
         .sortWithinPartitions(sortCol)
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir)
@@ -835,11 +851,7 @@ object FileStats {
       val dirPath = new Path(dir)
       val vName = dirPath.getName
       val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val fresh = Option(fs.globStatus(new Path(s"$dir/$pcol=*")))
-        .getOrElse(Array.empty)
-        .map(_.getPath.toUri.getPath
-          .stripPrefix(dirPath.toUri.getPath).stripPrefix("/") -> vName)
-        .toMap
+      val fresh = SnapshotStore.freshEntries(spark, dir, depth = 1)
       val carried = entries.filterNot { case (rel, _) => affected(rel) }
       SnapshotStore.writeManifest(spark, root, vName, carried ++ fresh)
       writeSidecarIncremental(spark, root, vName, Some(cur),

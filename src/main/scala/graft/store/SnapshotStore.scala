@@ -559,6 +559,26 @@ object SnapshotStore {
       }
     }
 
+  /** rel-dir → version map of the hive partition dirs a publishing
+    * commit just wrote under version dir `dir` — the FRESH half of
+    * every incremental manifest (the carried half comes from
+    * [[currentEntries]] of the previous version). ONE copy of the
+    * path-decoding argument: both sides of the rel key go through
+    * `Path.toUri.getPath`, so hive escaping and %-encoding can never
+    * drift between the glob and the manifest spelling (the bug class
+    * six hand-rolled copies of this snippet each had to re-argue). */
+  def freshEntries(spark: SparkSession, dir: String,
+                   depth: Int): Map[String, String] = {
+    val dirPath = new Path(dir)
+    val name = dirPath.getName
+    val fs = fsOf(dirPath, spark)
+    val glob = new Path(dir, Seq.fill(depth)("*=*").mkString("/"))
+    Option(fs.globStatus(glob)).getOrElse(Array.empty)
+      .map(_.getPath.toUri.getPath
+        .stripPrefix(dirPath.toUri.getPath).stripPrefix("/") -> name)
+      .toMap
+  }
+
   /** Read a partition-manifest table: union of each referenced partition
     * dir with its partition-column values re-attached from the path
     * segments (stringly-typed, matching partition-type inference off). */

@@ -26,7 +26,14 @@ import graft.silver.SilverEtl
 object StreamingOps {
 
   /** Streaming bronze→silver: reuse the batch stages inside foreachBatch.
-    * `schema` must be supplied (streams cannot infer). */
+    * `schema` must be supplied (streams cannot infer). Output lands
+    * under `batch_id=<epoch>/` dirs written with OVERWRITE — foreachBatch
+    * is at-least-once (an epoch that crashed between its write and the
+    * checkpoint commit is replayed on restart), and a blind append would
+    * duplicate the replayed rows; overwriting the epoch's own dir makes
+    * the replay land on top of itself (the nearDupIndexedStream /
+    * keywordAlertStream idempotence discipline). Readers discover
+    * batch_id as a partition column of the silver table. */
   def silverStream(spark: SparkSession, bronzeGlob: String, schema: StructType,
                    silverPath: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] = {
     val stream = spark.readStream.schema(schema).json(bronzeGlob)
@@ -43,9 +50,9 @@ object StreamingOps {
           val enriched = SilverEtl.enrich(
             SilverEtl.standardize(SilverEtl.cleanse(valid)))
             .drop("_has_valid_coords", "_has_valid_price")
-          enriched.write.mode("append")
+          enriched.write.mode("overwrite")
             .partitionBy("spider_name", "ingestion_year", "ingestion_month")
-            .parquet(silverPath)
+            .parquet(s"$silverPath/batch_id=$batchId")
         }
       }
   }
@@ -308,11 +315,21 @@ object StreamingOps {
           SnapshotStore.currentName(spark, curatedRoot) match {
             case None =>
               val curated = IncrementalCurate.curateHistory(spark, b)
-              IncrementalCurate.publishDelta(spark, curatedRoot,
-                curated, None)
-              LshBandIndex.ensureForSnapshot(spark, curatedRoot,
-                portable = true)
-              ()
+                .localCheckpoint(true)
+              // a first batch the quality/lang gates rejected ENTIRELY
+              // must not bootstrap: publishing an empty store would
+              // wedge the stream permanently — ensureForSnapshot
+              // refuses to index an empty corpus, and every restart
+              // re-fails in the Some(snap) arm's rebuild before any
+              // later batch could add rows. Leave the store unborn;
+              // the next batch with a survivor cold-starts it.
+              if (!curated.isEmpty) {
+                IncrementalCurate.publishDelta(spark, curatedRoot,
+                  curated, None)
+                LshBandIndex.ensureForSnapshot(spark, curatedRoot,
+                  portable = true)
+                ()
+              }
             case Some(snap) =>
               // heal-or-noop: chains a pure-insert delta if a prior
               // publish outran its advance; returns the current gen

@@ -363,6 +363,46 @@ class Scd2RegionedSpec extends SparkSuite {
       s"expected the missing-sidecar failure, got: ${e.getMessage}")
   }
 
+  test("merge after optimize keeps UNTOUCHED partitions' rows: the " +
+    "flattened snapshot has no granules to carry by reference, so the " +
+    "first merge must full-width republish, not drop them") {
+    import spark.implicits._
+    def spiderBatch(ids: Range, name: String, spider: String,
+                    date: String) =
+      ids.map(i => (s"$spider-u$i", s"$name-$i", s"addr-$i", true, date,
+        null: String, spider, "2025", "01"))
+        .toDF("universal_id", "project_name", "address", "is_current",
+          "valid_from", "valid_to", "spider_name", "ingestion_year",
+          "ingestion_month")
+    val root = Files.createTempDirectory("graft_scd2_mp").toString + "/t"
+    val day1 = spiderBatch(0 until 300, "v1", "spA", "2025-01-15")
+      .unionByName(spiderBatch(0 until 300, "v1", "spB", "2025-01-15"))
+      .unionByName(spiderBatch(0 until 300, "v1", "spC", "2025-01-15"))
+    Scd2.mergeRegioned(spark, day1, root,
+      asOfDate = lit("2025-01-15"), commit = PointerCommit)
+    Scd2.optimizeCurrentWithStats(spark, root, sortCol = "universal_id",
+      numFiles = 4, statCols = Seq("universal_id"))
+    // churn ONLY spA; spB/spC exist solely as rows inside the flat files
+    Scd2.mergeRegioned(spark,
+      spiderBatch(0 until 100, "v2", "spA", "2025-01-16"), root,
+      asOfDate = lit("2025-01-16"), commit = PointerCommit)
+    val cur = Scd2.readRegionedCurrent(spark, root, PointerCommit)
+    assert(cur.count() === 900,
+      "untouched partitions' rows must survive the post-optimize merge")
+    assert(cur.filter(col("spider_name") === "spB").count() === 300)
+    assert(cur.filter(col("spider_name") === "spC").count() === 300)
+    assert(cur.filter(col("project_name").startsWith("v2")).count() === 100)
+    // the full republish restored hive partition granules: the NEXT
+    // merge carries untouched partitions by reference again
+    Scd2.mergeRegioned(spark,
+      spiderBatch(100 until 200, "v3", "spB", "2025-01-17"), root,
+      asOfDate = lit("2025-01-17"), commit = PointerCommit)
+    val cur2 = Scd2.readRegionedCurrent(spark, root, PointerCommit)
+    assert(cur2.count() === 900)
+    assert(cur2.filter(col("project_name").startsWith("v3")).count() === 100)
+    assert(cur2.filter(col("spider_name") === "spC").count() === 300)
+  }
+
   test("FlatLayout keeps the reference-parity single-table behavior") {
     val root = Files.createTempDirectory("graft_scd2_flat_seam").toString + "/t"
     FlatLayout.merge(spark, mkBatch(0 until 50, "v1", "2025-01-15"), root,
