@@ -102,7 +102,8 @@ object GoldEtl {
     df.withColumn("amenity_count",
         Mappings.AmenityPatterns.map { case (c, _) => col(c).cast("int") }
           .reduce(_ + _))
-      .withColumn("amenity_score", col("amenity_count") / 6.0)
+      .withColumn("amenity_score", col("amenity_count") /
+        lit(Mappings.AmenityPatterns.size.toDouble))
 
   /** year/quarter/month from ingestion_date (gold_ml_etl.py:314-321). */
   def engineerMarketFeatures(df: DataFrame): DataFrame =
@@ -228,15 +229,19 @@ object GoldEtl {
     val stats =
       if (commit.exists(spark, statsP)) Some(commit.read(spark, statsP))
       else None
-    val silverFull = conformToSilverSchema(
-      readSilver(spark, silverPath, commit, layout))
+    val silverRaw = readSilver(spark, silverPath, commit, layout)
+    val silverFull = conformToSilverSchema(silverRaw)
     // partition-pruned read: with persisted stats nothing downstream
     // needs unchurned rows, and (ingestion_year, ingestion_month) are
     // the silver table's own partition columns, so this predicate prunes
     // whole directories at the scan. Cast handles zero-padded values.
+    // Column presence is checked on the RAW frame: conformToSilverSchema
+    // pads missing schema columns as typed NULLs, which would make this
+    // guard vacuously true and the prune filter match zero rows — every
+    // affected gold partition silently rewritten to empty.
     val canPrune = stats.isDefined &&
-      silverFull.columns.contains("ingestion_year") &&
-      silverFull.columns.contains("ingestion_month")
+      silverRaw.columns.contains("ingestion_year") &&
+      silverRaw.columns.contains("ingestion_month")
     val silver =
       if (canPrune)
         silverFull.filter(affectedKeys.map { case (y, m) =>
@@ -258,7 +263,7 @@ object GoldEtl {
     if (stats.isEmpty)
       try commit.publish(
         Enhancement.imputationStats(silverFull), statsP, Nil)
-      catch { case _: RuntimeException => () }
+      catch { case scala.util.control.NonFatal(_) => () }
 
     // object-store path: write ONLY the replacement partitions into a
     // fresh version dir, then publish a manifest that carries every
@@ -318,7 +323,10 @@ object GoldEtl {
     val prevName = SnapshotStore.currentName(spark, goldPath)
     val prev = SnapshotStore.currentEntries(spark, goldPath, 3)
       .getOrElse(Map.empty)
-    SnapshotStore.commit(spark, goldPath) { dir =>
+    // fence on prevName — the version `prev`'s carried entries were read
+    // from (the commitFrom RMW discipline): a racing publish would
+    // otherwise be silently pointed back at stale partition dirs
+    SnapshotStore.commitFrom(spark, goldPath, prevName) { dir =>
       selected.write.mode(SaveMode.Overwrite)
         .partitionBy("quality_tier", "year", "month").parquet(dir)
       val dirPath = new org.apache.hadoop.fs.Path(dir)

@@ -34,6 +34,18 @@ object ConnectedComponents {
   def run(vertices: DataFrame, edges: DataFrame,
           idCol: String = "id", srcCol: String = "src", dstCol: String = "dst",
           maxIter: Int = 20): DataFrame = {
+    // integral ids only, refused LOUDLY (the ContextPack discipline):
+    // the convergence probe is an exact integer label-sum, and a string
+    // id column would cast to all-null under sum() — tripping the
+    // empty-input guard below and silently returning every vertex as
+    // its own singleton component (clusters never merge, dedup keeps
+    // every duplicate). Hash string keys to xxhash64 upstream.
+    val idType = vertices.select(col(idCol)).schema.head.dataType
+    require(Seq("byte", "short", "int", "long", "integer", "bigint",
+        "smallint", "tinyint").contains(idType.simpleString),
+      s"ConnectedComponents: id column '$idCol' must be an integral " +
+        s"type, got ${idType.simpleString} — hash non-numeric keys " +
+        "(e.g. xxhash64) before clustering")
     val bidir = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))

@@ -81,8 +81,13 @@ object GeoNeighborJoin {
     probes.join(homes, Seq("cx", "cy", "__b"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("dist2",
-        (col("lat_a") - col("lat_b")) * (col("lat_a") - col("lat_b")) +
-          (col("lon_a") - col("lon_b")) * (col("lon_a") - col("lon_b")))
+        // widen BEFORE squaring: with IntegerType coordinates a squared
+        // axis difference reaches ~(3·radius)² and wraps 32-bit silently
+        // past radius ≈ 15k micro-degrees (wrong pair set, no error)
+        (col("lat_a") - col("lat_b")).cast("long") *
+          (col("lat_a") - col("lat_b")).cast("long") +
+          (col("lon_a") - col("lon_b")).cast("long") *
+            (col("lon_a") - col("lon_b")).cast("long"))
       .filter(col("dist2") <= lit(radius * radius))
       .select(col("id_a"), col("id_b"), col("dist2"))
   }

@@ -69,9 +69,19 @@ object ShelfPack {
         s"ShelfPack.placements: id column '$idCol' must be numeric " +
           s"(bucket bounds are computed on the double cast), got ${t.sql}")
     }
+    // null/non-positive token counts are REFUSED, not filtered: this
+    // file's own overflow rationale ("silently dropping them would
+    // misreport coverage") applies equally here — a coverage audit
+    // comparing binReport doc counts against the corpus must reconcile
+    // exactly. Zero-token docs (empty/whitespace text) are the caller's
+    // decision to drop or placeholder upstream, visibly.
+    require(docs.filter(col(tokenCol).isNull || col(tokenCol) <= 0)
+        .limit(1).isEmpty,
+      s"ShelfPack.placements: '$tokenCol' contains null or non-positive " +
+        "token counts — filter or repair them upstream (a silent drop " +
+        "here would misreport packing coverage)")
     // size class: docs-per-bin; tokens > capacity → class 0 (overflow)
     val classed = docs
-      .filter(col(tokenCol).isNotNull && col(tokenCol) > 0)
       .withColumn("size_class",
         expr(s"case when $tokenCol > ${capacity}L then 0L " +
           s"else ${capacity}L div $tokenCol end"))

@@ -235,7 +235,10 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
 object RangeJoinStrategy extends SparkStrategy {
   private def bandSideFits(bands: LogicalPlan): Boolean = {
     val threshold = org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
-    threshold <= 0 || bands.stats.sizeInBytes <= BigInt(threshold) * 8
+    // threshold <= 0 is Spark's "broadcasting DISABLED" convention —
+    // it must route to the partitioned exec, not force a broadcast
+    // (the user disabled broadcasts precisely to protect the driver)
+    threshold > 0 && bands.stats.sizeInBytes <= BigInt(threshold) * 8
   }
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {

@@ -321,13 +321,22 @@ object SilverEtl {
     // avg/range columns with presence guards (silver_etl_script.py:770-828;
     // note: no avg_rent_price here — that lives only in the transform
     // catalog, the reference enrich never calls it)
-    def guardedAvg(minC: String, maxC: String): Column =
-      if (!d.columns.contains(minC) && !d.columns.contains(maxC)) lit(null)
+    def guardedAvg(minC: String, maxC: String): Column = {
+      // presence-guard BOTH one-sided shapes: a frame carrying exactly
+      // one of the pair (silver only writes columns present in that
+      // day's bronze) must degrade to the present column, not throw
+      // UNRESOLVED_COLUMN building the absent one
+      val hasMin = d.columns.contains(minC)
+      val hasMax = d.columns.contains(maxC)
+      if (!hasMin && !hasMax) lit(null)
+      else if (!hasMax) col(minC)
+      else if (!hasMin) col(maxC)
       else when(col(minC).isNotNull && col(maxC).isNotNull,
         (col(minC) + col(maxC)) / 2)
         .when(col(minC).isNotNull, col(minC))
         .when(col(maxC).isNotNull, col(maxC))
         .otherwise(lit(null))
+    }
     def guardedRange(minC: String, maxC: String): Column =
       if (!d.columns.contains(minC) || !d.columns.contains(maxC)) lit(null)
       else when(col(minC).isNotNull && col(maxC).isNotNull, col(maxC) - col(minC))
@@ -390,7 +399,7 @@ object SilverEtl {
       return EtlStats(0, 0, 0, 0, 0, 0.0)
     }
     val mapped = applySchemaMapping(bronze)
-    val (valid, invalid) = validate(mapped)
+    val (valid, invalidRaw) = validate(mapped)
     val cleanedPre = valid.cache()
     val recordsValid = cleanedPre.count()
     // quality report runs over the CACHED frame (it takes two actions) and
@@ -398,6 +407,10 @@ object SilverEtl {
     runQualityChecks(cleanedPre).filterNot(_.passed).foreach { r =>
       System.err.println(s"[silver][quality] FAILED ${r.name}: ${r.details}")
     }
+    // invalid is cached too: count() here and writeQuarantine below
+    // would otherwise each re-parse the whole bronze JSON — the most
+    // expensive stage of the run, paid twice for the REJECTED sliver
+    val invalid = invalidRaw.cache()
     val recordsInvalid = invalid.count()
     val deduped = dedupLatest(cleanedPre).cache()
     val dedupCount = deduped.count()
@@ -407,17 +420,27 @@ object SilverEtl {
     // silver schema into the persisted table.
     val enriched = enrich(standardize(cleaned), clock)
       .drop("_has_valid_coords", "_has_valid_price").cache()
-    val avgScore = enriched.agg(avg(col("data_completeness_score"))).head
-      .getAs[Any](0) match { case d: java.lang.Double => d.doubleValue; case _ => 0.0 }
-    val written = layout.merge(spark, enriched, cfg.silverPath,
-      asOfDate = to_date(clock).cast("string"), commit = commit)
-    // step 10: quarantine + run-metadata sinks (:997-1041)
-    if (recordsInvalid > 0)
-      writeQuarantine(invalid, cfg.quarantinePath, clock)
-    val stats = EtlStats(recordsRead, recordsValid, recordsInvalid,
-      recordsValid - dedupCount, written, avgScore)
-    writeRunMetadata(spark, cfg.runId, cfg.startDate, stats, cfg.metadataPath)
-    stats
+    try {
+      val avgScore = enriched.agg(avg(col("data_completeness_score"))).head
+        .getAs[Any](0) match { case d: java.lang.Double => d.doubleValue; case _ => 0.0 }
+      val written = layout.merge(spark, enriched, cfg.silverPath,
+        asOfDate = to_date(clock).cast("string"), commit = commit)
+      // step 10: quarantine + run-metadata sinks (:997-1041)
+      if (recordsInvalid > 0)
+        writeQuarantine(invalid, cfg.quarantinePath, clock)
+      val stats = EtlStats(recordsRead, recordsValid, recordsInvalid,
+        recordsValid - dedupCount, written, avgScore)
+      writeRunMetadata(spark, cfg.runId, cfg.startDate, stats, cfg.metadataPath)
+      stats
+    } finally {
+      // repeated runs in one session (the streaming twin, spec suites)
+      // must not accumulate executor cache across days
+      enriched.unpersist()
+      deduped.unpersist()
+      invalid.unpersist()
+      cleanedPre.unpersist()
+      ()
+    }
   }
 
   /** Quarantine sink (silver_etl_script.py:997-1014): failed-validation
