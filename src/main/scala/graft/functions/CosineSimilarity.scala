@@ -45,6 +45,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
     else {
       var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
       while (i < n) {
+        // a NULL element must yield a NULL result (the zip_with/
+        // aggregate HOF semantics this expression claims parity with) —
+        // ArrayData.getDouble on a null slot reads a fabricated 0.0,
+        // which would silently pass/fail dedup thresholds
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
         val xv = x.getDouble(i); val yv = y.getDouble(i)
         dot += xv * yv; nx += xv * xv; ny += yv * yv
         i += 1
@@ -66,18 +71,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val anyNull = ctx.freshName("anyNull")
       s"""
          |final int $n = $a.numElements();
          |if ($n != $b.numElements()) {
          |  ${ev.isNull} = true;
          |} else {
          |  double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |  boolean $anyNull = false;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $anyNull = true; break; }
          |    final double $xv = $a.getDouble($i);
          |    final double $yv = $b.getDouble($i);
          |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
          |  }
-         |  if ($nx == 0.0 || $ny == 0.0) {
+         |  if ($anyNull || $nx == 0.0 || $ny == 0.0) {
          |    ${ev.isNull} = true;
          |  } else {
          |    ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));

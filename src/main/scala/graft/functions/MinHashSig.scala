@@ -104,9 +104,18 @@ object MinHashSig {
     UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
-  /** Register `graft_minhash_sig(toks, numPerms)` for SQL/expr use. */
+  /** Register `graft_minhash_sig(toks, numPerms)` for SQL/expr use;
+    * `numPerms` must be an INT literal, validated with a descriptive
+    * error (the SignRpKeys builder discipline) — a bare
+    * `.eval().asInstanceOf[Int]` would CCE on a long literal (`16L`,
+    * easy to write in SQL) and eval an unbound attribute at plan time. */
   private[graft] val builder: Seq[Expression] => Expression = exprs =>
-    MinHashSig(exprs.head, exprs(1).eval().asInstanceOf[Int])
+    exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) =>
+        MinHashSig(exprs.head, v)
+      case other => throw new IllegalArgumentException(
+        s"graft_minhash_sig: numPerms must be an INT literal, got $other")
+    }
 
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

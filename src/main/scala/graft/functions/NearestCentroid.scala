@@ -78,6 +78,10 @@ case class NearestCentroid(child: Expression,
     var nx = 0.0
     var i = 0
     while (i < dim) {
+      // a NULL element reads as a fabricated 0.0 through getDouble —
+      // the row would assign to a garbage cell; route it to the null
+      // cell like the zero-norm/wrong-dim unassignables instead
+      if (x.isNullAt(i)) return null
       val v = x.getDouble(i); q(i) = v; nx += v * v; i += 1
     }
     if (nx == 0.0) return null

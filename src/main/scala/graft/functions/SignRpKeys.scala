@@ -28,17 +28,35 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
 case class SignRpKeys(child: Expression, bands: Int, rowsPerBand: Int)
   extends UnaryExpression {
 
+  // geometry validated at CONSTRUCTION (both the SQL builder and direct
+  // Scala paths): rowsPerBand = 0 would emit all-zero keys for every
+  // vector (the band self-join degenerates to N×N), and > 64 wraps the
+  // 1L << (p % rowsPerBand) shift so distinct planes alias one bit —
+  // both silent result corruptions, refused loudly instead.
+  require(bands > 0, s"graft_sign_rp_keys: bands=$bands must be positive")
+  require(rowsPerBand > 0 && rowsPerBand <= 64,
+    s"graft_sign_rp_keys: rowsPerBand=$rowsPerBand out of range [1,64]")
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"graft_sign_rp_keys expects array<double>, got ${t.sql}")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_sign_rp_keys"
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // a NULL element projects as a fabricated 0.0 through getDouble —
+    // the vector's bucket would depend on garbage; yield NULL instead
+    // (callers' posexplode then skips the row, like a null embedding)
+    var k = 0
+    while (k < n) {
+      if (arr.isNullAt(k)) return null
+      k += 1
+    }
     val keys = new Array[Long](bands)
     var p = 0
     val nPlanes = bands * rowsPerBand
@@ -66,8 +84,17 @@ case class SignRpKeys(child: Expression, bands: Int, rowsPerBand: Int)
       val w = ctx.freshName("w")
       // same SplitMix64 finalizer as SignRpKeys.weight — the two paths
       // must agree bit-for-bit or bucket assignment depends on codegen
+      val anyNull = ctx.freshName("anyNull")
+      val k = ctx.freshName("k")
       s"""
          |final int $n = $a.numElements();
+         |boolean $anyNull = false;
+         |for (int $k = 0; $k < $n; $k++) {
+         |  if ($a.isNullAt($k)) { $anyNull = true; break; }
+         |}
+         |if ($anyNull) {
+         |  ${ev.isNull} = true;
+         |} else {
          |final long[] $keys = new long[$bands];
          |for (int $p = 0; $p < ${bands * rowsPerBand}; $p++) {
          |  double $dot = 0.0;
@@ -82,6 +109,7 @@ case class SignRpKeys(child: Expression, bands: Int, rowsPerBand: Int)
          |  if ($dot >= 0) $keys[$p / $rowsPerBand] |= (1L << ($p % $rowsPerBand));
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($keys);
+         |}
        """.stripMargin
     })
 

@@ -46,7 +46,11 @@ object AsOfJoin {
       s"payload columns ${collisions.mkString(", ")} also exist on the left " +
         "side — the output would have ambiguous duplicate names; rename " +
         "one side first")
-    val r = right.select(
+    // a null rightTime can never satisfy `rightTime <= leftTime` in the
+    // inequality-join semantics being emulated — but ascending
+    // nulls-FIRST ordering would sort such a row before every real one
+    // and attach its payload to early left rows; drop them up front
+    val r = right.filter(col(rightTime).isNotNull).select(
       col(rightKey).as("__k"),
       col(rightTime).as("__t"),
       struct(payloadCols.map(col): _*).as("__p"),

@@ -55,13 +55,21 @@ object MinHashLSH {
                      materialize: Boolean = true): DataFrame = {
     require(numPerms % bands == 0, s"numPerms=$numPerms not divisible by bands=$bands")
     val rowsPerBand = numPerms / bands
-    val sigs = signatures(docs, idCol, textCol, numPerms)
+    // band hash spelled via bandStruct — the ONE spelling shared with
+    // the persisted index's re-derivation; an inline respelling here
+    // could silently diverge from LshBandIndex probes after a change.
+    // persist only when this call will ACTUALLY run the plan twice
+    // (the a/b self-join sides): an explain-only materialize=false
+    // caller must not leak a corpus-scale cached table per call.
+    val sigsBase = signatures(docs, idCol, textCol, numPerms)
       .select(col("__id"), col("sig"),
-        array((0 until bands).map(b => struct(
-          lit(b).as("band_id"),
-          xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
-            .map(i => col("sig").getItem(i)): _*).as("band_hash"))): _*).as("bands"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        array((0 until bands)
+          .map(b => bandStruct(b, rowsPerBand, portable = false)): _*)
+          .as("bands"))
+    val sigs =
+      if (materialize)
+        sigsBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sigsBase
     val banded = sigs
       .select(col("__id"), col("sig"), explode(col("bands")).as("band"))
       .select(col("__id"), col("sig"), col("band.band_id"), col("band.band_hash"))
@@ -375,6 +383,21 @@ object MinHashLSH {
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int), String]
 
+  // tmp pair dirs are cleaned at JVM exit (File.deleteOnExit cannot
+  // remove non-empty dirs, so one recursive hook instead of per-file
+  // registration)
+  locally {
+    java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      pairsCache.values.foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory)
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(d))
+      }))
+  }
+
   /** [[candidatePairs]] of `docs` (default id/text columns), materialized
     * ONCE per (JVM, cacheKey, numPerms, bands) to a tmp parquet dir and
     * re-read thereafter. Candidate membership is a per-PAIR property —
@@ -390,13 +413,18 @@ object MinHashLSH {
   def cachedPairs(docs: DataFrame, cacheKey: String,
                   numPerms: Int = 16, bands: Int = 4): DataFrame = {
     val spark = docs.sparkSession
-    val path = pairsCache.getOrElseUpdate((cacheKey, numPerms, bands), {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_lsh_pairs").toString
-      candidatePairs(docs, numPerms = numPerms, bands = bands)
-        .write.mode("overwrite").parquet(dir)
-      dir
-    })
+    // synchronized: TrieMap.getOrElseUpdate may run the op in TWO racing
+    // threads (one insert wins, the loser's full LSH pass lands in an
+    // orphaned dir) — the pass is expensive enough to serialize instead
+    val path = pairsCache.synchronized {
+      pairsCache.getOrElseUpdate((cacheKey, numPerms, bands), {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_lsh_pairs")
+        candidatePairs(docs, numPerms = numPerms, bands = bands)
+          .write.mode("overwrite").parquet(dir.toString)
+        dir.toString
+      })
+    }
     spark.read.parquet(path)
   }
 
@@ -405,14 +433,16 @@ object MinHashLSH {
   def cachedPortablePairs(docs: DataFrame, cacheKey: String,
                           numPerms: Int = 16, bands: Int = 4): DataFrame = {
     val spark = docs.sparkSession
-    val path = pairsCache.getOrElseUpdate(
-      (s"portable:$cacheKey", numPerms, bands), {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_lsh_pairs_portable").toString
-        portablePairs(docs, numPerms = numPerms, bands = bands)
-          .write.mode("overwrite").parquet(dir)
-        dir
-      })
+    val path = pairsCache.synchronized {
+      pairsCache.getOrElseUpdate(
+        (s"portable:$cacheKey", numPerms, bands), {
+          val dir = java.nio.file.Files
+            .createTempDirectory("graft_lsh_pairs_portable")
+          portablePairs(docs, numPerms = numPerms, bands = bands)
+            .write.mode("overwrite").parquet(dir.toString)
+          dir.toString
+        })
+    }
     spark.read.parquet(path)
   }
 }

@@ -52,21 +52,36 @@ object ZOrder {
       zCols.flatMap(c => Seq(min(c.cast("double")), max(c.cast("double")))).tail: _*)
       .head()
     val buckets = zCols.zipWithIndex.map { case (c, idx) =>
-      val mn = stats.getDouble(2 * idx)
-      val span = math.max(stats.getDouble(2 * idx + 1) - mn, Double.MinPositiveValue)
+      // an EMPTY frame (or an all-null column) has null min/max — a
+      // maintenance OPTIMIZE on an empty snapshot must degrade to a
+      // constant bucket (null _z sorts together), not NPE mid-commit
+      val mn =
+        if (stats.isNullAt(2 * idx)) 0.0 else stats.getDouble(2 * idx)
+      val mx =
+        if (stats.isNullAt(2 * idx + 1)) mn else stats.getDouble(2 * idx + 1)
+      val span = math.max(mx - mn, Double.MinPositiveValue)
       least(greatest(
         floor((c.cast("double") - lit(mn)) / lit(span) * lit(width.toDouble)),
         lit(0L)), lit(width)).cast("int")
     }
+    require(!df.columns.contains(zName),
+      s"ZOrder.withZValue: the frame already has a column named " +
+        s"'$zName' — clustering would overwrite and then DROP it; pass " +
+        "a different zName")
     df.withColumn(zName, interleave(buckets, bitsPer))
   }
 
   /** Z-order the table's row layout: range-partition on the z-value into
     * `numFiles` output partitions, sort within each, drop the helper
-    * column (a projection — intra-partition order survives). */
-  def cluster(df: DataFrame, zCols: Seq[Column], numFiles: Int): DataFrame =
-    withZValue(df, zCols)
-      .repartitionByRange(numFiles, col("_z"))
-      .sortWithinPartitions("_z")
-      .drop("_z")
+    * column (a projection — intra-partition order survives). The helper
+    * name is made collision-proof against the frame's own columns (a
+    * layout-only operation must never eat a user column named `_z`). */
+  def cluster(df: DataFrame, zCols: Seq[Column], numFiles: Int): DataFrame = {
+    val zName = Iterator.from(0).map(i => if (i == 0) "_z" else s"_z$i")
+      .find(n => !df.columns.contains(n)).get
+    withZValue(df, zCols, zName)
+      .repartitionByRange(numFiles, col(zName))
+      .sortWithinPartitions(zName)
+      .drop(zName)
+  }
 }

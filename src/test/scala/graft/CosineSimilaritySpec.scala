@@ -65,6 +65,25 @@ class CosineSimilaritySpec extends SparkSuite {
     assert(interp == null)
   }
 
+  test("a NULL array element yields NULL, never a fabricated 0.0 — both " +
+    "evaluation paths (the zip_with/aggregate HOF parity contract)") {
+    CosineSimilarity.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_cosine(array(1.0d, cast(null as double)), " +
+        "array(1.0d, 1.0d)) AS cs").head()
+    assert(viaSql.isNullAt(0),
+      "codegen path read a null slot as 0.0 instead of yielding NULL")
+    val nullLit = org.apache.spark.sql.catalyst.expressions.Literal(null)
+    val e = CosineSimilarity(nullLit, nullLit)
+    val interp = e.nullSafeEval(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array[Any](1.0, null)),
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array[Any](1.0, 1.0)))
+    assert(interp == null,
+      "interpreted path read a null slot as 0.0 instead of yielding NULL")
+  }
+
   test("interpreted eval agrees with codegen path") {
     CosineSimilarity.register(spark)
     import spark.implicits._

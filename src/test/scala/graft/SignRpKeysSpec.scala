@@ -46,4 +46,25 @@ class SignRpKeysSpec extends SparkSuite {
     assert(rows(1) === rows(2), "positively-scaled copy must share all band keys")
     assert(rows(1) != rows(3), "negated vector must flip sign bits")
   }
+
+  test("degenerate geometry is refused loudly; a null element yields " +
+    "NULL keys instead of bucketing on fabricated zeros") {
+    SignRpKeys.register(spark)
+    // rowsPerBand = 0 would emit identical all-zero keys for EVERY
+    // vector — the band join degenerates to N×N with no error
+    intercept[IllegalArgumentException] {
+      SignRpKeys(org.apache.spark.sql.catalyst.expressions.Literal(null),
+        bands = 8, rowsPerBand = 0)
+    }
+    intercept[IllegalArgumentException] {
+      SignRpKeys(org.apache.spark.sql.catalyst.expressions.Literal(null),
+        bands = 8, rowsPerBand = 65)
+    }
+    val viaSql = spark.sql(
+      "SELECT graft_sign_rp_keys(array(1.0d, cast(null as double)), 8, 16) AS k")
+      .head()
+    assert(viaSql.isNullAt(0),
+      "a vector with a null element must yield NULL keys (its bucket " +
+        "would otherwise depend on a fabricated 0.0)")
+  }
 }
