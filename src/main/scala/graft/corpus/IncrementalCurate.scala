@@ -89,13 +89,6 @@ object IncrementalCurate {
       .withColumn("split", graft.operators.Splits.hashSplit(col("doc_id")))
   }
 
-  /** Curate `batch` (raw ingest rows) against the curated-history store
-    * at `curatedRoot` and its persisted PORTABLE band index generation
-    * `indexGen`. Returns the batch's quality+exact survivors with
-    * `content_hash`, `is_canonical` (near-dup decision) and `split` —
-    * the delta the caller publishes. Only batch text is read; history
-    * participates as the narrow `content_hash` column and the index's
-    * band rows. */
   /** GRAFT_CURATE_DEBUG=1 prints per-stage wall times (the two eager
     * checkpoints bound the stages) — diagnosis for scale runs. */
   private def debugStage(tag: String, t0: Long): Long = {
@@ -104,6 +97,13 @@ object IncrementalCurate {
     System.nanoTime()
   }
 
+  /** Curate `batch` (raw ingest rows) against the curated-history store
+    * at `curatedRoot` and its persisted PORTABLE band index generation
+    * `indexGen`. Returns the batch's quality+exact survivors with
+    * `content_hash`, `is_canonical` (near-dup decision) and `split` —
+    * the delta the caller publishes. Only batch text is read; history
+    * participates as the narrow `content_hash` column and the index's
+    * band rows. */
   def curateBatch(spark: SparkSession, batch: DataFrame,
                   curatedRoot: String, indexGen: String): DataFrame = {
     var t0 = System.nanoTime()
@@ -203,7 +203,6 @@ object IncrementalCurate {
     SnapshotStore.commitFrom(spark, curatedRoot, base) { dir =>
       val dirPath = new org.apache.hadoop.fs.Path(dir)
       val name = dirPath.getName
-      val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       accepted.withColumn("batch_id", lit(name))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("batch_id").parquet(dir)
@@ -275,7 +274,6 @@ object IncrementalCurate {
     SnapshotStore.commitFrom(spark, curatedRoot, base) { dir =>
       val dirPath = new org.apache.hadoop.fs.Path(dir)
       val name = dirPath.getName
-      val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       // one file per batch_id partition (the small-files rule: cluster
       // by the partition column before partitionBy)
       SnapshotStore.read(spark, curatedRoot)

@@ -47,6 +47,20 @@ object BloomDedup {
               expectedItems: Long, fpp: Double = 0.03): DataFrame = {
     val spark = batch.sparkSession
     BloomContains.register(spark)
+    // xxhash64 hashes BY TYPE: a batch key column of a different type
+    // than history's hashes differently for equal values, so every
+    // duplicate would probe "definitely new" and bypass the exact
+    // anti-join — breaking the row-identical contract silently. Refuse
+    // loudly (the FileStats.antiJoinFresh discipline).
+    val bType = batch.schema.find(_.name == keyCol).map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"BloomDedup.newRows: '$keyCol' not present in the batch"))
+    val hType = history.schema.find(_.name == keyCol).map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"BloomDedup.newRows: '$keyCol' not present in the history"))
+    require(bType == hType,
+      s"BloomDedup.newRows: batch '$keyCol' is $bType but history's is " +
+        s"$hType — xxhash64 hashes by type, duplicates would probe as new")
     val bloom = history.select(xxhash64(col(keyCol)).as("_fp"))
       .stat.bloomFilter("_fp", expectedItems, fpp)
     val b64 = Base64.getEncoder.encodeToString(BloomContains.serialize(bloom))

@@ -39,9 +39,16 @@ object Decontam {
   def fuzzyFlags(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text", splitCol: String = "split",
                  minAgreement: Double = 0.8): DataFrame = {
-    val bands = MinHashLSH.portableBandRows(docs, idCol, textCol)
-      .join(docs.select(col(idCol).as("__id"), col(splitCol).as("__split")),
+    // (a) only the two splits are ever consumed — signing out-of-scope
+    // rows (an md5 per word-shingle each) is pure waste; (b) the banded
+    // frame feeds BOTH sides of the self-join below, so without a
+    // persist the corpus-scale signature pass executes twice (the
+    // MinHashLSH.portablePairs persist rationale)
+    val inScope = docs.filter(col(splitCol).isin("train", "eval"))
+    val bands = MinHashLSH.portableBandRows(inScope, idCol, textCol)
+      .join(inScope.select(col(idCol).as("__id"), col(splitCol).as("__split")),
         "__id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val train = bands.filter(col("__split") === "train")
       .select(col("__id").as("train_id"), col("sig").as("sig_t"),
         col("band_id"), col("band_hash"))
@@ -58,11 +65,16 @@ object Decontam {
         count(lit(1)).as("n_matches"),
         max(col("est")).as("max_est"),
         min(col("train_id")).as("nearest_train"))
-    docs.filter(col(splitCol) === "eval").select(idCol)
+    val flags = docs.filter(col(splitCol) === "eval").select(idCol)
       .join(hits, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_matches"), lit(0L)).as("n_matches"),
         col("max_est"), col("nearest_train"),
         (coalesce(col("n_matches"), lit(0L)) > 0).as("contaminated"))
+      // one row per eval doc — materializing it eagerly lets the
+      // corpus-scale banded cache be released before returning
+      .localCheckpoint(true)
+    bands.unpersist()
+    flags
   }
 }

@@ -65,10 +65,21 @@ object Interleave {
                     tickets: Map[String, Int]): DataFrame = {
     require(tickets.nonEmpty && tickets.values.forall(_ > 0),
       s"tickets must be positive: $tickets")
-    def gcd(a: Int, b: Int): Int = if (b == 0) a else gcd(b, a % b)
-    val l = tickets.values.reduce((a, b) => a / gcd(a, b) * b)
+    // lcm in LONG with an overflow trap: ~10 pairwise-coprime ticket
+    // values already exceed Int.MaxValue, and a wrapped lcm corrupts
+    // every stride (and the whole epoch order) with no error
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val l = tickets.values.map(_.toLong).reduce { (a, b) =>
+      try Math.multiplyExact(a / gcd(a, b), b)
+      catch {
+        case _: ArithmeticException => throw new IllegalArgumentException(
+          s"Interleave.weightedOrder: lcm of tickets ${tickets.values} " +
+            "overflows Long — reduce the ticket values to a coarser " +
+            "common grid (the stride only needs their RATIOS)")
+      }
+    }
     val stride: Column = tickets.foldLeft(lit(null).cast("long"): Column) {
-      case (els, (s, t)) => when(col(srcCol) === s, lit((l / t).toLong)).otherwise(els)
+      case (els, (s, t)) => when(col(srcCol) === s, lit(l / t)).otherwise(els)
     }
     hashRank(df.filter(col(srcCol).isin(tickets.keys.toSeq: _*)),
         srcCol, keyCol)

@@ -555,7 +555,23 @@ object IvfIndex {
     // products can be rescaled to cosine at query time. The LAST
     // subspace absorbs dim % PqSub (subSliceLen below), so a
     // non-divisible dimension degrades nothing silently.
-    val dim = e0.select(size(col("emb"))).head().getInt(0)
+    // geometry from the training sample's DOMINANT size, not an
+    // arbitrary first row: the build tolerates null/wrong-dim
+    // embeddings per-row (they land in the null cell), so head() could
+    // read a null (NPE) or a truncated row — silently PQ-slicing every
+    // normal vector over a prefix of its dimensions for the whole
+    // generation. (Max would be as bad the other way: one corrupt
+    // LONGER row would wrong-dim the entire corpus into the null cell.)
+    // One tiny agg over the ≤TrainCap sample.
+    val dim = train.groupBy(size(col("emb")).as("__d"))
+      .count()
+      .filter(col("__d").isNotNull && col("__d") >= 1)
+      .orderBy(desc("count"), asc("__d"))
+      .take(1).headOption
+      .map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        s"IvfIndex.build: no non-empty embeddings to derive the " +
+          s"dimension from ($root)"))
     require(dim >= PqSub,
       s"IvfIndex.build: embedding dim $dim < PqSub=$PqSub — no subspace split")
     val subLen = dim / PqSub

@@ -34,18 +34,23 @@ object Mixture {
   def sample(df: DataFrame, stratumCol: String, keyCol: String,
              allocations: Map[String, Int]): DataFrame = {
     require(allocations.nonEmpty, "mixture: empty allocation map")
-    val w = Window.partitionBy(stratumCol)
-      .orderBy(md5(col(keyCol).cast("string").cast("binary")), col(keyCol))
     val quota: Column = allocations.toSeq.sortBy(_._1)
       .foldLeft(lit(0)) { case (acc, (s, q)) =>
         when(col(stratumCol) === s, q).otherwise(acc)
       }
     // pre-filter to the listed strata: unlisted rows would otherwise be
-    // shuffled, sorted, and numbered by the window only to die on the
-    // quota-0 filter (the oracle's WHERE ... IN does the same)
-    df.filter(col(stratumCol).isin(allocations.keySet.toSeq: _*))
-      .withColumn("rn", row_number().over(w))
+    // ranked only to die on the quota-0 filter (the oracle's WHERE ...
+    // IN does the same). The rank itself comes from Interleave.hashRank
+    // — the identical (md5(key), key) per-stratum order, computed
+    // two-phase instead of a bare Window.partitionBy(stratum), whose
+    // one-task-per-stratum sort is exactly the pathology hashRank's
+    // header documents (5 languages at 100 TB = 5 tasks). rn casts back
+    // to int post-filter: quotas are Ints, so every surviving rank fits.
+    Interleave
+      .hashRank(df.filter(col(stratumCol).isin(allocations.keySet.toSeq: _*)),
+        stratumCol, keyCol)
       .filter(col("rn") <= quota)
+      .withColumn("rn", col("rn").cast("int"))
   }
 
   /** Temperature-scaled allocation (the multilingual mixing rule of

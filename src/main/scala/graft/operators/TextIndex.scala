@@ -355,8 +355,12 @@ object TextIndex {
         .limit(1).count() > 0
       val nOverlap =
         if (!overlapExists) 0L
-        else headPostings.select("__id").distinct()
-          .join(bIds, Seq("__id"), "left_semi").count()
+        // semi-join BEFORE distinct: restricting to batch ids first
+        // shuffles only the overlapped docs' postings (batch-sized),
+        // where distinct-first shuffled one row per (doc, term) of the
+        // whole chain to dedupe corpus-scale ids
+        else headPostings.select("__id")
+          .join(bIds, Seq("__id"), "left_semi").distinct().count()
       val nb = b.count()
       val fpB = if (snap.isDefined) 0L else fingerprint(b, idCol, textCol)
       val nNew = m.n + nb - nOverlap
