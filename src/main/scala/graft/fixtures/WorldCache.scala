@@ -81,11 +81,18 @@ object WorldCache {
   private[graft] val VacuumGraceMs: Long = 30L * 60 * 1000
 
   /** BUILD-WIDE stamp: the max lastModified over every .class file
-    * under the compiled-classes root this class loaded from (or the
-    * enclosing jar's mtime). Any recompile of any production class
-    * changes it — the world key can never outlive the code that built
-    * the world, whichever class that code lives in. Computed once per
-    * JVM; ~ms for a few thousand class files. */
+    * under the compiled-classes root this class loaded from, or — when
+    * loaded from a JAR — a CONTENT hash of the jar bytes. Any recompile
+    * of any production class changes it, so the world key can never
+    * outlive the code that built the world, whichever class that code
+    * lives in. The jar branch must NOT use the jar's mtime: sbt's
+    * forked `runMain` copies the packaged jar into a fresh
+    * `target/bg-jobs/...` path on EVERY invocation (mtime = run start),
+    * which keyed every run to a new stamp — all fixture worlds rebuilt
+    * per run (~2 min of untimed world_build each Bench/Verify), and the
+    * cache never hit once. Hashing the bytes is copy-stable: identical
+    * compile → identical stamp. Computed once per JVM (~ms for a few
+    * thousand class files; ~ms to digest a single-digit-MB jar). */
   private[graft] lazy val buildStamp: Long = {
     val res = getClass.getName.replace('.', '/') + ".class"
     val url = getClass.getClassLoader.getResource(res)
@@ -101,8 +108,12 @@ object WorldCache {
       finally walk.close()
     } else if (url.getProtocol == "jar") {
       val jar = url.getPath.takeWhile(_ != '!').stripPrefix("file:")
-      new java.io.File(java.net.URLDecoder.decode(jar, "UTF-8"))
-        .lastModified()
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(
+          new java.io.File(java.net.URLDecoder.decode(jar, "UTF-8")).toURI))
+      java.nio.ByteBuffer.wrap(
+        java.security.MessageDigest.getInstance("MD5").digest(bytes))
+        .getLong & Long.MaxValue // non-negative: the stamp prints as hex
     } else 0L
   }
 
