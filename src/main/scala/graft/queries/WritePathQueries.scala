@@ -1049,16 +1049,27 @@ object WritePathQueries {
   private def runSketchScenario(s: SparkSession, d: String): String =
     sketchScenarioCache.getOrElseUpdate(d, {
       import graft.operators.SketchSidecar
-      val root = tmp("graft_gate_cmsketch")
-      val docs = graft.Tables.documents(s, d)
-      SnapshotStore.commit(s, root)(dir =>
-        docs.filter(col("doc_id") < 300).write.parquet(dir))
-      val g1 = SketchSidecar.ensureForSnapshot(s, root)
-      SnapshotStore.commit(s, root)(dir => docs.write.parquet(dir))
-      val g2 = SketchSidecar.advanceForSnapshotWithBatch(s, root,
-        docs.filter(col("doc_id") >= 300))
-      require(g2 != g1, "advance must publish a new generation")
-      g2
+      // the STORE lives in a cached fixture world (the s24/cp6 pattern):
+      // the advance lifecycle runs once per (build, sf) inside the
+      // world's build; every later JVM revalidates the snapshot-keyed
+      // index with a pointer+meta read — these scenario warmups were
+      // ~40 s of every Bench/Verify JVM before. If the tmp-rooted index
+      // artifacts are cleaned out from under a cached world, the ensure
+      // rebuilds from the store — correct, just uncached once.
+      val world = graft.fixtures.WorldCache.dir("s21_sketch_scenario", d,
+          getClass) { w =>
+        val root = s"$w/store"
+        val docs = graft.Tables.documents(s, d)
+        SnapshotStore.commit(s, root)(dir =>
+          docs.filter(col("doc_id") < 300).write.parquet(dir))
+        val g1 = SketchSidecar.ensureForSnapshot(s, root)
+        SnapshotStore.commit(s, root)(dir => docs.write.parquet(dir))
+        val g2 = SketchSidecar.advanceForSnapshotWithBatch(s, root,
+          docs.filter(col("doc_id") >= 300))
+        require(g2 != g1, "advance must publish a new generation")
+        ()
+      }
+      SketchSidecar.ensureForSnapshot(s, s"$world/store")
     })
 
   /** Build the snapshot-keyed TEXT index scenario once per (JVM, sfDir):
@@ -1071,17 +1082,23 @@ object WritePathQueries {
   private def runTextIndexScenario(s: SparkSession, d: String): String =
     textIndexScenarioCache.getOrElseUpdate(d, {
       import graft.operators.TextIndex
-      val root = tmp("graft_gate_textidx")
-      val docs = graft.Tables.documents(s, d)
-      SnapshotStore.commit(s, root)(dir =>
-        docs.filter(col("doc_id") < 300).write.parquet(dir))
-      val g1 = TextIndex.ensureForSnapshot(s, root)
-      val snap2 = SnapshotStore.commit(s, root)(dir =>
-        docs.write.parquet(dir))
-      val g2 = TextIndex.advanceWithBatch(s, s"store:$root",
-        docs.filter(col("doc_id") >= 300), snap = Some(snap2))
-      require(g2 != g1, "advance must publish a new generation")
-      g2
+      // cached-world store + pointer-read revalidation (see
+      // runSketchScenario's rationale)
+      val world = graft.fixtures.WorldCache.dir("s18_textidx_scenario", d,
+          getClass) { w =>
+        val root = s"$w/store"
+        val docs = graft.Tables.documents(s, d)
+        SnapshotStore.commit(s, root)(dir =>
+          docs.filter(col("doc_id") < 300).write.parquet(dir))
+        val g1 = TextIndex.ensureForSnapshot(s, root)
+        val snap2 = SnapshotStore.commit(s, root)(dir =>
+          docs.write.parquet(dir))
+        val g2 = TextIndex.advanceWithBatch(s, s"store:$root",
+          docs.filter(col("doc_id") >= 300), snap = Some(snap2))
+        require(g2 != g1, "advance must publish a new generation")
+        ()
+      }
+      TextIndex.ensureForSnapshot(s, s"$world/store")
     })
 
   /** Build the snapshot-keyed EMBEDDING index scenario once per
@@ -1094,17 +1111,23 @@ object WritePathQueries {
   private def runEmbIndexScenario(s: SparkSession, d: String): String =
     embIndexScenarioCache.getOrElseUpdate(d, {
       import graft.operators.CosineLshIndex
-      val root = tmp("graft_gate_embidx")
-      val originals = DedupExtQueries.plantedCorpus(s, d)
-        .filter(col("vec_id") < DedupExtQueries.CopyIdOffset)
-      SnapshotStore.commit(s, root)(dir =>
-        originals.filter(col("vec_id") % 2 === 0).write.parquet(dir))
-      val g1 = CosineLshIndex.ensureForSnapshot(s, root)
-      SnapshotStore.commit(s, root)(dir => originals.write.parquet(dir))
-      val g2 = CosineLshIndex.advanceForSnapshotWithBatch(s, root,
-        originals.filter(col("vec_id") % 2 =!= 0))
-      require(g2 != g1, "advance must publish a new generation")
-      g2
+      // cached-world store + pointer-read revalidation (see
+      // runSketchScenario's rationale)
+      val world = graft.fixtures.WorldCache.dir("s27_embidx_scenario", d,
+          getClass) { w =>
+        val root = s"$w/store"
+        val originals = DedupExtQueries.plantedCorpus(s, d)
+          .filter(col("vec_id") < DedupExtQueries.CopyIdOffset)
+        SnapshotStore.commit(s, root)(dir =>
+          originals.filter(col("vec_id") % 2 === 0).write.parquet(dir))
+        val g1 = CosineLshIndex.ensureForSnapshot(s, root)
+        SnapshotStore.commit(s, root)(dir => originals.write.parquet(dir))
+        val g2 = CosineLshIndex.advanceForSnapshotWithBatch(s, root,
+          originals.filter(col("vec_id") % 2 =!= 0))
+        require(g2 != g1, "advance must publish a new generation")
+        ()
+      }
+      CosineLshIndex.ensureForSnapshot(s, s"$world/store")
     })
 
   /** Build the snapshot-keyed LSH index scenario once per (JVM, sfDir):
@@ -1119,18 +1142,24 @@ object WritePathQueries {
   private def runLshIndexScenario(s: SparkSession, d: String): String =
     lshIndexScenarioCache.getOrElseUpdate(d, {
       import graft.operators.LshBandIndex
-      val root = tmp("graft_gate_lshidx")
-      val docs = graft.Tables.documents(s, d)
-      SnapshotStore.commit(s, root)(dir =>
-        docs.filter(col("doc_id") < 300).write.parquet(dir))
-      val g1 = LshBandIndex.ensureForSnapshot(s, root)
-      val snap2 = SnapshotStore.commit(s, root)(dir =>
-        docs.filter(col("doc_id") < 400).write.parquet(dir))
-      val g2 = LshBandIndex.advanceWithBatch(s, s"store:$root",
-        docs.filter(col("doc_id") >= 300 && col("doc_id") < 400),
-        snap = Some(snap2))
-      require(g2 != g1, "advance must publish a new generation")
-      g2
+      // cached-world store + pointer-read revalidation (see
+      // runSketchScenario's rationale)
+      val world = graft.fixtures.WorldCache.dir("s17_lshidx_scenario", d,
+          getClass) { w =>
+        val root = s"$w/store"
+        val docs = graft.Tables.documents(s, d)
+        SnapshotStore.commit(s, root)(dir =>
+          docs.filter(col("doc_id") < 300).write.parquet(dir))
+        val g1 = LshBandIndex.ensureForSnapshot(s, root)
+        val snap2 = SnapshotStore.commit(s, root)(dir =>
+          docs.filter(col("doc_id") < 400).write.parquet(dir))
+        val g2 = LshBandIndex.advanceWithBatch(s, s"store:$root",
+          docs.filter(col("doc_id") >= 300 && col("doc_id") < 400),
+          snap = Some(snap2))
+        require(g2 != g1, "advance must publish a new generation")
+        ()
+      }
+      LshBandIndex.ensureForSnapshot(s, s"$world/store")
     })
 
   /** Shared expected-SCD2-table CTE: what the 2-day merge must produce. */
