@@ -105,16 +105,26 @@ object MinHashSig {
   }
 
   /** Register `graft_minhash_sig(toks, numPerms)` for SQL/expr use;
-    * `numPerms` must be an INT literal, validated with a descriptive
-    * error (the SignRpKeys builder discipline) — a bare
-    * `.eval().asInstanceOf[Int]` would CCE on a long literal (`16L`,
-    * easy to write in SQL) and eval an unbound attribute at plan time. */
+    * `numPerms` must be a FOLDABLE int-typed expression — a bare int
+    * literal or anything constant-foldable to one (`CAST(16 AS INT)`,
+    * `8*2`), evaluated here at plan time (r14 ADVICE: the
+    * literal-only match regressed foldable spellings that previously
+    * worked). The foldable+IntegerType guard keeps the SignRpKeys
+    * builder discipline: a long literal (`16L`, easy to write in SQL)
+    * or an unbound attribute still fails loudly instead of CCE-ing or
+    * evaluating garbage. */
   private[graft] val builder: Seq[Expression] => Expression = exprs =>
     exprs(1) match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) =>
-        MinHashSig(exprs.head, v)
+      case e if e.foldable &&
+          e.dataType == org.apache.spark.sql.types.IntegerType =>
+        e.eval() match {
+          case v: Int => MinHashSig(exprs.head, v)
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash_sig: numPerms folded to $other, expected an int")
+        }
       case other => throw new IllegalArgumentException(
-        s"graft_minhash_sig: numPerms must be an INT literal, got $other")
+        s"graft_minhash_sig: numPerms must be a foldable INT expression, " +
+          s"got $other")
     }
 
   def register(spark: SparkSession): Unit =

@@ -50,9 +50,13 @@ object AnnLsh {
     graft.functions.CosineSimilarity.register(spark)
     graft.functions.SignRpKeys.register(spark)
     val sig = s"graft_sign_rp_keys(emb, $Bands, $PlanesPerBand)"
+    // packed long join key (BandPack: the corpus side probes the
+    // broadcast relation per row — composite keys measured 20× slower)
+    val pk = BandPack.exact(col("band"), col("key"), PlanesPerBand)
     val keyedCorpus = corpus.withColumn("keys", expr(sig))
       .select(col("vec_id").as("nid"), col("emb").as("eb"),
         posexplode(col("keys")).as(Seq("band", "key")))
+      .select(col("nid"), col("eb"), pk.as("bk"))
     val masks = masksFor(radius)
     val probes = queries.withColumn("keys", expr(sig))
       .select(col("vec_id").as("qid"), col("emb").as("ea"),
@@ -60,7 +64,8 @@ object AnnLsh {
       .select(col("qid"), col("ea"), col("band"),
         explode(array(masks.map(m => col("k0").bitwiseXOR(lit(m))): _*))
           .as("key"))
-    keyedCorpus.join(broadcast(probes), Seq("band", "key"))
+      .select(col("qid"), col("ea"), pk.as("bk"))
+    keyedCorpus.join(broadcast(probes), Seq("bk"))
       .filter(col("nid") =!= col("qid"))
       // a pair can collide in several (band, probe) cells; keep one
       .dropDuplicates("qid", "nid")

@@ -35,6 +35,13 @@ import org.apache.spark.sql.functions._
   */
 object CosineLsh {
 
+  /** The packed (band, key) join key for sign-RP band rows named
+    * `band`/`key` — bijective while the key's sign bits fit beside the
+    * band id, hash-packed for 54-64-bit bands ([[BandPack]]). */
+  private[operators] def packedKey(rowsPerBand: Int): org.apache.spark.sql.Column =
+    if (rowsPerBand <= 53) BandPack.exact(col("band"), col("key"), rowsPerBand)
+    else BandPack.hashed(col("band"), col("key"))
+
   /** (id, band, key) — one row per band per vector.
     *
     * bands = 8 by default: at cos ≈ 0.99999 (the planted-dup regime) the
@@ -59,9 +66,11 @@ object CosineLsh {
                      dim: Int, bands: Int = 8, rowsPerBand: Int = 16): DataFrame = {
     val bucketed = bucketize(e, idCol, embCol, dim, bands, rowsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = bucketed.select(col("id").as("src"), col("band"), col("key"))
-    val b = bucketed.select(col("id").as("dst"), col("band"), col("key"))
-    val pairs = a.join(b, Seq("band", "key"))
+    // single packed long join key — see [[BandPack]] (20× probe win)
+    val pk = packedKey(rowsPerBand)
+    val a = bucketed.select(col("id").as("src"), pk.as("bk"))
+    val b = bucketed.select(col("id").as("dst"), pk.as("bk"))
+    val pairs = a.join(b, Seq("bk"))
       .filter(col("src") < col("dst"))
       .select("src", "dst").distinct()
       .localCheckpoint(true)

@@ -40,16 +40,51 @@ object CosineLshIndex {
   val FormatVersion = 1
   val MaxChain = 16
 
-  /** GEOMETRY NOTE (EmbIndexScale sweep, BASELINE.md r14): the default
-    * 8×16-bit bands match [[CosineLsh]]'s dd6 defaults — tuned for
-    * recall down to threshold ~0.95. Their chance-collision rate
-    * (~8·2⁻¹⁶ per pair) makes the CANDIDATE set linear in corpus size:
-    * at 2M history a 2k batch drew 965k chance candidates vs 9.7k at
-    * 24-bit and 533 at 32-bit bands, with every planted ~0.9999-cosine
-    * pair recalled at ALL widths. At large corpora where the dedup
-    * threshold is high (near-exact duplicates), pass wider bands —
-    * precision comes from band WIDTH, recall from band COUNT, and
-    * correctness from neither (exact cosine settles candidates). */
+  /** GEOMETRY NOTE (EmbIndexScale EMBRECALL/EMBGEO sweeps, BASELINE.md
+    * r15): sign-RP band recall is a closed-form per-PAIR property — a
+    * pair at cosine c agrees per plane with p = 1 − arccos(c)/π, a
+    * w-bit band collides with pʷ, and b bands recall 1 − (1 − pʷ)ᵇ.
+    * The r14 default (8×16) held borderline recall at threshold 0.95 to
+    * only ~0.80 while its chance-collision rate (~8·2⁻¹⁶ per cross
+    * pair) made the candidate set LINEAR in corpus life (963k chance
+    * candidates at 2M history for a 2k batch). The r15 sweep planted
+    * BORDERLINE pairs (cosine 0.94-0.99, ε-jittered) and measured the
+    * frontier: width buys precision ~2×/bit at a steep borderline-recall
+    * cost per band, which extra BANDS buy back at ~24 B/vec each. The
+    * shipped default is [[geometryFor]](0.95, 0.90) = 29×24 — measured
+    * borderline recall ≥0.9 at the threshold bin AND chance rate
+    * 29·2⁻²⁴ ≈ 1.7e-6/pair, flattening the 2M probe's candidate set
+    * from 963k to ~7k. Callers with a different threshold should derive
+    * geometry from [[geometryFor]], not guess: precision comes from
+    * band WIDTH, recall from band COUNT, and correctness from neither
+    * (exact cosine settles candidates). */
+  val DefaultRowsPerBand: Int = 24
+  val DefaultBands: Int = geometryFor(0.95, 0.90, DefaultRowsPerBand)._1
+
+  /** Smallest band count holding expected recall ≥ `targetRecall` for a
+    * pair AT `threshold` cosine (harder pairs don't exist above the
+    * threshold; easier ones recall strictly better), at the given band
+    * width. Returns (bands, rowsPerBand). The formula is exact for
+    * independent random hyperplanes — EmbIndexScale's EMBRECALL leg
+    * pins measured recall to it per cosine bin. Width stays a caller
+    * dial: each extra bit halves the chance-candidate rate
+    * (bands·2^-width per cross pair) but needs more bands to hold the
+    * same borderline recall; 24 bits is the measured sweet spot for
+    * thresholds near 0.95 (16 bits can't reach rate ≤2e-6 at any sane
+    * band count, 32 bits needs 69 bands for recall 0.9). */
+  def geometryFor(threshold: Double, targetRecall: Double = 0.90,
+                  rowsPerBand: Int = DefaultRowsPerBand): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"geometryFor: threshold=$threshold out of (0, 1)")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"geometryFor: targetRecall=$targetRecall out of (0, 1)")
+    val p = 1.0 - math.acos(threshold) / math.Pi
+    val pw = math.pow(p, rowsPerBand)
+    val bands = math.ceil(
+      math.log1p(-targetRecall) / math.log1p(-pw)).toInt.max(1)
+    (bands, rowsPerBand)
+  }
+
   /** Test seam (the [[IvfIndex.maxChain]] pattern). */
   private[graft] var maxChain: Int = MaxChain
 
@@ -80,6 +115,49 @@ object CosineLshIndex {
     s"$indexRoot/${base}_${GenLog.pathKey(key)}"
   }
 
+  /** Maintenance: delete index ROOTS under [[indexRoot]] that no reader
+    * can reach anymore — roots with no live `_CURRENT` pointer, and
+    * roots untouched for `olderThanMs` (covers the r14 naming change
+    * from 32-bit hashCode to [[GenLog.pathKey]], which orphaned every
+    * pre-existing root under the old names, and any root whose logical
+    * key simply stopped being ensured — e.g. a geometry-default change
+    * re-keys nothing but rebuilds in place, while a KEY change strands
+    * the old root forever). Generation-level pruning inside a live root
+    * stays [[GenLog.pruneGens]]'s job. The `_CURRENT` stamp refreshes on
+    * PUBLISH, not on read — pick `olderThanMs` beyond the slowest
+    * republish cadence (the Delta-VACUUM retention discipline), or a
+    * read-only-but-live index gets rebuilt on its next ensure (never a
+    * wrong answer, just a paid rebuild). A POINTERLESS root is also
+    * age-gated — a concurrent first publish is pointerless for a few
+    * seconds, and a vacuum racing it must not tear it down. Returns the
+    * deleted roots. */
+  def vacuumOrphanRoots(spark: SparkSession,
+                        olderThanMs: Long = 7L * 24 * 3600 * 1000,
+                        root: String = indexRoot): Seq[String] =
+    buildLock.synchronized {
+      val rootPath = new Path(root)
+      val fs = rootPath
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(rootPath)) return Seq.empty
+      val cutoff = System.currentTimeMillis() - olderThanMs
+      val deleted =
+        fs.listStatus(rootPath).toSeq.filter(_.isDirectory).flatMap { st =>
+          val cur = new Path(st.getPath, "_CURRENT")
+          val stamp =
+            if (fs.exists(cur)) fs.getFileStatus(cur).getModificationTime
+            else st.getModificationTime
+          if (stamp < cutoff) {
+            fs.delete(st.getPath, true); Some(st.getPath.toString)
+          } else None
+        }
+      // memo keys are indexPath strings; FileStatus paths come back
+      // URI-qualified — a per-entry remove could miss and later serve a
+      // deleted generation. Cheap to drop the whole memo instead:
+      // revalidation is a pointer + meta read.
+      if (deleted.nonEmpty) validated.clear()
+      deleted
+    }
+
   private val buildLock = new Object
   private val validated =
     scala.collection.mutable.Map.empty[String, (String, String)]
@@ -109,7 +187,7 @@ object CosineLshIndex {
     * is rebuilt at the requested geometry. */
   def ensure(spark: SparkSession, e: DataFrame, key: String,
              idCol: String = "vec_id", embCol: String = "emb",
-             bands: Int = 8, rowsPerBand: Int = 16): String =
+             bands: Int = DefaultBands, rowsPerBand: Int = DefaultRowsPerBand): String =
     buildLock.synchronized {
       val fmt = fmtFor(bands, rowsPerBand)
       val geom = geomTag(bands, rowsPerBand)
@@ -147,7 +225,7 @@ object CosineLshIndex {
     * pinned via [[fingerprintScans]]). */
   def ensureForSnapshot(spark: SparkSession, storeRoot: String,
                         idCol: String = "vec_id", embCol: String = "emb",
-                        bands: Int = 8, rowsPerBand: Int = 16): String =
+                        bands: Int = DefaultBands, rowsPerBand: Int = DefaultRowsPerBand): String =
     buildLock.synchronized {
       val fmt = fmtFor(bands, rowsPerBand)
       val geom = geomTag(bands, rowsPerBand)
@@ -193,8 +271,8 @@ object CosineLshIndex {
                                   batch: DataFrame,
                                   idCol: String = "vec_id",
                                   embCol: String = "emb",
-                                  bands: Int = 8,
-                                  rowsPerBand: Int = 16): String =
+                                  bands: Int = DefaultBands,
+                                  rowsPerBand: Int = DefaultRowsPerBand): String =
     buildLock.synchronized {
       val fmt = fmtFor(bands, rowsPerBand)
       val geom = geomTag(bands, rowsPerBand)
@@ -264,7 +342,7 @@ object CosineLshIndex {
     * grow the chain without bound. */
   def advanceWithBatch(spark: SparkSession, key: String, batch: DataFrame,
                        idCol: String = "vec_id", embCol: String = "emb",
-                       bands: Int = 8, rowsPerBand: Int = 16,
+                       bands: Int = DefaultBands, rowsPerBand: Int = DefaultRowsPerBand,
                        snap: Option[String] = None): String =
     buildLock.synchronized {
       val fmt = fmtFor(bands, rowsPerBand)
@@ -340,7 +418,7 @@ object CosineLshIndex {
     * on deletes. */
   def purgeForStore(spark: SparkSession, storeRoot: String,
                     idCol: String = "vec_id", embCol: String = "emb",
-                    bands: Int = 8, rowsPerBand: Int = 16): Unit =
+                    bands: Int = DefaultBands, rowsPerBand: Int = DefaultRowsPerBand): Unit =
     buildLock.synchronized {
       val fmt = fmtFor(bands, rowsPerBand)
       val geom = geomTag(bands, rowsPerBand)
@@ -373,7 +451,7 @@ object CosineLshIndex {
   /** The live generation path under `key` at the given geometry, if
     * any (a generation built at another geometry reads as absent). */
   def currentGenPath(spark: SparkSession, key: String,
-                     bands: Int = 8, rowsPerBand: Int = 16): Option[String] = {
+                     bands: Int = DefaultBands, rowsPerBand: Int = DefaultRowsPerBand): Option[String] = {
     val root = indexPath(key)
     val fs = new Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -396,13 +474,13 @@ object CosineLshIndex {
   /** NARROW key rows `(__id, band, key)` of the chain — the only stream
     * a probe scans whole. */
   def narrowKeysOf(spark: SparkSession, genPath: String,
-                   bands: Int = 8, rowsPerBand: Int = 16): DataFrame =
+                   bands: Int = DefaultBands, rowsPerBand: Int = DefaultRowsPerBand): DataFrame =
     chainDirOf(spark, genPath, "keys", fmtFor(bands, rowsPerBand))
 
   /** Vector rows `(__id, emb)` of the chain, one per vector — the
     * candidate-only fetch surface. */
   def vecsOf(spark: SparkSession, genPath: String,
-             bands: Int = 8, rowsPerBand: Int = 16): DataFrame =
+             bands: Int = DefaultBands, rowsPerBand: Int = DefaultRowsPerBand): DataFrame =
     chainDirOf(spark, genPath, "vecs", fmtFor(bands, rowsPerBand))
 
   /** Cosine near-dup pairs TOUCHING the batch, probed against the
@@ -413,9 +491,16 @@ object CosineLshIndex {
     * arithmetic. Phase 1 joins the batch's live keys against the
     * index's narrow rows; phase 2 fetches history VECTORS for candidate
     * ids only. The caller thresholds `cs`. */
+  /** Candidate-id sets at or under this count fetch history vectors via
+    * a BROADCAST semi-join (the id set rides to every scan task and the
+    * dim-64 payload never shuffles); above it — a mis-geometried index
+    * or a pathological corpus — the fetch falls back to a shuffled
+    * semi-join rather than OOM the driver. 4M ids ≈ 32 MB broadcast. */
+  val MaxBroadcastFetch = 4000000L
+
   def incrementalPairs(batch: DataFrame, idCol: String, embCol: String,
                        historyKeys: DataFrame, historyVecs: DataFrame,
-                       bands: Int = 8, rowsPerBand: Int = 16): DataFrame = {
+                       bands: Int = DefaultBands, rowsPerBand: Int = DefaultRowsPerBand): DataFrame = {
     graft.functions.CosineSimilarity.register(batch.sparkSession)
     val b = batch.select(col(idCol).cast("long").as("__id"),
       col(embCol).cast("array<double>").as("emb"))
@@ -423,19 +508,37 @@ object CosineLshIndex {
     // index layer: ensure/advance fold (bands, rowsPerBand) into the
     // meta fmt, so a generation at another geometry reads as stale and
     // rebuilds before its keys could reach this join
+    // single packed long join key (BandPack: the composite-key probe
+    // measured 6× the whole phase-1 cost at 2M history)
+    val pk = CosineLsh.packedKey(rowsPerBand)
     val bKeys = CosineLsh.bucketize(b, "__id", "emb", dim = 0,
         bands = bands, rowsPerBand = rowsPerBand)
-      .select(col("id").as("dst"), col("band"), col("key"))
-    // phase 1: narrow candidate ids, deduped before any vector moves
+      .select(col("id").as("dst"), pk.as("bk"))
+    // phase 1: narrow candidate ids, deduped before any vector moves.
+    // The batch-key side is explicitly broadcast — it is batch-bounded
+    // (batch × bands rows) by the operator's contract, and the narrow
+    // index scan must stream map-side, never shuffle.
     val histCand = historyKeys
-      .select(col("__id").as("src"), col("band"), col("key"))
-      .join(bKeys, Seq("band", "key"))
+      .select(col("__id").as("src"), pk.as("bk"))
+      .join(broadcast(bKeys), Seq("bk"))
       .filter(col("src") =!= col("dst"))
       .select("src", "dst").distinct()
-    // phase 2: vectors for candidate endpoints only; exact cosine
+    // phase 2: vectors for candidate endpoints ONLY. Materialize the
+    // (small) candidate set first: its count picks the fetch strategy,
+    // and without the explicit broadcast Spark planned a sort-merge
+    // join here — shuffling ALL history vectors to fetch a few thousand
+    // (measured r15: 6.5 s of the 2M probe was this shuffle). The
+    // semi-join prunes the wide scan map-side; the surviving vectors
+    // (≤ candidates) then broadcast into the pair join under AQE.
+    val cand = histCand.localCheckpoint(true)
+    val srcIds = cand.select(col("src").as("__id")).distinct()
+    val vecsNeeded =
+      if (cand.count() <= MaxBroadcastFetch)
+        historyVecs.join(broadcast(srcIds), Seq("__id"), "left_semi")
+      else historyVecs.join(srcIds, Seq("__id"), "left_semi")
     val bVecs = b.select(col("__id").as("dst"), col("emb").as("eb"))
-    val histPairs = histCand
-      .join(historyVecs.select(col("__id").as("src"),
+    val histPairs = cand
+      .join(vecsNeeded.select(col("__id").as("src"),
         col("emb").as("ea")), Seq("src"))
       .join(bVecs, Seq("dst"))
       .select(least(col("src"), col("dst")).as("src"),

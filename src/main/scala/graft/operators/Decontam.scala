@@ -49,14 +49,16 @@ object Decontam {
       .join(inScope.select(col(idCol).as("__id"), col(splitCol).as("__split")),
         "__id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // packed long join key (BandPack: composite-key hash relations
+    // probe 20× slower — r15)
     val train = bands.filter(col("__split") === "train")
       .select(col("__id").as("train_id"), col("sig").as("sig_t"),
-        col("band_id"), col("band_hash"))
+        BandPack.hashed(col("band_id"), col("band_hash")).as("bk"))
     val ev = bands.filter(col("__split") === "eval")
       .select(col("__id").as(idCol), col("sig").as("sig_e"),
-        col("band_id"), col("band_hash"))
+        BandPack.hashed(col("band_id"), col("band_hash")).as("bk"))
     graft.functions.SignatureAgreement.register(docs.sparkSession)
-    val hits = ev.join(train, Seq("band_id", "band_hash"))
+    val hits = ev.join(train, Seq("bk"))
       .select(col(idCol), col("train_id"),
         expr("graft_sig_agreement(sig_e, sig_t)").as("est"))
       .distinct()

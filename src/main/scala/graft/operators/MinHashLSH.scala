@@ -70,18 +70,22 @@ object MinHashLSH {
       if (materialize)
         sigsBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else sigsBase
+    // single packed long join key — BandPack.hashed: the composite
+    // (band_id, band_hash) key probes Spark's UnsafeHashedRelation,
+    // measured 20× slower than the long-specialized path (r15)
     val banded = sigs
       .select(col("__id"), col("sig"), explode(col("bands")).as("band"))
-      .select(col("__id"), col("sig"), col("band.band_id"), col("band.band_hash"))
+      .select(col("__id"), col("sig"),
+        BandPack.hashed(col("band.band_id"), col("band.band_hash")).as("bk"))
     val a = banded.select(col("__id").as("src"), col("sig").as("sig_a"),
-      col("band_id"), col("band_hash"))
+      col("bk"))
     val b = banded.select(col("__id").as("dst"), col("sig").as("sig_b"),
-      col("band_id"), col("band_hash"))
+      col("bk"))
     // native codegen expression for the per-candidate agreement fraction —
     // the zip_with/aggregate HOF equivalent evaluates interpreted, and
     // this runs once per candidate pair (millions at corpus scale).
     graft.functions.SignatureAgreement.register(docs.sparkSession)
-    val pairs = a.join(b, Seq("band_id", "band_hash"))
+    val pairs = a.join(b, Seq("bk"))
       .filter(col("src") < col("dst"))
       .select(col("src"), col("dst"),
         expr("graft_sig_agreement(sig_a, sig_b)").as("est_jaccard"))
@@ -204,11 +208,15 @@ object MinHashLSH {
                        historySigs: DataFrame): DataFrame = {
     graft.functions.SignatureAgreement.register(batchBands.sparkSession)
     // phase 1: narrow candidate discovery — distinct (src, dst) id
-    // pairs before any signature is touched
+    // pairs before any signature is touched. Packed long join key
+    // (BandPack) so the corpus-scale narrow stream probes the
+    // long-specialized relation.
     val histCand = historyNarrow
-      .select(col("__id").as("src"), col("band_id"), col("band_hash"))
+      .select(col("__id").as("src"),
+        BandPack.hashed(col("band_id"), col("band_hash")).as("bk"))
       .join(batchBands.select(col("__id").as("dst"),
-        col("band_id"), col("band_hash")), Seq("band_id", "band_hash"))
+        BandPack.hashed(col("band_id"), col("band_hash")).as("bk")),
+        Seq("bk"))
       .filter(col("src") =!= col("dst"))
       .select("src", "dst").distinct()
     // phase 2: signatures for candidate endpoints only; the history-sig
@@ -227,10 +235,12 @@ object MinHashLSH {
     // batch×batch: both orientations collide, normalized exactly as the
     // wide form did (least/greatest before the distinct)
     val a = batchBands.select(col("__id").as("src"),
-      col("sig").as("sig_a"), col("band_id"), col("band_hash"))
+      col("sig").as("sig_a"),
+      BandPack.hashed(col("band_id"), col("band_hash")).as("bk"))
     val b = batchBands.select(col("__id").as("dst"),
-      col("sig").as("sig_b"), col("band_id"), col("band_hash"))
-    val batchPairs = a.join(b, Seq("band_id", "band_hash"))
+      col("sig").as("sig_b"),
+      BandPack.hashed(col("band_id"), col("band_hash")).as("bk"))
+    val batchPairs = a.join(b, Seq("bk"))
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"),
@@ -362,15 +372,16 @@ object MinHashLSH {
       .select(col("__id"), col("sig"),
         col("band.band_id"), col("band.band_key"))
     graft.functions.SignatureAgreement.register(docs.sparkSession)
+    // packed long join key (BandPack; band_key is 60-bit so hash-packed)
     val a = banded.select(col("__id").as("src"), col("sig").as("sig_a"),
-      col("band_id"), col("band_key"))
+      BandPack.hashed(col("band_id"), col("band_key")).as("bk"))
     val b = banded.select(col("__id").as("dst"), col("sig").as("sig_b"),
-      col("band_id"), col("band_key"))
+      BandPack.hashed(col("band_id"), col("band_key")).as("bk"))
     // graft_sig_agreement is engine-NATIVE but its math is portable
     // arithmetic (agreeing positions / numPerms — exact in binary for
     // power-of-two numPerms), so an oracle recomputes it from its own
     // signature lists
-    val pairs = a.join(b, Seq("band_id", "band_key"))
+    val pairs = a.join(b, Seq("bk"))
       .filter(col("src") < col("dst"))
       .select(col("src"), col("dst"),
         expr("graft_sig_agreement(sig_a, sig_b)").as("est_jaccard"))
@@ -382,6 +393,16 @@ object MinHashLSH {
 
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int), String]
+
+  // per-key monitors: racing callers of the SAME key serialize (the
+  // loser would otherwise run a redundant full LSH pass into an
+  // orphaned dir), but two corpora never block each other on one
+  // global lock for the duration of an LSH pass (r14 ADVICE).
+  // TrieMap.getOrElseUpdate is atomic, so both racers see one monitor.
+  private val pairsLocks =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Object]
+  private def lockFor(k: (String, Int, Int)): Object =
+    pairsLocks.getOrElseUpdate(k, new Object)
 
   // tmp pair dirs are cleaned at JVM exit (File.deleteOnExit cannot
   // remove non-empty dirs, so one recursive hook instead of per-file
@@ -413,11 +434,12 @@ object MinHashLSH {
   def cachedPairs(docs: DataFrame, cacheKey: String,
                   numPerms: Int = 16, bands: Int = 4): DataFrame = {
     val spark = docs.sparkSession
-    // synchronized: TrieMap.getOrElseUpdate may run the op in TWO racing
-    // threads (one insert wins, the loser's full LSH pass lands in an
-    // orphaned dir) — the pass is expensive enough to serialize instead
-    val path = pairsCache.synchronized {
-      pairsCache.getOrElseUpdate((cacheKey, numPerms, bands), {
+    // per-KEY lock (lockFor): same-key racers serialize so the loser's
+    // full LSH pass never lands in an orphaned dir; different corpora
+    // proceed concurrently
+    val k = (cacheKey, numPerms, bands)
+    val path = lockFor(k).synchronized {
+      pairsCache.getOrElseUpdate(k, {
         val dir = java.nio.file.Files
           .createTempDirectory("graft_lsh_pairs")
         candidatePairs(docs, numPerms = numPerms, bands = bands)
@@ -433,15 +455,15 @@ object MinHashLSH {
   def cachedPortablePairs(docs: DataFrame, cacheKey: String,
                           numPerms: Int = 16, bands: Int = 4): DataFrame = {
     val spark = docs.sparkSession
-    val path = pairsCache.synchronized {
-      pairsCache.getOrElseUpdate(
-        (s"portable:$cacheKey", numPerms, bands), {
-          val dir = java.nio.file.Files
-            .createTempDirectory("graft_lsh_pairs_portable")
-          portablePairs(docs, numPerms = numPerms, bands = bands)
-            .write.mode("overwrite").parquet(dir.toString)
-          dir.toString
-        })
+    val k = (s"portable:$cacheKey", numPerms, bands)
+    val path = lockFor(k).synchronized {
+      pairsCache.getOrElseUpdate(k, {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_lsh_pairs_portable")
+        portablePairs(docs, numPerms = numPerms, bands = bands)
+          .write.mode("overwrite").parquet(dir.toString)
+        dir.toString
+      })
     }
     spark.read.parquet(path)
   }

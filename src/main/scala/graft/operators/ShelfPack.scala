@@ -41,9 +41,16 @@ object ShelfPack {
 
   /** Per-document placement: input plus `size_class` (docs per bin),
     * `bin_id` (globally unique BIGINT), `slot` (0-based within bin),
-    * `overflow`. */
+    * `overflow`.
+    *
+    * Null/non-positive token counts are REFUSED by default — a silent
+    * drop would misreport packing coverage against the corpus (the
+    * overflow rationale above). Callers feeding raw corpora where empty
+    * docs are expected opt in with `dropInvalid = true`, which filters
+    * them here, visibly at the call site, instead of throwing. */
   def placements(docs: DataFrame, idCol: String, tokenCol: String,
-                 capacity: Long, buckets: Int = 64): DataFrame = {
+                 capacity: Long, buckets: Int = 64,
+                 dropInvalid: Boolean = false): DataFrame = {
     require(capacity > 0, s"capacity=$capacity must be positive")
     // bin_id encodes size_class * 2^40 + rank-within-class; the largest
     // possible class is `capacity` itself (1-token docs), so a capacity
@@ -69,19 +76,22 @@ object ShelfPack {
         s"ShelfPack.placements: id column '$idCol' must be numeric " +
           s"(bucket bounds are computed on the double cast), got ${t.sql}")
     }
-    // null/non-positive token counts are REFUSED, not filtered: this
-    // file's own overflow rationale ("silently dropping them would
-    // misreport coverage") applies equally here — a coverage audit
-    // comparing binReport doc counts against the corpus must reconcile
-    // exactly. Zero-token docs (empty/whitespace text) are the caller's
-    // decision to drop or placeholder upstream, visibly.
-    require(docs.filter(col(tokenCol).isNull || col(tokenCol) <= 0)
-        .limit(1).isEmpty,
-      s"ShelfPack.placements: '$tokenCol' contains null or non-positive " +
-        "token counts — filter or repair them upstream (a silent drop " +
-        "here would misreport packing coverage)")
+    // null/non-positive token counts are REFUSED unless the caller
+    // opted into dropInvalid: this file's own overflow rationale
+    // ("silently dropping them would misreport coverage") applies
+    // equally here — a coverage audit comparing binReport doc counts
+    // against the corpus must reconcile exactly. Zero-token docs
+    // (empty/whitespace text) are the caller's decision, made visibly.
+    val invalid = col(tokenCol).isNull || col(tokenCol) <= 0
+    if (!dropInvalid)
+      require(docs.filter(invalid).limit(1).isEmpty,
+        s"ShelfPack.placements: '$tokenCol' contains null or non-positive " +
+          "token counts — filter or repair them upstream, or pass " +
+          "dropInvalid = true to drop them here (a silent drop would " +
+          "misreport packing coverage)")
+    val valid = if (dropInvalid) docs.filter(!invalid) else docs
     // size class: docs-per-bin; tokens > capacity → class 0 (overflow)
-    val classed = docs
+    val classed = valid
       .withColumn("size_class",
         expr(s"case when $tokenCol > ${capacity}L then 0L " +
           s"else ${capacity}L div $tokenCol end"))

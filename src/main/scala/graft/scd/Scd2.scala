@@ -501,18 +501,30 @@ object Scd2 {
     // the append is a read-modify-write too (the dedup check below reads
     // the day's partition) — fence on the closed region's version here
     val closedBase = commit.version(spark, closedPath)
-    // retry dedup: a version can close only once, so an existing closed
-    // row for (universal_id, valid_from) marks this close-out as a
-    // replay — REGARDLESS of its valid_to stamp. Matching valid_to too
-    // (the earlier spelling) broke exactly the crash-retry case it
-    // existed for whenever the retry ran past midnight: the re-run
-    // stamps the new wall-clock date (the default asOfDate), reads only
-    // the new date's partition, finds nothing, and appends a second
-    // closed row per key. The pruned read spans the batch's dates AND
-    // the preceding day to catch that midnight straddle at O(day) cost;
-    // retries delayed further should inject a fixed asOfDate (the
-    // batch's logical date — the d7 injected-clock discipline), which
-    // makes the replay byte-identical and the dedup exact at any delay.
+    // retry dedup: a version can close only once, so a newlyClosed row
+    // is a REPLAY iff an existing closed row matches it on every column
+    // EXCEPT valid_to. Why that predicate and not a key subset:
+    //  - (uid, vf, vt) alone (the original spelling) broke the
+    //    crash-retry case it existed for whenever the retry ran past
+    //    midnight — the re-run stamps the new wall-clock date (the
+    //    default asOfDate) and appends a second closed row per key;
+    //  - (uid, vf) alone (the r14 spelling) silently DROPPED legitimate
+    //    closes under intra-day multi-merge: a same-day second merge
+    //    writes a zero-duration version (vf=D closed vt=D) whose
+    //    successor also has vf=D, and that successor's own close-out on
+    //    D or D+1 then matched the existing (uid, vf=D) row (r14 ADVICE).
+    // Full-payload matching separates the two exactly: a replay rewrites
+    // the SAME current row (byte-identical payload, only the valid_to
+    // stamp can differ across midnight), while a legitimate same-(uid,
+    // vf) close is of a DIFFERENT version, which by the close-out
+    // predicate differs on at least one change column — recorded in the
+    // closed row. The pruned read spans the batch's dates AND the
+    // preceding day, so the window holds exactly {same-day, midnight-
+    // straddle} replays at O(day) cost; retries delayed further should
+    // inject a fixed asOfDate (the batch's logical date — the d7
+    // injected-clock discipline), which makes the replay byte-identical
+    // including valid_to and the dedup exact at any delay.
+    val payloadCols = newlyClosed.columns.filter(_ != "valid_to").toSeq
     val existingDay = readClosedRegion(spark, closedPath, commit).map { closed =>
       val dates = newlyClosed.select("valid_to").distinct()
         .unionByName(newlyClosed.select(
@@ -520,13 +532,11 @@ object Scd2 {
             .as("valid_to")))
         .distinct()
       closed.join(broadcast(dates), Seq("valid_to"), "left_semi")
-        .select(col("universal_id").as("_dup_uid"),
-          col("valid_from").as("_dup_vf"))
+        .select(payloadCols.map(c => col(c).as(s"_dup_$c")): _*)
     }
     val deduped = existingDay match {
       case Some(dup) => newlyClosed.join(dup,
-        col("universal_id") === col("_dup_uid") &&
-          col("valid_from") <=> col("_dup_vf"),
+        payloadCols.map(c => col(c) <=> col(s"_dup_$c")).reduce(_ && _),
         "left_anti")
       case None => newlyClosed
     }

@@ -3,20 +3,38 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.CosineLshIndex
+import graft.operators.{CosineLsh, CosineLshIndex}
 
-/** Scaling measurement for the INCREMENTAL embedding near-dup path
-  * (dd16 / [[graft.operators.CosineLshIndex]]) — the LshAdvanceScale
-  * shape for vectors: build a history index at several sizes, advance
-  * it with a fixed batch, then probe a second fixed batch. The claims
-  * under test: `advance` is O(batch) (flat in history), and `probe` is
-  * flat in history up to the narrow-key scan (24 B/band-row; vectors
-  * are fetched for candidate ids only, so the dim-64 payload never
-  * rides the join).
+/** Scaling + geometry-frontier measurement for the INCREMENTAL embedding
+  * near-dup path (dd16 / [[graft.operators.CosineLshIndex]]). Three legs:
+  *
+  *  1. `EMBIDX` — the LshAdvanceScale shape for vectors: build a history
+  *     index at several sizes, advance it with a fixed batch, probe a
+  *     second fixed batch. Claims under test: `advance` is O(batch) and
+  *     `probe` is flat in history (narrow 24 B key rows scan; vectors
+  *     fetched for candidate ids only). Runs at the shipped DEFAULT
+  *     geometry, so the default's candidate growth is what's measured.
+  *  2. `EMBRECALL` — the geometry FRONTIER: plants BORDERLINE pairs
+  *     (cosine 0.94-0.99, ε-jittered — not the ~0.9999 near-exact plants
+  *     every width recalls trivially), probes them at each candidate
+  *     geometry, and reports measured vs analytic recall per cosine bin.
+  *     Recall of sign-RP LSH is a per-PAIR property (band collision
+  *     depends only on the pair's plane agreements), so one moderate
+  *     history size measures the frontier for every corpus size.
+  *  3. `EMBGEO` — chance-candidate growth at the largest history across
+  *     the same geometries: the linear-in-corpus term is ~bands·2^-bits
+  *     per cross pair, so this leg prices what EMBRECALL's recall buys.
   *
   *   sbt "runMain graft.tools.EmbIndexScale 10000 100000 500000"
   */
 object EmbIndexScale {
+  /** Geometries swept by the recall/candidate legs: the r14 default
+    * (8×16), width-only variants at 8 bands, and the analytic picks
+    * that hold recall at threshold 0.95 (see
+    * [[CosineLshIndex.geometryFor]]). */
+  private val Geometries: Seq[(Int, Int)] =
+    Seq((8, 16), (8, 24), (8, 32), (16, 24), (29, 24), (38, 24))
+
   def main(args: Array[String]): Unit = {
     val sizes =
       if (args.nonEmpty) args.toSeq.map(_.toLong)
@@ -65,6 +83,8 @@ object EmbIndexScale {
       CosineLshIndex.ensure(spark, vecs(0, 2000), k0)
       CosineLshIndex.advanceWithBatch(spark, k0, vecs(2000, 3000))
     }
+
+    // ── leg 1: EMBIDX scaling at the shipped default geometry ──────────
     sizes.foreach { h =>
       val key = s"emb_scale_${h}_${System.nanoTime()}"
       val hist = vecs(0, h).localCheckpoint(true)
@@ -82,25 +102,96 @@ object EmbIndexScale {
         nPairs = p.count()
         nDup = p.filter(col("cs") >= 0.95).count()
       }
-      println(f"EMBIDX h=$h%-7d build=$tBuild%.2f advance=$tAdv%.2f " +
-        f"probe=$tProbe%.2f candidates=$nPairs neardups=$nDup " +
-        f"(batch=$batch planted=${batch / 5})")
+      println(f"EMBIDX geom=${CosineLshIndex.DefaultBands}x" +
+        f"${CosineLshIndex.DefaultRowsPerBand} h=$h%-7d build=$tBuild%.2f " +
+        f"advance=$tAdv%.2f probe=$tProbe%.2f candidates=$nPairs " +
+        f"neardups=$nDup (batch=$batch planted=${batch / 5})")
     }
-    // GEOMETRY sweep at the largest size: the candidate set's
-    // linear-in-corpus term is chance band collisions (~bands·2^-bits
-    // per pair) — widening bands cuts it 2× per bit while the planted
-    // ~0.9999-cosine pairs keep colliding (their per-plane disagreement
-    // is ~1e-2, so even 32-bit bands agree with p≈0.72 and 8 bands
-    // all-miss with p≈3e-5). This is the dd16 dial: precision from
-    // band WIDTH, recall from band COUNT, correctness from neither
-    // (exact cosine settles candidates).
+
+    // ── leg 2: EMBRECALL — the borderline frontier ─────────────────────
+    // Plants at CONTROLLED cosine: v' = v + ε·u with u pseudo-random in
+    // [-1, 1] per (id, dim) and ε cycling a ladder that lands measured
+    // cosines across [0.94, 0.995]. Ground truth is the planted mapping
+    // itself (batch id i targets history id (i·7919) mod h), so recall
+    // needs no all-pairs oracle: exact cosine per planted pair, binned,
+    // and a probe hit means the pair survived the band equi-join.
+    val hR = math.min(sizes.max, 100000L)
+    val nPlants = 4000L
+    val bR0 = 1L << 41 // disjoint from every history/batch id above
+    val histR = vecs(0, hR).localCheckpoint(true)
+    val epsLadder = "array(0.20D, 0.26D, 0.30D, 0.34D, 0.38D, 0.42D, 0.46D, 0.52D)"
+    val uExpr = // uniform in [-1, 1], deterministic per (id, dim)
+      "(CAST(pmod(xxhash64(vec_id, j + 4096), 2001L) AS DOUBLE) - 1000.0D) / 1000.0D"
+    val batchR = spark.range(bR0, bR0 + nPlants)
+      .select(col("id").as("vec_id"),
+        expr(s"element_at($epsLadder, CAST(id % 8 AS INT) + 1)").as("eps"),
+        expr(embExpr(s"pmod(id * 7919, ${hR}L)")).as("base"))
+      .select(col("vec_id"),
+        expr(s"transform(base, (x, j) -> x + eps * ($uExpr))").as("emb"))
+      .localCheckpoint(true)
+    graft.functions.CosineSimilarity.register(spark)
+    val truth = batchR.select(col("vec_id").as("dst"),
+        pmod(col("vec_id") * 7919, lit(hR)).as("src"), col("emb").as("eb"))
+      .join(histR.select(col("vec_id").as("src"), col("emb").as("ea")),
+        Seq("src"))
+      .select(col("src"), col("dst"),
+        expr("graft_cosine(ea, eb)").as("cs"))
+      .filter(col("cs") >= 0.94)
+      .localCheckpoint(true)
+    val bins = Seq((0.94, 0.95), (0.95, 0.96), (0.96, 0.97), (0.97, 0.98),
+      (0.98, 0.99), (0.99, 1.01))
+    // analytic recall at the bin FLOOR — a lower bound for every pair
+    // in the bin (recall is monotone in cosine), so measured < analytic
+    // flags a real implementation gap, never bin-midpoint slop
+    def analyticRecall(cosLo: Double, bands: Int, rpb: Int): Double = {
+      val p = 1.0 - math.acos(math.min(cosLo, 1.0)) / math.Pi
+      1.0 - math.pow(1.0 - math.pow(p, rpb), bands)
+    }
+    Geometries.foreach { case (bands, rpb) =>
+      val key = s"emb_recall_${bands}_${rpb}_${System.nanoTime()}"
+      CosineLshIndex.ensure(spark, histR, key, bands = bands,
+        rowsPerBand = rpb)
+      val gen = CosineLshIndex.currentGenPath(spark, key,
+        bands = bands, rowsPerBand = rpb).get
+      val hits = CosineLshIndex.incrementalPairs(batchR, "vec_id", "emb",
+          CosineLshIndex.narrowKeysOf(spark, gen, bands, rpb),
+          CosineLshIndex.vecsOf(spark, gen, bands, rpb),
+          bands = bands, rowsPerBand = rpb)
+        .select(col("src"), col("dst")).withColumn("hit", lit(1))
+      val aggCols = bins.flatMap { case (lo, hi) =>
+        val in = col("cs") >= lo && col("cs") < hi
+        Seq(sum(when(in, 1).otherwise(0)).as(s"n_$lo"),
+          sum(when(in && col("hit").isNotNull, 1).otherwise(0))
+            .as(s"r_$lo"))
+      }
+      val perBin = truth.join(hits, Seq("src", "dst"), "left")
+        .groupBy().agg(aggCols.head, aggCols.tail: _*).head()
+      val cells = bins.zipWithIndex.map { case ((lo, hi), i) =>
+        val n = perBin.getLong(2 * i); val r = perBin.getLong(2 * i + 1)
+        val meas = if (n == 0) Double.NaN else r.toDouble / n
+        val ana = analyticRecall(lo, bands, rpb)
+        f"[$lo%.2f,$hi%.2f):$r/$n=$meas%.3f(ana≥$ana%.3f)"
+      }
+      println(s"EMBRECALL bands=$bands rowsPerBand=$rpb h=$hR " +
+        cells.mkString(" "))
+    }
+
+    // ── leg 3: EMBGEO — chance-candidate growth at the largest size ────
+    // The candidate set's linear-in-corpus term is chance band
+    // collisions (~bands·2^-bits per pair) — widening bands cuts it 2×
+    // per bit; EMBRECALL above prices what that width costs in
+    // borderline recall (near-exact ~0.9999 plants keep colliding at
+    // every width: per-plane disagreement ~1e-2, so even 32-bit bands
+    // agree with p≈0.72 and 8 bands all-miss with p≈3e-5). This is the
+    // dd16 dial: precision from band WIDTH, recall from band COUNT,
+    // correctness from neither (exact cosine settles candidates).
     val hG = sizes.max
     val histG = vecs(0, hG).localCheckpoint(true)
     val bG = batchWithPlants(hG, hG + batch, hG).localCheckpoint(true)
-    Seq((8, 16), (8, 24), (8, 32)).foreach { case (bands, rpb) =>
+    Geometries.foreach { case (bands, rpb) =>
       val key = s"emb_geo_${bands}_${rpb}_${System.nanoTime()}"
-      CosineLshIndex.ensure(spark, histG, key,
-        bands = bands, rowsPerBand = rpb)
+      val tBuild = time(CosineLshIndex.ensure(spark, histG, key,
+        bands = bands, rowsPerBand = rpb))
       val gen = CosineLshIndex.currentGenPath(spark, key,
         bands = bands, rowsPerBand = rpb).get
       var nPairs = 0L; var nDup = 0L
@@ -112,7 +203,7 @@ object EmbIndexScale {
         nPairs = p.count()
         nDup = p.filter(col("cs") >= 0.95).count()
       }
-      println(f"EMBGEO bands=$bands rowsPerBand=$rpb h=$hG " +
+      println(f"EMBGEO bands=$bands rowsPerBand=$rpb h=$hG build=$tBuild%.2f " +
         f"probe=$tProbe%.2f candidates=$nPairs neardups=$nDup " +
         f"(planted=${batch / 5})")
     }

@@ -56,10 +56,15 @@ class CosineLshIndexSpec extends SparkSuite {
       "key rows must not carry the embedding")
     assert(stored.columns.toSet == Set("__id", "emb"))
     assert(stored.count() == stored.select("__id").distinct().count())
+    // live banding at the INDEX's default geometry (r15: the index
+    // default moved to geometryFor(0.95) = 29×24 while the full-pairs
+    // bucketize keeps its own dd6 defaults)
     val live = CosineLsh.bucketize(
         vecs.select(col("vec_id").as("__id"),
           col("emb").cast("array<double>").as("emb")),
-        "__id", "emb", dim = 0)
+        "__id", "emb", dim = 0,
+        bands = CosineLshIndex.DefaultBands,
+        rowsPerBand = CosineLshIndex.DefaultRowsPerBand)
       .select(col("id").as("__id"), col("band"), col("key"))
     assert(keySet(keys) == keySet(live),
       "indexed keys must equal the live sign-RP bucketize")
@@ -290,5 +295,35 @@ class CosineLshIndexSpec extends SparkSuite {
     CosineLshIndex.purgeForStore(spark, root)
     assert(!new java.io.File(root40).exists(),
       "an emptied store cannot keep an index")
+  }
+
+  test("vacuumOrphanRoots deletes stale roots (pointerless age-gated), keeps live ones") {
+    // an ISOLATED root dir: the vacuum must never race other suites'
+    // concurrent publishes under the shared default root
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_vac_spec").toFile
+    val old = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
+    // live root: fresh _CURRENT pointer
+    val live = new java.io.File(base, "live_root")
+    assert(new java.io.File(live, "gen-x").mkdirs())
+    assert(new java.io.File(live, "_CURRENT").createNewFile())
+    // stale root: pointer past the TTL
+    val stale = new java.io.File(base, "stale_root")
+    assert(new java.io.File(stale, "gen-y").mkdirs())
+    val staleCur = new java.io.File(stale, "_CURRENT")
+    assert(staleCur.createNewFile() && staleCur.setLastModified(old))
+    // fresh pointerless root: a racing first publish — must SURVIVE
+    val inflight = new java.io.File(base, "inflight_root")
+    assert(inflight.mkdirs())
+    // old pointerless root: a crashed half-build — vacuumed
+    val crashed = new java.io.File(base, "crashed_root")
+    assert(crashed.mkdirs() && crashed.setLastModified(old))
+    val deleted = CosineLshIndex.vacuumOrphanRoots(spark,
+      root = base.toString)
+    assert(deleted.exists(_.endsWith("stale_root")), "stale not vacuumed")
+    assert(deleted.exists(_.endsWith("crashed_root")), "crashed not vacuumed")
+    assert(live.exists(), "live root must survive")
+    assert(inflight.exists(), "a racing first publish must survive")
+    assert(!stale.exists() && !crashed.exists())
   }
 }

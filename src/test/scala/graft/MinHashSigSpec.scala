@@ -109,6 +109,27 @@ class MinHashSigSpec extends SparkSuite {
     assert(keys.length === keys.distinct.length, "duplicate candidate pairs emitted")
   }
 
+  test("numPerms accepts foldable INT expressions; non-int still refused") {
+    import spark.implicits._
+    graft.functions.MinHashSig.register(spark)
+    val d = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    d.createOrReplaceTempView("mhs_fold")
+    val lit16 = spark.sql(
+      "SELECT graft_minhash_sig(toks, 16) s FROM mhs_fold").head.getSeq[Long](0)
+    val cast16 = spark.sql(
+      "SELECT graft_minhash_sig(toks, CAST(16 AS INT)) s FROM mhs_fold")
+      .head.getSeq[Long](0)
+    val arith16 = spark.sql(
+      "SELECT graft_minhash_sig(toks, 8 * 2) s FROM mhs_fold")
+      .head.getSeq[Long](0)
+    assert(cast16 === lit16 && arith16 === lit16)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_minhash_sig(toks, 16L) FROM mhs_fold").collect()
+    }
+    assert(e.getMessage.contains("foldable INT"))
+  }
+
   test("signature computation plan has no shuffle (the fusion's point)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = fusedSigs(docs, "doc_id", "text")

@@ -153,6 +153,42 @@ class Scd2RegionedSpec extends SparkSuite {
     assert(snap.count() === 400)
   }
 
+  test("intra-day multi-merge keeps every close; midnight-straddle replay still swallowed") {
+    val root = Files.createTempDirectory("graft_scd2_reg_multi").toString + "/t"
+    Scd2.mergeRegioned(spark, mkBatch(0 until 50, "v1", "2025-01-15"), root,
+      asOfDate = lit("2025-01-15"))
+    // three merges on the SAME day: v2 closes v1 (vt=16), v3 closes v2
+    // (a ZERO-DURATION version: vf = vt = 2025-01-16), v4 closes v3
+    // (also vf=16). The r14 (uid, valid_from)-keyed retry dedup dropped
+    // v3's close-out — an existing closed row at (uid, vf=16) (v2's)
+    // matched it (r14 ADVICE); the full-payload key keeps it because a
+    // legitimate close always differs on a change column.
+    for (v <- Seq("v2", "v3", "v4"))
+      Scd2.mergeRegioned(spark, mkBatch(0 until 50, v, "2025-01-16"), root,
+        asOfDate = lit("2025-01-16"))
+    val snap = Scd2.readRegioned(spark, root)
+    assert(snap.count() === 200) // 50 current v4 + 150 closed v1/v2/v3
+    assert(snap.filter(col("is_current") === false).count() === 150)
+    assert(snap.filter(col("project_name") === "v2-0").count() === 1)
+    assert(snap.filter(col("project_name") === "v3-0").count() === 1)
+    assert(Scd2.violations(snap) === 0)
+
+    // midnight-straddle replay: the writer died after appending v4's
+    // closures (vt=16); the retry runs past midnight and stamps 17. The
+    // recomputed closures are byte-identical EXCEPT valid_to — the
+    // dates∪dates-1 pruned window plus full-payload match must swallow
+    // them, not append a second close per key.
+    graft.store.DirectorySwapCommit.publish(
+      mkBatch(0 until 50, "v3", "2025-01-16"), Scd2.currentRoot(root),
+      Scd2.DefaultPartitionColumns)
+    Scd2.mergeRegioned(spark, mkBatch(0 until 50, "v4", "2025-01-16"), root,
+      asOfDate = lit("2025-01-17"))
+    val snap2 = Scd2.readRegioned(spark, root)
+    assert(snap2.filter(col("is_current") === false).count() === 150)
+    assert(snap2.count() === 200)
+    assert(Scd2.violations(snap2) === 0)
+  }
+
   test("regioned merge under the pointer protocol: parity + vacuum keeps referenced batches") {
     val root = Files.createTempDirectory("graft_scd2_reg_ptr").toString + "/t"
     def day(batch: DataFrame, date: String): Long =

@@ -85,4 +85,18 @@ class ShelfPackSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("integral"))
   }
+
+  test("null/non-positive tokens refused by default; dropInvalid opts in") {
+    import spark.implicits._
+    val mixed = Seq((1L, Some(4L)), (2L, Some(0L)), (3L, None), (4L, Some(3L)))
+      .toDF("doc_id", "n_tokens")
+    val e = intercept[IllegalArgumentException] {
+      ShelfPack.placements(mixed, "doc_id", "n_tokens", Capacity)
+    }
+    assert(e.getMessage.contains("dropInvalid"))
+    val p = ShelfPack.placements(mixed, "doc_id", "n_tokens", Capacity,
+      dropInvalid = true)
+    assert(p.select("doc_id").collect().map(_.getLong(0)).sorted
+      === Array(1L, 4L))
+  }
 }
