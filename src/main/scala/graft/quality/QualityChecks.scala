@@ -15,13 +15,20 @@ object QualityChecks {
   final case class CheckResult(name: String, passed: Boolean,
                                details: Map[String, String])
 
+  /** `sum(when(pred, 1))` with an empty-input floor: SUM over zero rows
+    * (or an all-null slice) is NULL, and `Row.getAs[Long]` unboxes NULL
+    * into an NPE — an empty frame must report clean counts, not throw
+    * (r15 review). */
+  private def cnt(pred: Column): Column =
+    coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L))
+
   /** null % per column vs threshold (data_quality_checks.py:17-43). */
   def checkNullPercentage(df: DataFrame, columns: Seq[String],
                           threshold: Double = 0.5): Seq[CheckResult] = {
     val present = columns.filter(df.columns.contains)
     if (present.isEmpty) return Seq.empty
     val aggs = count(lit(1)).as("_total") +:
-      present.map(c => sum(when(col(c).isNull, 1).otherwise(0)).as(s"_null_$c"))
+      present.map(c => cnt(col(c).isNull).as(s"_null_$c"))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val total = row.getAs[Long]("_total")
     present.map { c =>
@@ -36,8 +43,15 @@ object QualityChecks {
   def checkUniqueness(df: DataFrame, columns: Seq[String]): Seq[CheckResult] = {
     val present = columns.filter(df.columns.contains)
     if (present.isEmpty) return Seq.empty
+    // distinct must count the NULL bucket once — the reference's
+    // distinct().count() does (data_quality_checks.py:60), while
+    // countDistinct excludes nulls entirely: a unique column holding a
+    // null would otherwise read one phantom duplicate and FAIL (r15
+    // review)
     val aggs = count(lit(1)).as("_total") +:
-      present.map(c => countDistinct(col(c)).as(s"_dist_$c"))
+      present.map(c => (countDistinct(col(c)) +
+        coalesce(max(when(col(c).isNull, 1L).otherwise(0L)), lit(0L)))
+        .as(s"_dist_$c"))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val total = row.getAs[Long]("_total")
     present.map { c =>
@@ -53,7 +67,7 @@ object QualityChecks {
                       minVal: Double, maxVal: Double): CheckResult = {
     val row = df.agg(
       count(lit(1)).as("_total"),
-      sum(when(col(column) < minVal || col(column) > maxVal, 1).otherwise(0))
+      cnt(col(column) < minVal || col(column) > maxVal)
         .as("_oor")).head()
     val total = row.getAs[Long]("_total")
     val oor = row.getAs[Long]("_oor")
@@ -70,7 +84,7 @@ object QualityChecks {
     val age = (unix_timestamp(now) - unix_timestamp(col(tsColumn))) / 3600
     val row = df.agg(
       count(lit(1)).as("_total"),
-      sum(when(age > maxAgeHours, 1).otherwise(0)).as("_stale")).head()
+      cnt(age > maxAgeHours).as("_stale")).head()
     val total = row.getAs[Long]("_total")
     val stale = row.getAs[Long]("_stale")
     CheckResult("freshness_check", stale == 0,
@@ -95,8 +109,8 @@ object QualityChecks {
   /** regex format check over non-null values (data_quality_checks.py:177-208). */
   def checkFormat(df: DataFrame, column: String, pattern: String): CheckResult = {
     val row = df.agg(
-      sum(when(col(column).isNotNull, 1).otherwise(0)).as("_nonnull"),
-      sum(when(!col(column).rlike(pattern) && col(column).isNotNull, 1).otherwise(0))
+      cnt(col(column).isNotNull).as("_nonnull"),
+      cnt(!col(column).rlike(pattern) && col(column).isNotNull)
         .as("_invalid")).head()
     val nonNull = row.getAs[Long]("_nonnull")
     val invalid = row.getAs[Long]("_invalid")
@@ -113,7 +127,7 @@ object QualityChecks {
       .reduceOption(_ && _).getOrElse(lit(true))
     val row = df.agg(
       count(lit(1)).as("_total"),
-      sum(when(completePred, 1).otherwise(0)).as("_complete")).head()
+      cnt(completePred).as("_complete")).head()
     val total = row.getAs[Long]("_total")
     val complete = row.getAs[Long]("_complete")
     CheckResult("completeness_check", total - complete == 0,

@@ -435,19 +435,29 @@ object AnalyticQueries {
       // Count, rank bounds, and exact percentiles all reduce the same
       // frame, so they share ONE aggregation pass: the sketch's
       // mapPartitions is then the only other full read (was 4 passes).
+      // ONE array-percentile buffer for all 5 exact quantiles: the
+      // previous per-q spelling ran 5 independent percentile aggregates,
+      // each accumulating every price into its own counts map — profiled
+      // as the gate's dominant cost (r14 verdict watch #2: the expense
+      // was this exact-verification pass, not the sketch). round() stays
+      // a Spark expression (transform over the 1-row result) so the
+      // oracle's HALF_UP semantics are byte-identical.
       val rankCols =
         qs.map(q => sum(when(col("price") < est(q), 1L).otherwise(0L))
           .as(s"lo$q")) ++
           qs.map(q => sum(when(col("price") <= est(q), 1L).otherwise(0L))
-            .as(s"hi$q")) ++
-          qs.map(q => round(percentile(col("price"), lit(q)), 4).as(s"p$q")) :+
+            .as(s"hi$q")) :+
+          percentile(col("price"), array(qs.map(lit(_)): _*)).as("ps") :+
           count(lit(1)).as("n")
-      val row = o.agg(rankCols.head, rankCols.tail: _*).head()
+      val row = o.agg(rankCols.head, rankCols.tail: _*)
+        .withColumn("ps", expr("transform(ps, x -> round(x, 4))"))
+        .head()
       val n = row.getAs[Long]("n")
+      val ps = row.getAs[scala.collection.Seq[Double]]("ps")
       val tol = 2 * ep * n
       val rows = qs.zipWithIndex.map { case (q, i) =>
         val (lo, hi) = (row.getLong(i), row.getLong(i + qs.size))
-        (q, row.getDouble(i + 2 * qs.size),
+        (q, ps(i),
           lo.toDouble <= q * n + tol && hi.toDouble >= q * n - tol)
       }
       rows.toDF("q", "exact_q", "sketch_rank_ok").orderBy("q")
@@ -480,18 +490,22 @@ object AnalyticQueries {
         qs.map(q => sum(when(col("price") < estCol(q), 1L).otherwise(0L))
           .as(s"lo$q")) ++
           qs.map(q => sum(when(col("price") <= estCol(q), 1L).otherwise(0L))
-            .as(s"hi$q")) ++
-          qs.map(q => round(percentile(col("price"), lit(q)), 4).as(s"p$q")) :+
+            .as(s"hi$q")) :+
+          // one array-percentile buffer per group, not one per (group, q)
+          // — the a20 fix applied to the grouped form
+          percentile(col("price"), array(qs.map(lit(_)): _*)).as("ps") :+
           count(lit(1)).as("n")
       val rows = o.groupBy("st").agg(aggCols.head, aggCols.tail: _*)
+        .withColumn("ps", expr("transform(ps, x -> round(x, 4))"))
         .collect().toSeq.flatMap { r =>
           val st = r.getString(0)
           val n = r.getAs[Long]("n")
+          val ps = r.getAs[scala.collection.Seq[Double]]("ps")
           val tol = 2 * ep * n
-          qs.map { q =>
+          qs.zipWithIndex.map { case (q, i) =>
             val lo = r.getAs[Long](s"lo$q")
             val hi = r.getAs[Long](s"hi$q")
-            (st, q, r.getAs[Double](s"p$q"),
+            (st, q, ps(i),
               lo.toDouble <= q * n + tol && hi.toDouble >= q * n - tol)
           }
         }

@@ -542,20 +542,38 @@ object TextQueries {
       val priors = docs.groupBy("lang").agg(count(lit(1)).as("ndocs"))
       val totalDocs = docs.count()
       val langs = priors.select("lang").collect().map(_.getString(0)).sorted
-      val expanded = toks.select(col("doc_id"), col("lang_true"), col("tok"),
-        explode(array(langs.map(lit(_)): _*)).as("lang"))
-      val scored = expanded
-        .join(classTok, Seq("lang", "tok"), "left")
-        .join(broadcast(classTot), Seq("lang"))
-        .withColumn("logp",
-          log((coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
-            (col("tot") + vocabV).cast("double"))
-            .cast(DecimalType(28, 10)))
-        .groupBy("doc_id", "lang_true", "lang")
+      // r15 shape (same values to the last decimal digit, pinned by the
+      // unchanged oracle): the previous spelling exploded every token
+      // occurrence ×C languages BEFORE a composite-key (lang, tok) join
+      // and shuffled tokens×C logp rows into the per-(doc, lang) sum.
+      // Now the model pivots to ONE broadcast row per token (a C-entry
+      // lang→cnt map; at 100 TB the hashing trick caps the vocab so the
+      // broadcast stays bounded), per-language log-probabilities are
+      // C decimal columns summed in ONE map-side-partial groupBy(doc),
+      // and the C-way explode happens on the (small) per-doc result.
+      // Decimal addition is exact, so the regrouped sum is bit-identical.
+      val tots = classTot.collect()
+        .map(r => r.getString(0) -> r.getAs[Long]("tot")).toMap
+      val classTokMap = classTok.groupBy("tok")
+        .agg(map_from_entries(collect_list(struct(col("lang"), col("cnt"))))
+          .as("cnts"))
+      def logpCol(l: String) =
+        log((coalesce(element_at(col("cnts"), lit(l)), lit(0L)) + 1)
+          .cast("double") / lit((tots(l) + vocabV).toDouble))
+          .cast(DecimalType(28, 10))
+      val sumCols = langs.map(l =>
         // cap the exact sum back to (28,10) before the prior add so the
         // decimal arithmetic stays in-width in BOTH engines (magnitude
         // ≤ ~1e4, far inside 18 integer digits)
-        .agg(sum(col("logp")).cast(DecimalType(28, 10)).as("sum_logp"))
+        sum(logpCol(l)).cast(DecimalType(28, 10)).as(s"s_$l"))
+      val perDoc = toks.join(broadcast(classTokMap), Seq("tok"), "left")
+        .groupBy("doc_id", "lang_true")
+        .agg(sumCols.head, sumCols.tail: _*)
+      val scored = perDoc.select(col("doc_id"), col("lang_true"),
+          explode(array(langs.map(l => struct(lit(l).as("lang"),
+            col(s"s_$l").as("sum_logp"))): _*)).as("s"))
+        .select(col("doc_id"), col("lang_true"),
+          col("s.lang").as("lang"), col("s.sum_logp").as("sum_logp"))
       scored
         .join(broadcast(priors), Seq("lang"))
         .withColumn("score", round(

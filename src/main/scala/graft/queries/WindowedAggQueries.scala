@@ -170,21 +170,25 @@ object WindowedAggQueries {
         .quantilesFromMerged(
           graft.operators.QuantileSketch.mergeTagged(tagged), qs)
         .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
-      // a20's duplicate-safe rank-interval gate, one aggregation pass
+      // a20's duplicate-safe rank-interval gate, one aggregation pass —
+      // with a20's r15 single-array-percentile buffer (5 independent
+      // percentile aggregates were the measured dominant cost)
       val rankCols =
         qs.map(qq => sum(when(col("price") < est(qq), 1L).otherwise(0L))
           .as(s"lo$qq")) ++
           qs.map(qq => sum(when(col("price") <= est(qq), 1L).otherwise(0L))
-            .as(s"hi$qq")) ++
-          qs.map(qq => round(percentile(col("price"), lit(qq)), 4)
-            .as(s"p$qq")) :+
+            .as(s"hi$qq")) :+
+          percentile(col("price"), array(qs.map(lit(_)): _*)).as("ps") :+
           count(lit(1)).as("n")
-      val row = o.agg(rankCols.head, rankCols.tail: _*).head()
+      val row = o.agg(rankCols.head, rankCols.tail: _*)
+        .withColumn("ps", expr("transform(ps, x -> round(x, 4))"))
+        .head()
       val n = row.getAs[Long]("n")
+      val ps = row.getAs[scala.collection.Seq[Double]]("ps")
       val tol = 2 * ep * n
       val out = qs.zipWithIndex.map { case (qq, i) =>
         val (lo, hi) = (row.getLong(i), row.getLong(i + qs.size))
-        (qq, row.getDouble(i + 2 * qs.size),
+        (qq, ps(i),
           lo.toDouble <= qq * n + tol && hi.toDouble >= qq * n - tol)
       }
       out.toDF("q", "exact_q", "sketch_rank_ok").orderBy("q")

@@ -53,12 +53,28 @@ object Sf1Bench {
     "s19_incremental_curate_publish", "s24_silver_stats_skipping",
     "st11_stream_curate")
 
+  /** INDEX-PROBE leg (r14 verdict #5): the persisted-index probe family's
+    * flatness claims rest on synthetic-corpus tools (CurateIncrScale /
+    * EmbIndexScale at 2M rows); this leg measures the same probe shapes
+    * on the driver's own testdata at 10×. Two parts: (a) the
+    * corpus-scaling GATES (dd16 / s27 / cp6 — their input tables grow
+    * with sf) run cold then warm on both sides, warm = the probe over a
+    * memoized world/index; (b) constructed probe SHAPES for the
+    * gate-capped families (dd13/s17's corpus is oracle-bounded at
+    * doc_id < 1000, so the gate itself cannot scale): a full-corpus
+    * LshBandIndex / TextIndex is ensured per sf and a FIXED batch probes
+    * it, so the ratio isolates probe growth at 10× history. */
+  private val IndexGateQueries = Seq("dd16_incremental_embed_neardup",
+    "s27_emb_index_advance", "cp6_incremental_curate")
+
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_sf1")
     val writesMode = args.lift(2).contains("--writes")
+    val indexMode = args.lift(2).contains("--index")
     val queries =
       if (writesMode) WriteQueries
+      else if (indexMode) IndexGateQueries
       else if (args.length > 2) args.drop(2).toSeq
       else DefaultQueries
     if (writesMode)
@@ -124,7 +140,61 @@ object Sf1Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    if (writesMode) {
+    if (indexMode) {
+      // JIT warmup at the smallest sf (gates memoize per sfDir, so this
+      // only pays codegen, not the measured worlds)
+      queries.foreach(q => time(q, "/root/testdata/sf0.001"))
+      // (a) corpus-scaling gates: cold = world/index build + probe,
+      // warm = probe over the memoized world — the flatness claim
+      queries.foreach { q =>
+        val c1 = time(q, base); val w1 = time(q, base)
+        val c10 = time(q, out); val w10 = time(q, out)
+        val r = if (w1 > 0 && w10 > 0) w10 / w1 else -1.0
+        println(f"SF1INDEX $q%-30s sf0.1 warm=$w1%6.2f (cold=$c1%6.2f)  " +
+          f"sf1 warm=$w10%6.2f (cold=$c10%6.2f)  warm_ratio=$r%5.2f")
+      }
+      // (b) constructed probe shapes over the FULL per-sf corpus with a
+      // FIXED batch (500 docs / 200 vectors re-keyed to disjoint ids)
+      def lshShape(dir: String): (Double, Double) = {
+        import graft.operators.{LshBandIndex, MinHashLSH}
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val gen = LshBandIndex.ensure(spark, docs, key = s"$dir#sf1idx")
+        val batch = docs.filter(col("doc_id") % 10 === 0 &&
+            col("doc_id") < 5000)
+          .select((col("doc_id") + lit(1000000000L)).as("doc_id"), col("text"))
+        def probe(): Double = {
+          val t0 = System.nanoTime()
+          MinHashLSH.incrementalPairs(MinHashLSH.bandRows(batch),
+            LshBandIndex.narrowBandsOf(spark, gen),
+            LshBandIndex.sigsOf(spark, gen)).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val cold = probe(); val warm = probe()
+        (cold, warm)
+      }
+      def textShape(dir: String): (Double, Double) = {
+        import graft.operators.TextIndex
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val gen = TextIndex.ensure(spark, docs, key = s"bm25:$dir#sf1idx")
+        def probe(): Double = {
+          val t0 = System.nanoTime()
+          TextIndex.bm25(spark, gen, Seq("spark", "vector", "merge"),
+            k = 10).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val cold = probe(); val warm = probe()
+        (cold, warm)
+      }
+      Seq(("lsh_probe_fixed_batch", lshShape _),
+          ("bm25_probe_3_terms", textShape _)).foreach { case (name, f) =>
+        f("/root/testdata/sf0.001") // JIT warmup
+        val (c1, w1) = f(base)
+        val (c10, w10) = f(out)
+        val r = if (w1 > 0 && w10 > 0) w10 / w1 else -1.0
+        println(f"SF1INDEX $name%-30s sf0.1 warm=$w1%6.2f (cold=$c1%6.2f)  " +
+          f"sf1 warm=$w10%6.2f (cold=$c10%6.2f)  warm_ratio=$r%5.2f")
+      }
+    } else if (writesMode) {
       // JIT/codegen warmup at the smallest sf: the write paths compile
       // the same generated classes whatever the sf, so the sf0.1 leg
       // isn't charged session startup. World caches for sf0.001 land
