@@ -249,7 +249,10 @@ object Bench {
         "s17_lsh_index_advance", "s18_text_index_advance",
         "s21_sketch_advance", "s2_current_scan",
         "dd13_incremental_neardup", "dd16_incremental_embed_neardup",
-        "s27_emb_index_advance")
+        "s27_emb_index_advance",
+        // r15: s6d's 3-merge input scenario moved into a cached world
+        // (each run compacts a per-call COPY; the world is immutable)
+        "s6d_scd2_compact")
       // map THEN forall: every gate must attempt its warmup even after
       // one fails — a short-circuit would leave the rest un-warmed with
       // no GRAFT_BENCH_WARN, their world builds landing unannounced in

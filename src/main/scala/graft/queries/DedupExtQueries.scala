@@ -160,34 +160,26 @@ object DedupExtQueries {
     // cluster cardinality is bounded by dedup geometry, never corpus
     // size.
     "dd17_canonical_select" -> ((s, d) => {
+      import graft.operators.CanonicalSelect
       val docs = documents(s, d)
         .filter(col("doc_id") < 50 && length(col("text")) >= 3)
-      val sh = docs.select(col("doc_id"), explode(array_distinct(expr(
-        "transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3))")))
-        .as("g"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-      val pairs = sh.select(col("doc_id").as("src"), col("g"))
-        .join(sh.select(col("doc_id").as("dst"), col("g")), "g")
-        .filter(col("src") < col("dst"))
-        .groupBy("src", "dst").agg(count(lit(1)).as("common"))
-        .join(sizes.select(col("doc_id").as("src"), col("sz").as("sa")), "src")
-        .join(sizes.select(col("doc_id").as("dst"), col("sz").as("sb")), "dst")
-        .filter(col("common") / (col("sa") + col("sb") - col("common")) >= 0.6)
-        .select("src", "dst")
-      val comp = graft.operators.ConnectedComponents
-        .run(docs.select(col("doc_id").as("id")), pairs)
-        .select(col("id").as("doc_id"), col("component").as("cluster"))
+      // gate-scale pair source: exact 3-gram Jaccard, oracle-replicable
+      // (no df cap — the 50-doc scope has no hot grams worth guarding).
+      // At corpus scale feed CanonicalSelect.minhashPairs (banded —
+      // pair volume tracks true duplicates, not Σ df² over stop-grams;
+      // tools/CanonSelScale measures the difference) — the selection
+      // stage is pair-source agnostic.
+      val pairs = CanonicalSelect.gramJaccardPairs(docs, "doc_id", "text",
+        threshold = 0.6)
       val q = docs
         .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
         .select(col("doc_id"),
           round(least(lit(1.0), col("n_tokens") / lit(50.0)) * 0.5 +
             when(col("n_chars").between(100, 5000), 0.5).otherwise(0.25), 6)
             .as("q_score"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("cluster")
-        .orderBy(col("q_score").desc, col("doc_id"))
-      comp.join(q, Seq("doc_id"))
-        .withColumn("kept", row_number().over(w) === 1)
+      CanonicalSelect.run(docs.select("doc_id"), pairs, q)
+        .select(col("id").as("doc_id"), col("cluster"), col("q_score"),
+          col("kept"))
         .orderBy("doc_id")
     }),
 
