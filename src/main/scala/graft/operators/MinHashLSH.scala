@@ -24,6 +24,35 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLSH {
 
+  /** Smallest (numPerms, bands) holding expected candidate recall ≥
+    * `targetRecall` for a pair AT `threshold` Jaccard, at the given
+    * rows-per-band: a pair at Jaccard J agrees per permutation with
+    * probability J, a band of r rows collides with Jʳ, and b bands
+    * recall 1 − (1 − Jʳ)ᵇ — the [[CosineLshIndex.geometryFor]] map for
+    * the Jaccard family (closed form exact for independent permutations;
+    * LshAdvanceScale's MHRECALL leg pins measured recall to it per
+    * Jaccard bin). The default 16×4 geometry (r = 4) holds recall ≥ 0.98
+    * at J = 0.9, the near-dup regime the dd4/dd13 gates plant; callers
+    * targeting LOWER thresholds (fuzzy dedup at J ~ 0.6-0.7) should
+    * derive geometry here instead of guessing — at J = 0.7, 4 bands of 4
+    * recall only ~0.66, while geometryFor(0.7, 0.95, 3) returns the
+    * (bands, numPerms) that holds it. Band count trades candidate
+    * precision exactly as in the cosine family: chance collisions per
+    * band run at ~(Jᵇᵃᶜᵏᵍʳᵒᵘⁿᵈ)ʳ for the corpus's background
+    * similarity, so more bands buy recall at linear candidate cost. */
+  def geometryFor(threshold: Double, targetRecall: Double = 0.95,
+                  rowsPerBand: Int = 4): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"geometryFor: threshold=$threshold out of (0, 1)")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"geometryFor: targetRecall=$targetRecall out of (0, 1)")
+    require(rowsPerBand > 0, s"geometryFor: rowsPerBand=$rowsPerBand")
+    val pBand = math.pow(threshold, rowsPerBand)
+    val bands = math.ceil(
+      math.log1p(-targetRecall) / math.log1p(-pBand)).toInt.max(1)
+    (bands * rowsPerBand, bands)
+  }
+
   /** Distinct candidate pairs `(src, dst, est_jaccard)` with `src < dst`,
     * estimated Jaccard = fraction of agreeing signature positions.
     *

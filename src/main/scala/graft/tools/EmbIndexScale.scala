@@ -78,10 +78,16 @@ object EmbIndexScale {
     }
 
     val batch = 2000L
-    locally { // untimed JIT/codegen warmup
+    locally { // untimed JIT/codegen warmup — including the PROBE path
+      // (r15: the EMBIDX probe column carried ~4 s of first-call
+      // planning/codegen per fresh index key before any corpus work)
       val k0 = s"emb_warm_${System.nanoTime()}"
       CosineLshIndex.ensure(spark, vecs(0, 2000), k0)
       CosineLshIndex.advanceWithBatch(spark, k0, vecs(2000, 3000))
+      val g0 = CosineLshIndex.currentGenPath(spark, k0).get
+      CosineLshIndex.incrementalPairs(vecs(3000, 3500), "vec_id", "emb",
+        CosineLshIndex.narrowKeysOf(spark, g0),
+        CosineLshIndex.vecsOf(spark, g0)).count()
     }
 
     // ── leg 1: EMBIDX scaling at the shipped default geometry ──────────

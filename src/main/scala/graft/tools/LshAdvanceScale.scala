@@ -78,6 +78,78 @@ object LshAdvanceScale {
       println(f"LSHADV h=$h%-7d build=$tBuild%.2f advance=$tAdv%.2f " +
         f"probe=$tProbe%.2f (batch=$batch)")
     }
+
+    // ── MHRECALL: the borderline-Jaccard frontier (the EMBRECALL leg
+    // for the MinHash family). Plants are token-substituted copies of
+    // history docs (per-position substitution rate (k+1)/30, k = id%4 —
+    // landing word-3-shingle Jaccard across ~[0.3, 0.95]); TRUE Jaccard
+    // is computed exactly per planted pair, recall measured per J bin
+    // and pinned against the closed form 1 − (1 − Jʳ)ᵇ
+    // ([[MinHashLSH.geometryFor]]). Band collision is per-PAIR, so the
+    // measurement needs only targets ∪ plants, not the full corpus. ──
+    val nPlants = 4000L
+    val bR0 = 1L << 41
+    val hR = math.min(sizes.max, 50000L)
+    val batchR = spark.range(bR0, bR0 + nPlants).select(
+      col("id").as("doc_id"),
+      expr(s"""concat_ws(' ', transform(sequence(0, 29), j ->
+        CASE WHEN pmod(xxhash64(id, j), 30) < CAST(id % 4 AS INT) + 1
+             THEN concat('u', id, '_', j)
+             ELSE concat('w', CAST(((pmod(id * 7919, ${hR}L)) DIV 3) * 5
+               + j AS STRING)) END))""").as("text"))
+      .localCheckpoint(true)
+    val targets = spark.range(bR0, bR0 + nPlants)
+      .select(pmod(col("id") * 7919, lit(hR)).as("doc_id")).distinct()
+    val histTargets = docs(0, hR)
+      .join(targets, Seq("doc_id"), "left_semi").localCheckpoint(true)
+    def shingleSet(df: DataFrame, idAs: String): DataFrame = df
+      .select(col("doc_id").as(idAs),
+        split(lower(trim(regexp_replace(col("text"), "\\s+", " "))), " ")
+          .as("toks"))
+      .select(col(idAs), explode(array_distinct(expr(
+        "transform(sequence(1, greatest(size(toks) - 2, 1)), " +
+          "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))).as("sh"))
+    val sa = shingleSet(histTargets, "src")
+      .groupBy("src").agg(count(lit(1)).as("na"))
+    val sb = shingleSet(batchR, "dst")
+      .groupBy("dst").agg(count(lit(1)).as("nb"))
+    val common = shingleSet(histTargets, "src")
+      .join(shingleSet(batchR, "dst"), "sh")
+      .groupBy("src", "dst").agg(count(lit(1)).as("nc"))
+    val truth = spark.range(bR0, bR0 + nPlants)
+      .select(pmod(col("id") * 7919, lit(hR)).as("src"), col("id").as("dst"))
+      .join(common, Seq("src", "dst"), "left")
+      .join(sa, "src").join(sb, "dst")
+      .select(col("src"), col("dst"),
+        (coalesce(col("nc"), lit(0L)) /
+          (col("na") + col("nb") - coalesce(col("nc"), lit(0L)))).as("j"))
+      .localCheckpoint(true)
+    val union = histTargets.unionByName(batchR).localCheckpoint(true)
+    val bins = Seq((0.5, 0.6), (0.6, 0.7), (0.7, 0.8), (0.8, 0.9),
+      (0.9, 1.01))
+    Seq((16, 4), (24, 6), (24, 8), (32, 8)).foreach { case (perms, bands) =>
+      val hits = MinHashLSH.candidatePairs(union, numPerms = perms,
+          bands = bands)
+        .select(col("src"), col("dst")).withColumn("hit", lit(1))
+      val aggCols = bins.flatMap { case (lo, hi) =>
+        val in = col("j") >= lo && col("j") < hi
+        Seq(sum(when(in, 1).otherwise(0)).as(s"n_$lo"),
+          sum(when(in && col("hit").isNotNull, 1).otherwise(0))
+            .as(s"r_$lo"))
+      }
+      val row = truth.join(hits, Seq("src", "dst"), "left")
+        .groupBy().agg(aggCols.head, aggCols.tail: _*).head()
+      val r = perms / bands
+      val cells = bins.zipWithIndex.map { case ((lo, hi), i) =>
+        val n = row.getLong(2 * i); val rec = row.getLong(2 * i + 1)
+        val meas = if (n == 0) Double.NaN else rec.toDouble / n
+        // analytic LOWER bound at the bin floor (recall monotone in J)
+        val ana = 1.0 - math.pow(1.0 - math.pow(lo, r), bands)
+        f"[$lo%.1f,$hi%.1f):$rec/$n=$meas%.3f(ana≥$ana%.3f)"
+      }
+      println(s"MHRECALL perms=$perms bands=$bands r=$r " +
+        cells.mkString(" "))
+    }
     spark.stop()
   }
 }

@@ -130,6 +130,22 @@ class MinHashSigSpec extends SparkSuite {
     assert(e.getMessage.contains("foldable INT"))
   }
 
+  test("geometryFor solves the Jaccard S-curve: smallest band count at the target") {
+    import graft.operators.MinHashLSH.geometryFor
+    // closed form: recall(J, r, b) = 1 - (1 - J^r)^b
+    def recall(j: Double, r: Int, b: Int) =
+      1.0 - math.pow(1.0 - math.pow(j, r), b)
+    for ((t, tr, r) <- Seq((0.9, 0.95, 4), (0.7, 0.95, 3), (0.6, 0.9, 2))) {
+      val (perms, bands) = geometryFor(t, tr, r)
+      assert(perms === bands * r)
+      assert(recall(t, r, bands) >= tr, s"($t,$tr,$r) under target")
+      assert(bands == 1 || recall(t, r, bands - 1) < tr,
+        s"($t,$tr,$r) not minimal")
+    }
+    intercept[IllegalArgumentException](geometryFor(1.0, 0.9))
+    intercept[IllegalArgumentException](geometryFor(0.9, 0.0))
+  }
+
   test("signature computation plan has no shuffle (the fusion's point)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = fusedSigs(docs, "doc_id", "text")
