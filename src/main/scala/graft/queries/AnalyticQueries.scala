@@ -93,10 +93,15 @@ object AnalyticQueries {
     "a13_percentile" -> ((s, d) =>
       orders(s, d)
         .groupBy("o_orderpriority")
-        .agg(
-          round(percentile(col("o_totalprice"), lit(0.25)), 4).as("p25"),
-          round(percentile(col("o_totalprice"), lit(0.5)), 4).as("p50"),
-          round(percentile(col("o_totalprice"), lit(0.75)), 4).as("p75"))
+        // ONE percentile buffer per group for all three quantiles (the
+        // a20 r15 fix: each scalar percentile agg accumulates the whole
+        // column into its own counts map)
+        .agg(percentile(col("o_totalprice"),
+          array(lit(0.25), lit(0.5), lit(0.75))).as("ps"))
+        .select(col("o_orderpriority"),
+          round(element_at(col("ps"), 1), 4).as("p25"),
+          round(element_at(col("ps"), 2), 4).as("p50"),
+          round(element_at(col("ps"), 3), 4).as("p75"))
         .orderBy("o_orderpriority")),
 
     // A15: robust outlier detection (median/MAD, Iglewicz–Hoaglin
@@ -360,9 +365,11 @@ object AnalyticQueries {
     "a16_winsorize" -> ((s, d) => {
       val o = orders(s, d).select(col("o_orderpriority").as("pri"),
         col("o_totalprice").as("price"))
-      val pct = o.groupBy("pri").agg(
-        percentile(col("price"), lit(0.05)).as("p05"),
-        percentile(col("price"), lit(0.95)).as("p95"))
+      val pct = o.groupBy("pri")
+        .agg(percentile(col("price"),
+          array(lit(0.05), lit(0.95))).as("ps"))
+        .select(col("pri"), element_at(col("ps"), 1).as("p05"),
+          element_at(col("ps"), 2).as("p95"))
       o.join(broadcast(pct), Seq("pri"))
         .groupBy("pri")
         .agg(
