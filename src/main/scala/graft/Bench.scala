@@ -321,8 +321,31 @@ object Bench {
     drainWaitSec += drain()
     val loadMedians = osBean.getSystemLoadAverage
     val dirtyMedians = dirtyKb()
+    // PER-SLOT environment stamps + self-adjudication (r15 verdict #2:
+    // one medians slot — st7, 43.2 s vs a 1.7 s steady state — was
+    // inflated 25× by a contention burst while the PASS-level
+    // load/dirty stamps read clean; a per-query burst needs per-query
+    // evidence). Each slot records the 1-min load average and dirty_kb
+    // captured immediately before its 3 runs; a slot whose median
+    // diverges from its own min (intermittent burst) or blows past its
+    // first-run time (sustained burst across the slot) is re-run ONCE
+    // after a writeback drain and the recheck value emitted beside the
+    // median — a contaminated slot thus carries its own verdict in the
+    // JSON instead of needing a judge re-run.
+    val slotEnv = scala.collection.mutable.LinkedHashMap[String, (Double, Long)]()
+    val rechecks = scala.collection.mutable.LinkedHashMap[String, Double]()
     val medianRuns = medianTargets.map { name =>
-      name -> (1 to 3).map(_ => time(queries(name))).sorted
+      slotEnv(name) = (osBean.getSystemLoadAverage, dirtyKb())
+      val rs = (1 to 3).map(_ => time(queries(name))).sorted
+      val med = rs(rs.length / 2)
+      val first = byName.getOrElse(name, -1.0)
+      val suspect = med > 2 * rs.head + 0.2 ||
+        (first > 0 && med > 1.5 * first + 0.5)
+      if (suspect) {
+        drainWaitSec += drain()
+        rechecks(name) = time(queries(name))
+      }
+      name -> rs
     }
     val medians = medianRuns.map { case (n, rs) => n -> rs(rs.length / 2) }
     val mins = medianRuns.map { case (n, rs) => n -> rs.head }
@@ -340,10 +363,15 @@ object Bench {
       s""","dirty_kb_predrain":$dirtyPre,"drain_wait":${fmt(drainWaitSec)}""" +
       s""","load_avg_medians":${fmt(loadMedians)}""" +
       s""","dirty_kb_medians":$dirtyMedians""" +
+      s""","median_flagged":${rechecks.size}""" +
       s""","sf":"$sfDir"}"""
+    val envJson = slotEnv.map { case (k, (l, d)) =>
+      s"""\"$k\":[${fmt(l)},$d]""" }.mkString("{", ",", "}")
     val summary = compact.dropRight(1) +
       s""","medians":${jmap(medians)}""" +
       s""","medians_min":${jmap(mins)}""" +
+      s""","median_recheck":${jmap(rechecks.toSeq)}""" +
+      s""","median_env":$envJson""" +
       s""","queries":${jmap(headline.flatMap(k => byName.get(k).map(k -> _)))}}"""
     // The harness keeps only a ~2 KB tail of stdout and parses what it
     // finds there; the full summary alone can overflow that window. So:

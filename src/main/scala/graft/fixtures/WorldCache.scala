@@ -10,15 +10,16 @@ package graft.fixtures
   * A world is built ONCE per (tag, sf dir, code build) under a shared
   * on-disk root and reused READ-ONLY:
   *
-  *  - the key includes a BUILD-WIDE stamp — the max .class mtime under
-  *    the compiled-classes root (or the jar's mtime when packaged) —
-  *    so recompiling ANY production class busts every world: world
-  *    builds call through many collaborators (StreamingOps,
-  *    IncrementalCurate, Scd2, GoldEtl, …) and zinc does not touch the
-  *    owner's .class for a dependency's implementation-only edit, so a
-  *    single-class stamp could serve a world stale against new code
-  *    (the r13 ADVICE finding). The stamp is computed once per JVM (a
-  *    few ms of directory walk) and shared by every tag;
+  *  - the key includes a RECIPE stamp with two bytecode components
+  *    ([[buildStamp]] + [[ownerStamp]]): a content hash of all ENGINE
+  *    bytecode (everything world builds call through — StreamingOps,
+  *    IncrementalCurate, Scd2, GoldEtl, … — zinc does not touch the
+  *    owner's .class for a dependency's implementation-only edit, so
+  *    all of it participates; the r13 ADVICE finding), plus a content
+  *    hash of the declaring query file's own classes, so editing a
+  *    query body in ANOTHER file reuses every cached world (the r15
+  *    verdict #3: whole-jar keying rebuilt 130-255 s of fixtures per
+  *    edit). Computed once per JVM;
   *  - publication is IN PLACE under a lock + OK-marker protocol (NOT
   *    build-then-rename: stats sidecars and manifests record absolute
   *    file URIs, so a world must never move after it is built): the
@@ -80,41 +81,103 @@ object WorldCache {
     * collects them. */
   private[graft] val VacuumGraceMs: Long = 30L * 60 * 1000
 
-  /** BUILD-WIDE stamp: the max lastModified over every .class file
-    * under the compiled-classes root this class loaded from, or — when
-    * loaded from a JAR — a CONTENT hash of the jar bytes. Any recompile
-    * of any production class changes it, so the world key can never
-    * outlive the code that built the world, whichever class that code
-    * lives in. The jar branch must NOT use the jar's mtime: sbt's
-    * forked `runMain` copies the packaged jar into a fresh
-    * `target/bg-jobs/...` path on EVERY invocation (mtime = run start),
-    * which keyed every run to a new stamp — all fixture worlds rebuilt
-    * per run (~2 min of untimed world_build each Bench/Verify), and the
-    * cache never hit once. Hashing the bytes is copy-stable: identical
-    * compile → identical stamp. Computed once per JVM (~ms for a few
-    * thousand class files; ~ms to digest a single-digit-MB jar). */
-  private[graft] lazy val buildStamp: Long = {
+  /** RECIPE stamp, not build stamp (r15 verdict #3: keying worlds on
+    * whole-jar bytes rebuilt 130-255 s of fixtures on EVERY code
+    * change, including edits to query bodies no world build ever
+    * executes). The key now has two bytecode components:
+    *
+    *  - [[buildStamp]] — a CONTENT hash (path + bytes, sorted) of every
+    *    .class file OUTSIDE `graft.queries` / `graft.tools` /
+    *    `Bench`/`Verify`/`SparkEntry`. World builds call through the
+    *    engine packages (Scd2, GoldEtl, StreamingOps, operators, …),
+    *    and zinc does not recompile a caller for a dependency's
+    *    implementation-only edit (the r13 ADVICE hazard), so ALL
+    *    engine bytecode participates — an engine edit still busts
+    *    every world;
+    *  - [[ownerStamp]] — a content hash of the `owner` class's own
+    *    .class files (the object class plus its `$`-suffixed synthetic
+    *    siblings). Scala compiles a build lambda's body into methods
+    *    of its enclosing object's class file, so editing a world's
+    *    SCENARIO re-stamps exactly the worlds declared in that file,
+    *    while edits to other query files reuse every cached world.
+    *
+    * INVARIANT the split relies on (checked at the 12 call sites, and
+    * required of new ones): a build lambda calls only engine packages
+    * plus code in its OWN file — never helpers in another excluded
+    * file, which neither component would see.
+    *
+    * Content hashing (not mtime) makes the stamp stable across
+    * touch-compiles and across sbt's forked `runMain` re-copying the
+    * packaged jar per invocation (the original mtime bug: every run a
+    * fresh stamp, every world rebuilt, the cache never hit once).
+    * Computed once per JVM (~ms to digest a few thousand class files
+    * or jar entries). */
+  private def hashClasses(pred: String => Boolean): Long = {
     val res = getClass.getName.replace('.', '/') + ".class"
     val url = getClass.getClassLoader.getResource(res)
-    if (url == null) 0L
-    else if (url.getProtocol == "file") {
+    if (url == null) return 0L
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def feed(rel: String, bytes: Array[Byte]): Unit = {
+      md.update(rel.getBytes("UTF-8")); md.update(bytes); ()
+    }
+    if (url.getProtocol == "file") {
       val self = new java.io.File(url.toURI)
       // classes root = the resource path stripped off the .class file
       val root = java.nio.file.Paths.get(self.toPath.toString
         .stripSuffix(res.replace('/', java.io.File.separatorChar)))
       val walk = java.nio.file.Files.walk(root)
-      try walk.filter(p => p.toString.endsWith(".class"))
-        .mapToLong(p => p.toFile.lastModified()).max().orElse(0L)
-      finally walk.close()
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p))
+          .map(p => root.relativize(p).toString
+            .replace(java.io.File.separatorChar, '/') -> p)
+          .filter { case (rel, _) => rel.endsWith(".class") && pred(rel) }
+          .toSeq.sortBy(_._1)
+          .foreach { case (rel, p) =>
+            feed(rel, java.nio.file.Files.readAllBytes(p)) }
+      } finally walk.close()
     } else if (url.getProtocol == "jar") {
       val jar = url.getPath.takeWhile(_ != '!').stripPrefix("file:")
-      val bytes = java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(
-          new java.io.File(java.net.URLDecoder.decode(jar, "UTF-8")).toURI))
-      java.nio.ByteBuffer.wrap(
-        java.security.MessageDigest.getInstance("MD5").digest(bytes))
-        .getLong & Long.MaxValue // non-negative: the stamp prints as hex
-    } else 0L
+      val jf = new java.util.jar.JarFile(
+        new java.io.File(java.net.URLDecoder.decode(jar, "UTF-8")))
+      try {
+        import scala.jdk.CollectionConverters._
+        jf.entries().asScala
+          .filter(e => !e.isDirectory && e.getName.endsWith(".class") &&
+            pred(e.getName))
+          .toSeq.sortBy(_.getName)
+          .foreach { e =>
+            val in = jf.getInputStream(e)
+            try feed(e.getName, in.readAllBytes()) finally in.close()
+          }
+      } finally jf.close()
+    } else return 0L
+    java.nio.ByteBuffer.wrap(md.digest())
+      .getLong & Long.MaxValue // non-negative: the stamp prints as hex
+  }
+
+  /** The world-build lambdas and everything they transitively call live
+    * here; query/tool/CLI bytecode is excluded from the shared stamp
+    * and covered per-file by [[ownerStamp]]. */
+  private def inSharedRecipe(rel: String): Boolean =
+    rel.startsWith("graft/") &&
+      !rel.startsWith("graft/queries/") &&
+      !rel.startsWith("graft/tools/") &&
+      !rel.matches("graft/(Bench|Verify|SparkEntry)(\\$.*)?\\.class")
+
+  private[graft] lazy val buildStamp: Long = hashClasses(inSharedRecipe)
+
+  private val ownerStamps =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Content hash of the owner object's own class files (`X$.class`,
+    * `X.class`, `X$*.class`) — the bytecode holding its build lambdas. */
+  private[graft] def ownerStamp(owner: Class[_]): Long = {
+    val base = owner.getName.stripSuffix("$").replace('.', '/')
+    ownerStamps.getOrElseUpdate(base, hashClasses(rel =>
+      rel == s"$base.class" || rel == s"$base$$.class" ||
+        (rel.startsWith(s"$base$$") && rel.endsWith(".class"))))
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
@@ -134,7 +197,11 @@ object WorldCache {
   /** The sweep body (test seam — the lazy val above runs it once per
     * JVM on the first cache miss). */
   private[graft] def vacuumNow(): Unit = {
-    val marker = s"_v${java.lang.Long.toHexString(buildStamp)}_"
+    // shared-stamp component only: worlds of a superseded ENGINE build
+    // are collected; a same-engine world whose owner (query-file) stamp
+    // moved lingers until the engine stamp next changes — bounded by
+    // in-generation query edits, each ~50-70 s of build output
+    val marker = s"_v${java.lang.Long.toHexString(buildStamp)}-"
     val now = System.currentTimeMillis()
     Option(cacheRoot.listFiles()).getOrElse(Array.empty).foreach { f =>
       val name = f.getName
@@ -167,14 +234,17 @@ object WorldCache {
     * running `build` into it under the lock protocol only when absent.
     * `build` receives the dir to populate (it may create any
     * substructure); the returned dir must be treated read-only.
-    * `owner` is retained for call-site documentation — versioning is
-    * build-wide ([[buildStamp]]), not per-class. */
+    * `owner` is load-bearing: the class whose file DECLARES the build
+    * lambda — its bytecode hash re-keys this world when the scenario
+    * is edited (see [[ownerStamp]]). */
   def dir(tag: String, sfDir: String, owner: Class[_])
          (build: String => Unit): String = synchronized {
     val ver = buildStamp
-    val key = tag + s"_v${java.lang.Long.toHexString(ver)}_" +
+    val own = ownerStamp(owner)
+    val key = tag + s"_v${java.lang.Long.toHexString(ver)}-" +
+      java.lang.Long.toHexString(own) + "_" +
       java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(s"$sfDir|$ver|$tag")
+        scala.util.hashing.MurmurHash3.stringHash(s"$sfDir|$ver|$own|$tag")
           .toLong & 0xffffffffL)
     memo.getOrElseUpdate(key, {
       val target = new java.io.File(cacheRoot, key)

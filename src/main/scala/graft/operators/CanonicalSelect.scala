@@ -88,10 +88,14 @@ object CanonicalSelect {
         ids.select(col(ids.columns.head).as("id")),
         pairs.select("src", "dst"))
       .select(col("id"), col("component").as("cluster"))
+    // LEFT join + explicit nulls-last: an id lacking a q_score row must
+    // still appear exactly once (the contract above), ranked below every
+    // scored member — an inner join here silently dropped unscored ids
+    // and could lose a whole cluster's canonical.
     val w = Window.partitionBy("cluster")
-      .orderBy(col("q_score").desc, col("id"))
+      .orderBy(col("q_score").desc_nulls_last, col("id"))
     comp.join(quality.select(col(quality.columns.head).as("id"),
-        col("q_score")), Seq("id"))
+        col("q_score")), Seq("id"), "left")
       .withColumn("kept", row_number().over(w) === 1)
   }
 }

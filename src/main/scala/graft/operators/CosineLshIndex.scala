@@ -515,12 +515,19 @@ object CosineLshIndex {
         bands = bands, rowsPerBand = rowsPerBand)
       .select(col("id").as("dst"), pk.as("bk"))
     // phase 1: narrow candidate ids, deduped before any vector moves.
-    // The batch-key side is explicitly broadcast — it is batch-bounded
-    // (batch × bands rows) by the operator's contract, and the narrow
-    // index scan must stream map-side, never shuffle.
+    // The batch-key side is broadcast when it fits — batch × bands rows,
+    // counted here rather than assumed, because the operator accepts ANY
+    // DataFrame as the batch and bands=29 makes the key frame 3.6× the
+    // old default's. Under the cap the narrow index scan streams
+    // map-side with zero shuffle; over it (a corpus-sized "batch") the
+    // planner keeps its shuffled-join freedom instead of OOMing the
+    // driver — the same guard shape as phase 2's MaxBroadcastFetch.
+    val bKeysRows = b.count() * bands
+    val bKeysSide = if (bKeysRows <= MaxBroadcastFetch) broadcast(bKeys)
+                    else bKeys
     val histCand = historyKeys
       .select(col("__id").as("src"), pk.as("bk"))
-      .join(broadcast(bKeys), Seq("bk"))
+      .join(bKeysSide, Seq("bk"))
       .filter(col("src") =!= col("dst"))
       .select("src", "dst").distinct()
     // phase 2: vectors for candidate endpoints ONLY. Materialize the

@@ -24,7 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLSH {
 
-  /** Smallest (numPerms, bands) holding expected candidate recall ≥
+  /** Named LSH geometry so callers can't transpose the two ints: the
+    * sibling [[CosineLshIndex.geometryFor]] returns (bands, rowsPerBand)
+    * in the OPPOSITE orientation, and a bare tuple pattern-matched from
+    * the wrong family silently runs 16 bands of 4 perms as 16 perms in
+    * 4 bands. Field access (`g.numPerms`, `g.bands`) makes the
+    * transposition a compile error. */
+  final case class Geometry(numPerms: Int, bands: Int)
+
+  /** Smallest [[Geometry]] (numPerms = bands·rowsPerBand) holding
+    * expected candidate recall ≥
     * `targetRecall` for a pair AT `threshold` Jaccard, at the given
     * rows-per-band: a pair at Jaccard J agrees per permutation with
     * probability J, a band of r rows collides with Jʳ, and b bands
@@ -35,13 +44,15 @@ object MinHashLSH {
     * at J = 0.9, the near-dup regime the dd4/dd13 gates plant; callers
     * targeting LOWER thresholds (fuzzy dedup at J ~ 0.6-0.7) should
     * derive geometry here instead of guessing — at J = 0.7, 4 bands of 4
-    * recall only ~0.66, while geometryFor(0.7, 0.95, 3) returns the
-    * (bands, numPerms) that holds it. Band count trades candidate
+    * recall only ~0.66, while geometryFor(0.7, 0.95, 3) returns
+    * Geometry(numPerms = 24, bands = 8) — 8 bands of 3 — which holds
+    * it (the dd18 gate runs exactly that derived geometry end-to-end).
+    * Band count trades candidate
     * precision exactly as in the cosine family: chance collisions per
     * band run at ~(Jᵇᵃᶜᵏᵍʳᵒᵘⁿᵈ)ʳ for the corpus's background
     * similarity, so more bands buy recall at linear candidate cost. */
   def geometryFor(threshold: Double, targetRecall: Double = 0.95,
-                  rowsPerBand: Int = 4): (Int, Int) = {
+                  rowsPerBand: Int = 4): Geometry = {
     require(threshold > 0.0 && threshold < 1.0,
       s"geometryFor: threshold=$threshold out of (0, 1)")
     require(targetRecall > 0.0 && targetRecall < 1.0,
@@ -50,7 +61,7 @@ object MinHashLSH {
     val pBand = math.pow(threshold, rowsPerBand)
     val bands = math.ceil(
       math.log1p(-targetRecall) / math.log1p(-pBand)).toInt.max(1)
-    (bands * rowsPerBand, bands)
+    Geometry(bands * rowsPerBand, bands)
   }
 
   /** Distinct candidate pairs `(src, dst, est_jaccard)` with `src < dst`,

@@ -304,7 +304,7 @@ object Scd2 {
             val newlyClosed = closeOut(
               cur.join(closedKeys, Seq("universal_id"), "left_semi"), asOfDate)
             if (closedCount > 0) appendClosed(spark, newlyClosed,
-              closedRoot(root), commit)
+              closedRoot(root), commit, curBase)
             commit.publishFrom(
               cur.join(closedKeys, Seq("universal_id"), "left_anti")
                 .unionByName(fromBatch, allowMissingColumns = true),
@@ -377,7 +377,7 @@ object Scd2 {
         val newlyClosed = closeOut(
           prunedCur.join(closedKeys, Seq("universal_id"), "left_semi"),
           asOfDate)
-        appendClosed(spark, newlyClosed, closedRoot(root), commit)
+        appendClosed(spark, newlyClosed, closedRoot(root), commit, curBase)
       }
       val replacement = prunedCur
         .join(closedKeys, Seq("universal_id"), "left_anti")
@@ -475,6 +475,10 @@ object Scd2 {
                 s"replacement partitions preserved at $tmp")
         }
         fs.delete(tmp, true)
+        // the in-place partition swap bypassed DirectorySwapCommit.publish,
+        // so advance the version stamp here — the closed-region merge
+        // identity keys on it distinguishing successive merges
+        DirectorySwapCommit.bumpVersion(spark, curPath)
     }
   }
 
@@ -492,48 +496,70 @@ object Scd2 {
     *    unique when two merges close rows on the same date. `vacuum`
     *    keeps manifest-referenced versions, so earlier batches survive.
     *
-    * Before writing, the batch is anti-joined against the SAME
-    * `valid_to` partition of the closed region — a pruned read of one
-    * day's close-outs — so a crash-retry of the same merge cannot
-    * duplicate close-out rows. */
+    * Before writing, a crash-retry of the same merge is detected by a
+    * MERGE-IDENTITY marker, not by payload matching alone. Why: payload
+    * matching cannot distinguish a replay from a same-day A→B→A
+    * flip-flop — if versions v1(X), v2(Y), v3(X) all open on day D,
+    * v3's close row equals v1's existing closed row on EVERY column, so
+    * a payload anti-join swallows a legitimate history row (the r15
+    * ADVICE finding; the one-shot [[merge]] keeps both rows, so the
+    * regioned layout silently diverged). The merge identity is
+    * deterministic from what the merge READ: the current-region version
+    * it classified against (stable across a retry — the retry exists
+    * precisely because the current publish did NOT land) plus an
+    * order-independent hash of the close payload (`valid_to` excluded,
+    * so a retry straddling midnight maps to the same identity). v1's and
+    * v3's closes always carry DIFFERENT current-region versions — the
+    * intermediate merge published in between — so their identities never
+    * collide.
+    *
+    * Marker protocol (`_merge_markers/<id>.{started,done}` beside the
+    * data; underscore-prefixed, invisible to parquet readers, outside
+    * [[SnapshotStore.vacuum]]'s `_snapshots` scope):
+    *  - `done` present → full replay → skip the append entirely, at any
+    *    retry delay.
+    *  - neither present → FIRST attempt → append every row, no dedup
+    *    (an ABA close can never be swallowed here).
+    *  - `started` without `done` → a prior attempt crashed around the
+    *    append job → fall back to the full-payload anti-join against
+    *    the batch's own `valid_to` partitions (±1 day for the midnight
+    *    straddle): the rows it can drop are this merge's own landed
+    *    rows. The one residual wrong-drop needs an ABA close AND a
+    *    crash between the started-marker and the append job commit —
+    *    accepted and documented; Scd2RegionedSpec pins every other arm
+    *    (clean retry, midnight straddle, ambiguous-window retry, ABA). */
   private def appendClosed(spark: SparkSession, newlyClosed: DataFrame,
-                           closedPath: String, commit: TableCommit): Unit = {
-    // the append is a read-modify-write too (the dedup check below reads
-    // the day's partition) — fence on the closed region's version here
+                           closedPath: String, commit: TableCommit,
+                           curBase: Option[String]): Unit = {
+    // the append is a read-modify-write for the pointer protocol — fence
+    // on the closed region's version here
     val closedBase = commit.version(spark, closedPath)
-    // retry dedup: a version can close only once, so a newlyClosed row
-    // is a REPLAY iff an existing closed row matches it on every column
-    // EXCEPT valid_to. Why that predicate and not a key subset:
-    //  - (uid, vf, vt) alone (the original spelling) broke the
-    //    crash-retry case it existed for whenever the retry ran past
-    //    midnight — the re-run stamps the new wall-clock date (the
-    //    default asOfDate) and appends a second closed row per key;
-    //  - (uid, vf) alone (the r14 spelling) silently DROPPED legitimate
-    //    closes under intra-day multi-merge: a same-day second merge
-    //    writes a zero-duration version (vf=D closed vt=D) whose
-    //    successor also has vf=D, and that successor's own close-out on
-    //    D or D+1 then matched the existing (uid, vf=D) row (r14 ADVICE).
-    // Full-payload matching separates the two exactly: a replay rewrites
-    // the SAME current row (byte-identical payload, only the valid_to
-    // stamp can differ across midnight), while a legitimate same-(uid,
-    // vf) close is of a DIFFERENT version, which by the close-out
-    // predicate differs on at least one change column — recorded in the
-    // closed row. The pruned read spans the batch's dates AND the
-    // preceding day, so the window holds exactly {same-day, midnight-
-    // straddle} replays at O(day) cost; retries delayed further should
-    // inject a fixed asOfDate (the batch's logical date — the d7
-    // injected-clock discipline), which makes the replay byte-identical
-    // including valid_to and the dedup exact at any delay.
     val payloadCols = newlyClosed.columns.filter(_ != "valid_to").toSeq
-    val existingDay = readClosedRegion(spark, closedPath, commit).map { closed =>
-      val dates = newlyClosed.select("valid_to").distinct()
-        .unionByName(newlyClosed.select(
-          date_sub(col("valid_to").cast("date"), 1).cast("string")
-            .as("valid_to")))
-        .distinct()
-      closed.join(broadcast(dates), Seq("valid_to"), "left_semi")
-        .select(payloadCols.map(c => col(c).as(s"_dup_$c")): _*)
-    }
+    val idRow = newlyClosed.agg(
+      expr(s"bit_xor(xxhash64(${payloadCols.map(c => s"`$c`").mkString(", ")}))")
+        .as("h"),
+      count(lit(1)).as("n")).head()
+    val mergeId = s"b${curBase.getOrElse("0")}" +
+      s"-n${idRow.getLong(1)}" +
+      s"-h${java.lang.Long.toHexString(if (idRow.isNullAt(0)) 0L else idRow.getLong(0))}"
+    val markers = new Path(closedPath, "_merge_markers")
+    val fs = markers.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val doneMark = new Path(markers, s"$mergeId.done")
+    val startMark = new Path(markers, s"$mergeId.started")
+    if (fs.exists(doneMark)) return
+    val ambiguous = fs.exists(startMark)
+    if (!ambiguous) { fs.mkdirs(markers); fs.create(startMark, true).close() }
+    val existingDay =
+      if (!ambiguous) None
+      else readClosedRegion(spark, closedPath, commit).map { closed =>
+        val dates = newlyClosed.select("valid_to").distinct()
+          .unionByName(newlyClosed.select(
+            date_sub(col("valid_to").cast("date"), 1).cast("string")
+              .as("valid_to")))
+          .distinct()
+        closed.join(broadcast(dates), Seq("valid_to"), "left_semi")
+          .select(payloadCols.map(c => col(c).as(s"_dup_$c")): _*)
+      }
     val deduped = existingDay match {
       case Some(dup) => newlyClosed.join(dup,
         payloadCols.map(c => col(c) <=> col(s"_dup_$c")).reduce(_ && _),
@@ -557,6 +583,9 @@ object Scd2 {
         deduped.write.mode(SaveMode.Append)
           .partitionBy("valid_to").parquet(closedPath)
     }
+    // AFTER the append commits: a crash before this line leaves the
+    // started-marker, routing the retry through the payload-dedup arm
+    fs.create(doneMark, true).close()
   }
 
   /** OPTIMIZE for the closed region: append-only accrues one file set

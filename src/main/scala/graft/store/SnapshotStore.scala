@@ -656,8 +656,19 @@ object TableCommit {
 
 /** Write-to-temp-sibling + directory rename. Atomic on HDFS/POSIX — the
   * right default for the local/HDFS clusters this library targets — but
-  * NOT on S3-style object stores; use [[PointerCommit]] there. */
+  * NOT on S3-style object stores; use [[PointerCommit]] there.
+  *
+  * [[version]] reads a `_version` counter file the publish writes INTO
+  * the tmp dir BEFORE the swap — so the stamp is atomic with the data it
+  * describes (a failed rename leaves the old dir with the old stamp).
+  * Underscore-prefixed files are invisible to Spark's parquet reader, so
+  * the layout readers see is unchanged. publishFrom still degrades to
+  * last-writer-wins (documented on the trait); the stamp exists so
+  * read-modify-write callers can IDENTIFY the state they read — the
+  * Scd2 closed-region retry-dedup keys its merge identity on it. */
 object DirectorySwapCommit extends TableCommit {
+  private val VersionFile = "_version"
+
   override def exists(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
@@ -666,17 +677,54 @@ object DirectorySwapCommit extends TableCommit {
   override def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  override def version(spark: SparkSession, path: String): Option[String] = {
+    val vf = new Path(path, VersionFile)
+    val fs = vf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(vf)) None
+    else {
+      val in = fs.open(vf)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
+  private def writeVersion(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: Path, v: String): Unit = {
+    val out = fs.create(new Path(dir, VersionFile), true)
+    try out.write(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Advance the version stamp in place — for writers that mutate the
+    * table WITHOUT a whole-dir swap (the Scd2 churned-partition
+    * publish). Call after the data mutation lands; a crash in between
+    * leaves a stale stamp, which only weakens the stamp back to the
+    * pre-stamp world for the next reader, never corrupts data. */
+  def bumpVersion(spark: SparkSession, path: String): Unit = {
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = (version(spark, path).flatMap(v =>
+      scala.util.Try(v.toLong).toOption).getOrElse(0L) + 1L).toString
+    writeVersion(fs, target, next)
+  }
+
   override def publish(df: DataFrame, path: String,
                        partitionColumns: Seq[String]): Long = {
     val spark = df.sparkSession
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(target))
-      return TableCommit.writeCounted(df, path, partitionColumns)
+    val next = (version(spark, path).flatMap(v =>
+      scala.util.Try(v.toLong).toOption).getOrElse(0L) + 1L).toString
+    if (!fs.exists(target)) {
+      val written = TableCommit.writeCounted(df, path, partitionColumns)
+      writeVersion(fs, target, next)
+      return written
+    }
     // sibling of the normalized target (raw string concat would nest the
     // tmp dir inside the target on a trailing-slash path)
     val tmp = new Path(target.getParent, target.getName + "__tmp_swap")
     val written = TableCommit.writeCounted(df, tmp.toString, partitionColumns)
+    writeVersion(fs, tmp, next)
     fs.delete(target, true)
     if (!fs.rename(tmp, target))
       throw new java.io.IOException(

@@ -31,6 +31,22 @@ class CanonicalSelectSpec extends SparkSuite {
     assert(out(5)._2)
   }
 
+  test("run: ids missing a q_score row survive, ranked below scored ones") {
+    import spark.implicits._
+    // 0-1 clustered, only 1 scored → 1 kept, 0 present with null score;
+    // 2-3 clustered, NEITHER scored → lowest id kept; 4 unscored singleton
+    val pairs = Seq((0L, 1L), (2L, 3L)).toDF("src", "dst")
+    val q = Seq((1L, 0.2)).toDF("id", "q_score")
+    val out = CanonicalSelect.run(idsOf(5), pairs, q)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          r.getBoolean(3))).toMap
+    assert(out.size === 5, "every input id exactly once")
+    assert(out(1) === (Some(0.2), true) && out(0) === (None, false))
+    assert(out(2) === (None, true) && out(3) === (None, false))
+    assert(out(4) === (None, true))
+  }
+
   test("gramJaccardPairs: exact pairs; df cap only SHRINKS the pair set") {
     import spark.implicits._
     val docs = Seq(

@@ -136,7 +136,8 @@ class MinHashSigSpec extends SparkSuite {
     def recall(j: Double, r: Int, b: Int) =
       1.0 - math.pow(1.0 - math.pow(j, r), b)
     for ((t, tr, r) <- Seq((0.9, 0.95, 4), (0.7, 0.95, 3), (0.6, 0.9, 2))) {
-      val (perms, bands) = geometryFor(t, tr, r)
+      val g = geometryFor(t, tr, r)
+      val (perms, bands) = (g.numPerms, g.bands)
       assert(perms === bands * r)
       assert(recall(t, r, bands) >= tr, s"($t,$tr,$r) under target")
       assert(bands == 1 || recall(t, r, bands - 1) < tr,

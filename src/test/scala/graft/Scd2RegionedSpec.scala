@@ -134,18 +134,33 @@ class Scd2RegionedSpec extends SparkSuite {
     assert(closedAfterD3.exists(_._1.contains("valid_to=2025-01-17")))
   }
 
+  /** Faithful crash simulation: snapshot the current-region dir (data
+    * AND the `_version` stamp together — exactly what a failed
+    * tmp-dir rename leaves behind) so a "retry" re-reads the identical
+    * pre-publish state, version included. Re-publishing stale DATA
+    * (the old simulation) would legitimately bump the version and
+    * describe a different history, not a crash. */
+  private def copyDir(src: String, dst: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val s = new Path(src); val d = new Path(dst)
+    val fs = s.getFileSystem(conf)
+    if (fs.exists(d)) fs.delete(d, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, s, fs, d, false, conf)
+  }
+
   test("crash-retry of the same merge does not duplicate close-outs") {
-    val root = Files.createTempDirectory("graft_scd2_reg_retry").toString + "/t"
+    val tmp = Files.createTempDirectory("graft_scd2_reg_retry").toString
+    val root = tmp + "/t"
     val d1 = mkBatch(0 until 300, "v1", "2025-01-15")
     val d2 = mkBatch(0 until 100, "v2", "2025-01-16")
     Scd2.mergeRegioned(spark, d1, root, asOfDate = lit("2025-01-15"))
+    copyDir(Scd2.currentRoot(root), tmp + "/saved")
     Scd2.mergeRegioned(spark, d2, root, asOfDate = lit("2025-01-16"))
     // simulate a writer that died AFTER appending closures but BEFORE
-    // publishing the new current region: restore day-1 current and
-    // re-run the same merge — the closed-region dedup must swallow the
-    // recomputed closures instead of appending them twice
-    graft.store.DirectorySwapCommit.publish(d1, Scd2.currentRoot(root),
-      Scd2.DefaultPartitionColumns)
+    // publishing the new current region: restore the post-d1 current
+    // dir wholesale and re-run the same merge — the merge-identity
+    // marker must swallow the recomputed closures, not append them twice
+    copyDir(tmp + "/saved", Scd2.currentRoot(root))
     Scd2.mergeRegioned(spark, d2, root, asOfDate = lit("2025-01-16"))
     val snap = Scd2.readRegioned(spark, root)
     assert(snap.filter(col("is_current") === false).count() === 100)
@@ -153,19 +168,71 @@ class Scd2RegionedSpec extends SparkSuite {
     assert(snap.count() === 400)
   }
 
+  test("retry in the ambiguous window (started without done) dedups landed rows") {
+    val tmp = Files.createTempDirectory("graft_scd2_reg_amb").toString
+    val root = tmp + "/t"
+    Scd2.mergeRegioned(spark, mkBatch(0 until 300, "v1", "2025-01-15"), root,
+      asOfDate = lit("2025-01-15"))
+    copyDir(Scd2.currentRoot(root), tmp + "/saved")
+    Scd2.mergeRegioned(spark, mkBatch(0 until 100, "v2", "2025-01-16"), root,
+      asOfDate = lit("2025-01-16"))
+    // simulate the crash window between the append job commit and the
+    // done-marker write: closures landed, started-marker present,
+    // done-marker missing, current region never published
+    copyDir(tmp + "/saved", Scd2.currentRoot(root))
+    val markers = new Path(Scd2.closedRoot(root), "_merge_markers")
+    val fs = markers.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dones = fs.listStatus(markers).filter(_.getPath.getName.endsWith(".done"))
+    assert(dones.nonEmpty, "done marker should exist after a clean merge")
+    dones.foreach(f => fs.delete(f.getPath, false))
+    // retry routes through the payload-dedup arm: the landed rows are
+    // recognized and not appended twice
+    Scd2.mergeRegioned(spark, mkBatch(0 until 100, "v2", "2025-01-16"), root,
+      asOfDate = lit("2025-01-16"))
+    val snap = Scd2.readRegioned(spark, root)
+    assert(snap.filter(col("is_current") === false).count() === 100)
+    assert(snap.count() === 400)
+    assert(Scd2.violations(snap) === 0)
+  }
+
+  test("same-day A→B→A flip-flop keeps every close (the r15 ADVICE drop)") {
+    val root = Files.createTempDirectory("graft_scd2_reg_aba").toString + "/t"
+    Scd2.mergeRegioned(spark, mkBatch(0 until 20, "A", "2025-01-15"), root,
+      asOfDate = lit("2025-01-15"))
+    // A→B→A→B all on day 15: the third merge's close rows (payload A,
+    // vf=15, vt=15) are byte-identical to the FIRST merge's — a
+    // payload-keyed retry dedup swallowed them and lost a history row.
+    // Merge identity (current-region version + payload hash) keeps them:
+    // the two A-closes were derived from different current versions.
+    for (v <- Seq("B", "A", "B"))
+      Scd2.mergeRegioned(spark, mkBatch(0 until 20, v, "2025-01-15"), root,
+        asOfDate = lit("2025-01-15"))
+    val snap = Scd2.readRegioned(spark, root)
+    assert(snap.count() === 80) // 20 current B + 60 closed A,B,A
+    assert(snap.filter(col("is_current") === false).count() === 60)
+    assert(snap.filter(!col("is_current") &&
+      col("project_name") === "A-0").count() === 2,
+      "one of the two A-version closes was swallowed as a replay")
+    assert(Scd2.violations(snap) === 0)
+  }
+
   test("intra-day multi-merge keeps every close; midnight-straddle replay still swallowed") {
-    val root = Files.createTempDirectory("graft_scd2_reg_multi").toString + "/t"
+    val tmp = Files.createTempDirectory("graft_scd2_reg_multi").toString
+    val root = tmp + "/t"
     Scd2.mergeRegioned(spark, mkBatch(0 until 50, "v1", "2025-01-15"), root,
       asOfDate = lit("2025-01-15"))
     // three merges on the SAME day: v2 closes v1 (vt=16), v3 closes v2
     // (a ZERO-DURATION version: vf = vt = 2025-01-16), v4 closes v3
     // (also vf=16). The r14 (uid, valid_from)-keyed retry dedup dropped
     // v3's close-out — an existing closed row at (uid, vf=16) (v2's)
-    // matched it (r14 ADVICE); the full-payload key keeps it because a
-    // legitimate close always differs on a change column.
-    for (v <- Seq("v2", "v3", "v4"))
+    // matched it (r14 ADVICE); merge-identity dedup keeps it because
+    // each merge's closes carry a distinct current-region version.
+    for (v <- Seq("v2", "v3"))
       Scd2.mergeRegioned(spark, mkBatch(0 until 50, v, "2025-01-16"), root,
         asOfDate = lit("2025-01-16"))
+    copyDir(Scd2.currentRoot(root), tmp + "/saved") // post-v3 state
+    Scd2.mergeRegioned(spark, mkBatch(0 until 50, "v4", "2025-01-16"), root,
+      asOfDate = lit("2025-01-16"))
     val snap = Scd2.readRegioned(spark, root)
     assert(snap.count() === 200) // 50 current v4 + 150 closed v1/v2/v3
     assert(snap.filter(col("is_current") === false).count() === 150)
@@ -174,13 +241,11 @@ class Scd2RegionedSpec extends SparkSuite {
     assert(Scd2.violations(snap) === 0)
 
     // midnight-straddle replay: the writer died after appending v4's
-    // closures (vt=16); the retry runs past midnight and stamps 17. The
-    // recomputed closures are byte-identical EXCEPT valid_to — the
-    // dates∪dates-1 pruned window plus full-payload match must swallow
-    // them, not append a second close per key.
-    graft.store.DirectorySwapCommit.publish(
-      mkBatch(0 until 50, "v3", "2025-01-16"), Scd2.currentRoot(root),
-      Scd2.DefaultPartitionColumns)
+    // closures (vt=16) but before publishing current; the retry runs
+    // past midnight and stamps 17. The merge identity hashes the payload
+    // WITHOUT valid_to, so the retry maps to the same done-marker and is
+    // skipped exactly — no second close per key at any retry delay.
+    copyDir(tmp + "/saved", Scd2.currentRoot(root))
     Scd2.mergeRegioned(spark, mkBatch(0 until 50, "v4", "2025-01-16"), root,
       asOfDate = lit("2025-01-17"))
     val snap2 = Scd2.readRegioned(spark, root)

@@ -121,7 +121,7 @@ class WorldCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
     "actively-locked ones (r13 verdict #5)") {
     // plant: an old-format dir (no _v marker), an old-stamp dir, an
     // old-stamp dir with a YOUNG lock, and a current-stamp dir
-    val cur = s"_v${java.lang.Long.toHexString(WorldCache.buildStamp)}_"
+    val cur = s"_v${java.lang.Long.toHexString(WorldCache.buildStamp)}-0_"
     def mk(name: String): java.io.File = {
       val d = new java.io.File(root, name); d.mkdirs()
       java.nio.file.Files.write(
@@ -141,6 +141,24 @@ class WorldCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
       "a dir with a young lock (another JVM mid-build) must be spared")
     assert(current.exists(), "current-stamp dirs must be kept")
     youngLock.delete(); ()
+  }
+
+  test("recipe stamp: distinct declaring files stamp differently; " +
+    "stable within a JVM; engine stamp non-trivial") {
+    val a = WorldCache.ownerStamp(graft.queries.WritePathQueries.getClass)
+    val b = WorldCache.ownerStamp(graft.queries.VectorQueries.getClass)
+    assert(a !== b, "distinct owner files must re-key independently")
+    assert(a === WorldCache.ownerStamp(graft.queries.WritePathQueries.getClass))
+    assert(WorldCache.buildStamp > 0L, "shared engine stamp must hash real bytecode")
+    // same tag under different owners maps to different cache dirs
+    val t = uniqueTag("ownerkey")
+    val d1 = WorldCache.dir(t, "sfX", graft.queries.WritePathQueries.getClass)(
+      dir => java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "a.txt"), "a".getBytes))
+    val d2 = WorldCache.dir(t, "sfX", graft.queries.VectorQueries.getClass)(
+      dir => java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "b.txt"), "b".getBytes))
+    assert(d1 !== d2)
   }
 
   test("vacuum spares a superseded world whose marker was touched " +
