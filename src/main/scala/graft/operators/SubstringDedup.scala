@@ -70,6 +70,12 @@ object SubstringDedup {
       case _ => false
     }
     val grams = docs
+      // null ids are dropped EXPLICITLY on both paths: the typed
+      // CappedCollectLong aggregator's primitive Long input would
+      // otherwise deserialize a null id as 0L — fabricating pairs for a
+      // doc "0" — while the non-integral collect_list path silently
+      // skips nulls (r16 adversarial review)
+      .filter(col(idCol).isNotNull)
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .select(col("doc_id"), explode(array_distinct(expr(
         s"transform(sequence(1, greatest(size(w) - ${k - 1}, 1)), " +

@@ -442,6 +442,60 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // DERIVED-GEOMETRY fuzzy dedup (r15 verdict #6): dd4 gates the
+    // SHIPPED default geometry at the near-exact regime (J ≥ 0.9);
+    // this gate makes the geometry DIAL load-bearing — the banding is
+    // not hand-picked but computed by MinHashLSH.geometryFor(0.7,
+    // 0.9999, 2) = Geometry(28 perms, 14 bands of 2) from the fuzzy
+    // design point, and the corpus is SEEDED with genuinely fuzzy
+    // pairs: each doc_id < 500 gets a twin with every 20th token
+    // substituted, landing twin-base Jaccard at 0.70-0.85 (measured
+    // tri-scale; the organic corpus has NO pairs between 0.55 and
+    // 0.89, so without planting the 0.7 regime would go unexercised).
+    // Same recall-gate shape as dd4: DuckDB reproduces the exact
+    // word-3-shingle truth (integer-arithmetic j ≥ 0.7) and asserts
+    // recalled = TRUE — at 14×2 the per-pair miss probability for a
+    // J = 0.71 pair is ~6e-5, deterministic per dataset, and zero on
+    // all three sf corpora (verified like dd4). The token substitution
+    // uses the 1-BASED position spelling on both sides (Spark's
+    // transform index is 0-based, DuckDB's is 1-based).
+    "dd18_fuzzy_minhash_derived" -> ((s, d) => {
+      val g = graft.operators.MinHashLSH.geometryFor(
+        threshold = 0.7, targetRecall = 0.9999, rowsPerBand = 2)
+      val base = documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id"),
+          lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("t"))
+      val twins = base.select((col("doc_id") + 100000L).as("doc_id"),
+        concat_ws(" ", expr(
+          "transform(split(t, ' '), (tok, i) -> " +
+            "IF((i + 1) % 20 = 0, concat('zz', cast(i + 1 as string)), tok))"))
+          .as("t"))
+      val corpus = base.unionByName(twins)
+      val cands = graft.operators.MinHashLSH.candidatePairs(corpus,
+          idCol = "doc_id", textCol = "t",
+          numPerms = g.numPerms, bands = g.bands)
+        .select(col("src").as("doc_a"), col("dst").as("doc_b"))
+      val sh = corpus
+        .select(col("doc_id"), split(col("t"), " ").as("toks"))
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(1, greatest(size(toks) - 2, 1)), " +
+            "i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))).as("g"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val common = sh.select(col("doc_id").as("doc_a"), col("g"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("g")), "g")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+      common
+        .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sa")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sb")), "doc_b")
+        .filter(col("common") * 10 >= (col("sa") + col("sb") - col("common")) * 7)
+        .join(cands.withColumn("hit", lit(true)), Seq("doc_a", "doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"), col("common"),
+          (col("sa") + col("sb") - col("common")).as("union_sz"),
+          coalesce(col("hit"), lit(false)).as("recalled"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // SimHash signature + Hamming distance between consecutive doc_ids.
     // ORACLED (round-9 verdict item 4): the per-token hash is the first
     // 15 md5 hex chars as a 60-bit integer — a pure function both engines
@@ -810,6 +864,40 @@ object TextQueries {
         |JOIN sizes sa ON sa.doc_id = c.doc_a
         |JOIN sizes sb ON sb.doc_id = c.doc_b
         |WHERE c.common * 10 >= (sa.sz + sb.sz - c.common) * 9
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd18_fuzzy_minhash_derived" ->
+      """WITH base AS (
+        |  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |  FROM documents WHERE doc_id < 500),
+        |corpus AS (
+        |  SELECT doc_id, t FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    array_to_string(list_transform(string_split(t, ' '),
+        |      (tok, i) -> CASE WHEN i % 20 = 0
+        |        THEN 'zz' || CAST(i AS VARCHAR) ELSE tok END), ' ') AS t
+        |  FROM base),
+        |toklists AS (SELECT doc_id, string_split(t, ' ') AS toks FROM corpus),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(toks) - 2, 1) + 1),
+        |    i -> concat_ws(' ', toks[CAST(i AS INTEGER)],
+        |      toks[CAST(i AS INTEGER) + 1], toks[CAST(i AS INTEGER) + 2]))))
+        |    AS g
+        |  FROM toklists),
+        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+        |          FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(COUNT(*) AS BIGINT) AS common
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT c.doc_a, c.doc_b, c.common,
+        |  sa.sz + sb.sz - c.common AS union_sz, TRUE AS recalled
+        |FROM common c
+        |JOIN sizes sa ON sa.doc_id = c.doc_a
+        |JOIN sizes sb ON sb.doc_id = c.doc_b
+        |WHERE c.common * 10 >= (sa.sz + sb.sz - c.common) * 7
         |ORDER BY doc_a, doc_b""".stripMargin,
     "tx13_sequence_pack" ->
       """WITH toks AS (

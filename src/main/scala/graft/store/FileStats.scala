@@ -187,18 +187,39 @@ object FileStats {
   /** Collect stats over an already-written snapshot dir and write the
     * sibling sidecar for it. Exposed for writers that lay out files
     * themselves (e.g. ZOrder output). */
+  /** Hash-of-file bucket column of the sidecar layout. The sidecar used
+    * to be ONE parquet file, which made every distributed bloom probe a
+    * single task scanning all |files| × bloom-bytes rows serially —
+    * measured O(files) probe latency growth (0.39 → 1.16 s over 200 →
+    * 800 files at 58 MB of blooms; r15 verdict #7). Bucketing the rows
+    * by `pmod(xxhash64(file), 32)` into `fb=` partition dirs (the
+    * TextIndex `tb=` move) lets the probe's scan parallelize across
+    * buckets — an eq-probe still consults every file's bloom (it must:
+    * any file may hold the key), but as 32 concurrent slices instead of
+    * one serial read. Readers are layout-agnostic: they select (file,
+    * stat...) columns and never the bucket, so pre-bucket sidecars keep
+    * reading fine. */
+  private[graft] val FbCol = "fb"
+  private[graft] val FbBuckets = 32
+
+  private def writeSideBucketed(side: DataFrame, path: String,
+                                mode: org.apache.spark.sql.SaveMode): Unit =
+    side.withColumn(FbCol,
+        pmod(xxhash64(col("file")), lit(FbBuckets.toLong)).cast("int"))
+      .repartition(FbBuckets, col(FbCol))
+      .write.mode(mode).partitionBy(FbCol).parquet(path)
+
   def writeSidecar(spark: SparkSession, dataDir: String,
                    statCols: Seq[String], bloomCols: Seq[String] = Nil,
                    sumCols: Seq[String] = Nil): Unit =
-    collectStats(spark, dataDir, statCols, bloomCols, sumCols = sumCols)
-      // the sidecar is one tiny file: |files| rows of scalars + blooms.
-      // Overwrite: a crashed earlier claimant of this version slot may
-      // have left its sidecar behind (the commit protocol clears dir
-      // debris and the sidecar sibling, but belt-and-braces here makes
-      // the write idempotent regardless)
-      .coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(dataDir.stripSuffix("/") + StatsSuffix)
+    // Overwrite: a crashed earlier claimant of this version slot may
+    // have left its sidecar behind (the commit protocol clears dir
+    // debris and the sidecar sibling, but belt-and-braces here makes
+    // the write idempotent regardless)
+    writeSideBucketed(
+      collectStats(spark, dataDir, statCols, bloomCols, sumCols = sumCols),
+      dataDir.stripSuffix("/") + StatsSuffix,
+      org.apache.spark.sql.SaveMode.Overwrite)
 
   /** Sidecar for a MANIFEST snapshot (an incremental publish that
     * carries unchanged partitions forward by reference —
@@ -253,8 +274,12 @@ object FileStats {
       s"$name carries partitions forward but no prevName sidecar was given" +
         " — their stats would silently vanish")
     val carried = prevName.filter(_ => carriedKeys.nonEmpty).map { p =>
-      val prev = spark.read.parquet(
+      // drop the bucket partition column: carried rows are re-bucketed
+      // at this publish's own write (and a pre-bucket sidecar has none)
+      val prevRaw = spark.read.parquet(
         new Path(snaps, p + StatsSuffix).toString)
+      val prev = if (prevRaw.columns.contains(FbCol)) prevRaw.drop(FbCol)
+                 else prevRaw
       // flat set-membership on the extracted "vX/rel/" tail — a reduce
       // of per-suffix contains() terms builds an OR tree deep enough to
       // overflow Catalyst analysis at a few hundred partitions
@@ -297,8 +322,8 @@ object FileStats {
       case (None, None) => throw new IllegalArgumentException(
         s"writeSidecarIncremental: $name references no files")
     }
-    side.coalesce(1)
-      .write.parquet(new Path(snaps, name + StatsSuffix).toString)
+    writeSideBucketed(side, new Path(snaps, name + StatsSuffix).toString,
+      org.apache.spark.sql.SaveMode.ErrorIfExists)
   }
 
   /** FULL sidecar for a MANIFEST snapshot — the BOOTSTRAP for tables
@@ -317,10 +342,10 @@ object FileStats {
     val snaps = new Path(root, SnapshotStore.SnapshotsDir)
     val dirs = entries.map { case (rel, ver) =>
       new Path(new Path(snaps, ver), rel).toString }.toSeq
-    collectStatsDirs(spark, dirs, statCols, bloomCols, bloomFpp = bloomFpp)
-      .coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(new Path(snaps, name + StatsSuffix).toString)
+    writeSideBucketed(
+      collectStatsDirs(spark, dirs, statCols, bloomCols, bloomFpp = bloomFpp),
+      new Path(snaps, name + StatsSuffix).toString,
+      org.apache.spark.sql.SaveMode.Overwrite)
   }
 
   /** The file lists a range predicate `lo <= c <= hi` decides between:

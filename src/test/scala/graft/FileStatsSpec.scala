@@ -28,6 +28,29 @@ class FileStatsSpec extends SparkSuite {
     assert(SnapshotStore.read(spark, root).columns.toSeq === Seq("k", "v"))
   }
 
+  test("sidecar layout is bucketed by hash-of-file (fb= dirs), so the " +
+    "distributed bloom probe scans parallel slices, not one serial file") {
+    val root = freshRoot("fb")
+    val df = spark.range(0, 1000).select(
+      col("id").as("k"), (col("id") * 37 % 991).as("u"))
+    FileStats.publishSorted(spark, root, df, "k", numFiles = 8,
+      statCols = Seq("k"), bloomCols = Seq("u"))
+    val name = SnapshotStore.currentName(spark, root).get
+    val side = new java.io.File(
+      s"$root/${SnapshotStore.SnapshotsDir}/$name${FileStats.StatsSuffix}")
+    val fbDirs = Option(side.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(s"${FileStats.FbCol}="))
+    assert(fbDirs.nonEmpty, s"expected fb= bucket dirs under $side, " +
+      s"found ${Option(side.listFiles()).getOrElse(Array.empty).map(_.getName).mkString(",")}")
+    // layout change is invisible to the probe surface: (file, keep) only
+    val hash = spark.range(1).select(xxhash64(lit(0L))).head().getLong(0)
+    val frame = FileStats.probeFrameEq(spark, root, "u", hash)
+    assert(frame.columns.toSeq === Seq("file", "keep"))
+    // and an eq-read through the bucketed sidecar still answers exactly
+    assert(FileStats.readEq(spark, root, "u", 37L).count() ===
+      df.filter(col("u") === 37L).count())
+  }
+
   test("narrow range on a sorted layout selects a strict file subset") {
     val root = freshRoot("prune")
     publish(root)

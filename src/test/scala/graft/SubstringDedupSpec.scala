@@ -54,6 +54,21 @@ class SubstringDedupSpec extends SparkSuite {
     assert(canon(viaCapped).nonEmpty)
   }
 
+  test("null doc_id rows are dropped, never deserialized as doc 0") {
+    // without the guard, the typed Long aggregator turned a null id into
+    // 0L and fabricated pairs for a phantom doc 0 (only on the integral
+    // path — the string path's collect_list skipped nulls silently)
+    val docs = Seq(
+      (java.lang.Long.valueOf(0L), "x y z w v u"),
+      (null.asInstanceOf[java.lang.Long], "x y z w v u"),
+      (java.lang.Long.valueOf(1L), "x y z w v u")
+    ).toDF("doc_id", "text")
+    val got = SubstringDedup.pairs(docs, k = 5, dfCap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((0L, 1L)),
+      s"null id must vanish; got $got")
+  }
+
   test("n_shared counts distinct shared shingles, short docs fall back to whole text") {
     val docs = Seq(
       (1L, "a b c d e f"),   // shingles: "a b c d e", "b c d e f"
