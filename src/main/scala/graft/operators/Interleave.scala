@@ -49,13 +49,27 @@ object Interleave {
           Window.partitionBy(col(srcCol)).orderBy(col("__bucket"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col(srcCol), col("__bucket"), col("__off"))
+    // single packed-long join key (the BandPack discipline — the probe
+    // side is the corpus): the (source, bucket) composite is STRING
+    // typed, so the pack is xxhash64 with a RESIDUAL equality filter —
+    // every true match collides (hash is a function of the values), and
+    // a 2⁻⁶⁴ alias inside the tiny offsets frame only adds a row the
+    // residual predicate removes, so the join is exact, not
+    // approximately exact
+    val offR = offsets.select(
+      xxhash64(col(srcCol), col("__bucket")).as("__pk"),
+      col(srcCol).as("__src_r"), col("__bucket").as("__bk_r"),
+      col("__off"))
     withB
       .withColumn("__rn_in", row_number().over(w))
-      .join(broadcast(offsets), Seq(srcCol, "__bucket"))
+      .withColumn("__pk", xxhash64(col(srcCol), col("__bucket")))
+      .join(broadcast(offR), Seq("__pk"))
+      .filter(col(srcCol) === col("__src_r") &&
+        col("__bucket") === col("__bk_r"))
       // rn stays LONG: a source can exceed 2^31 rows at the design
       // scale, where an int cast would overflow (ANSI) or wrap silently
       .withColumn("rn", col("__off") + col("__rn_in"))
-      .drop("__h", "__bucket", "__rn_in", "__off")
+      .drop("__h", "__bucket", "__rn_in", "__off", "__pk", "__src_r", "__bk_r")
   }
 
   /** [[hashRank]] plus the weighted-round-robin `pos` sort key:

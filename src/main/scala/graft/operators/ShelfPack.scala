@@ -135,10 +135,20 @@ object ShelfPack {
     val spark = docs.sparkSession
     import spark.implicits._
     val offsetDf = offsetRows.toDF("size_class", "__bucket", "__off")
+    // single packed-long join key (the BandPack discipline): size_class
+    // < 2^23 (the capacity require above) and __bucket < buckets, so
+    // `class · buckets + bucket` is bijective — the corpus-sized probe
+    // runs through LongHashedRelation instead of a composite-key
+    // UnsafeHashedRelation (measured 20× probe tax, JoinMicro r15)
+    def packed(cls: Column, bk: Column): Column =
+      cls * lit(buckets.toLong) + bk
     // bin id unique across classes: class × 2^40 + bin-in-class (a
     // corpus would need >10^12 bins per class to collide)
     local
-      .join(broadcast(offsetDf), Seq("size_class", "__bucket"))
+      .withColumn("__pk", packed(col("size_class"), col("__bucket")))
+      .join(broadcast(offsetDf
+        .withColumn("__pk", packed(col("size_class"), col("__bucket")))
+        .select("__pk", "__off")), Seq("__pk"))
       .withColumn("__rank", col("__off") + col("__rn") - 1)
       .withColumn("bin_id",
         when(col("size_class") === 0L,
