@@ -442,7 +442,8 @@ object CosineLshIndex {
           // publish keeps the previous chain for in-flight readers — a
           // purge must NOT: re-prune keeping only the fresh generation
           GenLog.pruneGens(spark, fs, rootPath,
-            new Path(gen).getName, None, fmt)
+            new Path(gen).getName, None, fmt,
+            spareYoungPublished = false)
           validated(root) = (s"snap:$snap$geom", gen)
         }
       }

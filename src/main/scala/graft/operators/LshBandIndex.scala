@@ -544,7 +544,8 @@ object LshBandIndex {
             // readers — a purge must NOT: re-prune keeping only the
             // fresh generation
             GenLog.pruneGens(spark, fs, rootPath,
-              new Path(gen).getName, None, fmtFor(numPerms, bands))
+              new Path(gen).getName, None, fmtFor(numPerms, bands),
+              spareYoungPublished = false)
             validated(root) = (s"snap:$snap${geomTag(numPerms, bands)}", gen)
           }
         }

@@ -586,7 +586,22 @@ object Scd2 {
     // AFTER the append commits: a crash before this line leaves the
     // started-marker, routing the retry through the payload-dedup arm
     fs.create(doneMark, true).close()
+    // opportunistic TTL prune: markers are empty files but O(merges) of
+    // them accumulate forever otherwise. Dropping a marker re-opens
+    // replay detection only for a retry delayed past the TTL — strictly
+    // better than the pre-marker behavior, whose payload-dedup window
+    // only ever covered same-day + midnight-straddle replays (or any
+    // delay WITH an injected asOfDate, which the started-arm still
+    // handles). One listing of a tiny dir per merge.
+    val cutoff = System.currentTimeMillis() - MergeMarkerTtlMs
+    fs.listStatus(markers)
+      .filter(st => st.isFile && st.getModificationTime < cutoff)
+      .foreach(st => fs.delete(st.getPath, false))
   }
+
+  /** Merge markers older than this are pruned at the next append —
+    * far beyond any sane orchestrator retry horizon. */
+  val MergeMarkerTtlMs: Long = 90L * 24 * 60 * 60 * 1000
 
   /** OPTIMIZE for the closed region: append-only accrues one file set
     * per merge — a year of daily merges leaves hundreds of small files

@@ -142,21 +142,35 @@ object GenLog {
     * ancestors' data) plus the previous pointer target's chain (readers
     * in flight across the flip), drop the rest — including any legacy
     * flat layout's stray dirs, which are never named by a pointer. */
-  /** A META-LESS dir younger than this is spared by [[pruneGens]]: it
-    * may be a CONCURRENT cross-JVM builder's half-written generation —
-    * invisible to the keep-set because nothing names it until its
-    * pointer flip ("racing builders each publish a complete
-    * generation" only holds if neither guts the other mid-write).
-    * Meta is written LAST in every publish path, so "no meta + young"
-    * identifies in-flight work; crashed builders' meta-less debris
-    * ages past the window and is collected by a later publish. A
-    * PUBLISHED (meta-carrying) superseded generation is deleted
-    * regardless of age — RTBF purges require that. Test seam. */
+  /** A dir younger than this is spared by [[pruneGens]] (r16
+    * adversarial review widened this from meta-less dirs to ALL young
+    * dirs on the normal-publish path):
+    *
+    *  - META-LESS + young: a CONCURRENT cross-JVM builder's
+    *    half-written generation — invisible to the keep-set because
+    *    nothing names it until its pointer flip. Meta is written LAST
+    *    in every publish path, so "no meta + young" identifies
+    *    in-flight work; crashed builders' debris ages out and is
+    *    collected by a later publish.
+    *  - META-CARRYING + young (normal publishes only): a RACING
+    *    builder's generation published between this publish's pointer
+    *    flip and its prune listing is in neither this keep-set nor the
+    *    prev chain — deleting it left the (last-writer-wins) pointer
+    *    naming a gutted dir: self-healing (currentGen reads absent →
+    *    rebuild) but a FileNotFound for any in-flight reader. The
+    *    price of sparing: a rapid same-root re-publish leaves its
+    *    grand-predecessor on disk up to this window before a later
+    *    publish collects it.
+    *
+    * RTBF purge paths pass `spareYoungPublished = false`: a purge's
+    * whole point is that superseded generations' bytes disappear NOW,
+    * regardless of age. Test seam. */
   private[graft] var pruneGraceMs: Long = 60L * 60 * 1000
 
   def pruneGens(spark: SparkSession, fs: FileSystem, rootPath: Path,
                 genName: String, prevGen: Option[String],
-                expectFmt: Int): Unit = {
+                expectFmt: Int,
+                spareYoungPublished: Boolean = true): Unit = {
     val keep = scala.collection.mutable.Set.empty[String]
     def keepChain(name: String): Unit = {
       val p = new Path(rootPath, name)
@@ -170,9 +184,11 @@ object GenLog {
     fs.listStatus(rootPath).filter(_.isDirectory)
       .map(_.getPath).filterNot(p => keep(p.getName))
       .filterNot { p =>
-        // in-flight concurrent build? (see pruneGraceMs)
-        !fs.exists(new Path(p, "meta")) &&
+        val young =
           now - fs.getFileStatus(p).getModificationTime < pruneGraceMs
+        val hasMeta = fs.exists(new Path(p, "meta"))
+        // in-flight concurrent build, or a racer's fresh publish
+        young && (!hasMeta || spareYoungPublished)
       }
       .foreach(p => fs.delete(p, true))
   }

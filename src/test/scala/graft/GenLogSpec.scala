@@ -72,5 +72,22 @@ class GenLogSpec extends SparkSuite {
     GenLog.pruneGens(spark, fs, new Path(root), g3, Some(g2), fmt)
     assert(!fs.exists(new Path(root, stray)),
       "aged meta-less debris (a crashed builder's) is collected")
+
+    // a PUBLISHED (meta-carrying) young dir outside the keep-set is a
+    // RACING builder's fresh generation (published between this
+    // publish's pointer flip and its prune listing) — the normal path
+    // spares it so the last-writer-wins pointer can't end up naming a
+    // gutted dir; a PURGE (spareYoungPublished = false) deletes it
+    // regardless, because purged bytes must disappear now
+    val racer = GenLog.newGenName()
+    GenLog.writeMeta(spark, new Path(root, racer),
+      GenLog.Meta(5L, fmt, 1L, None, None))
+    GenLog.pruneGens(spark, fs, new Path(root), g3, Some(g2), fmt)
+    assert(fs.exists(new Path(root, racer)),
+      "a racer's young published generation must survive a normal prune")
+    GenLog.pruneGens(spark, fs, new Path(root), g3, Some(g2), fmt,
+      spareYoungPublished = false)
+    assert(!fs.exists(new Path(root, racer)),
+      "a purge prune deletes superseded generations regardless of age")
   }
 }

@@ -214,6 +214,18 @@ class Scd2RegionedSpec extends SparkSuite {
       col("project_name") === "A-0").count() === 2,
       "one of the two A-version closes was swallowed as a replay")
     assert(Scd2.violations(snap) === 0)
+
+    // parity: the one-shot flat merge keeps both A-closes naturally
+    // (it republishes the whole history, no retry dedup at all) — the
+    // regioned layout must produce the SAME logical table under the
+    // ABA sequence, which is exactly where the pre-r16 payload dedup
+    // made the two layouts silently diverge
+    val flatPath = Files.createTempDirectory("graft_scd2_flat_aba")
+      .toString + "/t"
+    for (v <- Seq("A", "B", "A", "B"))
+      Scd2.merge(spark, mkBatch(0 until 20, v, "2025-01-15"), flatPath,
+        asOfDate = lit("2025-01-15"))
+    assert(canon(spark.read.parquet(flatPath)) === canon(snap))
   }
 
   test("intra-day multi-merge keeps every close; midnight-straddle replay still swallowed") {
