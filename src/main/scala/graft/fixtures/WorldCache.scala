@@ -101,10 +101,12 @@ object WorldCache {
     *    SCENARIO re-stamps exactly the worlds declared in that file,
     *    while edits to other query files reuse every cached world.
     *
-    * INVARIANT the split relies on (checked at the 12 call sites, and
-    * required of new ones): a build lambda calls only engine packages
-    * plus code in its OWN file — never helpers in another excluded
-    * file, which neither component would see.
+    * INVARIANT the split relies on (audited at the 12 call sites this
+    * round, and required of new ones): a build lambda calls only engine
+    * packages plus code in its OWN file — a helper in another excluded
+    * file is invisible to both components and MUST be declared via
+    * [[dir]]'s `alsoOwners` (the audit found one such site, s27's
+    * DedupExtQueries.plantedCorpus, now declared).
     *
     * Content hashing (not mtime) makes the stamp stable across
     * touch-compiles and across sbt's forked `runMain` re-copying the
@@ -236,11 +238,16 @@ object WorldCache {
     * substructure); the returned dir must be treated read-only.
     * `owner` is load-bearing: the class whose file DECLARES the build
     * lambda — its bytecode hash re-keys this world when the scenario
-    * is edited (see [[ownerStamp]]). */
-  def dir(tag: String, sfDir: String, owner: Class[_])
+    * is edited (see [[ownerStamp]]). A lambda that calls helper code in
+    * ANOTHER excluded (queries/tools) file MUST declare that file via
+    * `alsoOwners`, or an edit to the helper serves this world stale —
+    * the r16 audit found exactly one such site (s27's
+    * DedupExtQueries.plantedCorpus) and it declares it. */
+  def dir(tag: String, sfDir: String, owner: Class[_],
+          alsoOwners: Class[_]*)
          (build: String => Unit): String = synchronized {
     val ver = buildStamp
-    val own = ownerStamp(owner)
+    val own = (owner +: alsoOwners).map(ownerStamp).reduce(_ ^ _)
     val key = tag + s"_v${java.lang.Long.toHexString(ver)}-" +
       java.lang.Long.toHexString(own) + "_" +
       java.lang.Long.toHexString(

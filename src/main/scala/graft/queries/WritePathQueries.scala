@@ -1129,7 +1129,7 @@ object WritePathQueries {
       // cached-world store + pointer-read revalidation (see
       // runSketchScenario's rationale)
       val world = graft.fixtures.WorldCache.dir("s27_embidx_scenario", d,
-          getClass) { w =>
+          getClass, DedupExtQueries.getClass) { w =>
         val root = s"$w/store"
         val originals = DedupExtQueries.plantedCorpus(s, d)
           .filter(col("vec_id") < DedupExtQueries.CopyIdOffset)
