@@ -503,8 +503,16 @@ object CosineLshIndex {
                        historyKeys: DataFrame, historyVecs: DataFrame,
                        bands: Int = DefaultBands, rowsPerBand: Int = DefaultRowsPerBand): DataFrame = {
     graft.functions.CosineSimilarity.register(batch.sparkSession)
+    // eager checkpoint: the batch frame is referenced SIX times below
+    // (key bucketize, vector sides of both pair joins, batch-internal
+    // candidate pairs) plus the broadcast-sizing count — without the cut
+    // each reference re-executes the caller's lineage, and the r15
+    // count-for-the-guard alone re-ran an expensive un-persisted batch
+    // (r16 ADVICE). One materialization of the (small) increment serves
+    // all of them, and the count below reads checkpointed blocks.
     val b = batch.select(col(idCol).cast("long").as("__id"),
       col(embCol).cast("array<double>").as("emb"))
+      .localCheckpoint(true)
     // geometry MUST match the index's build geometry — enforced at the
     // index layer: ensure/advance fold (bands, rowsPerBand) into the
     // meta fmt, so a generation at another geometry reads as stale and

@@ -105,7 +105,12 @@ object PageRank {
     * `withDeg` / `nodes` / `dangling` jobs each re-derived the caller's
     * edge frame from scratch (for gr2 that is the whole rare-gram
     * self-join — measured as most of its 1.65 s gap over gr1, r15
-    * verdict #4). */
+    * verdict #4).
+    *
+    * Precondition: node ids must be NON-NEGATIVE after the long cast —
+    * the dangling sentinel is dst = -1. Enforced with a cheap fused
+    * aggregate, so violations fail loudly instead of misrouting a real
+    * node's in-mass into the dangling sum. */
   def scoresDangling(edges: DataFrame, src: String, dst: String,
                      iters: Int, scale: Long = 1000000000000L,
                      dampPct: Int = 85): DataFrame = {
@@ -123,17 +128,28 @@ object PageRank {
     // the score frame every round): each dangling node gets one VIRTUAL
     // edge (src = sink, dst = -1, deg = 1), so the round's single
     // edge-join + dst aggregation computes D as the sentinel row's
-    // insum — `score div 1` sums the sinks' mass exactly. Node ids are
-    // non-negative by the cast contract, so -1 can't collide; both
-    // reads of the aggregate (the sentinel row and the real rows) sit
-    // over the SAME exchange, which the planner reuses.
+    // insum — `score div 1` sums the sinks' mass exactly. Non-negative
+    // node ids are ENFORCED below (fused into the node-count action),
+    // so -1 can't collide; both reads of the aggregate (the sentinel
+    // row and the real rows) sit over the SAME exchange, which the
+    // planner reuses.
     val dangling = nodes
       .join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
     val aug = withDeg.unionByName(dangling.select(
         col("node").as("src"), lit(-1L).as("dst"), lit(1L).as("deg")))
       .localCheckpoint()
-    val n = nodes.count()
+    // one action for BOTH the node count and the sentinel-safety guard:
+    // dst = -1 is only collision-free if real ids are non-negative, and
+    // the public API merely casts to long — a caller with hash-derived
+    // ids could legitimately hold -1, whose in-mass would silently merge
+    // into the dangling sum (r16 ADVICE). Fused into the count the setup
+    // already pays, so the guard costs zero extra jobs.
+    val nStats = nodes.agg(count(lit(1)).as("n"), min("node").as("mn")).head()
+    val n = nStats.getLong(0)
     require(n > 0, "PageRank over an empty edge set")
+    require(!nStats.isNullAt(1) && nStats.getLong(1) >= 0L,
+      "scoresDangling requires non-negative node ids: the dangling-mass " +
+        s"sentinel is dst = -1 (got min id ${nStats.getLong(1)})")
     val base = scale / n
     var score = nodes.select(col("node"), lit(base).as("score"))
     for (round <- 1 to iters) {

@@ -265,6 +265,25 @@ object Scd2 {
     // (see merge()); the closed-region append fences itself inside
     // appendClosed, against ITS region's version at append time
     val curBase = commit.version(spark, curPath)
+    // merge-identity base (appendClosed's replay detection): the pointer
+    // protocol's snapshot name is content-unique, but the swap protocol's
+    // `_version` counter can go STALE across the partition-swap →
+    // bumpVersion crash window — the next merge then reads the same
+    // counter the pre-crash merge read, and an identical close payload
+    // (same-day ABA) would alias its done-marker and be dropped as a
+    // replay (the r16 ADVICE window). Mix in a fingerprint of the
+    // region's actual FILE INVENTORY: every landed swap writes fresh
+    // part-file names, so two merges separated by any landed publish
+    // always see different listings, stale counter or not — while a
+    // genuine retry of a merge whose swap did NOT land still reads the
+    // unchanged listing and maps to the same identity. (A retry of a
+    // merge whose swap DID land re-classifies against the post-swap
+    // region, finds no changes, and never reaches appendClosed.)
+    val mergeIdBase = commit match {
+      case PointerCommit => curBase.getOrElse("0")
+      case _ =>
+        s"${curBase.getOrElse("0")}.${listingFingerprint(spark, curPath)}"
+    }
     val cur = commit.read(spark, curPath)
     val usable = changeColumns.filter(c =>
       cur.columns.contains(c) && newBatch.columns.contains(c))
@@ -304,7 +323,7 @@ object Scd2 {
             val newlyClosed = closeOut(
               cur.join(closedKeys, Seq("universal_id"), "left_semi"), asOfDate)
             if (closedCount > 0) appendClosed(spark, newlyClosed,
-              closedRoot(root), commit, curBase)
+              closedRoot(root), commit, mergeIdBase)
             commit.publishFrom(
               cur.join(closedKeys, Seq("universal_id"), "left_anti")
                 .unionByName(fromBatch, allowMissingColumns = true),
@@ -312,7 +331,7 @@ object Scd2 {
           } else {
             mergeChurned(spark, cur, fromBatch, closedKeys, closedCount,
               asOfDate, root, curPath, partitionColumns, commit, joined,
-              isFromBatch, isClosed, curBase)
+              isFromBatch, isClosed, curBase, mergeIdBase)
           }
           total
         }
@@ -342,7 +361,8 @@ object Scd2 {
                            curPath: String, partitionColumns: Seq[String],
                            commit: TableCommit, joined: DataFrame,
                            isFromBatch: Column, isClosed: Column,
-                           curBase: Option[String]): Unit = {
+                           curBase: Option[String],
+                           mergeIdBase: String): Unit = {
     val churned = joined.filter(isFromBatch)
       .select(partitionColumns.map(c =>
         col(s"_src_$c").cast("string").as(c)): _*)
@@ -377,7 +397,8 @@ object Scd2 {
         val newlyClosed = closeOut(
           prunedCur.join(closedKeys, Seq("universal_id"), "left_semi"),
           asOfDate)
-        appendClosed(spark, newlyClosed, closedRoot(root), commit, curBase)
+        appendClosed(spark, newlyClosed, closedRoot(root), commit,
+          mergeIdBase)
       }
       val replacement = prunedCur
         .join(closedKeys, Seq("universal_id"), "left_anti")
@@ -504,14 +525,20 @@ object Scd2 {
     * a payload anti-join swallows a legitimate history row (the r15
     * ADVICE finding; the one-shot [[merge]] keeps both rows, so the
     * regioned layout silently diverged). The merge identity is
-    * deterministic from what the merge READ: the current-region version
+    * deterministic from what the merge READ: the current-region STATE
     * it classified against (stable across a retry — the retry exists
     * precisely because the current publish did NOT land) plus an
     * order-independent hash of the close payload (`valid_to` excluded,
     * so a retry straddling midnight maps to the same identity). v1's and
-    * v3's closes always carry DIFFERENT current-region versions — the
+    * v3's closes always carry DIFFERENT current-region states — the
     * intermediate merge published in between — so their identities never
-    * collide.
+    * collide. "State" is the commit protocol's version for the pointer
+    * protocol (snapshot names are content-unique), and version PLUS a
+    * file-inventory fingerprint for the swap protocol — the `_version`
+    * counter alone goes stale across the partition-swap → bumpVersion
+    * crash window, and a stale counter would alias two distinct merges'
+    * identities (the r16 ADVICE window); the listing cannot go stale
+    * because every landed swap writes fresh part-file names.
     *
     * Marker protocol (`_merge_markers/<id>.{started,done}` beside the
     * data; underscore-prefixed, invisible to parquet readers, outside
@@ -528,9 +555,34 @@ object Scd2 {
     *    crash between the started-marker and the append job commit —
     *    accepted and documented; Scd2RegionedSpec pins every other arm
     *    (clean retry, midnight straddle, ambiguous-window retry, ABA). */
+  /** Order-independent fingerprint of a directory's file inventory —
+    * (path, length) deliberately WITHOUT mtime. Identifies the
+    * current-region state a merge read even when the `_version` counter
+    * is stale: a landed partition swap always writes fresh part-file
+    * names (Spark's per-job UUIDs), so no two states separated by a
+    * landed publish share a listing; while a byte-copy RESTORE of the
+    * same files (a crash-recovery replay of the same state) keeps its
+    * fingerprint — mtime would break exactly that retry-identity.
+    * One recursive listing of the SMALL live region per merge. */
+  private def listingFingerprint(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return "0"
+    var acc = 0L
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val s = s"${st.getPath.toUri.getPath}|${st.getLen}"
+      val h = scala.util.hashing.MurmurHash3.stringHash(s)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c)
+      acc ^= (h.toLong << 32) ^ (h2.toLong & 0xffffffffL)
+    }
+    java.lang.Long.toHexString(acc)
+  }
+
   private def appendClosed(spark: SparkSession, newlyClosed: DataFrame,
                            closedPath: String, commit: TableCommit,
-                           curBase: Option[String]): Unit = {
+                           mergeIdBase: String): Unit = {
     // the append is a read-modify-write for the pointer protocol — fence
     // on the closed region's version here
     val closedBase = commit.version(spark, closedPath)
@@ -539,7 +591,7 @@ object Scd2 {
       expr(s"bit_xor(xxhash64(${payloadCols.map(c => s"`$c`").mkString(", ")}))")
         .as("h"),
       count(lit(1)).as("n")).head()
-    val mergeId = s"b${curBase.getOrElse("0")}" +
+    val mergeId = s"b$mergeIdBase" +
       s"-n${idRow.getLong(1)}" +
       s"-h${java.lang.Long.toHexString(if (idRow.isNullAt(0)) 0L else idRow.getLong(0))}"
     val markers = new Path(closedPath, "_merge_markers")

@@ -697,9 +697,14 @@ object DirectorySwapCommit extends TableCommit {
 
   /** Advance the version stamp in place — for writers that mutate the
     * table WITHOUT a whole-dir swap (the Scd2 churned-partition
-    * publish). Call after the data mutation lands; a crash in between
-    * leaves a stale stamp, which only weakens the stamp back to the
-    * pre-stamp world for the next reader, never corrupts data. */
+    * publish). Call after the data mutation lands. A crash in between
+    * leaves a STALE stamp: the data is intact, but the next reader sees
+    * the pre-mutation counter over post-mutation bytes — so any
+    * identity keyed on this counter alone can alias two distinct
+    * states. Callers that key decisions on "which state did I read"
+    * must mix in something the mutation itself changes (Scd2's merge
+    * identity adds a file-inventory fingerprint for exactly this
+    * window). */
   def bumpVersion(spark: SparkSession, path: String): Unit = {
     val target = new Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -228,6 +228,45 @@ class Scd2RegionedSpec extends SparkSuite {
     assert(canon(spark.read.parquet(flatPath)) === canon(snap))
   }
 
+  test("stale _version across crashed bumpVersions cannot alias two merges (r16 ADVICE crash+ABA)") {
+    // swap protocol: bumpVersion runs AFTER the in-place partition swap,
+    // so a crash in between leaves the counter stale while the data
+    // moved. If every intermediate merge hits that window, two merges
+    // with identical close payloads read the SAME counter — the
+    // counter-keyed identity aliased them and the later close was
+    // dropped as a replay. The file-inventory fingerprint in the merge
+    // identity keeps them distinct: each landed swap wrote fresh part
+    // files. Simulate the crash by rewinding _version after each merge.
+    val root = Files.createTempDirectory("graft_scd2_reg_stale").toString + "/t"
+    Scd2.mergeRegioned(spark, mkBatch(0 until 20, "A", "2025-01-15"), root,
+      asOfDate = lit("2025-01-15"))
+    // go through the Hadoop fs so the local checksum sidecar stays valid
+    val vf = new Path(Scd2.currentRoot(root), "_version")
+    val fs = vf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vStale = {
+      val in = fs.open(vf)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    for (v <- Seq("B", "A")) {
+      Scd2.mergeRegioned(spark, mkBatch(0 until 20, v, "2025-01-15"), root,
+        asOfDate = lit("2025-01-15"))
+      // crash before bumpVersion: the swap landed, the counter did not
+      val out = fs.create(vf, true)
+      try out.write(vStale.getBytes("UTF-8")) finally out.close()
+    }
+    // this merge closes payload-A rows byte-identical to the first
+    // B-merge's closes, AND reads the same stale counter it read
+    Scd2.mergeRegioned(spark, mkBatch(0 until 20, "B", "2025-01-15"), root,
+      asOfDate = lit("2025-01-15"))
+    val snap = Scd2.readRegioned(spark, root)
+    assert(snap.filter(col("is_current") === false).count() === 60,
+      "a close aliased a stale-counter predecessor's done-marker")
+    assert(snap.filter(!col("is_current") &&
+      col("project_name") === "A-0").count() === 2)
+    assert(Scd2.violations(snap) === 0)
+  }
+
   test("intra-day multi-merge keeps every close; midnight-straddle replay still swallowed") {
     val tmp = Files.createTempDirectory("graft_scd2_reg_multi").toString
     val root = tmp + "/t"
