@@ -670,8 +670,11 @@ object AnalyticQueries {
     }),
 
     "gr1_pagerank" -> ((s, d) => {
-      // the rare-shingle frame is localCheckpoint'ed: both sides of the
-      // edge self-join would otherwise re-run the corpus explode per use
+      // persisted (dd14's tokenized-relation rationale): the gram
+      // relation feeds the df aggregation AND the rare-postings join
+      // probe — un-persisted, the corpus explode+md5 pass ran twice
+      // (JobDebug r17: the two ~0.5 s tokenize jobs were gr1's largest).
+      // Released right after the eager edge checkpoint below.
       val grams = documents(s, d)
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
         .filter(size(col("w")) >= 3)
@@ -680,13 +683,28 @@ object AnalyticQueries {
             |  i -> cast(conv(substring(md5(concat_ws(' ', element_at(w, i),
             |         element_at(w, i + 1), element_at(w, i + 2))), 1, 12),
             |       16, 10) as bigint)))""".stripMargin)).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val rare = grams.groupBy("h").agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, 5))
-      val g = grams.join(rare.select("h"), "h").localCheckpoint()
-      val edges = g.select(col("doc_id").as("src"), col("h"))
-        .join(g.select(col("doc_id").as("dst"), col("h")), "h")
-        .filter(col("src") =!= col("dst"))
-        .select("src", "dst").distinct()
+      // r17: pair generation WITHOUT the postings self-join. The rare
+      // cut (df ≤ 5) bounds every per-gram doc list at 5 ids, so the
+      // ≤ 20 ordered pairs per gram explode from one collect_list over
+      // the (small) rare-postings join — the old spelling checkpointed
+      // the postings and re-shuffled them through BOTH sides of an
+      // equi-join to emit the same pair multiset. Same pairs, same
+      // distinct, one exchange + no checkpoint write instead of three
+      // exchanges + a hash-relation probe. The checkpoint moves to the
+      // (far smaller) distinct edge set, which PageRank.scores
+      // references twice.
+      val edges = grams.join(rare.select("h"), "h")
+        .groupBy("h").agg(collect_list(col("doc_id")).as("ds"))
+        .select(explode(expr(
+          "flatten(transform(ds, a -> transform(filter(ds, b -> b != a), " +
+            "b -> named_struct('src', a, 'dst', b))))")).as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"))
+        .distinct()
+        .localCheckpoint()
+      grams.unpersist() // edge set materialized by the eager checkpoint
       graft.operators.PageRank.scores(edges, "src", "dst", iters = 3)
         .select(col("node").as("doc_id"), col("score"))
         .orderBy(col("score").desc, col("doc_id"))
@@ -701,6 +719,7 @@ object AnalyticQueries {
     // exact BIGINT domain, and the oracle replays all three rounds —
     // dangling sum, per-node share, floors — in integer SQL.
     "gr2_pagerank_dangling" -> ((s, d) => {
+      // persisted for the same two-consumer reason as gr1's grams
       val grams = documents(s, d)
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
         .filter(size(col("w")) >= 3)
@@ -709,15 +728,24 @@ object AnalyticQueries {
             |  i -> cast(conv(substring(md5(concat_ws(' ', element_at(w, i),
             |         element_at(w, i + 1), element_at(w, i + 2))), 1, 12),
             |       16, 10) as bigint)))""".stripMargin)).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val rare = grams.groupBy("h").agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, 5))
-      val g = grams.join(rare.select("h"), "h").localCheckpoint()
-      val edges = g.select(col("doc_id").as("src"), col("h"))
-        .join(g.select(col("doc_id").as("dst"), col("h")), "h")
-        .filter(col("src") < col("dst"))
-        .select("src", "dst").distinct()
-      graft.operators.PageRank.scoresDangling(edges, "src", "dst",
+      // r17: gr1's self-join-free pair generation, oriented low → high
+      // (b > a instead of b != a); no explicit checkpoint needed —
+      // scoresDangling eagerly checkpoints the edge frame first thing,
+      // which also makes the unpersist below safe.
+      val edges = grams.join(rare.select("h"), "h")
+        .groupBy("h").agg(collect_list(col("doc_id")).as("ds"))
+        .select(explode(expr(
+          "flatten(transform(ds, a -> transform(filter(ds, b -> b > a), " +
+            "b -> named_struct('src', a, 'dst', b))))")).as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"))
+        .distinct()
+      val pr = graft.operators.PageRank.scoresDangling(edges, "src", "dst",
           iters = 3)
+      grams.unpersist()
+      pr
         .select(col("node").as("doc_id"), col("score"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(20)

@@ -592,10 +592,15 @@ object TextQueries {
         .agg(count(lit(1)).as("cnt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val classTot = classTok.groupBy("lang").agg(sum("cnt").as("tot"))
-      val vocabV = classTok.select("tok").distinct().count()
+      // r17 driver-action diet: totalDocs = Σ ndocs from the SAME C-row
+      // priors pull that already feeds the prior term (the old separate
+      // docs.count() re-scanned the corpus for a number the collected
+      // rows contain), and langs come from those rows too — one bounded
+      // collect instead of three jobs.
       val priors = docs.groupBy("lang").agg(count(lit(1)).as("ndocs"))
-      val totalDocs = docs.count()
-      val langs = priors.select("lang").collect().map(_.getString(0)).sorted
+      val priorRows = priors.collect()
+      val totalDocs = priorRows.map(_.getAs[Long]("ndocs")).sum
+      val langs = priorRows.map(_.getString(0)).sorted
       // r15 shape (same values to the last decimal digit, pinned by the
       // unchanged oracle): the previous spelling exploded every token
       // occurrence ×C languages BEFORE a composite-key (lang, tok) join
@@ -611,6 +616,13 @@ object TextQueries {
       val classTokMap = classTok.groupBy("tok")
         .agg(map_from_entries(collect_list(struct(col("lang"), col("cnt"))))
           .as("cnts"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // vocab size off the pivoted model frame the broadcast reads
+      // anyway (one row per token by construction) — the old spelling
+      // ran a separate distinct+count shuffle over classTok for the
+      // same number; the count here doubles as the cache materializer
+      // so the broadcast below reads cached rows.
+      val vocabV = classTokMap.count()
       def logpCol(l: String) =
         log((coalesce(element_at(col("cnts"), lit(l)), lit(0L)) + 1)
           .cast("double") / lit((tots(l) + vocabV).toDouble))
