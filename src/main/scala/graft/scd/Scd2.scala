@@ -305,13 +305,30 @@ object Scd2 {
           .reduceOption(_ || _).getOrElse(lit(false))
         val isClosed = curHit && srcHit && changed
         val isFromBatch = srcHit && (!curHit || changed)
-        // every classification count in ONE pass over the persisted join
-        val cnts = joined.agg(
+        // every classification count AND the churned partition-key set
+        // in ONE pass over the persisted join (r17: the key set was a
+        // second distinct+collect job over the same frame — fused here
+        // as two collect_sets, bounded by the partitions the day's
+        // batch touches exactly as the old collect was)
+        val partAggs = if (partitionColumns.isEmpty) Nil else Seq(
+          collect_set(when(isFromBatch, struct(partitionColumns.map(c =>
+            col(s"_src_$c").cast("string").as(c)): _*))).as("pb"),
+          collect_set(when(isClosed, struct(partitionColumns.map(c =>
+            col(c).cast("string").as(c)): _*))).as("pc"))
+        val aggs = Seq(
           count(when(curHit, lit(1))).as("cur"),
           count(when(isClosed, lit(1))).as("closed"),
-          count(when(isFromBatch, lit(1))).as("batch")).head()
+          count(when(isFromBatch, lit(1))).as("batch")) ++ partAggs
+        val cnts = joined.agg(aggs.head, aggs.tail: _*).head()
         val (curCount, closedCount, fromBatchCount) =
           (cnts.getLong(0), cnts.getLong(1), cnts.getLong(2))
+        val churned: Array[Seq[String]] =
+          if (partitionColumns.isEmpty) Array.empty
+          else (cnts.getSeq[org.apache.spark.sql.Row](3) ++
+            cnts.getSeq[org.apache.spark.sql.Row](4))
+            .map(r => partitionColumns.indices
+              .map(i => r.getString(i)): Seq[String])
+            .distinct.toArray
         val total = curCount - closedCount + fromBatchCount
         if (closedCount == 0L && fromBatchCount == 0L) total // pure no-op
         else {
@@ -330,8 +347,8 @@ object Scd2 {
               curPath, Nil, curBase)
           } else {
             mergeChurned(spark, cur, fromBatch, closedKeys, closedCount,
-              asOfDate, root, curPath, partitionColumns, commit, joined,
-              isFromBatch, isClosed, curBase, mergeIdBase)
+              asOfDate, root, curPath, partitionColumns, commit,
+              churned, curBase, mergeIdBase)
           }
           total
         }
@@ -344,14 +361,15 @@ object Scd2 {
   private def closeOut(rows: DataFrame, asOfDate: Column): DataFrame =
     rows.withColumn("is_current", lit(false)).withColumn("valid_to", asOfDate)
 
-  /** The churn-pruned merge body: derive the churned partition keys from
-    * the classification join, read full-width current rows from ONLY
-    * those partitions, close out + publish.
+  /** The churn-pruned merge body: read full-width current rows from
+    * ONLY the churned partitions, close out + publish.
     *
     * Churned = partitions where a `fromBatch` row lands (batch-side
     * values) ∪ partitions holding a closed key's old version (cur-side
     * values — possibly a different partition than the new version's, and
-    * possibly left empty). The key list is collected to the driver:
+    * possibly left empty). The key list arrives collected from the
+    * caller's single classification-aggregate pass (r17 — it was a
+    * second distinct+collect job over the same persisted join):
     * bounded by the number of distinct partitions the day's batch
     * touches (the same bounded-collect the gold incremental publish
     * makes, GoldEtl.runIncremental), never by row count. */
@@ -359,18 +377,10 @@ object Scd2 {
                            fromBatch: DataFrame, closedKeys: DataFrame,
                            closedCount: Long, asOfDate: Column, root: String,
                            curPath: String, partitionColumns: Seq[String],
-                           commit: TableCommit, joined: DataFrame,
-                           isFromBatch: Column, isClosed: Column,
+                           commit: TableCommit,
+                           churned: Array[Seq[String]],
                            curBase: Option[String],
                            mergeIdBase: String): Unit = {
-    val churned = joined.filter(isFromBatch)
-      .select(partitionColumns.map(c =>
-        col(s"_src_$c").cast("string").as(c)): _*)
-      .unionByName(joined.filter(isClosed)
-        .select(partitionColumns.map(c => col(c).cast("string").as(c)): _*))
-      .distinct().collect()
-      .map(r => partitionColumns.indices.map(i => r.getString(i)): Seq[String])
-
     // full-width current rows from churned partitions ONLY: per-column
     // isin prunes partition dirs at the scan, the exact tuple semi-join
     // against the churned-key dim removes the cartesian-superset residue

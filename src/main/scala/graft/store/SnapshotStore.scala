@@ -210,11 +210,25 @@ object SnapshotStore {
     // construction of __rh, so either copy serves)
     val fr = fc.select((Seq(col("__rh"), col("__nf")) ++
       cols.map(c => col(c).as(s"__f_$c"))): _*)
+    // CHURN-SIZED lazy checkpoint (r17, guide §3.3): the four
+    // change-type branches below each referenced the full classification
+    // join — the final plan carried four copies of the two-snapshot
+    // aggregate + full-outer subtree (87 KB formatted for s13; planning
+    // alone was a visible slice of the gate's first run), and single
+    // execution of the heavy prefix rested on exchange reuse. Cutting
+    // the lineage at the CHANGED rows keeps the checkpoint O(churn) —
+    // never O(snapshot), which is why the cut is here and not at
+    // fc/tc/delta — truncates each branch's plan to a scan of the
+    // checkpointed RDD, and guarantees the join runs once. Lazy
+    // (eager = false): the operator stays a pure DataFrame transform —
+    // materialization happens under the caller's first action.
     val delta = fr.join(tc, Seq("__rh"), "full_outer")
       .select((Seq(col("__rh"), col("__nf"), col("__nt")) ++
         cols.map(c => coalesce(col(c), col(s"__f_$c")).as(c))): _*)
       .withColumn("__d",
         coalesce(col("__nt"), lit(0L)) - coalesce(col("__nf"), lit(0L)))
+      .filter(col("__d") =!= 0L)
+      .localCheckpoint(false)
     // replicate each changed content-row |delta| times so multi-copy
     // churn round-trips through the feed exactly
     def replicate(n: org.apache.spark.sql.Column): DataFrame =
