@@ -398,10 +398,18 @@ object AnalyticQueries {
         .select(explode(split(trim(col("text")), "\\s+")).as("token"))
         .filter(length(col("token")) > 0)
       val k = 64
-      val n = toks.count()
-      val bound = n.toDouble / (k + 1)
-      val exactTop = toks.groupBy("token")
+      // r17: n and the exact top-10 both come from ONE persisted
+      // vocab-sized aggregate — the corpus tokenized 3× before (count,
+      // exact agg, MG pass); now twice, the floor (the MG sketch must
+      // see the raw token stream — its summary is order-sensitive and
+      // the oracle replays it, so its input stays untouched).
+      val grouped = toks.groupBy("token")
         .agg(count(lit(1)).as("n_exact"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = grouped.agg(coalesce(sum("n_exact"), lit(0L)))
+        .head().getLong(0)
+      val bound = n.toDouble / (k + 1)
+      val exactTop = grouped
         .orderBy(col("n_exact").desc, col("token"))
         .limit(10)
       val est = graft.operators.HeavyHitters.approxCounts(toks, "token", k)

@@ -117,14 +117,19 @@ object WindowedAggQueries {
       val merged = buf.synchronized(buf.reduce(_.unionByName(_)))
         .groupBy("token").agg(sum("est").as("est"))
         .localCheckpoint(true)
-      // a19's gate body over the streamed summary
+      // a19's gate body over the streamed summary (r17: n + top-10 from
+      // ONE persisted vocab-sized aggregate — one verify-side tokenize
+      // pass, was two)
       val toks = graft.Tables.documents(s, d)
         .select(explode(split(trim(col("text")), "\\s+")).as("token"))
         .filter(length(col("token")) > 0)
-      val n = toks.count()
-      val bound = n.toDouble / (k + 1)
-      val exactTop = toks.groupBy("token")
+      val grouped = toks.groupBy("token")
         .agg(count(lit(1)).as("n_exact"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = grouped.agg(coalesce(sum("n_exact"), lit(0L)))
+        .head().getLong(0)
+      val bound = n.toDouble / (k + 1)
+      val exactTop = grouped
         .orderBy(col("n_exact").desc, col("token"))
         .limit(10)
       exactTop.join(broadcast(merged), Seq("token"), "left")
